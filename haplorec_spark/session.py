@@ -1,0 +1,58 @@
+"""SparkSession construction with engine defaults.
+
+Defaults are tuned for correctness-at-scale: AQE on (runtime re-plan,
+skew-join splitting, partition coalescing), broadcast threshold sized so
+the small pharmacogenomic reference tables (≪10 MB) always broadcast,
+and Arrow enabled for the few Pandas-UDF kernels.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_CONFS: dict[str, str] = {
+    # Let Catalyst re-plan at runtime: coalesce small shuffle partitions,
+    # split skewed ones, demote/promote join strategies.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Reference tables (gene_haplotype_variant etc.) are tiny; dims in the
+    # TPC-H-ish surface are small at any SF we test. 64 MB keeps them all
+    # on the broadcast path without hinting.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow batches for applyInPandas / pandas_udf kernels.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # ANSI off: reference (MySQL) semantics are permissive.
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+}
+
+
+def get_spark(
+    app_name: str = "haplorec_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, fallback 32)
+    so the same entry point works in the driver harness and in tests. On a
+    real cluster, pass ``master=None`` with a pre-configured environment —
+    existing sessions are reused untouched.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    confs = dict(ENGINE_CONFS)
+    if shuffle_partitions is not None:
+        confs["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
