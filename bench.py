@@ -1,0 +1,54 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q...": sec, ...}, "sf": 0.1}
+
+Each query is forced with a noop-format write (full execution, no
+driver-side collect). Per-query time includes planning + execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from haplorec_spark.queries import registry
+    from haplorec_spark.session import get_spark
+
+    spark = get_spark(app_name="haplorec_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # queries, not first-touch session costs.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+
+    times: dict[str, float] = {}
+    for name, q in sorted(registry().items()):
+        t0 = time.time()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,517 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Five families, each expressed as declarative DataFrame programs (JVM-side,
+whole-stage-codegen friendly — no Python UDFs in any hot path):
+
+* exact duplicates           — md5(text) hash groupBy
+* MinHash + LSH              — shingle → k salted-md5 minhashes → band →
+                               bucket self-join (candidate pairs)
+* n-gram Jaccard             — exact set similarity, pruned to pairs that
+                               share at least one shingle
+* SimHash                    — 32-bit sign-sum fingerprint + banded
+                               near-duplicate join (Hamming <= 3)
+* embedding cosine near-dup  — pairwise cosine over `array<float>` vectors
+
+Determinism contract: every hash is derived from ``md5`` (identical
+lexicographic hex in Spark and DuckDB), so each operator has an exact
+ANSI-SQL oracle (registered in haplorec_spark.queries).
+
+Scale design (100 TB): all operators are one-or-two-shuffle plans.
+
+* Exact dedup shuffles on a 128-bit hash — uniformly distributed, no skew.
+* MinHash: the shingle explosion is map-side; the signature aggregate is a
+  partial-aggregated groupBy(doc, seed) whose key count is docs x k; band
+  buckets are tiny (near-dup clusters), so the bucket self-join is safe.
+  A pathological bucket (constant text spam) is bounded because the join
+  key includes the full band signature, and AQE skew-split covers the rest.
+* SimHash: the 32-way bit explosion is a map-side ``explode`` feeding a
+  partially-aggregated sum — no extra shuffle beyond groupBy(doc).
+* Banded Hamming join: pigeonhole over 4 byte-bands guarantees recall for
+  Hamming <= 3 while keeping the self-join keyed (never a cross join).
+* Cosine near-dup is O(n^2) by construction — the scale path is the LSH /
+  bucketed ANN in haplorec_spark.operators.similarity; this operator is
+  the small-side exact baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_duplicates(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rows that are exact duplicates of an earlier (lower-id) row.
+
+    Returns (id, canonical_id): every doc whose text hash was already
+    claimed by a lower id, pointing at the keeper. Anti-joining these ids
+    out of the corpus is the drop step.
+    """
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_h")
+    )
+    w = Window.partitionBy("_h").orderBy(id_col)
+    return (
+        hashed.withColumn("canonical_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) != F.col("canonical_id"))
+        .select(id_col, "canonical_id")
+    )
+
+
+# --------------------------------------------------------------- shingles
+
+
+def word_shingles(
+    docs: DataFrame,
+    n: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct n-word shingles per document: (id, shingle).
+
+    Tokenization is a plain single-space split of the lowercased text so
+    the DuckDB oracle (string_split) tokenizes identically.
+    """
+    words = F.split(F.lower(F.col(text_col)), " ")
+    shingle_expr = F.when(
+        F.size(words) >= n,
+        F.expr(
+            f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {n}),"
+            f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n})))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 12, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, seed, mh): per-document minimum of k salted md5 hashes.
+
+    The "hash family" is md5 prefixed with the seed; the minimum is taken
+    lexicographically over hex strings — a total order both engines share.
+    Partial (map-side) min aggregation makes the k-fold row blowup cheap.
+    """
+    spark = shingles.sparkSession
+    seeds = F.broadcast(
+        spark.range(num_hashes).select(F.col("id").alias("seed"))
+    )
+    return (
+        shingles.crossJoin(seeds)
+        .select(
+            F.col(id_col),
+            F.col("seed"),
+            F.md5(
+                F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy(id_col, "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate near-duplicate pairs (id_a < id_b).
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands`` rows;
+    documents sharing any full band signature become a candidate pair.
+    The self-join is keyed on (band, band_key) — bucket-local, never a
+    cross join.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col),
+        num_hashes,
+        id_col=id_col,
+    )
+    banded = (
+        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band))
+        .groupBy(id_col, "band")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
+        .select(
+            F.col(id_col),
+            "band",
+            F.expr("concat_ws(',', transform(sm, s -> s.mh))").alias("band_key"),
+        )
+    )
+    left = banded.select(
+        F.col(id_col).alias("doc_id_a"), "band", "band_key"
+    )
+    right = banded.select(
+        F.col(id_col).alias("doc_id_b"), "band", "band_key"
+    )
+    return (
+        left.join(right, on=["band", "band_key"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------- n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity over word-shingle sets, >= threshold.
+
+    Pruned relationally: only pairs sharing >= 1 shingle are scored (the
+    join on shingle), so the plan is shingle-keyed shuffle + two
+    broadcast-joined size aggregates — division-style, no cross join.
+    """
+    sh = word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(sa, on="doc_id_a")
+        .join(sb, on="doc_id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+_HEXMAP = "0123456789abcdef"
+
+
+def simhash32(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over word tokens.
+
+    Per token, bits come from the first 8 hex chars of md5(token); per bit
+    position the +-1 votes are summed; positive sums set the bit. The
+    32-way position explosion is map-side; the only shuffle is the
+    partially-aggregated groupBy(doc, bit) -> groupBy(doc).
+    """
+    spark = docs.sparkSession
+    positions = F.broadcast(
+        spark.range(32).select(F.col("id").cast("int").alias("pos"))
+    )
+    tokens = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h8", F.substring(F.md5(F.col("tok")), 1, 8))
+    bit = F.expr(
+        f"shiftright(instr('{_HEXMAP}', substring(h8, cast(pos / 4 as int) + 1, 1)) - 1,"
+        f" 3 - pos % 4) % 2"
+    )
+    votes = (
+        tokens.crossJoin(positions)
+        .select(F.col(id_col), "pos", (2 * bit - 1).alias("vote"))
+        .groupBy(id_col, "pos")
+        .agg(F.sum("vote").alias("s"))
+        .withColumn("b", F.when(F.col("s") > 0, 1).otherwise(0))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.expr("b * shiftleft(cast(1 as bigint), 31 - pos)")
+        ).alias("simhash")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    *,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with SimHash Hamming distance <= 3.
+
+    Banded: the 32-bit fingerprint splits into 4 byte-bands; by
+    pigeonhole any pair within Hamming 3 shares at least one exact band,
+    so the self-join is keyed on (band_index, band_byte) — recall is
+    exact, and no cross join exists in the plan.
+    """
+    if max_hamming > 3:
+        raise ValueError("byte-banding over 32 bits guarantees recall only to 3")
+    spark = docs.sparkSession
+    sim = simhash32(docs, text_col=text_col, id_col=id_col)
+    bandix = F.broadcast(
+        spark.range(4).select(F.col("id").cast("int").alias("bix"))
+    )
+    banded = sim.crossJoin(bandix).select(
+        F.col(id_col),
+        "simhash",
+        "bix",
+        F.expr("cast(shiftright(simhash, 8 * bix) % 256 as int)").alias("bval"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("doc_id_a"),
+        F.col("simhash").alias("sim_a"),
+        "bix",
+        "bval",
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_id_b"),
+        F.col("simhash").alias("sim_b"),
+        "bix",
+        "bval",
+    )
+    return (
+        a.join(b, on=["bix", "bval"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.expr("bit_count(sim_a ^ sim_b)").cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ----------------------------------------------------- embedding near-dup
+
+
+def cosine_expr(a: str, b: str):
+    """Exact in-order double-precision cosine between two array columns.
+
+    The fold order (index 0..n-1, left-to-right) is pinned so the DuckDB
+    oracle (list_reduce over the same order) produces bit-identical
+    doubles before rounding.
+    """
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" cast(x as double) * cast(y as double)), cast(0.0 as double),"
+        f" (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate(transform({b}, x -> cast(x as double) * cast(x as double)),"
+        f" cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    *,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine similarity >= threshold.
+
+    Exact pairwise baseline (O(n^2)); the scale path for the same
+    predicate is similarity.ann_lsh_topk's hyperplane buckets.
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ------------------------------------------------------ query registration
+
+from haplorec_spark.queries import register, table  # noqa: E402
+
+_SHINGLES_SQL = """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(ws) >= 3
+                                  THEN list_transform(
+                                           generate_series(1, len(ws) - 2),
+                                           i -> ws[i] || ' ' || ws[i+1]
+                                                      || ' ' || ws[i+2])
+                                  ELSE []::VARCHAR[] END) AS shingle
+                    FROM w))
+"""
+
+_SIMHASH_SQL = """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS tok
+                  FROM documents),
+         th AS (SELECT doc_id, substr(md5(tok), 1, 8) AS h8 FROM toks),
+         votes AS (SELECT doc_id, pos,
+                          2 * (((strpos('0123456789abcdef',
+                                        substr(h8, pos // 4 + 1, 1)) - 1)
+                                >> (3 - pos % 4)) & 1) - 1 AS vote
+                   FROM th CROSS JOIN range(32) p(pos)),
+         bits AS (SELECT doc_id, pos,
+                         CASE WHEN sum(vote) > 0 THEN 1 ELSE 0 END AS b
+                  FROM votes GROUP BY doc_id, pos),
+         sim AS (SELECT doc_id,
+                        (sum(b * (1::BIGINT << (31 - pos))))::BIGINT AS simhash
+                 FROM bits GROUP BY doc_id)
+"""
+
+
+@register(
+    "q_dedup_exact",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS _h FROM documents),
+         c AS (SELECT doc_id,
+                      min(doc_id) OVER (PARTITION BY _h) AS canonical_id
+               FROM h)
+    SELECT doc_id, canonical_id FROM c WHERE doc_id <> canonical_id
+    """,
+    "exact duplicate detection via content hash",
+)
+def q_dedup_exact(spark, sf_dir):
+    return exact_duplicates(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    _SHINGLES_SQL + """,
+         sig AS (SELECT doc_id, seed,
+                        min(md5(seed::VARCHAR || '|' || shingle)) AS mh
+                 FROM sh CROSS JOIN range(12) t(seed)
+                 GROUP BY doc_id, seed),
+         banded AS (SELECT doc_id, seed // 3 AS band,
+                           string_agg(mh, ',' ORDER BY seed) AS band_key
+                    FROM sig GROUP BY doc_id, seed // 3)
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a JOIN banded b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+    "MinHash-LSH candidate near-duplicate pairs (12 hashes, 4 bands)",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    _SHINGLES_SQL + """,
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                          count(*) AS n_common
+                   FROM sh a JOIN sh b USING (shingle)
+                   WHERE a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_id_a, doc_id_b, jaccard FROM (
+        SELECT doc_id_a, doc_id_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b)
+    WHERE jaccard >= 0.2
+    """,
+    "exact n-gram Jaccard similarity over shingle-sharing pairs",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), threshold=0.2
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    _SIMHASH_SQL + "SELECT doc_id, simhash FROM sim",
+    "32-bit SimHash fingerprint per document",
+)
+def q_dedup_simhash(spark, sf_dir):
+    return simhash32(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    _SIMHASH_SQL + """,
+         banded AS (SELECT doc_id, simhash, bix,
+                           ((simhash >> (8 * bix)) % 256)::INT AS bval
+                    FROM sim CROSS JOIN range(4) t(bix))
+    SELECT doc_id_a, doc_id_b, hamming FROM (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM banded a JOIN banded b USING (bix, bval)
+        WHERE a.doc_id < b.doc_id)
+    WHERE hamming <= 3
+    """,
+    "banded SimHash near-duplicate pairs (Hamming <= 3, exact recall)",
+)
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return simhash_near_duplicates(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings)
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_reduce(list_transform(generate_series(1, len(a.v)),
+                                                i -> a.v[i] * b.v[i]),
+                                 (x, y) -> x + y)
+                     / (sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                                         (x, y) -> x + y))
+                        * sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                                           (x, y) -> x + y))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.8
+    """,
+    "embedding cosine near-duplicate pairs (exact pairwise baseline)",
+)
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return embedding_near_duplicates(
+        table(spark, sf_dir, "embeddings"), threshold=0.8
+    )

@@ -1,0 +1,62 @@
+"""Surrogate-id assignment and foreign-key rewrite.
+
+Reproduces the semantics of the reference's FK-resolving bulk loader
+(/root/reference/script/load_dsv.py:66-134): a table T with an
+auto-increment id is loaded first, then referencing tables replace their
+natural-key columns K with the generated T.id.
+
+The reference's ids depend on insert order (lastrowid capture,
+load_dsv.py:147-153); ours are assigned by ``row_number`` over an
+explicit deterministic ordering of the natural key — a documented
+semantic tightening (SURVEY.md §4 item 4).
+
+Scale design: the dimension (distinct natural keys) is small relative to
+the fact table, so id assignment is a single narrow aggregate + window
+over the distinct keys, and the rewrite is a broadcast equi-join — no
+large shuffle beyond the distinct itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def assign_ids(
+    dim: DataFrame,
+    natural_key: Sequence[str],
+    *,
+    id_column: str = "id",
+) -> DataFrame:
+    """Distinct natural keys -> dense 1-based surrogate ids.
+
+    Deterministic: ids follow the sort order of the natural key columns.
+    The single-partition window is over the *distinct* key set only
+    (dimension-sized, not fact-sized), matching how the reference loads
+    the small referenced table first (load_dsv.py:90-105).
+    """
+    keys = dim.select(*natural_key).distinct()
+    w = Window.orderBy(*[F.col(c) for c in natural_key])
+    return keys.withColumn(id_column, F.row_number().over(w))
+
+
+def resolve_fk_ids(
+    fact: DataFrame,
+    natural_key: Sequence[str],
+    *,
+    id_column: str = "id",
+    drop_key: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Attach surrogate ids to ``fact`` by its natural-key columns.
+
+    Returns ``(fact_with_id, dimension)`` — the join replaces the
+    reference's per-row lastrowid bookkeeping (load_dsv.py:107-134) with
+    one broadcast equi-join.
+    """
+    dim = assign_ids(fact, natural_key, id_column=id_column)
+    out = fact.join(F.broadcast(dim), on=list(natural_key), how="inner")
+    if drop_key:
+        out = out.drop(*natural_key)
+    return out, dim

@@ -1,0 +1,258 @@
+"""Text-analysis operators for training-data curation.
+
+All four operators are pure ``pyspark.sql.functions`` column programs —
+no Python UDFs — so they stay inside whole-stage codegen and scan-local
+(map-side) execution: at 100 TB these are embarrassingly parallel over
+parquet row groups with zero shuffle (the fingerprint's groupBy(doc) is
+the lone partial-aggregated exception).
+
+* ``language_id``      — n-gram lexicon heuristic: score each candidate
+  language by stopword hits, argmax with a deterministic tiebreak.
+* ``quality_score``    — length / punctuation / stopword-ratio features
+  combined into one bounded score.
+* ``token_counts``     — whitespace tokens plus a BPE-ish regex token
+  count (letter runs, digit runs, single punctuation marks).
+* ``doc_fingerprints`` — bottom-k sketch of md5 shingle hashes (a
+  winnowing-style content fingerprint; equal fingerprints => likely
+  near-identical content).
+
+Each has an exact DuckDB oracle; regexes are limited to constructs with
+identical Java-regex / RE2 semantics (character classes, +).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language function-word lexicons (public common stopwords).
+LANG_LEXICON: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est"],
+    "es": ["el", "la", "de", "y", "un", "una", "es"],
+    "de": ["der", "die", "das", "und", "ein", "ist", "zu"],
+}
+
+_TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _hit_count(words_expr: str, lexicon: list[str]) -> str:
+    """SQL count of tokens contained in the lexicon (array_contains scan)."""
+    arr = ", ".join(f"'{w}'" for w in lexicon)
+    return (
+        f"size(filter({words_expr}, w -> array_contains(array({arr}), w)))"
+    )
+
+
+def language_id(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, predicted_lang, lang_score): argmax of lexicon-hit ratios.
+
+    Deterministic tiebreak: higher score wins, then lexicon declaration
+    order (en, fr, es, de). Score = hits / token count, rounded.
+    """
+    words = f"split(lower({text_col}), ' ')"
+    n = f"size({words})"
+    scores = [
+        (lang, f"round({_hit_count(words, lex)} / cast({n} as double), 6)")
+        for lang, lex in LANG_LEXICON.items()
+    ]
+    # argmax via greatest + case chain in declaration order
+    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
+    ) + " END"
+    return docs.select(
+        F.col(id_col),
+        F.expr(pred).alias("predicted_lang"),
+        F.expr(best).alias("lang_score"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document quality features + combined score in [0, 1].
+
+    Features mirror standard corpus-filtering heuristics: document
+    length band, mean word length band, stopword ratio. The combined
+    score is a fixed-weight sum, rounded for cross-engine stability.
+    """
+    words = f"split(lower({text_col}), ' ')"
+    n_words = f"size({words})"
+    n_chars = f"length({text_col})"
+    stop_ratio = (
+        f"{_hit_count(words, LANG_LEXICON['en'])} / cast({n_words} as double)"
+    )
+    mean_word_len = (
+        f"(length(replace({text_col}, ' ', ''))) / cast({n_words} as double)"
+    )
+    len_ok = f"CASE WHEN {n_words} >= 10 AND {n_words} <= 100000 THEN 1.0 ELSE 0.0 END"
+    wlen_ok = f"CASE WHEN {mean_word_len} >= 2 AND {mean_word_len} <= 12 THEN 1.0 ELSE 0.0 END"
+    stop_ok = f"CASE WHEN {stop_ratio} >= 0.01 THEN 1.0 ELSE 0.0 END"
+    return docs.select(
+        F.col(id_col),
+        F.expr(n_words).alias("n_words"),
+        F.expr(f"round({mean_word_len}, 6)").alias("mean_word_len"),
+        F.expr(f"round({stop_ratio}, 6)").alias("stopword_ratio"),
+        F.expr(
+            f"round(cast(0.4 * {len_ok} + 0.3 * {wlen_ok} + 0.3 * {stop_ok}"
+            f" as double), 6)"
+        ).alias("quality"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_ws_tokens, n_regex_tokens, chars_per_token).
+
+    n_ws_tokens: single-space split arity. n_regex_tokens: BPE-ish
+    pre-tokenization — maximal letter runs, digit runs, and individual
+    non-alphanumeric marks — the standard proxy for LLM token budgeting.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.expr(f"size(split(lower({text_col}), ' '))").alias("n_ws_tokens"),
+        F.expr(
+            f"size(regexp_extract_all(lower({text_col}), '{_TOKEN_REGEX}', 0))"
+        ).alias("n_regex_tokens"),
+        F.expr(
+            f"round(length({text_col}) / cast(size(split(lower({text_col}),"
+            f" ' ')) as double), 6)"
+        ).alias("chars_per_token"),
+    )
+
+
+def doc_fingerprints(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fingerprint): bottom-k md5 shingle hashes, comma-joined.
+
+    A winnowing-style rolling-hash sketch: the k lexicographically
+    smallest shingle hashes summarize the document; sketch equality is a
+    strong near-identity signal and the sketch is groupable/joinable.
+    """
+    from haplorec_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col)
+    return (
+        sh.select(F.col(id_col), F.md5("shingle").alias("h"))
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                f"concat_ws(',', slice(array_sort(collect_list(h)), 1, {k}))"
+            ).alias("fingerprint")
+        )
+    )
+
+
+# ------------------------------------------------------ query registration
+
+from haplorec_spark.queries import register, table  # noqa: E402
+
+
+def _duck_hits(lex: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in lex)
+    return (
+        f"len(list_filter(string_split(lower(text), ' '),"
+        f" w -> list_contains([{arr}], w)))"
+    )
+
+
+def _duck_lang_scores() -> list[tuple[str, str]]:
+    return [
+        (
+            lang,
+            f"round({_duck_hits(lex)} / len(string_split(lower(text), ' '))::DOUBLE, 6)",
+        )
+        for lang, lex in LANG_LEXICON.items()
+    ]
+
+
+@register(
+    "q_text_language_id",
+    (lambda scores: """
+    SELECT doc_id,
+           CASE """ + " ".join(
+        f"WHEN {s} = greatest({', '.join(x for _, x in scores)}) THEN '{lang}'"
+        for lang, s in scores
+    ) + """ END AS predicted_lang,
+           greatest(""" + ", ".join(s for _, s in scores) + """) AS lang_score
+    FROM documents
+    """)(_duck_lang_scores()),
+    "n-gram lexicon language identification with deterministic argmax",
+)
+def q_text_language_id(spark, sf_dir):
+    return language_id(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_words,
+           round(length(replace(text, ' ', ''))
+                 / len(string_split(lower(text), ' '))::DOUBLE, 6) AS mean_word_len,
+           round({_duck_hits(LANG_LEXICON['en'])}
+                 / len(string_split(lower(text), ' '))::DOUBLE, 6) AS stopword_ratio,
+           round(0.4 * (CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 10 AND 100000
+                        THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN length(replace(text, ' ', ''))
+                                    / len(string_split(lower(text), ' '))::DOUBLE
+                                    BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
+                 + 0.3 * (CASE WHEN {_duck_hits(LANG_LEXICON['en'])}
+                                    / len(string_split(lower(text), ' '))::DOUBLE
+                                    >= 0.01 THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM documents
+    """,
+    "corpus-filtering quality features and combined score",
+)
+def q_text_quality(spark, sf_dir):
+    return quality_score(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{_TOKEN_REGEX}')) AS n_regex_tokens,
+           round(length(text)
+                 / len(string_split(lower(text), ' '))::DOUBLE, 6) AS chars_per_token
+    FROM documents
+    """,
+    "whitespace + BPE-ish regex token counting",
+)
+def q_text_token_counts(spark, sf_dir):
+    return token_counts(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_fingerprint",
+    """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(ws) >= 3
+                                  THEN list_transform(
+                                           generate_series(1, len(ws) - 2),
+                                           i -> ws[i] || ' ' || ws[i+1]
+                                                      || ' ' || ws[i+2])
+                                  ELSE []::VARCHAR[] END) AS shingle
+                    FROM w))
+    SELECT doc_id,
+           array_to_string(list_sort(list(md5(shingle)))[1:4], ',') AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+    "bottom-4 md5 shingle sketch (winnowing-style fingerprint)",
+)
+def q_text_fingerprint(spark, sf_dir):
+    return doc_fingerprints(table(spark, sf_dir, "documents"))

@@ -1,0 +1,551 @@
+"""The engine's query registry over the synthetic TPC-H-ish tables.
+
+Each entry pairs a Spark DataFrame program with an equivalent ANSI-SQL
+oracle (run by DuckDB in the driver's correctness harness). Together they
+exercise every operator class in SURVEY.md §2 on the generic relational
+surface:
+
+aggregation (A1/A6/A7), multi-way joins (J1/J2/J6), relational division
+(J3-J5), ordered pivot (A10/A11), pair normalization (F4/J10), window
+dedup (A12/W5), union-distinct (A4/SO1), distinct projection (A3),
+disjunctive-join rewrite (J7), FK resolution (S10/W5), semi/anti joins
+(division-failure semantics SO3/SO4), and event-time bucketing (the
+batch face of streaming §2.8).
+
+Numeric discipline: every floating aggregate is wrapped in ``round(x, N)``
+computed identically on both engines so value-hash comparison is stable;
+sums of products keep the same association order (sum over the raw
+product expression).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from haplorec_spark.operators.division import (
+    select_where_either_subset_of,
+    select_where_subset_of,
+)
+from haplorec_spark.operators.pivot import grouped_rows_to_columns
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read the raw int64 nanos and truncate to micros
+        # — exactly what DuckDB's microsecond TIMESTAMP does on read, so
+        # oracle comparisons see identical instants.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None -> rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        _REGISTRY[name] = Query(name, fn, sql, doc)
+        return fn
+    return deco
+
+
+def registry() -> dict[str, Query]:
+    # Import side-effect registration of the training-data operators.
+    import haplorec_spark.operators.dedup  # noqa: F401
+    import haplorec_spark.operators.similarity  # noqa: F401
+    import haplorec_spark.operators.text  # noqa: F401
+    return dict(_REGISTRY)
+
+
+# ---------------------------------------------------------------- A1/A6/A7
+
+@register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1-style pricing summary: scan + filter + hash aggregate",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- J1/J2
+
+@register(
+    "q03_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15'
+      AND l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3-style: selective 3-way join + aggregate + top-k",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5-style: 6-way join with dimension filters",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------- J3 (division)
+
+_DIVISION_SQL = """
+    WITH a AS (SELECT DISTINCT p_type, p_brand FROM part),
+         b AS (SELECT DISTINCT l_suppkey, p_brand
+               FROM lineitem JOIN part ON l_partkey = p_partkey),
+         cnt AS (SELECT a.p_type, b.l_suppkey, count(*) AS c
+                 FROM b JOIN a USING (p_brand)
+                 GROUP BY a.p_type, b.l_suppkey),
+         asz AS (SELECT p_type, count(*) AS n FROM a GROUP BY p_type),
+         bsz AS (SELECT l_suppkey, count(*) AS n FROM b GROUP BY l_suppkey)
+"""
+
+
+@register(
+    "q_division_subset",
+    _DIVISION_SQL + """
+    SELECT DISTINCT cnt.p_type, cnt.l_suppkey
+    FROM cnt JOIN asz USING (p_type)
+    WHERE cnt.c = asz.n
+    """,
+    "relational division: suppliers covering every brand of a part type",
+)
+def q_division_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    type_brands = part.select("p_type", "p_brand").distinct()
+    supp_brands = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_suppkey", "p_brand")
+        .distinct()
+    )
+    return select_where_subset_of(
+        type_brands, supp_brands, ["p_brand"],
+        a_group_by=["p_type"], b_group_by=["l_suppkey"], broadcast_a=True,
+    )
+
+
+@register(
+    "q_division_either_subset",
+    _DIVISION_SQL + """
+    SELECT DISTINCT cnt.p_type, cnt.l_suppkey
+    FROM cnt JOIN asz USING (p_type) JOIN bsz USING (l_suppkey)
+    WHERE cnt.c = least(asz.n, bsz.n)
+    """,
+    "either-direction set containment between brand sets",
+)
+def q_division_either_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    type_brands = part.select("p_type", "p_brand").distinct()
+    supp_brands = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_suppkey", "p_brand")
+        .distinct()
+    )
+    return select_where_either_subset_of(
+        type_brands, supp_brands, ["p_brand"],
+        a_group_by=["p_type"], b_group_by=["l_suppkey"], broadcast_a=True,
+    )
+
+
+# --------------------------------------------------------------- A10 (pivot)
+
+_PIVOT_SQL = """
+    WITH g AS (
+        SELECT l_orderkey,
+               list_sort(list({'ln': l_linenumber, 'pk': l_partkey,
+                               'q': l_quantity})) AS rs,
+               count(*) AS n
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           rs[1].pk AS partkey1, rs[2].pk AS partkey2,
+           rs[1].q  AS qty1,     rs[2].q  AS qty2
+    FROM g WHERE n <= 2
+"""
+
+
+@register(
+    "q_pivot_order_lines",
+    _PIVOT_SQL,
+    "ordered positional pivot: <=2 order lines into one wide row",
+)
+def q_pivot_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return grouped_rows_to_columns(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        ["l_orderkey"],
+        {
+            "l_orderkey": "l_orderkey",
+            "l_partkey": ["partkey1", "partkey2"],
+            "l_quantity": ["qty1", "qty2"],
+        },
+        order_rows_by=["l_linenumber"],
+    )
+
+
+@register(
+    "q_pair_normalize",
+    _PIVOT_SQL.replace(
+        "SELECT l_orderkey,\n           rs[1].pk AS partkey1, rs[2].pk AS partkey2,\n           rs[1].q  AS qty1,     rs[2].q  AS qty2\n    FROM g WHERE n <= 2",
+        """SELECT l_orderkey,
+           least(rs[1].pk, rs[2].pk)    AS partkey1,
+           greatest(rs[1].pk, rs[2].pk) AS partkey2
+    FROM g WHERE n = 2""",
+    ),
+    "pair ordering via least/greatest (genotype hap1<=hap2 analog)",
+)
+def q_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    piv = q_pivot_order_lines(spark, sf_dir)
+    return piv.filter(F.col("partkey2").isNotNull()).select(
+        "l_orderkey",
+        F.least("partkey1", "partkey2").alias("partkey1"),
+        F.greatest("partkey1", "partkey2").alias("partkey2"),
+    )
+
+
+# ------------------------------------------------------- A12/W5 (window dedup)
+
+@register(
+    "q_first_order_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    "first-seen dedup per group via row_number window",
+)
+def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------- A4/SO1, A3, SO3/SO4
+
+@register(
+    "q_union_distinct",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 3000
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
+    """,
+    "UNION DISTINCT of two work lists",
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    a = c.filter(
+        (F.col("c_mktsegment") == "MACHINERY") & (F.col("c_acctbal") > 3000)
+    ).select("c_custkey")
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.union(b).distinct()
+
+
+@register(
+    "q_distinct_projection",
+    "SELECT DISTINCT p_brand, p_type FROM part",
+    "distinct projection (gene_snp view analog)",
+)
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
+
+
+@register(
+    "q_semi_join",
+    """
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey)
+    """,
+    "left-semi join: suppliers with at least one shipment",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem")
+    return s.join(
+        li, s.s_suppkey == li.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    """,
+    "left-anti join: customers with no orders (empty-set branch analog)",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# ------------------------------------------------- J7 (disjunctive join rewrite)
+
+@register(
+    "q_theta_or_join",
+    _PIVOT_SQL.replace(
+        "SELECT l_orderkey,\n           rs[1].pk AS partkey1, rs[2].pk AS partkey2,\n           rs[1].q  AS qty1,     rs[2].q  AS qty2\n    FROM g WHERE n <= 2",
+        """, pairs AS (
+        SELECT l_orderkey, rs[1].pk AS pk1, rs[2].pk AS pk2
+        FROM g WHERE n = 2
+    )
+    SELECT DISTINCT pairs.l_orderkey, p.p_partkey, p.p_brand
+    FROM pairs JOIN part p
+      ON p.p_partkey = pairs.pk1 OR p.p_partkey = pairs.pk2""",
+    ),
+    "disjunctive ON (x = a OR x = b) rewritten as explode + equi-join",
+)
+def q_theta_or_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference's report layer joins haplotype rows to genotypes on
+    # (hap = hap1 OR hap = hap2) (util/pipeline/Report.groovy:72-85); a
+    # BNL join at scale. Spark-first rewrite: unpivot the two slots and
+    # equi-join, then dedup (a row matching both slots must appear once).
+    piv = q_pivot_order_lines(spark, sf_dir).filter(
+        F.col("partkey2").isNotNull()
+    )
+    exploded = piv.select(
+        "l_orderkey",
+        F.explode(F.array("partkey1", "partkey2")).alias("p_partkey"),
+    )
+    part = table(spark, sf_dir, "part")
+    return (
+        exploded.join(part, on="p_partkey")
+        .select("l_orderkey", "p_partkey", "p_brand")
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------- S10 (FK resolve)
+
+@register(
+    "q_fk_resolve",
+    """
+    WITH dim AS (
+        SELECT c_mktsegment,
+               row_number() OVER (ORDER BY c_mktsegment) AS segment_id
+        FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c_custkey, c_name, segment_id
+    FROM customer JOIN dim USING (c_mktsegment)
+    """,
+    "surrogate-id assignment + natural-key rewrite (load_dsv analog)",
+)
+def q_fk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.fk import resolve_fk_ids
+
+    c = table(spark, sf_dir, "customer")
+    resolved, _dim = resolve_fk_ids(
+        c, ["c_mktsegment"], id_column="segment_id"
+    )
+    return resolved.select("c_custkey", "c_name", "segment_id")
+
+
+# ------------------------------------------------ events (batch face of §2.8)
+
+@register(
+    "q_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum("value"), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "event-time tumbling-window aggregate (streaming-compatible shape)",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+
+
+@register(
+    "q_events_user_stats",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           round(max("value"), 2) AS max_value,
+           round(min("value"), 2) AS min_value
+    FROM events
+    GROUP BY user_id
+    """,
+    "per-entity profile aggregate over the event stream table",
+)
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.min("value"), 2).alias("min_value"),
+    )
+
+
+# ------------------------------------------------- J6 (left-join report chain)
+
+@register(
+    "q_left_join_chain",
+    """
+    SELECT o_orderkey, o_orderstatus, c_name, n_name, r_name
+    FROM orders
+    LEFT JOIN customer ON o_custkey = c_custkey
+    LEFT JOIN nation   ON c_nationkey = n_nationkey
+    LEFT JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_totalprice > 180000
+    """,
+    "multi-table LEFT-join chain (condensed report mega-join analog)",
+)
+def q_left_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 180000)
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(n, c.c_nationkey == n.n_nationkey, "left")
+        .join(r, n.n_regionkey == r.r_regionkey, "left")
+        .select("o_orderkey", "o_orderstatus", "c_name", "n_name", "r_name")
+    )
