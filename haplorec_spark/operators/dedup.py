@@ -75,17 +75,30 @@ def word_shingles(
 
     Tokenization is a plain single-space split of the lowercased text so
     the DuckDB oracle (string_split) tokenizes identically.
+
+    The split is materialized once per row (not re-evaluated per
+    shingle), and the doc scan is spread across cores first: a small
+    single parquet file arrives as one partition, which would serialize
+    the whole shingle/hash map phase. (At real scale the scan already
+    has many partitions and the spread is a cheap no-op shuffle of doc
+    rows, never of shingles.)
     """
-    words = F.split(F.lower(F.col(text_col)), " ")
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    words_df = docs.select(
+        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_ws")
+    )
     shingle_expr = F.when(
-        F.size(words) >= n,
+        F.size(F.col("_ws")) >= n,
         F.expr(
-            f"transform(sequence(0, size(split(lower({text_col}), ' ')) - {n}),"
-            f" i -> concat_ws(' ', slice(split(lower({text_col}), ' '), i + 1, {n})))"
+            f"transform(sequence(0, size(_ws) - {n}),"
+            f" i -> concat_ws(' ', slice(_ws, i + 1, {n})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
+        words_df.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
         .distinct()
     )
 
@@ -96,27 +109,21 @@ def word_shingles(
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 12, *, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, seed, mh): per-document minimum of k salted md5 hashes.
+    """(id, mh_0..mh_{k-1}): per-document minimum of k salted md5 hashes.
 
     The "hash family" is md5 prefixed with the seed; the minimum is taken
     lexicographically over hex strings — a total order both engines share.
-    Partial (map-side) min aggregation makes the k-fold row blowup cheap.
+    The k minima are k map-side-combined aggregate columns over one
+    groupBy(doc) — no k-fold row blowup and a single shuffle whose width
+    is |docs|, not |docs| x k.
     """
-    spark = shingles.sparkSession
-    seeds = F.broadcast(
-        spark.range(num_hashes).select(F.col("id").alias("seed"))
-    )
-    return (
-        shingles.crossJoin(seeds)
-        .select(
-            F.col(id_col),
-            F.col("seed"),
-            F.md5(
-                F.concat_ws("|", F.col("seed").cast("string"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("mh"))
+    return shingles.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("shingle")))
+            ).alias(f"mh_{seed}")
+            for seed in range(num_hashes)
+        ]
     )
 
 
@@ -144,16 +151,26 @@ def lsh_candidate_pairs(
         num_hashes,
         id_col=id_col,
     )
-    banded = (
-        sig.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-        .groupBy(id_col, "band")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "mh"))).alias("sm"))
-        .select(
-            F.col(id_col),
-            "band",
-            F.expr("concat_ws(',', transform(sm, s -> s.mh))").alias("band_key"),
-        )
+    # Band keys are concatenations of the per-seed minima (seed order);
+    # the bands explode map-side from the one-row-per-doc signature.
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{s}")
+                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
+    banded = sig.select(
+        F.col(id_col), F.explode(band_entries).alias("bk")
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     left = banded.select(
         F.col(id_col).alias("doc_id_a"), "band", "band_key"
     )
@@ -228,34 +245,31 @@ def simhash32(
     """(id, simhash): 32-bit SimHash over word tokens.
 
     Per token, bits come from the first 8 hex chars of md5(token); per bit
-    position the +-1 votes are summed; positive sums set the bit. The
-    32-way position explosion is map-side; the only shuffle is the
-    partially-aggregated groupBy(doc, bit) -> groupBy(doc).
+    position the +-1 votes are summed; positive sums set the bit. The 32
+    positions are 32 map-side-combined sum aggregates over one
+    groupBy(doc) — no row blowup, one shuffle of width |docs| x 32 ints.
     """
-    spark = docs.sparkSession
-    positions = F.broadcast(
-        spark.range(32).select(F.col("id").cast("int").alias("pos"))
-    )
     tokens = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h8", F.substring(F.md5(F.col("tok")), 1, 8))
-    bit = F.expr(
-        f"shiftright(instr('{_HEXMAP}', substring(h8, cast(pos / 4 as int) + 1, 1)) - 1,"
-        f" 3 - pos % 4) % 2"
-    )
-    votes = (
-        tokens.crossJoin(positions)
-        .select(F.col(id_col), "pos", (2 * bit - 1).alias("vote"))
-        .groupBy(id_col, "pos")
-        .agg(F.sum("vote").alias("s"))
-        .withColumn("b", F.when(F.col("s") > 0, 1).otherwise(0))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.expr("b * shiftleft(cast(1 as bigint), 31 - pos)")
-        ).alias("simhash")
-    )
+
+    def vote(pos: int):
+        nibble, shift = pos // 4, 3 - pos % 4
+        bit = F.expr(
+            f"shiftright(instr('{_HEXMAP}', substring(h8, {nibble + 1}, 1)) - 1,"
+            f" {shift}) % 2"
+        )
+        return F.sum(2 * bit - 1).alias(f"s_{pos}")
+
+    votes = tokens.groupBy(id_col).agg(*[vote(p) for p in range(32)])
+    simhash = None
+    for pos in range(32):
+        term = F.when(
+            F.col(f"s_{pos}") > 0, F.lit(1 << (31 - pos)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    return votes.select(F.col(id_col), simhash.alias("simhash"))
 
 
 def simhash_near_duplicates(
@@ -347,20 +361,42 @@ def embedding_near_duplicates(
 
     Exact pairwise baseline (O(n^2)); the scale path for the same
     predicate is similarity.ann_lsh_topk's hyperplane buckets.
+
+    Physical shape: per-vector norms are computed once (the same
+    left-to-right fold the per-pair formula used, so dot/(na*nb) is
+    bit-identical), the n-row side is repartitioned so the quadratic
+    pair evaluation uses every core (a single small parquet file scans
+    as one partition), and the deduplicated side broadcasts.
     """
-    a = embeddings.select(
-        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va")
+    norm = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
+        f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
     )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb")
+    spark = embeddings.sparkSession
+    with_norm = embeddings.select(
+        F.col(id_col), F.col(vec_col), norm.alias("nrm")
+    )
+    a = with_norm.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    b = with_norm.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), cast(0.0 as double),"
+        " (acc, v) -> acc + v)"
     )
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(cosine_expr("va", "vb"), 6).alias("cosine"),
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
