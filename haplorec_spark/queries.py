@@ -524,6 +524,40 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- A12 (column-group first-seen dedup)
+
+@register(
+    "q_report_no_duplicates",
+    """
+    SELECT o_orderkey,
+           CASE WHEN rn_c = 1 THEN o_custkey END     AS o_custkey,
+           CASE WHEN rn_c = 1 THEN o_orderdate END   AS o_orderdate,
+           CASE WHEN rn_s = 1 THEN o_orderstatus END AS o_orderstatus
+    FROM (SELECT o_orderkey, o_custkey, o_orderdate, o_orderstatus,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderkey) AS rn_c,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_orderkey) AS rn_s
+          FROM orders)
+    """,
+    "first-seen column-group dedup (Row.noDuplicates analog) via windows",
+)
+def q_report_no_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.rows import no_duplicates
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"
+    )
+    return no_duplicates(
+        o,
+        {
+            "cust": (["o_custkey"], ["o_custkey", "o_orderdate"]),
+            "status": (["o_orderstatus"], ["o_orderstatus"]),
+        },
+        order_by=["o_orderkey"],
+    )
+
+
 # ------------------------------------------------- J6 (left-join report chain)
 
 @register(

@@ -27,6 +27,11 @@ ENGINE_CONFS: dict[str, str] = {
     # ANSI off: reference (MySQL) semantics are permissive.
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
+    # Local-mode driver heap: the driver also hosts the executors in
+    # local[N], and report plans (multi-join + grouped-map kernels) need
+    # more than Spark's 1g default. Ignored when a session already
+    # exists; overridable per call; cluster deployments set their own.
+    "spark.driver.memory": "4g",
 }
 
 

@@ -11,6 +11,7 @@ def spark():
         app_name="haplorec_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
+        extra_confs={"spark.driver.memory": "4g"},
     )
     yield s
 
