@@ -42,6 +42,42 @@ def assign_ids(
     return keys.withColumn(id_column, F.row_number().over(w))
 
 
+def collapse_by_key(
+    df: DataFrame,
+    key: Sequence[str],
+    *,
+    separator: str = ". ",
+    strip_trailing_s: Sequence[str] = (),
+) -> DataFrame:
+    """F9: collapse rows sharing a primary key by unique-joining each
+    non-key field's distinct values.
+
+    Reproduces the scraped-data collapser
+    (/root/reference/src/python/pharmgkb/pipelines.py:97-151): group by
+    the item's primary key; every non-key field becomes the distinct set
+    of its values joined on ``separator``. Fields named in
+    ``strip_trailing_s`` first drop a trailing 's'
+    (genotype_phenotype_collapser, pipelines.py:120-132 — CYP2D6's
+    inconsistent "poor metabolizers" pluralization).
+
+    The reference joins a Python ``set`` (arbitrary order); we sort the
+    distinct values — a documented determinism tightening.
+    """
+    aggs = []
+    for c in df.columns:
+        if c in key:
+            continue
+        v = F.col(c)
+        if c in strip_trailing_s:
+            v = F.regexp_replace(v, "s+$", "")
+        aggs.append(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list(v))), separator
+            ).alias(c)
+        )
+    return df.groupBy(*key).agg(*aggs).select(*df.columns)
+
+
 def resolve_fk_ids(
     fact: DataFrame,
     natural_key: Sequence[str],

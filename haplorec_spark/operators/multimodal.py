@@ -1,0 +1,387 @@
+"""Multimodal column operators: images / audio / video as opaque binary
+columns with typed metadata.
+
+A large-scale training-data pipeline stores media as ``binary`` payloads
+beside structured metadata and runs decode / feature-extraction /
+resize / frame-sampling as Arrow-batched Python kernels. This module
+implements that plumbing for real — schemas, ``mapInPandas`` batch
+shape, partition behavior — while the codec itself is pluggable:
+
+* If Pillow / real codecs are importable they are used (import-gated —
+  this container ships none).
+* Bytes in the deterministic FAKE container formats below decode with
+  pure numpy — deterministic, testable, content-derived.
+* Anything else raises ``NotImplementedError`` (clearly-marked stub, as
+  the decode step would be wired to a real codec library in production).
+
+FAKE container layouts (header ASCII, little-endian payload):
+
+* image: ``FAKEIMG|width|height|channels|`` + w*h*c uint8 pixels
+* audio: ``FAKEAUD|sample_rate|n_samples|`` + int16 PCM
+* video: ``FAKEVID|fps|n_frames|width|height|`` + frames of w*h uint8
+
+Scale design: every operator is a map-only ``mapInPandas`` over the
+payload column — no shuffle, vectorized numpy per Arrow batch, media
+bytes never leave the executor. Column pruning still applies: select
+the payload column last so scans of metadata-only queries never read
+the (huge) binary column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def _schema(*fields: tuple[str, object]) -> StructType:
+    return StructType([StructField(n, t, True) for n, t in fields])
+
+try:  # real codec path — absent in this container, gated
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except Exception:  # pragma: no cover
+    _HAVE_PIL = False
+
+#: Typed metadata beside the opaque payload: the standard lakehouse
+#: media-column shape (payload + mime + per-mode attributes).
+MEDIA_SCHEMA = _schema(
+    ("media_id", LongType()),
+    ("media_type", StringType()),
+    ("payload", BinaryType()),
+    ("source", StringType()),
+    ("attrs", MapType(StringType(), StringType())),
+)
+
+
+# ------------------------------------------------------------- fake codec
+
+
+def encode_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
+    """Deterministic content-derived FAKEIMG payload."""
+    rng = np.random.default_rng(seed)
+    pixels = rng.integers(0, 256, size=width * height * channels, dtype=np.uint8)
+    return (
+        f"FAKEIMG|{width}|{height}|{channels}|".encode() + pixels.tobytes()
+    )
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    pcm = rng.integers(-(2 ** 15), 2 ** 15, size=n_samples, dtype=np.int16)
+    return f"FAKEAUD|{sample_rate}|{n_samples}|".encode() + pcm.tobytes()
+
+
+def encode_fake_video(
+    fps: int, n_frames: int, width: int, height: int, seed: int
+) -> bytes:
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(
+        0, 256, size=n_frames * width * height, dtype=np.uint8
+    )
+    return (
+        f"FAKEVID|{fps}|{n_frames}|{width}|{height}|".encode()
+        + frames.tobytes()
+    )
+
+
+def _parse_fake(payload: bytes, magic: bytes, n_fields: int):
+    if payload is None or not payload.startswith(magic):
+        return None
+    parts = payload.split(b"|", n_fields + 1)
+    return [int(p) for p in parts[1:n_fields + 1]] + [parts[n_fields + 1]]
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    parsed = _parse_fake(payload, b"FAKEIMG", 3)
+    if parsed is not None:
+        w, h, c, raw = parsed
+        return w, h, c, np.frombuffer(raw, dtype=np.uint8)[: w * h * c]
+    if _HAVE_PIL:  # pragma: no cover - not available in this container
+        import io
+
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img)
+        c = 1 if arr.ndim == 2 else arr.shape[2]
+        return img.width, img.height, c, arr.reshape(-1)
+    raise NotImplementedError(
+        "real image codecs unavailable: payload is neither FAKEIMG nor "
+        "decodable without Pillow"
+    )
+
+
+# ------------------------------------------------------- image operators
+
+
+def decode_image_metadata(
+    media: DataFrame, *, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, width, height, channels, n_bytes): decode headers only.
+
+    Map-only mapInPandas; the binary column is pruned from the output so
+    downstream plans never carry pixels.
+    """
+    out_schema = _schema(
+        (id_col, LongType()), ("width", IntegerType()),
+        ("height", IntegerType()), ("channels", IntegerType()),
+        ("n_bytes", LongType()),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, _ = _decode_image(bytes(payload))
+                recs.append((mid, w, h, c, len(payload)))
+            yield pd.DataFrame(
+                recs, columns=[id_col, "width", "height", "channels", "n_bytes"]
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def image_features(
+    media: DataFrame, *, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, mean_pixel, std_pixel, per-channel means): vectorized numpy
+    feature extraction per Arrow batch."""
+    out_schema = _schema(
+        (id_col, LongType()), ("mean_pixel", DoubleType()),
+        ("std_pixel", DoubleType()),
+        ("channel_means", ArrayType(DoubleType())),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = _decode_image(bytes(payload))
+                arr = px.astype(np.float64)
+                ch = arr.reshape(-1, c) if c else arr.reshape(-1, 1)
+                recs.append(
+                    (
+                        mid,
+                        float(arr.mean()),
+                        float(arr.std()),
+                        [float(x) for x in ch.mean(axis=0)],
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[id_col, "mean_pixel", "std_pixel", "channel_means"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+def resize_images(
+    media: DataFrame,
+    target_width: int,
+    target_height: int,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, payload): nearest-neighbor resize, re-encoded as FAKEIMG.
+
+    The resample itself is index arithmetic (numpy take) — the identical
+    shape a Pillow ``Image.resize`` call would slot into.
+    """
+    out_schema = _schema((id_col, LongType()), ("payload", BinaryType()))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = _decode_image(bytes(payload))
+                img = px.reshape(h, w, c)
+                ys = (np.arange(target_height) * h // target_height)
+                xs = (np.arange(target_width) * w // target_width)
+                resized = img[ys][:, xs]
+                out = (
+                    f"FAKEIMG|{target_width}|{target_height}|{c}|".encode()
+                    + resized.tobytes()
+                )
+                recs.append((mid, bytearray(out)))
+            yield pd.DataFrame(recs, columns=[id_col, "payload"])
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+# ------------------------------------------------------- audio operators
+
+
+def decode_audio_metadata(
+    media: DataFrame, *, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, sample_rate, n_samples, duration_sec, rms)."""
+    out_schema = _schema(
+        (id_col, LongType()), ("sample_rate", IntegerType()),
+        ("n_samples", LongType()), ("duration_sec", DoubleType()),
+        ("rms", DoubleType()),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_fake(bytes(payload), b"FAKEAUD", 2)
+                if parsed is None:
+                    raise NotImplementedError(
+                        "real audio codecs unavailable: payload is not FAKEAUD"
+                    )
+                sr, n, raw = parsed
+                pcm = np.frombuffer(raw, dtype=np.int16)[:n].astype(np.float64)
+                rms = float(np.sqrt((pcm ** 2).mean())) if n else 0.0
+                recs.append((mid, sr, n, n / sr if sr else 0.0, rms))
+            yield pd.DataFrame(
+                recs,
+                columns=[id_col, "sample_rate", "n_samples", "duration_sec",
+                         "rms"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+# ------------------------------------------------------- video operators
+
+
+def sample_video_frames(
+    media: DataFrame,
+    every_n: int = 2,
+    *,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """One output row per sampled frame: (id, frame_index, frame) —
+    a UDTF-shaped fan-out, still map-only (no shuffle)."""
+    out_schema = _schema(
+        (id_col, LongType()), ("frame_index", IntegerType()),
+        ("frame", BinaryType()),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = _parse_fake(bytes(payload), b"FAKEVID", 4)
+                if parsed is None:
+                    raise NotImplementedError(
+                        "real video codecs unavailable: payload is not FAKEVID"
+                    )
+                fps, n_frames, w, h, raw = parsed
+                frames = np.frombuffer(raw, dtype=np.uint8)[
+                    : n_frames * w * h
+                ].reshape(n_frames, w * h)
+                for i in range(0, n_frames, every_n):
+                    recs.append((mid, i, bytearray(frames[i].tobytes())))
+            yield pd.DataFrame(recs, columns=[id_col, "frame_index", "frame"])
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------- synthetic corpus
+
+
+def synthesize_media_table(
+    docs: DataFrame, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """Derive a deterministic media table from the documents table:
+    doc_id -> one FAKEIMG whose shape/content derive from the doc id.
+
+    Gives the multimodal operators a reproducible corpus over the
+    driver-provided testdata without shipping binary fixtures.
+    """
+    sizes = [(8, 6, 3), (16, 8, 1), (12, 12, 3), (10, 4, 1)]
+
+    out_schema = MEDIA_SCHEMA
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for did in pdf[id_col]:
+                w, h, c = sizes[int(did) % len(sizes)]
+                payload = encode_fake_image(w, h, c, seed=int(did))
+                recs.append(
+                    (
+                        int(did),
+                        "image/fake",
+                        bytearray(payload),
+                        f"doc:{did}",
+                        {"width": str(w), "height": str(h)},
+                    )
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "media_type", "payload", "source",
+                         "attrs"],
+            )
+
+    return docs.select(id_col).mapInPandas(kernel, out_schema)
+
+
+# ------------------------------------------------------ query registration
+
+from haplorec_spark.queries import register, table  # noqa: E402
+
+
+@register(
+    "q_multimodal_image_stats",
+    None,  # binary decode is not SQL-expressible -> rows-only check
+    "decode + feature-extract a derived binary image column (mapInPandas)",
+)
+def q_multimodal_image_stats(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    media = synthesize_media_table(docs)
+    meta = decode_image_metadata(media)
+    feats = image_features(media)
+    return meta.join(feats, on="media_id").select(
+        "media_id", "width", "height", "channels",
+        F.round("mean_pixel", 4).alias("mean_pixel"),
+        F.round("std_pixel", 4).alias("std_pixel"),
+    )
+
+
+@register(
+    "q_multimodal_frame_sample",
+    None,  # binary fan-out is not SQL-expressible -> rows-only check
+    "frame-sample a derived binary video column (UDTF-shaped mapInPandas)",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+
+    def to_video(batches):
+        for pdf in batches:
+            recs = []
+            for did in pdf["doc_id"]:
+                payload = encode_fake_video(
+                    fps=4, n_frames=6, width=4, height=4, seed=int(did)
+                )
+                recs.append((int(did), "video/fake", bytearray(payload),
+                             f"doc:{did}", {}))
+            yield pd.DataFrame(
+                recs,
+                columns=["media_id", "media_type", "payload", "source",
+                         "attrs"],
+            )
+
+    media = docs.select("doc_id").mapInPandas(to_video, MEDIA_SCHEMA)
+    frames = sample_video_frames(media, every_n=2)
+    return frames.select(
+        "media_id", "frame_index", F.length("frame").alias("frame_bytes")
+    )

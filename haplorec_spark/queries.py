@@ -75,6 +75,7 @@ def register(name: str, sql: str | None, doc: str = ""):
 def registry() -> dict[str, Query]:
     # Import side-effect registration of the training-data operators.
     import haplorec_spark.operators.dedup  # noqa: F401
+    import haplorec_spark.operators.multimodal  # noqa: F401
     import haplorec_spark.operators.similarity  # noqa: F401
     import haplorec_spark.operators.text  # noqa: F401
     return dict(_REGISTRY)
@@ -469,6 +470,26 @@ def q_fk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, ["c_mktsegment"], id_column="segment_id"
     )
     return resolved.select("c_custkey", "c_name", "segment_id")
+
+
+# ------------------------------------------------------ F9 (collapse-by-key)
+
+@register(
+    "q_collapse_by_key",
+    """
+    SELECT n_nationkey AS c_nationkey,
+           string_agg(DISTINCT c_mktsegment, '. ' ORDER BY c_mktsegment)
+               AS c_mktsegment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    """,
+    "unique-join collapse of non-key fields per primary key (F9 analog)",
+)
+def q_collapse_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.fk import collapse_by_key
+
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    return collapse_by_key(c, ["c_nationkey"])
 
 
 # ------------------------------------------------ events (batch face of §2.8)

@@ -1,0 +1,157 @@
+"""Structured Streaming surface.
+
+The reference is strictly batch (SURVEY.md §2.8) — its lazy row
+iterators are single-pass pipelining, not unbounded streams. This module
+is the forward-looking streaming face a 100 TB deployment needs:
+
+* :func:`read_events_stream` / :func:`stream_events_hourly` — the
+  event-time tumbling-window aggregate (the streaming twin of the batch
+  ``q_events_hourly`` query) with a watermark bounding state for late
+  data.
+* :func:`stream_user_running_totals` — a custom stateful operator via
+  ``applyInPandasWithState``: per-user running event counts/sums
+  maintained across micro-batches (GroupState, update mode).
+* :func:`incremental_variant_ingest` — ``foreachBatch`` job ingest: each
+  micro-batch of variant rows becomes one pipeline job appended to the
+  job_id-partitioned stage tables; the batch pipeline is reused
+  unchanged (the idiomatic incremental face noted in SURVEY.md §2.8).
+
+Scale: windowed aggregates shuffle on (window, event_type) with
+map-side partial aggregation; watermarks bound state size; the stateful
+operator keys state by user_id so it distributes with the shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", LongType()),  # raw int64 nanos (see queries.table)
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Unbounded scan of event parquet files as they land.
+
+    The driver testdata stores TIMESTAMP(NANOS); the stream reads the
+    raw int64 and truncates to microsecond timestamps exactly like the
+    batch reader (queries.table), so batch and stream agree.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(events_dir)
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def stream_events_hourly(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming tumbling-window aggregate with late-data watermark —
+    identical result columns to the batch q_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type",
+            "n_events", "sum_value",
+        )
+    )
+
+
+_RUNNING_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("s", DoubleType()),
+])
+
+
+def _running_totals_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "sum_value": [round(s, 2)]}
+    )
+
+
+def stream_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running totals across
+    micro-batches (applyInPandasWithState, update mode)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def incremental_variant_ingest(
+    variant_stream: DataFrame,
+    pipeline: Any,
+    warehouse: str,
+    *,
+    checkpoint_dir: str,
+    job_id_offset: int = 0,
+):
+    """foreachBatch ingest: each micro-batch of (patient_id,
+    physical_chromosome, snp_id, allele, zygosity) rows runs as one
+    pipeline job whose stage outputs append to job_id-partitioned
+    parquet under ``warehouse``.
+
+    Returns the started StreamingQuery. Job ids are
+    ``job_id_offset + batch_id + 1`` — deterministic on replay, so a
+    restarted query overwrites its own partitions (exactly-once per
+    batch via dynamic partition overwrite).
+    """
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = pipeline.run_job(
+            job_id=job_id_offset + batch_id + 1, variants=batch_df
+        )
+        pipeline.materialize(out, warehouse)
+
+    return (
+        variant_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,95 @@
+"""Multimodal binary-column operator tests (deterministic fake codec)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from haplorec_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_audio_metadata,
+    decode_image_metadata,
+    encode_fake_audio,
+    encode_fake_image,
+    encode_fake_video,
+    image_features,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def images(spark):
+    rows = [
+        (1, "image/fake", bytearray(encode_fake_image(8, 6, 3, seed=1)),
+         "t", {}),
+        (2, "image/fake", bytearray(encode_fake_image(4, 4, 1, seed=2)),
+         "t", {}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_image_metadata(spark, images):
+    got = {r.media_id: r for r in decode_image_metadata(images).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (8, 6, 3)
+    assert (got[2].width, got[2].height, got[2].channels) == (4, 4, 1)
+    assert got[1].n_bytes == len(encode_fake_image(8, 6, 3, seed=1))
+
+
+def test_image_features_match_numpy(spark, images):
+    got = {r.media_id: r for r in image_features(images).collect()}
+    px = np.random.default_rng(1).integers(
+        0, 256, size=8 * 6 * 3, dtype=np.uint8
+    ).astype(np.float64)
+    assert got[1].mean_pixel == pytest.approx(px.mean())
+    assert got[1].std_pixel == pytest.approx(px.std())
+    assert len(got[1].channel_means) == 3
+    assert got[1].channel_means[0] == pytest.approx(
+        px.reshape(-1, 3).mean(axis=0)[0]
+    )
+
+
+def test_resize_roundtrip(spark, images):
+    resized = resize_images(images, 4, 3)
+    meta = {
+        r.media_id: r
+        for r in decode_image_metadata(
+            resized.withColumnRenamed("media_id", "media_id")
+        ).collect()
+    }
+    assert (meta[1].width, meta[1].height, meta[1].channels) == (4, 3, 3)
+    assert (meta[2].width, meta[2].height, meta[2].channels) == (4, 3, 1)
+
+
+def test_decode_unknown_bytes_is_stubbed(spark):
+    df = spark.createDataFrame(
+        [(9, "image/jpeg", bytearray(b"\xff\xd8notreallyajpeg"), "t", {})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NotImplementedError|real image codecs"):
+        decode_image_metadata(df).collect()
+
+
+def test_audio_metadata(spark):
+    payload = encode_fake_audio(sample_rate=16000, n_samples=8000, seed=3)
+    df = spark.createDataFrame(
+        [(5, "audio/fake", bytearray(payload), "t", {})], MEDIA_SCHEMA
+    )
+    r = decode_audio_metadata(df).collect()[0]
+    assert r.sample_rate == 16000
+    assert r.n_samples == 8000
+    assert r.duration_sec == pytest.approx(0.5)
+    pcm = np.random.default_rng(3).integers(
+        -(2 ** 15), 2 ** 15, size=8000, dtype=np.int16
+    ).astype(np.float64)
+    assert r.rms == pytest.approx(np.sqrt((pcm ** 2).mean()))
+
+
+def test_video_frame_sampling(spark):
+    payload = encode_fake_video(fps=4, n_frames=6, width=4, height=4, seed=7)
+    df = spark.createDataFrame(
+        [(6, "video/fake", bytearray(payload), "t", {})], MEDIA_SCHEMA
+    )
+    frames = sample_video_frames(df, every_n=2).collect()
+    assert [f.frame_index for f in frames] == [0, 2, 4]
+    assert all(len(f.frame) == 16 for f in frames)

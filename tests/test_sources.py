@@ -1,0 +1,106 @@
+"""Variant/DSV source tests (PipelineInput.groovy semantics).
+
+Uses a synthetic 9-column genotyping export plus the reference's real
+input file /root/reference/test/in/2_samples.txt (read-only fixture).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from haplorec_spark.sources import dsv_source, stage_source, variant_source
+from tests.conftest import rows
+
+
+def nrows(df):
+    """None-safe sorted collect."""
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple("" if v is None else str(v) for v in t),
+    )
+
+EXPORT_HEADER = (
+    "PLATE\tEXPERIMENT\tCHIP\tWELL_POSITION\tASSAY_ID\tGENOTYPE_ID\t"
+    "DESCRIPTION\tSAMPLE_ID\tENTRY_OPERATOR"
+)
+
+
+def _line(snp, alleles, sample):
+    return f"p\t1\t1\tN02\t{snp}\t{alleles}\tdesc\t{sample}\tauto"
+
+
+@pytest.fixture(scope="module")
+def export_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("src") / "export.txt"
+    p.write_text("\n".join([
+        EXPORT_HEADER,
+        _line("rs1", "A", "s1"),     # hom -> A and B
+        _line("rs2", "AG", "s1"),    # het -> two null-chromosome rows
+        _line("rs3", "", "s1"),      # no-call -> single all-null row
+        _line("rs4", "CAT", "s2"),   # multi-char hom -> A and B
+    ]) + "\n")
+    return str(p)
+
+
+def test_variant_source_normalization(spark, export_file):
+    got = nrows(variant_source(spark, export_file))
+    assert got == sorted([
+        ("s1", "A", "rs1", "A", "hom"),
+        ("s1", "B", "rs1", "A", "hom"),
+        ("s1", None, "rs2", "A", "het"),
+        ("s1", None, "rs2", "G", "het"),
+        ("s1", None, "rs3", None, None),
+        ("s2", "A", "rs4", "CAT", "hom"),
+        ("s2", "B", "rs4", "CAT", "hom"),
+    ], key=lambda t: tuple("" if v is None else str(v) for v in t))
+
+
+def test_variant_source_skip_empty(spark, export_file):
+    got = nrows(variant_source(spark, export_file, skip_empty_alleles=True))
+    assert all(r[3] is not None for r in got)
+    assert len(got) == 6
+
+
+def test_headerless_input_is_data(spark, tmp_path):
+    p = tmp_path / "noheader.txt"
+    p.write_text(_line("rs9", "T", "s9") + "\n")
+    got = nrows(variant_source(spark, str(p)))
+    assert got == [
+        ("s9", "A", "rs9", "T", "hom"),
+        ("s9", "B", "rs9", "T", "hom"),
+    ]
+
+
+def test_dsv_source_require_header(spark, tmp_path):
+    p = tmp_path / "noheader.txt"
+    p.write_text("x\ty\n")
+    with pytest.raises(ValueError, match="required header"):
+        dsv_source(spark, str(p), ["A", "B"], require_header=True)
+
+
+def test_stage_source_gene_phenotype(spark, tmp_path):
+    p = tmp_path / "gp.txt"
+    p.write_text("SAMPLE_ID\tGENE\tPHENOTYPE\np1\tg1\tslow\n")
+    df = stage_source(spark, "genePhenotype", str(p))
+    assert df.columns == ["patient_id", "gene_name", "phenotype_name"]
+    assert rows(df) == [("p1", "g1", "slow")]
+
+
+def test_reference_two_samples_file(spark):
+    df = variant_source(spark, "/root/reference/test/in/2_samples.txt")
+    got = nrows(df)
+    samples = {r[0] for r in got}
+    assert samples == {"1063-117507", "1064-117508"}
+    # every call in the file is a single-char hom or 2-char het
+    by_zyg = {}
+    for r in got:
+        by_zyg[r[4]] = by_zyg.get(r[4], 0) + 1
+    # hom rows are duplicated onto chromosomes A and B
+    hom_rows = [r for r in got if r[4] == "hom"]
+    assert all(r[1] in ("A", "B") for r in hom_rows)
+    assert len([r for r in hom_rows if r[1] == "A"]) == len(
+        [r for r in hom_rows if r[1] == "B"]
+    )
+    het_rows = [r for r in got if r[4] == "het"]
+    assert all(r[1] is None for r in het_rows)
+    assert len(het_rows) % 2 == 0

@@ -1,0 +1,111 @@
+"""Structured Streaming tests: batch/stream agreement, stateful operator,
+incremental job ingest — all driven with availableNow triggers against
+the driver-provided events parquet and pipeline fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from haplorec_spark.pipeline import Pipeline
+from haplorec_spark.queries import registry
+from haplorec_spark.streaming import (
+    incremental_variant_ingest,
+    read_events_stream,
+    stream_events_hourly,
+    stream_user_running_totals,
+)
+from tests.conftest import rows
+from tests.fixtures import GPDR, make_ref
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """File-source streams read directories; stage the single parquet
+    file into one."""
+    import shutil
+
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _run_to_memory(df, name, mode, spark):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_matches_batch_hourly(spark, events_dir):
+    ev = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        stream_events_hourly(ev), "hourly_stream", "complete", spark
+    )
+    batch = registry()["q_events_hourly"].fn(spark, SF_DIR)
+    assert rows(got) == rows(batch)
+
+
+def test_stateful_running_totals(spark, events_dir):
+    ev = read_events_stream(spark, events_dir)
+    got = _run_to_memory(
+        stream_user_running_totals(ev), "running_totals", "update", spark
+    )
+    batch = registry()["q_events_user_stats"].fn(spark, SF_DIR)
+    got_n = {r.user_id: r.n_events for r in got.collect()}
+    want_n = {r.user_id: r.n_events for r in batch.collect()}
+    assert got_n == want_n
+
+
+def test_incremental_variant_ingest(spark, tmp_path):
+    ref = make_ref(
+        spark,
+        ghv=[
+            ("g1", "*1", "rs1", "A"), ("g1", "*1", "rs2", "G"),
+            ("g1", "*2", "rs3", "C"), ("g1", "*2", "rs4", "T"),
+        ],
+        genotype_phenotype=[("g1", "*1", "*1", "homozygote normal")],
+        gene_phenotype_drug_recommendation=GPDR,
+    )
+    src = tmp_path / "incoming"
+    src.mkdir()
+    spark.createDataFrame(
+        [
+            ("patient1", "A", "rs1", "A", "hom"),
+            ("patient1", "A", "rs2", "G", "hom"),
+            ("patient1", "B", "rs1", "A", "hom"),
+            ("patient1", "B", "rs2", "G", "hom"),
+        ],
+        "patient_id string, physical_chromosome string, snp_id string, "
+        "allele string, zygosity string",
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(
+        "patient_id string, physical_chromosome string, snp_id string, "
+        "allele string, zygosity string"
+    ).parquet(str(src))
+
+    pipe = Pipeline(spark, ref)
+    warehouse = str(tmp_path / "warehouse")
+    q = incremental_variant_ingest(
+        stream, pipe, warehouse,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    gh = spark.read.parquet(f"{warehouse}/job_patient_gene_haplotype")
+    assert rows(gh, "job_id", "patient_id", "gene_name", "haplotype_name") == [
+        (1, "patient1", "g1", "*1"), (1, "patient1", "g1", "*1"),
+    ]
+    pdr = spark.read.parquet(
+        f"{warehouse}/job_patient_phenotype_drug_recommendation"
+    )
+    assert rows(pdr, "job_id", "patient_id", "drug_recommendation_id") == [
+        (1, "patient1", 1),
+    ]
