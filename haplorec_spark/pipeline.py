@@ -83,8 +83,6 @@ def variant_to_het_variant(
     exactly two alleles) raises, failing the job as the reference does
     (Algorithm.groovy:76-85).
     """
-    bc = broadcast_matrices(spark, ref.gene_haplotype_variant)
-
     hets = (
         variant.filter(F.col("zygosity") == "het")
         .join(F.broadcast(ref.gene_snp()), on="snp_id")
@@ -92,6 +90,21 @@ def variant_to_het_variant(
     )
 
     out_schema = sch.JOB_PATIENT_HET_VARIANT
+
+    # Only the genes that actually have het variants need their matrix on
+    # the executors: an all-hom job (the common large-batch case) costs
+    # one tiny distinct, not a collect+broadcast of the whole
+    # gene_haplotype_variant table.
+    hets = hets.persist()
+    het_genes = [r.gene_name for r in
+                 hets.select("gene_name").distinct().collect()]
+    if not het_genes:
+        hets.unpersist()
+        return spark.createDataFrame([], out_schema)
+    bc = broadcast_matrices(
+        spark,
+        ref.gene_haplotype_variant.filter(F.col("gene_name").isin(het_genes)),
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         job_id = pdf["job_id"].iloc[0]

@@ -24,6 +24,10 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow batches for applyInPandas / pandas_udf kernels.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Spark's 200-partition default swamps local multi-stage pipelines in
+    # task overhead; 64 + AQE coalescing right-sizes every exchange at
+    # runtime. Cluster deployments override per data volume.
+    "spark.sql.shuffle.partitions": "64",
     # ANSI off: reference (MySQL) semantics are permissive.
     "spark.sql.ansi.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
