@@ -472,6 +472,59 @@ def q_fk_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.select("c_custkey", "c_name", "segment_id")
 
 
+# --------------------------------------------- A13 (accumulative collapse)
+
+@register(
+    "q_report_collapse",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus
+    FROM orders
+    """,
+    "accumulative row collapse (Row.collapse analog): sparse halves of "
+    "each order row merge back to whole rows in the grouped kernel",
+)
+def q_report_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.rows import (
+        collapse,
+        report_can_collapse,
+        report_merge,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    # Shred every order row into a key half and a payload half — the
+    # sparse shape Row.noDuplicates produces — then let the collapse
+    # kernel stitch consecutive halves back together per hash bucket.
+    head = o.select(
+        "o_custkey", "o_orderkey",
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        (F.col("o_orderkey") * 2).alias("_seq"),
+    )
+    tail = o.select(
+        F.lit(None).cast("bigint").alias("o_custkey"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        "o_orderdate", "o_orderstatus",
+        (F.col("o_orderkey") * 2 + 1).alias("_seq"),
+    )
+    sparse = head.unionByName(tail).withColumn(
+        "_bucket", F.pmod(F.floor(F.col("_seq") / 2), F.lit(32))
+    )
+    merged = collapse(
+        sparse,
+        order_by=["_seq"],
+        partition_by=["_bucket"],
+        can_collapse=lambda hdr, a, b: report_can_collapse(
+            [c for c in hdr if not c.startswith("_")],
+            {k: v for k, v in a.items() if not k.startswith("_")},
+            {k: v for k, v in b.items() if not k.startswith("_")},
+        ),
+        merge=report_merge,
+    )
+    return merged.select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus"
+    )
+
+
 # ------------------------------------------------------ F9 (collapse-by-key)
 
 @register(
