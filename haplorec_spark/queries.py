@@ -525,6 +525,53 @@ def q_report_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- F13 (wide<->long melt)
+
+@register(
+    "q_melt_part",
+    """
+    SELECT p_partkey, key, value FROM (
+        SELECT p_partkey, 'retailprice' AS key, p_retailprice::DOUBLE AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'size' AS key, p_size::DOUBLE AS value FROM part)
+    """,
+    "wide->long unpivot (gene matrix wide->long triples analog)",
+)
+def q_melt_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.reshape import melt
+
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return melt(p, ["p_partkey"], ["retailprice", "size"])
+
+
+# ------------------------------------------- F7 (phenotype-name normalization)
+
+@register(
+    "q_phenotype_normalize",
+    """
+    SELECT p_partkey, lower(p_type) AS phenotype_name FROM part
+    """,
+    "PharmGKB phenotype-name normalization: the decorated string "
+    "round-trips to its lower-cased core",
+)
+def q_phenotype_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.functions import normalize_phenotype_name
+
+    p = table(spark, sf_dir, "part")
+    decorated = F.concat(
+        F.col("p_type"), F.lit(" (~2-11% of patients).")
+    )
+    return p.select(
+        "p_partkey",
+        normalize_phenotype_name(decorated).alias("phenotype_name"),
+    )
+
+
 # ------------------------------------------------------ F9 (collapse-by-key)
 
 @register(
