@@ -8,17 +8,22 @@ plus the large-scale training-data operators (dedup, similarity search,
 text analysis, multimodal plumbing) such an engine needs at 100 TB.
 
 Layout:
-    operators/   engine-level relational compositions Spark lacks as
-                 one-liners (relational division, ordered pivot, report
-                 dedup/collapse, FK resolution, dedup family, ANN, text)
-    sources/     DSV reader/writer, variant-file normalizing scan
-    functions/   scalar expression helpers
-    plans/       Make-like dependency DAG orchestrator
-    streaming/   Structured-Streaming incremental job ingest
-    matrix.py    gene-haplotype matrix (broadcastable reference data)
-    algorithm.py het-disambiguation kernel (pure Python core)
-    pipeline.py  the 8 pipeline stages + job lifecycle
-    report.py    condensed report generation
+    operators/    engine-level relational compositions Spark lacks as
+                  one-liners (relational division, ordered pivot, report
+                  dedup/collapse, FK resolution, reshape, dedup family,
+                  ANN similarity, text analysis, multimodal binary)
+    functions/    scalar expression helpers (phenotype normalization,
+                  zygosity classification, pair ordering)
+    plans/        Make-like dependency DAG orchestrator
+    sources.py    DSV reader, variant-file normalizing scan
+    warehouse.py  CTAS / insert-select / materialization modes
+    streaming.py  watermarked aggregates, stateful ops, foreachBatch
+                  incremental job ingest
+    matrix.py     gene-haplotype matrix (broadcastable reference data)
+    algorithm.py  het-disambiguation kernel (pure Python core)
+    pipeline.py   the 8 pipeline stages + job lifecycle
+    report.py     condensed report generation
+    queries.py    query registry with DuckDB oracles (correctness gate)
 """
 
 __version__ = "0.1.0"
