@@ -104,3 +104,74 @@ def test_reference_two_samples_file(spark):
     het_rows = [r for r in got if r[4] == "het"]
     assert all(r[1] is None for r in het_rows)
     assert len(het_rows) % 2 == 0
+
+
+# -- file-input -> pipeline integration (PipelineTest.groovy:218-503) -------
+
+def _file_ref(spark):
+    from tests.fixtures import GPDR, make_ref
+
+    return make_ref(
+        spark,
+        ghv=[
+            ("g1", "*1", "rs1", "A"), ("g1", "*1", "rs2", "G"),
+            ("g1", "*2", "rs3", "C"), ("g1", "*2", "rs4", "T"),
+        ],
+        genotype_phenotype=[
+            ("g1", "*1", "*1", "homozygote normal"),
+            ("g1", "*1", "*2", "heterozygote"),
+            ("g1", "*2", "*2", "nonfunctional"),
+        ],
+        gene_phenotype_drug_recommendation=GPDR,
+    )
+
+
+def test_real_variants_file_through_pipeline(spark):
+    """testDrugRecommendationsRealVariants (PipelineTest.groovy:218-258):
+    the real export seeds the variant stage; its chr-style SNPs match no
+    gene, so downstream stages are empty but the job completes."""
+    from haplorec_spark.pipeline import Pipeline
+
+    variants = variant_source(
+        spark, "/root/reference/test/in/2_samples.txt",
+        skip_empty_alleles=True,
+    )
+    out = Pipeline(spark, _file_ref(spark)).run_job(variants=variants)
+    assert out["variant"].count() == variants.count()
+    assert out["geneHaplotype"].count() == 0
+    assert out["phenotypeDrugRecommendation"].count() == 0
+
+
+def test_input_genotypes_file(spark, tmp_path):
+    """testDrugRecommendationsInputGenotypes[WithoutHeader]
+    (PipelineTest.groovy:432-456): genotype stage seeded from DSV, with
+    and without the header line."""
+    from haplorec_spark.pipeline import Pipeline
+    from tests.conftest import rows as sorted_rows
+
+    for body in (
+        "SAMPLE_ID\tGENE\tHAPLOTYPE1\tHAPLOTYPE2\npatient1\tg1\t*1\t*1\n",
+        "patient1\tg1\t*1\t*1\n",
+    ):
+        p = tmp_path / "genotypes.tsv"
+        p.write_text(body)
+        seed = stage_source(spark, "genotype", str(p))
+        out = Pipeline(spark, _file_ref(spark)).run_job(genotypes=seed)
+        assert sorted_rows(
+            out["genotype"], "job_id", "patient_id", "gene_name",
+            "haplotype_name1", "haplotype_name2",
+        ) == [(1, "patient1", "g1", "*1", "*1")]
+        assert sorted_rows(
+            out["phenotypeDrugRecommendation"], "job_id", "patient_id",
+            "drug_recommendation_id",
+        ) == [(1, "patient1", 1)]
+
+
+def test_invalid_short_rows_error(spark, tmp_path):
+    """testDrugRecommendationsInvalidInputGenotypes/Variants
+    (PipelineTest.groovy:458-503): short rows fail the read."""
+    p = tmp_path / "bad.tsv"
+    p.write_text("patient1\tg1\t*1\n")  # 3 of 4 expected columns
+    df = stage_source(spark, "genotype", str(p))
+    with pytest.raises(Exception, match="FAILED_READ_FILE|Malformed"):
+        df.collect()
