@@ -116,3 +116,69 @@ def build_matrices_from_df(ghv: DataFrame) -> dict[str, GeneHaplotypeMatrix]:
 def broadcast_matrices(spark: SparkSession, ghv: DataFrame):
     """Collect + broadcast the per-gene matrices (small reference data)."""
     return spark.sparkContext.broadcast(build_matrices_from_df(ghv))
+
+
+# ---------------------------------------------------------------------------
+# F12: minimal-unique-key discovery over a matrix
+# (/root/reference/script/matrix_row_keys.py:52-114 — which (column, value)
+# subsets uniquely identify each row; driver-side analysis of small
+# per-gene matrices, same surface as the reference's offline tool.)
+# ---------------------------------------------------------------------------
+
+
+def matrix_row_keys(
+    column_names: list, row_names: list, rows: list
+) -> dict:
+    """Per row, every minimal set of (column, value) pairs that uniquely
+    identifies it within the matrix.
+
+    Returns ``{row_name: {frozenset({(column, value), ...}), ...}}``.
+    Enumeration: depth-first over columns in index order, keeping the
+    candidate-row set for the current constraint set; a column joins the
+    key only if it strictly shrinks the candidates (anything else cannot
+    be part of a minimal key). Keys that acquire a subset key are pruned.
+    """
+    n_cols = len(column_names)
+    col_matches: list[dict] = [{} for _ in range(n_cols)]
+    for ri, row in enumerate(rows):
+        for ci, v in enumerate(row):
+            col_matches[ci].setdefault(v, set()).add(ri)
+
+    out: dict = {}
+    for ri, row in enumerate(rows):
+        matches = [col_matches[ci][row[ci]] for ci in range(n_cols)]
+        minimal: list[frozenset[int]] = []
+
+        def record(cols: frozenset) -> None:
+            for k in minimal:
+                if k <= cols:
+                    return
+            minimal[:] = [k for k in minimal if not cols < k]
+            minimal.append(cols)
+
+        def extend(cols: frozenset, cand: set, start: int) -> None:
+            if len(cand) == 1:
+                record(cols)
+                return
+            for ci in range(start, n_cols):
+                nxt = cand & matches[ci]
+                if len(nxt) < len(cand) and len(nxt) < len(matches[ci]):
+                    extend(cols | {ci}, nxt, ci + 1)
+
+        for ci in range(n_cols):
+            extend(frozenset([ci]), set(matches[ci]), ci + 1)
+        out[row_names[ri]] = {
+            frozenset((column_names[ci], row[ci]) for ci in key)
+            for key in minimal
+        }
+    return out
+
+
+def gene_matrix_row_keys(matrix: GeneHaplotypeMatrix) -> dict:
+    """F12 applied to a gene's haplotype matrix: which (snp, allele)
+    subsets uniquely identify each haplotype (blank cells are None)."""
+    rows = [
+        [matrix.alleles[h].get(s) for s in matrix.snp_ids]
+        for h in matrix.haplotypes
+    ]
+    return matrix_row_keys(matrix.snp_ids, matrix.haplotypes, rows)
