@@ -71,3 +71,48 @@ def test_melt_and_widen_roundtrip(spark):
     )
     assert rows(rewide) == [("*1", "A", "G"), ("*2", "C", "T")]
     assert rewide.columns == ["haplotype_name", "rs1", "rs2"]
+
+
+# -- F8: phenotype-genotype grammar (parsers/text.py doctest goldens) --------
+
+def test_parse_phenotype_genotype_reference_doctest():
+    from haplorec_spark.functions.grammar import parse_phenotype_genotype
+
+    assert parse_phenotype_genotype(
+        "An individual carrying two gain-of-function alleles or one "
+        "functional allele and one gain-of-function allele"
+    ) == [
+        ("gain-of-function", "gain-of-function"),
+        ("functional", "gain-of-function"),
+    ]
+    assert parse_phenotype_genotype(
+        "An individual carrying only nonfunctional alleles"
+    ) == [("nonfunctional", "nonfunctional")]
+    assert parse_phenotype_genotype(
+        "An individual carrying duplications of functional alleles"
+    ) == [("functional", "functional")]
+
+
+def test_parse_phenotype_genotype_invalid():
+    import pytest as _pytest
+
+    from haplorec_spark.functions.grammar import (
+        GenotypeParseError,
+        parse_phenotype_genotype,
+    )
+
+    with _pytest.raises(GenotypeParseError):
+        parse_phenotype_genotype("A person with two alleles of unknown kind")
+
+
+def test_phenotype_genotype_pairs_udf(spark):
+    from haplorec_spark.functions.grammar import phenotype_genotype_pairs
+
+    df = spark.createDataFrame(
+        [("An individual carrying two functional alleles",),
+         ("not parseable",), (None,)],
+        "s string",
+    )
+    got = [r.genotypes for r in phenotype_genotype_pairs(df, "s").collect()]
+    assert [tuple(p) for p in got[0]] == [("functional", "functional")]
+    assert got[1] is None and got[2] is None
