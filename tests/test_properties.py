@@ -1,0 +1,200 @@
+"""Property-based tests (hypothesis) for the engine's signature
+operators — a robustness layer the reference's suite lacks
+(SURVEY.md §5: "No property-based/randomized testing" there).
+
+Each property checks the distributed operator against a brute-force
+Python model on randomized inputs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from haplorec_spark.operators.division import (
+    select_where_either_subset_of,
+    select_where_subset_of,
+)
+from haplorec_spark.operators.pivot import grouped_rows_to_columns
+from haplorec_spark.operators.rows import (
+    collapse_rows,
+    no_duplicates_rows,
+    report_can_collapse,
+    report_merge,
+)
+
+SLOW = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# set elements / group names drawn from tiny alphabets to force
+# collisions, subsets, and supersets
+elems = st.sampled_from(["x", "y", "z", "w"])
+names = st.sampled_from(["a", "b", "c"])
+
+set_table = st.lists(
+    st.tuples(names, elems), min_size=0, max_size=12, unique=True
+)
+
+
+@SLOW
+@given(a=set_table, b=set_table)
+def test_division_subset_matches_model(spark, a, b):
+    from pyspark.sql.types import (
+        StringType, StructField, StructType,
+    )
+
+    schema_a = StructType([
+        StructField("ga", StringType()), StructField("e", StringType()),
+    ])
+    schema_b = StructType([
+        StructField("gb", StringType()), StructField("e", StringType()),
+    ])
+    df_a = spark.createDataFrame(a or [], schema_a)
+    df_b = spark.createDataFrame(b or [], schema_b)
+
+    got = {
+        tuple(r)
+        for r in select_where_subset_of(
+            df_a, df_b, ["e"], a_group_by=["ga"], b_group_by=["gb"]
+        ).collect()
+    }
+
+    sets_a: dict[str, set[str]] = {}
+    for g, e in a:
+        sets_a.setdefault(g, set()).add(e)
+    sets_b: dict[str, set[str]] = {}
+    for g, e in b:
+        sets_b.setdefault(g, set()).add(e)
+    want = {
+        (ga, gb)
+        for ga, sa in sets_a.items()
+        for gb, sb in sets_b.items()
+        if sa <= sb
+    }
+    assert got == want
+
+
+@SLOW
+@given(a=set_table, b=set_table)
+def test_division_either_subset_matches_model(spark, a, b):
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema_a = StructType([
+        StructField("ga", StringType()), StructField("e", StringType()),
+    ])
+    schema_b = StructType([
+        StructField("gb", StringType()), StructField("e", StringType()),
+    ])
+    df_a = spark.createDataFrame(a or [], schema_a)
+    df_b = spark.createDataFrame(b or [], schema_b)
+
+    got = {
+        tuple(r)
+        for r in select_where_either_subset_of(
+            df_a, df_b, ["e"], a_group_by=["ga"], b_group_by=["gb"]
+        ).collect()
+    }
+    sets_a: dict[str, set[str]] = {}
+    for g, e in a:
+        sets_a.setdefault(g, set()).add(e)
+    sets_b: dict[str, set[str]] = {}
+    for g, e in b:
+        sets_b.setdefault(g, set()).add(e)
+    want = {
+        (ga, gb)
+        for ga, sa in sets_a.items()
+        for gb, sb in sets_b.items()
+        if sa <= sb or sb <= sa
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 9)),
+        min_size=0, max_size=14, unique=True,
+    )
+)
+def test_pivot_matches_model(spark, data):
+    """grouped_rows_to_columns pairs each group's <=2 smallest-ordered
+    values positionally; oversize groups are dropped."""
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType,
+    )
+
+    df = spark.createDataFrame(
+        data or [],
+        StructType([
+            StructField("g", IntegerType()),
+            StructField("v", IntegerType()),
+        ]),
+    )
+    out = grouped_rows_to_columns(
+        df, ["g"], {"g": "g", "v": ["v1", "v2"]}, order_rows_by=["v"]
+    )
+    got = {tuple(r) for r in out.collect()}
+
+    groups: dict[int, list[int]] = {}
+    for g, v in data:
+        groups.setdefault(g, []).append(v)
+    want = set()
+    for g, vs in groups.items():
+        if len(vs) <= 2:
+            vs = sorted(vs)
+            want.add((g, vs[0], vs[1] if len(vs) > 1 else None))
+    assert got == want
+
+
+row_dicts = st.lists(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.one_of(st.none(), st.integers(0, 3)),
+        min_size=0, max_size=4,
+    ),
+    min_size=0, max_size=10,
+)
+
+
+@given(rows=row_dicts)
+@settings(max_examples=50, deadline=None)
+def test_collapse_never_loses_non_null_values(rows):
+    """Pure-kernel invariant: report-style collapse preserves the bag of
+    non-null (column, value) assignments in order-insensitive count."""
+    header = ["a", "b", "c", "d"]
+    full = [{h: r.get(h) for h in header} for r in rows]
+    out = collapse_rows(full, header, report_can_collapse, report_merge)
+
+    def bag(rs):
+        items = [
+            (k, v) for r in rs for k, v in r.items() if v is not None
+        ]
+        return sorted(items)
+
+    # merge only fills nulls from later rows; it never drops or
+    # overwrites a non-null value
+    assert bag(out) == bag(full)
+    assert len(out) <= len(full)
+
+
+@given(rows=row_dicts)
+@settings(max_examples=50, deadline=None)
+def test_no_duplicates_first_occurrence_keeps_all_columns(rows):
+    """The first row always survives intact, and every output row's
+    columns are a subset of its input row's."""
+    groups = {
+        "g1": (["a"], ["a", "b"]),
+        "g2": (["c"], ["c", "d"]),
+    }
+    full = [
+        {h: r.get(h) for h in ["a", "b", "c", "d"]} for r in rows
+    ]
+    out = no_duplicates_rows(full, groups)
+    assert len(out) == len(full)
+    if full:
+        assert out[0] == {
+            k: full[0].get(k) for k in ["a", "b", "c", "d"]
+        }
