@@ -645,6 +645,95 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------- correlated / HAVING / argmax query shapes
+
+@register(
+    "q_min_cost_supplier",
+    """
+    WITH mincost AS (
+        SELECT l_partkey, min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_suppkey, round(l.l_extendedprice, 2) AS price
+    FROM lineitem l JOIN mincost m
+      ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+    """,
+    "correlated-min decorrelation (TPC-H Q2 shape): cheapest shipment "
+    "per part",
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    # alias the derived side's key: mincost shares lineage with li, so an
+    # unaliased join key would be an ambiguous self-join reference
+    mincost = li.groupBy(
+        F.col("l_partkey").alias("mc_partkey")
+    ).agg(F.min("l_extendedprice").alias("min_price"))
+    return (
+        li.join(
+            mincost,
+            (F.col("l_partkey") == F.col("mc_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            "l_partkey", "l_suppkey",
+            F.round(F.col("l_extendedprice"), 2).alias("price"),
+        )
+    )
+
+
+@register(
+    "q_large_orders",
+    """
+    SELECT o_orderkey, o_custkey, round(sum(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderkey, o_custkey
+    HAVING sum(l_quantity) > 150
+    """,
+    "aggregate + HAVING (TPC-H Q18 shape): orders above a quantity bar",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+             F.sum("l_quantity").alias("_raw"))
+        .filter(F.col("_raw") > 150)
+        .drop("_raw")
+    )
+
+
+@register(
+    "q_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_revenue
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    "argmax over an aggregate (TPC-H Q15 shape): top revenue supplier",
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        s.join(revenue, s.s_suppkey == revenue.l_suppkey)
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("m"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 # ----------------------------------------- A12 (column-group first-seen dedup)
 
 @register(
