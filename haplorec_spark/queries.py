@@ -645,6 +645,35 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- skew-safe aggregation path
+
+@register(
+    "q_salted_event_type_stats",
+    """
+    SELECT event_type, count(*) AS n_events, round(sum("value"), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    "two-phase salted aggregation over a low-cardinality (skew-prone) "
+    "key — must equal the plain groupBy",
+)
+def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.scale import salted_aggregate
+
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "sum_value": (F.sum("value"), F.sum("sum_value")),
+        },
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", "n_events", F.round("sum_value", 2).alias("sum_value")
+    )
+
+
 # ---------------------------------- correlated / HAVING / argmax query shapes
 
 @register(
