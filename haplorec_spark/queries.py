@@ -645,6 +645,47 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- §2.8 streaming face (batch parity)
+
+@register(
+    "q_stream_events_hourly",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events,
+           round(sum("value"), 2) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    "Structured Streaming windowed aggregate run to completion "
+    "(availableNow) — must hash-match the batch oracle exactly",
+)
+def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from haplorec_spark.streaming import (
+        read_events_stream,
+        stream_events_hourly,
+    )
+
+    # File-source streams read directories; stage the single parquet
+    # file into one (driver-local, events is MBs at any tested SF).
+    staging = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_events_hourly(read_events_stream(spark, staging))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
 # ------------------------------------------------- skew-safe aggregation path
 
 @register(
