@@ -191,6 +191,174 @@ def ann_lsh_topk(
     )
 
 
+# ----------------------------------------------------------- IVF (k-means)
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(centroid_id, centroid): deterministic k-means codebook.
+
+    Classic iterative Spark shape: initialize from the k lowest-id
+    vectors, then repeat {broadcast centroids -> assign each vector to
+    its nearest (squared-L2) centroid -> average per cluster}. Each
+    iteration is one shuffle (the per-cluster mean); the centroid table
+    (k x dim doubles) always broadcasts. Clusters that lose all members
+    keep their previous centroid.
+    """
+    v = vectors.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    centroids = (
+        v.orderBy(id_col).limit(k)
+        .select(F.col("v").alias("centroid"))
+        .withColumn(
+            "centroid_id",
+            F.row_number().over(Window.orderBy(F.lit(1))) - 1,
+        )
+        .select("centroid_id", "centroid")
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)),"
+        " cast(0.0 as double), (acc, d) -> acc + d)"
+    )
+    for _ in range(iterations):
+        assigned = (
+            v.crossJoin(F.broadcast(centroids))
+            .select(id_col, "v", "centroid_id", dist2.alias("d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("d2", "centroid_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        means = (
+            assigned.select(
+                "centroid_id", F.posexplode("v").alias("d", "x")
+            )
+            .groupBy("centroid_id", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "m"))
+                ).alias("dm")
+            )
+            .select(
+                "centroid_id",
+                F.expr("transform(dm, s -> s.m)").alias("centroid"),
+            )
+        )
+        # keep previous centroid for clusters that emptied out
+        centroids = (
+            centroids.select(
+                "centroid_id", F.col("centroid").alias("prev")
+            )
+            .join(means, on="centroid_id", how="left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid", "prev").alias("centroid"),
+            )
+        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+    return centroids
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster): nearest centroid per vector (broadcast argmin)."""
+    v = vectors.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    dist2 = F.expr(
+        "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)),"
+        " cast(0.0 as double), (acc, d) -> acc + d)"
+    )
+    return (
+        v.crossJoin(F.broadcast(centroids))
+        .select(id_col, "centroid_id", dist2.alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("d2", "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col("centroid_id").alias("cluster"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine ranking inside the probe's
+    k-means cell (nprobe=1).
+
+    The codebook replaces the hyperplane matrix of :func:`ann_lsh_topk`
+    with learned centroids — same join shape (cluster-keyed equi-join),
+    per-probe work divided by the cluster fanout.
+    """
+    centroids = kmeans_centroids(
+        corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
+    corpus_cells = assign_clusters(
+        corpus, centroids, vec_col=vec_col, id_col=id_col
+    )
+    probe_cells = assign_clusters(
+        probes, centroids, vec_col=vec_col, id_col=id_col
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
+    ).join(
+        probe_cells.select(F.col(id_col).alias("probe_id"), "cluster"),
+        on="probe_id",
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).join(
+        corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cluster"),
+        on="neighbor_id",
+    )
+    scored = (
+        F.broadcast(p)
+        .join(c, on="cluster")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(cosine_expr("pv", "cv"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402
@@ -275,3 +443,17 @@ def q_ann_brute_force(spark, sf_dir):
 def q_ann_lsh_bucketed(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "q_ann_ivf_kmeans",
+    None,  # iterative k-means codebook -> rows-only check
+    "IVF approximate top-5 inside the probe's k-means cell "
+    "(3-iteration DataFrame k-means, nprobe=1)",
+)
+def q_ann_ivf_kmeans(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5,
+        n_clusters=8, iterations=3,
+    )
