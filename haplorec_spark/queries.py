@@ -47,9 +47,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-            )
+            # integer DIV: a double division would round at ~1.7e15 and
+            # shift some timestamps by 1 microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -642,6 +642,66 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_types"),
         F.round(F.max("value"), 2).alias("max_value"),
         F.round(F.min("value"), 2).alias("min_value"),
+    )
+
+
+# ----------------------------------------------- sessionization (lag + cumsum)
+
+@register(
+    "q_sessionize",
+    """
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               (sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING))::BIGINT
+                   AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start,
+           max(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    "gap-based sessionization: lag + running sum windows, then per-"
+    "session aggregates",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                # exact microsecond gap: cast('long') would floor to
+                # seconds and disagree with the oracle at boundaries
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1800 * 1_000_000
+            ),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = gaps.withColumn(
+        "session_id", F.sum("new_session").over(wc)
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
 
 

@@ -60,9 +60,9 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(events_dir)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    # integer DIV, not floor(ts/1000): double division rounds at this
+    # magnitude and would shift some timestamps by 1 microsecond
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_events_hourly(
