@@ -645,6 +645,26 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- rollup grouping sets
+
+@register(
+    "q_rollup_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "ROLLUP grouping sets: per-(flag,status), per-flag, and grand totals",
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 # ----------------------------------------------- sessionization (lag + cumsum)
 
 @register(
