@@ -84,6 +84,36 @@ def stream_events_hourly(
     )
 
 
+def user_sessions(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session-window aggregation per user: events whose inter-arrival
+    gap stays under ``gap`` merge into one session.
+
+    Works identically over a batch or streaming frame
+    (``session_window`` is engine-native); streaming adds the watermark
+    so open sessions finalize once event time moves past gap+watermark.
+    The batch face is the verification oracle for the streaming one.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (
+        src.groupBy(
+            F.session_window("ts", gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id", "n_events", "sum_value",
+        )
+    )
+
+
 _RUNNING_SCHEMA = StructType([
     StructField("user_id", LongType()),
     StructField("n_events", LongType()),

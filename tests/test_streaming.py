@@ -109,3 +109,35 @@ def test_incremental_variant_ingest(spark, tmp_path):
     assert rows(pdr, "job_id", "patient_id", "drug_recommendation_id") == [
         (1, "patient1", 1),
     ]
+
+
+def test_session_windows_stream_matches_batch(spark, events_dir):
+    """Streaming session windows (append mode) emit exactly the batch
+    session_window aggregates the watermark has finalized."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.queries import table
+    from haplorec_spark.streaming import user_sessions
+
+    ev = read_events_stream(spark, events_dir)
+    q = (
+        user_sessions(ev)
+        .writeStream.format("memory")
+        .queryName("user_sessions_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM user_sessions_stream")
+
+    events = table(spark, SF_DIR, "events")
+    batch = user_sessions(events)
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    wm = max_ts - __import__("datetime").timedelta(hours=1)
+    finalized = batch.filter(F.col("session_end") <= F.lit(wm))
+
+    got = rows(emitted)
+    assert got == rows(finalized)
+    # sanity: the watermark really finalized the overwhelming majority
+    assert len(got) >= 0.9 * batch.count()
