@@ -39,6 +39,10 @@ TABLES = [
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Oracle comparisons assume naive-UTC timestamps (DuckDB reads parquet
+    # timestamps naive); pin the session zone in case the caller's session
+    # was built elsewhere with a local zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read the raw int64 nanos and truncate to micros
