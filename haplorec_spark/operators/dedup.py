@@ -193,6 +193,7 @@ def ngram_jaccard_pairs(
     *,
     shingle_n: int = 3,
     threshold: float = 0.6,
+    max_doc_freq: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -201,8 +202,25 @@ def ngram_jaccard_pairs(
     Pruned relationally: only pairs sharing >= 1 shingle are scored (the
     join on shingle), so the plan is shingle-keyed shuffle + two
     broadcast-joined size aggregates — division-style, no cross join.
+
+    ``max_doc_freq`` is the 100 TB lever: shingles appearing in more
+    than that fraction of documents (boilerplate) are dropped BEFORE the
+    self-join, capping the join's hottest keys. Scores then become
+    Jaccard over the filtered shingle sets — approximate against the
+    unfiltered metric (common shingles carry no near-dup signal), exact
+    over what remains, so leave it None when an exact oracle matters.
     """
     sh = word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col)
+    if max_doc_freq is not None:
+        n_docs = docs.select(id_col).distinct().count()
+        cap = max_doc_freq * n_docs
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_id_b"), "shingle")

@@ -1,0 +1,67 @@
+"""Dedup operator unit tests beyond the oracle gate: the
+document-frequency cut and banding recall guarantees."""
+
+from __future__ import annotations
+
+import pytest
+
+from haplorec_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from tests.conftest import rows
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    boiler = "terms of service apply here"
+    return spark.createDataFrame(
+        [
+            (1, f"the quick brown fox jumps {boiler}"),
+            (2, f"the quick brown fox leaps {boiler}"),
+            (3, f"completely unrelated text body {boiler}"),
+            (4, "the quick brown fox jumps today"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_freq_cut_drops_boilerplate_shingles(spark, docs):
+    full = word_shingles(docs).count()
+    # boilerplate appears in 3/4 docs; cut at 50% document frequency
+    pruned = ngram_jaccard_pairs(
+        docs, threshold=0.0, max_doc_freq=0.5
+    )
+    # shingles in >2 of 4 docs are cut: the boilerplate tail (docs
+    # 1,2,3) and the shared "the quick brown ..." prefix (docs 1,2,4)
+    # both vanish, leaving only the jumps-specific 1-4 overlap
+    got = rows(pruned, "doc_id_a", "doc_id_b")
+    assert got == [(1, 4)]
+    assert full > 0
+
+
+def test_jaccard_without_cut_keeps_boilerplate_pairs(spark, docs):
+    got = ngram_jaccard_pairs(docs, threshold=0.0)
+    ids = {i for r in got.collect() for i in (r.doc_id_a, r.doc_id_b)}
+    assert 3 in ids
+
+
+def test_lsh_candidates_include_exact_duplicates(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, "other words entirely different here ok")],
+        "doc_id long, text string",
+    )
+    got = rows(lsh_candidate_pairs(df))
+    assert (1, 2) in got  # identical docs always share every band
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    text = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    got = rows(simhash_near_duplicates(df))
+    assert got == [(1, 2, 0)]
