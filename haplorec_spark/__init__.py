@@ -27,3 +27,8 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
+from haplorec_spark.session import get_spark  # noqa: E402
+
+__all__ = ["Pipeline", "ReferenceTables", "get_spark", "__version__"]

@@ -214,7 +214,7 @@ def kmeans_centroids(
     v = vectors.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-    )
+    ).persist()  # re-read every iteration; pin the casted vectors once
     centroids = (
         v.orderBy(id_col).limit(k)
         .select(F.col("v").alias("centroid"))
@@ -268,6 +268,7 @@ def kmeans_centroids(
                 F.coalesce("centroid", "prev").alias("centroid"),
             )
         ).localCheckpoint(eager=True)  # truncate the iterative lineage
+    v.unpersist()
     return centroids
 
 

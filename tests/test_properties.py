@@ -198,3 +198,67 @@ def test_no_duplicates_first_occurrence_keeps_all_columns(rows):
         assert out[0] == {
             k: full[0].get(k) for k in ["a", "b", "c", "d"]
         }
+
+
+# -- het-disambiguation kernel invariants -----------------------------------
+
+@given(
+    n_haps=st.integers(2, 5),
+    n_snps=st.integers(1, 4),
+    seed=st.integers(0, 999),
+)
+@settings(max_examples=40, deadline=None)
+def test_disambiguate_hets_invariants(n_haps, n_snps, seed):
+    """Random gene matrices + random het pairs: every combo pairs two
+    complementary strands covering each het SNP once per chromosome,
+    AKnownBKnown strand A uniquely identifies a haplotype, and the
+    output ordering is deterministic."""
+    import random
+
+    from haplorec_spark.algorithm import disambiguate_hets
+    from haplorec_spark.matrix import build_matrices
+
+    rng = random.Random(seed)
+    snps = [f"rs{i}" for i in range(n_snps)]
+    ghv = [
+        (f"g", f"*{h}", s, rng.choice("ACGT"))
+        for h in range(1, n_haps + 1)
+        for s in snps
+    ]
+    matrix = build_matrices(ghv)["g"]
+    hets = []
+    for s in snps:
+        a1 = rng.choice("ACGT")
+        a2 = rng.choice([c for c in "ACGT" if c != a1])
+        hets += [(s, a1), (s, a2)]
+
+    combos = disambiguate_hets(matrix, hets)
+    again = disambiguate_hets(matrix, hets)
+    assert combos == again  # deterministic
+
+    allele_of = dict()
+    for s, a in hets:
+        allele_of.setdefault(s, set()).add(a)
+    for kind, combo_list in combos.items():
+        for combo in combo_list:
+            by_chrom = {}
+            for row in combo:
+                by_chrom.setdefault(
+                    row["physical_chromosome"], {}
+                )[row["snp_id"]] = row["allele"]
+            assert set(by_chrom) == {"A", "B"}
+            for chrom_rows in by_chrom.values():
+                assert set(chrom_rows) == set(snps)
+            # complementary strands: per snp, A and B together carry
+            # exactly the two het alleles
+            for s in snps:
+                assert {by_chrom["A"][s], by_chrom["B"][s]} == allele_of[s]
+            # strand A identifies a known haplotype (possibly not
+            # uniquely for the single-het-SNP special case)
+            surviving = matrix.variants_to_haplotypes(
+                [(s, by_chrom["A"][s]) for s in snps]
+            )
+            if n_snps > 1:
+                assert surviving is not None and len(surviving) == 1
+            else:
+                assert surviving
