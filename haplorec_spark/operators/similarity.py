@@ -450,11 +450,11 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     "q_ann_ivf_kmeans",
     None,  # iterative k-means codebook -> rows-only check
     "IVF approximate top-5 inside the probe's k-means cell "
-    "(3-iteration DataFrame k-means, nprobe=1)",
+    "(2-iteration DataFrame k-means, nprobe=1)",
 )
 def q_ann_ivf_kmeans(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5,
-        n_clusters=8, iterations=3,
+        n_clusters=8, iterations=2,
     )
