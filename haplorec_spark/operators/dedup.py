@@ -420,6 +420,93 @@ def embedding_near_duplicates(
     )
 
 
+# --------------------------------------------------- near-dup clustering
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    max_iterations: int = 20,
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+) -> DataFrame:
+    """(doc_id, canonical_id): connected components over near-dup pairs.
+
+    The drop step of every near-dup family: LSH/SimHash/Jaccard emit
+    *pairs*; transitive closure groups them into clusters and the
+    minimum id becomes the keeper. Each round combines min-label
+    propagation (adopt the smallest label among self and neighbors)
+    with pointer jumping (then adopt the label's own label), so the
+    longest chain shrinks geometrically — O(log n) rounds to a fixed
+    point, detected with one count per round and bounded by
+    ``max_iterations``. Near-dup clusters are tiny in practice; the
+    per-round cost is two label-table joins.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("label").alias("dst_label"),
+                ),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nmin"))
+        )
+        propagated = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: follow the new label to ITS label, halving
+        # chain depth every round
+        parent = propagated.select(
+            F.col("node").alias("label"), F.col("label").alias("label2")
+        )
+        updated = (
+            propagated.join(parent, on="label", how="left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("label2"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402
@@ -515,6 +602,37 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"), threshold=0.2
     )
+
+
+@register(
+    "q_dedup_clusters",
+    _SHINGLES_SQL.replace("WITH w AS", "WITH RECURSIVE w AS", 1) + """,
+         sig AS (SELECT doc_id, seed,
+                        min(md5(seed::VARCHAR || '|' || shingle)) AS mh
+                 FROM sh CROSS JOIN range(12) t(seed)
+                 GROUP BY doc_id, seed),
+         banded AS (SELECT doc_id, seed // 3 AS band,
+                           string_agg(mh, ',' ORDER BY seed) AS band_key
+                    FROM sig GROUP BY doc_id, seed // 3),
+         prs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                 FROM banded a JOIN banded b USING (band, band_key)
+                 WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT a AS src, b AS dst FROM prs
+                   UNION SELECT b, a FROM prs),
+         reach AS (
+             SELECT src AS node, src AS label FROM edges
+             UNION
+             SELECT e.src, r.label
+             FROM edges e JOIN reach r ON r.node = e.dst
+         )
+    SELECT node AS doc_id, min(label) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+    "connected components over MinHash-LSH pairs (iterative min-label "
+    "propagation + pointer jumping vs a recursive-CTE oracle)",
+)
+def q_dedup_clusters(spark, sf_dir):
+    return dedup_clusters(lsh_candidate_pairs(table(spark, sf_dir, "documents")))
 
 
 @register(

@@ -65,3 +65,32 @@ def test_simhash_identical_docs_distance_zero(spark):
     )
     got = rows(simhash_near_duplicates(df))
     assert got == [(1, 2, 0)]
+
+
+def test_dedup_clusters_connected_components(spark):
+    from haplorec_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, pair 10-11, singleton via self-contained pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = rows(dedup_clusters(pairs))
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    ]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.dedup import dedup_clusters
+
+    n = 40  # longest chain: 0-1-2-...-39
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+    )
+    got = rows(dedup_clusters(pairs))
+    assert got == [(i, 0) for i in range(n)]
