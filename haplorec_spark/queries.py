@@ -649,6 +649,30 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- exact group percentiles
+
+@register(
+    "q_price_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact interpolated percentiles per group (continuous quantile)",
+)
+def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.5)"), 6
+        ).alias("median_price"),
+        F.round(
+            F.expr("percentile(l_extendedprice, 0.95)"), 6
+        ).alias("p95_price"),
+    )
+
+
 # ------------------------------------------------------- rollup grouping sets
 
 @register(
