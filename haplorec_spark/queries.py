@@ -971,3 +971,124 @@ def q_left_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey, "left")
         .select("o_orderkey", "o_orderstatus", "c_name", "n_name", "r_name")
     )
+
+
+# ------------------------------------------------ lead/lag window analytics
+
+@register(
+    "q_order_gaps",
+    """
+    SELECT o_custkey,
+           round(avg(gap_days), 6) AS avg_gap_days,
+           count(*)                AS n_gaps
+    FROM (SELECT o_custkey,
+                 date_diff('day',
+                           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate,
+                                                           o_orderkey),
+                           o_orderdate) AS gap_days
+          FROM orders)
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
+    """,
+    "per-customer inter-order gaps via lag window, then aggregated",
+)
+def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn(
+            "gap_days",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)),
+        )
+        .filter(F.col("gap_days").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+            F.count("*").alias("n_gaps"),
+        )
+    )
+
+
+# ------------------------------------------- running totals (ordered window)
+
+@register(
+    "q_running_revenue",
+    """
+    SELECT month,
+           round(CAST(sum(month_rev) OVER (ORDER BY month
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE), 2) AS running_rev
+    FROM (SELECT date_trunc('month', o_orderdate) AS month,
+                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS month_rev
+          FROM orders GROUP BY 1)
+    """,
+    "monthly revenue running total; DECIMAL accumulation keeps the window "
+    "sum exact and engine-independent (float running sums associate "
+    "differently across engines)",
+)
+def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("month_rev"))
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        "month",
+        F.round(F.sum("month_rev").over(w).cast("double"), 2).alias(
+            "running_rev"
+        ),
+    )
+
+
+# ----------------------------------------------------- top-k rows per group
+
+@register(
+    "q_topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice
+    FROM (SELECT c_mktsegment, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY o_totalprice DESC,
+                                             o_orderkey) AS rn
+          FROM orders JOIN customer ON o_custkey = c_custkey)
+    WHERE rn <= 3
+    """,
+    "top-3 orders by value per market segment (join + ranked window top-k)",
+)
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------- named-column pivot (crosstab)
+
+@register(
+    "q_pivot_status_matrix",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "named-column pivot (groupBy().pivot()) — crosstab of priority x status",
+)
+def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+        .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
+    )
