@@ -58,6 +58,26 @@ CHECKS = {
         "forbid": ["Exchange hashpartitioning.*Exchange hashpartitioning.*"
                     "Exchange hashpartitioning"],  # no triple shuffle
     },
+    "q_topk_orders_per_segment": {
+        # customer is the small side -> must broadcast; top-k is a
+        # partitioned window, never a global sort
+        "expect": ["BroadcastHashJoin", "Window"],
+        "forbid": ["BroadcastNestedLoopJoin", "SortMergeJoin",
+                   "CartesianProduct"],
+    },
+    "q_order_gaps": {
+        # lag + aggregate share the o_custkey partitioning: exactly one
+        # shuffle, the aggregate reuses the window's hashpartitioning
+        "expect": ["Window"],
+        "forbid": ["Exchange hashpartitioning.*Exchange hashpartitioning"],
+    },
+    "q_running_revenue": {
+        # the single-partition global window is safe ONLY because the
+        # input was first aggregated to bounded cardinality (months);
+        # assert the aggregate happens below the window
+        "expect": ["HashAggregate.*Window"],
+        "forbid": ["CartesianProduct"],
+    },
 }
 
 reg = registry()
