@@ -1092,3 +1092,37 @@ def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, ["F", "O", "P"])
         .withColumnsRenamed({"F": "n_f", "O": "n_o", "P": "n_p"})
     )
+
+
+# ------------------------------------------------------------- as-of join
+
+@register(
+    "q_asof_click_purchase",
+    """
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts    AS asof_ts,
+           round(c.value, 6) AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "as-of join: latest click at-or-before each purchase, per user "
+    "(union + ordered window; single shuffle on user_id)",
+)
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.asof import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["value"],
+    ).select(
+        "event_id", "user_id", "ts", "asof_ts",
+        F.round("asof_value", 6).alias("asof_value"),
+    )
