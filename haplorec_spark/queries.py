@@ -1076,9 +1076,9 @@ def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot_status_matrix",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
     FROM orders GROUP BY o_orderpriority
     """,
     "named-column pivot (groupBy().pivot()) — crosstab of priority x status",
