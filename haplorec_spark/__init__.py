@@ -28,7 +28,22 @@ Layout:
 
 __version__ = "0.1.0"
 
+from haplorec_spark.operators.asof import asof_join  # noqa: E402
+from haplorec_spark.operators.division import (  # noqa: E402
+    select_where_either_subset_of,
+    select_where_subset_of,
+)
+from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
 
-__all__ = ["Pipeline", "ReferenceTables", "get_spark", "__version__"]
+__all__ = [
+    "Pipeline",
+    "ReferenceTables",
+    "asof_join",
+    "get_spark",
+    "grouped_rows_to_columns",
+    "select_where_either_subset_of",
+    "select_where_subset_of",
+    "__version__",
+]
