@@ -1,0 +1,61 @@
+"""Registry hygiene — no Spark session needed.
+
+The driver's correctness gate depends on invariants that are easy to
+break silently when adding a query: every entry documented, every
+oracle referencing only the pre-registered tables, and rows-only
+entries kept to the genuinely non-SQL-expressible few.
+"""
+
+from __future__ import annotations
+
+import re
+
+from haplorec_spark.queries import TABLES, registry
+
+KNOWN_ROWS_ONLY = {
+    "q_ann_ivf_kmeans",          # iterative k-means codebook
+    "q_multimodal_frame_sample",  # binary decode stub
+    "q_multimodal_image_stats",   # binary decode stub
+}
+
+
+def test_every_query_documented():
+    for name, q in registry().items():
+        assert q.doc, f"{name} has no doc string"
+        assert q.fn.__doc__ or q.doc  # at least the registry doc
+
+
+def test_oracles_bind_in_duckdb():
+    """Every oracle must parse AND bind (tables, columns, functions)
+    against the driver's pre-registered views — DuckDB's binder is the
+    authority, not a regex."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.001/{t}.parquet')"
+        )
+    for name, q in registry().items():
+        if q.sql is None:
+            continue
+        try:
+            con.execute(f"EXPLAIN {q.sql}")
+        except Exception as e:  # pragma: no cover - assertion payload
+            raise AssertionError(f"{name} oracle fails to bind: {e}") from e
+
+
+def test_rows_only_set_is_closed():
+    rows_only = {n for n, q in registry().items() if q.sql is None}
+    assert rows_only == KNOWN_ROWS_ONLY, (
+        "rows-only entries changed; every new query should carry a DuckDB "
+        f"oracle unless genuinely non-SQL-expressible: {rows_only}"
+    )
+
+
+def test_names_are_snake_case_and_unique():
+    names = list(registry())
+    assert len(names) == len(set(names))
+    for n in names:
+        assert re.fullmatch(r"q[0-9]*[a-z0-9_]*", n), n
