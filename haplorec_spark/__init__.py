@@ -29,6 +29,7 @@ Layout:
 __version__ = "0.1.0"
 
 from haplorec_spark.operators.asof import asof_join  # noqa: E402
+from haplorec_spark.operators.ranges import interval_join  # noqa: E402
 from haplorec_spark.operators.division import (  # noqa: E402
     select_where_either_subset_of,
     select_where_subset_of,
@@ -43,6 +44,7 @@ __all__ = [
     "asof_join",
     "get_spark",
     "grouped_rows_to_columns",
+    "interval_join",
     "select_where_either_subset_of",
     "select_where_subset_of",
     "__version__",

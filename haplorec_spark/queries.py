@@ -1126,3 +1126,53 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "asof_ts",
         F.round("asof_value", 6).alias("asof_value"),
     )
+
+
+# -------------------------------------------------- interval (range) join
+
+@register(
+    "q_range_ship_window",
+    """
+    SELECT o_orderkey,
+           count(l_shipdate) AS n_shipped
+    FROM (SELECT o_orderkey, o_orderdate,
+                 o_orderdate + INTERVAL 3 DAY AS hi
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+            AND o_orderdate <  TIMESTAMP '1995-03-08') o
+    LEFT JOIN lineitem
+      ON l_shipdate BETWEEN o_orderdate AND hi
+    GROUP BY o_orderkey
+    """,
+    "interval join: lineitems shipped inside each order's 3-day window "
+    "(bucketed equi-join on a day grid — no nested-loop range join)",
+)
+def q_range_ship_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.ranges import interval_join
+
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1995-03-08").cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("hi"),
+        )
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_shipdate")
+    hits = interval_join(
+        li, o, point_ts="l_shipdate", lo_ts="o_orderdate", hi_ts="hi",
+        bucket_seconds=86400,
+    )
+    counts = hits.groupBy("o_orderkey").agg(
+        F.count("l_shipdate").alias("n_shipped")
+    )
+    # outer semantics: keep zero-match orders
+    return (
+        o.select("o_orderkey")
+        .join(counts, on="o_orderkey", how="left")
+        .na.fill(0, ["n_shipped"])
+    )
