@@ -28,9 +28,12 @@ timestamp IS visible (`ts_r <= ts_l`, inclusive), matching DuckDB's
 `ON l.ts >= r.ts`.
 
 NULL semantics: rows with a NULL equi-key never match (SQL equality),
-so both sides are filtered on key non-nullness up front — a window
-partition would otherwise group the NULL keys together and invent
-matches.
+matching DuckDB's ASOF LEFT JOIN. NULL-key *right* rows are dropped up
+front (they can never be anyone's match); NULL-key *left* rows are kept
+— routed around the union/window entirely (no shuffle for them) and
+re-attached with NULL payload, so the output has exactly one row per
+left row. Without the routing, a window partition would group all NULL
+keys together and invent matches.
 """
 
 from __future__ import annotations
@@ -76,8 +79,13 @@ def asof_join(
         )
         .withColumn(_SIDE, F.lit(0))
     )
+    null_key = None
+    for k in on:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    l_matchable = left if null_key is None else left.filter(~null_key)
     l = (
-        left.na.drop(subset=on)
+        l_matchable
         .withColumn(_TS, F.col(left_ts))
         .withColumn(_SIDE, F.lit(1))
     )
@@ -101,4 +109,20 @@ def asof_join(
     out_cols.extend(
         F.col(f"{_PAYLOAD}.{c}").alias(f"{prefix}{c}") for c in right_cols
     )
-    return matched.filter(F.col(_SIDE) == 1).select(*out_cols)
+    out = matched.filter(F.col(_SIDE) == 1).select(*out_cols)
+
+    if null_key is None:
+        return out
+    # NULL-key left rows trivially match nothing: attach NULL payload
+    # columns map-side and union back (they never enter the shuffle).
+    right_types = dict(right.dtypes)
+    null_payload = [
+        F.lit(None).cast(right_types[right_ts]).alias(f"{prefix}{right_ts}")
+    ] + [
+        F.lit(None).cast(right_types[c]).alias(f"{prefix}{c}")
+        for c in right_cols
+    ]
+    unmatched = left.filter(null_key).select(
+        *[F.col(c) for c in left.columns], *null_payload
+    )
+    return out.unionByName(unmatched)

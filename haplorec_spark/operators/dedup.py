@@ -635,11 +635,10 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(lsh_candidate_pairs(table(spark, sf_dir, "documents")))
 
 
-@register(
-    "q_dedup_simhash",
-    _SIMHASH_SQL + "SELECT doc_id, simhash FROM sim",
-    "32-bit SimHash fingerprint per document",
-)
+# Not a driver gate: q_dedup_simhash_pairs recomputes these signatures
+# inside its own oracle, so the pairs gate verifies the fingerprint
+# computation end-to-end (keeps the registry within the driver's
+# 50-query correctness budget). Still covered by tests/test_dedup.py.
 def q_dedup_simhash(spark, sf_dir):
     return simhash32(table(spark, sf_dir, "documents"))
 

@@ -79,13 +79,15 @@ def grouped_rows_to_columns(
             if src in group_by:
                 out_cols.append(F.col(src).alias(target))
             else:
-                out_cols.append(F.col(_ROWS)[0][src].alias(target))
+                out_cols.append(F.get(_ROWS, 0)[src].alias(target))
         else:
             for i, tgt in enumerate(target):
-                # element_at-style index may be out of range for small
-                # groups; Spark's struct-array getItem yields null there,
-                # matching the reference's null padding.
-                out_cols.append(F.col(_ROWS)[i][src].alias(tgt))
+                # Index may be out of range for groups smaller than the
+                # widest mapping; F.get returns null there under BOTH
+                # ANSI modes (plain getItem throws INVALID_ARRAY_INDEX
+                # with spark.sql.ansi.enabled=true), matching the
+                # reference's null padding.
+                out_cols.append(F.get(_ROWS, i)[src].alias(tgt))
     return agg.select(*out_cols)
 
 

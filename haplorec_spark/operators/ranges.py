@@ -66,7 +66,13 @@ def interval_join(
             F.unix_micros(F.col(col).cast("timestamp")) / F.lit(bucket_micros)
         )
 
-    iv = intervals.withColumn(
+    # Guard malformed intervals BEFORE the explode: sequence(start, stop)
+    # with start > stop generates a *descending* sequence, so an interval
+    # inverted by years would silently explode into thousands of spurious
+    # bucket rows (all later discarded by the refinement filter) —
+    # hidden quadratic-ish work. Inner-join semantics make dropping them
+    # exact: an inverted (or NULL-bounded) interval contains no point.
+    iv = intervals.filter(F.col(lo_ts) <= F.col(hi_ts)).withColumn(
         _BUCKET,
         F.explode(F.sequence(bucket_of(lo_ts), bucket_of(hi_ts))),
     )

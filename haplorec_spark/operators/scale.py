@@ -29,6 +29,22 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _uniform_salt(salt_buckets: int) -> Column:
+    """Salt independent of row content.
+
+    Hashing the row's own columns would send fully-identical duplicate
+    rows (a common real source of key skew) to the SAME bucket,
+    defeating the spread entirely. The salt only needs to distribute
+    rows — correctness of both salted operators holds for ANY salt
+    assignment — so derive it from the row's physical position
+    (partition-unique ids), which spreads duplicates uniformly and is
+    deterministic within a run.
+    """
+    return F.pmod(
+        F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)
+    )
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: Sequence[str],
@@ -43,11 +59,7 @@ def salted_aggregate(
     F.sum("s"))}`` — the partial runs per (keys, salt), the combiner per
     keys over the partials' column.
     """
-    salted = df.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
-               F.lit(salt_buckets)),
-    )
+    salted = df.withColumn("_salt", _uniform_salt(salt_buckets))
     partial = salted.groupBy(*keys, "_salt").agg(
         *[expr.alias(name) for name, (expr, _) in aggs.items()]
     )
@@ -64,14 +76,10 @@ def salted_join(
     salt_buckets: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-spreading equi-join: fact rows take a deterministic salt
-    derived from the full row hash; the dimension replicates across all
-    salts; the join keys become (on..., salt)."""
-    fact_s = fact.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
-               F.lit(salt_buckets)),
-    )
+    """Skew-spreading equi-join: fact rows take a content-independent
+    salt (see :func:`_uniform_salt`); the dimension replicates across
+    all salts; the join keys become (on..., salt)."""
+    fact_s = fact.withColumn("_salt", _uniform_salt(salt_buckets))
     spark = dim.sparkSession
     salts = spark.range(salt_buckets).select(
         F.col("id").cast("bigint").alias("_salt")

@@ -598,17 +598,12 @@ def q_collapse_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ events (batch face of §2.8)
 
-@register(
-    "q_events_hourly",
-    """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n_events,
-           round(sum("value"), 2) AS sum_value
-    FROM events
-    GROUP BY date_trunc('hour', ts), event_type
-    """,
-    "event-time tumbling-window aggregate (streaming-compatible shape)",
-)
+# Not a driver gate: q_stream_events_hourly runs the Structured
+# Streaming face of this exact aggregate against the identical DuckDB
+# oracle, so one gate verifies both faces (the driver's correctness
+# harness checks at most 50 queries; this keeps every registered gate
+# inside that budget). Batch/stream parity is additionally pinned by
+# tests/test_streaming.py.
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
@@ -1103,7 +1098,9 @@ def q_pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            c.ts    AS asof_ts,
            round(c.value, 6) AS asof_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, max("value") AS value
+                    FROM events WHERE event_type = 'click'
+                    GROUP BY user_id, ts) c
       ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
     "as-of join: latest click at-or-before each purchase, per user "
@@ -1116,8 +1113,14 @@ def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "value"
+    # Pre-aggregate to one row per (user_id, ts): asof ties on equal
+    # timestamps resolve arbitrarily (asof.py determinism contract), so
+    # carrying `value` through duplicate click timestamps would make
+    # both engines nondeterministic and the value-hash gate flaky.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     return asof_join(
         purchases, clicks, on=["user_id"], left_ts="ts", right_ts="ts",

@@ -28,8 +28,11 @@ ENGINE_CONFS: dict[str, str] = {
     # task overhead; 64 + AQE coalescing right-sizes every exchange at
     # runtime. Cluster deployments override per data volume.
     "spark.sql.shuffle.partitions": "64",
-    # ANSI off: reference (MySQL) semantics are permissive.
-    "spark.sql.ansi.enabled": "false",
+    # No ANSI override: the engine must be correct under the Spark 4
+    # default (ansi=true, which the driver harness uses) AND under
+    # ansi=false. Every operator is written mode-neutral (F.get for
+    # positional indexing, no out-of-range element_at, no lossy casts),
+    # and the test suite runs with the default.
     "spark.sql.session.timeZone": "UTC",
     # Local-mode driver heap: the driver also hosts the executors in
     # local[N], and report plans (multi-join + grouped-map kernels) need

@@ -37,6 +37,41 @@ INPUT_HEADERS: dict[str, list[str]] = {
 }
 
 
+def _list_files(spark: SparkSession, path: str):
+    """Resolve ``path`` (file, directory, or glob) to leaf file paths via
+    the Hadoop FileSystem API — works on any Spark-supported FS."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(hpath)
+    if statuses is None:
+        raise FileNotFoundError(path)
+    files = []
+    for st in statuses:
+        if st.isDirectory():
+            files.extend(
+                s.getPath() for s in fs.listStatus(st.getPath()) if s.isFile()
+            )
+        else:
+            files.append(st.getPath())
+    return fs, files
+
+
+def _first_line(spark: SparkSession, fs, hadoop_path) -> str | None:
+    """Read one line from the head of a file (a single small ranged
+    read; O(#files) driver work, the same order of metadata I/O the CSV
+    reader itself performs)."""
+    jvm = spark._jvm
+    stream = fs.open(hadoop_path)
+    try:
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        return reader.readLine()
+    finally:
+        stream.close()
+
+
 def dsv_source(
     spark: SparkSession,
     path: str,
@@ -50,35 +85,55 @@ def dsv_source(
 
     The reference treats a first line equal to the expected header as a
     header and otherwise as data (``requireHeader = false``,
-    PipelineInput.groovy:11-13, Input.groovy:95-118). A distributed scan
-    has no "first line", so the equivalent contract is: drop any row
-    whose every value equals its own column name (only a header echo can
-    look like that in real exports). With ``require_header`` the scan
-    fails if no such row exists.
+    PipelineInput.groovy:11-13, Input.groovy:95-118). This is exact
+    *first-line-of-each-file* semantics: each input file's head is
+    peeked driver-side (one tiny ranged read per file), files are split
+    into header-led and headerless groups, and each group is scanned
+    with the matching ``header`` option — a data row that happens to
+    echo the header is NEVER silently dropped. With ``require_header``
+    the scan fails on any file whose first line is not the header
+    (Input.groovy requireHeader).
 
     Short rows error out (Input.groovy:82-87): mode=FAILFAST on a fixed
-    all-string schema.
+    all-string schema. Plain-text DSV only (no compression codecs — the
+    reference reads raw TSV exports).
     """
-    schema = " ".join(
-        f"`{name}` STRING{',' if i < len(header) - 1 else ''}"
-        for i, name in enumerate(header)
-    )
-    df = (
-        spark.read.option("sep", separator)
-        .option("header", False)
-        .option("mode", "FAILFAST")
-        .schema(schema)
-        .csv(path)
-    )
-    is_header = None
-    for name in header:
-        cond = F.col(name) == F.lit(name)
-        is_header = cond if is_header is None else (is_header & cond)
-    if require_header:
-        # Count header rows eagerly; a missing header is an input error.
-        if df.filter(is_header).limit(1).count() == 0:
-            raise ValueError(f"required header {list(header)} not found in {path}")
-    out = df.filter(~is_header)
+    schema = ", ".join(f"`{name}` STRING" for name in header)
+    expected = separator.join(header)
+
+    fs, files = _list_files(spark, path)
+    with_hdr, without_hdr = [], []
+    for fp in files:
+        (with_hdr if _first_line(spark, fs, fp) == expected
+         else without_hdr).append(fp.toString())
+    if require_header and without_hdr:
+        raise ValueError(
+            f"required header {list(header)} not found at the head of "
+            f"{without_hdr[:3]}{'...' if len(without_hdr) > 3 else ''}"
+        )
+
+    def scan(paths: list[str], has_header: bool) -> DataFrame:
+        return (
+            spark.read.option("sep", separator)
+            .option("header", has_header)
+            # the schema is authoritative; header line only skipped
+            .option("enforceSchema", True)
+            .option("mode", "FAILFAST")
+            .schema(schema)
+            .csv(paths)
+        )
+
+    parts = []
+    if with_hdr:
+        parts.append(scan(with_hdr, True))
+    if without_hdr:
+        parts.append(scan(without_hdr, False))
+    if not parts:
+        out = spark.createDataFrame([], schema)
+    else:
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
     if fields:
         out = out.select(*fields)
     return out

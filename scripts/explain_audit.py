@@ -80,10 +80,15 @@ CHECKS = {
     },
 }
 
+import haplorec_spark.queries as _qmod
+
 reg = registry()
 bad = 0
 for name, spec in CHECKS.items():
-    df = reg[name].fn(spark, SF)
+    # Some audited plans (q_events_hourly) are library functions without a
+    # driver correctness gate; resolve those from the module directly.
+    fn = reg[name].fn if name in reg else getattr(_qmod, name)
+    df = fn(spark, SF)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"

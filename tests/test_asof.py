@@ -1,5 +1,5 @@
-"""asof_join: boundary inclusivity, no-match NULLs, NULL-key exclusion,
-value carry, and the single-shuffle plan shape."""
+"""asof_join: boundary inclusivity, no-match NULLs, NULL-key left-row
+retention, value carry, and the single-shuffle plan shape."""
 
 from __future__ import annotations
 
@@ -32,7 +32,7 @@ def _frames(spark):
             ("t3", 1, ts("2024-01-01T09:59:00")),   # before all -> NULL
             ("t4", 2, ts("2024-01-01T11:00:00")),   # latest for key 2 -> 50.0
             ("t5", 3, ts("2024-01-01T10:00:00")),   # key never quoted -> NULL
-            ("t6", None, ts("2024-01-01T10:00:00")),  # NULL key dropped
+            ("t6", None, ts("2024-01-01T10:00:00")),  # NULL key: kept, no match
         ],
         "trade_id string, key long, tts timestamp",
     )
@@ -52,7 +52,9 @@ def test_asof_semantics(spark):
         "t3": (None, None),
         "t4": (ts("2024-01-01T09:00:00"), 50.0),
         "t5": (None, None),
-        # t6 (NULL key) excluded: SQL equality never matches NULL
+        # NULL key matches nothing (SQL equality) but the left row is
+        # KEPT — DuckDB ASOF LEFT JOIN retains unmatched left rows.
+        "t6": (None, None),
     }
     assert out.columns == ["trade_id", "key", "tts", "asof_qts", "asof_px"]
 

@@ -68,6 +68,27 @@ def test_interval_join_unkeyed_and_small_buckets(spark):
     ]
 
 
+def test_inverted_interval_matches_nothing_cheaply(spark):
+    """hi < lo: sequence(start, stop) would generate a DESCENDING bucket
+    list, silently exploding an interval inverted by years into
+    thousands of spurious rows; the pre-explode guard drops it instead
+    (exact under inner-join semantics: it can contain no point)."""
+    intervals = spark.createDataFrame(
+        [("bad", 1, ts("2030-01-01T00:00:00"), ts("2024-01-01T00:00:00")),
+         ("ok", 1, ts("2024-01-01T00:00:00"), ts("2024-01-02T00:00:00"))],
+        "iid string, key long, lo timestamp, hi timestamp",
+    )
+    points = spark.createDataFrame(
+        [("p1", 1, ts("2024-01-01T12:00:00"))],
+        "pid string, key long, p timestamp",
+    )
+    out = interval_join(
+        points, intervals, point_ts="p", lo_ts="lo", hi_ts="hi",
+        on=["key"], bucket_seconds=86400,
+    )
+    assert _pairs(out) == [("p1", "ok")]
+
+
 def test_interval_join_plan_has_no_nested_loop(spark):
     points, intervals = _frames(spark)
     out = interval_join(

@@ -71,6 +71,27 @@ def test_headerless_input_is_data(spark, tmp_path):
     ]
 
 
+def test_header_echo_data_row_is_kept(spark, tmp_path):
+    """First-line-of-each-file semantics (Input.groovy:95-118): only the
+    first line is header-checked; a later data row that happens to echo
+    the header is DATA and must not be silently dropped."""
+    p = tmp_path / "echo.tsv"
+    p.write_text("A\tB\na1\tb1\nA\tB\na2\tb2\n")
+    got = rows(dsv_source(spark, str(p), ["A", "B"]))
+    assert got == [("A", "B"), ("a1", "b1"), ("a2", "b2")]
+
+
+def test_multi_file_mixed_headers(spark, tmp_path):
+    """Each file's first line is checked independently; a headerless
+    file contributes all its lines as data."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    (d / "one.tsv").write_text("A\tB\na1\tb1\n")
+    (d / "two.tsv").write_text("a2\tb2\na3\tb3\n")
+    got = rows(dsv_source(spark, str(d), ["A", "B"]))
+    assert got == [("a1", "b1"), ("a2", "b2"), ("a3", "b3")]
+
+
 def test_dsv_source_require_header(spark, tmp_path):
     p = tmp_path / "noheader.txt"
     p.write_text("x\ty\n")

@@ -48,7 +48,9 @@ def test_stream_matches_batch_hourly(spark, events_dir):
     got = _run_to_memory(
         stream_events_hourly(ev), "hourly_stream", "complete", spark
     )
-    batch = registry()["q_events_hourly"].fn(spark, SF_DIR)
+    from haplorec_spark.queries import q_events_hourly
+
+    batch = q_events_hourly(spark, SF_DIR)
     assert rows(got) == rows(batch)
 
 
