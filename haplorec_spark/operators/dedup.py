@@ -546,17 +546,31 @@ _SIMHASH_SQL = """
 
 @register(
     "q_dedup_exact",
+    # The synthetic corpus has no exact duplicates, which made this gate
+    # vacuous (0 == 0 rows) in round 1; the query seeds copies of the
+    # low-id documents under shifted ids so the operator provably finds
+    # them AND maps each to its original as the canonical keeper.
     """
-    WITH h AS (SELECT doc_id, md5(text) AS _h FROM documents),
+    WITH corpus AS (SELECT doc_id, text FROM documents
+                    UNION ALL
+                    SELECT doc_id + 100000, text FROM documents
+                    WHERE doc_id < 25),
+         h AS (SELECT doc_id, md5(text) AS _h FROM corpus),
          c AS (SELECT doc_id,
                       min(doc_id) OVER (PARTITION BY _h) AS canonical_id
                FROM h)
     SELECT doc_id, canonical_id FROM c WHERE doc_id <> canonical_id
     """,
-    "exact duplicate detection via content hash",
+    "exact duplicate detection via content hash (seeded duplicates)",
 )
 def q_dedup_exact(spark, sf_dir):
-    return exact_duplicates(table(spark, sf_dir, "documents"))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = docs.unionByName(
+        docs.filter(F.col("doc_id") < 25).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return exact_duplicates(seeded)
 
 
 @register(
@@ -664,10 +678,18 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 @register(
     "q_dedup_embedding_cosine",
+    # Random 64-dim vectors never reach cosine 0.8, which made this gate
+    # vacuous (0 == 0 rows) in round 1; seeding shifted-id copies of the
+    # low-id vectors guarantees exact-duplicate pairs (cosine 1.0) the
+    # operator must find, alongside any natural near-dups.
     """
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> x::DOUBLE) AS v
-               FROM embeddings)
+               FROM embeddings
+               UNION ALL
+               SELECT vec_id + 100000,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings WHERE vec_id < 25)
     SELECT vec_id_a, vec_id_b, cosine FROM (
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                round(list_reduce(list_transform(generate_series(1, len(a.v)),
@@ -680,9 +702,14 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         FROM e a JOIN e b ON a.vec_id < b.vec_id)
     WHERE cosine >= 0.8
     """,
-    "embedding cosine near-duplicate pairs (exact pairwise baseline)",
+    "embedding cosine near-duplicate pairs (exact pairwise baseline, "
+    "seeded duplicates)",
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
-    return embedding_near_duplicates(
-        table(spark, sf_dir, "embeddings"), threshold=0.8
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
     )
+    return embedding_near_duplicates(seeded, threshold=0.8)

@@ -72,28 +72,39 @@ MEDIA_SCHEMA = _schema(
 # ------------------------------------------------------------- fake codec
 
 
+def md5_byte_stream(seed: int, n: int) -> np.ndarray:
+    """n deterministic bytes: concat of md5(f"{seed},{block}") digests.
+
+    Byte j of the stream is byte ``j % 16`` of ``md5('{seed},{j // 16}')``
+    — a formula ANY engine can recompute (the DuckDB oracles for the
+    multimodal gates parse the same hex digests with substr/strpos),
+    unlike an np.random bit-stream which exists only inside numpy.
+    """
+    import hashlib
+
+    out = bytearray()
+    for block in range((n + 15) // 16):
+        out += hashlib.md5(f"{seed},{block}".encode()).digest()
+    return np.frombuffer(bytes(out[:n]), dtype=np.uint8)
+
+
 def encode_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
-    """Deterministic content-derived FAKEIMG payload."""
-    rng = np.random.default_rng(seed)
-    pixels = rng.integers(0, 256, size=width * height * channels, dtype=np.uint8)
+    """Deterministic content-derived FAKEIMG payload (md5 byte stream)."""
+    pixels = md5_byte_stream(seed, width * height * channels)
     return (
         f"FAKEIMG|{width}|{height}|{channels}|".encode() + pixels.tobytes()
     )
 
 
 def encode_fake_audio(sample_rate: int, n_samples: int, seed: int) -> bytes:
-    rng = np.random.default_rng(seed)
-    pcm = rng.integers(-(2 ** 15), 2 ** 15, size=n_samples, dtype=np.int16)
+    pcm = md5_byte_stream(seed, 2 * n_samples).view("<i2")
     return f"FAKEAUD|{sample_rate}|{n_samples}|".encode() + pcm.tobytes()
 
 
 def encode_fake_video(
     fps: int, n_frames: int, width: int, height: int, seed: int
 ) -> bytes:
-    rng = np.random.default_rng(seed)
-    frames = rng.integers(
-        0, 256, size=n_frames * width * height, dtype=np.uint8
-    )
+    frames = md5_byte_stream(seed, n_frames * width * height)
     return (
         f"FAKEVID|{fps}|{n_frames}|{width}|{height}|".encode()
         + frames.tobytes()
@@ -340,9 +351,41 @@ def synthesize_media_table(
 from haplorec_spark.queries import register, table  # noqa: E402
 
 
+#: hex-pair -> byte value, for oracles that re-derive the md5 stream.
+_DUCK_BYTE = (
+    "(strpos('0123456789abcdef', substr(hx, 2 * ({j} % 16) + 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(hx, 2 * ({j} % 16) + 2, 1)) - 1"
+)
+
+
 @register(
     "q_multimodal_image_stats",
-    None,  # binary decode is not SQL-expressible -> rows-only check
+    # The FAKE payload bytes are md5(f"{media_id},{block}") digests
+    # (md5_byte_stream), so DuckDB recomputes every pixel from hex
+    # digests and checks the decode + feature kernels value-for-value.
+    """
+    WITH params AS (
+        SELECT doc_id AS media_id,
+               [8, 16, 12, 10][(doc_id % 4) + 1]::INT AS width,
+               [6, 8, 12, 4][(doc_id % 4) + 1]::INT   AS height,
+               [3, 1, 3, 1][(doc_id % 4) + 1]::INT    AS channels
+        FROM documents),
+    -- 431 = max(w*h*c) - 1 over the size table above
+    px AS (
+        SELECT media_id, width, height, channels,
+               """ + _DUCK_BYTE.format(j="j") + """ AS val
+        FROM (SELECT p.*, ks.j,
+                     md5(p.media_id::VARCHAR || ',' || (ks.j // 16)::VARCHAR)
+                         AS hx
+              FROM params p
+              CROSS JOIN (SELECT unnest(generate_series(0, 431)) AS j) ks
+              WHERE ks.j < p.width * p.height * p.channels))
+    SELECT media_id, width, height, channels,
+           round(avg(val), 4)        AS mean_pixel,
+           round(stddev_pop(val), 4) AS std_pixel
+    FROM px
+    GROUP BY media_id, width, height, channels
+    """,
     "decode + feature-extract a derived binary image column (mapInPandas)",
 )
 def q_multimodal_image_stats(spark, sf_dir):
@@ -359,7 +402,24 @@ def q_multimodal_image_stats(spark, sf_dir):
 
 @register(
     "q_multimodal_frame_sample",
-    None,  # binary fan-out is not SQL-expressible -> rows-only check
+    # Each 4x4 frame is exactly one 16-byte md5 block of the stream, so
+    # the oracle recomputes every sampled frame's byte sum from
+    # md5(media_id, frame_index) — content-checked, not just row counts.
+    """
+    WITH f AS (SELECT doc_id AS media_id, fi.frame_index,
+                      md5(doc_id::VARCHAR || ','
+                          || fi.frame_index::VARCHAR) AS hx
+               FROM documents
+               CROSS JOIN (VALUES (0), (2), (4)) AS fi(frame_index)
+               WHERE doc_id < 50),
+    b AS (SELECT media_id, frame_index,
+                 """ + _DUCK_BYTE.format(j="k") + """ AS val
+          FROM f CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ks)
+    SELECT media_id, frame_index,
+           16 AS frame_bytes,
+           sum(val)::BIGINT AS frame_sum
+    FROM b GROUP BY media_id, frame_index
+    """,
     "frame-sample a derived binary video column (UDTF-shaped mapInPandas)",
 )
 def q_multimodal_frame_sample(spark, sf_dir):
@@ -382,6 +442,16 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
     media = docs.select("doc_id").mapInPandas(to_video, MEDIA_SCHEMA)
     frames = sample_video_frames(media, every_n=2)
+    # byte sum via hex expansion: proves the sampled frame CONTENT
+    # (not just its size) against the oracle's md5 re-derivation
+    frame_sum = (
+        "aggregate(transform(sequence(0, length(frame) - 1),"
+        " j -> cast(conv(substr(hex(frame), 2 * j + 1, 2), 16, 10) as int)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
     return frames.select(
-        "media_id", "frame_index", F.length("frame").alias("frame_bytes")
+        "media_id",
+        "frame_index",
+        F.length("frame").alias("frame_bytes"),
+        F.expr(frame_sum).alias("frame_sum"),
     )

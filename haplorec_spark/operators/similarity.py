@@ -28,6 +28,8 @@ order so results are bit-identical across engines before rounding.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -93,6 +95,15 @@ def hyperplane_signs(spark, n_planes: int, dim: int) -> DataFrame:
     )
 
 
+def _plane_sign(plane: int, d: int) -> int:
+    """Python replica of :func:`hyperplane_signs`'s md5 sign derivation —
+    first hex nibble of md5('plane,d') < 8 -> -1 else +1. Keeping the
+    three formulations (this, the SQL in hyperplane_signs, the DuckDB
+    oracle) in lockstep is what makes the bucket keys engine-portable."""
+    nibble = int(hashlib.md5(f"{plane},{d}".encode()).hexdigest()[0], 16)
+    return -1 if nibble < 8 else 1
+
+
 def lsh_bucket_keys(
     vectors: DataFrame,
     *,
@@ -103,34 +114,32 @@ def lsh_bucket_keys(
 ) -> DataFrame:
     """(id, bucket): concatenated sign bits of the hyperplane projections.
 
-    The projection sum runs over an exploded (vector x plane x dim) form
-    with map-side partial aggregation; the plane matrix is broadcast.
+    Pure map-side projection, ZERO shuffle and zero row expansion: the
+    +-1 plane matrix (n_planes x dim, ~4 KB at the defaults) is computed
+    driver-side and inlined as literal arrays, and each row evaluates
+    its n_planes dot products as strict left-to-right ``aggregate``
+    folds inside whole-stage codegen. (An earlier form exploded every
+    vector into dim x n_planes rows through a groupBy shuffle — a 512x
+    row blow-up for what is a per-row expression.)
+
+    A vector shorter than ``dim`` yields null products via ``zip_with``
+    padding, a null fold result, and a '0' bit — no ANSI out-of-bounds
+    hazard.
     """
-    spark = vectors.sparkSession
-    planes = F.broadcast(hyperplane_signs(spark, n_planes, dim))
-    dims = F.broadcast(
-        spark.range(dim).select(F.col("id").cast("int").alias("d"))
-    )
-    comps = (
-        vectors.select(F.col(id_col), F.col(vec_col).alias("v"))
-        .crossJoin(dims)
-        .select(
-            F.col(id_col),
-            "d",
-            F.expr("cast(element_at(v, d + 1) as double)").alias("x"),
+    bits = []
+    for p in range(n_planes):
+        signs = ", ".join(
+            f"{_plane_sign(p, d)}.0D" for d in range(dim)
         )
-        .join(planes, on="d")
-        .groupBy(id_col, "plane")
-        .agg(F.sum(F.col("x") * F.col("sign")).alias("proj"))
-        .withColumn("bit", F.when(F.col("proj") > 0, F.lit("1")).otherwise(F.lit("0")))
-    )
-    return (
-        comps.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("plane", "bit"))).alias("pb"))
-        .select(
-            F.col(id_col),
-            F.expr("concat_ws('', transform(pb, s -> s.bit))").alias("bucket"),
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({signs}),"
+            f" (x, s) -> cast(x as double) * s),"
+            f" cast(0.0 as double), (acc, y) -> acc + y)"
         )
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    return vectors.select(
+        F.col(id_col),
+        F.expr("concat(" + ", ".join(bits) + ")").alias("bucket"),
     )
 
 
@@ -215,14 +224,16 @@ def kmeans_centroids(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     ).persist()  # re-read every iteration; pin the casted vectors once
+    # centroid_id = rank of the seed vector's id — explicitly ordered so
+    # the init is reproducible across engines (the DuckDB oracle unrolls
+    # the same iterations from the same seeds), not merely within Spark.
     centroids = (
         v.orderBy(id_col).limit(k)
-        .select(F.col("v").alias("centroid"))
         .withColumn(
             "centroid_id",
-            F.row_number().over(Window.orderBy(F.lit(1))) - 1,
+            F.row_number().over(Window.orderBy(id_col)) - 1,
         )
-        .select("centroid_id", "centroid")
+        .select("centroid_id", F.col("v").alias("centroid"))
     )
     dist2 = F.expr(
         "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)),"
@@ -446,11 +457,72 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _duck_dist2(v: str, c: str) -> str:
+    """Squared L2 between two DuckDB double lists (1-based index)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({v})),"
+        f" i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+    )
+
+
+def _duck_kmeans_iter(i: int, prev: str) -> str:
+    """One unrolled k-means iteration: assign to nearest centroid of
+    ``prev``, recompute per-dimension means, keep the previous centroid
+    for emptied clusters — mirroring ``kmeans_centroids`` exactly."""
+    return f"""
+    asg{i} AS (SELECT vec_id, v, centroid_id FROM (
+                 SELECT e.vec_id, e.v, c.centroid_id,
+                        row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_duck_dist2('e.v', 'c.centroid')},
+                                     c.centroid_id) AS rn
+                 FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
+    mean{i} AS (SELECT centroid_id, list(m ORDER BY d) AS centroid
+                FROM (SELECT centroid_id, d, avg(v[d]) AS m
+                      FROM asg{i} CROSS JOIN generate_series(1, 64) AS g(d)
+                      GROUP BY centroid_id, d)
+                GROUP BY centroid_id),
+    c{i} AS (SELECT p.centroid_id,
+                    coalesce(m.centroid, p.centroid) AS centroid
+             FROM {prev} p LEFT JOIN mean{i} m USING (centroid_id))"""
+
+
 @register(
     "q_ann_ivf_kmeans",
-    None,  # iterative k-means codebook -> rows-only check
+    """
+    WITH emb AS (SELECT vec_id,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+         init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                             AS centroid_id,
+                         v AS centroid
+                  FROM (SELECT vec_id, v FROM emb
+                        ORDER BY vec_id LIMIT 8)),"""
+    + _duck_kmeans_iter(1, "init") + ","
+    + _duck_kmeans_iter(2, "c1") + f""",
+         cells AS (SELECT vec_id, v, centroid_id AS cluster FROM (
+                     SELECT e.vec_id, e.v, c.centroid_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_duck_dist2('e.v', 'c.centroid')},
+                                         c.centroid_id) AS rn
+                     FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+         probes AS (SELECT e.vec_id, e.v, cl.cluster FROM emb e
+                    JOIN cells cl USING (vec_id) WHERE e.vec_id < 10),
+         corpus AS (SELECT e.vec_id, e.v, cl.cluster FROM emb e
+                    JOIN cells cl USING (vec_id)),
+         scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                           """ + _COSINE_DUCK + """ AS cosine
+                    FROM probes p JOIN corpus c USING (cluster)
+                    WHERE p.vec_id <> c.vec_id)
+    SELECT probe_id, neighbor_id, cosine, rank FROM (
+        SELECT probe_id, neighbor_id, cosine,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
     "IVF approximate top-5 inside the probe's k-means cell "
-    "(2-iteration DataFrame k-means, nprobe=1)",
+    "(2-iteration DataFrame k-means, nprobe=1; the oracle unrolls the "
+    "same two iterations from the same lowest-8-id seeds)",
 )
 def q_ann_ivf_kmeans(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")

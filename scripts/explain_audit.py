@@ -58,6 +58,13 @@ CHECKS = {
         "forbid": ["Exchange hashpartitioning.*Exchange hashpartitioning.*"
                     "Exchange hashpartitioning"],  # no triple shuffle
     },
+    "q_ann_lsh_bucketed": {
+        # bucket keys are a map-side literal-matrix projection; the only
+        # shuffle in the whole query is the final per-probe top-k window
+        "expect": ["BroadcastHashJoin"],
+        "forbid": ["Exchange hashpartitioning.*Exchange hashpartitioning",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "q_topk_orders_per_segment": {
         # customer is the small side -> must broadcast; top-k is a
         # partitioned window, never a global sort

@@ -37,10 +37,10 @@ def test_decode_image_metadata(spark, images):
 
 
 def test_image_features_match_numpy(spark, images):
+    from haplorec_spark.operators.multimodal import md5_byte_stream
+
     got = {r.media_id: r for r in image_features(images).collect()}
-    px = np.random.default_rng(1).integers(
-        0, 256, size=8 * 6 * 3, dtype=np.uint8
-    ).astype(np.float64)
+    px = md5_byte_stream(1, 8 * 6 * 3).astype(np.float64)
     assert got[1].mean_pixel == pytest.approx(px.mean())
     assert got[1].std_pixel == pytest.approx(px.std())
     assert len(got[1].channel_means) == 3
@@ -79,9 +79,9 @@ def test_audio_metadata(spark):
     assert r.sample_rate == 16000
     assert r.n_samples == 8000
     assert r.duration_sec == pytest.approx(0.5)
-    pcm = np.random.default_rng(3).integers(
-        -(2 ** 15), 2 ** 15, size=8000, dtype=np.int16
-    ).astype(np.float64)
+    from haplorec_spark.operators.multimodal import md5_byte_stream
+
+    pcm = md5_byte_stream(3, 16000).view("<i2").astype(np.float64)
     assert r.rms == pytest.approx(np.sqrt((pcm ** 2).mean()))
 
 

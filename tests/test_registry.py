@@ -12,11 +12,9 @@ import re
 
 from haplorec_spark.queries import TABLES, registry
 
-KNOWN_ROWS_ONLY = {
-    "q_ann_ivf_kmeans",          # iterative k-means codebook
-    "q_multimodal_frame_sample",  # binary decode stub
-    "q_multimodal_image_stats",   # binary decode stub
-}
+#: Every registered gate now carries a DuckDB oracle (the md5-derived
+#: FAKE payloads made the multimodal kernels SQL-recomputable).
+KNOWN_ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_documented():

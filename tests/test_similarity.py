@@ -6,13 +6,43 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from haplorec_spark.operators.similarity import (
+    _plane_sign,
     assign_clusters,
     brute_force_topk,
+    hyperplane_signs,
     ivf_topk,
     kmeans_centroids,
+    lsh_bucket_keys,
 )
 
 SF = "/root/testdata/sf0.001"
+
+
+def test_plane_sign_matches_sql_derivation(spark):
+    """The driver-side Python sign matrix, the SQL hyperplane_signs
+    table, and the DuckDB oracle must all derive identical signs from
+    md5('plane,d') — lockstep check of the first two."""
+    sql_signs = {
+        (r.plane, r.d): r.sign
+        for r in hyperplane_signs(spark, 4, 16).collect()
+    }
+    for (p, d), s in sql_signs.items():
+        assert _plane_sign(p, d) == s
+
+
+def test_lsh_bucket_keys_is_shuffle_free(spark):
+    """The bucket projection is a per-row expression: no Exchange, no
+    row expansion anywhere in its plan."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = lsh_bucket_keys(emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert out.count() == emb.count()
+    # bucket is an 8-bit string over '0'/'1'
+    import re
+    for r in out.limit(20).collect():
+        assert re.fullmatch("[01]{8}", r.bucket)
 
 
 def test_kmeans_codebook_shape_and_determinism(spark):
