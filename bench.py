@@ -30,9 +30,14 @@ def main() -> None:
     spark = get_spark(app_name="haplorec_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not first-touch session costs.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1).count()
+    # Warm the JVM + parquet readers over every table once (footer reads,
+    # codegen, OS page cache) so per-query numbers measure the queries,
+    # not whichever query happens to touch a table first. table() also
+    # applies the events nanos-timestamp handling.
+    from haplorec_spark.queries import TABLES, table
+
+    for t in TABLES:
+        table(spark, sf_dir, t).count()
 
     times: dict[str, float] = {}
     for name, q in sorted(registry().items()):

@@ -438,9 +438,16 @@ def dedup_clusters(
     propagation (adopt the smallest label among self and neighbors)
     with pointer jumping (then adopt the label's own label), so the
     longest chain shrinks geometrically — O(log n) rounds to a fixed
-    point, detected with one count per round and bounded by
-    ``max_iterations``. Near-dup clusters are tiny in practice; the
-    per-round cost is two label-table joins.
+    point, detected with one short-circuit probe (limit-1 count) per
+    round and bounded by ``max_iterations``. Near-dup clusters are tiny
+    in practice; the per-round cost is two label-table joins.
+
+    Probing every round is deliberate: real near-dup graphs converge in
+    2-3 rounds (components are small), so a probe-every-2 scheme —
+    measured on the sf0.1 corpus — runs twice the rounds (it only
+    detects the fixed point a full two-round window later) and loses
+    despite saving probe jobs. Deep-chain graphs would favor sparser
+    probes; this operator targets near-dup clusters.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

@@ -29,17 +29,70 @@ def assign_ids(
     natural_key: Sequence[str],
     *,
     id_column: str = "id",
+    num_partitions: int | None = None,
+    small_key_limit: int = 100_000,
 ) -> DataFrame:
     """Distinct natural keys -> dense 1-based surrogate ids.
 
-    Deterministic: ids follow the sort order of the natural key columns.
-    The single-partition window is over the *distinct* key set only
-    (dimension-sized, not fact-sized), matching how the reference loads
-    the small referenced table first (load_dsv.py:90-105).
+    Deterministic: ids follow the sort order of the natural key columns
+    regardless of partitioning.
+
+    Adaptive two-phase: the distinct key count is measured first (one
+    job over the persisted key set — its result is reused either way).
+
+    * ``<= small_key_limit`` keys: a single-partition ordered window.
+      This is the reference's own regime (load_dsv.py:90-105 loads a
+      small referenced table); the bottleneck task is BOUNDED by the
+      measured count, so it cannot silently degrade on big inputs.
+    * larger: RANGE partition + sort within partitions (one shuffle,
+      every partition independent), per-partition counts collected to
+      the driver (one row per partition — cluster-sized, not
+      data-sized), then each row's id = its partition's offset + its
+      record number within the sorted partition
+      (``monotonically_increasing_id``'s documented lower 33 bits).
+      No single-partition Exchange anywhere, no Python workers.
     """
-    keys = dim.select(*natural_key).distinct()
-    w = Window.orderBy(*[F.col(c) for c in natural_key])
-    return keys.withColumn(id_column, F.row_number().over(w))
+    spark = dim.sparkSession
+    keys = dim.select(*natural_key).distinct().persist()
+    n_keys = keys.count()
+
+    if n_keys <= small_key_limit:
+        w = Window.orderBy(*[F.col(c) for c in natural_key])
+        return keys.withColumn(
+            id_column, F.row_number().over(w).cast("long")
+        )
+
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        keys.repartitionByRange(n_parts, *natural_key)
+        .sortWithinPartitions(*natural_key)
+        .withColumn("__part", F.spark_partition_id())
+        # record number within the partition, in sorted row order:
+        # monotonically_increasing_id puts the partition id in the upper
+        # bits and the per-partition record number in the lower 33
+        # (assumes < 2^33 ~ 8.6e9 keys per partition)
+        .withColumn(
+            "__local",
+            F.monotonically_increasing_id() % F.lit(1 << 33).cast("bigint"),
+        )
+        .persist()
+    )
+    counts = dict(
+        (r["__part"], r["count"])
+        for r in ranged.groupBy("__part").count().collect()
+    )
+    acc = 0
+    offset_pairs = []
+    for p in sorted(counts):
+        offset_pairs.extend([F.lit(p), F.lit(acc)])
+        acc += counts[p]
+    offset_map = F.create_map(*offset_pairs)
+    return ranged.select(
+        *natural_key,
+        (
+            F.col("__local") + offset_map[F.col("__part")] + 1
+        ).cast("long").alias(id_column),
+    )
 
 
 def collapse_by_key(

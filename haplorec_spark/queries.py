@@ -777,15 +777,24 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = tempfile.mkdtemp(prefix="events_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{staging}/events.parquet")
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_events_hourly(read_events_stream(spark, staging))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # The stateful aggregate opens one state store per shuffle partition;
+    # its state (hour x event_type groups) is tiny, so 64 stores are pure
+    # fixed overhead. Scope 8 partitions to the stream start (the conf is
+    # captured at start()) and restore for subsequent batch queries.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            stream_events_hourly(read_events_stream(spark, staging))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)
 
 

@@ -19,6 +19,32 @@ def test_assign_ids_deterministic(spark):
     assert got == [("a", 1), ("b", 2), ("c", 3)]
 
 
+def test_assign_ids_large_path_no_single_partition_exchange(spark):
+    """Above the small-dimension threshold the id assignment must never
+    funnel the key set through one task: range partitioning +
+    per-partition record numbers, no global window (Exchange
+    SinglePartition) anywhere in the plan."""
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    out = assign_ids(df, ["c_name"], id_column="cid", small_key_limit=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning" in plan
+    # dense, 1-based, ordered by key
+    got = [r.cid for r in out.orderBy("c_name").collect()]
+    assert got == list(range(1, len(got) + 1))
+
+
+def test_assign_ids_paths_agree(spark):
+    """Small-dim window path and large two-phase path assign identical
+    ids (global sort order of the natural key)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    small = rows(assign_ids(df, ["c_name"], id_column="cid"))
+    large = rows(
+        assign_ids(df, ["c_name"], id_column="cid", small_key_limit=10)
+    )
+    assert small == large
+
+
 def test_resolve_fk_ids_rewrites_natural_key(spark):
     fact = spark.createDataFrame(
         [(1, "x"), (2, "y"), (3, "x")], "rid int, k string"
