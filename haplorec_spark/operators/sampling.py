@@ -1,0 +1,221 @@
+"""Deterministic sampling, splitting, and decontamination operators.
+
+Training-data curation at 100 TB needs samples that are REPRODUCIBLE
+(reruns and backfills select the same rows), CONSISTENT across engines
+(a row's split assignment must not depend on Spark internals), and
+MAP-SIDE (no shuffle just to subsample). All operators here derive
+selection from ``md5(seed || key)`` — a content hash both Spark and any
+SQL engine compute identically — never from ``rand()`` (nondeterministic
+across retries) or ``monotonically_increasing_id`` (partition-layout
+dependent).
+
+* :func:`hash_fraction_sample` — keep a deterministic ~``fraction`` of
+  rows by key hash. Pure filter: map-side, zero shuffle, stable under
+  reruns and engine changes.
+* :func:`hash_split` — disjoint train/valid/test-style splits from one
+  hash band per row; a row's split never changes when other rows are
+  added or removed (the property random shuffles lack).
+* :func:`stratified_hash_sample` — per-stratum fractions (e.g. downsample
+  boilerplate-heavy languages), still a pure map-side filter.
+* :func:`top_k_by_hash` — exact k-row uniform-without-replacement sample:
+  the k smallest hash priorities. One partial top-k per partition + a
+  k-row merge (Spark's sort+limit), never a full global sort of payloads.
+* :func:`decontaminate` — drop corpus documents sharing any n-gram
+  shingle with a benchmark/eval set (training-set contamination removal):
+  shingle both sides, LEFT ANTI join corpus shingles against the
+  (broadcast) benchmark shingles, keep clean documents.
+
+The reference engine has no sampling surface (SURVEY §2 — strictly
+batch-complete pipelines); this module is engine breadth for the
+training-data pipeline target, same charter as dedup/similarity/text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Hash-band resolution: bands are the first 8 hex chars of md5 read as
+#: a 32-bit integer, uniform on [0, 2^32).
+_BAND_BITS = 32
+
+#: ASCII unit separator between seed and key columns inside the hashed
+#: string, so ('ab', 'c') and ('a', 'bc') produce different keys. Any
+#: replica of the hash (tests, other engines) must join with this byte.
+_SEP = "\x1f"
+
+
+def _hash_band(seed: str, key_cols: Sequence[str]) -> Column:
+    """Uniform integer in [0, 2^32) from md5(seed || key columns).
+
+    conv() parses the first 8 hex chars; the concat uses an explicit
+    unit separator so ('ab', 'c') and ('a', 'bc') hash differently.
+    """
+    key = F.concat_ws(_SEP, F.lit(seed), *[F.col(c) for c in key_cols])
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
+def hash_fraction_sample(
+    df: DataFrame,
+    fraction: float,
+    key_cols: Sequence[str],
+    *,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministically keep ~``fraction`` of rows by key hash.
+
+    Selection depends only on (seed, key) — reruns, retries, engine
+    swaps, and adding unrelated rows never change which keys are kept.
+    Map-side filter: pushes down to the scan, no shuffle.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    cutoff = int(fraction * (1 << _BAND_BITS))
+    return df.filter(_hash_band(seed, key_cols) < F.lit(cutoff))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: Mapping[str, float],
+    key_cols: Sequence[str],
+    *,
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign each row a deterministic split label by hash band.
+
+    ``weights`` maps label -> proportion (must sum to ~1). Bands are
+    half-open and ordered by the mapping's iteration order, so the
+    assignment is a pure function of (seed, key): stable under
+    appends/deletes of other rows — the property a shuffled split lacks,
+    and the one that keeps eval sets fixed across dataset versions.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    band = _hash_band(seed, key_cols)
+    expr = None
+    acc = 0.0
+    labels = list(weights)
+    for label in labels[:-1]:
+        acc += weights[label]
+        cutoff = int(acc * (1 << _BAND_BITS))
+        cond = band < F.lit(cutoff)
+        case = F.when(cond, F.lit(label))
+        expr = case if expr is None else expr.when(cond, F.lit(label))
+    last = F.lit(labels[-1])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, out)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    strata_col: str,
+    key_cols: Sequence[str],
+    *,
+    default_fraction: float = 0.0,
+    seed: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing).
+
+    ``fractions`` maps stratum value -> keep fraction; strata not listed
+    keep ``default_fraction``. One map-side filter — the per-stratum
+    cutoff is a small CASE over the stratum column, never a join.
+    """
+    band = _hash_band(seed, key_cols)
+    cutoff = None
+    for value, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} not in [0, 1]: {frac}")
+        cond = F.col(strata_col) == F.lit(value)
+        cut = F.lit(int(frac * (1 << _BAND_BITS)))
+        cutoff = (
+            F.when(cond, cut) if cutoff is None else cutoff.when(cond, cut)
+        )
+    default_cut = F.lit(int(default_fraction * (1 << _BAND_BITS)))
+    cutoff = default_cut if cutoff is None else cutoff.otherwise(default_cut)
+    return df.filter(band < cutoff)
+
+
+def top_k_by_hash(
+    df: DataFrame,
+    k: int,
+    key_cols: Sequence[str],
+    *,
+    seed: str = "topk",
+) -> DataFrame:
+    """Exactly ``k`` rows, uniform-without-replacement, deterministic.
+
+    The sample = the k smallest md5 priorities (ties broken by the full
+    hash, then arbitrarily for true key duplicates). Spark executes
+    sort+limit as per-partition top-k followed by a k-row merge on one
+    task — the k-bounded part is the only single-task work, so this
+    scales with |df| map-side and k driver-side, never |df| globally.
+    """
+    pr = F.md5(
+        F.concat_ws(_SEP, F.lit(seed), *[F.col(c) for c in key_cols])
+    )
+    return (
+        df.withColumn("__pr", pr)
+        .orderBy("__pr")
+        .limit(k)
+        .drop("__pr")
+    )
+
+
+def shingle_hashes(
+    docs: DataFrame,
+    n: int = 8,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct (id, shingle-hash) pairs for contamination matching.
+
+    Longer shingles than near-dup detection (default 8 words — the
+    scale used for benchmark decontamination, where only verbatim
+    overlap matters) and hashed immediately so only 32 hex chars per
+    shingle cross the shuffle, not the text.
+    """
+    from haplorec_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(docs, n, text_col=text_col, id_col=id_col)
+    return sh.select(F.col(id_col), F.md5("shingle").alias("sh_hash"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop corpus docs sharing any n-word shingle with ``benchmark``.
+
+    The standard eval-set decontamination step for training corpora.
+    Benchmark shingle hashes are deduplicated and broadcast (eval sets
+    are MBs against a 100 TB corpus); contaminated ids surface from one
+    semi join over the corpus's shingle stream, and the final anti join
+    keeps clean documents intact (full columns, no reshuffle of text —
+    the join is on the id).
+    """
+    bench_hashes = (
+        shingle_hashes(benchmark, n, text_col=text_col, id_col=id_col)
+        .select("sh_hash")
+        .distinct()
+    )
+    corpus_hashes = shingle_hashes(
+        corpus, n, text_col=text_col, id_col=id_col
+    )
+    contaminated = (
+        corpus_hashes.join(
+            F.broadcast(bench_hashes), on="sh_hash", how="left_semi"
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return corpus.join(contaminated, on=id_col, how="left_anti")

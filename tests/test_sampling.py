@@ -1,0 +1,144 @@
+"""Deterministic sampling/split/decontamination operator tests.
+
+The md5 hash-band selection is replicated in pure Python per test —
+proving the selection is a pure function of (seed, key) that any engine
+can recompute, which is the operators' core contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from haplorec_spark.operators.sampling import (
+    decontaminate,
+    hash_fraction_sample,
+    hash_split,
+    stratified_hash_sample,
+    top_k_by_hash,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def band(seed: str, *vals) -> int:
+    key = "\x1f".join([seed] + [str(v) for v in vals])
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_fraction_sample_matches_python_replica(spark, docs):
+    got = {r.doc_id for r in
+           hash_fraction_sample(docs, 0.3, ["doc_id"]).collect()}
+    cutoff = int(0.3 * (1 << 32))
+    want = {
+        r.doc_id for r in docs.select("doc_id").collect()
+        if band("sample", r.doc_id) < cutoff
+    }
+    assert got == want
+    assert 0 < len(got) < docs.count()
+
+
+def test_fraction_samples_are_nested(spark, docs):
+    """Hash cutoffs nest: the 20% sample is a subset of the 50% sample —
+    growing a sample never swaps rows out (stable backfills)."""
+    s20 = {r.doc_id for r in
+           hash_fraction_sample(docs, 0.2, ["doc_id"]).collect()}
+    s50 = {r.doc_id for r in
+           hash_fraction_sample(docs, 0.5, ["doc_id"]).collect()}
+    assert s20 <= s50
+
+
+def test_fraction_sample_is_map_side(spark, docs):
+    plan = (
+        hash_fraction_sample(docs, 0.5, ["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hash_split_partitions_and_is_stable(spark, docs):
+    out = hash_split(
+        docs, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["doc_id"]
+    )
+    counts = {r["split"]: r["count"]
+              for r in out.groupBy("split").count().collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"]
+    # stability: a row's split is a pure function of its key — computing
+    # the split on a SUBSET assigns the same labels
+    sub = hash_split(
+        docs.filter(F.col("doc_id") < 100),
+        {"train": 0.8, "valid": 0.1, "test": 0.1},
+        ["doc_id"],
+    )
+    full = {r.doc_id: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full[r.doc_id] == r["split"]
+
+
+def test_hash_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(docs, {"a": 0.5, "b": 0.4}, ["doc_id"])
+
+
+def test_stratified_sample_per_stratum(spark, docs):
+    banded = docs.withColumn(
+        "stratum",
+        F.when(F.col("doc_id") % 2 == 0, "even").otherwise("odd"),
+    )
+    out = stratified_hash_sample(
+        banded, {"even": 1.0, "odd": 0.0}, "stratum", ["doc_id"]
+    )
+    got = [r.doc_id for r in out.collect()]
+    assert got and all(d % 2 == 0 for d in got)
+    n_even = banded.filter(F.col("stratum") == "even").count()
+    assert len(got) == n_even  # fraction 1.0 keeps the whole stratum
+
+
+def test_top_k_by_hash_exact_and_deterministic(spark, docs):
+    got = [r.doc_id for r in top_k_by_hash(docs, 7, ["doc_id"]).collect()]
+    assert len(got) == 7
+    pri = {
+        r.doc_id: hashlib.md5(f"topk\x1f{r.doc_id}".encode()).hexdigest()
+        for r in docs.select("doc_id").collect()
+    }
+    want = sorted(pri, key=lambda d: pri[d])[:7]
+    assert sorted(got) == sorted(want)
+    again = [r.doc_id for r in top_k_by_hash(docs, 7, ["doc_id"]).collect()]
+    assert sorted(again) == sorted(got)
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's 8-gram verbatim -> contaminated
+            (10, "intro words the quick brown fox jumps over the lazy "
+                 "dog and more trailing text"),
+            # same words, different order -> clean
+            (11, "dog lazy the over jumps fox brown quick the plus many "
+                 "other words to pad this document out"),
+            # too short to form an 8-shingle -> clean
+            (12, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in decontaminate(corpus, bench, n=8).collect()}
+    assert kept == {11, 12}
+    plan = (
+        decontaminate(corpus, bench, n=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
