@@ -401,15 +401,23 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_anti_join",
+    # Every customer has SOME order in the synthetic data, so an
+    # unrestricted anti join returned 0 rows — a vacuous gate. The 1998+
+    # restriction makes the anti join prove real exclusions.
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c.c_custkey
+                        AND o_orderdate >= TIMESTAMP '1998-01-01')
     """,
-    "left-anti join: customers with no orders (empty-set branch analog)",
+    "left-anti join: customers with no recent orders "
+    "(empty-set branch analog)",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return c.join(
         o, c.c_custkey == o.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
