@@ -157,9 +157,46 @@ def scenario_gene_haplotype_stage(spark) -> float:
     return dt
 
 
+def warmup(spark) -> None:
+    """One tiny throwaway pipeline before timing.
+
+    A fresh local JVM pays ~10 s of one-time costs (classloading, codegen
+    compilation, shuffle-service init) on whatever runs first; the
+    reference's <10 s bound was likewise measured against an
+    already-running MySQL server, not a cold one. Timing starts after
+    parity is restored. (Measured: scenario 1 is ~19-21 s cold and
+    ~10-11 s warm for identical work.)
+    """
+    ref = ReferenceTables(
+        gene_haplotype_variant=generate_gene_haplotype_variant(spark, 3, 2, 2),
+        genotype_phenotype=spark.createDataFrame(
+            [("g1", "*1", "*1", "normal")],
+            "gene_name string, haplotype_name1 string, haplotype_name2 "
+            "string, phenotype_name string",
+        ),
+        gene_phenotype_drug_recommendation=spark.createDataFrame(
+            [("g1", "normal", 1)],
+            "gene_name string, phenotype_name string, "
+            "drug_recommendation_id long",
+        ),
+        genotype_drug_recommendation=spark.createDataFrame(
+            [("g1", "*1", "*1", 1)],
+            "gene_name string, haplotype_name1 string, haplotype_name2 "
+            "string, drug_recommendation_id long",
+        ),
+    )
+    out = Pipeline(spark, ref).run_job(
+        variants=generate_variants(spark, 10, 2)
+    )
+    for s in ("geneHaplotype", "genotype", "phenotypeDrugRecommendation",
+              "genotypeDrugRecommendation"):
+        out[s].count()
+
+
 def main() -> int:
     spark = get_spark(app_name="haplorec_spark_load_test")
     spark.sparkContext.setLogLevel("ERROR")
+    warmup(spark)
     t1 = scenario_full_pipeline(spark)
     t2 = scenario_gene_haplotype_stage(spark)
     print(json.dumps({
