@@ -39,6 +39,30 @@ def main() -> None:
     for t in TABLES:
         table(spark, sf_dir, t).count()
 
+    # Same for the two other one-time engine costs that otherwise land on
+    # whichever query runs first: Python worker spin-up (Arrow kernels)
+    # and Structured Streaming engine init (~6 s on first stream start).
+    import pandas as pd  # noqa: F401
+
+    spark.range(2).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    import shutil
+    import tempfile
+
+    staging = tempfile.mkdtemp(prefix="bench_warm_stream_")
+    try:
+        spark.range(2).write.mode("overwrite").parquet(f"{staging}/p")
+        q = (
+            spark.readStream.schema("id long").parquet(f"{staging}/p")
+            .groupBy().count()
+            .writeStream.format("memory").queryName("bench_warmup")
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
     times: dict[str, float] = {}
     for name, q in sorted(registry().items()):
         t0 = time.time()
