@@ -9,7 +9,10 @@ the lone partial-aggregated exception).
 * ``language_id``      — n-gram lexicon heuristic: score each candidate
   language by stopword hits, argmax with a deterministic tiebreak.
 * ``quality_score``    — length / punctuation / stopword-ratio features
-  combined into one bounded score.
+  combined into one bounded score; optionally appends the repetition
+  features below in the same projection.
+* ``repetition_metrics`` — Gopher-style repetition filters: duplicate
+  word fraction, duplicate word-bigram fraction, top-word fraction.
 * ``token_counts``     — whitespace tokens plus a BPE-ish regex token
   count (letter runs, digit runs, single punctuation marks).
 * ``doc_fingerprints`` — bottom-k sketch of md5 shingle hashes (a
@@ -70,18 +73,84 @@ def language_id(
     )
 
 
-def quality_score(
+def _repetition_exprs(text_col: str) -> list[tuple[str, str]]:
+    """(alias, SQL expr) pairs for the Gopher-style repetition features.
+
+    All three are computed from the word array of one row — map-side,
+    shuffle-free (Rae et al. 2021 'Gopher' §A.1 repetition filters):
+
+    * ``dup_word_fraction``   — 1 - distinct/total words; linearithmic.
+    * ``dup_bigram_fraction`` — same over adjacent word bigrams.
+    * ``top_word_fraction``   — occurrences of the modal word / total.
+      O(distinct × n) per document via a filter scan per distinct word;
+      fine for natural-language vocabularies (distinct ≪ n for the
+      repetitive docs this filter targets). For adversarially long
+      all-distinct documents the scalable form is explode + two-level
+      groupBy (one shuffle) — this map-side form is chosen because the
+      filter runs per-row over 100 TB where a shuffle costs more than
+      the per-doc scan.
+    """
+    ws = f"split(lower({text_col}), ' ')"
+    n = f"size({ws})"
+    bi = (
+        f"zip_with(slice({ws}, 1, {n} - 1), slice({ws}, 2, {n} - 1),"
+        f" (a, b) -> concat(a, ' ', b))"
+    )
+    top = (
+        f"array_max(transform(array_distinct({ws}),"
+        f" w -> size(filter({ws}, x -> x = w))))"
+    )
+    return [
+        (
+            "dup_word_fraction",
+            f"round(1.0 - size(array_distinct({ws})) / cast({n} as double), 6)",
+        ),
+        (
+            "dup_bigram_fraction",
+            f"round(CASE WHEN {n} >= 2 THEN"
+            f" 1.0 - size(array_distinct({bi})) / cast({n} - 1 as double)"
+            f" ELSE 0.0 END, 6)",
+        ),
+        (
+            "top_word_fraction",
+            f"round({top} / cast({n} as double), 6)",
+        ),
+    ]
+
+
+def repetition_metrics(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, dup_word_fraction, dup_bigram_fraction, top_word_fraction).
+
+    Gopher-style repetition quality filters (see
+    :func:`_repetition_exprs`); a document whose mass concentrates in
+    few repeated words/bigrams is boilerplate or spam and these are the
+    standard drop signals.
+    """
+    return docs.select(
+        F.col(id_col),
+        *[F.expr(e).alias(a) for a, e in _repetition_exprs(text_col)],
+    )
+
+
+def quality_score(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_repetition: bool = False,
 ) -> DataFrame:
     """Per-document quality features + combined score in [0, 1].
 
     Features mirror standard corpus-filtering heuristics: document
     length band, mean word length band, stopword ratio. The combined
     score is a fixed-weight sum, rounded for cross-engine stability.
+    With ``include_repetition`` the Gopher repetition features are
+    appended in the same single map-side projection (no join).
     """
     words = f"split(lower({text_col}), ' ')"
     n_words = f"size({words})"
-    n_chars = f"length({text_col})"
     stop_ratio = (
         f"{_hit_count(words, LANG_LEXICON['en'])} / cast({n_words} as double)"
     )
@@ -91,6 +160,11 @@ def quality_score(
     len_ok = f"CASE WHEN {n_words} >= 10 AND {n_words} <= 100000 THEN 1.0 ELSE 0.0 END"
     wlen_ok = f"CASE WHEN {mean_word_len} >= 2 AND {mean_word_len} <= 12 THEN 1.0 ELSE 0.0 END"
     stop_ok = f"CASE WHEN {stop_ratio} >= 0.01 THEN 1.0 ELSE 0.0 END"
+    extra = (
+        [F.expr(e).alias(a) for a, e in _repetition_exprs(text_col)]
+        if include_repetition
+        else []
+    )
     return docs.select(
         F.col(id_col),
         F.expr(n_words).alias("n_words"),
@@ -100,6 +174,7 @@ def quality_score(
             f"round(cast(0.4 * {len_ok} + 0.3 * {wlen_ok} + 0.3 * {stop_ok}"
             f" as double), 6)"
         ).alias("quality"),
+        *extra,
     )
 
 
@@ -209,13 +284,32 @@ def q_text_language_id(spark, sf_dir):
                                     BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END)
                  + 0.3 * (CASE WHEN {_duck_hits(LANG_LEXICON['en'])}
                                     / len(string_split(lower(text), ' '))::DOUBLE
-                                    >= 0.01 THEN 1.0 ELSE 0.0 END), 6) AS quality
+                                    >= 0.01 THEN 1.0 ELSE 0.0 END), 6) AS quality,
+           round(1.0 - len(list_distinct(string_split(lower(text), ' ')))
+                 / len(string_split(lower(text), ' '))::DOUBLE, 6)
+               AS dup_word_fraction,
+           round(CASE WHEN len(string_split(lower(text), ' ')) >= 2 THEN
+                 1.0 - len(list_distinct(list_transform(
+                           generate_series(1, len(string_split(lower(text), ' ')) - 1),
+                           i -> string_split(lower(text), ' ')[i] || ' '
+                                || string_split(lower(text), ' ')[i + 1])))
+                     / (len(string_split(lower(text), ' ')) - 1)::DOUBLE
+                 ELSE 0.0 END, 6) AS dup_bigram_fraction,
+           round(list_max(list_transform(
+                     list_distinct(string_split(lower(text), ' ')),
+                     w -> len(list_filter(string_split(lower(text), ' '),
+                              x -> x = w))))
+                 / len(string_split(lower(text), ' '))::DOUBLE, 6)
+               AS top_word_fraction
     FROM documents
     """,
-    "corpus-filtering quality features and combined score",
+    "corpus-filtering quality features, Gopher repetition filters, "
+    "and combined score",
 )
 def q_text_quality(spark, sf_dir):
-    return quality_score(table(spark, sf_dir, "documents"))
+    return quality_score(
+        table(spark, sf_dir, "documents"), include_repetition=True
+    )
 
 
 @register(
