@@ -688,11 +688,14 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     # Random 64-dim vectors never reach cosine 0.8, which made this gate
     # vacuous (0 == 0 rows) in round 1; seeding shifted-id copies of the
     # low-id vectors guarantees exact-duplicate pairs (cosine 1.0) the
-    # operator must find, alongside any natural near-dups.
+    # operator must find, alongside any natural near-dups. The scan is
+    # bounded to vec_id < 1000: the gate verifies the exact O(n^2)
+    # baseline's arithmetic, and an unbounded quadratic scan belongs to
+    # the LSH scale path, not a correctness gate.
     """
     WITH e AS (SELECT vec_id,
                       list_transform(embedding, x -> x::DOUBLE) AS v
-               FROM embeddings
+               FROM embeddings WHERE vec_id < 1000
                UNION ALL
                SELECT vec_id + 100000,
                       list_transform(embedding, x -> x::DOUBLE) AS v
@@ -714,7 +717,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeded = emb.unionByName(
+    seeded = emb.filter(F.col("vec_id") < 1000).unionByName(
         emb.filter(F.col("vec_id") < 25).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
