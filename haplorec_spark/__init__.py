@@ -11,7 +11,8 @@ Layout:
     operators/    engine-level relational compositions Spark lacks as
                   one-liners (relational division, ordered pivot, report
                   dedup/collapse, FK resolution, reshape, dedup family,
-                  ANN similarity, text analysis, multimodal binary)
+                  ANN similarity, text analysis, TF-IDF/BM25 relevance,
+                  sampling/splits/decontamination, multimodal binary)
     functions/    scalar expression helpers (phenotype normalization,
                   zygosity classification, pair ordering)
     plans/        Make-like dependency DAG orchestrator
@@ -35,6 +36,7 @@ from haplorec_spark.operators.division import (  # noqa: E402
     select_where_subset_of,
 )
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
+from haplorec_spark.operators.relevance import bm25_rank, tfidf  # noqa: E402
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
 
@@ -42,10 +44,12 @@ __all__ = [
     "Pipeline",
     "ReferenceTables",
     "asof_join",
+    "bm25_rank",
     "get_spark",
     "grouped_rows_to_columns",
     "interval_join",
     "select_where_either_subset_of",
     "select_where_subset_of",
+    "tfidf",
     "__version__",
 ]
