@@ -15,6 +15,8 @@ the lone partial-aggregated exception).
   word fraction, duplicate word-bigram fraction, top-word fraction.
 * ``token_counts``     — whitespace tokens plus a BPE-ish regex token
   count (letter runs, digit runs, single punctuation marks).
+* ``redact_pii``       — mask emails / IPv4s / SSN- and phone-shaped
+  numbers with typed placeholders, with per-type match counts.
 * ``doc_fingerprints`` — bottom-k sketch of md5 shingle hashes (a
   winnowing-style content fingerprint; equal fingerprints => likely
   near-identical content).
@@ -197,6 +199,44 @@ def token_counts(
             f"round(length({text_col}) / cast(size(split(lower({text_col}),"
             f" ' ')) as double), 6)"
         ).alias("chars_per_token"),
+    )
+
+
+#: PII patterns, ordered: earlier patterns are redacted first, so the
+#: SSN pattern wins over the phone pattern on xxx-xx-xxxx strings.
+#: Restricted to constructs with identical Java-regex / RE2 semantics
+#: (classes, bounded repeats, \\b word boundaries) so any SQL engine
+#: with regexp_replace reproduces the output byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_redacted, n_email, n_ipv4, n_ssn, n_phone).
+
+    Pre-training PII scrub: each match is replaced by ``<TYPE>`` and
+    counted (counts audit scrub coverage per shard). Map-side chained
+    ``regexp_replace`` — shuffle-free at any scale. Redaction order
+    follows :data:`PII_PATTERNS`; counts are measured on the original
+    text, so a string matching several patterns reports under each.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return docs.select(
+        F.col(id_col), redacted.alias("text_redacted"), *counts
     )
 
 

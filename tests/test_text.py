@@ -8,8 +8,10 @@ import duckdb
 import pytest
 
 from haplorec_spark.operators.text import (
+    PII_PATTERNS,
     language_id,
     quality_score,
+    redact_pii,
     repetition_metrics,
     token_counts,
 )
@@ -82,6 +84,63 @@ def test_token_counts_golden(docs):
     }
     assert got[1] == (4, 4)
     assert got[4] == (1, 1)
+
+
+PII_ROWS = [
+    (1, "mail bob.smith+x@example.co.uk and carol@test.io today"),
+    (2, "server 10.0.255.3 pinged 192.168.1.1 at dawn"),
+    (3, "ssn 123-45-6789 phone 555-123-4567 also 555.123.4567"),
+    (4, "clean text with no identifiers at all"),
+    (5, "v1.2.3 is not an ip and a@b is not an email"),
+]
+
+
+def test_redact_pii_golden(spark):
+    df = spark.createDataFrame(PII_ROWS, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in redact_pii(df).collect()}
+    assert got[1]["text_redacted"] == "mail <EMAIL> and <EMAIL> today"
+    assert got[1]["n_email"] == 2
+    assert got[2]["text_redacted"] == "server <IPV4> pinged <IPV4> at dawn"
+    assert got[2]["n_ipv4"] == 2
+    # 3-2-4 SSN grouping does not fit the 3-3-4 phone pattern, so the
+    # two counters partition cleanly here.
+    assert got[3]["text_redacted"] == "ssn <SSN> phone <PHONE> also <PHONE>"
+    assert got[3]["n_ssn"] == 1
+    assert got[3]["n_phone"] == 2
+    assert got[4]["text_redacted"] == PII_ROWS[3][1]
+    assert all(v == 0 for k, v in got[4].items() if k.startswith("n_"))
+    # version strings and handle-less @ must not match
+    assert got[5]["text_redacted"] == PII_ROWS[4][1]
+
+
+def test_redact_pii_vs_duckdb(spark):
+    df = spark.createDataFrame(PII_ROWS, ["doc_id", "text"])
+    got = sorted(tuple(r) for r in redact_pii(df).collect())
+    con = duckdb.connect()
+    con.execute(
+        "create table d as select * from (values "
+        + ", ".join("(?, ?)" for _ in PII_ROWS)
+        + ") t(doc_id, text)",
+        [x for row in PII_ROWS for x in row],
+    )
+    redacted = "text"
+    count_exprs = []
+    for name, pat in PII_PATTERNS:
+        count_exprs.append(
+            f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        )
+        redacted = (
+            f"regexp_replace({redacted}, '{pat}',"
+            f" '<{name.upper()}>', 'g')"
+        )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"SELECT doc_id, {redacted} AS text_redacted,"
+            f" {', '.join(count_exprs)} FROM d"
+        ).fetchall()
+    )
+    assert got == want
 
 
 def test_repetition_metrics_vs_duckdb(spark):
