@@ -11,6 +11,11 @@ is the forward-looking streaming face a 100 TB deployment needs:
 * :func:`stream_user_running_totals` — a custom stateful operator via
   ``applyInPandasWithState``: per-user running event counts/sums
   maintained across micro-batches (GroupState, update mode).
+* :func:`stream_dedup_events` — ingest-time exact dedup for
+  at-least-once sources via ``dropDuplicatesWithinWatermark``: state
+  holds only keys inside the watermark horizon, so re-delivered events
+  are dropped with bounded state (the streaming twin of the batch
+  dedup family's exact path).
 * :func:`incremental_variant_ingest` — ``foreachBatch`` job ingest: each
   micro-batch of variant rows becomes one pipeline job appended to the
   job_id-partitioned stage tables; the batch pipeline is reused
@@ -81,6 +86,34 @@ def stream_events_hourly(
             F.col("w.start").alias("window_start"), "event_type",
             "n_events", "sum_value",
         )
+    )
+
+
+def stream_dedup_events(
+    events: DataFrame,
+    *,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Ingest-time exact dedup for at-least-once delivery.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per ``keys`` while
+    the key's event time is within the watermark horizon — exactly the
+    window in which an at-least-once source (Kafka redelivery, file
+    re-drops, job retries) can produce duplicates. State is bounded by
+    the horizon, unlike streaming ``dropDuplicates`` whose key state
+    grows forever; at 100 TB/day that difference is the whole design.
+
+    Batch frames fall back to plain ``dropDuplicates`` (same contract:
+    which duplicate survives is arbitrary, so downstream must not
+    depend on non-key columns of the survivor — the batch face is the
+    parity oracle for the streaming face in tests).
+    """
+    keys = keys or ["event_id"]
+    if not events.isStreaming:
+        return events.dropDuplicates(keys)
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
     )
 
 

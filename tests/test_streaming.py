@@ -11,6 +11,7 @@ from haplorec_spark.queries import registry
 from haplorec_spark.streaming import (
     incremental_variant_ingest,
     read_events_stream,
+    stream_dedup_events,
     stream_events_hourly,
     stream_user_running_totals,
 )
@@ -143,3 +144,35 @@ def test_session_windows_stream_matches_batch(spark, events_dir):
     assert got == rows(finalized)
     # sanity: the watermark really finalized the overwhelming majority
     assert len(got) >= 0.9 * batch.count()
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """The same parquet staged twice = at-least-once redelivery; the
+    deduped stream must equal the batch distinct of one copy."""
+    import shutil
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "b.parquet")
+
+    ev = read_events_stream(spark, str(d))
+    got = _run_to_memory(
+        stream_dedup_events(ev), "dedup_stream", "append", spark
+    )
+
+    from haplorec_spark.queries import table
+
+    batch = table(spark, SF_DIR, "events")
+    assert got.count() == batch.count()
+    assert rows(got, "event_id", "ts", "user_id") == rows(
+        batch, "event_id", "ts", "user_id"
+    )
+
+
+def test_stream_dedup_batch_face(spark):
+    from haplorec_spark.queries import table
+
+    ev = table(spark, SF_DIR, "events")
+    doubled = ev.unionByName(ev)
+    assert stream_dedup_events(doubled).count() == ev.count()
