@@ -16,7 +16,13 @@ util/pipeline/PipelineInput.groovy:16-123) as Spark readers:
   :func:`dsv_source` with its declared header (the reference's
   defaultReader).
 
-Scale: both readers are pure scan + narrow ops (``explode`` fan-out is
+Beyond the reference's surface, :func:`jsonl_source` /
+:func:`jsonl_sink` read and write newline-delimited JSON — the
+interchange format of LLM training corpora — with an explicit schema
+(inference would double-scan 100 TB) and a typed corrupt-record
+policy.
+
+Scale: all readers are pure scan + narrow ops (``explode`` fan-out is
 map-side); no shuffle is introduced before the pipeline's first stage.
 """
 
@@ -210,6 +216,69 @@ def variant_source(
     if skip_empty_alleles:
         out = out.filter(F.col("allele").isNotNull())
     return out
+
+
+def jsonl_source(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    mode: str = "PERMISSIVE",
+    corrupt_column: str = "_corrupt_record",
+) -> DataFrame:
+    """Newline-delimited JSON scan with an explicit schema.
+
+    The schema is REQUIRED: Spark's JSON schema inference runs a whole
+    extra pass over the data, which at corpus scale doubles the scan
+    cost and pins the job to whatever the sample happened to contain.
+
+    ``mode``:
+
+    * ``PERMISSIVE`` (default) — malformed lines land in
+      ``corrupt_column`` (added to the schema here) with every data
+      field null; downstream splits clean from quarantined rows with
+      one filter. The right default for web-scale corpora where a
+      dropped shard is worse than a quarantine table. Spark caveat:
+      a query whose referenced columns are ONLY the corrupt column
+      (e.g. ``filter(corrupt.isNotNull()).count()``) is rejected
+      (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — select at least one data
+      column alongside it, or cache the parsed frame first.
+    * ``DROPMALFORMED`` — silently discard bad lines (no corrupt
+      column added; counts are the caller's job).
+    * ``FAILFAST`` — die on the first bad line (ingest of data that is
+      supposed to be machine-written).
+    """
+    reader = spark.read.schema(
+        schema
+        + (f", {corrupt_column} STRING" if mode == "PERMISSIVE" else "")
+    ).option("mode", mode)
+    if mode == "PERMISSIVE":
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_column)
+    return reader.json(path)
+
+
+def jsonl_sink(
+    df: DataFrame,
+    path: str,
+    *,
+    compression: str = "gzip",
+    max_records_per_file: int = 0,
+    overwrite: bool = True,
+) -> None:
+    """Write newline-delimited JSON shards.
+
+    ``max_records_per_file`` bounds shard size (0 = one file per
+    partition) — at export scale this is the knob that keeps a
+    downstream loader's unit of work bounded without a repartition
+    shuffle; compression defaults to gzip, the JSONL ecosystem's
+    common denominator.
+    """
+    w = df.write.mode("overwrite" if overwrite else "error").option(
+        "compression", compression
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.json(path)
 
 
 def stage_source(
