@@ -203,6 +203,22 @@ def ann_lsh_topk(
 # ----------------------------------------------------------- IVF (k-means)
 
 
+def _dist2_to_codebook(cents: list[list[float]]):
+    """Array of squared-L2 distances from column ``v`` to each literal
+    centroid, evaluated per-row inside whole-stage codegen."""
+    codebook = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    return F.transform(
+        codebook,
+        lambda c: F.aggregate(
+            F.zip_with(F.col("v"), c, lambda x, cc: (x - cc) * (x - cc)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     k: int = 8,
@@ -220,6 +236,7 @@ def kmeans_centroids(
     (k x dim doubles) always broadcasts. Clusters that lose all members
     keep their previous centroid.
     """
+    spark = vectors.sparkSession
     v = vectors.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
@@ -227,60 +244,47 @@ def kmeans_centroids(
     # centroid_id = rank of the seed vector's id — explicitly ordered so
     # the init is reproducible across engines (the DuckDB oracle unrolls
     # the same iterations from the same seeds), not merely within Spark.
-    centroids = (
-        v.orderBy(id_col).limit(k)
-        .withColumn(
-            "centroid_id",
-            F.row_number().over(Window.orderBy(id_col)) - 1,
-        )
-        .select("centroid_id", F.col("v").alias("centroid"))
-    )
-    dist2 = F.expr(
-        "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)),"
-        " cast(0.0 as double), (acc, d) -> acc + d)"
-    )
+    cents: list[list[float]] = [
+        list(r["v"]) for r in v.orderBy(id_col).limit(k).collect()
+    ]
+    dim = len(cents[0]) if cents else 0
     for _ in range(iterations):
-        assigned = (
-            v.crossJoin(F.broadcast(centroids))
-            .select(id_col, "v", "centroid_id", dist2.alias("d2"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy(id_col).orderBy("d2", "centroid_id")
-                ),
-            )
-            .filter(F.col("rn") == 1)
+        # Map-side argmin against the literal codebook (k × dim doubles,
+        # inlined like the LSH plane matrix): no ×k crossJoin row
+        # expansion, no per-id window shuffle. First-min index matches
+        # the previous orderBy(d2, centroid_id) tiebreak exactly.
+        assigned = v.withColumn(
+            "_d2s", _dist2_to_codebook(cents)
+        ).withColumn(
+            "cluster",
+            F.expr("cast(array_position(_d2s, array_min(_d2s)) as int) - 1"),
         )
-        means = (
-            assigned.select(
-                "centroid_id", F.posexplode("v").alias("d", "x")
-            )
-            .groupBy("centroid_id", "d")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("centroid_id")
+        # Per-cluster mean as dim sum-aggregates + a count: one
+        # partial-aggregated shuffle of k×(dim+1) values, and a k-row
+        # driver round-trip (bounded, like the clusters convergence
+        # probe) — instead of a ×dim posexplode through two shuffles.
+        stats = (
+            assigned.groupBy("cluster")
             .agg(
-                F.array_sort(
-                    F.collect_list(F.struct("d", "m"))
-                ).alias("dm")
+                F.count(F.lit(1)).alias("n"),
+                *[
+                    F.sum(F.get("v", d)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
             )
-            .select(
-                "centroid_id",
-                F.expr("transform(dm, s -> s.m)").alias("centroid"),
-            )
+            .collect()
         )
+        means = {
+            r["cluster"]: [r[f"s{d}"] / r["n"] for d in range(dim)]
+            for r in stats
+        }
         # keep previous centroid for clusters that emptied out
-        centroids = (
-            centroids.select(
-                "centroid_id", F.col("centroid").alias("prev")
-            )
-            .join(means, on="centroid_id", how="left")
-            .select(
-                "centroid_id",
-                F.coalesce("centroid", "prev").alias("centroid"),
-            )
-        ).localCheckpoint(eager=True)  # truncate the iterative lineage
+        cents = [means.get(i, prev) for i, prev in enumerate(cents)]
     v.unpersist()
-    return centroids
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
 
 
 def assign_clusters(
@@ -290,26 +294,29 @@ def assign_clusters(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, cluster): nearest centroid per vector (broadcast argmin)."""
+    """(id, cluster): nearest centroid per vector.
+
+    The codebook is k rows by construction, so it collects to the
+    driver and inlines as a literal array: assignment is a map-side
+    argmin (zero shuffle, zero row expansion), the same shape as the
+    LSH plane projection. First-min index = lowest centroid_id on
+    ties, identical to an orderBy(d2, centroid_id) window.
+    """
+    cents = [
+        list(r["centroid"])
+        for r in centroids.orderBy("centroid_id").collect()
+    ]
     v = vectors.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     )
-    dist2 = F.expr(
-        "aggregate(zip_with(v, centroid, (x, c) -> (x - c) * (x - c)),"
-        " cast(0.0 as double), (acc, d) -> acc + d)"
-    )
     return (
-        v.crossJoin(F.broadcast(centroids))
-        .select(id_col, "centroid_id", dist2.alias("d2"))
+        v.withColumn("_d2s", _dist2_to_codebook(cents))
         .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("d2", "centroid_id")
-            ),
+            "cluster",
+            F.expr("cast(array_position(_d2s, array_min(_d2s)) as int) - 1"),
         )
-        .filter(F.col("rn") == 1)
-        .select(id_col, F.col("centroid_id").alias("cluster"))
+        .select(id_col, "cluster")
     )
 
 
