@@ -352,20 +352,64 @@ def q_text_quality(spark, sf_dir):
     )
 
 
+#: Fixed query terms for the gate's BM25 column.
+_BM25_GATE_TERMS = ["data", "query"]
+
+
 @register(
     "q_text_token_counts",
+    # Per-document token accounting: raw counts, the BM25 weight for a
+    # fixed query, and the document's position on the deterministic
+    # packing tape (sequence id at seq_len=256). One gate exercises
+    # token_counts, bm25_rank, and pack_sequences against one oracle.
     f"""
-    SELECT doc_id,
-           len(string_split(lower(text), ' ')) AS n_ws_tokens,
-           len(regexp_extract_all(lower(text), '{_TOKEN_REGEX}')) AS n_regex_tokens,
-           round(length(text)
-                 / len(string_split(lower(text), ' '))::DOUBLE, 6) AS chars_per_token
-    FROM documents
+    WITH w AS (SELECT doc_id, text,
+                      string_split(lower(text), ' ') AS ws
+               FROM documents),
+         s AS (SELECT count(*)::DOUBLE AS n_docs,
+                      avg(len(ws))::DOUBLE AS avgdl,
+                      sum(list_contains(ws, 'data')::INT)::DOUBLE AS df0,
+                      sum(list_contains(ws, 'query')::INT)::DOUBLE AS df1
+               FROM w),
+         tape AS (SELECT doc_id,
+                         (sum(len(ws)::BIGINT) OVER (
+                              ORDER BY md5('pack' || chr(31)
+                                           || doc_id::VARCHAR)
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW)
+                          - len(ws)::BIGINT)::BIGINT AS global_start
+                  FROM w)
+    SELECT w.doc_id,
+           len(ws)::BIGINT AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{_TOKEN_REGEX}'))::BIGINT
+               AS n_regex_tokens,
+           round(length(text) / len(ws)::DOUBLE, 6) AS chars_per_token,
+           round(  ln(1 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+                 * tf0 * 2.2 / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                 + ln(1 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+                 * tf1 * 2.2 / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+               6) AS bm25,
+           tape.global_start,
+           (tape.global_start // 256)::BIGINT AS seq_id
+    FROM (SELECT doc_id, text, ws, len(ws)::DOUBLE AS dl,
+                 len(list_filter(ws, x -> x = 'data'))::DOUBLE AS tf0,
+                 len(list_filter(ws, x -> x = 'query'))::DOUBLE AS tf1
+          FROM w) w JOIN tape USING (doc_id), s
     """,
-    "whitespace + BPE-ish regex token counting",
+    "token accounting: whitespace + BPE-ish regex counts, BM25 weight "
+    "for a fixed query, and packing-tape position (seq_len=256)",
 )
 def q_text_token_counts(spark, sf_dir):
-    return token_counts(table(spark, sf_dir, "documents"))
+    from haplorec_spark.operators.packing import pack_sequences
+    from haplorec_spark.operators.relevance import bm25_rank
+
+    docs = table(spark, sf_dir, "documents")
+    counts = token_counts(docs)
+    bm25 = bm25_rank(docs, _BM25_GATE_TERMS)
+    tape = pack_sequences(docs, 256).select(
+        "doc_id", "global_start", "seq_id"
+    )
+    return counts.join(bm25, "doc_id").join(tape, "doc_id")
 
 
 @register(
