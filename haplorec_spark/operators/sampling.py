@@ -20,6 +20,12 @@ dependent).
 * :func:`top_k_by_hash` — exact k-row uniform-without-replacement sample:
   the k smallest hash priorities. One partial top-k per partition + a
   k-row merge (Spark's sort+limit), never a full global sort of payloads.
+* :func:`mixture_sample` — rebalance a multi-domain corpus to target
+  token shares: per-domain keep fractions are derived from one
+  token-total aggregate (domain-count rows to the driver), then applied
+  as the stratified map-side filter. The largest mixture satisfying
+  every target without upsampling is chosen (the binding domain keeps
+  fraction 1.0).
 * :func:`decontaminate` — drop corpus documents sharing any n-gram
   shingle with a benchmark/eval set (training-set contamination removal):
   shingle both sides, LEFT ANTI join corpus shingles against the
@@ -138,6 +144,61 @@ def stratified_hash_sample(
     default_cut = F.lit(int(default_fraction * (1 << _BAND_BITS)))
     cutoff = default_cut if cutoff is None else cutoff.otherwise(default_cut)
     return df.filter(band < cutoff)
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_weights: Mapping[str, float],
+    strata_col: str,
+    key_cols: Sequence[str],
+    *,
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "mixture",
+) -> DataFrame:
+    """Downsample domains so output token shares match ``target_weights``.
+
+    The standard curation knob: given per-domain target shares (summing
+    to ~1), pick the LARGEST output achievable purely by downsampling —
+    output size S = min over domains of (domain tokens / target share);
+    each domain then keeps fraction ``share × S / tokens`` (the binding
+    domain keeps 1.0; domains absent from the input or the targets are
+    dropped). Fractions govern tokens in expectation via uniform row
+    hashing; document-size variance averages out at corpus scale.
+
+    One token-total aggregate (domain-count rows to the driver, a
+    bounded collect like fk.assign_ids' offsets) followed by the
+    stratified map-side filter — no join, no second shuffle.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must not be empty")
+    for dom, w in target_weights.items():
+        if w <= 0:
+            raise ValueError(f"target weight for {dom!r} must be > 0: {w}")
+    n_tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.lower(F.col(text_col)), " "))
+    ).cast("long")
+    totals = {
+        r["d"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("d"))
+        .agg(F.sum(n_tokens).alias("t"))
+        .collect()
+        if r["d"] in target_weights
+    }
+    missing = set(target_weights) - set(totals)
+    if missing:
+        raise ValueError(
+            f"target domains absent from input: {sorted(missing)}"
+        )
+    s = min(totals[d] / w for d, w in target_weights.items())
+    fractions = {
+        d: min(1.0, (target_weights[d] * s) / totals[d]) for d in totals
+    }
+    return stratified_hash_sample(
+        df, fractions, strata_col, key_cols, seed=seed
+    )
 
 
 def top_k_by_hash(

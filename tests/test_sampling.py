@@ -16,6 +16,7 @@ from haplorec_spark.operators.sampling import (
     decontaminate,
     hash_fraction_sample,
     hash_split,
+    mixture_sample,
     stratified_hash_sample,
     top_k_by_hash,
 )
@@ -142,3 +143,53 @@ def test_decontaminate_drops_overlapping_docs(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_hits_target_shares(spark, docs):
+    """lang is the domain column of the documents table; rebalancing to
+    an even two-way mix must (a) keep the binding domain whole, (b) land
+    token shares near the targets, (c) replicate the pure-Python bands."""
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert len(langs) >= 2
+    a, b = sorted(langs)[:2]
+    two = docs.filter(F.col("lang").isin([a, b]))
+    out = mixture_sample(two, {a: 0.5, b: 0.5}, "lang", ["doc_id"])
+
+    def tokens(df):
+        return (
+            df.select(
+                F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("t")
+            ).collect()[0]["t"]
+        )
+
+    in_a, in_b = (
+        tokens(two.filter(F.col("lang") == v)) for v in (a, b)
+    )
+    out_a, out_b = (
+        tokens(out.filter(F.col("lang") == v)) for v in (a, b)
+    )
+    binding = a if in_a <= in_b else b
+    kept_binding = out_a if binding == a else out_b
+    in_binding = in_a if binding == a else in_b
+    assert kept_binding == in_binding  # binding domain keeps fraction 1.0
+    share = out_a / (out_a + out_b)
+    assert 0.4 < share < 0.6  # doc-level granularity around the target
+
+    # determinism + replica: recompute the expected keep set in Python
+    s_out = min(in_a / 0.5, in_b / 0.5)
+    fr = {a: min(1.0, 0.5 * s_out / in_a), b: min(1.0, 0.5 * s_out / in_b)}
+    rows = two.select("doc_id", "lang").collect()
+    want = sorted(
+        r["doc_id"] for r in rows
+        if band("mixture", r["doc_id"]) < int(fr[r["lang"]] * (1 << 32))
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == want
+
+
+def test_mixture_sample_rejects_bad_targets(spark, docs):
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {}, "lang", ["doc_id"])
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"en": 0.0}, "lang", ["doc_id"])
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"not_a_lang": 1.0}, "lang", ["doc_id"])
