@@ -320,6 +320,47 @@ def assign_clusters(
     )
 
 
+def assign_probe_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster) for each vector's ``nprobe`` NEAREST cells.
+
+    The IVF recall knob: probing more cells trades work for recall
+    (nprobe = k degenerates to exact search over every cell). Still
+    map-side — the d2 array is sorted with its index and the first
+    ``nprobe`` indices explode (×nprobe on probe rows only; probes are
+    query-sized, not corpus-sized). Cell order ties break toward the
+    lower centroid_id, matching :func:`assign_clusters`.
+    """
+    cents = [
+        list(r["centroid"])
+        for r in centroids.orderBy("centroid_id").collect()
+    ]
+    v = vectors.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    nearest = (
+        "transform(array_sort(zip_with(_d2s,"
+        " sequence(0, size(_d2s) - 1),"
+        " (d, i) -> struct(d as d, i as i))), s -> s.i)"
+    )
+    return (
+        v.withColumn("_d2s", _dist2_to_codebook(cents))
+        .select(
+            id_col,
+            F.explode(
+                F.expr(f"slice({nearest}, 1, {int(nprobe)})")
+            ).alias("cluster"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -327,15 +368,19 @@ def ivf_topk(
     *,
     n_clusters: int = 8,
     iterations: int = 3,
+    nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine ranking inside the probe's
-    k-means cell (nprobe=1).
+    ``nprobe`` nearest k-means cells.
 
     The codebook replaces the hyperplane matrix of :func:`ann_lsh_topk`
     with learned centroids — same join shape (cluster-keyed equi-join),
-    per-probe work divided by the cluster fanout.
+    per-probe work divided by cluster fanout / nprobe. nprobe =
+    n_clusters reproduces brute force exactly (the recall test's
+    oracle); a neighbor is counted once because it lives in exactly one
+    cell.
     """
     centroids = kmeans_centroids(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
@@ -343,8 +388,12 @@ def ivf_topk(
     corpus_cells = assign_clusters(
         corpus, centroids, vec_col=vec_col, id_col=id_col
     )
-    probe_cells = assign_clusters(
-        probes, centroids, vec_col=vec_col, id_col=id_col
+    probe_cells = (
+        assign_clusters(probes, centroids, vec_col=vec_col, id_col=id_col)
+        if nprobe <= 1
+        else assign_probe_cells(
+            probes, centroids, nprobe, vec_col=vec_col, id_col=id_col
+        )
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")

@@ -86,3 +86,45 @@ def test_ivf_recall_vs_brute_force(spark):
     for r in ivf_topk(emb, probes, k=5, n_clusters=4,
                       iterations=2).collect():
         assert bf[(r.probe_id, r.neighbor_id)] == r.cosine
+
+
+def test_ivf_nprobe_all_cells_equals_brute_force(spark):
+    """nprobe = n_clusters searches every cell, so IVF must reproduce
+    the exact brute-force top-k ranking bit-for-bit."""
+    from haplorec_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(emb["vec_id"] < 5)
+    exact = sorted(
+        tuple(r) for r in brute_force_topk(emb, probes, k=5).collect()
+    )
+    full_probe = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb, probes, k=5, n_clusters=4, iterations=1, nprobe=4
+        ).collect()
+    )
+    assert full_probe == exact
+
+
+def test_ivf_nprobe_recall_is_monotone(spark):
+    from haplorec_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(emb["vec_id"] < 5)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+
+    def recall(np_):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, probes, k=5, n_clusters=4, iterations=1, nprobe=np_
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4 == 1.0
