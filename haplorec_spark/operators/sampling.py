@@ -280,3 +280,36 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(contaminated, on=id_col, how="left_anti")
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str | None = None,
+) -> DataFrame:
+    """(corpus id, benchmark id, n_shared_shingles): the audit face of
+    :func:`decontaminate`.
+
+    Where decontaminate silently drops, this reports WHICH benchmark
+    items leak into WHICH corpus documents and how heavily — the
+    evidence needed to adjudicate borderline hits (a shared boilerplate
+    header vs a verbatim eval question) and to tune ``n``. Same plan
+    shape: the benchmark side stays broadcast, the corpus shingle
+    stream is map-side, and the one shuffle is the per-pair count.
+    """
+    bench_id = bench_id_col or id_col
+    bench_hashes = shingle_hashes(
+        benchmark, n, text_col=text_col, id_col=bench_id
+    ).select(F.col(bench_id).alias("benchmark_id"), "sh_hash")
+    corpus_hashes = shingle_hashes(
+        corpus, n, text_col=text_col, id_col=id_col
+    )
+    return (
+        corpus_hashes.join(F.broadcast(bench_hashes), on="sh_hash")
+        .groupBy(id_col, "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

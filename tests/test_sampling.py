@@ -193,3 +193,40 @@ def test_mixture_sample_rejects_bad_targets(spark, docs):
         mixture_sample(docs, {"en": 0.0}, "lang", ["doc_id"])
     with pytest.raises(ValueError):
         mixture_sample(docs, {"not_a_lang": 1.0}, "lang", ["doc_id"])
+
+
+def test_contamination_report_pairs_and_counts(spark):
+    from haplorec_spark.operators.sampling import contamination_report
+
+    bench = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "a completely different benchmark question entirely "
+                "unrelated to anything else here"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares two consecutive 8-grams with benchmark item 1
+            (10, "intro the quick brown fox jumps over the lazy dog "
+                 "tonight outro"),
+            (11, "clean document with none of those words arranged "
+                 "in any matching order whatsoever today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in contamination_report(corpus, bench, n=8).collect()
+    )
+    # "the quick ... dog tonight" is 10 words -> benchmark item 1 has
+    # three 8-shingles; corpus doc 10 contains all three.
+    assert got == [(10, 1, 3)]
+
+    # the report names exactly what decontaminate drops
+    from haplorec_spark.operators.sampling import decontaminate
+
+    kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
+    flagged = {t[0] for t in got}
+    assert flagged == {10} and kept == {11}
