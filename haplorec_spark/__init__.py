@@ -35,21 +35,42 @@ from haplorec_spark.operators.division import (  # noqa: E402
     select_where_either_subset_of,
     select_where_subset_of,
 )
+from haplorec_spark.operators.packing import pack_sequences  # noqa: E402
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
 from haplorec_spark.operators.relevance import bm25_rank, tfidf  # noqa: E402
+from haplorec_spark.operators.sampling import (  # noqa: E402
+    contamination_report,
+    decontaminate,
+    hash_fraction_sample,
+    hash_split,
+    mixture_sample,
+)
+from haplorec_spark.operators.text import redact_pii  # noqa: E402
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
+from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
+from haplorec_spark.streaming import stream_dedup_events  # noqa: E402
 
 __all__ = [
     "Pipeline",
     "ReferenceTables",
     "asof_join",
     "bm25_rank",
+    "contamination_report",
+    "decontaminate",
     "get_spark",
     "grouped_rows_to_columns",
+    "hash_fraction_sample",
+    "hash_split",
     "interval_join",
+    "jsonl_sink",
+    "jsonl_source",
+    "mixture_sample",
+    "pack_sequences",
+    "redact_pii",
     "select_where_either_subset_of",
     "select_where_subset_of",
+    "stream_dedup_events",
     "tfidf",
     "__version__",
 ]
