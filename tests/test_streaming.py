@@ -176,3 +176,41 @@ def test_stream_dedup_batch_face(spark):
     ev = table(spark, SF_DIR, "events")
     doubled = ev.unionByName(ev)
     assert stream_dedup_events(doubled).count() == ev.count()
+
+
+def test_streaming_curation_pipeline_matches_batch(spark, tmp_path):
+    """The curation operators are map-side column programs, so they
+    compose unchanged with readStream: quality-filter + PII-redact +
+    split-assign an incoming document stream and get exactly the batch
+    curation of the same files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.sampling import hash_split
+    from haplorec_spark.operators.text import quality_score, redact_pii
+
+    d = tmp_path / "incoming_docs"
+    d.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", d / "docs.parquet")
+
+    def curate(docs):
+        q = quality_score(docs, include_repetition=True).filter(
+            (F.col("quality") >= 0.7) & (F.col("dup_word_fraction") < 0.9)
+        )
+        kept = docs.join(q.select("doc_id"), "doc_id")
+        red = redact_pii(kept).select("doc_id", "text_redacted")
+        base = kept.join(red, "doc_id")
+        return hash_split(
+            base, {"train": 0.9, "valid": 0.1}, ["doc_id"]
+        ).select("doc_id", "text_redacted", "split")
+
+    batch = curate(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+
+    stream = spark.readStream.schema(
+        "doc_id bigint, lang string, text string"
+    ).parquet(str(d))
+    got = _run_to_memory(curate(stream), "curated_stream", "append", spark)
+
+    assert rows(got) == rows(batch)
+    assert got.count() > 0  # the filter keeps a real subset
