@@ -37,6 +37,7 @@ from haplorec_spark.operators.division import (  # noqa: E402
 )
 from haplorec_spark.operators.packing import pack_sequences  # noqa: E402
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
+from haplorec_spark.operators.profiling import profile_table  # noqa: E402
 from haplorec_spark.operators.relevance import bm25_rank, tfidf  # noqa: E402
 from haplorec_spark.operators.sampling import (  # noqa: E402
     contamination_report,
@@ -67,6 +68,7 @@ __all__ = [
     "jsonl_source",
     "mixture_sample",
     "pack_sequences",
+    "profile_table",
     "redact_pii",
     "select_where_either_subset_of",
     "select_where_subset_of",

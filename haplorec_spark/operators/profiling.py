@@ -1,0 +1,85 @@
+"""Single-pass table profiling: per-column stats for corpus audits.
+
+``profile_table`` answers the first questions asked of any new 100 TB
+drop — null rates, cardinalities, ranges, text lengths — in ONE pass:
+every statistic is an aggregate column of a single ``agg`` (partial
+aggregation map-side, one scalar row out), which is then unpivoted
+into a row per column. Nothing is collected besides that one row.
+
+Distinct counts default to HyperLogLog++ (``approx_count_distinct``,
+one pass, mergeable) — at corpus scale an exact multi-column distinct
+forces an Expand of the whole scan per column. ``exact=True`` opts
+into exact counts for oracle-checked or dimension-sized tables.
+
+min/max are computed in the column's own type (not lexicographically)
+and cast to string afterwards for the uniform schema; non-orderable
+columns (arrays, maps, structs, binary) report null min/max, and
+``avg_length`` covers string columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    MapType,
+    StructType,
+)
+
+_NOT_ORDERABLE = (ArrayType, MapType, StructType, BinaryType)
+
+
+def profile_table(df: DataFrame, *, exact: bool = False) -> DataFrame:
+    """One row per column: (column, dtype, n_rows, n_nulls,
+    null_fraction, n_distinct, min_value, max_value, avg_length).
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in df.columns:
+        dt = fields[c]
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
+        )
+        aggs.append(
+            (
+                F.count_distinct(F.col(c))
+                if exact
+                else F.approx_count_distinct(c)
+            ).alias(f"{c}__distinct")
+        )
+        if isinstance(dt, _NOT_ORDERABLE):
+            aggs.append(F.first(F.lit(None).cast("string")).alias(f"{c}__min"))
+            aggs.append(F.first(F.lit(None).cast("string")).alias(f"{c}__max"))
+        else:
+            aggs.append(F.min(F.col(c)).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(F.col(c)).cast("string").alias(f"{c}__max"))
+        aggs.append(
+            (
+                F.round(F.avg(F.length(F.col(c))), 6)
+                if dt.simpleString() == "string"
+                else F.first(F.lit(None).cast("double"))
+            ).alias(f"{c}__avglen")
+        )
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(fields[c].simpleString()).alias("dtype"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.when(F.col("__n") > 0,
+                       F.round(F.col(f"{c}__nulls") / F.col("__n"), 6))
+                .otherwise(F.lit(None))
+                .alias("null_fraction"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_value"),
+                F.col(f"{c}__max").alias("max_value"),
+                F.col(f"{c}__avglen").alias("avg_length"),
+            )
+            for c in df.columns
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")

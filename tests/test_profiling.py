@@ -1,0 +1,76 @@
+"""profile_table tests: exact-mode DuckDB cross-check on real testdata
+and behavior on non-orderable / null-bearing columns.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from haplorec_spark.operators.profiling import profile_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_profile_exact_vs_duckdb_orders(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    got = {
+        r["column"]: (
+            r["n_rows"],
+            r["n_nulls"],
+            r["n_distinct"],
+            r["min_value"],
+            r["max_value"],
+        )
+        for r in profile_table(df, exact=True).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "create view orders as select * from "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    for c in df.columns:
+        n, nulls, nd, mn, mx = con.execute(
+            f'SELECT count(*), sum(("{c}" IS NULL)::INT),'
+            f' count(DISTINCT "{c}"),'
+            f' min("{c}")::VARCHAR, max("{c}")::VARCHAR FROM orders'
+        ).fetchone()
+        want = (n, nulls or 0, nd, mn, mx)
+        assert got[c][:3] == want[:3], c
+        # min/max string casts agree except engine formatting of
+        # timestamps/decimals; compare raw where both are plain
+        if got[c][3] is not None and "date" not in c and c != "o_totalprice":
+            assert (got[c][3], got[c][4]) == (mn, mx), c
+
+
+def test_profile_null_and_complex_columns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, None, [1, 2]),
+            (2, "b", [3]),
+            (None, "c", None),
+        ],
+        "id bigint, s string, arr array<bigint>",
+    )
+    got = {r["column"]: r.asDict() for r in profile_table(df, exact=True).collect()}
+    assert got["id"]["n_rows"] == 3
+    assert got["id"]["n_nulls"] == 1
+    assert got["id"]["null_fraction"] == round(1 / 3, 6)
+    assert got["id"]["n_distinct"] == 2
+    assert (got["id"]["min_value"], got["id"]["max_value"]) == ("1", "2")
+    # string column gets avg_length; others don't
+    assert got["s"]["avg_length"] == 1.0
+    assert got["id"]["avg_length"] is None
+    # arrays are not orderable: null min/max, but nulls/distinct count
+    assert got["arr"]["min_value"] is None
+    assert got["arr"]["n_nulls"] == 1
+    assert got["arr"]["n_distinct"] == 2
+
+
+def test_profile_is_single_pass(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        profile_table(df)  # approx mode: no Expand of the scan
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" not in plan
+    assert plan.count("FileScan") == 1
