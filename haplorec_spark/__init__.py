@@ -37,7 +37,10 @@ from haplorec_spark.operators.division import (  # noqa: E402
 )
 from haplorec_spark.operators.packing import pack_sequences  # noqa: E402
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
-from haplorec_spark.operators.profiling import profile_table  # noqa: E402
+from haplorec_spark.operators.profiling import (  # noqa: E402
+    frequent_values,
+    profile_table,
+)
 from haplorec_spark.operators.relevance import bm25_rank, tfidf  # noqa: E402
 from haplorec_spark.operators.sampling import (  # noqa: E402
     contamination_report,
@@ -59,6 +62,7 @@ __all__ = [
     "bm25_rank",
     "contamination_report",
     "decontaminate",
+    "frequent_values",
     "get_spark",
     "grouped_rows_to_columns",
     "hash_fraction_sample",

@@ -19,7 +19,9 @@ columns (arrays, maps, structs, binary) report null min/max, and
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -83,3 +85,45 @@ def profile_table(df: DataFrame, *, exact: bool = False) -> DataFrame:
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def frequent_values(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """(column, value, n_rows, rank): the top-``k`` most frequent values
+    per column — the histogram half of a profile (skew keys, default
+    sentinel strings, degenerate columns).
+
+    All columns share ONE shuffle: each row is stacked into
+    (column, value-as-string) pairs map-side, counted per pair with
+    partial aggregation, then ranked per column. Ties break by value
+    for determinism. Value stringification uses the same cast as
+    :func:`profile_table`'s min/max; nulls are counted like any value
+    and surface as NULL.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    counted = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy("column").orderBy(
+        F.col("n_rows").desc(), F.col("value").asc_nulls_last()
+    )
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import duckdb
 
-from haplorec_spark.operators.profiling import profile_table
+from haplorec_spark.operators.profiling import frequent_values, profile_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -74,3 +74,49 @@ def test_profile_is_single_pass(spark):
     )
     assert "Expand" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_frequent_values_vs_duckdb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    got = sorted(
+        tuple(r)
+        for r in frequent_values(df, k=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view orders as select * from "
+        f"read_parquet('{SF_DIR}/orders.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            SELECT * FROM (
+                SELECT 'o_orderstatus' AS column, o_orderstatus AS value,
+                       count(*) AS n_rows,
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          o_orderstatus) AS rank
+                FROM orders GROUP BY o_orderstatus
+                UNION ALL
+                SELECT 'o_orderpriority', o_orderpriority, count(*),
+                       row_number() OVER (ORDER BY count(*) DESC,
+                                          o_orderpriority)
+                FROM orders GROUP BY o_orderpriority)
+            WHERE rank <= 3
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_frequent_values_counts_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None), (4, "b")], ["id", "s"]
+    )
+    got = {
+        (r["value"]): (r["n_rows"], r["rank"])
+        for r in frequent_values(df, ["s"], k=10).collect()
+    }
+    assert got[None] == (2, 1)  # nulls counted and ranked first
