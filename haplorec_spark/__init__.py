@@ -39,6 +39,7 @@ from haplorec_spark.operators.packing import pack_sequences  # noqa: E402
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
 from haplorec_spark.operators.profiling import (  # noqa: E402
     frequent_values,
+    numeric_quantiles,
     profile_table,
 )
 from haplorec_spark.operators.relevance import bm25_rank, tfidf  # noqa: E402
@@ -71,6 +72,7 @@ __all__ = [
     "jsonl_sink",
     "jsonl_source",
     "mixture_sample",
+    "numeric_quantiles",
     "pack_sequences",
     "profile_table",
     "redact_pii",

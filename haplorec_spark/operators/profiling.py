@@ -127,3 +127,47 @@ def frequent_values(
         counted.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def numeric_quantiles(
+    df: DataFrame,
+    columns: Sequence[str],
+    probs: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    *,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """(column, prob, value): quantiles of numeric columns, one pass.
+
+    Default is ``approx_percentile`` (Greenwald-Khanna sketch,
+    mergeable partials, bounded memory — the only viable form at corpus
+    scale; ``accuracy`` trades memory for error <= 1/accuracy of rank).
+    ``exact=True`` switches to ``percentile`` (interpolated, matches
+    SQL ``quantile_cont`` — used by the oracle cross-checks), which
+    buffers each column's values per partial: dimension-sized tables
+    only. All columns and probs still aggregate in the same single agg.
+    """
+    if not columns:
+        raise ValueError("columns must not be empty")
+    prob_list = ", ".join(repr(float(p)) for p in probs)
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {int(accuracy)}"
+    aggs = [
+        F.expr(
+            f"{fn}({c}, array({prob_list}){extra})"
+        ).alias(f"{c}__q")
+        for c in columns
+    ]
+    row = df.agg(*aggs)
+    per = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(float(p)).alias("prob"),
+                F.get(F.col(f"{c}__q"), i).cast("double").alias("value"),
+            )
+            for c in columns
+            for i, p in enumerate(probs)
+        ]
+    )
+    return row.select(F.explode(per).alias("p")).select("p.*")

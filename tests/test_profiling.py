@@ -6,7 +6,11 @@ from __future__ import annotations
 
 import duckdb
 
-from haplorec_spark.operators.profiling import frequent_values, profile_table
+from haplorec_spark.operators.profiling import (
+    frequent_values,
+    numeric_quantiles,
+    profile_table,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -120,3 +124,56 @@ def test_frequent_values_counts_nulls(spark):
         for r in frequent_values(df, ["s"], k=10).collect()
     }
     assert got[None] == (2, 1)  # nulls counted and ranked first
+
+
+def test_numeric_quantiles_exact_vs_duckdb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    got = sorted(
+        (r["column"], r["prob"], round(r["value"], 6))
+        for r in numeric_quantiles(
+            df, ["l_quantity", "l_extendedprice"], (0.5, 0.95), exact=True
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view lineitem as select * from "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            SELECT 'l_quantity', 0.5::DOUBLE,
+                   round(quantile_cont(l_quantity::DOUBLE, 0.5), 6)
+            FROM lineitem
+            UNION ALL SELECT 'l_quantity', 0.95::DOUBLE,
+                   round(quantile_cont(l_quantity::DOUBLE, 0.95), 6)
+            FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 0.5::DOUBLE,
+                   round(quantile_cont(l_extendedprice::DOUBLE, 0.5), 6)
+            FROM lineitem
+            UNION ALL SELECT 'l_extendedprice', 0.95::DOUBLE,
+                   round(quantile_cont(l_extendedprice::DOUBLE, 0.95), 6)
+            FROM lineitem
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_numeric_quantiles_approx_is_bracketed(spark):
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exact = {
+        (r["column"], r["prob"]): r["value"]
+        for r in numeric_quantiles(
+            df, ["l_extendedprice"], (0.5,), exact=True
+        ).collect()
+    }
+    approx = {
+        (r["column"], r["prob"]): r["value"]
+        for r in numeric_quantiles(
+            df, ["l_extendedprice"], (0.5,)
+        ).collect()
+    }
+    for key, v in approx.items():
+        assert abs(v - exact[key]) / exact[key] < 0.05
