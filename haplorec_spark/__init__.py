@@ -25,10 +25,13 @@ Layout:
     pipeline.py   the 8 pipeline stages + job lifecycle
     report.py     condensed report generation
     queries.py    query registry with DuckDB oracles (correctness gate)
+    curation.py   composed end-to-end corpus curation (filter, redact,
+                  dedup, decontaminate, mix, split, pack)
 """
 
 __version__ = "0.1.0"
 
+from haplorec_spark.curation import CurationConfig, curate_documents  # noqa: E402
 from haplorec_spark.operators.asof import asof_join  # noqa: E402
 from haplorec_spark.operators.ranges import interval_join  # noqa: E402
 from haplorec_spark.operators.division import (  # noqa: E402
@@ -57,11 +60,13 @@ from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
 from haplorec_spark.streaming import stream_dedup_events  # noqa: E402
 
 __all__ = [
+    "CurationConfig",
     "Pipeline",
     "ReferenceTables",
     "asof_join",
     "bm25_rank",
     "contamination_report",
+    "curate_documents",
     "decontaminate",
     "frequent_values",
     "get_spark",

@@ -1,0 +1,161 @@
+"""End-to-end corpus curation: the composed face of the training-data
+operators, mirroring how ``pipeline.Pipeline`` composes the haplorec
+stages.
+
+``curate_documents`` chains the standard corpus-preparation sequence —
+language keep-list → quality + repetition filters → PII redaction →
+dedup → eval-set decontamination → domain mixture → split assignment →
+sequence packing — each stage an existing operator from
+``operators/``, each individually oracle- or replica-verified. The
+composition itself adds NO new shuffles beyond its stages: filters and
+redaction stay map-side; dedup, decontamination, mixture, and packing
+keep their documented plans.
+
+Every stage is deterministic (hash-based selection, content-hash
+dedup), so a rerun — or a run on a differently-partitioned copy —
+produces the identical curated corpus. That property is what makes
+backfills and incremental drops safe, and the tests pin it.
+
+Stage counts are OPTIONAL (``count_stages=True``): each count is a
+job over the lazy prefix, priceless for an audit run, wasteful in a
+production pass-through — default off, the plan stays one lazy graph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from haplorec_spark.operators.packing import pack_sequences
+from haplorec_spark.operators.sampling import (
+    decontaminate,
+    hash_split,
+    mixture_sample,
+)
+from haplorec_spark.operators.text import quality_score, redact_pii
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Knobs for :func:`curate_documents`; defaults follow common
+    corpus-filtering practice (quality floor, Gopher repetition cut,
+    90/5/5-style splits are the caller's choice)."""
+
+    languages: Sequence[str] | None = None
+    min_quality: float = 0.7
+    max_dup_word_fraction: float = 0.9
+    max_top_word_fraction: float = 0.5
+    redact: bool = True
+    dedup: bool = True
+    decontaminate_ngram: int = 8
+    mixture_weights: Mapping[str, float] | None = None
+    splits: Mapping[str, float] = field(
+        default_factory=lambda: {"train": 0.98, "valid": 0.01, "test": 0.01}
+    )
+    seq_len: int | None = None
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    lang_col: str = "lang"
+
+
+def curate_documents(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CurationConfig = CurationConfig(),
+    *,
+    count_stages: bool = False,
+) -> tuple[DataFrame, dict[str, int]]:
+    """Run the full curation sequence; returns (curated frame, stage
+    counts — empty unless ``count_stages``).
+
+    Output columns: the input's, plus ``text_redacted`` (when
+    ``redact``), ``split``, and — when ``seq_len`` is set — the
+    packing-tape columns (``n_tokens``, ``global_start``, ``seq_id``,
+    ``seq_offset``, ``seq_id_end``).
+    """
+    cfg = config
+    counts: dict[str, int] = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if count_stages:
+            counts[stage] = df.count()
+        return df
+
+    out = note("input", docs)
+    if cfg.languages is not None:
+        out = note(
+            "language",
+            out.filter(F.col(cfg.lang_col).isin(list(cfg.languages))),
+        )
+
+    q = quality_score(
+        out,
+        text_col=cfg.text_col,
+        id_col=cfg.id_col,
+        include_repetition=True,
+    ).filter(
+        (F.col("quality") >= cfg.min_quality)
+        & (F.col("dup_word_fraction") < cfg.max_dup_word_fraction)
+        & (F.col("top_word_fraction") <= cfg.max_top_word_fraction)
+    )
+    out = note("quality", out.join(q.select(cfg.id_col), cfg.id_col))
+
+    if cfg.redact:
+        red = redact_pii(
+            out, text_col=cfg.text_col, id_col=cfg.id_col
+        ).select(cfg.id_col, "text_redacted")
+        out = note("redact", out.join(red, cfg.id_col))
+
+    if cfg.dedup:
+        # exact content dedup; which duplicate survives must still be
+        # deterministic, so keep the min id per content hash
+        h = F.md5(F.col(cfg.text_col))
+        keep = (
+            out.select(F.col(cfg.id_col), h.alias("__h"))
+            .groupBy("__h")
+            .agg(F.min(cfg.id_col).alias(cfg.id_col))
+            .select(cfg.id_col)
+        )
+        out = note("dedup", out.join(keep, cfg.id_col))
+
+    if benchmark is not None:
+        out = note(
+            "decontaminate",
+            decontaminate(
+                out,
+                benchmark,
+                n=cfg.decontaminate_ngram,
+                text_col=cfg.text_col,
+                id_col=cfg.id_col,
+            ),
+        )
+
+    if cfg.mixture_weights:
+        out = note(
+            "mixture",
+            mixture_sample(
+                out,
+                cfg.mixture_weights,
+                cfg.lang_col,
+                [cfg.id_col],
+                text_col=cfg.text_col,
+            ),
+        )
+
+    out = note(
+        "split", hash_split(out, dict(cfg.splits), [cfg.id_col])
+    )
+
+    if cfg.seq_len:
+        tape = pack_sequences(
+            out,
+            cfg.seq_len,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        )
+        out = note("pack", out.join(tape, cfg.id_col))
+
+    return out, counts

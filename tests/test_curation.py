@@ -1,0 +1,74 @@
+"""End-to-end curation tests: stage invariants on real testdata and
+determinism across partition layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from haplorec_spark.curation import CurationConfig, curate_documents
+from haplorec_spark.operators.text import quality_score
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_curation_stage_invariants(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # a benchmark doc copied verbatim from the corpus -> must be dropped
+    bench = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    cfg = CurationConfig(seq_len=256)
+    out, counts = curate_documents(
+        docs, benchmark=bench, config=cfg, count_stages=True
+    )
+    rows = out.collect()
+    assert rows and counts["input"] == docs.count()
+    # monotone funnel
+    stages = ["input", "quality", "redact", "dedup", "decontaminate",
+              "split", "pack"]
+    for a, b in zip(stages, stages[1:]):
+        assert counts[b] <= counts[a], (a, b)
+
+    # quality floor holds on the output
+    q = {
+        r["doc_id"]: r["quality"]
+        for r in quality_score(docs).collect()
+    }
+    assert all(q[r["doc_id"]] >= 0.7 for r in rows)
+
+    # the contaminated doc is gone, splits and tape columns are present
+    ids = {r["doc_id"] for r in rows}
+    assert 0 not in ids
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    assert all(r["seq_id"] is not None for r in rows)
+
+    # no two output docs share text (exact dedup held)
+    texts = [r["text"] for r in rows]
+    assert len(texts) == len(set(texts))
+
+
+def test_curation_is_deterministic_across_layouts(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = CurationConfig(seq_len=128, redact=False)
+    a, _ = curate_documents(docs, config=cfg)
+    b, _ = curate_documents(docs.repartition(13), config=cfg)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_curation_language_and_mixture(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    )[:2]
+    cfg = CurationConfig(
+        languages=langs,
+        mixture_weights={langs[0]: 0.5, langs[1]: 0.5},
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=False,
+    )
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    assert counts["language"] <= counts["input"]
+    got_langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got_langs <= set(langs)
