@@ -127,6 +127,58 @@ def minhash_signatures(
     )
 
 
+def lsh_band_keys(
+    docs: DataFrame,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_key): each document's LSH band signatures.
+
+    The joinable form of the MinHash signature — band keys are
+    concatenations of the per-seed minima (seed order), exploded
+    map-side from the one-row-per-doc signature. Shared by the
+    in-batch self-join (:func:`lsh_candidate_pairs`) and the
+    incremental store (:func:`write_lsh_store` /
+    :func:`incremental_candidate_pairs`).
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(
+        word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col),
+        num_hashes,
+        id_col=id_col,
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh_{s}")
+                        for s in range(
+                            b * rows_per_band, (b + 1) * rows_per_band
+                        )
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select(
+        F.col(id_col), F.explode(band_entries).alias("bk")
+    ).select(
+        F.col(id_col),
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     *,
@@ -143,34 +195,14 @@ def lsh_candidate_pairs(
     The self-join is keyed on (band, band_key) — bucket-local, never a
     cross join.
     """
-    if num_hashes % bands:
-        raise ValueError("num_hashes must be divisible by bands")
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col),
-        num_hashes,
+    banded = lsh_band_keys(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
         id_col=id_col,
     )
-    # Band keys are concatenations of the per-seed minima (seed order);
-    # the bands explode map-side from the one-row-per-doc signature.
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{s}")
-                        for s in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select(
-        F.col(id_col), F.explode(band_entries).alias("bk")
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     left = banded.select(
         F.col(id_col).alias("doc_id_a"), "band", "band_key"
     )
@@ -183,6 +215,100 @@ def lsh_candidate_pairs(
         .select("doc_id_a", "doc_id_b")
         .distinct()
     )
+
+
+def write_lsh_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "append",
+) -> None:
+    """Persist (id, band, band_key) rows for incremental dedup.
+
+    The store holds band keys, not text: ~bands × 40 bytes per
+    document, so the historical corpus's dedup state is ~1000× smaller
+    than the corpus. Partitioned by band (band-pruned reads); appends
+    accumulate drops — dedup the store itself only if the same batch
+    may be written twice. For recurring large joins, bucketing the
+    store on band_key (``scale.write_bucketed``) removes the store-side
+    shuffle entirely.
+    """
+    lsh_band_keys(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+    ).write.mode(mode).partitionBy("band").parquet(path)
+
+
+def incremental_candidate_pairs(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id_new, doc_id_matched, source): near-dup candidates of an
+    incoming batch against BOTH the historical store and itself.
+
+    The incremental twin of :func:`lsh_candidate_pairs` — a new drop
+    is deduped without re-scanning the historical corpus: only its
+    band-key store (1000× smaller) joins in. ``source`` is 'history'
+    (matched a stored document) or 'batch' (matched inside the drop;
+    id_new > id_matched, mirroring the self-join's id_a < id_b).
+    After dropping/keeping, append the surviving batch's keys via
+    :func:`write_lsh_store` to advance the store.
+    """
+    spark = new_docs.sparkSession
+    new_banded = lsh_band_keys(
+        new_docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    store = spark.read.parquet(store_path)
+    vs_history = (
+        new_banded.select(
+            F.col(id_col).alias("doc_id_new"), "band", "band_key"
+        )
+        .join(
+            store.select(
+                F.col(id_col).alias("doc_id_matched"), "band", "band_key"
+            ),
+            on=["band", "band_key"],
+        )
+        .select("doc_id_new", "doc_id_matched")
+        .distinct()
+        .withColumn("source", F.lit("history"))
+    )
+    vs_batch = (
+        lsh_candidate_pairs(
+            new_docs,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        .select(
+            F.col("doc_id_b").alias("doc_id_new"),
+            F.col("doc_id_a").alias("doc_id_matched"),
+        )
+        .withColumn("source", F.lit("batch"))
+    )
+    return vs_history.unionByName(vs_batch)
 
 
 # --------------------------------------------------------- n-gram Jaccard

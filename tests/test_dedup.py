@@ -94,3 +94,57 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     got = rows(dedup_clusters(pairs))
     assert got == [(i, 0) for i in range(n)]
+
+
+def test_incremental_lsh_store_roundtrip(spark, tmp_path):
+    """Drop 1 seeds the store; drop 2 contains an exact copy of a
+    stored doc, a new near-dup pair, and a novel doc — the incremental
+    join must find exactly the right matches without the old corpus."""
+    from haplorec_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        lsh_candidate_pairs,
+        write_lsh_store,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    drop1 = spark.createDataFrame(
+        [(1, base), (2, "totally unrelated words about completely other "
+                        "topics nothing shared with anything here at all "
+                        "whatsoever in any shingle")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "lsh_store")
+    write_lsh_store(drop1, store, mode="overwrite")
+
+    drop2 = spark.createDataFrame(
+        [
+            (10, base),                      # exact copy of stored doc 1
+            (11, base + " extra tail"),      # near-dup of 1 and of 10
+            (12, "fresh novel content with entirely distinct vocabulary "
+                 "spanning many unique tokens never seen before anywhere "
+                 "in any previous drop of this corpus"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id_new"], r["doc_id_matched"], r["source"])
+        for r in incremental_candidate_pairs(drop2, store).collect()
+    )
+    assert (10, 1, "history") in got
+    assert (11, 1, "history") in got
+    assert (11, 10, "batch") in got
+    assert all(t[0] != 12 for t in got)  # the novel doc matches nothing
+
+    # parity: history matches == what a full-corpus self-join would
+    # pair across the drops
+    full = lsh_candidate_pairs(drop1.unionByName(drop2))
+    cross = sorted(
+        (r["doc_id_b"], r["doc_id_a"])
+        for r in full.collect()
+        if r["doc_id_a"] <= 2 and r["doc_id_b"] >= 10
+    )
+    hist = sorted((a, b) for a, b, s in got if s == "history")
+    assert hist == cross
