@@ -49,7 +49,9 @@ class CurationConfig:
     max_dup_word_fraction: float = 0.9
     max_top_word_fraction: float = 0.5
     redact: bool = True
-    dedup: bool = True
+    #: "exact" (content-hash), "near" (MinHash-LSH candidate pairs →
+    #: connected components, cluster-minimum id survives), or None
+    dedup: str | None = "exact"
     decontaminate_ngram: int = 8
     mixture_weights: Mapping[str, float] | None = None
     splits: Mapping[str, float] = field(
@@ -109,7 +111,7 @@ def curate_documents(
         ).select(cfg.id_col, "text_redacted")
         out = note("redact", out.join(red, cfg.id_col))
 
-    if cfg.dedup:
+    if cfg.dedup == "exact":
         # exact content dedup; which duplicate survives must still be
         # deterministic, so keep the min id per content hash
         h = F.md5(F.col(cfg.text_col))
@@ -120,6 +122,25 @@ def curate_documents(
             .select(cfg.id_col)
         )
         out = note("dedup", out.join(keep, cfg.id_col))
+    elif cfg.dedup == "near":
+        from haplorec_spark.operators.dedup import (
+            dedup_clusters,
+            lsh_candidate_pairs,
+        )
+
+        pairs = lsh_candidate_pairs(
+            out, text_col=cfg.text_col, id_col=cfg.id_col
+        )
+        # non-canonical members (canonical = cluster-minimum id) drop;
+        # docs in no cluster are untouched by the anti-join
+        losers = (
+            dedup_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(cfg.id_col))
+        )
+        out = note("dedup", out.join(losers, cfg.id_col, "left_anti"))
+    elif cfg.dedup:  # falsy (None/False) skips dedup entirely
+        raise ValueError(f"unknown dedup mode: {cfg.dedup!r}")
 
     if benchmark is not None:
         out = note(

@@ -72,3 +72,43 @@ def test_curation_language_and_mixture(spark):
     assert counts["language"] <= counts["input"]
     got_langs = {r["lang"] for r in out.select("lang").distinct().collect()}
     assert got_langs <= set(langs)
+
+
+def test_curation_near_dedup_drops_near_copies(spark):
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon the a of and "
+        "to in is the a of and to in is extra filler words here"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "en", base),
+            (2, "en", base + " tail"),         # near-dup of 1
+            (3, "en", "completely different document content with many "
+                      "unique words the a of and to in is spread across "
+                      "entirely other themes and subjects and topics"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    cfg = CurationConfig(
+        dedup="near", redact=False, min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+    )
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1, 3}  # 2 collapsed into canonical 1
+    assert counts["dedup"] == 2
+
+    with_exact = CurationConfig(
+        dedup="exact", redact=False, min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+    )
+    out2, _ = curate_documents(docs, config=with_exact)
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2, 3}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curate_documents(
+            docs, config=CurationConfig(dedup="fuzzy")
+        )
