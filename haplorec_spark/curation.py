@@ -29,6 +29,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from haplorec_spark.operators.packing import _SEP as _PACK_SEP
 from haplorec_spark.operators.packing import pack_sequences
 from haplorec_spark.operators.sampling import (
     decontaminate,
@@ -76,7 +77,9 @@ def curate_documents(
     Output columns: the input's, plus ``text_redacted`` (when
     ``redact``), ``split``, and — when ``seq_len`` is set — the
     packing-tape columns (``n_tokens``, ``global_start``, ``seq_id``,
-    ``seq_offset``, ``seq_id_end``).
+    ``seq_offset``, ``seq_id_end``), computed on a SEPARATE tape per
+    split — eval text never lands inside a training sequence, and
+    ``seq_id`` is unique within a split, not globally.
     """
     cfg = config
     counts: dict[str, int] = {}
@@ -171,12 +174,23 @@ def curate_documents(
     )
 
     if cfg.seq_len:
-        tape = pack_sequences(
-            out,
-            cfg.seq_len,
-            text_col=cfg.text_col,
-            id_col=cfg.id_col,
-        )
+        # Each split is packed on its OWN token tape (split-specific
+        # seed): a training sequence must never interleave train docs
+        # with valid/test text, and a consumer that filters to one
+        # split needs global_start/seq_id offsets that count only that
+        # split's tokens. seq_id is therefore unique per (split,
+        # seq_id) — consumers key sequences by the pair.
+        tape: DataFrame | None = None
+        for name in cfg.splits:
+            t = pack_sequences(
+                out.filter(F.col("split") == F.lit(name)),
+                cfg.seq_len,
+                text_col=cfg.text_col,
+                id_col=cfg.id_col,
+                seed=f"pack{_PACK_SEP}{name}",
+            )
+            tape = t if tape is None else tape.unionByName(t)
+        assert tape is not None  # cfg.splits is non-empty by contract
         out = note("pack", out.join(tape, cfg.id_col))
 
     return out, counts

@@ -28,12 +28,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-#: Separator inside the hashed pack key (see sampling._SEP).
+#: Separator / NULL sentinel inside the hashed pack key, kept in
+#: lockstep with sampling._SEP / sampling._NULL (same replica contract).
 _SEP = "\x1f"
+_NULL = "\x00null"
 
 
 def _pack_key(seed: str, id_col: str) -> Column:
-    return F.md5(F.concat_ws(_SEP, F.lit(seed), F.col(id_col)))
+    return F.md5(
+        F.concat_ws(
+            _SEP,
+            F.lit(seed),
+            F.coalesce(F.col(id_col).cast("string"), F.lit(_NULL)),
+        )
+    )
 
 
 def pack_sequences(

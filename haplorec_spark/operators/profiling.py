@@ -13,8 +13,9 @@ into exact counts for oracle-checked or dimension-sized tables.
 
 min/max are computed in the column's own type (not lexicographically)
 and cast to string afterwards for the uniform schema; non-orderable
-columns (arrays, maps, structs, binary) report null min/max, and
-``avg_length`` covers string columns only.
+columns (arrays, maps, structs, binary) report null min/max, map
+columns additionally report null ``n_distinct`` (Spark cannot hash or
+compare maps), and ``avg_length`` covers string columns only.
 """
 
 from __future__ import annotations
@@ -44,13 +45,20 @@ def profile_table(df: DataFrame, *, exact: bool = False) -> DataFrame:
         aggs.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls")
         )
-        aggs.append(
-            (
-                F.count_distinct(F.col(c))
-                if exact
-                else F.approx_count_distinct(c)
-            ).alias(f"{c}__distinct")
-        )
+        if isinstance(dt, MapType):
+            # maps are not hashable/comparable in Spark — a distinct
+            # aggregate over one raises; report null like min/max
+            aggs.append(
+                F.first(F.lit(None).cast("bigint")).alias(f"{c}__distinct")
+            )
+        else:
+            aggs.append(
+                (
+                    F.count_distinct(F.col(c))
+                    if exact
+                    else F.approx_count_distinct(c)
+                ).alias(f"{c}__distinct")
+            )
         if isinstance(dt, _NOT_ORDERABLE):
             aggs.append(F.first(F.lit(None).cast("string")).alias(f"{c}__min"))
             aggs.append(F.first(F.lit(None).cast("string")).alias(f"{c}__max"))

@@ -129,7 +129,11 @@ def bm25_rank(
     the literal query terms; only N and avgdl are relational aggregates
     (one scalar row, broadcast back).
     """
-    terms = [t.lower() for t in query_terms]
+    # dedupe (first occurrence wins) so a repeated query term isn't
+    # scored twice; an empty query has no defined ranking — refuse it
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    if not terms:
+        raise ValueError("query_terms must not be empty")
     dl = F.size(_words(text_col)).cast("double")
     stats = docs.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"),

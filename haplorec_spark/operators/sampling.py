@@ -52,15 +52,36 @@ _BAND_BITS = 32
 #: replica of the hash (tests, other engines) must join with this byte.
 _SEP = "\x1f"
 
+#: NULL key components hash as this sentinel rather than being skipped
+#: (concat_ws drops NULL arguments), so ('a', NULL) and (NULL, 'a')
+#: land in different bands and NULL keys don't collapse into one band.
+#: Replicas (tests, other engines) must substitute the same bytes.
+_NULL = "\x00null"
+
+
+def _key_str(seed: str, key_cols: Sequence[str]) -> Column:
+    """seed || SEP || key columns, NULLs replaced by the sentinel."""
+    return F.concat_ws(
+        _SEP,
+        F.lit(seed),
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+            for c in key_cols
+        ],
+    )
+
 
 def _hash_band(seed: str, key_cols: Sequence[str]) -> Column:
     """Uniform integer in [0, 2^32) from md5(seed || key columns).
 
     conv() parses the first 8 hex chars; the concat uses an explicit
-    unit separator so ('ab', 'c') and ('a', 'bc') hash differently.
+    unit separator so ('ab', 'c') and ('a', 'bc') hash differently,
+    and NULL components become the `_NULL` sentinel so they neither
+    vanish from the key nor collide across positions.
     """
-    key = F.concat_ws(_SEP, F.lit(seed), *[F.col(c) for c in key_cols])
-    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    return F.conv(
+        F.substring(F.md5(_key_str(seed, key_cols)), 1, 8), 16, 10
+    ).cast("bigint")
 
 
 def hash_fraction_sample(
@@ -216,9 +237,7 @@ def top_k_by_hash(
     task — the k-bounded part is the only single-task work, so this
     scales with |df| map-side and k driver-side, never |df| globally.
     """
-    pr = F.md5(
-        F.concat_ws(_SEP, F.lit(seed), *[F.col(c) for c in key_cols])
-    )
+    pr = F.md5(_key_str(seed, key_cols))
     return (
         df.withColumn("__pr", pr)
         .orderBy("__pr")

@@ -124,7 +124,10 @@ def lsh_bucket_keys(
 
     A vector shorter than ``dim`` yields null products via ``zip_with``
     padding, a null fold result, and a '0' bit — no ANSI out-of-bounds
-    hazard.
+    hazard. A vector LONGER than ``dim`` is sliced to its first ``dim``
+    components first (without the slice, zip_with would pad the SIGN
+    side with nulls and every oversized vector would collapse into the
+    all-'0' bucket).
     """
     bits = []
     for p in range(n_planes):
@@ -132,7 +135,8 @@ def lsh_bucket_keys(
             f"{_plane_sign(p, d)}.0D" for d in range(dim)
         )
         proj = (
-            f"aggregate(zip_with({vec_col}, array({signs}),"
+            f"aggregate(zip_with(slice({vec_col}, 1, {dim}),"
+            f" array({signs}),"
             f" (x, s) -> cast(x as double) * s),"
             f" cast(0.0 as double), (acc, y) -> acc + y)"
         )

@@ -46,6 +46,34 @@ def test_curation_stage_invariants(spark):
     assert len(texts) == len(set(texts))
 
 
+def test_curation_packs_each_split_on_its_own_tape(spark):
+    """Eval text must never land inside a training sequence: every
+    split gets a SEPARATE token tape, dense from 0, covering exactly
+    that split's tokens."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = CurationConfig(seq_len=64, redact=False,
+                         splits={"train": 0.6, "valid": 0.2, "test": 0.2})
+    out, _ = curate_documents(docs, config=cfg)
+    rows = out.select(
+        "split", "n_tokens", "global_start", "seq_id"
+    ).collect()
+    by_split: dict[str, list] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], []).append(r)
+    assert len(by_split) > 1  # the property is vacuous on one split
+    for split, rs in by_split.items():
+        total = sum(r["n_tokens"] for r in rs)
+        # dense per-split tape: starts at 0, ends at the split's own
+        # token total — offsets count ONLY this split's tokens
+        assert min(r["global_start"] for r in rs) == 0, split
+        assert (
+            max(r["global_start"] + r["n_tokens"] for r in rs) == total
+        ), split
+        starts = sorted(r["global_start"] for r in rs)
+        ends = sorted(r["global_start"] + r["n_tokens"] for r in rs)
+        assert starts[1:] == ends[:-1], split  # contiguous, no overlap
+
+
 def test_curation_is_deterministic_across_layouts(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     cfg = CurationConfig(seq_len=128, redact=False)

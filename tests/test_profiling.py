@@ -177,3 +177,22 @@ def test_numeric_quantiles_approx_is_bracketed(spark):
     }
     for key, v in approx.items():
         assert abs(v - exact[key]) / exact[key] < 0.05
+
+
+def test_profile_map_column_reports_null_distinct(spark):
+    """Spark cannot hash or compare map columns — a distinct aggregate
+    over one raises AnalysisException, so profile_table must report a
+    null n_distinct (like min/max) instead of failing the whole table."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, None)],
+        "id long, m map<string,int>",
+    )
+    for exact in (False, True):
+        got = {
+            r["column"]: r for r in profile_table(df, exact=exact).collect()
+        }
+        m = got["m"]
+        assert m["n_distinct"] is None
+        assert m["min_value"] is None and m["max_value"] is None
+        assert m["n_nulls"] == 1 and m["n_rows"] == 2
+        assert got["id"]["n_distinct"] == 2

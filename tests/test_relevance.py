@@ -163,3 +163,20 @@ def test_tfidf_join_is_broadcast(spark):
     plan = tfidf(sdf)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_empty_query_raises(docs):
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_rank(docs, [])
+
+
+def test_bm25_duplicate_terms_scored_once(docs):
+    """A repeated query term must not double its contribution."""
+    once = {
+        r["doc_id"]: r["bm25"] for r in bm25_rank(docs, ["spark"]).collect()
+    }
+    twice = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_rank(docs, ["spark", "Spark"]).collect()
+    }
+    assert once == twice

@@ -25,7 +25,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def band(seed: str, *vals) -> int:
-    key = "\x1f".join([seed] + [str(v) for v in vals])
+    key = "\x1f".join(
+        [seed] + ["\x00null" if v is None else str(v) for v in vals]
+    )
     return int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
 
 
@@ -83,6 +85,27 @@ def test_hash_split_partitions_and_is_stable(spark, docs):
     full = {r.doc_id: r["split"] for r in out.collect()}
     for r in sub.collect():
         assert full[r.doc_id] == r["split"]
+
+
+def test_null_key_components_do_not_collide(spark):
+    """concat_ws silently drops NULL arguments, so without a sentinel
+    ('a', NULL) and (NULL, 'a') would share a band and all NULL-keyed
+    rows would be kept/dropped as one block. The sentinel keeps the
+    position information, and the Python replica mirrors it."""
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), (None, None), ("a", "b")],
+        "k1 string, k2 string",
+    )
+    out = hash_split(
+        df, {"x": 0.5, "y": 0.5}, ["k1", "k2"], split_col="s"
+    )
+    got = {(r["k1"], r["k2"]): r["s"] for r in out.collect()}
+    cutoff = int(0.5 * (1 << 32))
+    for (k1, k2), label in got.items():
+        want = "x" if band("split", k1, k2) < cutoff else "y"
+        assert label == want, (k1, k2)
+    # the two asymmetric NULL keys hash to DIFFERENT bands
+    assert band("split", "a", None) != band("split", None, "a")
 
 
 def test_hash_split_rejects_bad_weights(spark, docs):

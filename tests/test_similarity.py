@@ -128,3 +128,19 @@ def test_ivf_nprobe_recall_is_monotone(spark):
 
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4 == 1.0
+
+
+def test_lsh_bucket_oversized_vector_projects_on_first_dim(spark):
+    """A vector longer than dim projects on its first dim components —
+    without the slice, zip_with pads the SIGN side with nulls and every
+    oversized vector collapses into the all-'0' bucket."""
+    base = [float(i % 7 - 3) for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, base), (2, base + [99.0, -99.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.bucket
+        for r in lsh_bucket_keys(df, n_planes=4, dim=8).collect()
+    }
+    assert got[2] == got[1]
