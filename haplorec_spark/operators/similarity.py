@@ -209,17 +209,23 @@ def ann_lsh_topk(
 
 def _dist2_to_codebook(cents: list[list[float]]):
     """Array of squared-L2 distances from column ``v`` to each literal
-    centroid, evaluated per-row inside whole-stage codegen."""
-    codebook = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
-    return F.transform(
-        codebook,
-        lambda c: F.aggregate(
-            F.zip_with(F.col("v"), c, lambda x, cc: (x - cc) * (x - cc)),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
-        ),
+    centroid, evaluated per-row inside whole-stage codegen.
+
+    The codebook is rendered as ONE SQL string and parsed JVM-side: a
+    k × dim nest of ``F.lit``/``F.array`` calls costs a py4j round-trip
+    per element (~512 at the defaults), several seconds of driver time
+    per plan — the same reason ``lsh_bucket_keys`` inlines its plane
+    matrix as SQL text. ``repr(float)`` round-trips doubles exactly.
+    """
+    codebook = "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c)
+        + ")"
+        for c in cents
+    ) + ")"
+    return F.expr(
+        f"transform({codebook}, c -> aggregate(zip_with(v, c,"
+        f" (x, cc) -> (x - cc) * (x - cc)), cast(0.0 as double),"
+        f" (acc, d) -> acc + d))"
     )
 
 
