@@ -43,31 +43,44 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType([
-    StructField("event_id", LongType()),
-    StructField("ts", LongType()),  # raw int64 nanos (see queries.table)
-    StructField("user_id", LongType()),
-    StructField("event_type", StringType()),
-    StructField("value", DoubleType()),
-    StructField("props", StringType()),
-])
+def _events_schema(ts_type) -> StructType:
+    return StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", ts_type),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """Unbounded scan of event parquet files as they land.
 
-    The driver testdata stores TIMESTAMP(NANOS); the stream reads the
-    raw int64 and truncates to microsecond timestamps exactly like the
-    batch reader (queries.table), so batch and stream agree.
+    Event files may store ``ts`` as TIMESTAMP(MICROS) (read natively) or
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects — for
+    those the stream reads the raw int64 nanos and truncates to
+    microsecond timestamps exactly like the batch reader
+    (queries.table), so batch and stream agree. File streams need a
+    user-supplied schema, so probe the directory with a one-file batch
+    read to pick the variant.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    probed = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    if probed == "bigint":  # TIMESTAMP(NANOS) surfaced as raw int64
+        raw = (
+            spark.readStream.schema(_events_schema(LongType()))
+            .parquet(events_dir)
+        )
+        # integer DIV, not floor(ts/1000): double division rounds at
+        # this magnitude and would shift some timestamps by 1 microsecond
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return (
+        spark.readStream.schema(_events_schema(TimestampType()))
         .parquet(events_dir)
     )
-    # integer DIV, not floor(ts/1000): double division rounds at this
-    # magnitude and would shift some timestamps by 1 microsecond
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def stream_events_hourly(
