@@ -50,10 +50,18 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # oracle comparisons see identical instants.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer DIV: a double division would round at ~1.7e15 and
             # shift some timestamps by 1 microsecond
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS) without tz annotation: cast to the
+            # session-zone timestamp — a no-op on the wall-clock values
+            # because the session zone is pinned UTC above, and it keeps
+            # every downstream timestamp function (unix_micros, window,
+            # lag-gap arithmetic) on one type
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
