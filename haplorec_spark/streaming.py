@@ -31,6 +31,7 @@ from __future__ import annotations
 from typing import Any, Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -62,11 +63,29 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     those the stream reads the raw int64 nanos and truncates to
     microsecond timestamps exactly like the batch reader
     (queries.table), so batch and stream agree. File streams need a
-    user-supplied schema, so probe the directory with a one-file batch
-    read to pick the variant.
+    user-supplied schema, so probe the directory with a batch read
+    (footer merge across files) to pick the variant. An empty
+    directory defaults to TIMESTAMP(MICROS) so the stream can start
+    first and pick up files as they land (a *nonexistent* path still
+    fails — Spark's file source itself requires the directory); the
+    directory must then stay type-homogeneous — a later file with the
+    other physical ts type fails the running stream with a parquet
+    schema-conversion error, which is the fail-fast we want (silent
+    coercion would corrupt event times). A mixed directory at start
+    time fails the probe immediately for the same reason.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    probed = dict(spark.read.parquet(events_dir).dtypes).get("ts")
+    try:
+        # mergeSchema folds every footer, so a type-mixed directory
+        # fails here (clear error at definition) instead of mid-stream.
+        probed = dict(
+            spark.read.option("mergeSchema", "true").parquet(events_dir).dtypes
+        ).get("ts")
+    except AnalysisException:
+        # Empty dir: no footer to probe. Start with the standard
+        # MICROS schema and let files land later. (A nonexistent path
+        # re-raises below from readStream itself, same as before.)
+        probed = "timestamp"
     if probed == "bigint":  # TIMESTAMP(NANOS) surfaced as raw int64
         raw = (
             spark.readStream.schema(_events_schema(LongType()))

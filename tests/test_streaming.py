@@ -170,6 +170,38 @@ def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
     )
 
 
+def test_stream_starts_on_empty_dir_then_picks_up_files(spark, tmp_path):
+    """A stream defined over an empty directory must start (default
+    MICROS schema) and process files that land afterwards."""
+    import shutil
+
+    d = tmp_path / "empty_then_files"
+    d.mkdir()
+    ev = read_events_stream(spark, str(d))  # must not raise on probe
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+
+    q = (
+        stream_events_hourly(ev)
+        .writeStream.format("memory")
+        .queryName("late_files_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    assert spark.sql("SELECT * FROM late_files_stream").count() == 0
+
+    # Files land; a fresh availableNow pass over the same source sees them.
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    got = _run_to_memory(
+        stream_events_hourly(read_events_stream(spark, str(d))),
+        "late_files_stream2", "complete", spark,
+    )
+    from haplorec_spark.queries import q_events_hourly
+
+    assert rows(got) == rows(q_events_hourly(spark, SF_DIR))
+
+
 def test_stream_dedup_batch_face(spark):
     from haplorec_spark.queries import table
 
