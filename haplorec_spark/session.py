@@ -34,11 +34,15 @@ ENGINE_CONFS: dict[str, str] = {
     # positional indexing, no out-of-range element_at, no lossy casts),
     # and the test suite runs with the default.
     "spark.sql.session.timeZone": "UTC",
-    # Local-mode driver heap: the driver also hosts the executors in
-    # local[N], and report plans (multi-join + grouped-map kernels) need
-    # more than Spark's 1g default. Ignored when a session already
-    # exists; overridable per call; cluster deployments set their own.
-    "spark.driver.memory": "4g",
+    # Local-mode driver heap: the driver also hosts all 32 executor
+    # threads in local[N], so one JVM holds every shuffle buffer,
+    # broadcast, and codegen cache. 4g made long multi-query runs
+    # (bench's 50 queries in one session) GC-bound — heavy tail queries
+    # measured 3-5x slower than in a fresh session. 16g keeps GC off
+    # the critical path on the 128 GiB test hosts. Ignored when a
+    # session already exists; overridable per call; cluster deployments
+    # set executor memory their own way.
+    "spark.driver.memory": "16g",
 }
 
 
