@@ -437,6 +437,76 @@ def ivf_topk(
     )
 
 
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    *,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine): embedding near-dup pairs found INSIDE
+    k-means cells — the scale path for embedding-cosine deduplication
+    (SemDedup, Abbas et al. 2023: semantic dedup = pairwise cosine
+    within k-means clusters, keep one representative per dup group).
+
+    Same output schema as :func:`~haplorec_spark.operators.dedup.
+    embedding_near_duplicates` (the exact O(n^2) baseline), so it is a
+    drop-in replacement upstream of ``dedup_clusters``; recall is
+    bounded by cluster assignment (a near-dup pair split across cells
+    is missed — raise ``n_clusters`` more slowly than corpus growth or
+    probe neighboring cells to trade work back for recall).
+
+    Scale shape: codebook learning is the iterative k-means (broadcast
+    codebook, one shuffle per iteration), assignment is a map-side
+    literal-codebook argmin, and the pair generation is a cluster-keyed
+    self-join — (n/k)^2 work per cell instead of n^2, the published
+    tradeoff. Norms are computed once per vector before the join.
+    """
+    centroids = kmeans_centroids(
+        vectors, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
+    cells = assign_clusters(
+        vectors, centroids, vec_col=vec_col, id_col=id_col
+    )
+    norm = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
+        f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    with_cell = (
+        vectors.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
+        .join(cells, on=id_col)
+    )
+    a = with_cell.select(
+        F.col(id_col).alias("vec_id_a"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster",
+    )
+    b = with_cell.select(
+        F.col(id_col).alias("vec_id_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster",
+    )
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), cast(0.0 as double),"
+        " (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402

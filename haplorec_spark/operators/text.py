@@ -240,6 +240,76 @@ def redact_pii(
     )
 
 
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_delim: str = "\n",
+) -> DataFrame:
+    """(id, text_clean, n_lines, n_removed): cross-document line-level
+    dedup — lines appearing in >= ``min_doc_freq`` distinct documents
+    are boilerplate (headers, footers, nav bars, license blurbs) and
+    are stripped; the remaining lines rejoin in original order.
+
+    The line-granularity counterpart of the document-level dedup
+    family (CCNet / RefinedWeb-style curation runs both): document
+    dedup drops whole near-copies, this removes the shared scaffolding
+    inside otherwise-distinct pages.
+
+    Physical shape for 100 TB: one posexplode to line granularity, a
+    distinct on (line, doc) then a count per line (two line-keyed
+    shuffles with map-side partial aggregation), and the hot-line set —
+    boilerplate by definition, so a tiny fraction of distinct lines —
+    broadcasts back for a map-side anti-filter before lines regroup per
+    document. The regroup shuffles on ``id_col``, the same key the scan
+    is usually already bucketed by. Empty documents come back as
+    empty strings (never null) so sinks need no null handling.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_delim)).alias(
+            "_pos", "_line"
+        ),
+    )
+    hot = (
+        lines.select("_line", id_col)
+        .distinct()
+        .groupBy("_line")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("_line")
+    )
+    kept = lines.join(F.broadcast(hot), on="_line", how="left_anti")
+    return (
+        lines.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.concat_ws(
+                    line_delim,
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "struct(_pos, _line))), s -> s._line)"
+                    ),
+                ).alias("text_clean"),
+                F.count(F.lit(1)).alias("_n_kept"),
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_lines",
+            (
+                F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
 def doc_fingerprints(
     docs: DataFrame,
     *,

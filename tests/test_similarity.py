@@ -144,3 +144,109 @@ def test_lsh_bucket_oversized_vector_projects_on_first_dim(spark):
         for r in lsh_bucket_keys(df, n_planes=4, dim=8).collect()
     }
     assert got[2] == got[1]
+
+
+def test_semantic_dedup_pairs_vs_duckdb(spark):
+    """SemDedup (within-cell cosine pairs) against a DuckDB oracle that
+    unrolls the same two k-means iterations from the same seeds. The
+    corpus seeds shifted-id copies so true near-dup pairs exist."""
+    import duckdb
+
+    from haplorec_spark.operators.similarity import (
+        _duck_dist2,
+        _duck_kmeans_iter,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in semantic_dedup_pairs(
+            seeded, threshold=0.8, n_clusters=8, iterations=2
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view embeddings as select * from "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH emb AS (SELECT vec_id,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 100000,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings WHERE vec_id < 25),
+         init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                             AS centroid_id,
+                         v AS centroid
+                  FROM (SELECT vec_id, v FROM emb
+                        ORDER BY vec_id LIMIT 8)),"""
+            + _duck_kmeans_iter(1, "init") + ","
+            + _duck_kmeans_iter(2, "c1") + f""",
+         cells AS (SELECT vec_id, v, centroid_id AS cluster FROM (
+                     SELECT e.vec_id, e.v, c.centroid_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_duck_dist2('e.v', 'c.centroid')},
+                                         c.centroid_id) AS rn
+                     FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+         withn AS (SELECT vec_id, v, cluster,
+                          sqrt(list_reduce(list_transform(v, x -> x * x),
+                                           (x, y) -> x + y)) AS nrm
+                   FROM cells)
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_reduce(list_transform(
+                         generate_series(1, len(a.v)),
+                         i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+                     / (a.nrm * b.nrm), 6) AS cosine
+        FROM withn a JOIN withn b USING (cluster)
+        WHERE a.vec_id < b.vec_id)
+    WHERE cosine >= 0.8
+    """
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) >= 25  # the seeded exact duplicates must be found
+
+
+def test_semantic_dedup_subset_of_exact_baseline(spark):
+    """Every within-cell pair must also be found by the exact O(n^2)
+    baseline at the same threshold (cells only bound recall, never
+    invent pairs or change the cosine arithmetic)."""
+    from haplorec_spark.operators.dedup import embedding_near_duplicates
+    from haplorec_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    cell_pairs = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in semantic_dedup_pairs(seeded, threshold=0.8).collect()
+    }
+    exact_pairs = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_near_duplicates(seeded, threshold=0.8).collect()
+    }
+    assert cell_pairs <= exact_pairs
+    # exact duplicates land in the same cell by construction
+    # (identical vectors share a nearest centroid), so recall on the
+    # seeded copies is total
+    seeded_pairs = {(a, b) for a, b in exact_pairs if b == a + 100000}
+    assert seeded_pairs <= cell_pairs

@@ -182,3 +182,115 @@ def test_repetition_metrics_vs_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_strip_boilerplate_lines_golden(spark):
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique alpha content\nCopyright 2024"),
+            (2, "COOKIE BANNER\nother beta content\nCopyright 2024"),
+            (3, "standalone gamma page"),
+            (4, "COOKIE BANNER\nCopyright 2024"),  # all boilerplate
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
+        for r in strip_boilerplate_lines(docs).collect()
+    }
+    assert got[1] == ("unique alpha content", 3, 2)
+    assert got[2] == ("other beta content", 3, 2)
+    assert got[3] == ("standalone gamma page", 1, 0)
+    assert got[4] == ("", 2, 2)  # empty string, never null
+
+
+def test_strip_boilerplate_preserves_line_order(spark):
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\nSHARED\nkeep two\nkeep three"),
+            (2, "SHARED\nzz other"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_boilerplate_lines(docs).collect()
+    }
+    assert got[1] == "keep one\nkeep two\nkeep three"
+    assert got[2] == "zz other"
+
+
+def test_strip_boilerplate_lines_vs_duckdb(spark):
+    """Seed multi-line docs from the real corpus (testdata text is
+    single-line) and cross-check the full output against DuckDB."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # every 3rd doc shares a header line; every 5th a footer line
+    docs = base.select(
+        "doc_id",
+        F.expr(
+            "concat(CASE WHEN doc_id % 3 = 0 THEN 'HEADER\n' ELSE '' END,"
+            " text,"
+            " CASE WHEN doc_id % 5 = 0 THEN '\nFOOTER' ELSE '' END)"
+        ).alias("text"),
+    )
+    got = sorted(
+        tuple(r)
+        for r in strip_boilerplate_lines(docs, min_doc_freq=2).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            WITH d AS (SELECT doc_id,
+                              concat(CASE WHEN doc_id % 3 = 0
+                                     THEN 'HEADER' || chr(10) ELSE '' END,
+                                     text,
+                                     CASE WHEN doc_id % 5 = 0
+                                     THEN chr(10) || 'FOOTER' ELSE '' END)
+                                  AS text
+                       FROM documents),
+                 s AS (SELECT doc_id,
+                              unnest(list_apply(
+                                  range(1, len(string_split(text, chr(10))) + 1),
+                                  i -> {'pos': i,
+                                        'line': string_split(text, chr(10))[i]}))
+                                  AS u
+                       FROM d),
+                 l AS (SELECT doc_id, u.pos AS pos, u.line AS line FROM s),
+                 hot AS (SELECT line FROM (
+                             SELECT line, count(DISTINCT doc_id) AS df
+                             FROM l GROUP BY line)
+                         WHERE df >= 2),
+                 kept AS (SELECT * FROM l
+                          WHERE line NOT IN (SELECT line FROM hot))
+            SELECT d.doc_id,
+                   coalesce(k.clean, '') AS text_clean,
+                   n.n_lines,
+                   n.n_lines - coalesce(k.n_kept, 0) AS n_removed
+            FROM d
+            JOIN (SELECT doc_id, count(*) AS n_lines FROM l
+                  GROUP BY doc_id) n USING (doc_id)
+            LEFT JOIN (SELECT doc_id,
+                              string_agg(line, chr(10) ORDER BY pos)
+                                  AS clean,
+                              count(*) AS n_kept
+                       FROM kept GROUP BY doc_id) k USING (doc_id)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # the seeded boilerplate really was stripped
+    assert all("HEADER" not in t for _, t, _, _ in got)
