@@ -3,8 +3,9 @@ operators, mirroring how ``pipeline.Pipeline`` composes the haplorec
 stages.
 
 ``curate_documents`` chains the standard corpus-preparation sequence —
-language keep-list → quality + repetition filters → PII redaction →
-dedup → eval-set decontamination → domain mixture → split assignment →
+language keep-list → cross-document boilerplate-line strip → quality +
+repetition filters → PII redaction → dedup → eval-set decontamination →
+domain mixture → split assignment →
 sequence packing — each stage an existing operator from
 ``operators/``, each individually oracle- or replica-verified. The
 composition itself adds NO new shuffles beyond its stages: filters and
@@ -36,7 +37,11 @@ from haplorec_spark.operators.sampling import (
     hash_split,
     mixture_sample,
 )
-from haplorec_spark.operators.text import quality_score, redact_pii
+from haplorec_spark.operators.text import (
+    quality_score,
+    redact_pii,
+    strip_boilerplate_lines,
+)
 
 
 @dataclass(frozen=True)
@@ -46,6 +51,9 @@ class CurationConfig:
     90/5/5-style splits are the caller's choice)."""
 
     languages: Sequence[str] | None = None
+    #: strip lines shared by >= this many documents before any
+    #: doc-level scoring (None skips the stage)
+    boilerplate_min_df: int | None = None
     min_quality: float = 0.7
     max_dup_word_fraction: float = 0.9
     max_top_word_fraction: float = 0.5
@@ -94,6 +102,23 @@ def curate_documents(
         out = note(
             "language",
             out.filter(F.col(cfg.lang_col).isin(list(cfg.languages))),
+        )
+
+    if cfg.boilerplate_min_df:
+        # line-level cleanup FIRST: quality/repetition scores and the
+        # dedup hashes must see the de-boilerplated text, not the
+        # shared scaffolding (which would both mask low-quality bodies
+        # and create spurious exact-dup collisions)
+        cleaned = strip_boilerplate_lines(
+            out,
+            min_doc_freq=cfg.boilerplate_min_df,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).select(
+            cfg.id_col, F.col("text_clean").alias(cfg.text_col)
+        )
+        out = note(
+            "boilerplate", out.drop(cfg.text_col).join(cleaned, cfg.id_col)
         )
 
     q = quality_score(

@@ -140,3 +140,52 @@ def test_curation_near_dedup_drops_near_copies(spark):
         curate_documents(
             docs, config=CurationConfig(dedup="fuzzy")
         )
+
+
+def test_curation_boilerplate_stage_cleans_before_scoring(spark):
+    """With boilerplate_min_df set, shared lines disappear from the
+    curated text, and the dedup stage sees the cleaned text — two docs
+    identical except for their boilerplate collapse to one."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    body1 = base.filter(F.col("doc_id") == 1).select("text").first()["text"]
+    docs = base.select(
+        "doc_id", "lang",
+        F.when(
+            # docs 1 and 2: same body, different per-doc banner line
+            F.col("doc_id") == 1,
+            F.lit("SHARED HEADER\nbanner of doc one\n" + body1),
+        ).when(
+            F.col("doc_id") == 2,
+            F.lit("SHARED HEADER\nbanner of doc two\n" + body1),
+        ).otherwise(
+            F.concat(F.lit("SHARED HEADER\n"), F.col("text"))
+        ).alias("text"),
+    )
+    cfg = CurationConfig(boilerplate_min_df=2, redact=False)
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    rows = out.collect()
+    assert counts["boilerplate"] == counts["input"]
+    # every surviving text lost the shared header line
+    assert all("SHARED HEADER" not in r["text"] for r in rows)
+    by_id = {r["doc_id"]: r["text"] for r in rows}
+    # the unique banner lines survived the strip
+    if 1 in by_id:
+        assert by_id[1] == "banner of doc one\n" + body1
+    if 2 in by_id:
+        assert by_id[2] == "banner of doc two\n" + body1
+    # control: docs 1 and 2 differ only in their unique banner, so both
+    # may survive; but rerunning WITHOUT the banners makes them exact
+    # duplicates after cleanup and exactly one survives
+    dup_docs = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id").isin(1, 2),
+            F.lit("SHARED HEADER\n" + body1),
+        ).otherwise(F.col("text")),
+    )
+    out2, _ = curate_documents(dup_docs, config=cfg)
+    ids2 = {r["doc_id"] for r in out2.collect()}
+    surviving_pair = {1, 2} & ids2
+    assert len(surviving_pair) <= 1
+    if surviving_pair:
+        assert surviving_pair == {1}  # min id is the keeper
