@@ -16,13 +16,10 @@ shape: sample s's SNPs are the global range rs((s-1)*v+1 .. s*v); the
 first SNP's allele is '1' (matching haplotype *1's distinguishing first
 allele), the rest 'A'.
 
-Prints one JSON line with both wall times. Exit status enforces ONLY
-scenario 2's bound (the asymptotic one): scenario 1's 10 s bound is
-reported but informational — at 100k rows the wall time is dominated by
-Spark's flat per-stage scheduling floor (~1-2 s/stage across the
-8-stage graph), a constant that vanishes into the noise at any real
-data volume, which scenario 2 (20x the data through the heaviest
-stage) demonstrates.
+Prints one JSON line with both wall times. Exit status enforces BOTH
+reference bounds (warm-session measurement, like the reference's
+always-running MySQL). Measured on a 32-thread local session: scenario
+1 ~6 s (bound 10 s), scenario 2 ~9 s (bound 300 s).
 """
 
 from __future__ import annotations
@@ -205,13 +202,12 @@ def main() -> int:
         "scenario2_gene_haplotype_2m_matrix_sec": round(t2, 2),
         "scenario2_reference_bound_sec": 300,
         "note": (
-            "scenario1's 10s bound reflects single-node MySQL constant "
-            "factors at trivial scale; Spark's ~1-2s/stage scheduling "
-            "floor dominates at 100k rows but is flat in data volume — "
-            "scenario2 (20x the data) demonstrates the asymptotic win"
+            "warm-session timings (one throwaway pipeline first), "
+            "matching the reference's always-running MySQL; both "
+            "bounds enforced by the exit status"
         ),
     }))
-    return 0 if t2 < 300 else 1
+    return 0 if t1 < 10 and t2 < 300 else 1
 
 
 if __name__ == "__main__":
