@@ -53,7 +53,13 @@ from haplorec_spark.operators.sampling import (  # noqa: E402
     hash_split,
     mixture_sample,
 )
-from haplorec_spark.operators.text import redact_pii  # noqa: E402
+from haplorec_spark.operators.similarity import (  # noqa: E402
+    semantic_dedup_pairs,
+)
+from haplorec_spark.operators.text import (  # noqa: E402
+    redact_pii,
+    strip_boilerplate_lines,
+)
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
 from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
@@ -83,7 +89,9 @@ __all__ = [
     "redact_pii",
     "select_where_either_subset_of",
     "select_where_subset_of",
+    "semantic_dedup_pairs",
     "stream_dedup_events",
+    "strip_boilerplate_lines",
     "tfidf",
     "__version__",
 ]
