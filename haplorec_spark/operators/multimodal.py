@@ -200,6 +200,45 @@ def image_features(
     return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
 
 
+def image_stats(
+    media: DataFrame, *, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, width, height, channels, mean_pixel, std_pixel): header
+    metadata AND pixel features from ONE decode.
+
+    The fused form of :func:`decode_image_metadata` +
+    :func:`image_features`: at scale each mapInPandas pass re-reads
+    (and for derived media, re-synthesizes) every payload byte, and a
+    join of two map-only outputs shuffles both — decoding once and
+    emitting all columns is strictly cheaper whenever more than one
+    derived quantity is consumed. Keep the narrow operators for
+    single-quantity pipelines; compose THIS one when a consumer wants
+    metadata and features together.
+    """
+    out_schema = _schema(
+        (id_col, LongType()), ("width", IntegerType()),
+        ("height", IntegerType()), ("channels", IntegerType()),
+        ("mean_pixel", DoubleType()), ("std_pixel", DoubleType()),
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, c, px = _decode_image(bytes(payload))
+                arr = px.astype(np.float64)
+                recs.append(
+                    (mid, w, h, c, float(arr.mean()), float(arr.std()))
+                )
+            yield pd.DataFrame(
+                recs,
+                columns=[id_col, "width", "height", "channels",
+                         "mean_pixel", "std_pixel"],
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(kernel, out_schema)
+
+
 def resize_images(
     media: DataFrame,
     target_width: int,
@@ -391,9 +430,7 @@ _DUCK_BYTE = (
 def q_multimodal_image_stats(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     media = synthesize_media_table(docs)
-    meta = decode_image_metadata(media)
-    feats = image_features(media)
-    return meta.join(feats, on="media_id").select(
+    return image_stats(media).select(
         "media_id", "width", "height", "channels",
         F.round("mean_pixel", 4).alias("mean_pixel"),
         F.round("std_pixel", 4).alias("std_pixel"),

@@ -93,3 +93,18 @@ def test_video_frame_sampling(spark):
     frames = sample_video_frames(df, every_n=2).collect()
     assert [f.frame_index for f in frames] == [0, 2, 4]
     assert all(len(f.frame) == 16 for f in frames)
+
+
+def test_image_stats_fuses_metadata_and_features(spark, images):
+    from haplorec_spark.operators.multimodal import image_stats
+
+    fused = {r.media_id: r for r in image_stats(images).collect()}
+    meta = {r.media_id: r for r in decode_image_metadata(images).collect()}
+    feats = {r.media_id: r for r in image_features(images).collect()}
+    assert set(fused) == set(meta) == set(feats)
+    for mid, r in fused.items():
+        assert (r.width, r.height, r.channels) == (
+            meta[mid].width, meta[mid].height, meta[mid].channels
+        )
+        assert r.mean_pixel == feats[mid].mean_pixel
+        assert r.std_pixel == feats[mid].std_pixel
