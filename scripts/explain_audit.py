@@ -85,7 +85,36 @@ CHECKS = {
         "expect": ["HashAggregate.*Window"],
         "forbid": ["CartesianProduct"],
     },
+    "_semantic_dedup": {
+        # within-cell pairs: a cluster-keyed equi self-join, never a
+        # cross product over the corpus
+        "expect": [],
+        "forbid": ["CartesianProduct"],
+    },
+    "_strip_boilerplate": {
+        # the hot-line set must come back as a broadcast anti-join
+        # (map-side filter), not a shuffled join of line granularity
+        "expect": ["BroadcastHashJoin.*LeftAnti"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
+
+
+def _semantic_dedup(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import semantic_dedup_pairs
+    from haplorec_spark.queries import table
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semantic_dedup_pairs(emb, threshold=0.8)
+
+
+def _strip_boilerplate(spark, sf_dir):
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+    from haplorec_spark.queries import table
+
+    return strip_boilerplate_lines(table(spark, sf_dir, "documents"))
 
 import haplorec_spark.queries as _qmod
 
@@ -94,7 +123,10 @@ bad = 0
 for name, spec in CHECKS.items():
     # Some audited plans (q_events_hourly) are library functions without a
     # driver correctness gate; resolve those from the module directly.
-    fn = reg[name].fn if name in reg else getattr(_qmod, name)
+    if name.startswith("_"):
+        fn = globals()[name]
+    else:
+        fn = reg[name].fn if name in reg else getattr(_qmod, name)
     df = fn(spark, SF)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
