@@ -311,6 +311,70 @@ def incremental_candidate_pairs(
     return vs_history.unionByName(vs_batch)
 
 
+def write_hash_store(
+    docs: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "append",
+) -> None:
+    """Persist (id, content hash) rows for incremental EXACT dedup.
+
+    The exact-dedup twin of :func:`write_lsh_store`: 1 row × ~48 bytes
+    per historical document, so a recurring drop dedups against all of
+    history by joining this store, never by re-reading corpus text.
+    The md5 key is uniformly distributed — no partition column needed;
+    for recurring large joins bucket it on ``_h`` via
+    ``scale.write_bucketed`` to remove the store-side shuffle.
+    """
+    docs.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_h")
+    ).write.mode(mode).parquet(path)
+
+
+def incremental_exact_duplicates(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id_new, doc_id_matched, source): exact duplicates of an
+    incoming batch against the historical hash store ('history') and
+    inside the batch itself ('batch', id_new > id_matched).
+
+    Same contract as :func:`incremental_candidate_pairs`, exact-match
+    flavor: the anti-join drop step and the store append are the
+    caller's (or :func:`haplorec_spark.streaming.stream_dedup_ingest`'s)
+    next move.
+    """
+    spark = new_docs.sparkSession
+    hashed = new_docs.select(
+        F.col(id_col).alias("doc_id_new"),
+        F.md5(F.col(text_col)).alias("_h"),
+    )
+    store = spark.read.parquet(store_path)
+    vs_history = (
+        hashed.join(
+            store.select(F.col(id_col).alias("doc_id_matched"), "_h"),
+            on="_h",
+        )
+        .select("doc_id_new", "doc_id_matched")
+        .distinct()
+        .withColumn("source", F.lit("history"))
+    )
+    vs_batch = (
+        exact_duplicates(new_docs, text_col=text_col, id_col=id_col)
+        .select(
+            F.col(id_col).alias("doc_id_new"),
+            F.col("canonical_id").alias("doc_id_matched"),
+        )
+        .withColumn("source", F.lit("batch"))
+    )
+    return vs_history.unionByName(vs_batch)
+
+
 # --------------------------------------------------------- n-gram Jaccard
 
 

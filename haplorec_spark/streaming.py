@@ -217,6 +217,119 @@ def stream_user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_dedup_ingest(
+    doc_stream: DataFrame,
+    *,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    mode: str = "near",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch corpus ingest with cross-batch dedup against a
+    persisted store: each micro-batch drops documents matching history
+    (the store) or an earlier document in the same batch, appends the
+    survivors to ``out_path``, and advances the store with their keys.
+
+    ``mode='near'`` uses the MinHash-LSH band-key store
+    (:func:`~haplorec_spark.operators.dedup.incremental_candidate_pairs`),
+    ``mode='exact'`` the content-hash store
+    (:func:`~haplorec_spark.operators.dedup.incremental_exact_duplicates`).
+    Either store stays ~1000× smaller than the corpus, which is the
+    whole design: ingest work scales with the drop, not with history.
+
+    Exactly-once: survivors and store keys both land in
+    ``ingest_batch=<batch_id>`` partitions via dynamic partition
+    overwrite, so a replayed batch rewrites its own partitions instead
+    of double-appending (same scheme as :func:`incremental_variant_ingest`).
+    Returns the started StreamingQuery.
+    """
+    from haplorec_spark.operators.dedup import (
+        exact_duplicates,
+        incremental_candidate_pairs,
+        incremental_exact_duplicates,
+        lsh_band_keys,
+        lsh_candidate_pairs,
+    )
+
+    if mode not in ("near", "exact"):
+        raise ValueError(f"unknown dedup mode: {mode!r}")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        batch_df = batch_df.persist()
+        try:
+            spark.read.parquet(store_path)
+            have_store = True
+        except AnalysisException:
+            have_store = False
+        if mode == "exact":
+            losers = (
+                incremental_exact_duplicates(
+                    batch_df, store_path, text_col=text_col, id_col=id_col
+                )
+                if have_store
+                else exact_duplicates(
+                    batch_df, text_col=text_col, id_col=id_col
+                ).select(
+                    F.col(id_col).alias("doc_id_new"),
+                    F.col("canonical_id").alias("doc_id_matched"),
+                )
+            )
+        else:
+            losers = (
+                incremental_candidate_pairs(
+                    batch_df, store_path, text_col=text_col, id_col=id_col
+                )
+                if have_store
+                else lsh_candidate_pairs(
+                    batch_df, text_col=text_col, id_col=id_col
+                ).select(
+                    F.col("doc_id_b").alias("doc_id_new"),
+                    F.col("doc_id_a").alias("doc_id_matched"),
+                )
+            )
+        survivors = batch_df.join(
+            losers.select(
+                F.col("doc_id_new").alias(id_col)
+            ).distinct(),
+            on=id_col,
+            how="left_anti",
+        ).persist()
+        (
+            survivors.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(out_path)
+        )
+        keys = (
+            lsh_band_keys(survivors, text_col=text_col, id_col=id_col)
+            if mode == "near"
+            else survivors.select(
+                F.col(id_col), F.md5(F.col(text_col)).alias("_h")
+            )
+        )
+        (
+            keys.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(store_path)
+        )
+        survivors.unpersist()
+        batch_df.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_variant_ingest(
     variant_stream: DataFrame,
     pipeline: Any,

@@ -148,3 +148,35 @@ def test_incremental_lsh_store_roundtrip(spark, tmp_path):
     )
     hist = sorted((a, b) for a, b, s in got if s == "history")
     assert hist == cross
+
+
+def test_incremental_hash_store_roundtrip(spark, tmp_path):
+    """Exact-dedup twin of the LSH store: drop 2 carries a copy of a
+    stored doc and an in-batch duplicate pair; near-dups must NOT match
+    (exact means exact)."""
+    from haplorec_spark.operators.dedup import (
+        incremental_exact_duplicates,
+        write_hash_store,
+    )
+
+    drop1 = spark.createDataFrame(
+        [(1, "stored content one"), (2, "stored content two")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "hash_store")
+    write_hash_store(drop1, store, mode="overwrite")
+
+    drop2 = spark.createDataFrame(
+        [
+            (10, "stored content one"),    # exact copy of stored doc 1
+            (11, "stored content one x"),  # near-dup only -> no match
+            (12, "batch local twin"),
+            (13, "batch local twin"),      # in-batch exact duplicate
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id_new"], r["doc_id_matched"], r["source"])
+        for r in incremental_exact_duplicates(drop2, store).collect()
+    )
+    assert got == [(10, 1, "history"), (13, 12, "batch")]

@@ -246,3 +246,93 @@ def test_streaming_curation_pipeline_matches_batch(spark, tmp_path):
 
     assert rows(got) == rows(batch)
     assert got.count() > 0  # the filter keeps a real subset
+
+
+def test_stream_dedup_ingest_two_drops(spark, tmp_path):
+    """Two availableNow passes = two corpus drops. Drop 2 redelivers a
+    drop-1 doc, carries an in-batch duplicate pair, and a novel doc;
+    the curated output must hold each distinct text exactly once and
+    the store must have advanced past both drops."""
+    from haplorec_spark.streaming import stream_dedup_ingest
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "curated")
+
+    def run_drop(rows, ckpt):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_dedup_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src)),
+            store_path=store, out_path=out,
+            checkpoint_dir=str(tmp_path / ckpt), mode="exact",
+        )
+        q.awaitTermination(120)
+
+    run_drop([(1, "first unique doc"), (2, "second unique doc")], "ckpt")
+    run_drop(
+        [
+            (10, "first unique doc"),   # redelivered content -> dropped
+            (11, "third unique doc"),
+            (12, "third unique doc"),   # in-batch duplicate -> dropped
+            (13, "fourth unique doc"),
+        ],
+        "ckpt",  # same checkpoint: batch 2 of the same query lineage
+    )
+
+    curated = spark.read.parquet(out)
+    texts = sorted(r["text"] for r in curated.collect())
+    assert texts == [
+        "first unique doc", "fourth unique doc",
+        "second unique doc", "third unique doc",
+    ]
+    # store advanced: one hash row per surviving doc, batch-partitioned
+    store_df = spark.read.parquet(store)
+    assert store_df.count() == 4
+    assert set(r["ingest_batch"] for r in store_df.collect()) == {0, 1}
+
+
+def test_stream_dedup_ingest_near_mode(spark, tmp_path):
+    """Near mode drops a near-duplicate (shared shingles) that exact
+    mode would keep."""
+    from haplorec_spark.streaming import stream_dedup_ingest
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    src = tmp_path / "incoming_near"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src)),
+        store_path=str(tmp_path / "store"), out_path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"), mode="near",
+    )
+    q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(10, base + " tail"),  # near-dup of stored doc 1 -> dropped
+         (11, "completely different vocabulary that shares no shingle "
+              "with anything previously ingested in any earlier drop")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src)),
+        store_path=str(tmp_path / "store"), out_path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"), mode="near",
+    )
+    q.awaitTermination(120)
+
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert ids == [1, 11]
