@@ -147,6 +147,72 @@ def lsh_bucket_keys(
     )
 
 
+def lsh_probe_buckets(
+    vectors: DataFrame,
+    *,
+    n_flip: int = 2,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, bucket) MULTI-PROBE bucket keys: the vector's own bucket
+    plus ``n_flip`` variants, each with ONE lowest-|margin| sign bit
+    flipped (Lv et al. 2007 multi-probe LSH, single-bit perturbations).
+
+    The recall knob of the hyperplane-LSH path, mirroring IVF's
+    ``nprobe``: a near neighbor lost to one knife-edge projection is
+    recovered from the adjacent bucket. Still map-side — the margin
+    sort happens inside the same row expression and only the PROBE
+    side expands (×(n_flip+1) rows on query-sized data, never on the
+    corpus). Flipped keys are distinct from each other and the base,
+    so a corpus vector (one bucket each) matches a probe at most once.
+    """
+    if not 0 <= n_flip <= n_planes:
+        raise ValueError("n_flip must be in [0, n_planes]")
+    projs = []
+    for p in range(n_planes):
+        signs = ", ".join(f"{_plane_sign(p, d)}.0D" for d in range(dim))
+        projs.append(
+            f"aggregate(zip_with(slice({vec_col}, 1, {dim}),"
+            f" array({signs}),"
+            f" (x, s) -> cast(x as double) * s),"
+            f" cast(0.0 as double), (acc, y) -> acc + y)"
+        )
+    projs_arr = "array(" + ", ".join(projs) + ")"
+    base = (
+        f"array_join(transform({projs_arr},"
+        f" x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '')"
+    )
+    # plane indices ordered by |projection| ascending (knife-edge first),
+    # index as tiebreak for full determinism
+    order = (
+        f"transform(array_sort(zip_with({projs_arr},"
+        f" sequence(0, {n_planes - 1}),"
+        f" (p, i) -> struct(abs(p) as a, i as i))), s -> s.i)"
+    )
+    flip = (
+        "transform(slice(__order, 1, {n}), i -> concat("
+        "substring(__base, 1, i),"
+        " CASE WHEN substring(__base, i + 1, 1) = '1'"
+        " THEN '0' ELSE '1' END,"
+        " substring(__base, i + 2, {np})))"
+    ).format(n=int(n_flip), np=n_planes)
+    return (
+        vectors.select(
+            F.col(id_col),
+            F.expr(base).alias("__base"),
+            F.expr(order).alias("__order"),
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"concat(array(__base), {flip})")
+            ).alias("bucket"),
+        )
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     probes: DataFrame,
@@ -154,19 +220,31 @@ def ann_lsh_topk(
     *,
     n_planes: int = 8,
     dim: int = 64,
+    n_probe_flips: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Approximate cosine top-k: exact ranking within the probe's bucket.
 
     Returns (probe_id, neighbor_id, cosine, rank) with rank over the
-    candidates that share the probe's full sign pattern.
+    candidates that share the probe's full sign pattern — or, with
+    ``n_probe_flips`` > 0, any of its multi-probe perturbed patterns
+    (:func:`lsh_probe_buckets`), trading ×(n_flip+1) probe-side rows
+    for recall.
     """
     corpus_buckets = lsh_bucket_keys(
         corpus, n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col
     )
-    probe_buckets = lsh_bucket_keys(
-        probes, n_planes=n_planes, dim=dim, vec_col=vec_col, id_col=id_col
+    probe_buckets = (
+        lsh_bucket_keys(
+            probes, n_planes=n_planes, dim=dim,
+            vec_col=vec_col, id_col=id_col,
+        )
+        if n_probe_flips == 0
+        else lsh_probe_buckets(
+            probes, n_flip=n_probe_flips, n_planes=n_planes, dim=dim,
+            vec_col=vec_col, id_col=id_col,
+        )
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")

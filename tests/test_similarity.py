@@ -250,3 +250,54 @@ def test_semantic_dedup_subset_of_exact_baseline(spark):
     # seeded copies is total
     seeded_pairs = {(a, b) for a, b in exact_pairs if b == a + 100000}
     assert seeded_pairs <= cell_pairs
+
+
+def test_multiprobe_base_bucket_matches_single(spark):
+    """n_flip=0-equivalent: the first bucket emitted per vector is the
+    vector's own single-probe bucket."""
+    from haplorec_spark.operators.similarity import lsh_probe_buckets
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    single = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_bucket_keys(emb).collect()
+    }
+    multi = lsh_probe_buckets(emb, n_flip=2).collect()
+    per_vec = {}
+    for r in multi:
+        per_vec.setdefault(r["vec_id"], set()).add(r["bucket"])
+    assert set(per_vec) == set(single)
+    for vid, buckets in per_vec.items():
+        assert single[vid] in buckets
+        assert len(buckets) == 3  # base + 2 distinct single-bit flips
+        # every perturbed key differs from base in exactly one position
+        for b in buckets - {single[vid]}:
+            diffs = sum(x != y for x, y in zip(b, single[vid]))
+            assert diffs == 1
+
+
+def test_multiprobe_recall_is_monotone(spark):
+    from haplorec_spark.operators.similarity import (
+        ann_lsh_topk,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(emb["vec_id"] < 10)
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, probes, k=5).collect()
+    }
+
+    def recall(flips):
+        got = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in ann_lsh_topk(
+                emb, probes, k=5, n_probe_flips=flips
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r0, r2, r4 = recall(0), recall(2), recall(4)
+    assert r0 <= r2 <= r4
+    assert r2 > r0  # the knife-edge flips recover real neighbors here
