@@ -619,26 +619,38 @@ def dedup_clusters(
     max_iterations: int = 20,
     a_col: str = "doc_id_a",
     b_col: str = "doc_id_b",
+    small_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """(doc_id, canonical_id): connected components over near-dup pairs.
 
     The drop step of every near-dup family: LSH/SimHash/Jaccard emit
     *pairs*; transitive closure groups them into clusters and the
-    minimum id becomes the keeper. Each round combines min-label
-    propagation (adopt the smallest label among self and neighbors)
-    with pointer jumping (then adopt the label's own label), so the
-    longest chain shrinks geometrically — O(log n) rounds to a fixed
-    point, detected with one short-circuit probe (limit-1 count) per
-    round and bounded by ``max_iterations``. Near-dup clusters are tiny
-    in practice; the per-round cost is two label-table joins.
+    minimum id becomes the keeper.
 
-    Probing every round is deliberate: real near-dup graphs converge in
-    2-3 rounds (components are small), so a probe-every-2 scheme —
-    measured on the sf0.1 corpus — runs twice the rounds (it only
-    detects the fixed point a full two-round window later) and loses
-    despite saving probe jobs. Deep-chain graphs would favor sparser
-    probes; this operator targets near-dup clusters.
+    Adaptive two-phase (the :func:`~haplorec_spark.operators.fk.
+    assign_ids` pattern): the distinct edge count is measured first —
+    it is the same job that materializes the persisted edge set the
+    iterative path would reuse.
+
+    * ``<= small_edge_limit`` edges (~16 MB of id pairs at the
+      default): driver-side union-find with path compression —
+      near-dup edge sets are duplicate-sized, not corpus-sized, so
+      this is the common case, and it replaces ~8 fixed-overhead
+      Spark jobs with one collect. The bound is MEASURED, so big
+      graphs cannot silently funnel through the driver.
+    * larger: iterative min-label propagation (adopt the smallest
+      label among self and neighbors) + pointer jumping (then adopt
+      the label's own label), so the longest chain shrinks
+      geometrically — O(log n) rounds to a fixed point, detected with
+      one short-circuit probe per round and bounded by
+      ``max_iterations``. Probing every round is deliberate: real
+      near-dup graphs converge in 2-3 rounds, so a probe-every-2
+      scheme — measured on the sf0.1 corpus — only detects the fixed
+      point later and loses despite saving probe jobs.
+
+    Both paths produce identical labels (component-minimum id).
     """
+    spark = pairs.sparkSession
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(
@@ -647,6 +659,43 @@ def dedup_clusters(
         .distinct()
         .persist()
     )
+    n_edges = edges.count()
+
+    if n_edges <= small_edge_limit:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        # canonical = component minimum, matching the distributed path
+        comp_min: dict = {}
+        for node in parent:
+            root = find(node)
+            if root not in comp_min or node < comp_min[root]:
+                comp_min[root] = node
+        out = [(node, comp_min[find(node)]) for node in parent]
+        edges.unpersist()
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[a_col].dataType
+        schema = StructType([
+            StructField("doc_id", id_type),
+            StructField("canonical_id", id_type),
+        ])
+        return spark.createDataFrame(out, schema)
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

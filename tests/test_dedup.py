@@ -96,6 +96,25 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert got == [(i, 0) for i in range(n)]
 
 
+def test_dedup_clusters_paths_agree(spark):
+    """The driver union-find (small graphs) and the iterative
+    distributed path must label identically — force the distributed
+    path with small_edge_limit=0 and compare on a branchy graph."""
+    from haplorec_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20),
+         (5, 9), (9, 7), (7, 6), (6, 5),      # cycle 5-9-7-6
+         (100, 3)],                            # merges into chain
+        "doc_id_a long, doc_id_b long",
+    )
+    small = rows(dedup_clusters(pairs))
+    dist = rows(dedup_clusters(pairs, small_edge_limit=0))
+    assert small == dist
+    # component minima are the canonical ids
+    assert (100, 1) in small and (9, 5) in small
+
+
 def test_incremental_lsh_store_roundtrip(spark, tmp_path):
     """Drop 1 seeds the store; drop 2 contains an exact copy of a
     stored doc, a new near-dup pair, and a novel doc — the incremental
