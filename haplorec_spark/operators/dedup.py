@@ -375,6 +375,132 @@ def incremental_exact_duplicates(
     return vs_history.unionByName(vs_batch)
 
 
+# ------------------------------------------------- duplicate n-gram spans
+
+
+def _dup_ngram_starts(
+    docs: DataFrame, n: int, min_df: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, pos): start positions (0-based word index) of n-grams that
+    occur in >= min_df distinct documents."""
+    ws = f"split(lower({text_col}), ' ')"
+    gram_structs = (
+        f"transform(sequence(0, greatest(size({ws}) - {n}, -1)),"
+        f" i -> struct(i as pos,"
+        f" md5(concat_ws(' ', slice({ws}, i + 1, {n}))) as h))"
+    )
+    grams = docs.select(
+        F.col(id_col), F.explode(F.expr(gram_structs)).alias("g")
+    ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    hot = (
+        grams.select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    return grams.join(F.broadcast(hot), on="h").select(id_col, "pos")
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    *,
+    n: int = 20,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, span_start, span_end): maximal word-index spans covered by
+    n-grams occurring in >= ``min_df`` distinct documents — the
+    substring granularity of the dedup family (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better":
+    verbatim-repeated SPANS, not whole documents, are the dominant
+    duplication mode in web corpora).
+
+    Overlapping/touching duplicated n-grams merge into one span
+    (islands via a per-document running-max window). Spans are
+    inclusive word indices into ``split(lower(text), ' ')``.
+
+    Scale shape: the n-gram stream is map-side (one explode at word
+    granularity), the document-frequency cut is two partially
+    aggregated hash-keyed shuffles, and — like the boilerplate hot-line
+    set — the duplicated n-grams are assumed to be the small fraction,
+    broadcast back as an equi-join. The island merge windows per
+    document, the same per-doc partitioning every report op uses.
+    """
+    starts = _dup_ngram_starts(docs, n, min_df, text_col, id_col)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + n - 1).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_island = starts.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    return (
+        with_island.groupBy(id_col, "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max(F.col("pos") + n - 1).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )
+
+
+def strip_duplicate_ngram_spans(
+    docs: DataFrame,
+    *,
+    n: int = 20,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text_clean, n_words, n_removed): drop every word covered by
+    a duplicated n-gram (the removal face of
+    :func:`duplicate_ngram_spans`).
+
+    Removal is map-side once the duplicated start positions collect per
+    document (a |dup-starts|-wide groupBy, duplicate-sized): a word at
+    index i is removed iff some duplicated n-gram starts in
+    ``[i - n + 1, i]``, evaluated as an ``exists`` over the per-doc
+    sorted start array. Documents with no duplicated spans pass
+    through untouched via the left join.
+    """
+    starts = (
+        _dup_ngram_starts(docs, n, min_df, text_col, id_col)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
+    )
+    # hashes matched on lowercased words, but reconstruction keeps the
+    # original casing — a single-space split has identical arity/indices
+    ws = f"split({text_col}, ' ')"
+    kept = (
+        f"filter(transform({ws}, (w, i) -> struct(w as w, i as i)),"
+        f" s -> NOT exists(_starts,"
+        f" st -> st <= s.i AND s.i < st + {n}))"
+    )
+    return (
+        docs.join(starts, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.when(F.col("_starts").isNull(), F.col(text_col))
+            .otherwise(
+                F.expr(f"array_join(transform({kept}, s -> s.w), ' ')")
+            )
+            .alias("text_clean"),
+            F.expr(f"size({ws})").alias("n_words"),
+            F.when(F.col("_starts").isNull(), F.lit(0))
+            .otherwise(
+                F.expr(f"size({ws}) - size({kept})")
+            )
+            .alias("n_removed"),
+        )
+    )
+
+
 # --------------------------------------------------------- n-gram Jaccard
 
 

@@ -199,3 +199,112 @@ def test_incremental_hash_store_roundtrip(spark, tmp_path):
         for r in incremental_exact_duplicates(drop2, store).collect()
     )
     assert got == [(10, 1, "history"), (13, 12, "batch")]
+
+
+def test_duplicate_ngram_spans_golden(spark):
+    """Two docs share an 8-word passage at different offsets; the span
+    detector must report exactly the covered word ranges, merging the
+    overlapping duplicated 4-grams into one island per doc."""
+    from haplorec_spark.operators.dedup import duplicate_ngram_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail a"),
+            (2, f"{shared} completely different ending text"),
+            (3, "no duplicated passage in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = rows(duplicate_ngram_spans(docs, n=4, min_df=2))
+    # doc 1: shared passage occupies word indices 3..10
+    # doc 2: indices 0..7
+    assert got == [(1, 3, 10), (2, 0, 7)]
+
+
+def test_strip_duplicate_ngram_spans_golden(spark):
+    from haplorec_spark.operators.dedup import strip_duplicate_ngram_spans
+
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words here {shared} tail a"),
+            (2, f"{shared} completely different ending text"),
+            (3, "no duplicated passage in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_words"], r["n_removed"])
+        for r in strip_duplicate_ngram_spans(docs, n=4, min_df=2).collect()
+    }
+    assert got[1] == ("intro words here tail a", 13, 8)
+    assert got[2] == ("completely different ending text", 12, 8)
+    assert got[3] == ("no duplicated passage in this document at all", 8, 0)
+
+
+def test_duplicate_ngram_spans_vs_duckdb(spark):
+    """Cross-check span detection on the real corpus with seeded shared
+    passages (testdata docs share few natural 10-grams)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.dedup import duplicate_ngram_spans
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # every 4th doc gets the same 12-word passage appended
+    docs = base.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN concat(text,"
+            " ' shared passage alpha beta gamma delta epsilon zeta eta"
+            " theta iota kappa') ELSE text END"
+        ).alias("text"),
+    )
+    got = rows(duplicate_ngram_spans(docs, n=10, min_df=2))
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 4 = 0 THEN text ||
+                           ' shared passage alpha beta gamma delta epsilon'
+                           || ' zeta eta theta iota kappa'
+                      ELSE text END AS text
+               FROM documents),
+         w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM d),
+         g AS (SELECT doc_id, u.pos, u.h FROM (
+                   SELECT doc_id,
+                          unnest(list_apply(
+                              range(0, greatest(len(ws) - 10, -1) + 1),
+                              i -> {'pos': i,
+                                    'h': md5(array_to_string(
+                                             ws[i + 1: i + 10], ' '))}))
+                              AS u
+                   FROM w)),
+         hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                                FROM g GROUP BY h) WHERE df >= 2),
+         s AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+         isl AS (SELECT doc_id, pos,
+                        sum(CASE WHEN prev_end IS NULL
+                                  OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS island
+                 FROM (SELECT doc_id, pos,
+                              max(pos + 9) OVER (PARTITION BY doc_id
+                                  ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS prev_end
+                       FROM s))
+    SELECT doc_id, min(pos) AS span_start, max(pos + 9) AS span_end
+    FROM isl GROUP BY doc_id, island
+    """
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # the seeded passages were detected
