@@ -53,6 +53,10 @@ from haplorec_spark.operators.sampling import (  # noqa: E402
     hash_split,
     mixture_sample,
 )
+from haplorec_spark.operators.dedup import (  # noqa: E402
+    duplicate_ngram_spans,
+    strip_duplicate_ngram_spans,
+)
 from haplorec_spark.operators.similarity import (  # noqa: E402
     semantic_dedup_pairs,
 )
@@ -63,7 +67,10 @@ from haplorec_spark.operators.text import (  # noqa: E402
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
 from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
-from haplorec_spark.streaming import stream_dedup_events  # noqa: E402
+from haplorec_spark.streaming import (  # noqa: E402
+    stream_dedup_events,
+    stream_dedup_ingest,
+)
 
 __all__ = [
     "CurationConfig",
@@ -74,6 +81,7 @@ __all__ = [
     "contamination_report",
     "curate_documents",
     "decontaminate",
+    "duplicate_ngram_spans",
     "frequent_values",
     "get_spark",
     "grouped_rows_to_columns",
@@ -91,7 +99,9 @@ __all__ = [
     "select_where_subset_of",
     "semantic_dedup_pairs",
     "stream_dedup_events",
+    "stream_dedup_ingest",
     "strip_boilerplate_lines",
+    "strip_duplicate_ngram_spans",
     "tfidf",
     "__version__",
 ]
