@@ -4,8 +4,9 @@ stages.
 
 ``curate_documents`` chains the standard corpus-preparation sequence —
 language keep-list → cross-document boilerplate-line strip → quality +
-repetition filters → PII redaction → dedup → eval-set decontamination →
-domain mixture → split assignment →
+repetition filters → PII redaction → document dedup → span-level
+duplicated-passage strip → eval-set decontamination → domain mixture →
+split assignment →
 sequence packing — each stage an existing operator from
 ``operators/``, each individually oracle- or replica-verified. The
 composition itself adds NO new shuffles beyond its stages: filters and
@@ -37,6 +38,7 @@ from haplorec_spark.operators.sampling import (
     hash_split,
     mixture_sample,
 )
+from haplorec_spark.operators.dedup import strip_duplicate_ngram_spans
 from haplorec_spark.operators.text import (
     quality_score,
     redact_pii,
@@ -61,6 +63,11 @@ class CurationConfig:
     #: "exact" (content-hash), "near" (MinHash-LSH candidate pairs →
     #: connected components, cluster-minimum id survives), or None
     dedup: str | None = "exact"
+    #: n-gram length for span-level dedup AFTER document dedup (the
+    #: word-granularity pass runs on the already-shrunk corpus); None
+    #: skips the stage
+    strip_span_ngram: int | None = None
+    span_min_df: int = 2
     decontaminate_ngram: int = 8
     mixture_weights: Mapping[str, float] | None = None
     splits: Mapping[str, float] = field(
@@ -169,6 +176,21 @@ def curate_documents(
         out = note("dedup", out.join(losers, cfg.id_col, "left_anti"))
     elif cfg.dedup:  # falsy (None/False) skips dedup entirely
         raise ValueError(f"unknown dedup mode: {cfg.dedup!r}")
+
+    if cfg.strip_span_ngram:
+        # span-level last of the dedup trio: whole-document and
+        # line-level passes have already shrunk the corpus the
+        # word-granularity n-gram stream explodes over
+        spans = strip_duplicate_ngram_spans(
+            out,
+            n=cfg.strip_span_ngram,
+            min_df=cfg.span_min_df,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).select(cfg.id_col, F.col("text_clean").alias(cfg.text_col))
+        out = note(
+            "strip_spans", out.drop(cfg.text_col).join(spans, cfg.id_col)
+        )
 
     if benchmark is not None:
         out = note(

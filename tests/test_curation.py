@@ -189,3 +189,42 @@ def test_curation_boilerplate_stage_cleans_before_scoring(spark):
     assert len(surviving_pair) <= 1
     if surviving_pair:
         assert surviving_pair == {1}  # min id is the keeper
+
+
+def test_curation_span_strip_stage(spark):
+    """With strip_span_ngram set, a passage shared across surviving
+    documents disappears from the curated text while unique content
+    stays."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    passage = (
+        "repeated boilerplate passage words appearing verbatim in many "
+        "documents across the corpus"
+    )
+    docs = base.select(
+        "doc_id", "lang",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" " + passage)),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    cfg = CurationConfig(
+        strip_span_ngram=6, redact=False, dedup=None
+    )
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    rows_ = out.collect()
+    assert counts["strip_spans"] == counts["quality"]
+    assert rows_ and all(passage not in r["text"] for r in rows_)
+    # the stage equals the standalone operator applied at that point
+    # in the funnel (composition adds nothing)
+    from haplorec_spark.operators.dedup import strip_duplicate_ngram_spans
+
+    pre_ids = [r["doc_id"] for r in rows_]
+    pre = docs.join(
+        spark.createDataFrame([(i,) for i in pre_ids], "doc_id long"),
+        "doc_id",
+    )
+    want = {
+        r["doc_id"]: r["text_clean"]
+        for r in strip_duplicate_ngram_spans(pre, n=6, min_df=2).collect()
+    }
+    assert {r["doc_id"]: r["text"] for r in rows_} == want
