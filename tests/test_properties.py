@@ -262,3 +262,50 @@ def test_disambiguate_hets_invariants(n_haps, n_snps, seed):
                 assert surviving is not None and len(surviving) == 1
             else:
                 assert surviving
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=15),
+        st.integers(min_value=0, max_value=15),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SLOW
+@given(edges=edge_lists)
+def test_dedup_clusters_matches_bfs_model(spark, edges):
+    """Union-find labels = BFS connected components with min-id
+    canonicals, on random small graphs."""
+    from haplorec_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        edges, "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup_clusters(pairs).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = set()
+    seen: set[int] = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp, frontier = {start}, [start]
+        while frontier:
+            node = frontier.pop()
+            for nxt in adj[node]:
+                if nxt not in comp:
+                    comp.add(nxt)
+                    frontier.append(nxt)
+        seen |= comp
+        keeper = min(comp)
+        want |= {(n, keeper) for n in comp}
+    assert got == want
