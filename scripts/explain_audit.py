@@ -97,7 +97,20 @@ CHECKS = {
         "expect": ["BroadcastHashJoin.*LeftAnti"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_dup_spans": {
+        # duplicated n-grams (small by assumption) broadcast back onto
+        # the word-granularity stream; islands window per document
+        "expect": ["BroadcastHashJoin", "Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
+
+
+def _dup_spans(spark, sf_dir):
+    from haplorec_spark.operators.dedup import duplicate_ngram_spans
+    from haplorec_spark.queries import table
+
+    return duplicate_ngram_spans(table(spark, sf_dir, "documents"), n=10)
 
 
 def _semantic_dedup(spark, sf_dir):
