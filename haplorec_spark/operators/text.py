@@ -258,54 +258,38 @@ def strip_boilerplate_lines(
     dedup drops whole near-copies, this removes the shared scaffolding
     inside otherwise-distinct pages.
 
-    Physical shape for 100 TB: one posexplode to line granularity, a
-    distinct on (line, doc) then a count per line (two line-keyed
-    shuffles with map-side partial aggregation), and the hot-line set —
-    boilerplate by definition, so a tiny fraction of distinct lines —
-    broadcasts back for a map-side anti-filter before lines regroup per
-    document. The regroup shuffles on ``id_col``, the same key the scan
-    is usually already bucketed by. Empty documents come back as
-    empty strings (never null) so sinks need no null handling.
+    Physical shape for 100 TB: one explode to line granularity feeds
+    the document-frequency count (two line-keyed shuffles with
+    map-side partial aggregation — only (line, doc) pairs move, never
+    text). The hot-line set — boilerplate by definition, so a tiny
+    fraction of distinct lines — folds to ONE array row that
+    broadcasts onto the doc scan, and reconstruction is a per-row
+    ``filter`` over the split: document text itself never crosses a
+    shuffle. (An earlier form regrouped kept lines per doc — a full
+    corpus-bytes shuffle for what one broadcast array expresses.)
+    Empty documents come back as empty strings (never null) so sinks
+    need no null handling.
     """
     lines = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_delim)).alias(
-            "_pos", "_line"
-        ),
+        F.explode(F.split(F.col(text_col), line_delim)).alias("_line"),
     )
     hot = (
-        lines.select("_line", id_col)
-        .distinct()
+        lines.distinct()
         .groupBy("_line")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_doc_freq)
-        .select("_line")
+        .agg(F.collect_list("_line").alias("_hot"))
     )
-    kept = lines.join(F.broadcast(hot), on="_line", how="left_anti")
+    ls = F.split(F.col(text_col), line_delim)
+    kept = F.filter(ls, lambda l: ~F.array_contains(F.col("_hot"), l))
     return (
-        lines.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_lines"))
-        .join(
-            kept.groupBy(id_col).agg(
-                F.concat_ws(
-                    line_delim,
-                    F.expr(
-                        "transform(array_sort(collect_list("
-                        "struct(_pos, _line))), s -> s._line)"
-                    ),
-                ).alias("text_clean"),
-                F.count(F.lit(1)).alias("_n_kept"),
-            ),
-            on=id_col,
-            how="left",
-        )
+        docs.crossJoin(F.broadcast(hot))  # one row: the hot-line array
         .select(
             F.col(id_col),
-            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
-            "n_lines",
-            (
-                F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))
-            ).alias("n_removed"),
+            F.array_join(kept, line_delim).alias("text_clean"),
+            F.size(ls).alias("n_lines"),
+            (F.size(ls) - F.size(kept)).alias("n_removed"),
         )
     )
 

@@ -92,10 +92,14 @@ CHECKS = {
         "forbid": ["CartesianProduct"],
     },
     "_strip_boilerplate": {
-        # the hot-line set must come back as a broadcast anti-join
-        # (map-side filter), not a shuffled join of line granularity
-        "expect": ["BroadcastHashJoin.*LeftAnti"],
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        # the hot-line set folds to ONE array row broadcast onto the
+        # doc scan (the BNLJ build side is that single row — intended);
+        # document text must never enter an Exchange, so the only
+        # shuffle is the line-df aggregate
+        "expect": ["BroadcastNestedLoopJoin"],
+        "forbid": ["CartesianProduct",
+                   "Exchange hashpartitioning.*Exchange hashpartitioning"
+                   ".*Exchange hashpartitioning"],
     },
     "_dup_spans": {
         # duplicated n-grams (small by assumption) broadcast back onto
