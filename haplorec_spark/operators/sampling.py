@@ -103,6 +103,34 @@ def hash_fraction_sample(
     return df.filter(_hash_band(seed, key_cols) < F.lit(cutoff))
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_cols: Sequence[str],
+    *,
+    seed: str = "weighted",
+) -> DataFrame:
+    """Deterministically keep each row with probability = its own
+    ``weight_col`` value (clamped to [0, 1]).
+
+    Per-row acceptance sampling for score-weighted corpus selection
+    (keep high-quality documents with higher probability instead of a
+    hard threshold — the soft-filter shape quality-classifier
+    pipelines use): a row survives iff its hash band falls under its
+    weight. Same determinism contract as
+    :func:`hash_fraction_sample` — selection depends only on (seed,
+    key, weight), so reruns, retries, and unrelated appends never flip
+    a decision, and it composes with :func:`hash_split` (different
+    seeds => independent bands). Map-side filter, no shuffle.
+    """
+    band = _hash_band(seed, key_cols)
+    w = F.least(
+        F.greatest(F.col(weight_col).cast("double"), F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return df.filter(band < (w * F.lit(float(1 << _BAND_BITS))))
+
+
 def hash_split(
     df: DataFrame,
     weights: Mapping[str, float],

@@ -253,3 +253,33 @@ def test_contamination_report_pairs_and_counts(spark):
     kept = {r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()}
     flagged = {t[0] for t in got}
     assert flagged == {10} and kept == {11}
+
+
+def test_weighted_sample_matches_python_replica(spark, docs):
+    """Acceptance probability = the row's own quality score; the keep
+    set is the pure function band(seed, id) < weight * 2^32."""
+    from haplorec_spark.operators.sampling import weighted_sample
+    from haplorec_spark.operators.text import quality_score
+
+    scored = docs.join(quality_score(docs).select("doc_id", "quality"),
+                       "doc_id")
+    got = {r.doc_id for r in
+           weighted_sample(scored, "quality", ["doc_id"]).collect()}
+    want = {
+        r.doc_id
+        for r in scored.select("doc_id", "quality").collect()
+        if band("weighted", r.doc_id)
+        < min(max(r.quality, 0.0), 1.0) * (1 << 32)
+    }
+    assert got == want
+    # weight-1 rows always survive, weight-0 rows never do
+    import pyspark.sql.functions as SF_
+
+    pinned = scored.withColumn(
+        "quality",
+        SF_.when(SF_.col("doc_id") % 2 == 0, 1.0).otherwise(0.0),
+    )
+    kept = {r.doc_id for r in
+            weighted_sample(pinned, "quality", ["doc_id"]).collect()}
+    evens = {r.doc_id for r in scored.collect() if r.doc_id % 2 == 0}
+    assert kept == evens
