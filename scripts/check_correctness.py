@@ -53,7 +53,13 @@ def main() -> int:
     from __spark_entry__ import oracle_sql, queries
     from haplorec_spark.session import get_spark
 
-    spark = get_spark()
+    # The engine must be mode-neutral: $SPARK_GRAFT_ANSI overrides the
+    # session's ANSI flag so CI can prove the identical green set under
+    # spark.sql.ansi.enabled true (Spark 4 / driver default) AND false.
+    ansi = os.environ.get("SPARK_GRAFT_ANSI")
+    spark = get_spark(
+        extra_confs={"spark.sql.ansi.enabled": ansi} if ansi else None
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
