@@ -521,6 +521,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.95,
     n_clusters: int = 8,
     iterations: int = 2,
+    nprobe: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -532,21 +533,30 @@ def semantic_dedup_pairs(
     Same output schema as :func:`~haplorec_spark.operators.dedup.
     embedding_near_duplicates` (the exact O(n^2) baseline), so it is a
     drop-in replacement upstream of ``dedup_clusters``; recall is
-    bounded by cluster assignment (a near-dup pair split across cells
-    is missed — raise ``n_clusters`` more slowly than corpus growth or
-    probe neighboring cells to trade work back for recall).
+    bounded by cluster assignment — a near-dup pair split across cell
+    boundaries is missed at ``nprobe=1``. ``nprobe`` is the recall
+    knob (the IVF pattern): each vector joins its ``nprobe`` nearest
+    cells, so boundary pairs meet in a shared cell at ×nprobe row cost
+    on the assignment (still map-side); ``nprobe = n_clusters``
+    degenerates to the exact pairwise scan.
 
     Scale shape: codebook learning is the iterative k-means (broadcast
     codebook, one shuffle per iteration), assignment is a map-side
     literal-codebook argmin, and the pair generation is a cluster-keyed
     self-join — (n/k)^2 work per cell instead of n^2, the published
-    tradeoff. Norms are computed once per vector before the join.
+    tradeoff. Norms are computed once per vector before the join; a
+    pair sharing several probed cells is emitted once (distinct on the
+    pair before scoring).
     """
     centroids = kmeans_centroids(
         vectors, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
-    cells = assign_clusters(
-        vectors, centroids, vec_col=vec_col, id_col=id_col
+    cells = (
+        assign_clusters(vectors, centroids, vec_col=vec_col, id_col=id_col)
+        if nprobe <= 1
+        else assign_probe_cells(
+            vectors, centroids, nprobe, vec_col=vec_col, id_col=id_col
+        )
     )
     norm = F.expr(
         f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
@@ -573,7 +583,7 @@ def semantic_dedup_pairs(
         " cast(x as double) * cast(y as double)), cast(0.0 as double),"
         " (acc, v) -> acc + v)"
     )
-    return (
+    scored = (
         a.join(b, on="cluster")
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select(
@@ -583,6 +593,12 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if nprobe > 1:
+        # a pair sharing several probed cells joins once per shared
+        # cell; rows are identical (deterministic cosine), so distinct
+        # restores one row per pair
+        scored = scored.distinct()
+    return scored
 
 
 # ------------------------------------------------------ query registration

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from tests.conftest import rows
+
 from haplorec_spark.operators.similarity import (
     _plane_sign,
     assign_clusters,
@@ -301,3 +303,31 @@ def test_multiprobe_recall_is_monotone(spark):
     r0, r2, r4 = recall(0), recall(2), recall(4)
     assert r0 <= r2 <= r4
     assert r2 > r0  # the knife-edge flips recover real neighbors here
+
+
+def test_semantic_dedup_nprobe_recall_monotone(spark):
+    """nprobe recovers boundary pairs: recall against the exact O(n^2)
+    baseline is monotone, and nprobe = n_clusters reproduces it."""
+    from haplorec_spark.operators.dedup import embedding_near_duplicates
+    from haplorec_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    exact = rows(embedding_near_duplicates(seeded, threshold=0.8))
+
+    def pairs(np_):
+        return rows(
+            semantic_dedup_pairs(
+                seeded, threshold=0.8, n_clusters=4, nprobe=np_
+            )
+        )
+
+    p1, p2, p4 = pairs(1), pairs(2), pairs(4)
+    assert set(p1) <= set(p2) <= set(p4)
+    assert p4 == exact  # full probe = exact pairwise, incl. no dup rows
