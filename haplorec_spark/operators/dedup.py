@@ -384,10 +384,16 @@ def _dup_ngram_starts(
     """(id, pos): start positions (0-based word index) of n-grams that
     occur in >= min_df distinct documents."""
     ws = f"split(lower({text_col}), ' ')"
+    # documents shorter than n words contribute no n-grams. The guard
+    # must be an explicit CASE: sequence(0, size - n) AUTO-REVERSES
+    # when size < n (sequence(0, -1) = [0, -1]), which would feed
+    # slice() a 0 start and crash under ANSI.
     gram_structs = (
-        f"transform(sequence(0, greatest(size({ws}) - {n}, -1)),"
+        f"CASE WHEN size({ws}) >= {n} THEN"
+        f" transform(sequence(0, size({ws}) - {n}),"
         f" i -> struct(i as pos,"
         f" md5(concat_ws(' ', slice({ws}, i + 1, {n}))) as h))"
+        f" ELSE cast(array() as array<struct<pos:int,h:string>>) END"
     )
     grams = docs.select(
         F.col(id_col), F.explode(F.expr(gram_structs)).alias("g")

@@ -308,3 +308,26 @@ def test_duplicate_ngram_spans_vs_duckdb(spark):
     )
     assert got == want
     assert len(got) > 0  # the seeded passages were detected
+
+
+def test_duplicate_ngram_spans_short_docs(spark):
+    """Documents shorter than n words contribute no n-grams and pass
+    through removal untouched — regression: sequence(0, size-n)
+    auto-reverses for short docs and crashed slice() under ANSI."""
+    from haplorec_spark.operators.dedup import (
+        duplicate_ngram_spans,
+        strip_duplicate_ngram_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "also quite short"), (3, "x")],
+        "doc_id long, text string",
+    )
+    assert duplicate_ngram_spans(docs, n=5, min_df=2).count() == 0
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in strip_duplicate_ngram_spans(docs, n=5, min_df=2).collect()
+    }
+    assert got == {
+        1: ("tiny doc", 0), 2: ("also quite short", 0), 3: ("x", 0)
+    }
