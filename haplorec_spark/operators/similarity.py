@@ -329,13 +329,31 @@ def kmeans_centroids(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     ).persist()  # re-read every iteration; pin the casted vectors once
+    # Fail fast on ragged input: squared-L2 against a fixed-dim codebook
+    # is undefined for mixed dimensions, and without this check the
+    # breakage surfaces as a null per-dimension sum deep in iteration 1.
+    # (The LSH path handles ragged vectors explicitly; k-means cannot.)
+    span = v.agg(
+        F.min(F.size("v")).alias("mn"), F.max(F.size("v")).alias("mx")
+    ).first()
+    if span["mn"] != span["mx"]:
+        v.unpersist()
+        raise ValueError(
+            "k-means requires fixed-dimension vectors; got sizes "
+            f"{span['mn']}..{span['mx']} in column {vec_col!r}"
+        )
     # centroid_id = rank of the seed vector's id — explicitly ordered so
     # the init is reproducible across engines (the DuckDB oracle unrolls
     # the same iterations from the same seeds), not merely within Spark.
     cents: list[list[float]] = [
         list(r["v"]) for r in v.orderBy(id_col).limit(k).collect()
     ]
-    dim = len(cents[0]) if cents else 0
+    if not cents:  # empty corpus: empty codebook, nothing to iterate
+        v.unpersist()
+        return spark.createDataFrame(
+            [], "centroid_id int, centroid array<double>"
+        )
+    dim = len(cents[0])
     for _ in range(iterations):
         # Map-side argmin against the literal codebook (k × dim doubles,
         # inlined like the LSH plane matrix): no ×k crossJoin row
@@ -394,6 +412,10 @@ def assign_clusters(
         list(r["centroid"])
         for r in centroids.orderBy("centroid_id").collect()
     ]
+    if not cents:  # empty codebook (empty corpus): no assignments
+        return vectors.select(F.col(id_col)).limit(0).withColumn(
+            "cluster", F.lit(0).cast("int")
+        )
     v = vectors.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
@@ -429,6 +451,10 @@ def assign_probe_cells(
         list(r["centroid"])
         for r in centroids.orderBy("centroid_id").collect()
     ]
+    if not cents:  # empty codebook (empty corpus): no assignments
+        return vectors.select(F.col(id_col)).limit(0).withColumn(
+            "cluster", F.lit(0).cast("int")
+        )
     v = vectors.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),

@@ -331,3 +331,27 @@ def test_semantic_dedup_nprobe_recall_monotone(spark):
     p1, p2, p4 = pairs(1), pairs(2), pairs(4)
     assert set(p1) <= set(p2) <= set(p4)
     assert p4 == exact  # full probe = exact pairwise, incl. no dup rows
+
+
+def test_kmeans_rejects_ragged_vectors(spark):
+    """Mixed-dimension input fails fast with a clear error instead of a
+    null-sum TypeError deep inside iteration 1."""
+    import pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 64), (3, [0.5] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="fixed-dimension"):
+        kmeans_centroids(emb, 2, 1)
+    with pytest.raises(ValueError, match="fixed-dimension"):
+        from haplorec_spark.operators.similarity import semantic_dedup_pairs
+
+        semantic_dedup_pairs(emb, n_clusters=2, iterations=1).collect()
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    from haplorec_spark.operators.similarity import semantic_dedup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert semantic_dedup_pairs(empty, n_clusters=2).count() == 0
