@@ -52,6 +52,7 @@ from haplorec_spark.operators.sampling import (  # noqa: E402
     hash_fraction_sample,
     hash_split,
     mixture_sample,
+    top_fraction_by_score,
     weighted_sample,
 )
 from haplorec_spark.operators.dedup import (  # noqa: E402
@@ -104,6 +105,7 @@ __all__ = [
     "strip_boilerplate_lines",
     "strip_duplicate_ngram_spans",
     "tfidf",
+    "top_fraction_by_score",
     "weighted_sample",
     "__version__",
 ]

@@ -131,6 +131,44 @@ def weighted_sample(
     return df.filter(band < (w * F.lit(float(1 << _BAND_BITS))))
 
 
+def top_fraction_by_score(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    *,
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Keep (approximately) the top ``fraction`` of rows by score —
+    quality-percentile selection ("keep the best 30%") without a
+    hand-tuned absolute threshold.
+
+    The cut point is the (1 - fraction) quantile of ``score_col``
+    computed in ONE aggregate (Greenwald-Khanna sketch by default:
+    mergeable partials, bounded memory at corpus scale; ``exact=True``
+    buffers values — dimension-sized inputs only), collected as a
+    single scalar and pushed into a map-side ``>=`` filter. Ties at
+    the cut keep every tied row, so the realized fraction can exceed
+    the target on discrete scores. Unlike :func:`weighted_sample`
+    (per-row independent acceptance), this is a rank cut: the kept set
+    changes when the score distribution does.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    if fraction == 1.0:
+        return df
+    fn = "percentile" if exact else "approx_percentile"
+    extra = "" if exact else f", {int(accuracy)}"
+    cut = df.agg(
+        F.expr(
+            f"{fn}({score_col}, {float(1.0 - fraction)!r}{extra})"
+        ).alias("cut")
+    ).first()["cut"]
+    if cut is None:  # empty input (or all-null scores): nothing to keep
+        return df.filter(F.lit(False))
+    return df.filter(F.col(score_col) >= F.lit(float(cut)))
+
+
 def hash_split(
     df: DataFrame,
     weights: Mapping[str, float],

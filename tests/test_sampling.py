@@ -283,3 +283,26 @@ def test_weighted_sample_matches_python_replica(spark, docs):
             weighted_sample(pinned, "quality", ["doc_id"]).collect()}
     evens = {r.doc_id for r in scored.collect() if r.doc_id % 2 == 0}
     assert kept == evens
+
+
+def test_top_fraction_by_score(spark, docs):
+    """Exact mode keeps the top fraction by rank (ties inclusive) and
+    matches a pure-Python quantile cut."""
+    import numpy as np
+
+    from haplorec_spark.operators.sampling import top_fraction_by_score
+    from haplorec_spark.operators.text import token_counts
+
+    scored = token_counts(docs).select("doc_id", "n_ws_tokens")
+    vals = [r.n_ws_tokens for r in scored.collect()]
+    got = {r.doc_id for r in
+           top_fraction_by_score(scored, "n_ws_tokens", 0.3,
+                                 exact=True).collect()}
+    cut = float(np.quantile(vals, 0.7, method="linear"))
+    want = {r.doc_id for r in scored.collect() if r.n_ws_tokens >= cut}
+    assert got == want
+    assert 0 < len(got) < len(vals)
+    # fraction=1 keeps everything; empty input stays empty
+    assert top_fraction_by_score(scored, "n_ws_tokens", 1.0).count() == len(vals)
+    empty = scored.limit(0)
+    assert top_fraction_by_score(empty, "n_ws_tokens", 0.5).count() == 0
