@@ -1,7 +1,8 @@
 """Document deduplication operators for large-scale training-data pipelines.
 
-Five families, each expressed as declarative DataFrame programs (JVM-side,
-whole-stage-codegen friendly — no Python UDFs in any hot path):
+Five pair-finding families, each expressed as declarative DataFrame
+programs (JVM-side, whole-stage-codegen friendly — no Python UDFs in
+any hot path):
 
 * exact duplicates           — md5(text) hash groupBy
 * MinHash + LSH              — shingle → k salted-md5 minhashes → band →
@@ -11,6 +12,15 @@ whole-stage-codegen friendly — no Python UDFs in any hot path):
 * SimHash                    — 32-bit sign-sum fingerprint + banded
                                near-duplicate join (Hamming <= 3)
 * embedding cosine near-dup  — pairwise cosine over `array<float>` vectors
+
+Plus the granularities and lifecycles around them: span-level
+duplicated-passage detection/removal (``duplicate_ngram_spans`` /
+``strip_duplicate_ngram_spans`` — line-level lives in
+``operators.text.strip_boilerplate_lines``, embedding-cell SemDedup in
+``operators.similarity.semantic_dedup_pairs``), incremental stores for
+recurring drops (``write_lsh_store`` / ``write_hash_store`` with their
+``incremental_*`` joins), and transitive-closure clustering of found
+pairs (``dedup_clusters``).
 
 Determinism contract: every hash is derived from ``md5`` (identical
 lexicographic hex in Spark and DuckDB), so each operator has an exact
