@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from haplorec_spark.session import get_spark
@@ -7,11 +9,18 @@ from haplorec_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    confs = {"spark.driver.memory": "4g"}
+    # Mode-neutrality CI hook: SPARK_GRAFT_ANSI=false reruns the whole
+    # suite under the non-default ANSI setting (default runs ansi=true,
+    # the Spark 4 / driver-harness mode).
+    ansi = os.environ.get("SPARK_GRAFT_ANSI")
+    if ansi:
+        confs["spark.sql.ansi.enabled"] = ansi
     s = get_spark(
         app_name="haplorec_spark_tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_confs={"spark.driver.memory": "4g"},
+        extra_confs=confs,
     )
     yield s
 
