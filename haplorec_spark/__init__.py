@@ -65,6 +65,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
     redact_pii,
     strip_boilerplate_lines,
+    unigram_logprob_score,
 )
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
@@ -106,6 +107,7 @@ __all__ = [
     "strip_duplicate_ngram_spans",
     "tfidf",
     "top_fraction_by_score",
+    "unigram_logprob_score",
     "weighted_sample",
     "__version__",
 ]

@@ -240,6 +240,64 @@ def redact_pii(
     )
 
 
+def unigram_logprob_score(
+    docs: DataFrame,
+    *,
+    vocab: DataFrame | None = None,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob): mean log10 unigram probability of
+    each document's tokens — the LM-perplexity quality signal of
+    CCNet-style filtering (documents whose tokens are improbable under
+    a reference LM are gibberish/noise; here the LM is unigram, the
+    engine-friendly first rung).
+
+    ``vocab`` is an optional (word, count) frame from a reference
+    corpus; by default the LM is learned from ``docs`` itself
+    (self-scoring: spot outlier documents against their own corpus).
+    Probabilities are add-alpha smoothed over V+1 outcomes (the +1 is
+    the OOV bucket), so unseen words score finitely:
+    P(w) = (count(w) + alpha) / (N + alpha * (V + 1)).
+
+    Scale shape: the LM build is one explode + word-keyed count
+    (partially aggregated); N and V collect as two scalars. Scoring
+    joins the exploded token stream to the BROADCAST vocabulary —
+    stopword-skewed keys land on the broadcast side, never
+    concentrating a shuffle partition (the relevance module's df-join
+    pattern) — then one per-doc mean. Token order never matters, so
+    no window, no sort.
+    """
+    ws = f"split(lower({text_col}), ' ')"
+    if vocab is None:
+        vocab = (
+            docs.select(F.explode(F.expr(ws)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+    totals = vocab.agg(
+        F.sum("count").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
+    n_total = float(totals["n"] or 0)
+    v_size = float(totals["v"] or 0)
+    denom = n_total + alpha * (v_size + 1.0)
+    toks = docs.select(
+        F.col(id_col), F.explode(F.expr(ws)).alias("word")
+    )
+    scored = toks.join(F.broadcast(vocab), on="word", how="left").select(
+        F.col(id_col),
+        F.log10(
+            (F.coalesce(F.col("count"), F.lit(0)).cast("double") + alpha)
+            / F.lit(denom)
+        ).alias("_lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+
+
 def strip_boilerplate_lines(
     docs: DataFrame,
     *,

@@ -294,3 +294,58 @@ def test_strip_boilerplate_lines_vs_duckdb(spark):
     assert got == want
     # the seeded boilerplate really was stripped
     assert all("HEADER" not in t for _, t, _, _ in got)
+
+
+def test_unigram_logprob_vs_duckdb(spark):
+    """Self-trained unigram LM scores match a DuckDB replica of the
+    same add-alpha formula on the real corpus."""
+    from haplorec_spark.operators.text import unigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in unigram_logprob_score(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents),
+         vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+         tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(log10((coalesce(c, 0) + 0.5)
+                           / (tot.n + 0.5 * (tot.v + 1)))), 6)
+               AS avg_logprob
+    FROM toks LEFT JOIN vocab USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_unigram_logprob_reference_vocab_flags_gibberish(spark):
+    """Against a reference vocabulary, an OOV-heavy document scores
+    far below a document written in the vocabulary."""
+    from haplorec_spark.operators.text import unigram_logprob_score
+
+    ref = spark.createDataFrame(
+        [("the", 100), ("cat", 50), ("sat", 50), ("mat", 30)],
+        "word string, count long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zxqv jkwp qqrr")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob_score(docs, vocab=ref).collect()
+    }
+    assert got[1] > got[2] + 1.0  # >1 order of magnitude apart
