@@ -452,16 +452,31 @@ def q_text_language_id(spark, sf_dir):
                      w -> len(list_filter(string_split(lower(text), ' '),
                               x -> x = w))))
                  / len(string_split(lower(text), ' '))::DOUBLE, 6)
-               AS top_word_fraction
+               AS top_word_fraction,
+           lm.avg_logprob
     FROM documents
+    JOIN (
+        WITH toks AS (SELECT doc_id,
+                             unnest(string_split(lower(text), ' ')) AS word
+                      FROM documents),
+             vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+             tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab)
+        SELECT doc_id,
+               round(avg(log10((coalesce(c, 0) + 0.5)
+                               / (tot.n + 0.5 * (tot.v + 1)))), 6)
+                   AS avg_logprob
+        FROM toks LEFT JOIN vocab USING (word) CROSS JOIN tot
+        GROUP BY doc_id
+    ) lm USING (doc_id)
     """,
     "corpus-filtering quality features, Gopher repetition filters, "
-    "and combined score",
+    "combined score, and self-trained unigram-LM log-probability",
 )
 def q_text_quality(spark, sf_dir):
-    return quality_score(
-        table(spark, sf_dir, "documents"), include_repetition=True
-    )
+    docs = table(spark, sf_dir, "documents")
+    q = quality_score(docs, include_repetition=True)
+    lm = unigram_logprob_score(docs).select("doc_id", "avg_logprob")
+    return q.join(lm, on="doc_id")
 
 
 #: Fixed query terms for the gate's BM25 column.
