@@ -1,10 +1,12 @@
 """Text-analysis operators for training-data curation.
 
-All four operators are pure ``pyspark.sql.functions`` column programs —
-no Python UDFs — so they stay inside whole-stage codegen and scan-local
-(map-side) execution: at 100 TB these are embarrassingly parallel over
-parquet row groups with zero shuffle (the fingerprint's groupBy(doc) is
-the lone partial-aggregated exception).
+Everything is declarative ``pyspark.sql.functions`` programs — no
+Python UDFs. The per-document scorers are pure column projections
+(map-side, zero shuffle, embarrassingly parallel over parquet row
+groups at 100 TB); the corpus-relative operators shuffle only
+key-value granularity, never document text.
+
+Per-document (map-side):
 
 * ``language_id``      — n-gram lexicon heuristic: score each candidate
   language by stopword hits, argmax with a deterministic tiebreak.
@@ -17,9 +19,15 @@ the lone partial-aggregated exception).
   count (letter runs, digit runs, single punctuation marks).
 * ``redact_pii``       — mask emails / IPv4s / SSN- and phone-shaped
   numbers with typed placeholders, with per-type match counts.
+
+Corpus-relative (word/line-keyed aggregation + broadcast back):
+
 * ``doc_fingerprints`` — bottom-k sketch of md5 shingle hashes (a
   winnowing-style content fingerprint; equal fingerprints => likely
   near-identical content).
+* ``unigram_logprob_score`` — mean unigram-LM log-probability per
+  document (the CCNet-style perplexity quality signal).
+* ``strip_boilerplate_lines`` — cross-document line-level dedup.
 
 Each has an exact DuckDB oracle; regexes are limited to constructs with
 identical Java-regex / RE2 semantics (character classes, +).
