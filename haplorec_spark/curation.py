@@ -4,9 +4,9 @@ stages.
 
 ``curate_documents`` chains the standard corpus-preparation sequence —
 language keep-list → cross-document boilerplate-line strip → quality +
-repetition filters → PII redaction → document dedup → span-level
-duplicated-passage strip → eval-set decontamination → domain mixture →
-split assignment →
+repetition filters → unigram-LM score floor → PII redaction → document
+dedup → span-level duplicated-passage strip → eval-set decontamination
+→ domain mixture → split assignment →
 sequence packing — each stage an existing operator from
 ``operators/``, each individually oracle- or replica-verified. The
 composition itself adds NO new shuffles beyond its stages: filters and
@@ -43,6 +43,7 @@ from haplorec_spark.operators.text import (
     quality_score,
     redact_pii,
     strip_boilerplate_lines,
+    unigram_logprob_score,
 )
 
 
@@ -59,6 +60,9 @@ class CurationConfig:
     min_quality: float = 0.7
     max_dup_word_fraction: float = 0.9
     max_top_word_fraction: float = 0.5
+    #: drop documents whose mean unigram-LM log10-probability (self-
+    #: trained on the post-quality corpus) falls below this; None skips
+    min_avg_logprob: float | None = None
     redact: bool = True
     #: "exact" (content-hash), "near" (MinHash-LSH candidate pairs →
     #: connected components, cluster-minimum id survives), or None
@@ -139,6 +143,15 @@ def curate_documents(
         & (F.col("top_word_fraction") <= cfg.max_top_word_fraction)
     )
     out = note("quality", out.join(q.select(cfg.id_col), cfg.id_col))
+
+    if cfg.min_avg_logprob is not None:
+        # LM trained on the quality-filtered corpus itself: gibberish
+        # that slipped the heuristics scores improbably under the
+        # corpus's own token distribution
+        lm = unigram_logprob_score(
+            out, text_col=cfg.text_col, id_col=cfg.id_col
+        ).filter(F.col("avg_logprob") >= cfg.min_avg_logprob)
+        out = note("lm_score", out.join(lm.select(cfg.id_col), cfg.id_col))
 
     if cfg.redact:
         red = redact_pii(

@@ -228,3 +228,31 @@ def test_curation_span_strip_stage(spark):
         for r in strip_duplicate_ngram_spans(pre, n=6, min_df=2).collect()
     }
     assert {r["doc_id"]: r["text"] for r in rows_} == want
+
+
+def test_curation_lm_floor_drops_gibberish(spark):
+    """A seeded gibberish doc (OOV under the corpus's own token
+    distribution) falls below the LM floor while normal docs pass."""
+    from haplorec_spark.operators.text import unigram_logprob_score
+
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    gib = " ".join(f"zxq{i}vw" for i in range(40))
+    docs = base.select(
+        "doc_id", "lang",
+        F.when(F.col("doc_id") == 7, F.lit(gib))
+         .otherwise(F.col("text")).alias("text"),
+    )
+    # pick a floor between the gibberish score and the corpus floor
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob_score(docs).collect()
+    }
+    others = [v for k, v in scores.items() if k != 7]
+    assert scores[7] < min(others)
+    floor = (scores[7] + min(others)) / 2
+
+    cfg = CurationConfig(min_avg_logprob=floor, redact=False, dedup=None)
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 7 not in ids
+    assert counts["lm_score"] == counts["quality"] - 1
