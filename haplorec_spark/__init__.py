@@ -60,7 +60,9 @@ from haplorec_spark.operators.dedup import (  # noqa: E402
     strip_duplicate_ngram_spans,
 )
 from haplorec_spark.operators.similarity import (  # noqa: E402
+    incremental_semantic_pairs,
     semantic_dedup_pairs,
+    write_semantic_store,
 )
 from haplorec_spark.operators.text import (  # noqa: E402
     redact_pii,
@@ -90,6 +92,7 @@ __all__ = [
     "grouped_rows_to_columns",
     "hash_fraction_sample",
     "hash_split",
+    "incremental_semantic_pairs",
     "interval_join",
     "jsonl_sink",
     "jsonl_source",
@@ -109,5 +112,6 @@ __all__ = [
     "top_fraction_by_score",
     "unigram_logprob_score",
     "weighted_sample",
+    "write_semantic_store",
     "__version__",
 ]

@@ -627,6 +627,133 @@ def semantic_dedup_pairs(
     return scored
 
 
+def write_semantic_store(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "append",
+) -> None:
+    """Persist the semantic-dedup state: the codebook plus each
+    vector's (id, cluster, vector, norm), cluster-partitioned.
+
+    The embedding twin of ``write_lsh_store`` / ``write_hash_store``.
+    Unlike those, the store must keep the vectors themselves (cosine
+    needs them) — still a fraction of the corpus (embeddings vs text),
+    and cluster partitioning means an incoming batch reads ONLY the
+    cells it probes, never all of history. The codebook is written
+    alongside (``<path>/codebook``) so every future drop assigns
+    against the SAME cells — never re-learn the codebook on append, or
+    old and new vectors land in incompatible cells.
+    """
+    cents = centroids.orderBy("centroid_id")
+    if mode != "append":  # first write (or rebuild): pin the codebook
+        cents.write.mode(mode).parquet(f"{path}/codebook")
+    cells = assign_clusters(
+        vectors, centroids, vec_col=vec_col, id_col=id_col
+    )
+    norm = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
+        f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    (
+        vectors.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
+        .join(cells, on=id_col)
+        .write.mode("append" if mode == "append" else "overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/cells")
+    )
+
+
+def incremental_semantic_pairs(
+    new_vectors: DataFrame,
+    store_path: str,
+    *,
+    threshold: float = 0.95,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id_new, vec_id_matched, cosine, source): embedding near-dup
+    matches of an incoming batch against the semantic store
+    ('history') and inside the batch itself ('batch',
+    id_new > id_matched).
+
+    Same contract as ``incremental_candidate_pairs`` /
+    ``incremental_exact_duplicates``, embedding flavor: the batch
+    assigns to the STORE's codebook (with ``nprobe`` nearest cells as
+    the recall knob), joins only the probed cells' history vectors —
+    cluster partition pruning keeps the scan proportional to the
+    batch, not to history — and runs the in-batch within-cell scan.
+    """
+    spark = new_vectors.sparkSession
+    centroids = spark.read.parquet(f"{store_path}/codebook")
+    norm = F.expr(
+        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
+        f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+    )
+    new_cells = (
+        assign_clusters(new_vectors, centroids, vec_col=vec_col,
+                        id_col=id_col)
+        if nprobe <= 1
+        else assign_probe_cells(new_vectors, centroids, nprobe,
+                                vec_col=vec_col, id_col=id_col)
+    )
+    batch = new_vectors.select(
+        F.col(id_col), F.col(vec_col), norm.alias("nrm")
+    ).join(new_cells, on=id_col)
+    store = spark.read.parquet(f"{store_path}/cells")
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) ->"
+        " cast(x as double) * cast(y as double)), cast(0.0 as double),"
+        " (acc, v) -> acc + v)"
+    )
+    a = batch.select(
+        F.col(id_col).alias("vec_id_new"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+        "cluster",
+    )
+    h = store.select(
+        F.col(id_col).alias("vec_id_matched"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster",
+    )
+    vs_history = (
+        a.join(h, on="cluster")
+        .select(
+            "vec_id_new",
+            "vec_id_matched",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()  # nprobe > 1 can meet the same pair in two cells
+        .withColumn("source", F.lit("history"))
+    )
+    b = batch.select(
+        F.col(id_col).alias("vec_id_matched"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cluster",
+    )
+    vs_batch = (
+        a.join(b, on="cluster")
+        .filter(F.col("vec_id_new") > F.col("vec_id_matched"))
+        .select(
+            "vec_id_new",
+            "vec_id_matched",
+            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+        .withColumn("source", F.lit("batch"))
+    )
+    return vs_history.unionByName(vs_batch)
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402

@@ -355,3 +355,59 @@ def test_semantic_dedup_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert semantic_dedup_pairs(empty, n_clusters=2).count() == 0
+
+
+def test_incremental_semantic_store_roundtrip(spark, tmp_path):
+    """Drop 1 seeds the store (codebook + cluster-partitioned cells);
+    drop 2 carries an exact copy of a stored vector, an in-batch
+    duplicate pair, and a novel vector — matches come back with the
+    right sources and without re-learning the codebook."""
+    from haplorec_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        write_semantic_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    drop1 = emb.filter(F.col("vec_id") < 200)
+    centroids = kmeans_centroids(drop1, 4, 2)
+    store = str(tmp_path / "sem_store")
+    write_semantic_store(drop1, centroids, store, mode="overwrite")
+
+    v5 = drop1.filter(F.col("vec_id") == 5).first()["embedding"]
+    v300 = emb.filter(F.col("vec_id") == 300).first()["embedding"]
+    drop2 = spark.createDataFrame(
+        [
+            (1005, v5),     # exact copy of stored vector 5
+            (1300, v300),   # novel (not in store)
+            (1301, v300),   # in-batch duplicate of 1300
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["vec_id_new"], r["vec_id_matched"], r["source"])
+        for r in incremental_semantic_pairs(
+            drop2, store, threshold=0.9999
+        ).collect()
+    }
+    assert (1005, 5, "history") in got
+    assert (1301, 1300, "batch") in got
+    # the novel vector matches no history at this threshold
+    assert not any(
+        new == 1300 and src == "history" for new, _, src in got
+    )
+
+    # appending drop 2 advances the store: a re-sent 1005 now matches
+    # BOTH 5 and 1005 from history
+    write_semantic_store(drop2, centroids, store, mode="append")
+    resend = spark.createDataFrame(
+        [(2005, v5)], "vec_id long, embedding array<float>"
+    )
+    got2 = {
+        (r["vec_id_new"], r["vec_id_matched"])
+        for r in incremental_semantic_pairs(
+            resend, store, threshold=0.9999
+        ).collect()
+    }
+    assert {(2005, 5), (2005, 1005)} <= got2
