@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -648,9 +649,17 @@ def write_semantic_store(
     against the SAME cells — never re-learn the codebook on append, or
     old and new vectors land in incompatible cells.
     """
+    spark = vectors.sparkSession
     cents = centroids.orderBy("centroid_id")
     if mode != "append":  # first write (or rebuild): pin the codebook
         cents.write.mode(mode).parquet(f"{path}/codebook")
+    else:
+        try:
+            spark.read.parquet(f"{path}/codebook")
+        except AnalysisException:
+            # appending to a fresh path: pin the codebook now so the
+            # store is self-contained from its first write
+            cents.write.parquet(f"{path}/codebook")
     cells = assign_clusters(
         vectors, centroids, vec_col=vec_col, id_col=id_col
     )

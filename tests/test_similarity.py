@@ -411,3 +411,29 @@ def test_incremental_semantic_store_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert {(2005, 5), (2005, 1005)} <= got2
+
+
+def test_semantic_store_append_to_fresh_path_pins_codebook(spark, tmp_path):
+    from haplorec_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        write_semantic_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter(F.col("vec_id") < 100)
+    centroids = kmeans_centroids(emb, 4, 1)
+    store = str(tmp_path / "fresh_store")
+    write_semantic_store(emb, centroids, store, mode="append")
+    # the store is self-contained: incremental matching works
+    v1 = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    drop = spark.createDataFrame(
+        [(901, v1)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["vec_id_new"], r["vec_id_matched"])
+        for r in incremental_semantic_pairs(
+            drop, store, threshold=0.9999
+        ).collect()
+    }
+    assert (901, 1) in got
