@@ -578,6 +578,25 @@ def semantic_dedup_pairs(
     centroids = kmeans_centroids(
         vectors, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
+    return within_cell_pairs(
+        vectors, centroids, threshold=threshold, nprobe=nprobe,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def within_cell_pairs(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.95,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs >= threshold within a GIVEN codebook's
+    cells — :func:`semantic_dedup_pairs` without the codebook learning,
+    for callers that pin the codebook (the incremental store, the
+    streaming ingest bootstrap)."""
     cells = (
         assign_clusters(vectors, centroids, vec_col=vec_col, id_col=id_col)
         if nprobe <= 1

@@ -330,6 +330,109 @@ def stream_dedup_ingest(
     )
 
 
+def stream_semantic_dedup_ingest(
+    vec_stream: DataFrame,
+    *,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """foreachBatch embedding ingest with semantic (SemDedup) cross-
+    batch dedup — the embedding face of :func:`stream_dedup_ingest`.
+
+    The first non-empty batch learns the k-means codebook and pins it
+    at ``<store>/codebook``; every later batch assigns to the SAME
+    cells (re-learning would put old and new vectors in incompatible
+    cells), drops vectors matching probed-cell history or an earlier
+    in-batch vector, appends survivors to ``out_path``, and advances
+    ``<store>/cells``. Cells are partitioned (ingest_batch, cluster):
+    the batch column gives replayed batches exactly-once partition
+    overwrite, the cluster column gives history reads partition
+    pruning to just the probed cells.
+    """
+    from haplorec_spark.operators.similarity import (
+        assign_clusters,
+        incremental_semantic_pairs,
+        kmeans_centroids,
+        within_cell_pairs,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        batch_df = batch_df.persist()
+        try:
+            centroids = spark.read.parquet(f"{store_path}/codebook")
+            centroids.first()
+            have_store = True
+        except AnalysisException:
+            have_store = False
+        if have_store:
+            losers = incremental_semantic_pairs(
+                batch_df, store_path, threshold=threshold, nprobe=nprobe,
+                vec_col=vec_col, id_col=id_col,
+            ).select(F.col("vec_id_new").alias(id_col))
+        else:
+            centroids = kmeans_centroids(
+                batch_df, n_clusters, iterations,
+                vec_col=vec_col, id_col=id_col,
+            )
+            # deterministic on replay: same batch -> same codebook
+            centroids.write.mode("overwrite").parquet(
+                f"{store_path}/codebook"
+            )
+            centroids = spark.read.parquet(f"{store_path}/codebook")
+            losers = within_cell_pairs(
+                batch_df, centroids, threshold=threshold, nprobe=nprobe,
+                vec_col=vec_col, id_col=id_col,
+            ).select(F.col("vec_id_b").alias(id_col))
+        survivors = batch_df.join(
+            losers.distinct(), on=id_col, how="left_anti"
+        ).persist()
+        (
+            survivors.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(out_path)
+        )
+        norm = F.expr(
+            f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
+            f" * cast(x as double)), cast(0.0 as double),"
+            f" (acc, v) -> acc + v))"
+        )
+        cells = assign_clusters(
+            survivors, centroids, vec_col=vec_col, id_col=id_col
+        )
+        (
+            survivors.select(
+                F.col(id_col), F.col(vec_col), norm.alias("nrm")
+            )
+            .join(cells, on=id_col)
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch", "cluster")
+            .parquet(f"{store_path}/cells")
+        )
+        survivors.unpersist()
+        batch_df.unpersist()
+
+    return (
+        vec_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_variant_ingest(
     variant_stream: DataFrame,
     pipeline: Any,

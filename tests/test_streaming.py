@@ -336,3 +336,56 @@ def test_stream_dedup_ingest_near_mode(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert ids == [1, 11]
+
+
+def test_stream_semantic_dedup_ingest_two_drops(spark, tmp_path):
+    """Drop 1 learns and pins the codebook; drop 2 redelivers a drop-1
+    vector, carries an in-batch duplicate pair, and a novel vector —
+    the curated output holds each distinct vector once and the cells
+    store is (ingest_batch, cluster)-partitioned."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.streaming import stream_semantic_dedup_ingest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v1 = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    v2 = emb.filter(F.col("vec_id") == 2).first()["embedding"]
+    v3 = emb.filter(F.col("vec_id") == 3).first()["embedding"]
+
+    src = tmp_path / "vec_incoming"
+    src.mkdir()
+    store = str(tmp_path / "sem_store")
+    out = str(tmp_path / "sem_out")
+
+    def run_drop(rows_):
+        spark.createDataFrame(
+            rows_, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_semantic_dedup_ingest(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(str(src)),
+            store_path=store, out_path=out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            threshold=0.9999, n_clusters=2, iterations=1,
+        )
+        q.awaitTermination(120)
+
+    run_drop([(1, v1), (2, v2)])
+    run_drop([
+        (10, v1),   # redelivered content -> dropped vs history
+        (11, v3),
+        (12, v3),   # in-batch duplicate -> dropped
+    ])
+
+    ids = sorted(
+        r["vec_id"] for r in spark.read.parquet(out).collect()
+    )
+    assert ids == [1, 2, 11]
+    cells = spark.read.parquet(f"{store}/cells")
+    assert cells.count() == 3
+    assert set(cells.columns) >= {"vec_id", "embedding", "nrm",
+                                  "cluster", "ingest_batch"}
+    # codebook pinned once, k rows
+    assert spark.read.parquet(f"{store}/codebook").count() == 2
