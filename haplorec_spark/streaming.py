@@ -20,6 +20,11 @@ is the forward-looking streaming face a 100 TB deployment needs:
   micro-batch of variant rows becomes one pipeline job appended to the
   job_id-partitioned stage tables; the batch pipeline is reused
   unchanged (the idiomatic incremental face noted in SURVEY.md §2.8).
+* :func:`stream_dedup_ingest` / :func:`stream_semantic_dedup_ingest` —
+  ``foreachBatch`` corpus ingest with cross-batch dedup against a
+  persisted store (exact content hashes, MinHash-LSH band keys, or
+  k-means-cell embeddings), exactly-once via ingest_batch dynamic
+  partition overwrite.
 
 Scale: windowed aggregates shuffle on (window, event_type) with
 map-side partial aggregation; watermarks bound state size; the stateful
