@@ -330,19 +330,6 @@ def kmeans_centroids(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     ).persist()  # re-read every iteration; pin the casted vectors once
-    # Fail fast on ragged input: squared-L2 against a fixed-dim codebook
-    # is undefined for mixed dimensions, and without this check the
-    # breakage surfaces as a null per-dimension sum deep in iteration 1.
-    # (The LSH path handles ragged vectors explicitly; k-means cannot.)
-    span = v.agg(
-        F.min(F.size("v")).alias("mn"), F.max(F.size("v")).alias("mx")
-    ).first()
-    if span["mn"] != span["mx"]:
-        v.unpersist()
-        raise ValueError(
-            "k-means requires fixed-dimension vectors; got sizes "
-            f"{span['mn']}..{span['mx']} in column {vec_col!r}"
-        )
     # centroid_id = rank of the seed vector's id — explicitly ordered so
     # the init is reproducible across engines (the DuckDB oracle unrolls
     # the same iterations from the same seeds), not merely within Spark.
@@ -355,7 +342,7 @@ def kmeans_centroids(
             [], "centroid_id int, centroid array<double>"
         )
     dim = len(cents[0])
-    for _ in range(iterations):
+    for it in range(iterations):
         # Map-side argmin against the literal codebook (k × dim doubles,
         # inlined like the LSH plane matrix): no ×k crossJoin row
         # expansion, no per-id window shuffle. First-min index matches
@@ -370,10 +357,17 @@ def kmeans_centroids(
         # partial-aggregated shuffle of k×(dim+1) values, and a k-row
         # driver round-trip (bounded, like the clusters convergence
         # probe) — instead of a ×dim posexplode through two shuffles.
+        # The size min/max piggyback on the same aggregate: squared-L2
+        # against a fixed-dim codebook is undefined for ragged input,
+        # and without the check the breakage would surface as a null
+        # per-dimension sum. (The LSH path handles ragged vectors
+        # explicitly; k-means cannot.)
         stats = (
             assigned.groupBy("cluster")
             .agg(
                 F.count(F.lit(1)).alias("n"),
+                F.min(F.size("v")).alias("_mn"),
+                F.max(F.size("v")).alias("_mx"),
                 *[
                     F.sum(F.get("v", d)).alias(f"s{d}")
                     for d in range(dim)
@@ -381,6 +375,15 @@ def kmeans_centroids(
             )
             .collect()
         )
+        if it == 0 and stats:
+            mn = min(r["_mn"] for r in stats)
+            mx = max(r["_mx"] for r in stats)
+            if mn != mx:
+                v.unpersist()
+                raise ValueError(
+                    "k-means requires fixed-dimension vectors; got "
+                    f"sizes {mn}..{mx} in column {vec_col!r}"
+                )
         means = {
             r["cluster"]: [r[f"s{d}"] / r["n"] for d in range(dim)]
             for r in stats
