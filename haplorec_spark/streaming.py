@@ -378,8 +378,9 @@ def stream_semantic_dedup_ingest(
         batch_df = batch_df.persist()
         try:
             centroids = spark.read.parquet(f"{store_path}/codebook")
-            centroids.first()
-            have_store = True
+            # an empty codebook (interrupted first write) is no store:
+            # re-learn rather than assign everything to zero cells
+            have_store = centroids.first() is not None
         except AnalysisException:
             have_store = False
         if have_store:
