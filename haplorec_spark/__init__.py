@@ -60,6 +60,7 @@ from haplorec_spark.operators.dedup import (  # noqa: E402
     strip_duplicate_ngram_spans,
 )
 from haplorec_spark.operators.similarity import (  # noqa: E402
+    ann_recall,
     incremental_semantic_pairs,
     semantic_dedup_pairs,
     write_semantic_store,
@@ -82,6 +83,7 @@ __all__ = [
     "CurationConfig",
     "Pipeline",
     "ReferenceTables",
+    "ann_recall",
     "asof_join",
     "bm25_rank",
     "contamination_report",

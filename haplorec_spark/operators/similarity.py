@@ -650,6 +650,52 @@ def within_cell_pairs(
     return scored
 
 
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """(probe_id, n_exact, n_hit, recall): per-probe recall of an
+    approximate top-k result against the exact top-k.
+
+    The evaluation face of the recall knobs (LSH ``n_probe_flips``,
+    IVF/semantic ``nprobe``): feed it ``ann_lsh_topk``/``ivf_topk``
+    output as ``approx`` and ``brute_force_topk`` output as ``exact``
+    to measure what a knob setting buys on a sample of probes. Probes
+    with no approximate hits still appear (recall 0.0), so macro
+    averages are honest. Two probe-keyed aggregates + one join —
+    evaluation-sample sized, not corpus sized.
+    """
+    e = exact.groupBy(F.col(probe_col)).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    hits = (
+        exact.select(probe_col, neighbor_col)
+        .join(
+            approx.select(probe_col, neighbor_col),
+            on=[probe_col, neighbor_col],
+            how="left_semi",
+        )
+        .groupBy(F.col(probe_col))
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        e.join(hits, on=probe_col, how="left")
+        .select(
+            F.col(probe_col),
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce(F.col("n_hit"), F.lit(0))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 def write_semantic_store(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -437,3 +437,31 @@ def test_semantic_store_append_to_fresh_path_pins_codebook(spark, tmp_path):
         ).collect()
     }
     assert (901, 1) in got
+
+
+def test_ann_recall_matches_python(spark):
+    from haplorec_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_recall,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, probes, k=5)
+    approx = ann_lsh_topk(emb, probes, k=5)
+    got = {
+        r["probe_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in ann_recall(approx, exact).collect()
+    }
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(e)  # every probe appears, hitless included
+    for p, (n_exact, n_hit, recall) in got.items():
+        hits = len(e[p] & a.get(p, set()))
+        assert (n_exact, n_hit) == (len(e[p]), hits)
+        assert recall == round(hits / len(e[p]), 6)
