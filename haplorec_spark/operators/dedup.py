@@ -389,10 +389,24 @@ def incremental_exact_duplicates(
 
 
 def _dup_ngram_starts(
-    docs: DataFrame, n: int, min_df: int, text_col: str, id_col: str
+    docs: DataFrame,
+    n: int,
+    min_df: int,
+    text_col: str,
+    id_col: str,
+    max_broadcast_grams: int = 2_000_000,
 ) -> DataFrame:
     """(id, pos): start positions (0-based word index) of n-grams that
-    occur in >= min_df distinct documents."""
+    occur in >= min_df distinct documents.
+
+    The duplicated-n-gram set is MEASURED before the join back onto the
+    gram stream (the ``dedup_clusters``/``assign_ids`` adaptive
+    pattern): under ``max_broadcast_grams`` hashes (~32 B each) it
+    broadcasts; above, it shuffle-joins — Lee et al.'s own numbers put
+    duplicated n-grams at ~1% of a web corpus's tokens, which at 100 TB
+    is corpus-proportional, far past any executor's broadcast budget.
+    The hint pins the plan both ways (a mis-estimated auto-broadcast of
+    an unbounded set is an OOM, not a slow query)."""
     ws = f"split(lower({text_col}), ' ')"
     # documents shorter than n words contribute no n-grams. The guard
     # must be an explicit CASE: sequence(0, size - n) AUTO-REVERSES
@@ -415,8 +429,13 @@ def _dup_ngram_starts(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
         .select("h")
+        .persist()
     )
-    return grams.join(F.broadcast(hot), on="h").select(id_col, "pos")
+    n_hot = hot.count()
+    side = (
+        F.broadcast(hot) if n_hot <= max_broadcast_grams else hot.hint("merge")
+    )
+    return grams.join(side, on="h").select(id_col, "pos")
 
 
 def duplicate_ngram_spans(
@@ -426,6 +445,7 @@ def duplicate_ngram_spans(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_grams: int = 2_000_000,
 ) -> DataFrame:
     """(id, span_start, span_end): maximal word-index spans covered by
     n-grams occurring in >= ``min_df`` distinct documents — the
@@ -441,11 +461,14 @@ def duplicate_ngram_spans(
     Scale shape: the n-gram stream is map-side (one explode at word
     granularity), the document-frequency cut is two partially
     aggregated hash-keyed shuffles, and — like the boilerplate hot-line
-    set — the duplicated n-grams are assumed to be the small fraction,
-    broadcast back as an equi-join. The island merge windows per
+    set — the duplicated n-grams join back adaptively on their MEASURED
+    size (broadcast under ``max_broadcast_grams``, shuffle join above —
+    see :func:`_dup_ngram_starts`). The island merge windows per
     document, the same per-doc partitioning every report op uses.
     """
-    starts = _dup_ngram_starts(docs, n, min_df, text_col, id_col)
+    starts = _dup_ngram_starts(
+        docs, n, min_df, text_col, id_col, max_broadcast_grams
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(F.col("pos") + n - 1).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -473,6 +496,7 @@ def strip_duplicate_ngram_spans(
     min_df: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_grams: int = 2_000_000,
 ) -> DataFrame:
     """(id, text_clean, n_words, n_removed): drop every word covered by
     a duplicated n-gram (the removal face of
@@ -486,7 +510,9 @@ def strip_duplicate_ngram_spans(
     through untouched via the left join.
     """
     starts = (
-        _dup_ngram_starts(docs, n, min_df, text_col, id_col)
+        _dup_ngram_starts(
+            docs, n, min_df, text_col, id_col, max_broadcast_grams
+        )
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("pos")).alias("_starts"))
     )

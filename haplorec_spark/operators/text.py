@@ -253,6 +253,8 @@ def unigram_logprob_score(
     *,
     vocab: DataFrame | None = None,
     alpha: float = 0.5,
+    min_count: int = 1,
+    max_broadcast_vocab: int = 2_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -270,12 +272,23 @@ def unigram_logprob_score(
     P(w) = (count(w) + alpha) / (N + alpha * (V + 1)).
 
     Scale shape: the LM build is one explode + word-keyed count
-    (partially aggregated); N and V collect as two scalars. Scoring
-    joins the exploded token stream to the BROADCAST vocabulary —
-    stopword-skewed keys land on the broadcast side, never
-    concentrating a shuffle partition (the relevance module's df-join
-    pattern) — then one per-doc mean. Token order never matters, so
-    no window, no sort.
+    (partially aggregated); the vocab DF is PERSISTED across its two
+    consumers — the N/V totals scalar job and the scoring join — so
+    the corpus is scanned once for the LM, not twice. Scoring joins
+    the exploded token stream to the vocabulary; the join side is
+    adaptive on the MEASURED vocabulary size (the ``dedup_clusters``/
+    ``assign_ids`` pattern): broadcast when the kept vocabulary is
+    under ``max_broadcast_vocab`` entries (stopword-skewed keys land
+    on the broadcast side, never concentrating a shuffle partition),
+    plain shuffle join above it — a web-scale distinct-token set is
+    unbounded and must never be forced into executor memory. Then one
+    per-doc mean. Token order never matters, so no window, no sort.
+
+    ``min_count`` prunes the scoring vocabulary: words below it score
+    as OOV (count 0 + alpha smoothing — the standard unigram-LM prune;
+    rare words score near-OOV anyway). N and V are measured BEFORE the
+    prune so probabilities stay those of the full LM; ``min_count=1``
+    (default) is exact.
     """
     ws = f"split(lower({text_col}), ' ')"
     if vocab is None:
@@ -284,16 +297,33 @@ def unigram_logprob_score(
             .groupBy("word")
             .agg(F.count(F.lit(1)).alias("count"))
         )
+    # One materialization serves the totals job AND the scoring join
+    # (the r4 regression was this exact DF rebuilt from scratch for
+    # each — ~3 corpus scans per call). Stays cached for reuse across
+    # calls in a session; eviction is Spark's LRU.
+    vocab = vocab.persist()
     totals = vocab.agg(
-        F.sum("count").alias("n"), F.count(F.lit(1)).alias("v")
+        F.sum("count").alias("n"),
+        F.count(F.lit(1)).alias("v"),
+        F.count(F.when(F.col("count") >= min_count, 1)).alias("v_kept"),
     ).first()
     n_total = float(totals["n"] or 0)
     v_size = float(totals["v"] or 0)
+    v_kept = int(totals["v_kept"] or 0)
     denom = n_total + alpha * (v_size + 1.0)
+    lm = (
+        vocab.filter(F.col("count") >= min_count)
+        if min_count > 1
+        else vocab
+    )
+    # measured-bound adaptive join: the hint pins the plan either way
+    # (a stats-blind estimate must not pick broadcast for an unbounded
+    # vocabulary)
+    lm = F.broadcast(lm) if v_kept <= max_broadcast_vocab else lm.hint("merge")
     toks = docs.select(
         F.col(id_col), F.explode(F.expr(ws)).alias("word")
     )
-    scored = toks.join(F.broadcast(vocab), on="word", how="left").select(
+    scored = toks.join(lm, on="word", how="left").select(
         F.col(id_col),
         F.log10(
             (F.coalesce(F.col("count"), F.lit(0)).cast("double") + alpha)
@@ -313,6 +343,7 @@ def strip_boilerplate_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     line_delim: str = "\n",
+    max_broadcast_lines: int = 200_000,
 ) -> DataFrame:
     """(id, text_clean, n_lines, n_removed): cross-document line-level
     dedup — lines appearing in >= ``min_doc_freq`` distinct documents
@@ -327,36 +358,75 @@ def strip_boilerplate_lines(
     Physical shape for 100 TB: one explode to line granularity feeds
     the document-frequency count (two line-keyed shuffles with
     map-side partial aggregation — only (line, doc) pairs move, never
-    text). The hot-line set — boilerplate by definition, so a tiny
-    fraction of distinct lines — folds to ONE array row that
-    broadcasts onto the doc scan, and reconstruction is a per-row
-    ``filter`` over the split: document text itself never crosses a
-    shuffle. (An earlier form regrouped kept lines per doc — a full
-    corpus-bytes shuffle for what one broadcast array expresses.)
-    Empty documents come back as empty strings (never null) so sinks
-    need no null handling.
+    text). The hot-line set is then MEASURED (the ``dedup_clusters``/
+    ``assign_ids`` adaptive pattern — "boilerplate is tiny" is an
+    assumption, not a bound, and ``min_doc_freq=2`` on a web corpus is
+    not tiny):
+
+    * ``<= max_broadcast_lines`` hot lines: fold to ONE array row that
+      broadcasts onto the doc scan; reconstruction is a per-row
+      ``filter`` over the split — document text never crosses a
+      shuffle.
+    * larger: explode-and-regroup — per-(doc, position) lines anti-join
+      the hot set (shuffle hash/merge join, forced: a mis-estimated
+      broadcast of an unbounded set is an OOM, not a slow query), then
+      kept lines regroup per document in position order. Text crosses
+      the shuffle here; that is the price of a corpus-proportional
+      boilerplate set, paid only when measured.
+
+    Both paths return identical rows. Empty documents come back as
+    empty strings (never null) so sinks need no null handling.
     """
+    ls = F.split(F.col(text_col), line_delim)
     lines = docs.select(
         F.col(id_col),
-        F.explode(F.split(F.col(text_col), line_delim)).alias("_line"),
+        F.posexplode(ls).alias("_pos", "_line"),
     )
     hot = (
-        lines.distinct()
+        lines.select(id_col, "_line")
+        .distinct()
         .groupBy("_line")
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_doc_freq)
-        .agg(F.collect_list("_line").alias("_hot"))
+        .select("_line")
+        .persist()
     )
-    ls = F.split(F.col(text_col), line_delim)
-    kept = F.filter(ls, lambda l: ~F.array_contains(F.col("_hot"), l))
-    return (
-        docs.crossJoin(F.broadcast(hot))  # one row: the hot-line array
-        .select(
-            F.col(id_col),
-            F.array_join(kept, line_delim).alias("text_clean"),
-            F.size(ls).alias("n_lines"),
-            (F.size(ls) - F.size(kept)).alias("n_removed"),
+    n_hot = hot.count()
+
+    if n_hot <= max_broadcast_lines:
+        hot_arr = hot.agg(F.collect_list("_line").alias("_hot"))
+        kept = F.filter(ls, lambda l: ~F.array_contains(F.col("_hot"), l))
+        return (
+            docs.crossJoin(F.broadcast(hot_arr))  # one row: the array
+            .select(
+                F.col(id_col),
+                F.array_join(kept, line_delim).alias("text_clean"),
+                F.size(ls).alias("n_lines"),
+                (F.size(ls) - F.size(kept)).alias("n_removed"),
+            )
         )
+
+    rebuilt = (
+        lines.join(hot.hint("merge"), on="_line", how="left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                line_delim,
+            ).alias("_clean"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    return docs.join(rebuilt, on=id_col, how="left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_clean"), F.lit("")).alias("text_clean"),
+        F.size(ls).alias("n_lines"),
+        (F.size(ls) - F.coalesce(F.col("_n_kept"), F.lit(0))).cast(
+            "int"
+        ).alias("n_removed"),
     )
 
 

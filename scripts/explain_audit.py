@@ -102,10 +102,32 @@ CHECKS = {
                    ".*Exchange hashpartitioning"],
     },
     "_dup_spans": {
-        # duplicated n-grams (small by assumption) broadcast back onto
+        # duplicated n-grams (MEASURED small) broadcast back onto
         # the word-granularity stream; islands window per document
         "expect": ["BroadcastHashJoin", "Window"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "_dup_spans_large": {
+        # hot set measured over the broadcast bound: the join back onto
+        # the gram stream MUST degrade to a shuffle join — a forced
+        # broadcast of a corpus-proportional set is an executor OOM
+        "expect": ["SortMergeJoin", "Window"],
+        "forbid": ["BroadcastHashJoin", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"],
+    },
+    "_strip_boilerplate_large": {
+        # hot-line set over the bound: explode-and-regroup fallback —
+        # the single-row-array broadcast (BNLJ) must be gone, replaced
+        # by a line-keyed shuffle anti join + per-doc regroup
+        "expect": ["SortMergeJoin"],
+        "forbid": ["BroadcastNestedLoopJoin", "CartesianProduct"],
+    },
+    "_unigram_lm_large": {
+        # vocabulary measured over the bound: scoring join degrades to
+        # a shuffle join instead of broadcasting an unbounded vocab
+        "expect": ["SortMergeJoin"],
+        "forbid": ["BroadcastHashJoin", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"],
     },
 }
 
@@ -132,6 +154,39 @@ def _strip_boilerplate(spark, sf_dir):
     from haplorec_spark.queries import table
 
     return strip_boilerplate_lines(table(spark, sf_dir, "documents"))
+
+
+def _dup_spans_large(spark, sf_dir):
+    from haplorec_spark.operators.dedup import duplicate_ngram_spans
+    from haplorec_spark.queries import table
+
+    return duplicate_ngram_spans(
+        table(spark, sf_dir, "documents"), n=10, max_broadcast_grams=0
+    )
+
+
+def _strip_boilerplate_large(spark, sf_dir):
+    # testdata docs are single-line and distinct, so seed a shared
+    # header (as the tests do) — otherwise the measured hot set is 0
+    # and the broadcast path is (correctly) taken even at bound 0
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("HEADER\n"), F.col("text")).alias("text")
+    )
+    return strip_boilerplate_lines(docs, max_broadcast_lines=0)
+
+
+def _unigram_lm_large(spark, sf_dir):
+    from haplorec_spark.operators.text import unigram_logprob_score
+    from haplorec_spark.queries import table
+
+    return unigram_logprob_score(
+        table(spark, sf_dir, "documents"), max_broadcast_vocab=0
+    )
 
 import haplorec_spark.queries as _qmod
 

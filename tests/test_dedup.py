@@ -201,10 +201,13 @@ def test_incremental_hash_store_roundtrip(spark, tmp_path):
     assert got == [(10, 1, "history"), (13, 12, "batch")]
 
 
-def test_duplicate_ngram_spans_golden(spark):
+@pytest.mark.parametrize("max_bc", [2_000_000, 0])
+def test_duplicate_ngram_spans_golden(spark, max_bc):
     """Two docs share an 8-word passage at different offsets; the span
     detector must report exactly the covered word ranges, merging the
-    overlapping duplicated 4-grams into one island per doc."""
+    overlapping duplicated 4-grams into one island per doc.
+    max_bc=0 forces the measured-bound shuffle-join fallback; both
+    paths must return identical rows."""
     from haplorec_spark.operators.dedup import duplicate_ngram_spans
 
     shared = "one two three four five six seven eight"
@@ -216,13 +219,16 @@ def test_duplicate_ngram_spans_golden(spark):
         ],
         "doc_id long, text string",
     )
-    got = rows(duplicate_ngram_spans(docs, n=4, min_df=2))
+    got = rows(
+        duplicate_ngram_spans(docs, n=4, min_df=2, max_broadcast_grams=max_bc)
+    )
     # doc 1: shared passage occupies word indices 3..10
     # doc 2: indices 0..7
     assert got == [(1, 3, 10), (2, 0, 7)]
 
 
-def test_strip_duplicate_ngram_spans_golden(spark):
+@pytest.mark.parametrize("max_bc", [2_000_000, 0])
+def test_strip_duplicate_ngram_spans_golden(spark, max_bc):
     from haplorec_spark.operators.dedup import strip_duplicate_ngram_spans
 
     shared = "one two three four five six seven eight"
@@ -236,7 +242,9 @@ def test_strip_duplicate_ngram_spans_golden(spark):
     )
     got = {
         r["doc_id"]: (r["text_clean"], r["n_words"], r["n_removed"])
-        for r in strip_duplicate_ngram_spans(docs, n=4, min_df=2).collect()
+        for r in strip_duplicate_ngram_spans(
+            docs, n=4, min_df=2, max_broadcast_grams=max_bc
+        ).collect()
     }
     assert got[1] == ("intro words here tail a", 13, 8)
     assert got[2] == ("completely different ending text", 12, 8)

@@ -184,7 +184,10 @@ def test_repetition_metrics_vs_duckdb(spark):
     assert got == want
 
 
-def test_strip_boilerplate_lines_golden(spark):
+@pytest.mark.parametrize("max_bc", [200_000, 0])
+def test_strip_boilerplate_lines_golden(spark, max_bc):
+    """max_bc=0 forces the measured-bound shuffle (explode-and-regroup)
+    fallback; both paths must return identical rows."""
     from haplorec_spark.operators.text import strip_boilerplate_lines
 
     docs = spark.createDataFrame(
@@ -198,7 +201,9 @@ def test_strip_boilerplate_lines_golden(spark):
     )
     got = {
         r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_removed"])
-        for r in strip_boilerplate_lines(docs).collect()
+        for r in strip_boilerplate_lines(
+            docs, max_broadcast_lines=max_bc
+        ).collect()
     }
     assert got[1] == ("unique alpha content", 3, 2)
     assert got[2] == ("other beta content", 3, 2)
@@ -206,7 +211,8 @@ def test_strip_boilerplate_lines_golden(spark):
     assert got[4] == ("", 2, 2)  # empty string, never null
 
 
-def test_strip_boilerplate_preserves_line_order(spark):
+@pytest.mark.parametrize("max_bc", [200_000, 0])
+def test_strip_boilerplate_preserves_line_order(spark, max_bc):
     from haplorec_spark.operators.text import strip_boilerplate_lines
 
     docs = spark.createDataFrame(
@@ -218,7 +224,9 @@ def test_strip_boilerplate_preserves_line_order(spark):
     )
     got = {
         r["doc_id"]: r["text_clean"]
-        for r in strip_boilerplate_lines(docs).collect()
+        for r in strip_boilerplate_lines(
+            docs, max_broadcast_lines=max_bc
+        ).collect()
     }
     assert got[1] == "keep one\nkeep two\nkeep three"
     assert got[2] == "zz other"
@@ -296,14 +304,19 @@ def test_strip_boilerplate_lines_vs_duckdb(spark):
     assert all("HEADER" not in t for _, t, _, _ in got)
 
 
-def test_unigram_logprob_vs_duckdb(spark):
+@pytest.mark.parametrize("max_bc", [2_000_000, 0])
+def test_unigram_logprob_vs_duckdb(spark, max_bc):
     """Self-trained unigram LM scores match a DuckDB replica of the
-    same add-alpha formula on the real corpus."""
+    same add-alpha formula on the real corpus. max_bc=0 forces the
+    measured-bound shuffle-join fallback; both paths must agree."""
     from haplorec_spark.operators.text import unigram_logprob_score
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     got = sorted(
-        tuple(r) for r in unigram_logprob_score(docs).collect()
+        tuple(r)
+        for r in unigram_logprob_score(
+            docs, max_broadcast_vocab=max_bc
+        ).collect()
     )
     con = duckdb.connect()
     con.execute(
@@ -349,3 +362,31 @@ def test_unigram_logprob_reference_vocab_flags_gibberish(spark):
         for r in unigram_logprob_score(docs, vocab=ref).collect()
     }
     assert got[1] > got[2] + 1.0  # >1 order of magnitude apart
+
+
+def test_unigram_logprob_min_count_prunes_to_oov(spark):
+    """min_count prunes the scoring vocabulary: words below it score as
+    OOV (count 0) while N and V keep the full LM's values, so the
+    smoothed probabilities of kept words are unchanged."""
+    import math
+
+    from haplorec_spark.operators.text import unigram_logprob_score
+
+    ref = spark.createDataFrame(
+        [("the", 100), ("cat", 50), ("sat", 50), ("mat", 1)],
+        "word string, count long",
+    )
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, "mat mat")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob_score(
+            docs, vocab=ref, min_count=2
+        ).collect()
+    }
+    denom = 201 + 0.5 * (4 + 1)  # full N and V, before the prune
+    lp = lambda c: math.log10((c + 0.5) / denom)
+    assert got[1] == (2, round((lp(100) + lp(50)) / 2, 6))
+    # "mat" (count 1 < min_count) scores as OOV, not with its count
+    assert got[2] == (2, round(lp(0), 6))
