@@ -1063,6 +1063,61 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(lsh_candidate_pairs(table(spark, sf_dir, "documents")))
 
 
+@register(
+    "q_dedup_spans",
+    # The synthetic corpus shares few natural 10-grams, so the query
+    # seeds a shared 12-word passage onto every 4th document — the span
+    # detector must report exactly the appended word range per seeded
+    # doc (plus any natural duplicated spans), islands merged.
+    """
+    WITH d AS (SELECT doc_id,
+                      CASE WHEN doc_id % 4 = 0 THEN text ||
+                           ' shared passage alpha beta gamma delta epsilon'
+                           || ' zeta eta theta iota kappa'
+                      ELSE text END AS text
+               FROM documents),
+         w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM d),
+         g AS (SELECT doc_id, u.pos, u.h FROM (
+                   SELECT doc_id,
+                          unnest(list_apply(
+                              range(0, greatest(len(ws) - 10, -1) + 1),
+                              i -> {'pos': i,
+                                    'h': md5(array_to_string(
+                                             ws[i + 1: i + 10], ' '))}))
+                              AS u
+                   FROM w)),
+         hot AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS df
+                                FROM g GROUP BY h) WHERE df >= 2),
+         s AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM hot)),
+         isl AS (SELECT doc_id, pos,
+                        sum(CASE WHEN prev_end IS NULL
+                                  OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY doc_id ORDER BY pos)
+                            AS island
+                 FROM (SELECT doc_id, pos,
+                              max(pos + 9) OVER (PARTITION BY doc_id
+                                  ORDER BY pos ROWS BETWEEN UNBOUNDED
+                                  PRECEDING AND 1 PRECEDING) AS prev_end
+                       FROM s))
+    SELECT doc_id, min(pos)::INT AS span_start, max(pos + 9)::INT AS span_end
+    FROM isl GROUP BY doc_id, island
+    """,
+    "span-level dedup: maximal word spans covered by cross-document "
+    "duplicated 10-grams (Lee et al. substring granularity; seeded "
+    "shared passages)",
+)
+def q_dedup_spans(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0 THEN concat(text,"
+            " ' shared passage alpha beta gamma delta epsilon zeta eta"
+            " theta iota kappa') ELSE text END"
+        ).alias("text"),
+    )
+    return duplicate_ngram_spans(docs, n=10, min_df=2)
+
+
 # Not a driver gate: q_dedup_simhash_pairs recomputes these signatures
 # inside its own oracle, so the pairs gate verifies the fingerprint
 # computation end-to-end (keeps the registry within the driver's

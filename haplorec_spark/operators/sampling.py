@@ -398,3 +398,43 @@ def contamination_report(
         .groupBy(id_col, "benchmark_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+# ------------------------------------------------------ query registration
+
+from haplorec_spark.queries import register, table  # noqa: E402
+
+#: DuckDB replica of :func:`_hash_band` — parse the first 8 hex chars of
+#: md5(seed || US || key) digit-by-digit (DuckDB has no base-16 conv());
+#: shared by the driver gate below and tests/test_sampling.py.
+DUCK_BAND = (
+    "list_reduce(list_transform(generate_series(1, 8),"
+    " i -> strpos('0123456789abcdef',"
+    "             substr(md5({key}), i, 1)) - 1),"
+    " (x, y) -> x * 16 + y)::BIGINT"
+)
+
+
+@register(
+    "q_sample_weighted",
+    # Per-row acceptance sampling: each document survives iff its
+    # deterministic hash band falls under its own weight — here a
+    # synthetic quality weight (doc_id % 10) / 10 so the kept fraction
+    # ramps 0%..90% across weight strata, non-vacuously.
+    f"""
+    SELECT doc_id, w FROM (
+        SELECT doc_id,
+               (doc_id % 10) / 10.0 AS w,
+               {DUCK_BAND.format(
+                   key="'weighted' || chr(31) || doc_id::VARCHAR")} AS band
+        FROM documents)
+    WHERE band < least(greatest(w, 0.0), 1.0) * 4294967296.0
+    """,
+    "deterministic weighted acceptance sampling: md5 hash band under "
+    "the row's own weight (reproducible across engines and reruns)",
+)
+def q_sample_weighted(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", ((F.col("doc_id") % 10) / 10.0).alias("w")
+    )
+    return weighted_sample(docs, "w", ["doc_id"], seed="weighted")

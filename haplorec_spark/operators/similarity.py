@@ -990,3 +990,61 @@ def q_ann_ivf_kmeans(spark, sf_dir):
         emb, emb.filter(F.col("vec_id") < 10), k=5,
         n_clusters=8, iterations=2,
     )
+
+
+@register(
+    "q_semantic_dedup",
+    # SemDedup: cosine pairs found inside k-means cells. Random vectors
+    # rarely reach cosine 0.8, so shifted-id copies of the low-id
+    # vectors are seeded — exact-duplicate pairs the operator must find
+    # in whatever cell they land in. The oracle unrolls the same two
+    # k-means iterations from the same lowest-8-id seeds.
+    """
+    WITH emb AS (SELECT vec_id,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings
+                 UNION ALL
+                 SELECT vec_id + 100000,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings WHERE vec_id < 25),
+         init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                             AS centroid_id,
+                         v AS centroid
+                  FROM (SELECT vec_id, v FROM emb
+                        ORDER BY vec_id LIMIT 8)),"""
+    + _duck_kmeans_iter(1, "init") + ","
+    + _duck_kmeans_iter(2, "c1") + f""",
+         cells AS (SELECT vec_id, v, centroid_id AS cluster FROM (
+                     SELECT e.vec_id, e.v, c.centroid_id,
+                            row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_duck_dist2('e.v', 'c.centroid')},
+                                         c.centroid_id) AS rn
+                     FROM emb e CROSS JOIN c2 c) WHERE rn = 1),
+         withn AS (SELECT vec_id, v, cluster,
+                          sqrt(list_reduce(list_transform(v, x -> x * x),
+                                           (x, y) -> x + y)) AS nrm
+                   FROM cells)
+    SELECT vec_id_a, vec_id_b, cosine FROM (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               round(list_reduce(list_transform(
+                         generate_series(1, len(a.v)),
+                         i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+                     / (a.nrm * b.nrm), 6) AS cosine
+        FROM withn a JOIN withn b USING (cluster)
+        WHERE a.vec_id < b.vec_id)
+    WHERE cosine >= 0.8
+    """,
+    "semantic (SemDedup) dedup: embedding cosine pairs within k-means "
+    "cells (2-iteration DataFrame k-means, seeded duplicates; the "
+    "oracle unrolls the same iterations from the same seeds)",
+)
+def q_semantic_dedup(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 25).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return semantic_dedup_pairs(
+        seeded, threshold=0.8, n_clusters=8, iterations=2
+    )

@@ -88,6 +88,7 @@ def registry() -> dict[str, Query]:
     # Import side-effect registration of the training-data operators.
     import haplorec_spark.operators.dedup  # noqa: F401
     import haplorec_spark.operators.multimodal  # noqa: F401
+    import haplorec_spark.operators.sampling  # noqa: F401
     import haplorec_spark.operators.similarity  # noqa: F401
     import haplorec_spark.operators.text  # noqa: F401
     return dict(_REGISTRY)
@@ -360,16 +361,14 @@ def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------- A4/SO1, A3, SO3/SO4
 
-@register(
-    "q_union_distinct",
-    """
-    SELECT c_custkey FROM customer
-    WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 3000
-    UNION
-    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000
-    """,
-    "UNION DISTINCT of two work lists",
-)
+# Not driver gates since round 5: q_union_distinct / q_distinct_projection /
+# q_semi_join are one-liner Spark calls whose physical operators (union +
+# HashAggregate distinct, left-semi BroadcastHashJoin) appear in many other
+# gated plans (dedup_clusters' edge union, ann_recall's semi join, every
+# .distinct() in the dedup family). Their registry slots rotated to the
+# round-4 operator families (q_dedup_spans, q_semantic_dedup,
+# q_sample_weighted) so the 50-entry driver cap lands on code that had no
+# SQL-oracle gate. Still DuckDB-checked by tests/test_registry.py.
 def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -382,23 +381,10 @@ def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct()
 
 
-@register(
-    "q_distinct_projection",
-    "SELECT DISTINCT p_brand, p_type FROM part",
-    "distinct projection (gene_snp view analog)",
-)
 def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table(spark, sf_dir, "part").select("p_brand", "p_type").distinct()
 
 
-@register(
-    "q_semi_join",
-    """
-    SELECT s_suppkey, s_name FROM supplier s
-    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey)
-    """,
-    "left-semi join: suppliers with at least one shipment",
-)
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier")
     li = table(spark, sf_dir, "lineitem")

@@ -67,3 +67,40 @@ def test_names_are_snake_case_and_unique():
     assert len(names) == len(set(names))
     for n in names:
         assert re.fullmatch(r"q[0-9]*[a-z0-9_]*", n), n
+
+
+#: DuckDB oracles for queries rotated OUT of the 50-entry driver budget
+#: (round 5: their slots went to the round-4 operator families). They
+#: stay correct via this test even though the driver no longer gates them.
+ROTATED_OUT_ORACLES = {
+    "q_union_distinct": """
+        SELECT c_custkey FROM customer
+        WHERE c_mktsegment = 'MACHINERY' AND c_acctbal > 3000
+        UNION
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_totalprice > 150000
+    """,
+    "q_distinct_projection": "SELECT DISTINCT p_brand, p_type FROM part",
+    "q_semi_join": """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey)
+    """,
+}
+
+
+def test_rotated_out_queries_still_match_duckdb(spark):
+    import duckdb
+
+    import haplorec_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("customer", "orders", "part", "supplier", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf}/{t}.parquet')"
+        )
+    for name, sql in ROTATED_OUT_ORACLES.items():
+        got = sorted(tuple(r) for r in getattr(q, name)(spark, sf).collect())
+        want = sorted(tuple(t) for t in con.execute(sql).fetchall())
+        assert got == want, name

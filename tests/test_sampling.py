@@ -306,3 +306,119 @@ def test_top_fraction_by_score(spark, docs):
     assert top_fraction_by_score(scored, "n_ws_tokens", 1.0).count() == len(vals)
     empty = scored.limit(0)
     assert top_fraction_by_score(empty, "n_ws_tokens", 0.5).count() == 0
+
+
+# --------------------------------------------- DuckDB oracle cross-checks
+# The pure-Python replicas above prove engine-independence of the hash
+# contract; these prove it against an actual second SQL engine (the same
+# oracle style every other operator family gets). DUCK_BAND is the
+# md5-hex-prefix band parse shared with the q_sample_weighted driver gate.
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    return con
+
+
+def _duck_band(seed: str) -> str:
+    from haplorec_spark.operators.sampling import DUCK_BAND
+
+    return DUCK_BAND.format(
+        key=f"'{seed}' || chr(31) || doc_id::VARCHAR"
+    )
+
+
+def test_fraction_sample_vs_duckdb(spark, docs, duck):
+    got = sorted(
+        r.doc_id
+        for r in hash_fraction_sample(docs, 0.3, ["doc_id"]).collect()
+    )
+    want = sorted(
+        t[0]
+        for t in duck.execute(
+            f"""SELECT doc_id FROM documents
+                WHERE {_duck_band('sample')} < {int(0.3 * (1 << 32))}"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_weighted_sample_vs_duckdb(spark, docs, duck):
+    from haplorec_spark.operators.sampling import weighted_sample
+
+    weighted = docs.select(
+        "doc_id", ((F.col("doc_id") % 10) / 10.0).alias("w")
+    )
+    got = sorted(
+        r.doc_id
+        for r in weighted_sample(weighted, "w", ["doc_id"],
+                                 seed="weighted").collect()
+    )
+    want = sorted(
+        t[0]
+        for t in duck.execute(
+            f"""SELECT doc_id FROM (
+                    SELECT doc_id, (doc_id % 10) / 10.0 AS w,
+                           {_duck_band('weighted')} AS band
+                    FROM documents)
+                WHERE band < least(greatest(w, 0.0), 1.0) * 4294967296.0"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_hash_split_vs_duckdb(spark, docs, duck):
+    got = sorted(
+        (r.doc_id, r.split)
+        for r in hash_split(
+            docs, {"train": 0.8, "valid": 0.1, "test": 0.1}, ["doc_id"]
+        ).select("doc_id", "split").collect()
+    )
+    c80 = int(0.8 * (1 << 32))
+    c90 = int(0.9 * (1 << 32))
+    want = sorted(
+        tuple(t)
+        for t in duck.execute(
+            f"""SELECT doc_id,
+                       CASE WHEN {_duck_band('split')} < {c80} THEN 'train'
+                            WHEN {_duck_band('split')} < {c90} THEN 'valid'
+                            ELSE 'test' END AS split
+                FROM documents"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_top_fraction_by_score_vs_duckdb(spark, docs, duck):
+    """exact=True uses Spark's exact interpolated percentile — the same
+    cut DuckDB's quantile_cont computes, so kept sets match exactly."""
+    from haplorec_spark.operators.sampling import top_fraction_by_score
+
+    scored = docs.select(
+        "doc_id", ((F.col("doc_id") % 97) / 97.0).alias("score")
+    )
+    got = sorted(
+        r.doc_id
+        for r in top_fraction_by_score(
+            scored, "score", 0.3, exact=True
+        ).collect()
+    )
+    want = sorted(
+        t[0]
+        for t in duck.execute(
+            """SELECT doc_id FROM (
+                   SELECT doc_id, (doc_id % 97) / 97.0 AS score
+                   FROM documents)
+               WHERE score >= (SELECT quantile_cont(
+                                   (doc_id % 97) / 97.0, 0.7)
+                               FROM documents)"""
+        ).fetchall()
+    )
+    assert got == want and 0 < len(got) < docs.count()
