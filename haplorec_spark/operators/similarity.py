@@ -713,9 +713,11 @@ def write_semantic_store(
     needs them) — still a fraction of the corpus (embeddings vs text),
     and cluster partitioning means an incoming batch reads ONLY the
     cells it probes, never all of history. The codebook is written
-    alongside (``<path>/codebook``) so every future drop assigns
-    against the SAME cells — never re-learn the codebook on append, or
-    old and new vectors land in incompatible cells.
+    alongside (``<path>/codebook``) and on append the STORED codebook
+    is the one used for cell assignment — a caller that re-learned
+    centroids before appending would otherwise silently write cells
+    inconsistent with the pinned codebook, and incremental probes
+    would lose recall with no error.
     """
     spark = vectors.sparkSession
     cents = centroids.orderBy("centroid_id")
@@ -723,7 +725,9 @@ def write_semantic_store(
         cents.write.mode(mode).parquet(f"{path}/codebook")
     else:
         try:
-            spark.read.parquet(f"{path}/codebook")
+            # appending to an existing store: the pinned codebook wins
+            # over whatever the caller passed
+            centroids = spark.read.parquet(f"{path}/codebook")
         except AnalysisException:
             # appending to a fresh path: pin the codebook now so the
             # store is self-contained from its first write
@@ -764,9 +768,19 @@ def incremental_semantic_pairs(
     the recall knob), joins only the probed cells' history vectors —
     cluster partition pruning keeps the scan proportional to the
     batch, not to history — and runs the in-batch within-cell scan.
+
+    A codebook with no ``<store>/cells`` yet is EMPTY HISTORY, not an
+    error: a crash between the first batch's codebook write and its
+    cells write must not wedge the stream (every replay would raise on
+    the never-written path); the batch then dedups only against itself
+    and its survivors create the first cells partition.
     """
     spark = new_vectors.sparkSession
     centroids = spark.read.parquet(f"{store_path}/codebook")
+    try:
+        store = spark.read.parquet(f"{store_path}/cells")
+    except AnalysisException:
+        store = None
     norm = F.expr(
         f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
         f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
@@ -781,7 +795,6 @@ def incremental_semantic_pairs(
     batch = new_vectors.select(
         F.col(id_col), F.col(vec_col), norm.alias("nrm")
     ).join(new_cells, on=id_col)
-    store = spark.read.parquet(f"{store_path}/cells")
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) ->"
         " cast(x as double) * cast(y as double)), cast(0.0 as double),"
@@ -793,23 +806,26 @@ def incremental_semantic_pairs(
         F.col("nrm").alias("na"),
         "cluster",
     )
-    h = store.select(
-        F.col(id_col).alias("vec_id_matched"),
-        F.col(vec_col).alias("vb"),
-        F.col("nrm").alias("nb"),
-        "cluster",
-    )
-    vs_history = (
-        a.join(h, on="cluster")
-        .select(
-            "vec_id_new",
-            "vec_id_matched",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+    if store is not None:
+        h = store.select(
+            F.col(id_col).alias("vec_id_matched"),
+            F.col(vec_col).alias("vb"),
+            F.col("nrm").alias("nb"),
+            "cluster",
         )
-        .filter(F.col("cosine") >= threshold)
-        .distinct()  # nprobe > 1 can meet the same pair in two cells
-        .withColumn("source", F.lit("history"))
-    )
+        vs_history = (
+            a.join(h, on="cluster")
+            .select(
+                "vec_id_new",
+                "vec_id_matched",
+                F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .distinct()  # nprobe > 1 can meet the same pair in two cells
+            .withColumn("source", F.lit("history"))
+        )
+    else:
+        vs_history = None
     b = batch.select(
         F.col(id_col).alias("vec_id_matched"),
         F.col(vec_col).alias("vb"),
@@ -828,6 +844,8 @@ def incremental_semantic_pairs(
         .distinct()
         .withColumn("source", F.lit("batch"))
     )
+    if vs_history is None:
+        return vs_batch
     return vs_history.unionByName(vs_batch)
 
 

@@ -465,3 +465,86 @@ def test_ann_recall_matches_python(spark):
         hits = len(e[p] & a.get(p, set()))
         assert (n_exact, n_hit) == (len(e[p]), hits)
         assert recall == round(hits / len(e[p]), 6)
+
+
+def test_incremental_semantic_pairs_codebook_without_cells(spark, tmp_path):
+    """A crash between the first batch's codebook write and its cells
+    write must not wedge the stream: a store with a codebook but no
+    cells path is EMPTY HISTORY — the batch dedups against itself and
+    no AnalysisException escapes."""
+    from haplorec_spark.operators.similarity import (
+        incremental_semantic_pairs,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    drop1 = emb.filter(F.col("vec_id") < 200)
+    store = str(tmp_path / "wedged_store")
+    # simulate the crash: codebook landed, cells never did
+    kmeans_centroids(drop1, 4, 2).write.parquet(f"{store}/codebook")
+
+    v5 = drop1.filter(F.col("vec_id") == 5).first()["embedding"]
+    batch = spark.createDataFrame(
+        [(1005, v5), (1006, v5)], "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r["vec_id_new"], r["vec_id_matched"], r["source"])
+        for r in incremental_semantic_pairs(
+            batch, store, threshold=0.9999
+        ).collect()
+    }
+    assert got == {(1006, 1005, "batch")}  # in-batch only, no history
+
+
+def test_semantic_store_append_uses_pinned_codebook(spark, tmp_path):
+    """Appending with re-learned (different) centroids must assign the
+    new cells with the STORED codebook, or incremental probes read the
+    wrong cells and silently lose recall."""
+    from haplorec_spark.operators.similarity import (
+        assign_clusters,
+        incremental_semantic_pairs,
+        kmeans_centroids,
+        write_semantic_store,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    drop1 = emb.filter(F.col("vec_id") < 200)
+    pinned = kmeans_centroids(drop1, 4, 2)
+    store = str(tmp_path / "pin_store")
+    write_semantic_store(drop1, pinned, store, mode="overwrite")
+
+    drop2 = emb.filter(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 300)
+    )
+    # a "wrong" re-learned codebook from the second drop alone
+    relearned = kmeans_centroids(drop2, 4, 2)
+    write_semantic_store(drop2, relearned, store, mode="append")
+
+    cells = spark.read.parquet(f"{store}/cells")
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in cells.filter(F.col("vec_id") >= 200)
+        .select("vec_id", "cluster").collect()
+    }
+    want = {
+        (r["vec_id"], r["cluster"])
+        for r in assign_clusters(drop2, pinned).collect()
+    }
+    assert got == want  # pinned codebook, not the re-learned one
+
+    # and a probe for a drop-2 vector still finds it through the store
+    v250 = emb.filter(F.col("vec_id") == 250).first()["embedding"]
+    probe = spark.createDataFrame(
+        [(9250, v250)], "vec_id long, embedding array<float>"
+    )
+    got2 = {
+        (r["vec_id_new"], r["vec_id_matched"], r["source"])
+        for r in incremental_semantic_pairs(
+            probe, store, threshold=0.9999
+        ).collect()
+    }
+    assert (9250, 250, "history") in got2

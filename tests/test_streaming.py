@@ -389,3 +389,46 @@ def test_stream_semantic_dedup_ingest_two_drops(spark, tmp_path):
                                   "cluster", "ingest_batch"}
     # codebook pinned once, k rows
     assert spark.read.parquet(f"{store}/codebook").count() == 2
+
+
+def test_stream_semantic_ingest_recovers_from_wedged_store(spark, tmp_path):
+    """Crash between the first batch's codebook write and its cells
+    write: on replay the codebook exists but <store>/cells does not.
+    The stream must treat that as empty history (not raise on every
+    retry) and complete the batch — survivors out, cells written."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import kmeans_centroids
+    from haplorec_spark.streaming import stream_semantic_dedup_ingest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    v1 = emb.filter(F.col("vec_id") == 1).first()["embedding"]
+    v2 = emb.filter(F.col("vec_id") == 2).first()["embedding"]
+
+    src = tmp_path / "vec_incoming"
+    src.mkdir()
+    store = str(tmp_path / "sem_store")
+    out = str(tmp_path / "sem_out")
+
+    batch = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v2)],  # 3 duplicates 2 in-batch
+        "vec_id long, embedding array<float>",
+    )
+    # simulate the crashed first attempt: codebook landed, cells never did
+    kmeans_centroids(batch, 2, 1).write.parquet(f"{store}/codebook")
+
+    batch.coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_semantic_dedup_ingest(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(str(src)),
+        store_path=store, out_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.9999, n_clusters=2, iterations=1,
+    )
+    q.awaitTermination(120)
+
+    ids = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2]  # batch completed; in-batch dup 3 dropped
+    assert spark.read.parquet(f"{store}/cells").count() == 2
