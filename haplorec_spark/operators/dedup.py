@@ -778,6 +778,66 @@ def embedding_near_duplicates(
     )
 
 
+def verify_jaccard_pairs(
+    pairs: DataFrame,
+    left_docs: DataFrame,
+    right_docs: DataFrame,
+    *,
+    threshold: float,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    a_col: str = "doc_id_new",
+    b_col: str = "doc_id_matched",
+) -> DataFrame:
+    """Keep only candidate pairs whose EXACT shingle Jaccard reaches
+    ``threshold`` — the verification pass between LSH candidate
+    generation and the drop step, so false-positive band collisions
+    don't delete unique documents. Returns the pairs' columns plus
+    ``jaccard``.
+
+    ``left_docs`` supplies text for the ``a_col`` ids, ``right_docs``
+    for the ``b_col`` ids (pass the same frame twice for an in-corpus
+    self-check). Jaccard is over distinct word shingles, identical to
+    :func:`ngram_jaccard_pairs`.
+
+    Scale shape: shingle arrays are built ONLY for documents that
+    appear in a candidate pair (semi-join prune first) — candidate
+    sets are duplicate-sized, not corpus-sized, so the per-doc shingle
+    arrays and the two id-keyed joins stay proportional to the drop.
+    Pairs whose documents produce no shingles (shorter than
+    ``shingle_n`` words) cannot be LSH candidates in the first place
+    (no band keys), so the inner joins drop nothing real.
+    """
+
+    def shingle_sets(docs: DataFrame, ids: DataFrame, out_id: str):
+        pruned = docs.join(
+            ids.select(F.col(ids.columns[0]).alias(id_col)),
+            on=id_col,
+            how="left_semi",
+        )
+        return (
+            word_shingles(pruned, shingle_n, text_col=text_col, id_col=id_col)
+            .groupBy(id_col)
+            .agg(F.collect_list("shingle").alias(f"_sh_{out_id}"))
+            .select(F.col(id_col).alias(out_id), f"_sh_{out_id}")
+        )
+
+    sa = shingle_sets(left_docs, pairs.select(a_col).distinct(), a_col)
+    sb = shingle_sets(right_docs, pairs.select(b_col).distinct(), b_col)
+    inter = F.size(F.array_intersect(F.col(f"_sh_{a_col}"), F.col(f"_sh_{b_col}")))
+    union = (
+        F.size(F.col(f"_sh_{a_col}")) + F.size(F.col(f"_sh_{b_col}")) - inter
+    )
+    return (
+        pairs.join(sa, on=a_col)
+        .join(sb, on=b_col)
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select(*pairs.columns, "jaccard")
+    )
+
+
 # --------------------------------------------------- near-dup clustering
 
 

@@ -231,6 +231,7 @@ def stream_dedup_ingest(
     mode: str = "near",
     text_col: str = "text",
     id_col: str = "doc_id",
+    verify_threshold: float | None = None,
 ):
     """foreachBatch corpus ingest with cross-batch dedup against a
     persisted store: each micro-batch drops documents matching history
@@ -244,6 +245,17 @@ def stream_dedup_ingest(
     Either store stays ~1000× smaller than the corpus, which is the
     whole design: ingest work scales with the drop, not with history.
 
+    ``verify_threshold`` (near mode) inserts an exact-Jaccard
+    verification pass between LSH candidacy and the drop
+    (:func:`~haplorec_spark.operators.dedup.verify_jaccard_pairs`):
+    only candidates whose true shingle Jaccard reaches the threshold
+    are dropped, so a false-positive band collision cannot silently
+    delete a unique document at ingest. History text comes from the
+    curated ``out_path`` itself (survivors keep their text there), so
+    no extra store is needed; the verification joins are candidate-
+    sized. ``None`` (default) keeps the aggressive drop-all-candidates
+    behavior.
+
     Exactly-once: survivors and store keys both land in
     ``ingest_batch=<batch_id>`` partitions via dynamic partition
     overwrite, so a replayed batch rewrites its own partitions instead
@@ -256,10 +268,13 @@ def stream_dedup_ingest(
         incremental_exact_duplicates,
         lsh_band_keys,
         lsh_candidate_pairs,
+        verify_jaccard_pairs,
     )
 
     if mode not in ("near", "exact"):
         raise ValueError(f"unknown dedup mode: {mode!r}")
+    if verify_threshold is not None and mode != "near":
+        raise ValueError("verify_threshold applies to mode='near' only")
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -300,6 +315,25 @@ def stream_dedup_ingest(
                     F.col("doc_id_a").alias("doc_id_matched"),
                 )
             )
+            if verify_threshold is not None:
+                matched_docs = batch_df.select(
+                    F.col(id_col), F.col(text_col)
+                )
+                if have_store:
+                    # history text lives in the curated output itself
+                    matched_docs = matched_docs.unionByName(
+                        spark.read.parquet(out_path).select(
+                            F.col(id_col), F.col(text_col)
+                        )
+                    )
+                losers = verify_jaccard_pairs(
+                    losers,
+                    batch_df,
+                    matched_docs,
+                    threshold=verify_threshold,
+                    text_col=text_col,
+                    id_col=id_col,
+                )
         survivors = batch_df.join(
             losers.select(
                 F.col("doc_id_new").alias(id_col)

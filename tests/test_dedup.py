@@ -339,3 +339,35 @@ def test_duplicate_ngram_spans_short_docs(spark):
     assert got == {
         1: ("tiny doc", 0), 2: ("also quite short", 0), 3: ("x", 0)
     }
+
+
+def test_verify_jaccard_pairs_kills_false_positive_candidates(spark):
+    """A band-colliding pair with true Jaccard 0.5 (deterministic md5
+    construction: 20 shared words + 18-word tail) must be dropped by
+    the verification pass at threshold 0.8 and kept at 0.4."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        verify_jaccard_pairs,
+    )
+
+    a = " ".join(f"alpha{i}" for i in range(20))
+    b = a + " " + " ".join(f"tail6x{j}" for j in range(18))
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    cands = lsh_candidate_pairs(docs).select(
+        F.col("doc_id_b").alias("doc_id_new"),
+        F.col("doc_id_a").alias("doc_id_matched"),
+    )
+    assert cands.count() == 1  # the construction does band-collide
+
+    kept_hi = verify_jaccard_pairs(
+        cands, docs, docs, threshold=0.8
+    ).collect()
+    assert kept_hi == []  # false positive killed
+
+    kept_lo = verify_jaccard_pairs(cands, docs, docs, threshold=0.4).collect()
+    assert [(r["doc_id_new"], r["doc_id_matched"], r["jaccard"])
+            for r in kept_lo] == [(2, 1, 0.5)]

@@ -432,3 +432,41 @@ def test_stream_semantic_ingest_recovers_from_wedged_store(spark, tmp_path):
     ids = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 2]  # batch completed; in-batch dup 3 dropped
     assert spark.read.parquet(f"{store}/cells").count() == 2
+
+
+def test_stream_dedup_ingest_verify_threshold(spark, tmp_path):
+    """Near-mode ingest with verify_threshold: a band-colliding
+    NON-duplicate (true Jaccard 0.5, deterministic construction)
+    survives instead of being silently deleted, while a true duplicate
+    of history is still dropped."""
+    from haplorec_spark.streaming import stream_dedup_ingest
+
+    a = " ".join(f"alpha{i}" for i in range(20))
+    b = a + " " + " ".join(f"tail6x{j}" for j in range(18))
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+
+    def run_drop(rows_):
+        spark.createDataFrame(
+            rows_, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_dedup_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src)),
+            store_path=store, out_path=out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            mode="near", verify_threshold=0.8,
+        )
+        q.awaitTermination(120)
+
+    run_drop([(1, a)])
+    run_drop([
+        (10, b),  # LSH-collides with history doc 1, Jaccard 0.5 -> kept
+        (11, a),  # true duplicate of history -> dropped
+    ])
+
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert ids == [1, 10]
