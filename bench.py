@@ -93,6 +93,11 @@ def main() -> None:
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
+        # The primary metric switched from cold to steady-state timing
+        # in round 4 (commit 0390f98); the explicit methodology field
+        # keeps old and new runs from being compared unknowingly.
+        "methodology": "steady_state_after_warmup_pass",
+        "bench_version": 2,
         "queries": times,
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf,

@@ -549,7 +549,7 @@ def semantic_dedup_pairs(
     vectors: DataFrame,
     *,
     threshold: float = 0.95,
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     iterations: int = 2,
     nprobe: int = 1,
     vec_col: str = "embedding",
@@ -574,10 +574,20 @@ def semantic_dedup_pairs(
     codebook, one shuffle per iteration), assignment is a map-side
     literal-codebook argmin, and the pair generation is a cluster-keyed
     self-join — (n/k)^2 work per cell instead of n^2, the published
-    tradeoff. Norms are computed once per vector before the join; a
-    pair sharing several probed cells is emitted once (distinct on the
-    pair before scoring).
+    tradeoff. ``n_clusters`` is the OPERATING PARAMETER that tradeoff
+    rides on: total pair work ≈ n²/k, so ``k ≈ √n`` balances the
+    per-cell quadratic against the codebook cost (argmin is O(k) per
+    vector) — pass ``n_clusters=None`` to auto-size k = ⌊√n⌋ from one
+    count. The default 8 suits gate-sized inputs only; audit actual
+    cell sizes with :func:`cell_profile` before trusting a k at scale.
+    Norms are computed once per vector before the join; a pair sharing
+    several probed cells is emitted once (distinct on the pair before
+    scoring).
     """
+    if n_clusters is None:
+        import math
+
+        n_clusters = max(1, math.isqrt(max(vectors.count(), 1)))
     centroids = kmeans_centroids(
         vectors, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
@@ -648,6 +658,42 @@ def within_cell_pairs(
         # restores one row per pair
         scored = scored.distinct()
     return scored
+
+
+def cell_profile(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(cluster, n_vectors, pair_cost): the audit face of the
+    within-cell quadratic — per cell, how many vectors landed there and
+    the implied n·(n-1)/2 pair evaluations
+    :func:`within_cell_pairs` will run.
+
+    Run this BEFORE a big semantic-dedup job: ``max(n_vectors)`` is the
+    largest single-cell cost and ``sum(pair_cost)`` the total; a skewed
+    codebook (one giant cell) shows up here as one row, not as a
+    mystery 10-hour stage. One map-side assignment + one k-row
+    aggregate — audit cost is a corpus scan, never a join.
+    """
+    cells = assign_clusters(
+        vectors, centroids, vec_col=vec_col, id_col=id_col
+    )
+    return (
+        cells.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            "cluster",
+            "n_vectors",
+            (
+                F.col("n_vectors").cast("long")
+                * (F.col("n_vectors") - 1)
+                / 2
+            ).cast("long").alias("pair_cost"),
+        )
+    )
 
 
 def ann_recall(

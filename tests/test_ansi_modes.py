@@ -24,6 +24,11 @@ MODE_SENSITIVE = [
     "q_theta_or_join",
     "q_division_subset",
     "q_ann_lsh_bucketed",
+    # round-5 gates: sequence()/slice() under the CASE guard (spans)
+    # and conv() hex parsing (weighted sampling) must behave
+    # identically under both ANSI modes
+    "q_dedup_spans",
+    "q_sample_weighted",
 ]
 
 

@@ -548,3 +548,46 @@ def test_semantic_store_append_uses_pinned_codebook(spark, tmp_path):
         ).collect()
     }
     assert (9250, 250, "history") in got2
+
+
+def test_cell_profile_counts_and_pair_cost(spark):
+    """cell_profile accounts every vector exactly once and its
+    pair_cost is n(n-1)/2 per cell — matching what within_cell_pairs
+    would evaluate."""
+    from haplorec_spark.operators.similarity import (
+        cell_profile,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = kmeans_centroids(emb, 4, 2)
+    prof = cell_profile(emb, cents).collect()
+    assert sum(r["n_vectors"] for r in prof) == emb.count()
+    for r in prof:
+        n = r["n_vectors"]
+        assert r["pair_cost"] == n * (n - 1) // 2
+
+
+def test_semantic_dedup_auto_k(spark):
+    """n_clusters=None sizes k to floor(sqrt(n)) and still finds the
+    seeded exact duplicates (recall survives auto-sizing)."""
+    from haplorec_spark.operators.similarity import semantic_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    seeded = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in semantic_dedup_pairs(
+            seeded, threshold=0.9999, n_clusters=None
+        ).collect()
+    }
+    # exact copies share a cell by construction (identical vectors)
+    assert {(i, i + 100000) for i in range(10)} <= got
