@@ -609,7 +609,17 @@ def within_cell_pairs(
     """(id_a, id_b, cosine) pairs >= threshold within a GIVEN codebook's
     cells — :func:`semantic_dedup_pairs` without the codebook learning,
     for callers that pin the codebook (the incremental store, the
-    streaming ingest bootstrap)."""
+    streaming ingest bootstrap).
+
+    The a/b sides of the cluster-keyed self-join each recompute the
+    map-side assignment+norm projection rather than sharing a persisted
+    intermediate — DELIBERATE at the 100 TB target: the projection is a
+    cheap scan-local argmin, while persisting it would materialize the
+    full vector corpus (memory-and-disk spill dominates the recompute).
+    Callers pairing the same assignment many times can persist the
+    store form instead (``write_semantic_store`` keeps (id, vector,
+    nrm, cluster) on disk, cluster-partitioned).
+    """
     cells = (
         assign_clusters(vectors, centroids, vec_col=vec_col, id_col=id_col)
         if nprobe <= 1
