@@ -58,9 +58,11 @@ from haplorec_spark.operators.sampling import (  # noqa: E402
 from haplorec_spark.operators.dedup import (  # noqa: E402
     duplicate_ngram_spans,
     strip_duplicate_ngram_spans,
+    verify_jaccard_pairs,
 )
 from haplorec_spark.operators.similarity import (  # noqa: E402
     ann_recall,
+    cell_profile,
     incremental_semantic_pairs,
     semantic_dedup_pairs,
     write_semantic_store,
@@ -86,6 +88,7 @@ __all__ = [
     "ann_recall",
     "asof_join",
     "bm25_rank",
+    "cell_profile",
     "contamination_report",
     "curate_documents",
     "decontaminate",
@@ -115,6 +118,7 @@ __all__ = [
     "tfidf",
     "top_fraction_by_score",
     "unigram_logprob_score",
+    "verify_jaccard_pairs",
     "weighted_sample",
     "write_semantic_store",
     "__version__",
