@@ -309,3 +309,66 @@ def test_dedup_clusters_matches_bfs_model(spark, edges):
         keeper = min(comp)
         want |= {(n, keeper) for n in comp}
     assert got == want
+
+
+# words from a tiny alphabet force shared lines/ngrams across docs
+_line_words = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc_lines = st.lists(
+    st.lists(_line_words, min_size=1, max_size=4).map(" ".join),
+    min_size=0, max_size=5,
+)
+
+
+@SLOW
+@given(docs=st.lists(_doc_lines, min_size=1, max_size=6))
+def test_boilerplate_adaptive_paths_agree(spark, docs):
+    """The broadcast and explode-and-regroup paths of
+    strip_boilerplate_lines must return identical rows on ANY input —
+    the adaptive bound may only change the plan, never the result."""
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+
+    frame = spark.createDataFrame(
+        [(i, "\n".join(lines)) for i, lines in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    small = sorted(
+        tuple(r)
+        for r in strip_boilerplate_lines(
+            frame, max_broadcast_lines=1_000_000
+        ).collect()
+    )
+    large = sorted(
+        tuple(r)
+        for r in strip_boilerplate_lines(
+            frame, max_broadcast_lines=0
+        ).collect()
+    )
+    assert small == large
+
+
+@SLOW
+@given(docs=st.lists(
+    st.lists(_line_words, min_size=0, max_size=8).map(" ".join),
+    min_size=1, max_size=6,
+))
+def test_dup_span_adaptive_paths_agree(spark, docs):
+    """Broadcast vs shuffle join back of the duplicated-n-gram set:
+    identical spans on any input."""
+    from haplorec_spark.operators.dedup import duplicate_ngram_spans
+
+    frame = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    small = sorted(
+        tuple(r)
+        for r in duplicate_ngram_spans(
+            frame, n=2, min_df=2, max_broadcast_grams=1_000_000
+        ).collect()
+    )
+    large = sorted(
+        tuple(r)
+        for r in duplicate_ngram_spans(
+            frame, n=2, min_df=2, max_broadcast_grams=0
+        ).collect()
+    )
+    assert small == large
