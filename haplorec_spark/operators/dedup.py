@@ -879,11 +879,24 @@ def dedup_clusters(
     Both paths produce identical labels (component-minimum id).
     """
     spark = pairs.sparkSession
+    # Both directions come from ONE scan of the pairs plan: a union of
+    # two selects over `pairs` schedules the (possibly expensive —
+    # LSH/Jaccard/SimHash) upstream twice, doubling the whole candidate
+    # computation. explode of a 2-struct array doubles map-side instead.
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .union(
-            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(b_col).alias("src"), F.col(a_col).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         .persist()
     )
