@@ -68,6 +68,8 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     write_semantic_store,
 )
 from haplorec_spark.operators.text import (  # noqa: E402
+    chunk_documents,
+    perplexity_buckets,
     redact_pii,
     strip_boilerplate_lines,
     unigram_logprob_score,
@@ -89,6 +91,7 @@ __all__ = [
     "asof_join",
     "bm25_rank",
     "cell_profile",
+    "chunk_documents",
     "contamination_report",
     "curate_documents",
     "decontaminate",
@@ -105,6 +108,7 @@ __all__ = [
     "mixture_sample",
     "numeric_quantiles",
     "pack_sequences",
+    "perplexity_buckets",
     "profile_table",
     "redact_pii",
     "select_where_either_subset_of",

@@ -19,6 +19,8 @@ Per-document (map-side):
   count (letter runs, digit runs, single punctuation marks).
 * ``redact_pii``       — mask emails / IPv4s / SSN- and phone-shaped
   numbers with typed placeholders, with per-type match counts.
+* ``chunk_documents``  — sliding/tiling word windows (training-prep
+  chunking; the cut-long complement of ``pack_sequences``).
 
 Corpus-relative (word/line-keyed aggregation + broadcast back):
 
@@ -27,6 +29,8 @@ Corpus-relative (word/line-keyed aggregation + broadcast back):
   near-identical content).
 * ``unigram_logprob_score`` — mean unigram-LM log-probability per
   document (the CCNet-style perplexity quality signal).
+* ``perplexity_buckets`` — CCNet head/middle/tail tiers from exact
+  score quantiles (map-side CASE against collected cut scalars).
 * ``strip_boilerplate_lines`` — cross-document line-level dedup.
 
 Each has an exact DuckDB oracle; regexes are limited to constructs with
@@ -458,6 +462,118 @@ def doc_fingerprints(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    chunk_size: int = 128,
+    stride: int | None = None,
+    min_words: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, chunk_ix, chunk_start, n_words, chunk_text): fixed word
+    windows over each document.
+
+    Training-prep chunking — the complement of
+    :func:`~haplorec_spark.operators.packing.pack_sequences` (which
+    concatenates SHORT documents up to a budget, this CUTS long ones
+    down to it): windows of ``chunk_size`` whitespace words starting
+    every ``stride`` words. ``stride < chunk_size`` yields overlapping
+    context windows (the usual sliding-window pretraining shape);
+    the default ``stride = chunk_size`` tiles without overlap. Windows
+    shorter than ``min_words`` (the final partial window of most
+    documents) are dropped when ``min_words > 1``.
+
+    Scale shape: one split per row, window starts from ``sequence``,
+    ``posexplode`` — pure map-side row expansion, zero shuffle at any
+    corpus size, and each output chunk row is bounded by ``chunk_size``
+    words regardless of input document length (the property that makes
+    downstream per-row work skew-free).
+    """
+    if stride is None:
+        stride = chunk_size
+    if chunk_size < 1 or stride < 1 or min_words < 1:
+        raise ValueError("chunk_size, stride, min_words must be >= 1")
+    ws = f"split({text_col}, ' ')"
+    starts = f"sequence(0, greatest(size({ws}) - 1, 0), {stride})"
+    exploded = docs.select(
+        F.col(id_col),
+        F.expr(ws).alias("_ws"),
+        F.posexplode(F.expr(starts)).alias("chunk_ix", "chunk_start"),
+    ).select(
+        F.col(id_col),
+        "chunk_ix",
+        "chunk_start",
+        F.expr(f"slice(_ws, chunk_start + 1, {chunk_size})").alias("_cw"),
+    )
+    out = exploded.select(
+        F.col(id_col),
+        "chunk_ix",
+        "chunk_start",
+        F.size("_cw").alias("n_words"),
+        F.array_join("_cw", " ").alias("chunk_text"),
+    )
+    if min_words > 1:
+        out = out.filter(F.col("n_words") >= min_words)
+    return out
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    *,
+    n_buckets: int = 3,
+    vocab: DataFrame | None = None,
+    alpha: float = 0.5,
+    min_count: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, avg_logprob, ppl_bucket): CCNet-style quality
+    tiers from the unigram-LM score.
+
+    CCNet (Wenzek et al. 2020) splits a crawl into head/middle/tail by
+    reference-LM perplexity and trains preferentially on the head.
+    Bucket 0 holds the HIGHEST ``avg_logprob`` (lowest perplexity —
+    cleanest) documents; cut points are the exact ``i/n_buckets``
+    quantiles of the corpus score distribution (linear interpolation,
+    the same definition as DuckDB's ``quantile_cont``).
+
+    Scale shape: scoring is :func:`unigram_logprob_score` (one LM
+    build + one token join); the cuts are ONE ``percentile`` aggregate
+    collecting ``n_buckets - 1`` scalars to the driver (bounded, like
+    the k-means codebook), and bucket assignment is a map-side CASE
+    against those literals — no global sort, no ``ntile`` window over
+    the corpus. A document exactly on a cut joins the better bucket.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = unigram_logprob_score(
+        docs,
+        vocab=vocab,
+        alpha=alpha,
+        min_count=min_count,
+        text_col=text_col,
+        id_col=id_col,
+    ).persist()  # reused by the cuts aggregate and the output projection
+    qs = ", ".join(
+        repr(1.0 - i / n_buckets) for i in range(1, n_buckets)
+    )
+    cuts = scored.agg(
+        F.expr(f"percentile(avg_logprob, array({qs}))").alias("c")
+    ).first()["c"]
+    bucket = F.lit(n_buckets - 1)
+    for i in range(n_buckets - 2, -1, -1):
+        bucket = F.when(
+            F.col("avg_logprob") >= F.lit(float(cuts[i])), F.lit(i)
+        ).otherwise(bucket)
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "avg_logprob",
+        bucket.cast("int").alias("ppl_bucket"),
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402
@@ -639,3 +755,34 @@ def q_text_token_counts(spark, sf_dir):
 )
 def q_text_fingerprint(spark, sf_dir):
     return doc_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_text_chunks",
+    # chunk_size=24 / stride=16: overlapping windows so the gate proves
+    # the sliding (not just tiling) shape, and the clamped final
+    # partial window per document.
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents),
+         s AS (SELECT doc_id, ws,
+                      unnest(range(0, greatest(len(ws), 1), 16))
+                          AS chunk_start
+               FROM w),
+         c AS (SELECT doc_id,
+                      (chunk_start // 16)::INT AS chunk_ix,
+                      chunk_start::INT AS chunk_start,
+                      ws[chunk_start + 1 : chunk_start + 24] AS cw
+               FROM s)
+    SELECT doc_id, chunk_ix, chunk_start,
+           len(cw)::INT AS n_words,
+           array_to_string(cw, ' ') AS chunk_text
+    FROM c
+    """,
+    "sliding-window word chunking (24-word windows every 16 words, "
+    "clamped tail)",
+)
+def q_text_chunks(spark, sf_dir):
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_size=24, stride=16
+    )

@@ -390,3 +390,137 @@ def test_unigram_logprob_min_count_prunes_to_oov(spark):
     assert got[1] == (2, round((lp(100) + lp(50)) / 2, 6))
     # "mat" (count 1 < min_count) scores as OOV, not with its count
     assert got[2] == (2, round(lp(0), 6))
+
+
+def test_chunk_documents_golden(spark):
+    """Sliding windows with overlap, clamped tail, min_words filter."""
+    from haplorec_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(docs, chunk_size=3, stride=2).collect()
+    )
+    assert got == [
+        (1, 0, 0, 3, "a b c"),
+        (1, 1, 2, 3, "c d e"),
+        (1, 2, 4, 3, "e f g"),
+        (1, 3, 6, 1, "g"),
+        (2, 0, 0, 1, "x"),
+        # split('') == [''] on both engines: one empty-word chunk
+        (3, 0, 0, 1, ""),
+    ]
+    filtered = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            docs, chunk_size=3, stride=2, min_words=2
+        ).collect()
+    )
+    assert filtered == [
+        (1, 0, 0, 3, "a b c"),
+        (1, 1, 2, 3, "c d e"),
+        (1, 2, 4, 3, "e f g"),
+    ]
+
+
+def test_chunk_documents_vs_duckdb(spark):
+    """Non-overlapping tiling on the real corpus matches a DuckDB
+    replica (the overlapping shape is the q_text_chunks driver gate)."""
+    from haplorec_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(docs, chunk_size=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         s AS (SELECT doc_id, ws,
+                      unnest(range(0, greatest(len(ws), 1), 10)) AS st
+               FROM w)
+    SELECT doc_id, (st // 10)::INT AS chunk_ix, st::INT AS chunk_start,
+           len(ws[st + 1 : st + 10])::INT AS n_words,
+           array_to_string(ws[st + 1 : st + 10], ' ') AS chunk_text
+    FROM s
+    """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_perplexity_buckets_golden(spark):
+    """Cleanest (highest avg_logprob) documents land in bucket 0."""
+    from haplorec_spark.operators.text import perplexity_buckets
+
+    ref = spark.createDataFrame(
+        [("the", 100), ("cat", 60), ("sat", 40)],
+        "word string, count long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),      # all in-vocab: head
+            (2, "the cat zz"),       # one OOV: middle
+            (3, "qq zz vv"),         # all OOV: tail
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in perplexity_buckets(docs, n_buckets=3, vocab=ref).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}
+
+
+def test_perplexity_buckets_vs_duckdb(spark):
+    """Head/middle/tail assignment on the real corpus matches a DuckDB
+    replica (quantile_cont == Spark percentile, both linear)."""
+    from haplorec_spark.operators.text import perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in perplexity_buckets(docs, n_buckets=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents),
+         vocab AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+         tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+         scored AS (
+             SELECT doc_id, count(*) AS n_tokens,
+                    round(avg(log10((coalesce(c, 0) + 0.5)
+                                    / (tot.n + 0.5 * (tot.v + 1)))), 6)
+                        AS avg_logprob
+             FROM toks LEFT JOIN vocab USING (word) CROSS JOIN tot
+             GROUP BY doc_id),
+         cuts AS (SELECT quantile_cont(avg_logprob, 2.0/3.0) AS c0,
+                         quantile_cont(avg_logprob, 1.0/3.0) AS c1
+                  FROM scored)
+    SELECT doc_id, n_tokens, avg_logprob,
+           (CASE WHEN avg_logprob >= c0 THEN 0
+                 WHEN avg_logprob >= c1 THEN 1
+                 ELSE 2 END)::INT AS ppl_bucket
+    FROM scored CROSS JOIN cuts
+    """
+        ).fetchall()
+    )
+    assert got == want
