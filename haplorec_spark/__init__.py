@@ -64,6 +64,9 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     ann_recall,
     cell_profile,
     incremental_semantic_pairs,
+    pq_encode,
+    pq_topk,
+    pq_train,
     semantic_dedup_pairs,
     write_semantic_store,
 )
@@ -109,6 +112,9 @@ __all__ = [
     "numeric_quantiles",
     "pack_sequences",
     "perplexity_buckets",
+    "pq_encode",
+    "pq_topk",
+    "pq_train",
     "profile_table",
     "redact_pii",
     "select_where_either_subset_of",

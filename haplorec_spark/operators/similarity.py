@@ -22,6 +22,12 @@ buckets = higher recall). Multi-probe (flipping low-margin bits) is the
 natural extension; IVF with learned centroids would replace the plane
 matrix with a k-means codebook — same join shape.
 
+The memory-bound rung is product quantization (``pq_train`` /
+``pq_encode`` / ``pq_topk``): per-subspace k-means codebooks compress
+each vector to m small codes, and ADC ranks probes against codes
+without decompressing — the standard way to keep a 100 TB vector
+corpus scannable.
+
 All arithmetic is double-precision with a pinned left-to-right fold
 order so results are bit-identical across engines before rounding.
 """
@@ -752,6 +758,262 @@ def ann_recall(
     )
 
 
+# --------------------------------------------------- product quantization
+
+
+def _literal_codebooks_sql(cbs: list[list[list[float]]]) -> str:
+    """Render m codebooks (m × k × subdim doubles) as ONE SQL literal —
+    same py4j-avoidance rationale as :func:`_dist2_to_codebook`."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(
+                f"CAST({float(x)!r} AS DOUBLE)" for x in c
+            ) + ")"
+            for c in cb
+        ) + ")"
+        for cb in cbs
+    ) + ")"
+
+
+def _pq_codebooks_list(codebooks) -> list[list[list[float]]]:
+    """Accept the (sub_ix, centroid_id, centroid) frame of
+    :func:`pq_train` or an already-collected nested list. The collect
+    is bounded: m × k rows (codebook-sized, like the k-means path)."""
+    if isinstance(codebooks, DataFrame):
+        rows = codebooks.orderBy("sub_ix", "centroid_id").collect()
+        m = 1 + max(r["sub_ix"] for r in rows)
+        cbs: list[list[list[float]]] = [[] for _ in range(m)]
+        for r in rows:
+            cbs[r["sub_ix"]].append(list(r["centroid"]))
+        return cbs
+    return codebooks
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(sub_ix, centroid_id, centroid): per-subspace k-means codebooks
+    for product quantization (Jégou et al. 2011).
+
+    Each vector is split into ``m`` contiguous subvectors of dim/m;
+    each subspace learns its own ``k``-centroid codebook, so a vector
+    compresses to ``m`` small codes (m bytes at k<=256) — the standard
+    memory-bound ANN representation: a 100 TB float32 corpus becomes
+    ~1.5 TB of codes at m=8, k=256 on 64-dim vectors.
+
+    Scale shape: ONE k-means run over the subvector stream, not m
+    separate corpus scans — vectors explode map-side into (sub_ix,
+    subvector) rows and every iteration is a single argmin projection
+    against the literal m×k×(dim/m) codebook nest plus one
+    (sub_ix, cluster)-keyed aggregate (m×k×(dim/m + 1) shuffled
+    values, m×k driver rows). Init is the m sliced codebooks of the k
+    lowest-id vectors — the :func:`kmeans_centroids` convention, so
+    the DuckDB oracle unrolls identically per subspace.
+    """
+    spark = corpus.sparkSession
+    seeds = [
+        list(r["v"])
+        for r in corpus.select(
+            F.col(id_col),
+            F.expr(f"transform({vec_col}, x -> cast(x as double))").alias(
+                "v"
+            ),
+        )
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    ]
+    out_schema = "sub_ix int, centroid_id int, centroid array<double>"
+    if not seeds:
+        return spark.createDataFrame([], out_schema)
+    dim = len(seeds[0])
+    if dim % m:
+        raise ValueError(f"vector dim {dim} not divisible by m={m}")
+    sub = dim // m
+    cbs = [
+        [s[i * sub : (i + 1) * sub] for s in seeds] for i in range(m)
+    ]
+    subv = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" i -> transform(slice({vec_col}, i * {sub} + 1, {sub}),"
+                f" x -> cast(x as double)))"
+            )
+        ).alias("sub_ix", "v"),
+    ).persist()
+    for it in range(iterations):
+        cb_sql = _literal_codebooks_sql(cbs)
+        assigned = subv.withColumn(
+            "_d2s",
+            F.expr(
+                f"transform(element_at({cb_sql}, sub_ix + 1),"
+                f" c -> aggregate(zip_with(v, c, (x, cc) ->"
+                f" (x - cc) * (x - cc)), cast(0.0 as double),"
+                f" (acc, d) -> acc + d))"
+            ),
+        ).withColumn(
+            "cluster",
+            F.expr("cast(array_position(_d2s, array_min(_d2s)) as int) - 1"),
+        )
+        stats = (
+            assigned.groupBy("sub_ix", "cluster")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.size("v")).alias("_mn"),
+                F.max(F.size("v")).alias("_mx"),
+                *[F.sum(F.get("v", d)).alias(f"s{d}") for d in range(sub)],
+            )
+            .collect()
+        )
+        if it == 0 and stats:
+            mn = min(r["_mn"] for r in stats)
+            mx = max(r["_mx"] for r in stats)
+            if mn != sub or mx != sub:
+                subv.unpersist()
+                raise ValueError(
+                    f"pq_train requires fixed dimension {dim} vectors; "
+                    f"got subvector sizes {mn}..{mx} in column {vec_col!r}"
+                )
+        means = {
+            (r["sub_ix"], r["cluster"]): [
+                r[f"s{d}"] / r["n"] for d in range(sub)
+            ]
+            for r in stats
+        }
+        cbs = [
+            [
+                means.get((i, j), prev)
+                for j, prev in enumerate(cb)
+            ]
+            for i, cb in enumerate(cbs)
+        ]
+    subv.unpersist()
+    return spark.createDataFrame(
+        [
+            (i, j, c)
+            for i, cb in enumerate(cbs)
+            for j, c in enumerate(cb)
+        ],
+        out_schema,
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes): each vector's m nearest-centroid codes.
+
+    Map-side only: one projection computes all m argmins against the
+    literal codebook nest inside whole-stage codegen — encoding 100 TB
+    is an embarrassingly parallel scan writing |corpus| × m small ints.
+    Ties break to the lowest centroid_id (``array_position`` finds the
+    first minimum), matching :func:`kmeans_centroids`.
+    """
+    cbs = _pq_codebooks_list(codebooks)
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    cb_sql = _literal_codebooks_sql(cbs)
+    return corpus.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(sequence(0, {m - 1}), i -> ("
+            f" cast(array_position("
+            f"  transform(element_at({cb_sql}, i + 1),"
+            f"   c -> aggregate(zip_with("
+            f"    transform(slice({vec_col}, i * {sub} + 1, {sub}),"
+            f"     x -> cast(x as double)),"
+            f"    c, (x, cc) -> (x - cc) * (x - cc)),"
+            f"    cast(0.0 as double), (acc, d) -> acc + d)),"
+            f"  array_min(transform(element_at({cb_sql}, i + 1),"
+            f"   c -> aggregate(zip_with("
+            f"    transform(slice({vec_col}, i * {sub} + 1, {sub}),"
+            f"     x -> cast(x as double)),"
+            f"    c, (x, cc) -> (x - cc) * (x - cc)),"
+            f"    cast(0.0 as double), (acc, d) -> acc + d)))) as int)"
+            f" - 1))"
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    codebooks,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str | None = None,
+) -> DataFrame:
+    """(probe_id, neighbor_id, adc_dist2, rank): asymmetric-distance
+    top-k over PQ codes.
+
+    ADC (Jégou et al. 2011): the probe stays exact, the corpus is its
+    codes — distance is the sum over subspaces of squared L2 between
+    the probe's subvector and the CODED centroid. Rank 1..k ascending
+    (nearest first), neighbor_id tiebreak; a probe appearing in the
+    corpus is excluded by id.
+
+    Scale shape: probes broadcast (the :func:`brute_force_topk`
+    contract — ADC is the brute-force rung of the PQ ladder, reading
+    m ints per corpus row instead of dim floats); the scan is
+    map-side, the only shuffle the per-probe top-k window. Compose
+    with IVF cells for the bucketed rung (encode per cell, ADC only
+    inside probed cells).
+    """
+    cbs = _pq_codebooks_list(codebooks)
+    m = len(cbs)
+    sub = len(cbs[0][0])
+    cb_sql = _literal_codebooks_sql(cbs)
+    pid = probe_id_col or id_col
+    p = probes.select(
+        F.col(pid).alias("probe_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
+    )
+    scored = (
+        F.broadcast(p)
+        .crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                F.expr(
+                    f"aggregate(sequence(0, {m - 1}),"
+                    f" cast(0.0 as double), (acc, i) -> acc +"
+                    f" aggregate(zip_with("
+                    f"  slice(pv, i * {sub} + 1, {sub}),"
+                    f"  element_at(element_at({cb_sql}, i + 1),"
+                    f"   element_at(codes, i + 1) + 1),"
+                    f"  (x, c) -> (x - c) * (x - c)),"
+                    f"  cast(0.0 as double), (a, d) -> a + d))"
+                ),
+                6,
+            ).alias("adc_dist2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist2", "rank")
+    )
+
+
 def write_semantic_store(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -999,25 +1261,30 @@ def _duck_dist2(v: str, c: str) -> str:
     )
 
 
-def _duck_kmeans_iter(i: int, prev: str) -> str:
+def _duck_kmeans_iter(
+    i: int, prev: str, *, src: str = "emb", dim: int = 64, prefix: str = ""
+) -> str:
     """One unrolled k-means iteration: assign to nearest centroid of
     ``prev``, recompute per-dimension means, keep the previous centroid
-    for emptied clusters — mirroring ``kmeans_centroids`` exactly."""
+    for emptied clusters — mirroring ``kmeans_centroids`` exactly.
+    ``src``/``dim``/``prefix`` let the PQ oracle unroll per-subspace
+    runs side by side in one WITH chain."""
     return f"""
-    asg{i} AS (SELECT vec_id, v, centroid_id FROM (
+    {prefix}asg{i} AS (SELECT vec_id, v, centroid_id FROM (
                  SELECT e.vec_id, e.v, c.centroid_id,
                         row_number() OVER (PARTITION BY e.vec_id
                             ORDER BY {_duck_dist2('e.v', 'c.centroid')},
                                      c.centroid_id) AS rn
-                 FROM emb e CROSS JOIN {prev} c) WHERE rn = 1),
-    mean{i} AS (SELECT centroid_id, list(m ORDER BY d) AS centroid
+                 FROM {src} e CROSS JOIN {prev} c) WHERE rn = 1),
+    {prefix}mean{i} AS (SELECT centroid_id, list(m ORDER BY d) AS centroid
                 FROM (SELECT centroid_id, d, avg(v[d]) AS m
-                      FROM asg{i} CROSS JOIN generate_series(1, 64) AS g(d)
+                      FROM {prefix}asg{i}
+                      CROSS JOIN generate_series(1, {dim}) AS g(d)
                       GROUP BY centroid_id, d)
                 GROUP BY centroid_id),
-    c{i} AS (SELECT p.centroid_id,
+    {prefix}c{i} AS (SELECT p.centroid_id,
                     coalesce(m.centroid, p.centroid) AS centroid
-             FROM {prev} p LEFT JOIN mean{i} m USING (centroid_id))"""
+             FROM {prev} p LEFT JOIN {prefix}mean{i} m USING (centroid_id))"""
 
 
 @register(
@@ -1063,6 +1330,71 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_topk(
         emb, emb.filter(F.col("vec_id") < 10), k=5,
         n_clusters=8, iterations=2,
+    )
+
+
+def _duck_pq_subspace(ix: int, lo: int, hi: int) -> str:
+    """WITH-chain fragment: subspace ``ix`` slice, seeded init, two
+    unrolled k-means iterations, and the final code assignment."""
+    p = f"s{ix}"
+    return (
+        f"""
+    {p}sub AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM emb),
+    {p}init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1
+                    AS centroid_id,
+                v AS centroid
+         FROM (SELECT vec_id, v FROM {p}sub ORDER BY vec_id LIMIT 4)),"""
+        + _duck_kmeans_iter(
+            1, f"{p}init", src=f"{p}sub", dim=hi - lo + 1, prefix=p
+        )
+        + ","
+        + _duck_kmeans_iter(
+            2, f"{p}c1", src=f"{p}sub", dim=hi - lo + 1, prefix=p
+        )
+        + f""",
+    {p}code AS (SELECT vec_id, centroid_id AS code, centroid FROM (
+                 SELECT s.vec_id, c.centroid_id, c.centroid,
+                        row_number() OVER (PARTITION BY s.vec_id
+                            ORDER BY {_duck_dist2('s.v', 'c.centroid')},
+                                     c.centroid_id) AS rn
+                 FROM {p}sub s CROSS JOIN {p}c2 c) WHERE rn = 1)"""
+    )
+
+
+@register(
+    "q_ann_pq_adc",
+    """
+    WITH emb AS (SELECT vec_id,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),"""
+    + _duck_pq_subspace(0, 1, 32) + ","
+    + _duck_pq_subspace(1, 33, 64) + f""",
+         probes AS (SELECT vec_id, v FROM emb WHERE vec_id < 10),
+         scored AS (
+             SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                    round({_duck_dist2('p.v[1:32]', 'x.c0')}
+                          + {_duck_dist2('p.v[33:64]', 'x.c1')}, 6)
+                        AS adc_dist2
+             FROM probes p CROSS JOIN (
+                 SELECT c0.vec_id, c0.centroid AS c0, c1.centroid AS c1
+                 FROM s0code c0 JOIN s1code c1 USING (vec_id)) x
+             WHERE p.vec_id <> x.vec_id)
+    SELECT probe_id, neighbor_id, adc_dist2, rank FROM (
+        SELECT probe_id, neighbor_id, adc_dist2,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_dist2, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    "product-quantization ADC top-5 (2 subspaces x 4 centroids, "
+    "2-iteration per-subspace k-means; the oracle unrolls both "
+    "subspace k-means runs from the same lowest-4-id seeds)",
+)
+def q_ann_pq_adc(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=2, k=4, iterations=2)
+    return pq_topk(
+        pq_encode(emb, cb), emb.filter(F.col("vec_id") < 10), cb, k=5
     )
 
 

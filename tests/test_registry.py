@@ -91,6 +91,12 @@ ROTATED_OUT_ORACLES = {
         GROUP BY o_orderkey, o_custkey
         HAVING sum(l_quantity) > 150
     """,
+    "q_anti_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c.c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-01-01')
+    """,
 }
 
 

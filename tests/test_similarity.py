@@ -591,3 +591,108 @@ def test_semantic_dedup_auto_k(spark):
     }
     # exact copies share a cell by construction (identical vectors)
     assert {(i, i + 100000) for i in range(10)} <= got
+
+
+def test_pq_train_m1_equals_kmeans(spark):
+    """A single-subspace PQ codebook IS the plain k-means codebook —
+    same seeds, same iterations, same update rule."""
+    from haplorec_spark.operators.similarity import pq_train
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    pq = {
+        r["centroid_id"]: r["centroid"]
+        for r in pq_trainer(emb).collect()
+    }
+    km = {
+        r["centroid_id"]: r["centroid"]
+        for r in kmeans_centroids(emb, 4, 2).collect()
+    }
+    assert pq == km
+
+
+def pq_trainer(emb):
+    from haplorec_spark.operators.similarity import pq_train
+
+    return pq_train(emb, m=1, k=4, iterations=2).select(
+        "centroid_id", "centroid"
+    )
+
+
+def test_pq_encode_centroid_vectors_get_their_code(spark):
+    """A vector equal to a concatenation of per-subspace centroids
+    encodes to exactly those centroid ids, and ADC distance to itself
+    is 0."""
+    from haplorec_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    # 4 vectors, dim 4, m=2 -> subdim 2; k=4 so every subvector is a
+    # seed centroid and k-means converges to the points themselves
+    vecs = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [1.0, 1.0, 11.0, 11.0]),
+        (2, [2.0, 2.0, 12.0, 12.0]),
+        (3, [3.0, 3.0, 13.0, 13.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cb = pq_train(emb, m=2, k=4, iterations=2)
+    codes = {
+        r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()
+    }
+    assert codes == {0: [0, 0], 1: [1, 1], 2: [2, 2], 3: [3, 3]}
+    # mixed vector: first half nearest seed 1, second half nearest seed 3
+    probe = spark.createDataFrame(
+        [(99, [1.1, 0.9, 12.8, 13.1])], "vec_id long, embedding array<double>"
+    )
+    got = pq_encode(probe, cb).first()["codes"]
+    assert got == [1, 3]
+    # ADC of an exact corpus point against its own codes is 0 (probe id
+    # differs so it isn't excluded)
+    same = spark.createDataFrame(
+        [(99, [2.0, 2.0, 12.0, 12.0])], "vec_id long, embedding array<double>"
+    )
+    top = pq_topk(pq_encode(emb, cb), same, cb, k=1).first()
+    assert top["neighbor_id"] == 2 and top["adc_dist2"] == 0.0
+
+
+def test_pq_train_rejects_ragged_and_indivisible(spark):
+    import pytest as _pytest
+
+    from haplorec_spark.operators.similarity import pq_train
+
+    bad_dim = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with _pytest.raises(ValueError, match="not divisible"):
+        pq_train(bad_dim, m=2, k=1, iterations=1)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="fixed dimension"):
+        pq_train(ragged, m=2, k=1, iterations=1)
+
+
+def test_pq_topk_recall_improves_with_k(spark):
+    """More centroids per subspace => finer quantization => ADC ranking
+    closer to exact; recall@5 must not degrade when k grows 2 -> 16."""
+    from haplorec_spark.operators.similarity import (
+        ann_recall,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, probes, k=5)
+
+    def recall_at(kk):
+        cb = pq_train(emb, m=4, k=kk, iterations=2)
+        approx = pq_topk(pq_encode(emb, cb), probes, cb, k=5)
+        rs = ann_recall(approx, exact).collect()
+        return sum(r["recall"] for r in rs) / len(rs)
+
+    assert recall_at(16) >= recall_at(2)
