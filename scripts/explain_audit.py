@@ -129,6 +129,26 @@ CHECKS = {
         "forbid": ["BroadcastHashJoin", "CartesianProduct",
                    "BroadcastNestedLoopJoin"],
     },
+    "_chunk_documents": {
+        # chunking is a pure map-side row expansion: no shuffle of any
+        # kind may appear — document text must never enter an Exchange
+        "expect": ["Generate"],
+        "forbid": ["Exchange", "CartesianProduct"],
+    },
+    "_pq_encode": {
+        # PQ encoding is one projection against the literal codebook
+        # nest: map-only, no shuffle
+        "expect": [],
+        "forbid": ["Exchange", "CartesianProduct", "Generate"],
+    },
+    "_pq_adc": {
+        # ADC: probes broadcast onto the code scan (the intended BNLJ —
+        # brute-force rung, same contract as brute_force_topk); the only
+        # shuffle is the per-probe top-k window
+        "expect": ["BroadcastNestedLoopJoin", "Window"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "Exchange hashpartitioning.*Exchange hashpartitioning"],
+    },
 }
 
 
@@ -186,6 +206,53 @@ def _unigram_lm_large(spark, sf_dir):
 
     return unigram_logprob_score(
         table(spark, sf_dir, "documents"), max_broadcast_vocab=0
+    )
+
+
+#: fixed 2x2x2 codebook nest so the PQ audits exercise the plan shape
+#: without running training jobs
+_PQ_CBS = [
+    [[0.0, 0.0], [1.0, 1.0]],
+    [[0.0, 1.0], [1.0, 0.0]],
+]
+
+
+def _pq_vectors(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.queries import table
+
+    return table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("slice(embedding, 1, 4)").alias("embedding")
+    )
+
+
+def _chunk_documents(spark, sf_dir):
+    from haplorec_spark.operators.text import chunk_documents
+    from haplorec_spark.queries import table
+
+    return chunk_documents(
+        table(spark, sf_dir, "documents"), chunk_size=24, stride=16
+    )
+
+
+def _pq_encode(spark, sf_dir):
+    from haplorec_spark.operators.similarity import pq_encode
+
+    return pq_encode(_pq_vectors(spark, sf_dir), _PQ_CBS)
+
+
+def _pq_adc(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import pq_encode, pq_topk
+
+    vecs = _pq_vectors(spark, sf_dir)
+    return pq_topk(
+        pq_encode(vecs, _PQ_CBS),
+        vecs.filter(F.col("vec_id") < 10),
+        _PQ_CBS,
+        k=5,
     )
 
 import haplorec_spark.queries as _qmod
