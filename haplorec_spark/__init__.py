@@ -64,6 +64,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     ann_recall,
     cell_profile,
     incremental_semantic_pairs,
+    ivf_pq_topk,
     pq_encode,
     pq_topk,
     pq_train,
@@ -106,6 +107,7 @@ __all__ = [
     "hash_split",
     "incremental_semantic_pairs",
     "interval_join",
+    "ivf_pq_topk",
     "jsonl_sink",
     "jsonl_source",
     "mixture_sample",

@@ -947,6 +947,21 @@ def pq_encode(
     )
 
 
+def _adc_expr(cb_sql: str, m: int, sub: int):
+    """ADC distance column: sum over subspaces of squared L2 between
+    the probe subvector (``pv``) and the coded centroid (``codes``)."""
+    return F.expr(
+        f"aggregate(sequence(0, {m - 1}),"
+        f" cast(0.0 as double), (acc, i) -> acc +"
+        f" aggregate(zip_with("
+        f"  slice(pv, i * {sub} + 1, {sub}),"
+        f"  element_at(element_at({cb_sql}, i + 1),"
+        f"   element_at(codes, i + 1) + 1),"
+        f"  (x, c) -> (x - c) * (x - c)),"
+        f"  cast(0.0 as double), (a, d) -> a + d))"
+    )
+
+
 def pq_topk(
     codes: DataFrame,
     probes: DataFrame,
@@ -989,19 +1004,95 @@ def pq_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(
-                F.expr(
-                    f"aggregate(sequence(0, {m - 1}),"
-                    f" cast(0.0 as double), (acc, i) -> acc +"
-                    f" aggregate(zip_with("
-                    f"  slice(pv, i * {sub} + 1, {sub}),"
-                    f"  element_at(element_at({cb_sql}, i + 1),"
-                    f"   element_at(codes, i + 1) + 1),"
-                    f"  (x, c) -> (x - c) * (x - c)),"
-                    f"  cast(0.0 as double), (a, d) -> a + d))"
-                ),
-                6,
-            ).alias("adc_dist2"),
+            F.round(_adc_expr(cb_sql, m, sub), 6).alias("adc_dist2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist2", "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    nprobe: int = 1,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(probe_id, neighbor_id, adc_dist2, rank): IVF-PQ — the composed
+    100 TB ANN path.
+
+    The coarse quantizer (:func:`kmeans_centroids` cells) cuts WHICH
+    rows each probe scans (×n_clusters/nprobe); product quantization
+    cuts HOW MANY BYTES each scanned row costs (m codes vs dim
+    floats). ADC runs only inside the probe's ``nprobe`` nearest
+    cells. ``nprobe = n_clusters`` reproduces :func:`pq_topk` over
+    the full corpus exactly (the equivalence test's oracle).
+
+    This is the flat-PQ variant: codes quantize the raw vectors with
+    one global codebook, so the same codes serve any nprobe and the
+    codebook layer stays a pure composition. (FAISS-style RESIDUAL
+    IVF-PQ — encoding v - centroid(cell) — buys finer codes for the
+    same m at the cost of per-cell code dependence; with the distance
+    computed per pair as here, it would be the same join shape plus a
+    centroid subtraction, a drop-in refinement.)
+
+    Scale shape: both assignment steps are map-side literal-codebook
+    argmins; the cell join is (cluster)-keyed with probes broadcast;
+    the only corpus-wide shuffle is the code/cell materialization's
+    id-join — and in a real deployment codes+cells persist as ONE
+    parquet store written at encode time (cluster-partitioned, so the
+    cell join becomes partition pruning), making queries scan-only.
+    """
+    centroids = kmeans_centroids(
+        corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
+    cbs = _pq_codebooks_list(
+        pq_train(
+            corpus, m=m, k=pq_k, iterations=pq_iterations,
+            vec_col=vec_col, id_col=id_col,
+        )
+    )
+    sub = len(cbs[0][0])
+    cb_sql = _literal_codebooks_sql(cbs)
+    coded = pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col).join(
+        assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col),
+        on=id_col,
+    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
+    probe_cells = (
+        assign_clusters(probes, centroids, vec_col=vec_col, id_col=id_col)
+        if nprobe <= 1
+        else assign_probe_cells(
+            probes, centroids, nprobe, vec_col=vec_col, id_col=id_col
+        )
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
+    ).join(
+        probe_cells.select(F.col(id_col).alias("probe_id"), "cluster"),
+        on="probe_id",
+    )
+    scored = (
+        F.broadcast(p)
+        .join(coded, on="cluster")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(_adc_expr(cb_sql, m, sub), 6).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(

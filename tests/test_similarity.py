@@ -696,3 +696,55 @@ def test_pq_topk_recall_improves_with_k(spark):
         return sum(r["recall"] for r in rs) / len(rs)
 
     assert recall_at(16) >= recall_at(2)
+
+
+def test_ivf_pq_nprobe_all_cells_equals_pq_brute(spark):
+    """nprobe = n_clusters makes IVF-PQ scan every cell: identical
+    output to flat ADC over the whole corpus (same codebooks — both
+    train from the same lowest-id seeds)."""
+    from haplorec_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    full = ivf_pq_topk(
+        emb, probes, k=5, n_clusters=4, nprobe=4, m=4, pq_k=8
+    )
+    cb = pq_train(emb, m=4, k=8, iterations=2)
+    flat = pq_topk(pq_encode(emb, cb), probes, cb, k=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, flat.collect())
+    )
+
+
+def test_ivf_pq_nprobe_recall_is_monotone(spark):
+    """Probing more cells can only add candidates: recall of IVF-PQ
+    against flat ADC must be non-decreasing in nprobe, reaching 1.0
+    at nprobe = n_clusters."""
+    from haplorec_spark.operators.similarity import (
+        ann_recall,
+        ivf_pq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cb = pq_train(emb, m=4, k=8, iterations=2)
+    exact = pq_topk(pq_encode(emb, cb), probes, cb, k=5)
+
+    def mean_recall(np_):
+        approx = ivf_pq_topk(
+            emb, probes, k=5, n_clusters=4, nprobe=np_, m=4, pq_k=8
+        )
+        rs = ann_recall(approx, exact).collect()
+        return sum(r["recall"] for r in rs) / len(rs)
+
+    r1, r2, r4 = mean_recall(1), mean_recall(2), mean_recall(4)
+    assert r1 <= r2 <= r4
+    assert r4 == 1.0
