@@ -4,10 +4,11 @@ stages.
 
 ``curate_documents`` chains the standard corpus-preparation sequence —
 language keep-list → cross-document boilerplate-line strip → quality +
-repetition filters → unigram-LM score floor → PII redaction → document
-dedup → span-level duplicated-passage strip → eval-set decontamination
-→ domain mixture → split assignment →
-sequence packing — each stage an existing operator from
+repetition filters → unigram-LM score floor → perplexity-tier cut →
+PII redaction → document dedup → span-level duplicated-passage strip →
+eval-set decontamination → domain mixture → split assignment →
+sliding-window chunking → sequence packing — each stage an existing
+operator from
 ``operators/``, each individually oracle- or replica-verified. The
 composition itself adds NO new shuffles beyond its stages: filters and
 redaction stay map-side; dedup, decontamination, mixture, and packing
@@ -40,6 +41,8 @@ from haplorec_spark.operators.sampling import (
 )
 from haplorec_spark.operators.dedup import strip_duplicate_ngram_spans
 from haplorec_spark.operators.text import (
+    chunk_documents,
+    perplexity_buckets,
     quality_score,
     redact_pii,
     strip_boilerplate_lines,
@@ -63,6 +66,11 @@ class CurationConfig:
     #: drop documents whose mean unigram-LM log10-probability (self-
     #: trained on the post-quality corpus) falls below this; None skips
     min_avg_logprob: float | None = None
+    #: CCNet-style RELATIVE cut (vs the absolute floor above): keep
+    #: documents in perplexity buckets 0..max_ppl_bucket of
+    #: ``ppl_n_buckets`` tiers (0 = cleanest); None skips
+    max_ppl_bucket: int | None = None
+    ppl_n_buckets: int = 3
     redact: bool = True
     #: "exact" (content-hash), "near" (MinHash-LSH candidate pairs →
     #: connected components, cluster-minimum id survives), or None
@@ -78,6 +86,13 @@ class CurationConfig:
         default_factory=lambda: {"train": 0.98, "valid": 0.01, "test": 0.01}
     )
     seq_len: int | None = None
+    #: cut documents into chunk_size-word windows AFTER split
+    #: assignment (chunks inherit their document's split, so one
+    #: document never straddles train/eval); None skips. When set,
+    #: each output row is a chunk and packing runs over chunks.
+    chunk_size: int | None = None
+    chunk_stride: int | None = None
+    chunk_min_words: int = 1
     text_col: str = "text"
     id_col: str = "doc_id"
     lang_col: str = "lang"
@@ -94,11 +109,14 @@ def curate_documents(
     counts — empty unless ``count_stages``).
 
     Output columns: the input's, plus ``text_redacted`` (when
-    ``redact``), ``split``, and — when ``seq_len`` is set — the
-    packing-tape columns (``n_tokens``, ``global_start``, ``seq_id``,
-    ``seq_offset``, ``seq_id_end``), computed on a SEPARATE tape per
-    split — eval text never lands inside a training sequence, and
-    ``seq_id`` is unique within a split, not globally.
+    ``redact``), ``split``, — when ``chunk_size`` is set — one row per
+    CHUNK with ``chunk_ix`` / ``chunk_start`` / ``chunk_id`` and the
+    text column holding the chunk text, and — when ``seq_len`` is set
+    — the packing-tape columns (``n_tokens``, ``global_start``,
+    ``seq_id``, ``seq_offset``, ``seq_id_end``), computed on a
+    SEPARATE tape per split (over chunks when chunking is on) — eval
+    text never lands inside a training sequence, and ``seq_id`` is
+    unique within a split, not globally.
     """
     cfg = config
     counts: dict[str, int] = {}
@@ -152,6 +170,20 @@ def curate_documents(
             out, text_col=cfg.text_col, id_col=cfg.id_col
         ).filter(F.col("avg_logprob") >= cfg.min_avg_logprob)
         out = note("lm_score", out.join(lm.select(cfg.id_col), cfg.id_col))
+
+    if cfg.max_ppl_bucket is not None:
+        # relative cut: keep the cleanest tiers of THIS corpus's score
+        # distribution (CCNet trains on the head) — robust where an
+        # absolute floor needs retuning per corpus
+        tiers = perplexity_buckets(
+            out,
+            n_buckets=cfg.ppl_n_buckets,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).filter(F.col("ppl_bucket") <= cfg.max_ppl_bucket)
+        out = note(
+            "ppl_bucket", out.join(tiers.select(cfg.id_col), cfg.id_col)
+        )
 
     if cfg.redact:
         red = redact_pii(
@@ -233,6 +265,40 @@ def curate_documents(
         "split", hash_split(out, dict(cfg.splits), [cfg.id_col])
     )
 
+    pack_id = cfg.id_col
+    if cfg.chunk_size:
+        # chunk AFTER split assignment: every chunk inherits its
+        # document's split, so a long document can never leak text
+        # across the train/eval boundary. Each output row becomes a
+        # chunk; chunk_id is the packing identity from here on.
+        ch = chunk_documents(
+            out,
+            chunk_size=cfg.chunk_size,
+            stride=cfg.chunk_stride,
+            min_words=cfg.chunk_min_words,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).select(
+            cfg.id_col,
+            "chunk_ix",
+            "chunk_start",
+            F.col("chunk_text").alias(cfg.text_col),
+        )
+        out = note(
+            "chunk",
+            out.drop(cfg.text_col)
+            .join(ch, cfg.id_col)
+            .withColumn(
+                "chunk_id",
+                F.concat_ws(
+                    "_",
+                    F.col(cfg.id_col).cast("string"),
+                    F.col("chunk_ix").cast("string"),
+                ),
+            ),
+        )
+        pack_id = "chunk_id"
+
     if cfg.seq_len:
         # Each split is packed on its OWN token tape (split-specific
         # seed): a training sequence must never interleave train docs
@@ -246,11 +312,11 @@ def curate_documents(
                 out.filter(F.col("split") == F.lit(name)),
                 cfg.seq_len,
                 text_col=cfg.text_col,
-                id_col=cfg.id_col,
+                id_col=pack_id,
                 seed=f"pack{_PACK_SEP}{name}",
             )
             tape = t if tape is None else tape.unionByName(t)
         assert tape is not None  # cfg.splits is non-empty by contract
-        out = note("pack", out.join(tape, cfg.id_col))
+        out = note("pack", out.join(tape, pack_id))
 
     return out, counts

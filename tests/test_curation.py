@@ -256,3 +256,56 @@ def test_curation_lm_floor_drops_gibberish(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert 7 not in ids
     assert counts["lm_score"] == counts["quality"] - 1
+
+
+def test_curation_chunking_inherits_split_and_packs_chunks(spark):
+    """chunk_size cuts every kept document into windows AFTER split
+    assignment: chunks of one doc all carry the doc's split, the text
+    column holds chunk text bounded by chunk_size words, and packing
+    runs over chunk_id (tape columns present per chunk)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = CurationConfig(seq_len=64, chunk_size=16, dedup=None)
+    out, _ = curate_documents(docs, config=cfg)
+    rows = out.collect()
+    assert rows
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert len({r["split"] for r in rs}) == 1, doc_id
+        for r in rs:
+            assert 1 <= len(r["text"].split(" ")) <= 16
+            assert r["chunk_id"] == f"{doc_id}_{r['chunk_ix']}"
+            assert r["seq_id"] is not None
+    # chunk tiling covers the doc: starts are 0, 16, 32, ...
+    some = max(by_doc.values(), key=len)
+    assert sorted(r["chunk_start"] for r in some) == [
+        16 * i for i in range(len(some))
+    ]
+
+
+def test_curation_ppl_bucket_cut(spark):
+    """max_ppl_bucket keeps only the cleanest tiers: the kept set is
+    exactly the docs whose bucket <= the cut on the pre-cut corpus."""
+    from haplorec_spark.operators.text import perplexity_buckets
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = CurationConfig(
+        dedup=None, redact=False, min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+    )
+    pre, _ = curate_documents(docs, config=base)
+    cfg = CurationConfig(
+        dedup=None, redact=False, min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+        max_ppl_bucket=1, ppl_n_buckets=3,
+    )
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    kept = {r["doc_id"] for r in out.collect()}
+    want = {
+        r["doc_id"]
+        for r in perplexity_buckets(pre, n_buckets=3).collect()
+        if r["ppl_bucket"] <= 1
+    }
+    assert kept == want
+    assert counts["ppl_bucket"] < counts["quality"]  # the cut bites
