@@ -66,8 +66,10 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     incremental_semantic_pairs,
     ivf_pq_topk,
     pq_encode,
+    pq_store_topk,
     pq_topk,
     pq_train,
+    write_pq_store,
     semantic_dedup_pairs,
     write_semantic_store,
 )
@@ -115,6 +117,7 @@ __all__ = [
     "pack_sequences",
     "perplexity_buckets",
     "pq_encode",
+    "pq_store_topk",
     "pq_topk",
     "pq_train",
     "profile_table",
@@ -132,6 +135,7 @@ __all__ = [
     "unigram_logprob_score",
     "verify_jaccard_pairs",
     "weighted_sample",
+    "write_pq_store",
     "write_semantic_store",
     "__version__",
 ]

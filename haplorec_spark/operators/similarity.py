@@ -1105,6 +1105,134 @@ def ivf_pq_topk(
     )
 
 
+def write_pq_store(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF-PQ index: coarse centroids + PQ codebooks +
+    each vector's (id, codes), cluster-partitioned.
+
+    The deployment shape :func:`ivf_pq_topk` describes: train once,
+    encode once, and every query is scan-only — probe-cell assignment
+    against the pinned centroids, then ADC over ONLY the probed cells'
+    partitions (partition pruning, no join against history). The
+    store holds codes, not vectors: ~m bytes per vector at pq_k<=256.
+
+    ``mode="append"`` follows the :func:`write_semantic_store`
+    contract — the PINNED centroids/codebooks win over retraining, so
+    an appended batch's codes are consistent with the stored index.
+    """
+    spark = corpus.sparkSession
+    if mode == "append":
+        try:
+            centroids = spark.read.parquet(f"{path}/centroids")
+            codebooks = spark.read.parquet(f"{path}/codebooks")
+        except AnalysisException:
+            centroids = codebooks = None  # fresh path: train + pin below
+    else:
+        centroids = codebooks = None
+    if centroids is None:
+        centroids = kmeans_centroids(
+            corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+        )
+        codebooks = pq_train(
+            corpus, m=m, k=pq_k, iterations=pq_iterations,
+            vec_col=vec_col, id_col=id_col,
+        )
+        wmode = "overwrite" if mode != "append" else "error"
+        centroids.write.mode(wmode).parquet(f"{path}/centroids")
+        codebooks.write.mode(wmode).parquet(f"{path}/codebooks")
+    cbs = _pq_codebooks_list(codebooks)
+    (
+        pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col)
+        .join(
+            assign_clusters(
+                corpus, centroids, vec_col=vec_col, id_col=id_col
+            ),
+            on=id_col,
+        )
+        .write.mode("append" if mode == "append" else "overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+
+
+def pq_store_topk(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(probe_id, neighbor_id, adc_dist2, rank): query a persisted
+    IVF-PQ store.
+
+    Scan-only: probe cells come from the pinned centroids (map-side
+    argmin), the probed cells' DISTINCT cluster ids collect to the
+    driver (bounded by |probes| × nprobe) and prune the codes scan to
+    those partitions — a 1-cell probe of a 32k-cell store reads
+    1/32k of the codes. ADC + one top-k window as in
+    :func:`pq_topk`.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    cbs = _pq_codebooks_list(spark.read.parquet(f"{path}/codebooks"))
+    sub = len(cbs[0][0])
+    mm = len(cbs)
+    cb_sql = _literal_codebooks_sql(cbs)
+    probe_cells = (
+        assign_clusters(probes, centroids, vec_col=vec_col, id_col=id_col)
+        if nprobe <= 1
+        else assign_probe_cells(
+            probes, centroids, nprobe, vec_col=vec_col, id_col=id_col
+        )
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
+    ).join(
+        probe_cells.select(F.col(id_col).alias("probe_id"), "cluster"),
+        on="probe_id",
+    )
+    probed = [
+        r["cluster"] for r in probe_cells.select("cluster").distinct().collect()
+    ]
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cluster").isin(probed))  # literal partition prune
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
+    )
+    scored = (
+        F.broadcast(p)
+        .join(codes, on="cluster")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(_adc_expr(cb_sql, mm, sub), 6).alias("adc_dist2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist2", "rank")
+    )
+
+
 def write_semantic_store(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -748,3 +748,45 @@ def test_ivf_pq_nprobe_recall_is_monotone(spark):
     r1, r2, r4 = mean_recall(1), mean_recall(2), mean_recall(4)
     assert r1 <= r2 <= r4
     assert r4 == 1.0
+
+
+def test_pq_store_roundtrip_and_pruning(spark, tmp_path):
+    """A persisted IVF-PQ store answers identically to the in-memory
+    composition (same deterministic training), the codes scan is
+    partition-pruned to the probed cells, and appended batches join
+    the index under the pinned codebooks."""
+    from haplorec_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_store_topk,
+        write_pq_store,
+    )
+
+    store = str(tmp_path / "pq_store")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    write_pq_store(emb, store, n_clusters=4, m=4, pq_k=8)
+    got = pq_store_topk(spark, store, probes, k=5, nprobe=2)
+    want = ivf_pq_topk(
+        emb, probes, k=5, n_clusters=4, nprobe=2, m=4, pq_k=8,
+        iterations=2, pq_iterations=2,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the codes scan must prune to the probed cells' partitions
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    # append a shifted copy under the PINNED index: the new ids are
+    # queryable and coded consistently (an exact copy of a corpus
+    # vector ranks at its distance)
+    shifted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    write_pq_store(shifted, store, mode="append")
+    after = pq_store_topk(spark, store, probes, k=5, nprobe=4).collect()
+    # probe 0's exact copy (100000) shares its cell and codes, so it
+    # ranks first; its ADC distance is the probe's own quantization
+    # error (ADC compares the exact probe to CODES), not 0
+    top0 = [r for r in after if r["probe_id"] == 0 and r["rank"] == 1][0]
+    assert top0["neighbor_id"] == 100000
