@@ -86,6 +86,7 @@ from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
 from haplorec_spark.streaming import (  # noqa: E402
     stream_dedup_events,
     stream_dedup_ingest,
+    stream_pq_index_ingest,
     stream_semantic_dedup_ingest,
 )
 
@@ -127,6 +128,7 @@ __all__ = [
     "semantic_dedup_pairs",
     "stream_dedup_events",
     "stream_dedup_ingest",
+    "stream_pq_index_ingest",
     "stream_semantic_dedup_ingest",
     "strip_boilerplate_lines",
     "strip_duplicate_ngram_spans",

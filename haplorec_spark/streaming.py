@@ -25,6 +25,11 @@ is the forward-looking streaming face a 100 TB deployment needs:
   persisted store (exact content hashes, MinHash-LSH band keys, or
   k-means-cell embeddings), exactly-once via ingest_batch dynamic
   partition overwrite.
+* :func:`stream_pq_index_ingest` — ``foreachBatch`` ANN-index
+  maintenance: encode each vector batch against the pinned IVF-PQ
+  centroids/codebooks and append (ingest_batch, cluster)-partitioned
+  codes, keeping ``pq_store_topk`` queryable mid-ingest with the same
+  exactly-once contract.
 
 Scale: windowed aggregates shuffle on (window, event_type) with
 map-side partial aggregation; watermarks bound state size; the stateful
@@ -463,6 +468,98 @@ def stream_semantic_dedup_ingest(
             .parquet(f"{store_path}/cells")
         )
         survivors.unpersist()
+        batch_df.unpersist()
+
+    return (
+        vec_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_pq_index_ingest(
+    vec_stream: DataFrame,
+    *,
+    store_path: str,
+    checkpoint_dir: str,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """foreachBatch ANN-index maintenance: keep a queryable IVF-PQ
+    store current over a vector stream.
+
+    The index face of :func:`stream_semantic_dedup_ingest` (which
+    DROPS near-duplicates; this INDEXES everything): the first
+    non-empty batch trains and pins ``<store>/centroids`` +
+    ``<store>/codebooks``; every batch encodes against the PINNED
+    index (re-training would make old and new codes incomparable) and
+    appends (id, codes, cluster) partitioned by (ingest_batch,
+    cluster) — the batch column gives replayed batches exactly-once
+    partition overwrite, the cluster column keeps
+    :func:`~haplorec_spark.operators.similarity.pq_store_topk`
+    queries partition-pruned mid-ingest. A crash between the
+    centroids and codebooks writes recovers by retraining both (the
+    codebooks read fails -> the pin is incomplete -> batch restarts
+    the pin), so the store never wedges half-initialized.
+    """
+    from haplorec_spark.operators.similarity import (
+        _pq_codebooks_list,
+        assign_clusters,
+        kmeans_centroids,
+        pq_encode,
+        pq_train,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        batch_df = batch_df.persist()
+        try:
+            centroids = spark.read.parquet(f"{store_path}/centroids")
+            codebooks = spark.read.parquet(f"{store_path}/codebooks")
+            # empty frames (interrupted pin) are no index
+            have_index = (
+                centroids.first() is not None
+                and codebooks.first() is not None
+            )
+        except AnalysisException:
+            have_index = False
+        if not have_index:
+            kmeans_centroids(
+                batch_df, n_clusters, iterations,
+                vec_col=vec_col, id_col=id_col,
+            ).write.mode("overwrite").parquet(f"{store_path}/centroids")
+            pq_train(
+                batch_df, m=m, k=pq_k, iterations=pq_iterations,
+                vec_col=vec_col, id_col=id_col,
+            ).write.mode("overwrite").parquet(f"{store_path}/codebooks")
+            # read the PINNED copies back: deterministic on replay
+            centroids = spark.read.parquet(f"{store_path}/centroids")
+            codebooks = spark.read.parquet(f"{store_path}/codebooks")
+        cbs = _pq_codebooks_list(codebooks)
+        (
+            pq_encode(batch_df, cbs, vec_col=vec_col, id_col=id_col)
+            .join(
+                assign_clusters(
+                    batch_df, centroids, vec_col=vec_col, id_col=id_col
+                ),
+                on=id_col,
+            )
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch", "cluster")
+            .parquet(f"{store_path}/codes")
+        )
         batch_df.unpersist()
 
     return (

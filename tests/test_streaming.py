@@ -470,3 +470,84 @@ def test_stream_dedup_ingest_verify_threshold(spark, tmp_path):
 
     ids = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert ids == [1, 10]
+
+
+def test_stream_pq_index_ingest_two_drops(spark, tmp_path):
+    """Drop 1 trains and pins the IVF-PQ index; drop 2 encodes against
+    the PINNED codebooks; the store answers pq_store_topk queries over
+    both drops and redelivery of drop 2 is exactly-once."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import pq_store_topk
+    from haplorec_spark.streaming import stream_pq_index_ingest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    first = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 40).collect()
+    ]
+    v1 = first[1][1]
+
+    src = tmp_path / "pq_incoming"
+    src.mkdir()
+    store = str(tmp_path / "pq_store")
+
+    def run_drop(rows_):
+        spark.createDataFrame(
+            rows_, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_pq_index_ingest(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .parquet(str(src)),
+            store_path=store,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            n_clusters=2, iterations=1, m=4, pq_k=4, pq_iterations=1,
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_drop(first)
+    run_drop([(1000, v1)])  # an exact copy of vec 1, indexed later
+
+    codes = spark.read.parquet(f"{store}/codes")
+    assert codes.count() == len(first) + 1
+    assert {"ingest_batch", "cluster"} <= set(codes.columns)
+    # index pinned once: centroid count is the drop-1 k
+    assert spark.read.parquet(f"{store}/centroids").count() == 2
+
+    # the store answers queries across both drops: probing with vec 1
+    # must surface its late-indexed copy first (identical codes)
+    probe = spark.createDataFrame(
+        [(1, v1)], "vec_id long, embedding array<float>"
+    )
+    top = pq_store_topk(spark, store, probe, k=3, nprobe=2).collect()
+    assert top[0]["neighbor_id"] == 1000
+
+    # true redelivery: drop the last batch's commit marker so the
+    # restarted query re-executes batch 1 with the SAME batch id —
+    # dynamic partition overwrite makes the re-run exactly-once
+    import os
+
+    cdir = tmp_path / "ckpt" / "commits"
+    last = sorted(f for f in os.listdir(cdir) if not f.startswith("."))[-1]
+    os.remove(cdir / last)
+    crc = cdir / f".{last}.crc"  # stale Hadoop checksum sibling would
+    if crc.exists():             # fail the re-written commit marker
+        os.remove(crc)
+    q = stream_pq_index_ingest(
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(str(src)),
+        store_path=store,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_clusters=2, iterations=1, m=4, pq_k=4, pq_iterations=1,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    replayed = spark.read.parquet(f"{store}/codes")
+    assert replayed.count() == len(first) + 1
+    assert (
+        replayed.groupBy("vec_id").count()
+        .filter(F.col("count") > 1).count() == 0
+    )
