@@ -69,6 +69,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     pq_store_topk,
     pq_topk,
     pq_train,
+    train_pq_index,
     write_pq_store,
     semantic_dedup_pairs,
     write_semantic_store,
@@ -133,6 +134,7 @@ __all__ = [
     "strip_boilerplate_lines",
     "strip_duplicate_ngram_spans",
     "tfidf",
+    "train_pq_index",
     "top_fraction_by_score",
     "unigram_logprob_score",
     "verify_jaccard_pairs",

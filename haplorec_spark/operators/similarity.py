@@ -947,18 +947,36 @@ def pq_encode(
     )
 
 
-def _adc_expr(cb_sql: str, m: int, sub: int):
+def _adc_expr(cb_sql: str, m: int, sub: int, pv_sql: str = "pv"):
     """ADC distance column: sum over subspaces of squared L2 between
-    the probe subvector (``pv``) and the coded centroid (``codes``)."""
+    the probe subvector (``pv_sql``, any array<double> SQL expression)
+    and the coded centroid (``codes``)."""
     return F.expr(
         f"aggregate(sequence(0, {m - 1}),"
         f" cast(0.0 as double), (acc, i) -> acc +"
         f" aggregate(zip_with("
-        f"  slice(pv, i * {sub} + 1, {sub}),"
+        f"  slice({pv_sql}, i * {sub} + 1, {sub}),"
         f"  element_at(element_at({cb_sql}, i + 1),"
         f"   element_at(codes, i + 1) + 1),"
         f"  (x, c) -> (x - c) * (x - c)),"
         f"  cast(0.0 as double), (a, d) -> a + d))"
+    )
+
+
+def _literal_matrix_sql(rows: list[list[float]]) -> str:
+    """k × dim doubles as ONE SQL literal (py4j-avoidance, as above)."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(f"CAST({float(x)!r} AS DOUBLE)" for x in r)
+        + ")"
+        for r in rows
+    ) + ")"
+
+
+def _residual_sql(cent_sql: str, v_sql: str, cluster_sql: str = "cluster"):
+    """``v - centroid[cluster]`` as a SQL expression string."""
+    return (
+        f"zip_with({v_sql}, element_at({cent_sql}, {cluster_sql} + 1),"
+        f" (x, c) -> x - c)"
     )
 
 
@@ -1028,6 +1046,7 @@ def ivf_pq_topk(
     m: int = 4,
     pq_k: int = 16,
     pq_iterations: int = 2,
+    residual: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -1038,39 +1057,64 @@ def ivf_pq_topk(
     rows each probe scans (×n_clusters/nprobe); product quantization
     cuts HOW MANY BYTES each scanned row costs (m codes vs dim
     floats). ADC runs only inside the probe's ``nprobe`` nearest
-    cells. ``nprobe = n_clusters`` reproduces :func:`pq_topk` over
-    the full corpus exactly (the equivalence test's oracle).
+    cells.
 
-    This is the flat-PQ variant: codes quantize the raw vectors with
-    one global codebook, so the same codes serve any nprobe and the
-    codebook layer stays a pure composition. (FAISS-style RESIDUAL
-    IVF-PQ — encoding v - centroid(cell) — buys finer codes for the
-    same m at the cost of per-cell code dependence; with the distance
-    computed per pair as here, it would be the same join shape plus a
-    centroid subtraction, a drop-in refinement.)
+    Two quantization modes:
+
+    * ``residual=False`` (flat): codes quantize the raw vectors with
+      one global codebook — codes are cell-independent, and
+      ``nprobe = n_clusters`` reproduces :func:`pq_topk` over the
+      full corpus exactly (the equivalence test's oracle).
+    * ``residual=True`` (FAISS IVFPQ shape): codes quantize
+      ``v - centroid(cell)``. Residuals have the within-cell variance
+      only, so the same m×pq_k codebook spends its capacity on a
+      tighter distribution — finer codes, lower quantization error
+      (test-measured). ADC compares the probe's residual AGAINST THE
+      PROBED CELL to the coded residual — same join shape, one extra
+      literal-centroid subtraction per side.
 
     Scale shape: both assignment steps are map-side literal-codebook
     argmins; the cell join is (cluster)-keyed with probes broadcast;
     the only corpus-wide shuffle is the code/cell materialization's
     id-join — and in a real deployment codes+cells persist as ONE
     parquet store written at encode time (cluster-partitioned, so the
-    cell join becomes partition pruning), making queries scan-only.
+    cell join becomes partition pruning), making queries scan-only
+    (:func:`write_pq_store` / :func:`pq_store_topk`).
     """
     centroids = kmeans_centroids(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
+    cells = assign_clusters(
+        corpus, centroids, vec_col=vec_col, id_col=id_col
+    )
+    if residual:
+        cents = [
+            list(r["centroid"])
+            for r in centroids.orderBy("centroid_id").collect()
+        ]
+        cent_sql = _literal_matrix_sql(cents)
+        vcast = f"transform({vec_col}, x -> cast(x as double))"
+        enc_src = corpus.join(cells, on=id_col).select(
+            F.col(id_col),
+            F.expr(_residual_sql(cent_sql, vcast)).alias("_rv"),
+        )
+        train_col, train_src = "_rv", enc_src
+    else:
+        cent_sql = None
+        train_col, train_src = vec_col, corpus
     cbs = _pq_codebooks_list(
         pq_train(
-            corpus, m=m, k=pq_k, iterations=pq_iterations,
-            vec_col=vec_col, id_col=id_col,
+            train_src, m=m, k=pq_k, iterations=pq_iterations,
+            vec_col=train_col, id_col=id_col,
         )
     )
     sub = len(cbs[0][0])
     cb_sql = _literal_codebooks_sql(cbs)
-    coded = pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col).join(
-        assign_clusters(corpus, centroids, vec_col=vec_col, id_col=id_col),
-        on=id_col,
-    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
+    coded = (
+        pq_encode(train_src, cbs, vec_col=train_col, id_col=id_col)
+        .join(cells, on=id_col)
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
+    )
     probe_cells = (
         assign_clusters(probes, centroids, vec_col=vec_col, id_col=id_col)
         if nprobe <= 1
@@ -1085,6 +1129,7 @@ def ivf_pq_topk(
         probe_cells.select(F.col(id_col).alias("probe_id"), "cluster"),
         on="probe_id",
     )
+    pv_sql = _residual_sql(cent_sql, "pv") if residual else "pv"
     scored = (
         F.broadcast(p)
         .join(coded, on="cluster")
@@ -1092,7 +1137,9 @@ def ivf_pq_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_adc_expr(cb_sql, m, sub), 6).alias("adc_dist2"),
+            F.round(_adc_expr(cb_sql, m, sub, pv_sql), 6).alias(
+                "adc_dist2"
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -1105,6 +1152,102 @@ def ivf_pq_topk(
     )
 
 
+def _encode_with_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    *,
+    residual: bool,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, codes, cluster) for a corpus against a FIXED index —
+    the shared encode step of the store writer, the stream ingester,
+    and (inlined) :func:`ivf_pq_topk`."""
+    cells = assign_clusters(
+        corpus, centroids, vec_col=vec_col, id_col=id_col
+    )
+    cbs = _pq_codebooks_list(codebooks)
+    if residual:
+        cents = [
+            list(r["centroid"])
+            for r in centroids.orderBy("centroid_id").collect()
+        ]
+        vcast = f"transform({vec_col}, x -> cast(x as double))"
+        src = corpus.join(cells, on=id_col).select(
+            F.col(id_col),
+            F.expr(
+                _residual_sql(_literal_matrix_sql(cents), vcast)
+            ).alias("_rv"),
+        )
+        return pq_encode(src, cbs, vec_col="_rv", id_col=id_col).join(
+            cells, on=id_col
+        )
+    return pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col).join(
+        cells, on=id_col
+    )
+
+
+def train_pq_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    m: int = 4,
+    pq_k: int = 16,
+    pq_iterations: int = 2,
+    residual: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train and PIN an IVF-PQ index at ``<path>/{centroids,
+    codebooks}`` (no codes written); returns (centroids, codebooks).
+
+    The shared first-write step of :func:`write_pq_store` and
+    ``streaming.stream_pq_index_ingest`` — the residual flag persists
+    on the codebooks frame so every later consumer follows the stored
+    mode.
+    """
+    centroids = kmeans_centroids(
+        corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
+    if residual:
+        cents = [
+            list(r["centroid"])
+            for r in centroids.orderBy("centroid_id").collect()
+        ]
+        vcast = f"transform({vec_col}, x -> cast(x as double))"
+        train_src = corpus.join(
+            assign_clusters(
+                corpus, centroids, vec_col=vec_col, id_col=id_col
+            ),
+            on=id_col,
+        ).select(
+            F.col(id_col),
+            F.expr(
+                _residual_sql(_literal_matrix_sql(cents), vcast)
+            ).alias("_rv"),
+        )
+        codebooks = pq_train(
+            train_src, m=m, k=pq_k, iterations=pq_iterations,
+            vec_col="_rv", id_col=id_col,
+        )
+    else:
+        codebooks = pq_train(
+            corpus, m=m, k=pq_k, iterations=pq_iterations,
+            vec_col=vec_col, id_col=id_col,
+        )
+    codebooks = codebooks.withColumn("residual", F.lit(residual))
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    codebooks.write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark = corpus.sparkSession
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/codebooks"),
+    )
+
+
 def write_pq_store(
     corpus: DataFrame,
     path: str,
@@ -1114,6 +1257,7 @@ def write_pq_store(
     m: int = 4,
     pq_k: int = 16,
     pq_iterations: int = 2,
+    residual: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
@@ -1127,6 +1271,11 @@ def write_pq_store(
     partitions (partition pruning, no join against history). The
     store holds codes, not vectors: ~m bytes per vector at pq_k<=256.
 
+    ``residual=True`` trains/encodes cell residuals (see
+    :func:`ivf_pq_topk`); the flag persists on the codebooks frame,
+    so queries and appends follow the stored mode — the caller's
+    flag only matters on first write.
+
     ``mode="append"`` follows the :func:`write_semantic_store`
     contract — the PINNED centroids/codebooks win over retraining, so
     an appended batch's codes are consistent with the stored index.
@@ -1136,29 +1285,26 @@ def write_pq_store(
         try:
             centroids = spark.read.parquet(f"{path}/centroids")
             codebooks = spark.read.parquet(f"{path}/codebooks")
+            # pre-flag stores (no residual column) are flat
+            residual = (
+                "residual" in codebooks.columns
+                and bool(codebooks.first()["residual"])
+            )
         except AnalysisException:
             centroids = codebooks = None  # fresh path: train + pin below
     else:
         centroids = codebooks = None
     if centroids is None:
-        centroids = kmeans_centroids(
-            corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+        centroids, codebooks = train_pq_index(
+            corpus, path,
+            n_clusters=n_clusters, iterations=iterations,
+            m=m, pq_k=pq_k, pq_iterations=pq_iterations,
+            residual=residual, vec_col=vec_col, id_col=id_col,
         )
-        codebooks = pq_train(
-            corpus, m=m, k=pq_k, iterations=pq_iterations,
-            vec_col=vec_col, id_col=id_col,
-        )
-        wmode = "overwrite" if mode != "append" else "error"
-        centroids.write.mode(wmode).parquet(f"{path}/centroids")
-        codebooks.write.mode(wmode).parquet(f"{path}/codebooks")
-    cbs = _pq_codebooks_list(codebooks)
     (
-        pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col)
-        .join(
-            assign_clusters(
-                corpus, centroids, vec_col=vec_col, id_col=id_col
-            ),
-            on=id_col,
+        _encode_with_cells(
+            corpus, centroids, codebooks,
+            residual=residual, vec_col=vec_col, id_col=id_col,
         )
         .write.mode("append" if mode == "append" else "overwrite")
         .partitionBy("cluster")
@@ -1184,10 +1330,16 @@ def pq_store_topk(
     driver (bounded by |probes| × nprobe) and prune the codes scan to
     those partitions — a 1-cell probe of a 32k-cell store reads
     1/32k of the codes. ADC + one top-k window as in
-    :func:`pq_topk`.
+    :func:`pq_topk`. The store's persisted residual flag decides the
+    distance mode — callers never have to remember how it was built.
     """
     centroids = spark.read.parquet(f"{path}/centroids")
-    cbs = _pq_codebooks_list(spark.read.parquet(f"{path}/codebooks"))
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    residual = (
+        "residual" in codebooks.columns
+        and bool(codebooks.first()["residual"])
+    )
+    cbs = _pq_codebooks_list(codebooks)
     sub = len(cbs[0][0])
     mm = len(cbs)
     cb_sql = _literal_codebooks_sql(cbs)
@@ -1213,6 +1365,19 @@ def pq_store_topk(
         .filter(F.col("cluster").isin(probed))  # literal partition prune
         .select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
     )
+    pv_sql = (
+        _residual_sql(
+            _literal_matrix_sql(
+                [
+                    list(r["centroid"])
+                    for r in centroids.orderBy("centroid_id").collect()
+                ]
+            ),
+            "pv",
+        )
+        if residual
+        else "pv"
+    )
     scored = (
         F.broadcast(p)
         .join(codes, on="cluster")
@@ -1220,7 +1385,9 @@ def pq_store_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_adc_expr(cb_sql, mm, sub), 6).alias("adc_dist2"),
+            F.round(_adc_expr(cb_sql, mm, sub, pv_sql), 6).alias(
+                "adc_dist2"
+            ),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(

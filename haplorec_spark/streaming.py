@@ -488,6 +488,7 @@ def stream_pq_index_ingest(
     m: int = 4,
     pq_k: int = 16,
     pq_iterations: int = 2,
+    residual: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ):
@@ -509,11 +510,8 @@ def stream_pq_index_ingest(
     the pin), so the store never wedges half-initialized.
     """
     from haplorec_spark.operators.similarity import (
-        _pq_codebooks_list,
-        assign_clusters,
-        kmeans_centroids,
-        pq_encode,
-        pq_train,
+        _encode_with_cells,
+        train_pq_index,
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -535,25 +533,23 @@ def stream_pq_index_ingest(
         except AnalysisException:
             have_index = False
         if not have_index:
-            kmeans_centroids(
-                batch_df, n_clusters, iterations,
-                vec_col=vec_col, id_col=id_col,
-            ).write.mode("overwrite").parquet(f"{store_path}/centroids")
-            pq_train(
-                batch_df, m=m, k=pq_k, iterations=pq_iterations,
-                vec_col=vec_col, id_col=id_col,
-            ).write.mode("overwrite").parquet(f"{store_path}/codebooks")
-            # read the PINNED copies back: deterministic on replay
-            centroids = spark.read.parquet(f"{store_path}/centroids")
-            codebooks = spark.read.parquet(f"{store_path}/codebooks")
-        cbs = _pq_codebooks_list(codebooks)
+            # first batch (or recovering a half-pinned store): train +
+            # pin both frames, read the pinned copies back —
+            # deterministic on replay
+            centroids, codebooks = train_pq_index(
+                batch_df, store_path,
+                n_clusters=n_clusters, iterations=iterations,
+                m=m, pq_k=pq_k, pq_iterations=pq_iterations,
+                residual=residual, vec_col=vec_col, id_col=id_col,
+            )
+        stored_residual = (
+            "residual" in codebooks.columns
+            and bool(codebooks.first()["residual"])
+        )
         (
-            pq_encode(batch_df, cbs, vec_col=vec_col, id_col=id_col)
-            .join(
-                assign_clusters(
-                    batch_df, centroids, vec_col=vec_col, id_col=id_col
-                ),
-                on=id_col,
+            _encode_with_cells(
+                batch_df, centroids, codebooks,
+                residual=stored_residual, vec_col=vec_col, id_col=id_col,
             )
             .withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")

@@ -790,3 +790,63 @@ def test_pq_store_roundtrip_and_pruning(spark, tmp_path):
     # error (ADC compares the exact probe to CODES), not 0
     top0 = [r for r in after if r["probe_id"] == 0 and r["rank"] == 1][0]
     assert top0["neighbor_id"] == 100000
+
+
+def test_residual_pq_beats_flat_quantization(spark):
+    """Residual codes spend the m x pq_k codebook on within-cell
+    variance only: probing with exact copies of corpus vectors
+    (shifted ids, nprobe = all cells), the rank-1 hit is the copy and
+    its ADC distance IS the probe's quantization error — strictly
+    lower on average than flat-PQ's."""
+    from haplorec_spark.operators.similarity import ivf_pq_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+
+    def mean_self_err(res):
+        top = ivf_pq_topk(
+            emb, probes, k=1, n_clusters=4, nprobe=4, m=4, pq_k=8,
+            residual=res,
+        ).collect()
+        # every probe's nearest code is its own copy's
+        assert all(r["neighbor_id"] == r["probe_id"] - 100000 for r in top)
+        return sum(r["adc_dist2"] for r in top) / len(top)
+
+    assert mean_self_err(True) < mean_self_err(False)
+
+
+def test_pq_store_residual_flag_persists(spark, tmp_path):
+    """A residual store answers like the in-memory residual
+    composition, and appends follow the STORED mode even when the
+    caller passes a different flag."""
+    from haplorec_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_store_topk,
+        write_pq_store,
+    )
+
+    store = str(tmp_path / "pq_res_store")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    write_pq_store(emb, store, n_clusters=4, m=4, pq_k=8, residual=True)
+    got = pq_store_topk(spark, store, probes, k=5, nprobe=2)
+    want = ivf_pq_topk(
+        emb, probes, k=5, n_clusters=4, nprobe=2, m=4, pq_k=8,
+        residual=True,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # append with residual=False: the stored True wins, so an exact
+    # copy of vec 2 still encodes to vec 2's codes and ranks first
+    write_pq_store(
+        emb.filter(F.col("vec_id") == 2).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        ),
+        store, mode="append", residual=False,
+    )
+    probe2 = emb.filter(F.col("vec_id") == 2)
+    top = pq_store_topk(spark, store, probe2, k=1, nprobe=4).first()
+    assert top["neighbor_id"] == 100002
