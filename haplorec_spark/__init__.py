@@ -56,6 +56,7 @@ from haplorec_spark.operators.sampling import (  # noqa: E402
     weighted_sample,
 )
 from haplorec_spark.operators.dedup import (  # noqa: E402
+    cluster_size_profile,
     duplicate_ngram_spans,
     strip_duplicate_ngram_spans,
     verify_jaccard_pairs,
@@ -99,6 +100,7 @@ __all__ = [
     "asof_join",
     "bm25_rank",
     "cell_profile",
+    "cluster_size_profile",
     "chunk_documents",
     "contamination_report",
     "curate_documents",

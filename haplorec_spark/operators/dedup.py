@@ -994,6 +994,40 @@ def dedup_clusters(
     )
 
 
+def cluster_size_profile(
+    clusters: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    canonical_col: str = "canonical_id",
+) -> DataFrame:
+    """(cluster_size, n_clusters, n_docs, n_dropped): the near-dup
+    cluster size histogram — the audit face of :func:`dedup_clusters`
+    (the embedding twin is ``similarity.cell_profile``).
+
+    Before dropping non-canonical members at 100 TB, this one small
+    frame answers the questions that matter: how much shrinks
+    (``sum(n_dropped)``), and whether some degenerate mega-cluster —
+    a boilerplate-driven LSH bucket collapse — is about to delete a
+    million distinct documents as "duplicates of" one survivor (it
+    shows up as a single visible row with a huge cluster_size). Two
+    key-granularity aggregates, nothing document-sized moves.
+    """
+    return (
+        clusters.groupBy(canonical_col)
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402

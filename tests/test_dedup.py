@@ -371,3 +371,46 @@ def test_verify_jaccard_pairs_kills_false_positive_candidates(spark):
     kept_lo = verify_jaccard_pairs(cands, docs, docs, threshold=0.4).collect()
     assert [(r["doc_id_new"], r["doc_id_matched"], r["jaccard"])
             for r in kept_lo] == [(2, 1, 0.5)]
+
+
+def test_cluster_size_profile_vs_duckdb(spark):
+    """The size histogram over real LSH clusters matches a DuckDB
+    two-level aggregate on the same (doc, canonical) labels."""
+    import duckdb
+
+    from haplorec_spark.operators.dedup import (
+        cluster_size_profile,
+        dedup_clusters,
+        lsh_candidate_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labels = dedup_clusters(lsh_candidate_pairs(docs)).collect()
+    prof = sorted(
+        tuple(r)
+        for r in cluster_size_profile(
+            spark.createDataFrame(labels)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE labels (doc_id BIGINT, canonical_id BIGINT)")
+    con.executemany(
+        "INSERT INTO labels VALUES (?, ?)",
+        [(r["doc_id"], r["canonical_id"]) for r in labels],
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+        SELECT cluster_size, count(*) AS n_clusters,
+               cluster_size * count(*) AS n_docs,
+               (cluster_size - 1) * count(*) AS n_dropped
+        FROM (SELECT canonical_id, count(*) AS cluster_size
+              FROM labels GROUP BY canonical_id)
+        GROUP BY cluster_size
+        """
+        ).fetchall()
+    )
+    assert prof == want
+    # every label row is accounted for exactly once
+    assert sum(r[2] for r in prof) == len(labels)
