@@ -925,24 +925,26 @@ def pq_encode(
     m = len(cbs)
     sub = len(cbs[0][0])
     cb_sql = _literal_codebooks_sql(cbs)
+    # per-subspace distance arrays materialize ONCE in a first
+    # projection; the argmin reads them twice (position + min) without
+    # recomputing the k x subdim folds — half the arithmetic and half
+    # the codegen of inlining the distance expression into both spots
+    d2ss = (
+        f"transform(sequence(0, {m - 1}),"
+        f" i -> transform(element_at({cb_sql}, i + 1),"
+        f"  c -> aggregate(zip_with("
+        f"   transform(slice({vec_col}, i * {sub} + 1, {sub}),"
+        f"    x -> cast(x as double)),"
+        f"   c, (x, cc) -> (x - cc) * (x - cc)),"
+        f"   cast(0.0 as double), (acc, d) -> acc + d)))"
+    )
     return corpus.select(
+        F.col(id_col), F.expr(d2ss).alias("_d2ss")
+    ).select(
         F.col(id_col),
         F.expr(
-            f"transform(sequence(0, {m - 1}), i -> ("
-            f" cast(array_position("
-            f"  transform(element_at({cb_sql}, i + 1),"
-            f"   c -> aggregate(zip_with("
-            f"    transform(slice({vec_col}, i * {sub} + 1, {sub}),"
-            f"     x -> cast(x as double)),"
-            f"    c, (x, cc) -> (x - cc) * (x - cc)),"
-            f"    cast(0.0 as double), (acc, d) -> acc + d)),"
-            f"  array_min(transform(element_at({cb_sql}, i + 1),"
-            f"   c -> aggregate(zip_with("
-            f"    transform(slice({vec_col}, i * {sub} + 1, {sub}),"
-            f"     x -> cast(x as double)),"
-            f"    c, (x, cc) -> (x - cc) * (x - cc)),"
-            f"    cast(0.0 as double), (acc, d) -> acc + d)))) as int)"
-            f" - 1))"
+            "transform(_d2ss, ds ->"
+            " cast(array_position(ds, array_min(ds)) as int) - 1)"
         ).alias("codes"),
     )
 
