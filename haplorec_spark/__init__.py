@@ -77,6 +77,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
 )
 from haplorec_spark.operators.text import (  # noqa: E402
     chunk_documents,
+    linear_text_score,
     perplexity_buckets,
     redact_pii,
     strip_boilerplate_lines,
@@ -116,6 +117,7 @@ __all__ = [
     "ivf_pq_topk",
     "jsonl_sink",
     "jsonl_source",
+    "linear_text_score",
     "mixture_sample",
     "numeric_quantiles",
     "pack_sequences",

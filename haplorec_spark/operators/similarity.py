@@ -781,6 +781,8 @@ def _pq_codebooks_list(codebooks) -> list[list[list[float]]]:
     is bounded: m × k rows (codebook-sized, like the k-means path)."""
     if isinstance(codebooks, DataFrame):
         rows = codebooks.orderBy("sub_ix", "centroid_id").collect()
+        if not rows:
+            return []
         m = 1 + max(r["sub_ix"] for r in rows)
         cbs: list[list[list[float]]] = [[] for _ in range(m)]
         for r in rows:
@@ -922,6 +924,11 @@ def pq_encode(
     first minimum), matching :func:`kmeans_centroids`.
     """
     cbs = _pq_codebooks_list(codebooks)
+    if not cbs or not cbs[0]:
+        raise ValueError(
+            "pq_encode requires a non-empty codebook (pq_train on an "
+            "empty corpus returns an empty frame)"
+        )
     m = len(cbs)
     sub = len(cbs[0][0])
     cb_sql = _literal_codebooks_sql(cbs)
@@ -1110,6 +1117,13 @@ def ivf_pq_topk(
             vec_col=train_col, id_col=id_col,
         )
     )
+    if not cbs:  # empty corpus: no index, no neighbors
+        return probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("adc_dist2"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
     sub = len(cbs[0][0])
     cb_sql = _literal_codebooks_sql(cbs)
     coded = (
@@ -1297,6 +1311,10 @@ def write_pq_store(
     else:
         centroids = codebooks = None
     if centroids is None:
+        if not corpus.take(1):
+            raise ValueError(
+                "cannot build a PQ index from an empty corpus"
+            )
         centroids, codebooks = train_pq_index(
             corpus, path,
             n_clusters=n_clusters, iterations=iterations,

@@ -21,6 +21,9 @@ Per-document (map-side):
   numbers with typed placeholders, with per-type match counts.
 * ``chunk_documents``  — sliding/tiling word windows (training-prep
   chunking; the cut-long complement of ``pack_sequences``).
+* ``linear_text_score`` — apply a pretrained linear (fastText-style)
+  classifier: literal-map projection for small vocabularies, measured
+  adaptive join for large ones.
 
 Corpus-relative (word/line-keyed aggregation + broadcast back):
 
@@ -459,6 +462,101 @@ def doc_fingerprints(
                 f"concat_ws(',', slice(array_sort(collect_list(h)), 1, {k}))"
             ).alias("fingerprint")
         )
+    )
+
+
+def linear_text_score(
+    docs: DataFrame,
+    weights,
+    *,
+    bias: float = 0.0,
+    average: bool = True,
+    max_literal_vocab: int = 256,
+    max_broadcast_vocab: int = 2_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, score, prob): apply a PRETRAINED linear text
+    classifier — the fastText/DCLM-style quality-filter shape, where a
+    small model trained offline (e.g. on curated-vs-crawl labels)
+    scores the whole corpus inside the engine.
+
+    ``weights`` is the trained word-weight table: a mapping or a
+    (word, weight) DataFrame. ``score`` = bias + Σ weight(token)
+    (mean instead of sum when ``average``, the fastText bag shape;
+    OOV tokens contribute 0 but count in the denominator);
+    ``prob`` = sigmoid(score).
+
+    Scale shape, chosen by the MEASURED vocabulary size (the
+    :func:`unigram_logprob_score` pattern): a vocabulary under
+    ``max_literal_vocab`` inlines as a literal SQL map — pure
+    map-side projection, zero shuffle; larger vocabularies run
+    explode → weight join (broadcast under ``max_broadcast_vocab``,
+    shuffle join above — a classifier vocabulary is usually small,
+    but nothing here OOMs if it isn't) → per-doc aggregate. Both
+    paths produce identical scores (test-asserted).
+    """
+    from collections.abc import Mapping as _Mapping
+
+    ws = f"split(lower({text_col}), ' ')"
+    n_tok = F.expr(f"size({ws})")
+    if isinstance(weights, _Mapping) and len(weights) <= max_literal_vocab:
+        if weights:
+            entries = ", ".join(
+                "'" + w.replace("'", "''") + f"', CAST({float(x)!r} AS DOUBLE)"
+                for w, x in sorted(weights.items())
+            )
+            lookup = f"element_at(map({entries}), w)"
+        else:
+            lookup = "cast(null as double)"
+        total = F.expr(
+            f"aggregate({ws}, cast(0.0 as double),"
+            f" (acc, w) -> acc + coalesce({lookup}, cast(0.0 as double)))"
+        )
+        score = F.lit(float(bias)) + (
+            total / n_tok.cast("double") if average else total
+        )
+        score = F.round(score, 6)
+        return docs.select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            score.alias("score"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias(
+                "prob"
+            ),
+        )
+    if isinstance(weights, _Mapping):
+        weights = docs.sparkSession.createDataFrame(
+            list(weights.items()), "word string, weight double"
+        )
+    n_vocab = weights.count()  # measured bound, as everywhere else
+    w = (
+        F.broadcast(weights)
+        if n_vocab <= max_broadcast_vocab
+        else weights.hint("merge")
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(F.expr(ws)).alias("word")
+    )
+    agg = (
+        toks.join(w, on="word", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0.0))).alias("_t"),
+        )
+    )
+    score = F.lit(float(bias)) + (
+        F.col("_t") / F.col("n_tokens").cast("double")
+        if average
+        else F.col("_t")
+    )
+    score = F.round(score, 6)
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        score.alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("prob"),
     )
 
 

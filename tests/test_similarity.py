@@ -850,3 +850,31 @@ def test_pq_store_residual_flag_persists(spark, tmp_path):
     probe2 = emb.filter(F.col("vec_id") == 2)
     top = pq_store_topk(spark, store, probe2, k=1, nprobe=4).first()
     assert top["neighbor_id"] == 100002
+
+
+def test_pq_empty_corpus_edges(spark):
+    """Empty corpus: ivf_pq_topk returns an empty result (no index, no
+    neighbors), pq_encode refuses an empty codebook loudly, and
+    write_pq_store refuses to build an index from nothing."""
+    import pytest as _pytest
+
+    from haplorec_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_encode,
+        pq_train,
+        write_pq_store,
+    )
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    probes = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    out = ivf_pq_topk(empty, probes, k=3, m=2, pq_k=2)
+    assert out.count() == 0
+    assert out.columns == ["probe_id", "neighbor_id", "adc_dist2", "rank"]
+    with _pytest.raises(ValueError, match="non-empty codebook"):
+        pq_encode(probes, pq_train(empty, m=2, k=2))
+    with _pytest.raises(ValueError, match="empty corpus"):
+        write_pq_store(empty, "/tmp/should_never_write_pq")

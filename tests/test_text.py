@@ -524,3 +524,73 @@ def test_perplexity_buckets_vs_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_linear_text_score_paths_agree_and_match_duckdb(spark):
+    """The literal-map path, the join path, and a DuckDB replica all
+    produce the same scores on the real corpus."""
+    from haplorec_spark.operators.text import linear_text_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weights = {"the": 0.8, "and": 0.3, "data": -0.5, "of": 0.1}
+    lit_path = sorted(
+        tuple(r) for r in linear_text_score(docs, weights, bias=0.2).collect()
+    )
+    join_path = sorted(
+        tuple(r)
+        for r in linear_text_score(
+            docs, weights, bias=0.2, max_literal_vocab=0
+        ).collect()
+    )
+    shuffle_path = sorted(
+        tuple(r)
+        for r in linear_text_score(
+            docs, weights, bias=0.2, max_literal_vocab=0,
+            max_broadcast_vocab=0,
+        ).collect()
+    )
+    assert lit_path == join_path == shuffle_path
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents),
+         w(word, wt) AS (VALUES ('the', 0.8), ('and', 0.3),
+                                ('data', -0.5), ('of', 0.1))
+    SELECT doc_id, count(*) AS n_tokens,
+           round(0.2 + sum(coalesce(wt, 0.0)) / count(*), 6) AS score,
+           round(1.0 / (1.0 + exp(-round(0.2 + sum(coalesce(wt, 0.0))
+                                          / count(*), 6))), 6) AS prob
+    FROM toks LEFT JOIN w USING (word)
+    GROUP BY doc_id
+    """
+        ).fetchall()
+    )
+    assert lit_path == want
+
+
+def test_linear_text_score_golden(spark):
+    """Hand-computed: sum mode, bias, OOV contributes 0 but counts."""
+    import math
+
+    from haplorec_spark.operators.text import linear_text_score
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "zzz zzz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["prob"])
+        for r in linear_text_score(
+            docs, {"good": 1.0, "bad": -2.0}, bias=0.5, average=False
+        ).collect()
+    }
+    assert got[1] == (3, 0.5, round(1 / (1 + math.exp(-0.5)), 6))
+    assert got[2] == (2, 0.5, round(1 / (1 + math.exp(-0.5)), 6))
