@@ -4,7 +4,8 @@ stages.
 
 ``curate_documents`` chains the standard corpus-preparation sequence —
 language keep-list → cross-document boilerplate-line strip → quality +
-repetition filters → unigram-LM score floor → perplexity-tier cut →
+repetition filters → unigram-LM score floor → linear-classifier gate →
+perplexity-tier cut →
 PII redaction → document dedup → span-level duplicated-passage strip →
 eval-set decontamination → domain mixture → split assignment →
 sliding-window chunking → sequence packing — each stage an existing
@@ -42,6 +43,7 @@ from haplorec_spark.operators.sampling import (
 from haplorec_spark.operators.dedup import strip_duplicate_ngram_spans
 from haplorec_spark.operators.text import (
     chunk_documents,
+    linear_text_score,
     perplexity_buckets,
     quality_score,
     redact_pii,
@@ -71,6 +73,12 @@ class CurationConfig:
     #: ``ppl_n_buckets`` tiers (0 = cleanest); None skips
     max_ppl_bucket: int | None = None
     ppl_n_buckets: int = 3
+    #: pretrained linear-classifier gate: keep documents whose
+    #: sigmoid score >= min_classifier_prob under these word weights
+    #: (fastText/DCLM-style educational/quality filter); None skips
+    classifier_weights: Mapping[str, float] | None = None
+    classifier_bias: float = 0.0
+    min_classifier_prob: float = 0.5
     redact: bool = True
     #: "exact" (content-hash), "near" (MinHash-LSH candidate pairs →
     #: connected components, cluster-minimum id survives), or None
@@ -170,6 +178,18 @@ def curate_documents(
             out, text_col=cfg.text_col, id_col=cfg.id_col
         ).filter(F.col("avg_logprob") >= cfg.min_avg_logprob)
         out = note("lm_score", out.join(lm.select(cfg.id_col), cfg.id_col))
+
+    if cfg.classifier_weights is not None:
+        clf = linear_text_score(
+            out,
+            cfg.classifier_weights,
+            bias=cfg.classifier_bias,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).filter(F.col("prob") >= cfg.min_classifier_prob)
+        out = note(
+            "classifier", out.join(clf.select(cfg.id_col), cfg.id_col)
+        )
 
     if cfg.max_ppl_bucket is not None:
         # relative cut: keep the cleanest tiers of THIS corpus's score

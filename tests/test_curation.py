@@ -309,3 +309,32 @@ def test_curation_ppl_bucket_cut(spark):
     }
     assert kept == want
     assert counts["ppl_bucket"] < counts["quality"]  # the cut bites
+
+
+def test_curation_classifier_gate(spark):
+    """classifier_weights keeps exactly the docs whose sigmoid score
+    clears min_classifier_prob on the pre-gate corpus."""
+    from haplorec_spark.operators.text import linear_text_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weights = {"the": 2.0, "and": 1.0, "data": -3.0}
+    base = dict(
+        dedup=None, redact=False, min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+    )
+    pre, _ = curate_documents(docs, config=CurationConfig(**base))
+    out, counts = curate_documents(
+        docs,
+        config=CurationConfig(
+            **base, classifier_weights=weights, min_classifier_prob=0.55,
+        ),
+        count_stages=True,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    want = {
+        r["doc_id"]
+        for r in linear_text_score(pre, weights).collect()
+        if r["prob"] >= 0.55
+    }
+    assert kept == want
+    assert 0 < counts["classifier"] < counts["quality"]
