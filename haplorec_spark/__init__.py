@@ -44,6 +44,7 @@ from haplorec_spark.operators.profiling import (  # noqa: E402
     frequent_values,
     numeric_quantiles,
     profile_table,
+    text_corpus_profile,
 )
 from haplorec_spark.operators.relevance import bm25_rank, tfidf  # noqa: E402
 from haplorec_spark.operators.sampling import (  # noqa: E402
@@ -137,6 +138,7 @@ __all__ = [
     "stream_semantic_dedup_ingest",
     "strip_boilerplate_lines",
     "strip_duplicate_ngram_spans",
+    "text_corpus_profile",
     "tfidf",
     "train_pq_index",
     "top_fraction_by_score",

@@ -179,3 +179,80 @@ def numeric_quantiles(
         ]
     )
     return row.select(F.explode(per).alias("p")).select("p.*")
+
+
+def text_corpus_profile(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(metric, value): the corpus-curation dashboard in ONE pass.
+
+    The text-family composition of :func:`profile_table`: document
+    count, token totals and quantiles, mean quality / repetition
+    scores, and per-language fractions — every number an aggregate
+    column of a single ``agg`` over a single map-side projection
+    (language fractions are ``avg(lang = x)`` indicators, so the
+    language breakdown needs no second groupBy). One scalar row
+    computes, then unpivots to (metric, value) for dashboards and
+    drift comparisons between drops.
+    """
+    from haplorec_spark.operators.text import (
+        LANG_LEXICON,
+        language_id,
+        quality_score,
+    )
+
+    feats = (
+        docs.join(
+            quality_score(
+                docs, text_col=text_col, id_col=id_col,
+                include_repetition=True,
+            ),
+            on=id_col,
+        )
+        .join(language_id(docs, text_col=text_col, id_col=id_col), on=id_col)
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("n_words").cast("double").alias("total_words"),
+        F.round(F.avg("n_words"), 6).alias("avg_words"),
+        F.expr(
+            "percentile(n_words, array(0.5, 0.9, 0.99))"
+        ).alias("_wq"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("dup_word_fraction"), 6).alias(
+            "avg_dup_word_fraction"
+        ),
+        F.round(F.avg("top_word_fraction"), 6).alias(
+            "avg_top_word_fraction"
+        ),
+        *[
+            F.round(
+                F.avg(
+                    F.when(F.col("predicted_lang") == lang, 1.0).otherwise(
+                        0.0
+                    )
+                ),
+                6,
+            ).alias(f"lang_{lang}_fraction")
+            for lang in LANG_LEXICON
+        ],
+    ]
+    row = feats.agg(*aggs)
+    scalar_cols = [c for c in row.columns if c != "_wq"]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("metric"),
+                F.col(c).cast("double").alias("value"),
+            )
+            for c in scalar_cols
+        ],
+        *[
+            F.struct(
+                F.lit(f"words_p{int(p * 100)}").alias("metric"),
+                F.get(F.col("_wq"), i).cast("double").alias("value"),
+            )
+            for i, p in enumerate((0.5, 0.9, 0.99))
+        ],
+    )
+    return row.select(F.explode(pairs).alias("m")).select("m.*")

@@ -196,3 +196,52 @@ def test_profile_map_column_reports_null_distinct(spark):
         assert m["min_value"] is None and m["max_value"] is None
         assert m["n_nulls"] == 1 and m["n_rows"] == 2
         assert got["id"]["n_distinct"] == 2
+
+
+def test_text_corpus_profile_vs_duckdb(spark):
+    """The one-pass corpus dashboard matches a DuckDB replica of every
+    metric (quality/repetition/language defs shared with text.py)."""
+    import duckdb
+
+    from haplorec_spark.operators.profiling import text_corpus_profile
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {r["metric"]: r["value"] for r in text_corpus_profile(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    en = "['the', 'a', 'of', 'and', 'to', 'in', 'is']"
+    want = con.execute(
+        f"""
+    WITH f AS (SELECT doc_id,
+                      len(string_split(lower(text), ' ')) AS n_words,
+                      len(list_filter(string_split(lower(text), ' '),
+                          w -> list_contains({en}, w)))
+                          / len(string_split(lower(text), ' '))::DOUBLE
+                          AS stop_ratio
+               FROM documents)
+    SELECT count(*)::DOUBLE AS n_docs,
+           sum(n_words)::DOUBLE AS total_words,
+           round(avg(n_words), 6) AS avg_words,
+           quantile_cont(n_words, 0.5) AS p50,
+           quantile_cont(n_words, 0.9) AS p90,
+           quantile_cont(n_words, 0.99) AS p99
+    FROM f
+    """
+    ).fetchone()
+    assert got["n_docs"] == want[0]
+    assert got["total_words"] == want[1]
+    assert got["avg_words"] == want[2]
+    assert got["words_p50"] == want[3]
+    assert got["words_p90"] == want[4]
+    assert got["words_p99"] == want[5]
+    # language fractions sum to <= 1 and en dominates the synthetic corpus
+    langs = [v for k, v in got.items() if k.startswith("lang_")]
+    assert sum(langs) <= 1.000001
+    assert got["lang_en_fraction"] == max(langs)
+    # quality/repetition means are present and bounded
+    assert 0.0 <= got["avg_quality"] <= 1.0
+    assert 0.0 <= got["avg_dup_word_fraction"] <= 1.0
