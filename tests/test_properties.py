@@ -372,3 +372,65 @@ def test_dup_span_adaptive_paths_agree(spark, docs):
         ).collect()
     )
     assert small == large
+
+
+_doc_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from(list("ab c")), min_size=0, max_size=40
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@SLOW
+@given(texts=_doc_texts, chunk=st.integers(1, 7))
+def test_chunk_tiling_reconstructs_documents(spark, texts, chunk):
+    """Non-overlapping chunks are a partition of the word array:
+    re-joining a document's chunk_texts in chunk_ix order reproduces
+    the original text byte-for-byte (split/join on single spaces
+    round-trips, including empty words from doubled spaces)."""
+    from haplorec_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got: dict[int, list[tuple[int, str]]] = {}
+    for r in chunk_documents(docs, chunk_size=chunk).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_ix"], r["chunk_text"])
+        )
+    for i, text in enumerate(texts):
+        parts = [t for _, t in sorted(got[i])]
+        assert " ".join(parts) == text
+        # every chunk except possibly the last is exactly chunk words
+        for t in parts[:-1]:
+            assert len(t.split(" ")) == chunk
+
+
+@SLOW
+@given(
+    texts=_doc_texts,
+    chunk=st.integers(2, 6),
+    stride=st.integers(1, 6),
+)
+def test_chunk_sliding_matches_python_model(spark, texts, chunk, stride):
+    """Overlapping windows match the plain-Python slicing model."""
+    from haplorec_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in chunk_documents(
+            docs, chunk_size=chunk, stride=stride
+        ).collect()
+    )
+    want = []
+    for i, text in enumerate(texts):
+        ws = text.split(" ")
+        for ix, start in enumerate(range(0, max(len(ws) - 1, 0) + 1, stride)):
+            cw = ws[start : start + chunk]
+            want.append((i, ix, start, len(cw), " ".join(cw)))
+    assert got == sorted(want)
