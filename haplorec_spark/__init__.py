@@ -40,6 +40,10 @@ from haplorec_spark.operators.division import (  # noqa: E402
 )
 from haplorec_spark.operators.packing import pack_sequences  # noqa: E402
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
+from haplorec_spark.operators.multimodal import (  # noqa: E402
+    media_duplicate_pairs,
+    synthesize_media_table,
+)
 from haplorec_spark.operators.profiling import (  # noqa: E402
     frequent_values,
     numeric_quantiles,
@@ -118,6 +122,7 @@ __all__ = [
     "ivf_pq_topk",
     "jsonl_sink",
     "jsonl_source",
+    "media_duplicate_pairs",
     "linear_text_score",
     "mixture_sample",
     "numeric_quantiles",
@@ -133,6 +138,7 @@ __all__ = [
     "select_where_subset_of",
     "semantic_dedup_pairs",
     "stream_dedup_events",
+    "synthesize_media_table",
     "stream_dedup_ingest",
     "stream_pq_index_ingest",
     "stream_semantic_dedup_ingest",

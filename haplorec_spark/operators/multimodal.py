@@ -385,6 +385,51 @@ def synthesize_media_table(
     return docs.select(id_col).mapInPandas(kernel, out_schema)
 
 
+def media_duplicate_pairs(
+    media: DataFrame,
+    *,
+    threshold: float = 0.999,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(media_id_a, media_id_b, cosine): near-duplicate media by
+    decoded feature-vector cosine — the multimodal rung of the dedup
+    ladder.
+
+    ONE decode pass (:func:`image_features`, Arrow-batched map-only)
+    turns each payload into a small feature vector
+    [mean_pixel, std_pixel, channel_means...]; the pair scan is
+    :func:`~haplorec_spark.operators.dedup.embedding_near_duplicates`
+    on those vectors, so media bytes never cross a shuffle — only the
+    tiny feature rows do. Byte-identical payloads land at cosine 1.0;
+    re-encoded/resized variants land nearby (with the real-codec
+    import gate, the same shape holds for real decoders — swap the
+    feature kernel, keep the plan). Exact BYTE duplicates need no
+    decode at all: group on ``md5(payload)`` (the
+    ``exact_duplicates`` shape). For billion-item media corpora,
+    bucket these vectors with the LSH/IVF faces instead of the
+    pairwise baseline.
+    """
+    from haplorec_spark.operators.dedup import embedding_near_duplicates
+
+    feats = image_features(
+        media, payload_col=payload_col, id_col=id_col
+    ).select(
+        F.col(id_col),
+        F.expr(
+            "concat(array(mean_pixel, std_pixel), channel_means)"
+        ).alias("embedding"),
+    )
+    pairs = embedding_near_duplicates(
+        feats, threshold=threshold, id_col=id_col
+    )
+    return pairs.select(
+        F.col("vec_id_a").alias("media_id_a"),
+        F.col("vec_id_b").alias("media_id_b"),
+        "cosine",
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402

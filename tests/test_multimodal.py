@@ -108,3 +108,29 @@ def test_image_stats_fuses_metadata_and_features(spark, images):
         )
         assert r.mean_pixel == feats[mid].mean_pixel
         assert r.std_pixel == feats[mid].std_pixel
+
+
+def test_media_duplicate_pairs_finds_byte_copies(spark):
+    """A byte-identical payload copy reaches cosine 1.0; distinct
+    synthetic images stay below a tight threshold."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.multimodal import (
+        media_duplicate_pairs,
+        synthesize_media_table,
+    )
+
+    docs = spark.range(12).select(F.col("id").alias("doc_id"))
+    media = synthesize_media_table(docs)
+    copies = media.filter(F.col("media_id") < 3).withColumn(
+        "media_id", F.col("media_id") + 1000
+    )
+    pairs = media_duplicate_pairs(
+        media.unionByName(copies), threshold=0.9999999
+    ).collect()
+    got = {(r["media_id_a"], r["media_id_b"]) for r in pairs}
+    assert {(0, 1000), (1, 1001), (2, 1002)} <= got
+    assert all(r["cosine"] == 1.0 for r in pairs
+               if r["media_id_b"] - r["media_id_a"] == 1000)
+    # no false positives among the 12 distinct originals
+    assert not any(a < 100 and b < 100 for a, b in got)
