@@ -884,3 +884,30 @@ def q_text_chunks(spark, sf_dir):
     return chunk_documents(
         table(spark, sf_dir, "documents"), chunk_size=24, stride=16
     )
+
+
+_CLF_WEIGHTS = {"the": 0.8, "and": 0.3, "data": -0.5, "of": 0.1}
+
+
+@register(
+    "q_text_linear_score",
+    """
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split(lower(text), ' ')) AS word
+                  FROM documents),
+         w(word, wt) AS (VALUES ('the', 0.8), ('and', 0.3),
+                                ('data', -0.5), ('of', 0.1))
+    SELECT doc_id, count(*) AS n_tokens,
+           round(0.2 + sum(coalesce(wt, 0.0)) / count(*), 6) AS score,
+           round(1.0 / (1.0 + exp(-round(0.2 + sum(coalesce(wt, 0.0))
+                                          / count(*), 6))), 6) AS prob
+    FROM toks LEFT JOIN w USING (word)
+    GROUP BY doc_id
+    """,
+    "pretrained linear text classifier (fastText/DCLM quality-filter "
+    "shape): literal-map weight lookup, mean score + sigmoid",
+)
+def q_text_linear_score(spark, sf_dir):
+    return linear_text_score(
+        table(spark, sf_dir, "documents"), _CLF_WEIGHTS, bias=0.2
+    )

@@ -876,20 +876,11 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_top_supplier",
-    """
-    WITH revenue AS (
-        SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   AS total_revenue
-        FROM lineitem GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, total_revenue
-    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-    """,
-    "argmax over an aggregate (TPC-H Q15 shape): top revenue supplier",
-)
+# Not a driver gate since round 5 (slot rotated to q_text_linear_score):
+# the argmax-over-aggregate shape (TPC-H Q15) is a hash aggregate + a
+# broadcast scalar join, both exercised by many other gated plans
+# (q_min_cost_supplier's correlated-min rewrite is the harder variant
+# and keeps its gate). Still DuckDB-checked by tests/test_registry.py.
 def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")

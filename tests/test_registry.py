@@ -97,6 +97,17 @@ ROTATED_OUT_ORACLES = {
                           WHERE o_custkey = c.c_custkey
                             AND o_orderdate >= TIMESTAMP '1998-01-01')
     """,
+    "q_top_supplier": """
+        WITH revenue AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
 }
 
 
