@@ -9,10 +9,13 @@ aggregation (A1/A6/A7), multi-way joins (J1/J2/J6), relational division
 (J3-J5), ordered pivot (A10/A11), pair normalization (F4/J10), window
 dedup (A12/W5), disjunctive-join rewrite (J7), FK resolution (S10/W5),
 anti joins (division-failure semantics SO3/SO4), and event-time
-bucketing (the batch face of streaming §2.8). Union-distinct, distinct
-projection, and the semi join rotated out of the 50-entry driver budget
-in round 5 (kept below, DuckDB-checked in test_registry.py) to make
-room for the dedup-span / semantic-dedup / weighted-sampling gates.
+bucketing (the batch face of streaming §2.8). Rotated out of the
+50-entry driver budget in round 5 (each kept below, DuckDB-checked in
+test_registry.py; their physical operators appear in other gated
+plans): union-distinct, distinct projection, semi join (slots went to
+the dedup-span / semantic-dedup / weighted-sampling gates), large
+orders, anti join, top supplier (slots went to the chunking / PQ-ADC /
+linear-classifier gates).
 
 Numeric discipline: every floating aggregate is wrapped in ``round(x, N)``
 computed identically on both engines so value-hash comparison is stable;
