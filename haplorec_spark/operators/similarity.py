@@ -292,12 +292,13 @@ def ann_lsh_topk(
 # ----------------------------------------------------------- IVF (k-means)
 
 
-def _dist2_to_codebook(cents: list[list[float]]):
-    """Array of squared-L2 distances from column ``v`` to each literal
-    centroid, evaluated per-row inside whole-stage codegen.
+def _dist2_to_codebook(cents: list[list[float]], vec_expr: str = "v"):
+    """Array of squared-L2 distances from ``vec_expr`` (a SQL expression
+    yielding an array<double>) to each literal centroid, evaluated
+    per-row inside whole-stage codegen.
 
     The codebook is rendered as ONE SQL string and parsed JVM-side: a
-    k × dim nest of ``F.lit``/``F.array`` calls costs a py4j round-trip
+    k × dim nest of ``F.lit``/``F.array`` calls costs a py4y round-trip
     per element (~512 at the defaults), several seconds of driver time
     per plan — the same reason ``lsh_bucket_keys`` inlines its plane
     matrix as SQL text. ``repr(float)`` round-trips doubles exactly.
@@ -308,10 +309,74 @@ def _dist2_to_codebook(cents: list[list[float]]):
         for c in cents
     ) + ")"
     return F.expr(
-        f"transform({codebook}, c -> aggregate(zip_with(v, c,"
+        f"transform({codebook}, c -> aggregate(zip_with({vec_expr}, c,"
         f" (x, cc) -> (x - cc) * (x - cc)), cast(0.0 as double),"
         f" (acc, d) -> acc + d))"
     )
+
+
+def _collect_codebook(centroids: DataFrame) -> list[list[float]]:
+    """The codebook as a driver-side list, ordered by centroid_id (k
+    rows by construction — a bounded collect, like the convergence
+    probes)."""
+    return [
+        list(r["centroid"])
+        for r in centroids.orderBy("centroid_id").collect()
+    ]
+
+
+def _project_with_cells(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    *,
+    vec_col: str,
+    id_col: str,
+    nprobe: int = 1,
+    with_norm: bool = True,
+) -> DataFrame:
+    """(id, vec, [nrm], cluster) as ONE map-side projection.
+
+    Cell assignment is a per-row argmin against the literal codebook —
+    joining the corpus against a separate ``assign_clusters`` frame on
+    the id column would shuffle the entire vector corpus to attach a
+    value every row can compute locally, which at the 100 TB target is
+    the single largest avoidable Exchange in the semantic-dedup / IVF
+    family. ``nprobe > 1`` explodes each row onto its nprobe nearest
+    cells in the same projection (probe-sized inputs only).
+    """
+    cast_v = f"transform({vec_col}, x -> cast(x as double))"
+    cols = [F.col(id_col), F.col(vec_col)]
+    if with_norm:
+        cols.append(
+            F.expr(
+                f"sqrt(aggregate(transform({vec_col},"
+                f" x -> cast(x as double) * cast(x as double)),"
+                f" cast(0.0 as double), (acc, v) -> acc + v))"
+            ).alias("nrm")
+        )
+    if not cents:  # empty codebook (empty corpus): no assignments
+        return (
+            vectors.select(*cols)
+            .limit(0)
+            .withColumn("cluster", F.lit(0).cast("int"))
+        )
+    staged = vectors.withColumn(
+        "_d2s", _dist2_to_codebook(cents, cast_v)
+    )
+    if nprobe <= 1:
+        cluster = F.expr(
+            "cast(array_position(_d2s, array_min(_d2s)) as int) - 1"
+        ).alias("cluster")
+    else:
+        nearest = (
+            "transform(array_sort(zip_with(_d2s,"
+            " sequence(0, size(_d2s) - 1),"
+            " (d, i) -> struct(d as d, i as i))), s -> s.i)"
+        )
+        cluster = F.explode(
+            F.expr(f"slice({nearest}, 1, {int(nprobe)})")
+        ).alias("cluster")
+    return staged.select(*cols, cluster)
 
 
 def kmeans_centroids(
@@ -509,27 +574,25 @@ def ivf_topk(
     centroids = kmeans_centroids(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
-    corpus_cells = assign_clusters(
-        corpus, centroids, vec_col=vec_col, id_col=id_col
+    # cell assignment folds into each side's scan projection (map-side
+    # literal-codebook argmin) — an id-keyed join against a separate
+    # assignment frame would shuffle the full corpus for a value every
+    # row computes locally
+    cents = _collect_codebook(centroids)
+    p = _project_with_cells(
+        probes, cents, vec_col=vec_col, id_col=id_col,
+        nprobe=nprobe, with_norm=False,
+    ).select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("pv"),
+        "cluster",
     )
-    probe_cells = (
-        assign_clusters(probes, centroids, vec_col=vec_col, id_col=id_col)
-        if nprobe <= 1
-        else assign_probe_cells(
-            probes, centroids, nprobe, vec_col=vec_col, id_col=id_col
-        )
-    )
-    p = probes.select(
-        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("pv")
-    ).join(
-        probe_cells.select(F.col(id_col).alias("probe_id"), "cluster"),
-        on="probe_id",
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).join(
-        corpus_cells.select(F.col(id_col).alias("neighbor_id"), "cluster"),
-        on="neighbor_id",
+    c = _project_with_cells(
+        corpus, cents, vec_col=vec_col, id_col=id_col, with_norm=False,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "cluster",
     )
     scored = (
         F.broadcast(p)
@@ -622,24 +685,21 @@ def within_cell_pairs(
     intermediate — DELIBERATE at the 100 TB target: the projection is a
     cheap scan-local argmin, while persisting it would materialize the
     full vector corpus (memory-and-disk spill dominates the recompute).
-    Callers pairing the same assignment many times can persist the
-    store form instead (``write_semantic_store`` keeps (id, vector,
-    nrm, cluster) on disk, cluster-partitioned).
+    Cell assignment is folded INTO that projection (one scan, zero
+    Exchange until the cluster-keyed pair join itself — asserted by
+    ``explain_audit.py``): joining against a separate
+    ``assign_clusters`` frame on the id column would shuffle the whole
+    corpus to attach a per-row-computable value. Callers pairing the
+    same assignment many times can persist the store form instead
+    (``write_semantic_store`` keeps (id, vector, nrm, cluster) on
+    disk, cluster-partitioned).
     """
-    cells = (
-        assign_clusters(vectors, centroids, vec_col=vec_col, id_col=id_col)
-        if nprobe <= 1
-        else assign_probe_cells(
-            vectors, centroids, nprobe, vec_col=vec_col, id_col=id_col
-        )
-    )
-    norm = F.expr(
-        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
-        f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
-    )
-    with_cell = (
-        vectors.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
-        .join(cells, on=id_col)
+    with_cell = _project_with_cells(
+        vectors,
+        _collect_codebook(centroids),
+        vec_col=vec_col,
+        id_col=id_col,
+        nprobe=nprobe,
     )
     a = with_cell.select(
         F.col(id_col).alias("vec_id_a"),
@@ -914,14 +974,21 @@ def pq_encode(
     *,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes): each vector's m nearest-centroid codes.
+    """(id, [keep...], codes): each vector's m nearest-centroid codes.
 
     Map-side only: one projection computes all m argmins against the
     literal codebook nest inside whole-stage codegen — encoding 100 TB
     is an embarrassingly parallel scan writing |corpus| × m small ints.
     Ties break to the lowest centroid_id (``array_position`` finds the
     first minimum), matching :func:`kmeans_centroids`.
+
+    ``keep`` columns pass through the projection unchanged — the IVF-PQ
+    compositions carry the coarse ``cluster`` this way so codes+cells
+    come out of ONE scan instead of an id-keyed join of two
+    corpus-sized frames (a full-corpus shuffle for a value computed in
+    the same scan).
     """
     cbs = _pq_codebooks_list(codebooks)
     if not cbs or not cbs[0]:
@@ -945,10 +1012,12 @@ def pq_encode(
         f"   c, (x, cc) -> (x - cc) * (x - cc)),"
         f"   cast(0.0 as double), (acc, d) -> acc + d)))"
     )
+    kept = [F.col(c) for c in keep]
     return corpus.select(
-        F.col(id_col), F.expr(d2ss).alias("_d2ss")
+        F.col(id_col), *kept, F.expr(d2ss).alias("_d2ss")
     ).select(
         F.col(id_col),
+        *kept,
         F.expr(
             "transform(_d2ss, ds ->"
             " cast(array_position(ds, array_min(ds)) as int) - 1)"
@@ -1093,24 +1162,25 @@ def ivf_pq_topk(
     centroids = kmeans_centroids(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
-    cells = assign_clusters(
-        corpus, centroids, vec_col=vec_col, id_col=id_col
+    cents = _collect_codebook(centroids)
+    # (id, vec, cluster) from ONE map-side projection — coarse cells,
+    # residuals, and PQ codes all derive from it without any id-keyed
+    # join of corpus-sized frames
+    with_cells = _project_with_cells(
+        corpus, cents, vec_col=vec_col, id_col=id_col, with_norm=False,
     )
     if residual:
-        cents = [
-            list(r["centroid"])
-            for r in centroids.orderBy("centroid_id").collect()
-        ]
         cent_sql = _literal_matrix_sql(cents)
         vcast = f"transform({vec_col}, x -> cast(x as double))"
-        enc_src = corpus.join(cells, on=id_col).select(
+        enc_src = with_cells.select(
             F.col(id_col),
             F.expr(_residual_sql(cent_sql, vcast)).alias("_rv"),
+            "cluster",
         )
         train_col, train_src = "_rv", enc_src
     else:
         cent_sql = None
-        train_col, train_src = vec_col, corpus
+        train_col, train_src = vec_col, with_cells
     cbs = _pq_codebooks_list(
         pq_train(
             train_src, m=m, k=pq_k, iterations=pq_iterations,
@@ -1126,24 +1196,17 @@ def ivf_pq_topk(
         ).limit(0)
     sub = len(cbs[0][0])
     cb_sql = _literal_codebooks_sql(cbs)
-    coded = (
-        pq_encode(train_src, cbs, vec_col=train_col, id_col=id_col)
-        .join(cells, on=id_col)
-        .select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
-    )
-    probe_cells = (
-        assign_clusters(probes, centroids, vec_col=vec_col, id_col=id_col)
-        if nprobe <= 1
-        else assign_probe_cells(
-            probes, centroids, nprobe, vec_col=vec_col, id_col=id_col
-        )
-    )
-    p = probes.select(
+    coded = pq_encode(
+        train_src, cbs, vec_col=train_col, id_col=id_col,
+        keep=("cluster",),
+    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
+    p = _project_with_cells(
+        probes, cents, vec_col=vec_col, id_col=id_col,
+        nprobe=nprobe, with_norm=False,
+    ).select(
         F.col(id_col).alias("probe_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
-    ).join(
-        probe_cells.select(F.col(id_col).alias("probe_id"), "cluster"),
-        on="probe_id",
+        "cluster",
     )
     pv_sql = _residual_sql(cent_sql, "pv") if residual else "pv"
     scored = (
@@ -1179,28 +1242,28 @@ def _encode_with_cells(
 ) -> DataFrame:
     """(id, codes, cluster) for a corpus against a FIXED index —
     the shared encode step of the store writer, the stream ingester,
-    and (inlined) :func:`ivf_pq_topk`."""
-    cells = assign_clusters(
-        corpus, centroids, vec_col=vec_col, id_col=id_col
+    and (inlined) :func:`ivf_pq_topk`. Cells ride the encode scan as a
+    pass-through column (one map-side projection), never an id-keyed
+    join of two corpus-sized frames."""
+    cents = _collect_codebook(centroids)
+    with_cells = _project_with_cells(
+        corpus, cents, vec_col=vec_col, id_col=id_col, with_norm=False,
     )
     cbs = _pq_codebooks_list(codebooks)
     if residual:
-        cents = [
-            list(r["centroid"])
-            for r in centroids.orderBy("centroid_id").collect()
-        ]
         vcast = f"transform({vec_col}, x -> cast(x as double))"
-        src = corpus.join(cells, on=id_col).select(
+        src = with_cells.select(
             F.col(id_col),
             F.expr(
                 _residual_sql(_literal_matrix_sql(cents), vcast)
             ).alias("_rv"),
+            "cluster",
         )
-        return pq_encode(src, cbs, vec_col="_rv", id_col=id_col).join(
-            cells, on=id_col
+        return pq_encode(
+            src, cbs, vec_col="_rv", id_col=id_col, keep=("cluster",)
         )
-    return pq_encode(corpus, cbs, vec_col=vec_col, id_col=id_col).join(
-        cells, on=id_col
+    return pq_encode(
+        with_cells, cbs, vec_col=vec_col, id_col=id_col, keep=("cluster",)
     )
 
 
@@ -1229,16 +1292,11 @@ def train_pq_index(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
     if residual:
-        cents = [
-            list(r["centroid"])
-            for r in centroids.orderBy("centroid_id").collect()
-        ]
+        cents = _collect_codebook(centroids)
         vcast = f"transform({vec_col}, x -> cast(x as double))"
-        train_src = corpus.join(
-            assign_clusters(
-                corpus, centroids, vec_col=vec_col, id_col=id_col
-            ),
-            on=id_col,
+        train_src = _project_with_cells(
+            corpus, cents, vec_col=vec_col, id_col=id_col,
+            with_norm=False,
         ).select(
             F.col(id_col),
             F.expr(
@@ -1363,22 +1421,20 @@ def pq_store_topk(
     sub = len(cbs[0][0])
     mm = len(cbs)
     cb_sql = _literal_codebooks_sql(cbs)
-    probe_cells = (
-        assign_clusters(probes, centroids, vec_col=vec_col, id_col=id_col)
-        if nprobe <= 1
-        else assign_probe_cells(
-            probes, centroids, nprobe, vec_col=vec_col, id_col=id_col
-        )
-    )
-    p = probes.select(
+    p = _project_with_cells(
+        probes,
+        _collect_codebook(centroids),
+        vec_col=vec_col,
+        id_col=id_col,
+        nprobe=nprobe,
+        with_norm=False,
+    ).select(
         F.col(id_col).alias("probe_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
-    ).join(
-        probe_cells.select(F.col(id_col).alias("probe_id"), "cluster"),
-        on="probe_id",
+        "cluster",
     )
     probed = [
-        r["cluster"] for r in probe_cells.select("cluster").distinct().collect()
+        r["cluster"] for r in p.select("cluster").distinct().collect()
     ]
     codes = (
         spark.read.parquet(f"{path}/codes")
@@ -1456,16 +1512,11 @@ def write_semantic_store(
             # appending to a fresh path: pin the codebook now so the
             # store is self-contained from its first write
             cents.write.parquet(f"{path}/codebook")
-    cells = assign_clusters(
-        vectors, centroids, vec_col=vec_col, id_col=id_col
-    )
-    norm = F.expr(
-        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
-        f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
-    )
     (
-        vectors.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
-        .join(cells, on=id_col)
+        _project_with_cells(
+            vectors, _collect_codebook(centroids),
+            vec_col=vec_col, id_col=id_col,
+        )
         .write.mode("append" if mode == "append" else "overwrite")
         .partitionBy("cluster")
         .parquet(f"{path}/cells")
@@ -1505,20 +1556,10 @@ def incremental_semantic_pairs(
         store = spark.read.parquet(f"{store_path}/cells")
     except AnalysisException:
         store = None
-    norm = F.expr(
-        f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
-        f" * cast(x as double)), cast(0.0 as double), (acc, v) -> acc + v))"
+    batch = _project_with_cells(
+        new_vectors, _collect_codebook(centroids),
+        vec_col=vec_col, id_col=id_col, nprobe=nprobe,
     )
-    new_cells = (
-        assign_clusters(new_vectors, centroids, vec_col=vec_col,
-                        id_col=id_col)
-        if nprobe <= 1
-        else assign_probe_cells(new_vectors, centroids, nprobe,
-                                vec_col=vec_col, id_col=id_col)
-    )
-    batch = new_vectors.select(
-        F.col(id_col), F.col(vec_col), norm.alias("nrm")
-    ).join(new_cells, on=id_col)
     dot = F.expr(
         "aggregate(zip_with(va, vb, (x, y) ->"
         " cast(x as double) * cast(y as double)), cast(0.0 as double),"

@@ -401,7 +401,8 @@ def stream_semantic_dedup_ingest(
     pruning to just the probed cells.
     """
     from haplorec_spark.operators.similarity import (
-        assign_clusters,
+        _collect_codebook,
+        _project_with_cells,
         incremental_semantic_pairs,
         kmeans_centroids,
         within_cell_pairs,
@@ -449,19 +450,14 @@ def stream_semantic_dedup_ingest(
             .write.mode("overwrite").partitionBy("ingest_batch")
             .parquet(out_path)
         )
-        norm = F.expr(
-            f"sqrt(aggregate(transform({vec_col}, x -> cast(x as double)"
-            f" * cast(x as double)), cast(0.0 as double),"
-            f" (acc, v) -> acc + v))"
-        )
-        cells = assign_clusters(
-            survivors, centroids, vec_col=vec_col, id_col=id_col
-        )
         (
-            survivors.select(
-                F.col(id_col), F.col(vec_col), norm.alias("nrm")
+            # cell assignment folds into the store projection (map-side
+            # argmin), never an id-keyed join against a separate
+            # assignment frame
+            _project_with_cells(
+                survivors, _collect_codebook(centroids),
+                vec_col=vec_col, id_col=id_col,
             )
-            .join(cells, on=id_col)
             .withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("ingest_batch", "cluster")

@@ -87,9 +87,21 @@ CHECKS = {
     },
     "_semantic_dedup": {
         # within-cell pairs: a cluster-keyed equi self-join, never a
-        # cross product over the corpus
+        # cross product over the corpus. Cell assignment folds into
+        # each side's scan projection — an id-keyed Exchange would mean
+        # the corpus is being shuffled to join its own assignment frame
         "expect": [],
-        "forbid": ["CartesianProduct"],
+        "forbid": ["CartesianProduct",
+                   r"Exchange hashpartitioning\(vec_id"],
+    },
+    "_ivf_pq_topk": {
+        # codes+cells come from ONE encode scan (cluster is a
+        # pass-through column); probes broadcast onto the cluster join;
+        # the only id-keyed structure allowed is the top-k window —
+        # never an id-keyed Exchange of the corpus
+        "expect": ["BroadcastHashJoin", "Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   r"Exchange hashpartitioning\(vec_id"],
     },
     "_strip_boilerplate": {
         # the hot-line set folds to ONE array row broadcast onto the
@@ -240,6 +252,24 @@ def _pq_encode(spark, sf_dir):
     from haplorec_spark.operators.similarity import pq_encode
 
     return pq_encode(_pq_vectors(spark, sf_dir), _PQ_CBS)
+
+
+def _ivf_pq_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import ivf_pq_topk
+
+    vecs = _pq_vectors(spark, sf_dir)
+    return ivf_pq_topk(
+        vecs,
+        vecs.filter(F.col("vec_id") < 10),
+        k=5,
+        n_clusters=4,
+        iterations=1,
+        m=2,
+        pq_k=4,
+        pq_iterations=1,
+    )
 
 
 def _pq_adc(spark, sf_dir):
