@@ -60,6 +60,12 @@ from haplorec_spark.operators.sampling import (  # noqa: E402
     top_fraction_by_score,
     weighted_sample,
 )
+from haplorec_spark.operators.web import (  # noqa: E402
+    canonicalize_urls,
+    cap_per_domain,
+    filter_blocked_domains,
+    parse_urls,
+)
 from haplorec_spark.operators.dedup import (  # noqa: E402
     cluster_size_profile,
     duplicate_ngram_spans,
@@ -105,13 +111,16 @@ __all__ = [
     "ann_recall",
     "asof_join",
     "bm25_rank",
+    "canonicalize_urls",
+    "cap_per_domain",
     "cell_profile",
-    "cluster_size_profile",
     "chunk_documents",
+    "cluster_size_profile",
     "contamination_report",
     "curate_documents",
     "decontaminate",
     "duplicate_ngram_spans",
+    "filter_blocked_domains",
     "frequent_values",
     "get_spark",
     "grouped_rows_to_columns",
@@ -127,6 +136,7 @@ __all__ = [
     "mixture_sample",
     "numeric_quantiles",
     "pack_sequences",
+    "parse_urls",
     "perplexity_buckets",
     "pq_encode",
     "pq_store_topk",

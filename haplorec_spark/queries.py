@@ -96,6 +96,7 @@ def registry() -> dict[str, Query]:
     import haplorec_spark.operators.sampling  # noqa: F401
     import haplorec_spark.operators.similarity  # noqa: F401
     import haplorec_spark.operators.text  # noqa: F401
+    import haplorec_spark.operators.web  # noqa: F401
     return dict(_REGISTRY)
 
 
@@ -553,14 +554,9 @@ def q_melt_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- F7 (phenotype-name normalization)
 
-@register(
-    "q_phenotype_normalize",
-    """
-    SELECT p_partkey, lower(p_type) AS phenotype_name FROM part
-    """,
-    "PharmGKB phenotype-name normalization: the decorated string "
-    "round-trips to its lower-cased core",
-)
+# Not a driver gate since round 5 (slot rotated to q_web_domain_cap):
+# the normalize is one map-side lower+regexp whose kernel stays golden-
+# tested in test_functions.py and DuckDB-checked in test_registry.py.
 def q_phenotype_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.functions import normalize_phenotype_name
 

@@ -141,6 +141,19 @@ CHECKS = {
         "forbid": ["BroadcastHashJoin", "CartesianProduct",
                    "BroadcastNestedLoopJoin"],
     },
+    "_web_canonicalize": {
+        # canonicalize + parse + literal blocklist is a pure map-side
+        # column program: no shuffle of any kind may appear
+        "expect": [],
+        "forbid": ["Exchange", "CartesianProduct", "Generate"],
+    },
+    "_cap_per_domain": {
+        # exact two-phase per-domain top-k: the (domain, salt) pre-cap
+        # window must sit below the per-domain cap window, so a
+        # mega-domain never funnels into one task
+        "expect": ["Window.*Window"],
+        "forbid": ["CartesianProduct"],
+    },
     "_chunk_documents": {
         # chunking is a pure map-side row expansion: no shuffle of any
         # kind may appear — document text must never enter an Exchange
@@ -252,6 +265,48 @@ def _pq_encode(spark, sf_dir):
     from haplorec_spark.operators.similarity import pq_encode
 
     return pq_encode(_pq_vectors(spark, sf_dir), _PQ_CBS)
+
+
+def _web_urls(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.queries import table
+
+    return table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"),
+            F.lit("-Site.org:443/p/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_campaign=z&q=1#f"),
+        ).alias("url"),
+    )
+
+
+def _web_canonicalize(spark, sf_dir):
+    from haplorec_spark.operators.web import (
+        canonicalize_urls,
+        filter_blocked_domains,
+        parse_urls,
+    )
+
+    return filter_blocked_domains(
+        parse_urls(canonicalize_urls(_web_urls(spark, sf_dir), "url"), "url"),
+        ["src0-site.org"],
+    )
+
+
+def _cap_per_domain(spark, sf_dir):
+    from haplorec_spark.operators.web import (
+        canonicalize_urls,
+        cap_per_domain,
+        parse_urls,
+    )
+
+    return cap_per_domain(
+        parse_urls(canonicalize_urls(_web_urls(spark, sf_dir), "url"), "url"),
+        5,
+        ["doc_id"],
+    )
 
 
 def _ivf_pq_topk(spark, sf_dir):

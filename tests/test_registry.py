@@ -97,6 +97,8 @@ ROTATED_OUT_ORACLES = {
                           WHERE o_custkey = c.c_custkey
                             AND o_orderdate >= TIMESTAMP '1998-01-01')
     """,
+    "q_phenotype_normalize":
+        "SELECT p_partkey, lower(p_type) AS phenotype_name FROM part",
     "q_top_supplier": """
         WITH revenue AS (
             SELECT l_suppkey,
