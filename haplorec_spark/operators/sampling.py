@@ -438,3 +438,44 @@ def q_sample_weighted(spark, sf_dir):
         "doc_id", ((F.col("doc_id") % 10) / 10.0).alias("w")
     )
     return weighted_sample(docs, "w", ["doc_id"], seed="weighted")
+
+
+#: 8-word shingles from a single-space split of the lowercased text —
+#: the exact word_shingles tokenization; the oracle matches on shingle
+#: STRINGS where the operator matches on their md5 (collision-free at
+#: gate scale by construction).
+_DUCK_8SHINGLES = """
+    unnest(CASE WHEN len(ws) >= 8
+           THEN list_transform(generate_series(1, len(ws) - 7),
+                               i -> array_to_string(ws[i:i+7], ' '))
+           ELSE []::VARCHAR[] END) AS shingle
+"""
+
+
+@register(
+    "q_decontaminate",
+    # Eval-set decontamination: every doc_id % 50 == 0 document IS the
+    # "benchmark", so those documents (and any corpus document sharing
+    # a verbatim 8-gram with them) must drop — self-contamination makes
+    # the gate non-vacuous without synthetic leakage rows.
+    f"""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+         bsh AS (SELECT DISTINCT shingle FROM (
+                    SELECT {_DUCK_8SHINGLES}
+                    FROM w WHERE doc_id % 50 = 0)),
+         csh AS (SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id, {_DUCK_8SHINGLES}
+                    FROM w)),
+         dirty AS (SELECT DISTINCT doc_id
+                   FROM csh JOIN bsh USING (shingle))
+    SELECT doc_id, source FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    "benchmark decontamination: drop corpus documents sharing any "
+    "verbatim 8-word shingle with the (broadcast) benchmark set",
+)
+def q_decontaminate(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    return decontaminate(docs, bench, n=8).select("doc_id", "source")

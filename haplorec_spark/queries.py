@@ -343,18 +343,11 @@ def q_pair_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------- A12/W5 (window dedup)
 
-@register(
-    "q_first_order_per_customer",
-    """
-    SELECT o_custkey, o_orderkey, o_orderdate
-    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
-                 row_number() OVER (PARTITION BY o_custkey
-                                    ORDER BY o_orderdate, o_orderkey) AS rn
-          FROM orders)
-    WHERE rn = 1
-    """,
-    "first-seen dedup per group via row_number window",
-)
+# Not a driver gate since round 5 (slot rotated to q_decontaminate):
+# the partitioned row_number window is the same physical shape as the
+# still-gated q_topk_orders_per_segment (and W4 stays gated through
+# q_report_no_duplicates' first-seen window). DuckDB-checked in
+# test_registry.py.
 def q_first_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

@@ -97,6 +97,15 @@ ROTATED_OUT_ORACLES = {
                           WHERE o_custkey = c.c_custkey
                             AND o_orderdate >= TIMESTAMP '1998-01-01')
     """,
+    "q_first_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_orderdate
+        FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                         AS rn
+              FROM orders)
+        WHERE rn = 1
+    """,
     "q_phenotype_normalize":
         "SELECT p_partkey, lower(p_type) AS phenotype_name FROM part",
     "q_top_supplier": """
