@@ -94,6 +94,10 @@ from haplorec_spark.operators.text import (  # noqa: E402
     strip_boilerplate_lines,
     unigram_logprob_score,
 )
+from haplorec_spark.operators.training import (  # noqa: E402
+    LinearTextModel,
+    train_linear_text_classifier,
+)
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
 from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
@@ -106,6 +110,7 @@ from haplorec_spark.streaming import (  # noqa: E402
 
 __all__ = [
     "CurationConfig",
+    "LinearTextModel",
     "Pipeline",
     "ReferenceTables",
     "ann_recall",
@@ -156,6 +161,7 @@ __all__ = [
     "strip_duplicate_ngram_spans",
     "text_corpus_profile",
     "tfidf",
+    "train_linear_text_classifier",
     "train_pq_index",
     "top_fraction_by_score",
     "unigram_logprob_score",

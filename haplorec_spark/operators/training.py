@@ -1,0 +1,288 @@
+"""In-engine training of the linear text classifier.
+
+:func:`haplorec_spark.operators.text.linear_text_score` applies a
+PRETRAINED fastText/DCLM-style quality filter; this module closes the
+loop by TRAINING that model inside the engine — full-batch logistic
+regression on bag-of-words features, expressed entirely as DataFrame
+joins and aggregations, so the curated-vs-crawl classifier of a
+RefinedWeb/DCLM-style pipeline can be fit on cluster-scale labeled
+data without exporting features to a single machine.
+
+Model (kept in exact lockstep with ``linear_text_score`` so the
+trained weights drop straight into it):
+
+    score(d) = bias + sum_w weight(w) * x(d, w)
+    x(d, w)  = count(w in d) / n_tokens(d)   (``average=True``, the
+               fastText bag shape; raw counts when False)
+    p(d)     = sigmoid(score(d))
+
+trained by full-batch gradient descent on L2-regularized log loss:
+
+    grad_w  = (1/n_docs) * sum_d (p(d) - y(d)) * x(d, w) + l2 * w
+    grad_b  = (1/n_docs) * sum_d (p(d) - y(d))
+
+Physical shape per iteration (the engine's iterative-algorithm
+charter, same as IVF k-means in similarity.py):
+
+* The token feature table (doc, word, x) and the label table (doc, y)
+  are built ONCE, hash-partitioned by doc id, and persisted — the
+  corpus text is never re-tokenized inside the loop.
+* Scoring joins features to the current weights — broadcast under the
+  MEASURED vocabulary bound (the ``dedup_clusters``/``assign_ids``
+  adaptive pattern), shuffle join above it — then aggregates per doc.
+  Because features are pre-partitioned by doc id, the per-doc
+  aggregate and the residual join are exchange-free.
+* The word gradient is one word-keyed shuffle with map-side partial
+  aggregation — the only corpus-sized exchange in the loop.
+* The weight update is a word-keyed join of two vocabulary-sized
+  frames, ``localCheckpoint``-ed to truncate lineage across
+  iterations (the ``dedup_clusters`` pattern); the driver sees two
+  scalars per iteration (loss, bias gradient) — never the vocabulary,
+  never the corpus.
+
+So one iteration = 1 vocab join + 1 word-keyed shuffle + 2 bounded
+driver scalars, linear in corpus size and independent of iteration
+count in memory.
+
+Reference lineage: the reference has no trainer (its only "models"
+are scraped lookup tables); this is the forward-looking face of the
+training-data pipeline mandate, paired with ``linear_text_score``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["LinearTextModel", "train_linear_text_classifier"]
+
+#: Probability clamp for the log-loss; keeps log() finite when the
+#: model saturates. Gradients use the unclamped p.
+_EPS = 1e-12
+
+
+@dataclass
+class LinearTextModel:
+    """Result of :func:`train_linear_text_classifier`.
+
+    ``weights`` is a (word, weight) DataFrame — exactly the shape
+    :func:`haplorec_spark.operators.text.linear_text_score` accepts;
+    pass ``bias`` and the same ``average`` flag alongside it.
+    ``loss`` is the mean log loss measured at the START of each
+    iteration (loss[0] is the untrained model's loss).
+    """
+
+    weights: DataFrame
+    bias: float
+    average: bool
+    n_docs: int
+    vocab_size: int
+    loss: list[float] = field(default_factory=list)
+
+
+def _prepare_features(
+    docs: DataFrame,
+    *,
+    label_col: str,
+    text_col: str,
+    id_col: str,
+    average: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(feats, labels): the persisted per-iteration inputs.
+
+    feats = (doc, word, x) hash-partitioned by doc; labels =
+    (doc, y, n) on the same partitioning. Built once per training
+    run — the corpus text is never re-tokenized inside the loop.
+    """
+    spark = docs.sparkSession
+    ws = f"split(lower({text_col}), ' ')"
+    n_parts = spark.sparkContext.defaultParallelism
+    labels = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.col(label_col).cast("double").alias("__y"),
+            F.expr(f"size({ws})").cast("double").alias("__n"),
+        )
+        .repartition(n_parts, "__doc")
+        .persist()
+    )
+    counts = (
+        docs.select(
+            F.col(id_col).alias("__doc"),
+            F.explode(F.expr(ws)).alias("__word"),
+        )
+        .groupBy("__doc", "__word")
+        .agg(F.count(F.lit(1)).cast("double").alias("__cnt"))
+        .repartition(n_parts, "__doc")
+    )
+    x_expr = (
+        (F.col("__cnt") / F.col("__n")) if average else F.col("__cnt")
+    )
+    feats = (
+        counts.join(labels.select("__doc", "__n"), on="__doc")
+        .select("__doc", "__word", x_expr.alias("__x"))
+        .repartition(n_parts, "__doc")
+        .persist()
+    )
+    return feats, labels
+
+
+def _residuals(
+    feats: DataFrame,
+    labels: DataFrame,
+    weights: DataFrame,
+    bias: float,
+    *,
+    vocab_size: int,
+    max_broadcast_vocab: int,
+) -> DataFrame:
+    """(doc, r, p, y) under the current model — one vocab join
+    (broadcast under the measured bound) + one per-doc aggregate that
+    is exchange-free on feats' doc partitioning."""
+    w_side = (
+        F.broadcast(weights)
+        if vocab_size <= max_broadcast_vocab
+        else weights.hint("merge")
+    )
+    scores = (
+        feats.join(w_side, on="__word", how="inner")
+        .groupBy("__doc")
+        .agg(F.sum(F.col("__x") * F.col("__w")).alias("__s"))
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.lit(bias) + F.coalesce(F.col("__s"), F.lit(0.0))))
+    )
+    return labels.join(scores, on="__doc", how="left").select(
+        "__doc", (p - F.col("__y")).alias("__r"), p.alias("__p"), "__y"
+    )
+
+
+def _word_gradient(
+    feats: DataFrame, resid: DataFrame, n_docs: int
+) -> DataFrame:
+    """(word, g): doc-keyed join (exchange-free on feats) then the
+    iteration's one corpus-sized shuffle — word-keyed, map-side
+    combined."""
+    return (
+        feats.join(resid.select("__doc", "__r"), on="__doc")
+        .groupBy("__word")
+        .agg((F.sum(F.col("__x") * F.col("__r")) / n_docs).alias("__g"))
+    )
+
+
+def train_linear_text_classifier(
+    docs: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    iterations: int = 20,
+    learning_rate: float = 1.0,
+    l2: float = 0.0,
+    min_df: int = 1,
+    average: bool = True,
+    max_broadcast_vocab: int = 2_000_000,
+) -> LinearTextModel:
+    """Fit the linear quality classifier on (text, 0/1 label) rows.
+
+    ``min_df`` prunes the feature vocabulary to words seen in at
+    least that many documents (hapax features are noise and triple
+    the vocabulary on web text); pruned words simply carry no weight,
+    matching ``linear_text_score``'s OOV-contributes-0 convention.
+
+    Rows with an empty token list score ``bias`` alone and still
+    contribute to the bias gradient. Labels must be 0/1 (validated:
+    anything else raises ``ValueError`` before the loop starts).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    feats, labels = _prepare_features(
+        docs,
+        label_col=label_col,
+        text_col=text_col,
+        id_col=id_col,
+        average=average,
+    )
+    bad = labels.filter(
+        F.col("__y").isNull() | ~F.col("__y").isin(0.0, 1.0)
+    ).count()
+    if bad:
+        raise ValueError(
+            f"{label_col} must be 0/1 with no nulls; {bad} rows are not"
+        )
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("cannot train on an empty corpus")
+
+    # Feature vocabulary with the min_df prune; weights start at 0.
+    # feats is already distinct per (doc, word), so df = plain count.
+    weights = (
+        feats.groupBy("__word")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__word", F.lit(0.0).alias("__w"))
+        .localCheckpoint(eager=True)
+    )
+    vocab_size = weights.count()  # measured broadcast bound
+
+    bias = 0.0
+    history: list[float] = []
+    lr = float(learning_rate)
+    for _ in range(iterations):
+        resid = _residuals(
+            feats,
+            labels,
+            weights,
+            bias,
+            vocab_size=vocab_size,
+            max_broadcast_vocab=max_broadcast_vocab,
+        ).persist()
+        pc = F.greatest(
+            F.least(F.col("__p"), F.lit(1.0 - _EPS)), F.lit(_EPS)
+        )
+        stats = resid.agg(
+            F.avg(
+                -(
+                    F.col("__y") * F.log(pc)
+                    + (F.lit(1.0) - F.col("__y")) * F.log(F.lit(1.0) - pc)
+                )
+            ).alias("loss"),
+            F.avg("__r").alias("gb"),
+        ).first()
+        history.append(float(stats["loss"]))
+
+        grad = _word_gradient(feats, resid, n_docs)
+        new_weights = (
+            weights.join(grad, on="__word", how="left")
+            .select(
+                "__word",
+                (
+                    F.col("__w")
+                    - lr
+                    * (
+                        F.coalesce(F.col("__g"), F.lit(0.0))
+                        + F.lit(float(l2)) * F.col("__w")
+                    )
+                ).alias("__w"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        resid.unpersist()
+        weights = new_weights
+        bias -= lr * float(stats["gb"])
+
+    feats.unpersist()
+    labels.unpersist()
+    return LinearTextModel(
+        weights=weights.select(
+            F.col("__word").alias("word"), F.col("__w").alias("weight")
+        ),
+        bias=bias,
+        average=average,
+        n_docs=n_docs,
+        vocab_size=vocab_size,
+        loss=history,
+    )

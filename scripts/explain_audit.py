@@ -174,6 +174,19 @@ CHECKS = {
         "forbid": ["CartesianProduct", "SortMergeJoin",
                    "Exchange hashpartitioning.*Exchange hashpartitioning"],
     },
+    "_train_linear_grad": {
+        # one classifier-training iteration: the cached feature table is
+        # reused (InMemoryTableScan), joins resolve to broadcast at this
+        # SF (weights always; feats by AQE estimate — at scale the doc
+        # joins zipper on feats' cached hash partitioning instead), and
+        # the word-keyed gradient aggregate supplies the partial+final
+        # HashAggregate pair; the doc-keyed residual join zippers as a
+        # co-partitioned SortMergeJoin (no fresh exchange on feats);
+        # never a nested-loop/cartesian anywhere
+        "expect": ["BroadcastHashJoin", "InMemoryTableScan",
+                   "HashAggregate.*Exchange.*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
@@ -339,6 +352,37 @@ def _pq_adc(spark, sf_dir):
         _PQ_CBS,
         k=5,
     )
+
+def _train_linear_grad(spark, sf_dir):
+    """One training iteration's gradient plan: weights broadcast, the
+    doc-keyed feats joins reuse feats' cached partitioning, and the
+    only fresh exchange is the word-keyed gradient aggregate."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.training import (
+        _prepare_features,
+        _residuals,
+        _word_gradient,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", (F.length("text") % 2).alias("label")
+    )
+    feats, labels = _prepare_features(
+        docs, label_col="label", text_col="text", id_col="doc_id",
+        average=True,
+    )
+    feats.count()  # materialize the cache, as the trainer does
+    labels.count()
+    weights = feats.select("__word").distinct().select(
+        "__word", F.lit(0.0).alias("__w")
+    ).localCheckpoint(eager=True)
+    resid = _residuals(
+        feats, labels, weights, 0.0,
+        vocab_size=weights.count(), max_broadcast_vocab=2_000_000,
+    )
+    return _word_gradient(feats, resid, 100)
+
 
 import haplorec_spark.queries as _qmod
 

@@ -1,0 +1,151 @@
+"""train_linear_text_classifier vs an independent numpy replica.
+
+The trainer is iterative (no closed-form SQL), so per the engine's
+oracle charter it gets the IVF-k-means treatment: an engine-independent
+replica of the exact update rule (numpy, dense), compared iterate by
+iterate to float tolerance, plus behavioral end-to-end checks
+(separable corpus converges; trained weights drop into
+linear_text_score and rank correctly; adaptive join paths agree).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from haplorec_spark.operators.text import linear_text_score
+from haplorec_spark.operators.training import train_linear_text_classifier
+
+DOCS = [
+    # label 1: "clean" vocabulary
+    (1, "the quick brown fox jumps over the lazy dog", 1),
+    (2, "a clear well written sentence about science", 1),
+    (3, "the dog and the fox are friends in science", 1),
+    (4, "clear writing about a quick brown dog", 1),
+    # label 0: "junk" vocabulary
+    (5, "buy cheap pills now click here now now", 0),
+    (6, "click click buy buy cheap cheap here", 0),
+    (7, "free pills here click now buy", 0),
+    (8, "cheap free free pills pills click", 0),
+    # mixed
+    (9, "the quick fox click here", 1),
+    (10, "buy the dog now", 0),
+]
+
+
+def numpy_train(rows, iterations, lr, l2=0.0, min_df=1, average=True):
+    """Dense replica of the documented update rule."""
+    toks = [(i, t.lower().split(" "), y) for i, t, y in rows]
+    df = {}
+    for _, ws, _ in toks:
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    vocab = sorted(w for w, c in df.items() if c >= min_df)
+    vidx = {w: j for j, w in enumerate(vocab)}
+    n, v = len(toks), len(vocab)
+    X = np.zeros((n, v))
+    y = np.array([float(lab) for _, _, lab in toks])
+    for i, (_, ws, _) in enumerate(toks):
+        for w in ws:
+            if w in vidx:
+                X[i, vidx[w]] += 1.0
+        if average:
+            X[i] /= len(ws)
+    wts = np.zeros(v)
+    bias = 0.0
+    losses = []
+    for _ in range(iterations):
+        p = 1.0 / (1.0 + np.exp(-(bias + X @ wts)))
+        pc = np.clip(p, 1e-12, 1 - 1e-12)
+        losses.append(float(np.mean(-(y * np.log(pc) + (1 - y) * np.log(1 - pc)))))
+        r = p - y
+        grad = X.T @ r / n + l2 * wts
+        wts -= lr * grad
+        bias -= lr * float(np.mean(r))
+    return dict(zip(vocab, wts)), bias, losses
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string, label int")
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(iterations=5, learning_rate=1.0),
+        dict(iterations=3, learning_rate=0.5, l2=0.1),
+        dict(iterations=4, learning_rate=1.0, min_df=2),
+        dict(iterations=3, learning_rate=1.0, average=False),
+    ],
+)
+def test_matches_numpy_replica(spark, docs, kw):
+    model = train_linear_text_classifier(docs, **kw)
+    exp_w, exp_b, exp_loss = numpy_train(DOCS, kw["iterations"],
+                                         kw["learning_rate"],
+                                         l2=kw.get("l2", 0.0),
+                                         min_df=kw.get("min_df", 1),
+                                         average=kw.get("average", True))
+    got = {r["word"]: r["weight"] for r in model.weights.collect()}
+    assert set(got) == set(exp_w)
+    for w in exp_w:
+        assert got[w] == pytest.approx(exp_w[w], abs=1e-9), w
+    assert model.bias == pytest.approx(exp_b, abs=1e-9)
+    assert model.loss == pytest.approx(exp_loss, abs=1e-9)
+    assert model.n_docs == len(DOCS)
+    assert model.vocab_size == len(exp_w)
+
+
+def test_loss_decreases_and_separates(spark, docs):
+    model = train_linear_text_classifier(
+        docs, iterations=60, learning_rate=2.0
+    )
+    assert model.loss[-1] < model.loss[0]
+    assert model.loss[-1] < 0.3
+    # trained weights drop straight into the apply operator
+    scored = linear_text_score(
+        docs,
+        model.weights,
+        bias=model.bias,
+        average=model.average,
+        max_broadcast_vocab=2_000_000,
+    )
+    probs = {r["doc_id"]: r["prob"] for r in scored.collect()}
+    labels = {i: y for i, _, y in DOCS}
+    acc = sum(
+        (probs[i] >= 0.5) == (labels[i] == 1) for i in probs
+    ) / len(probs)
+    assert acc >= 0.9
+    # signature words got the right sign
+    wts = {r["word"]: r["weight"] for r in model.weights.collect()}
+    assert wts["science"] > 0 and wts["pills"] < 0
+
+
+def test_shuffle_join_path_matches_broadcast(spark, docs):
+    """max_broadcast_vocab=0 forces the merge-join path; results equal."""
+    a = train_linear_text_classifier(docs, iterations=3, learning_rate=1.0)
+    b = train_linear_text_classifier(
+        docs, iterations=3, learning_rate=1.0, max_broadcast_vocab=0
+    )
+    wa = {r["word"]: r["weight"] for r in a.weights.collect()}
+    wb = {r["word"]: r["weight"] for r in b.weights.collect()}
+    assert wa == pytest.approx(wb, abs=1e-12)
+    assert a.bias == pytest.approx(b.bias, abs=1e-12)
+
+
+def test_empty_doc_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "", 1), (2, "spam spam", 0)],
+        "doc_id int, text string, label int",
+    )
+    m = train_linear_text_classifier(df, iterations=2, learning_rate=1.0)
+    assert m.n_docs == 2 and math.isfinite(m.loss[-1])
+    bad = spark.createDataFrame(
+        [(1, "x", 2)], "doc_id int, text string, label int"
+    )
+    with pytest.raises(ValueError, match="must be 0/1"):
+        train_linear_text_classifier(bad, iterations=1)
+    with pytest.raises(ValueError, match="iterations"):
+        train_linear_text_classifier(df, iterations=0)
