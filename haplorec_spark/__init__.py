@@ -38,7 +38,10 @@ from haplorec_spark.operators.division import (  # noqa: E402
     select_where_either_subset_of,
     select_where_subset_of,
 )
-from haplorec_spark.operators.packing import pack_sequences  # noqa: E402
+from haplorec_spark.operators.packing import (  # noqa: E402
+    pack_sequences,
+    write_training_shards,
+)
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
 from haplorec_spark.operators.multimodal import (  # noqa: E402
     media_duplicate_pairs,
@@ -169,5 +172,6 @@ __all__ = [
     "weighted_sample",
     "write_pq_store",
     "write_semantic_store",
+    "write_training_shards",
     "__version__",
 ]

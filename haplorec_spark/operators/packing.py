@@ -126,3 +126,117 @@ def pack_sequences(
             f"(global_start + greatest(n_tokens, 1) - 1) DIV {seq_len}"
         ).alias("seq_id_end"),
     )
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    shard_tokens: int | None = None,
+    n_shards: int | None = None,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "shards",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Export the curated corpus as deterministic training shards and
+    return the shard manifest.
+
+    The last step after curation/packing: the corpus is laid out in
+    the reproducible ``md5(seed, id)`` order and cut into shards, one
+    output directory per shard (``shard_id=N/``), one file per shard.
+    Exactly one of:
+
+    * ``shard_tokens`` — token-budget shards: the corpus rides the
+      same global token tape as :func:`pack_sequences` and a shard is
+      ``shard_tokens`` consecutive tape tokens; a document belongs to
+      the shard its FIRST token lands in (documents are never split,
+      so a shard may overrun by less than one document).
+    * ``n_shards`` — fixed shard count: uniform md5-band assignment
+      (``band % n_shards``), size-balanced in expectation, embarrass-
+      ingly map-side (no tape, no global state).
+
+    The manifest (shard_id, n_docs, n_tokens, content_hash) is also
+    written inside the output as ``_manifest`` (underscore-prefixed,
+    so table reads of ``path`` skip it); ``content_hash`` is an
+    order-insensitive per-shard sum of row crc32s, so a re-export can
+    be diffed against the manifest without reading row data.
+
+    Scale shape: assignment is the packing two-phase tape
+    (``shard_tokens``) or a pure map-side band (``n_shards``); the
+    write is ONE exchange — hash repartition on shard_id, rows sorted
+    by tape order within each task so every shard file is written in
+    its deterministic order — and the manifest is one aggregate over
+    the written files (reading back what was written, so the manifest
+    doubles as a write-back check).
+    """
+    if (shard_tokens is None) == (n_shards is None):
+        raise ValueError("pass exactly one of shard_tokens / n_shards")
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be parquet or json, got {fmt}")
+    key = _pack_key(seed, id_col)
+    if shard_tokens is not None:
+        if shard_tokens <= 0:
+            raise ValueError(
+                f"shard_tokens must be positive, got {shard_tokens}"
+            )
+        assign = pack_sequences(
+            docs,
+            shard_tokens,
+            token_col=token_col,
+            text_col=text_col,
+            id_col=id_col,
+            seed=seed,
+        ).select(id_col, F.col("seq_id").alias("shard_id"))
+        out = docs.join(assign, on=id_col)
+        width = None
+    else:
+        if n_shards <= 0:
+            raise ValueError(f"n_shards must be positive, got {n_shards}")
+        from haplorec_spark.operators.sampling import _hash_band
+
+        out = docs.select(
+            "*",
+            F.pmod(_hash_band(seed, [id_col]), F.lit(n_shards)).alias(
+                "shard_id"
+            ),
+        )
+        width = n_shards
+    spark = docs.sparkSession
+    n_parts = width or spark.sparkContext.defaultParallelism
+    (
+        out.withColumn("__key", key)
+        .repartition(n_parts, "shard_id")
+        .sortWithinPartitions("shard_id", "__key")
+        .drop("__key")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    written = spark.read.format(fmt).load(path)
+    n_tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.lower(F.col(text_col)), " "))
+    ).cast("long")
+    manifest = (
+        written.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tokens).alias("n_tokens"),
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        _SEP,
+                        F.col(id_col).cast("string"),
+                        F.col(text_col),
+                    )
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("shard_id")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest

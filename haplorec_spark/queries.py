@@ -645,13 +645,14 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # one percentile aggregate for both quantiles: the per-group value
+    # buffer is built (and sorted) once, not once per requested quantile
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.expr("percentile(l_extendedprice, 0.5)"), 6
-        ).alias("median_price"),
-        F.round(
-            F.expr("percentile(l_extendedprice, 0.95)"), 6
-        ).alias("p95_price"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("_p")
+    ).select(
+        "l_returnflag",
+        F.round(F.col("_p")[0], 6).alias("median_price"),
+        F.round(F.col("_p")[1], 6).alias("p95_price"),
     )
 
 

@@ -98,3 +98,133 @@ def test_pack_rejects_bad_seq_len(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         pack_sequences(df, 0)
+
+
+# ---------------------------------------------------- training-shard export
+
+
+def _manifest_rows(m):
+    return sorted(
+        (r["shard_id"], r["n_docs"], r["n_tokens"], r["content_hash"])
+        for r in m.collect()
+    )
+
+
+def test_shards_token_budget_vs_duckdb(spark, tmp_path):
+    from haplorec_spark.operators.packing import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, shard_tokens=4096)
+    written = spark.read.parquet(out)
+    assert written.count() == docs.count()
+    got = sorted(
+        (r["doc_id"], r["shard_id"]) for r in written.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            WITH t AS (SELECT doc_id,
+                              len(string_split(lower(text), ' '))::BIGINT
+                                  AS n_tokens,
+                              md5('shards' || chr(31) || doc_id::VARCHAR)
+                                  AS key
+                       FROM documents)
+            SELECT doc_id,
+                   ((sum(n_tokens) OVER (ORDER BY key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_tokens) // 4096)::INT AS shard_id
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == want
+    # manifest agrees with an independent aggregate of the export
+    agg = sorted(
+        tuple(r)
+        for r in written.groupBy("shard_id").count().collect()
+    )
+    assert agg == sorted(
+        (r["shard_id"], r["n_docs"]) for r in manifest.collect()
+    )
+    # tape cover: shard token sums hit the budget except the last shard,
+    # modulo the one never-split straddling document per boundary
+    by_shard = {
+        r["shard_id"]: r["n_tokens"] for r in manifest.collect()
+    }
+    max_doc = max(
+        r["n_tokens"]
+        for r in spark.read.parquet(out)
+        .selectExpr(
+            "shard_id",
+            "size(split(lower(text), ' ')) as n_tokens",
+        )
+        .collect()
+    )
+    for sid, toks in by_shard.items():
+        assert toks < 4096 + max_doc
+
+
+def test_shards_fixed_count_and_manifest_roundtrip(spark, tmp_path):
+    from haplorec_spark.operators.packing import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "banded")
+    m1 = _manifest_rows(
+        write_training_shards(docs, out, n_shards=4, seed="s1")
+    )
+    assert {r[0] for r in m1} <= {0, 1, 2, 3}
+    assert sum(r[1] for r in m1) == docs.count()
+    # band assignment replays in DuckDB
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    from haplorec_spark.operators.sampling import DUCK_BAND
+
+    band = DUCK_BAND.format(key="'s1' || chr(31) || doc_id::VARCHAR")
+    want = dict(
+        con.execute(
+            f"""
+            SELECT ({band} % 4)::INT AS shard_id, count(*) AS n
+            FROM documents GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert want == {r[0]: r[1] for r in m1}
+    # determinism: re-export matches manifest exactly, incl. hashes
+    m2 = _manifest_rows(
+        write_training_shards(docs, out, n_shards=4, seed="s1")
+    )
+    assert m1 == m2
+    # persisted manifest matches the returned one
+    m3 = _manifest_rows(spark.read.parquet(f"{out}/_manifest"))
+    assert m1 == m3
+
+
+def test_shards_json_format_and_validation(spark, tmp_path):
+    from haplorec_spark.operators.packing import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "j")
+    m = write_training_shards(docs, out, n_shards=2, fmt="json")
+    back = spark.read.json(out)
+    assert back.count() == 3
+    assert sum(r["n_tokens"] for r in m.collect()) == 6
+    with pytest.raises(ValueError, match="exactly one"):
+        write_training_shards(docs, out)
+    with pytest.raises(ValueError, match="exactly one"):
+        write_training_shards(docs, out, shard_tokens=10, n_shards=2)
+    with pytest.raises(ValueError, match="fmt"):
+        write_training_shards(docs, out, n_shards=2, fmt="csv")
+    with pytest.raises(ValueError, match="positive"):
+        write_training_shards(docs, out, n_shards=0)
