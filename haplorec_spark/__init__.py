@@ -59,6 +59,7 @@ from haplorec_spark.operators.sampling import (  # noqa: E402
     decontaminate,
     hash_fraction_sample,
     hash_split,
+    leakage_safe_split,
     mixture_sample,
     top_fraction_by_score,
     weighted_sample,
@@ -138,6 +139,7 @@ __all__ = [
     "interval_join",
     "ivf_pq_topk",
     "jsonl_sink",
+    "leakage_safe_split",
     "jsonl_source",
     "media_duplicate_pairs",
     "linear_text_score",

@@ -203,6 +203,64 @@ def hash_split(
     return df.withColumn(split_col, out)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: Mapping[str, float],
+    *,
+    id_col: str = "doc_id",
+    seed: str = "split",
+    split_col: str = "split",
+    a_col: str = "doc_id_a",
+    b_col: str = "doc_id_b",
+    small_edge_limit: int = 1_000_000,
+) -> DataFrame:
+    """:func:`hash_split` with near-duplicate clusters kept whole.
+
+    A per-document hash split leaks: two near-copies can land one in
+    train and one in test, and the model is then evaluated on its own
+    training data. Here the split label is a function of the
+    document's CLUSTER — ``pairs`` (any of the near-dup family's
+    (doc_id_a, doc_id_b) outputs: LSH, SimHash, Jaccard, semantic)
+    is closed transitively via :func:`~haplorec_spark.operators.dedup.
+    dedup_clusters` and every member of a cluster hashes by the
+    cluster's canonical id, so near-duplicates move between splits
+    together or not at all. Documents in no pair are their own
+    cluster, and their labels are EXACTLY what plain ``hash_split``
+    on ``id_col`` assigns — adding/removing pairs never reshuffles
+    untouched documents.
+
+    Output = ``docs`` + ``canonical_id`` (the audit face: group by it
+    to see which clusters straddled nothing) + ``split_col``.
+
+    Scale shape: clusters come from the adaptive union-find /
+    label-propagation closure (edge sets are duplicate-sized); the
+    cluster map joins back LEFT onto the corpus keyed on ``id_col``
+    (duplicate-sized side broadcasts under AQE); the band hash itself
+    stays map-side.
+    """
+    from haplorec_spark.operators.dedup import dedup_clusters
+
+    clusters = dedup_clusters(
+        pairs,
+        a_col=a_col,
+        b_col=b_col,
+        small_edge_limit=small_edge_limit,
+    ).withColumnsRenamed({"doc_id": "__cid", "canonical_id": "__canon"})
+    labeled = (
+        docs.join(clusters, on=docs[id_col] == clusters["__cid"], how="left")
+        .drop("__cid")
+        .withColumn(
+            "canonical_id", F.coalesce(F.col("__canon"), F.col(id_col))
+        )
+        .drop("__canon")
+    )
+    out = hash_split(
+        labeled, weights, ["canonical_id"], seed=seed, split_col=split_col
+    )
+    return out
+
+
 def stratified_hash_sample(
     df: DataFrame,
     fractions: Mapping[str, float],

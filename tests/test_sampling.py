@@ -422,3 +422,78 @@ def test_top_fraction_by_score_vs_duckdb(spark, docs, duck):
         ).fetchall()
     )
     assert got == want and 0 < len(got) < docs.count()
+
+
+# ------------------------------------------------------- leakage-safe split
+
+
+def test_leakage_safe_split_clusters_stay_whole(spark, docs):
+    from haplorec_spark.operators.sampling import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["doc_id_a", "doc_id_b"]
+    )
+    w = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out = leakage_safe_split(docs, pairs, w).select(
+        "doc_id", "canonical_id", "split"
+    )
+    rows = {r["doc_id"]: (r["canonical_id"], r["split"])
+            for r in out.collect()}
+    assert len(rows) == docs.count()
+    # transitive closure: {1,2,3} -> 1, {10,11} -> 10, {20,21} -> 20
+    for d in (1, 2, 3):
+        assert rows[d][0] == 1
+    assert rows[10][0] == rows[11][0] == 10
+    assert rows[20][0] == rows[21][0] == 20
+    # every near-dup pair lands in ONE split
+    for a, b in [(1, 2), (2, 3), (1, 3), (10, 11), (20, 21)]:
+        assert rows[a][1] == rows[b][1], (a, b)
+    # cluster members inherit exactly the canonical doc's plain label,
+    # and untouched docs match plain hash_split verbatim
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, w, ["doc_id"]).collect()
+    }
+    clustered = {1, 2, 3, 10, 11, 20, 21}
+    for d, (canon, label) in rows.items():
+        assert label == plain[canon]
+        if d not in clustered:
+            assert canon == d and label == plain[d]
+
+
+def test_leakage_safe_split_vs_duckdb(spark, docs, duck):
+    from haplorec_spark.operators.sampling import leakage_safe_split
+
+    pairs = spark.createDataFrame(
+        [(5, 7), (7, 9)], ["doc_id_a", "doc_id_b"]
+    )
+    got = sorted(
+        (r["doc_id"], r["canonical_id"], r["split"])
+        for r in leakage_safe_split(
+            docs, pairs, {"train": 0.7, "test": 0.3}
+        ).select("doc_id", "canonical_id", "split").collect()
+    )
+    from haplorec_spark.operators.sampling import DUCK_BAND
+
+    band = DUCK_BAND.format(
+        key="'split' || chr(31) || canonical_id::VARCHAR"
+    )
+    cut = int(0.7 * (1 << 32))
+    want = sorted(
+        tuple(t)
+        for t in duck.execute(
+            f"""
+            WITH canon AS (SELECT doc_id,
+                                  CASE WHEN doc_id IN (5, 7, 9) THEN 5
+                                       ELSE doc_id END AS canonical_id
+                           FROM documents)
+            SELECT doc_id, canonical_id,
+                   CASE WHEN {band} < {cut} THEN 'train' ELSE 'test' END
+            FROM canon
+            """
+        ).fetchall()
+    )
+    assert got == want
