@@ -91,6 +91,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     write_semantic_store,
 )
 from haplorec_spark.operators.text import (  # noqa: E402
+    bigram_logprob_score,
     chunk_documents,
     linear_text_score,
     perplexity_buckets,
@@ -119,6 +120,7 @@ __all__ = [
     "ReferenceTables",
     "ann_recall",
     "asof_join",
+    "bigram_logprob_score",
     "bm25_rank",
     "canonicalize_urls",
     "cap_per_domain",

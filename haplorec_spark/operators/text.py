@@ -343,6 +343,106 @@ def unigram_logprob_score(
     )
 
 
+def bigram_logprob_score(
+    docs: DataFrame,
+    *,
+    alpha: float = 0.5,
+    min_count: int = 1,
+    max_broadcast_vocab: int = 2_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bigrams, avg_logprob): mean log10 conditional bigram
+    probability — the next rung above :func:`unigram_logprob_score`
+    on the CCNet perplexity ladder (real CCNet uses a 5-gram KenLM;
+    unigram scores word choice, bigram starts scoring word ORDER, so
+    shuffled/templated text that fools the unigram rung scores low
+    here).
+
+    P(w2|w1) = (count(w1 w2) + alpha) / (count(w1) + alpha * (V + 1))
+    with add-alpha smoothing over V+1 outcomes (the +1 is OOV), V the
+    unigram vocabulary size; both LMs are learned from ``docs`` itself
+    (self-scoring). Documents with fewer than two tokens have no
+    bigrams and return ``n_bigrams = 0`` with a null ``avg_logprob``.
+
+    Scale shape (the unigram operator's charter): bigram extraction is
+    a map-side ``transform`` over the token array (no self-join);
+    both count tables are persisted across their consumers; scoring
+    is two left joins — bigram counts on (w1, w2), unigram counts on
+    w1 for the denominator — each adaptive on its MEASURED size
+    (broadcast under ``max_broadcast_vocab``, shuffle join above; a
+    web-scale bigram table is unbounded and must never be forced into
+    executor memory). ``min_count`` prunes the bigram table only
+    (pruned bigrams score as unseen); V and the unigram denominators
+    stay exact.
+    """
+    ws = f"split(lower({text_col}), ' ')"
+    pairs_expr = (
+        f"transform(slice({ws}, 1, greatest(size({ws}) - 1, 0)),"
+        f" (x, i) -> struct(x AS w1, element_at({ws}, i + 2) AS w2))"
+    )
+    bigrams = docs.select(
+        F.col(id_col), F.explode(F.expr(pairs_expr)).alias("_bg")
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+
+    uni = (
+        docs.select(F.explode(F.expr(ws)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("_c1"))
+        .persist()
+    )
+    bi = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_c12"))
+        .persist()
+    )
+    v_size = float(uni.count())
+    bi_kept = bi.filter(F.col("_c12") >= min_count) if min_count > 1 else bi
+    n_bi = bi_kept.count()  # measured bounds for both join sides
+    bi_side = (
+        F.broadcast(bi_kept)
+        if n_bi <= max_broadcast_vocab
+        else bi_kept.hint("merge")
+    )
+    uni_side = (
+        F.broadcast(uni)
+        if v_size <= max_broadcast_vocab
+        else uni.hint("merge")
+    )
+    denom = F.coalesce(F.col("_c1"), F.lit(0)).cast("double") + F.lit(
+        alpha
+    ) * F.lit(v_size + 1.0)
+    scored = (
+        bigrams.join(bi_side, on=["w1", "w2"], how="left")
+        .join(uni_side, on="w1", how="left")
+        .select(
+            F.col(id_col),
+            F.log10(
+                (
+                    F.coalesce(F.col("_c12"), F.lit(0)).cast("double")
+                    + F.lit(alpha)
+                )
+                / denom
+            ).alias("_lp"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+    # docs with < 2 tokens produce no bigram rows; restore them with
+    # n_bigrams = 0 so the output covers the corpus
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 def strip_boilerplate_lines(
     docs: DataFrame,
     *,

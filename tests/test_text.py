@@ -594,3 +594,121 @@ def test_linear_text_score_golden(spark):
     }
     assert got[1] == (3, 0.5, round(1 / (1 + math.exp(-0.5)), 6))
     assert got[2] == (2, 0.5, round(1 / (1 + math.exp(-0.5)), 6))
+
+
+@pytest.mark.parametrize("max_bc", [2_000_000, 0])
+def test_bigram_logprob_vs_duckdb(spark, max_bc):
+    """Self-trained bigram LM scores match a DuckDB replica of the
+    conditional add-alpha formula on the real corpus; max_bc=0 forces
+    both count joins onto the shuffle path and must agree."""
+    from haplorec_spark.operators.text import bigram_logprob_score
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in bigram_logprob_score(
+            docs, max_broadcast_vocab=max_bc
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+         bg AS (SELECT doc_id, u.w1, u.w2 FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(range(1, len(ws)),
+                               i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS u
+                    FROM w)),
+         uni AS (SELECT w1, count(*) AS c1 FROM (
+                     SELECT unnest(ws) AS w1 FROM w) GROUP BY w1),
+         bic AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+         tot AS (SELECT count(*) AS v FROM uni),
+         per AS (SELECT doc_id, count(*) AS n_bigrams,
+                        round(avg(log10((coalesce(c12, 0) + 0.5)
+                            / (coalesce(c1, 0) + 0.5 * (tot.v + 1)))), 6)
+                            AS avg_logprob
+                 FROM bg LEFT JOIN bic USING (w1, w2)
+                         LEFT JOIN uni USING (w1)
+                         CROSS JOIN tot
+                 GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(per.n_bigrams, 0) AS n_bigrams,
+           per.avg_logprob
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bigram_logprob_scores_word_order(spark):
+    """The bigram rung separates natural word order from a shuffled
+    bag of the same words — the signal the unigram rung cannot see."""
+    from haplorec_spark.operators.text import (
+        bigram_logprob_score,
+        unigram_logprob_score,
+    )
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the and rug cat the on sat the"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(10)] + [(99, shuffled)],
+        "doc_id int, text string",
+    )
+    bi = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob_score(docs).collect()
+    }
+    assert bi[99] < bi[0]
+    uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob_score(docs).collect()
+    }
+    assert uni[99] == uni[0]  # same bag, same unigram score
+
+
+def test_bigram_logprob_short_and_empty_docs(spark):
+    from haplorec_spark.operators.text import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in bigram_logprob_score(docs).collect()
+    }
+    assert rows[1] == (0, None)
+    assert rows[2] == (0, None)  # '' splits to one token -> no bigrams
+    assert rows[3][0] == 1 and rows[3][1] is not None
+
+
+def test_bigram_min_count_prunes_bigrams_only(spark):
+    """min_count drops rare bigrams to unseen (count 0 + alpha) but
+    keeps V and the unigram denominators exact."""
+    from haplorec_spark.operators.text import bigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")],
+        "doc_id int, text string",
+    )
+    import math
+
+    rows = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob_score(docs, min_count=2).collect()
+    }
+    # V = 3 (a, b, c); c1(a) = 3. "a b" kept (c12=2); "a c" pruned.
+    denom = 3 + 0.5 * 4
+    assert rows[1] == pytest.approx(
+        round(math.log10((2 + 0.5) / denom), 6), abs=1e-9
+    )
+    assert rows[3] == pytest.approx(
+        round(math.log10(0.5 / denom), 6), abs=1e-9
+    )
