@@ -93,6 +93,12 @@ class CurationConfig:
     splits: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.98, "valid": 0.01, "test": 0.01}
     )
+    #: assign splits by near-dup CLUSTER (LSH pairs over the curated
+    #: corpus → leakage_safe_split) instead of per-document hash, so
+    #: near-copies that survived dedup (e.g. ``dedup="exact"`` or
+    #: None) can never straddle train/eval; redundant after
+    #: ``dedup="near"`` (losers are already dropped) but harmless
+    leakage_safe: bool = False
     seq_len: int | None = None
     #: cut documents into chunk_size-word windows AFTER split
     #: assignment (chunks inherit their document's split, so one
@@ -124,7 +130,10 @@ def curate_documents(
     ``seq_id``, ``seq_offset``, ``seq_id_end``), computed on a
     SEPARATE tape per split (over chunks when chunking is on) — eval
     text never lands inside a training sequence, and ``seq_id`` is
-    unique within a split, not globally.
+    unique within a split, not globally. With ``leakage_safe`` the
+    split stage hashes near-dup clusters (LSH pairs over the curated
+    corpus) instead of documents, so surviving near-copies can never
+    straddle train/eval.
     """
     cfg = config
     counts: dict[str, int] = {}
@@ -281,9 +290,25 @@ def curate_documents(
             ),
         )
 
-    out = note(
-        "split", hash_split(out, dict(cfg.splits), [cfg.id_col])
-    )
+    if cfg.leakage_safe:
+        from haplorec_spark.operators.dedup import lsh_candidate_pairs
+        from haplorec_spark.operators.sampling import leakage_safe_split
+
+        out = note(
+            "split",
+            leakage_safe_split(
+                out,
+                lsh_candidate_pairs(
+                    out, text_col=cfg.text_col, id_col=cfg.id_col
+                ),
+                dict(cfg.splits),
+                id_col=cfg.id_col,
+            ).drop("canonical_id"),
+        )
+    else:
+        out = note(
+            "split", hash_split(out, dict(cfg.splits), [cfg.id_col])
+        )
 
     pack_id = cfg.id_col
     if cfg.chunk_size:

@@ -338,3 +338,46 @@ def test_curation_classifier_gate(spark):
     }
     assert kept == want
     assert 0 < counts["classifier"] < counts["quality"]
+
+
+def test_curation_leakage_safe_split_keeps_near_copies_together(spark):
+    """With dedup='exact' a near-copy pair survives curation; the
+    leakage_safe knob must still pin both members to one split."""
+    # each document gets its own 24-word body (repeated id-derived
+    # tokens), so unrelated docs share no shingles and only the seeded
+    # copies collide in LSH
+    rows = [
+        (
+            i,
+            "en",
+            " ".join(f"w{i}x{j} t{(i * 7 + j) % 97}" for j in range(12)),
+        )
+        for i in range(40)
+    ]
+    # ten near-copy pairs that exact dedup keeps (texts differ by tail)
+    rows += [
+        (100 + i, "en", rows[i][2] + " tiny tail") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    cfg = CurationConfig(
+        dedup="exact", redact=False, min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+        leakage_safe=True,
+        splits={"train": 0.5, "test": 0.5},
+    )
+    out, _ = curate_documents(docs, config=cfg)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert len(got) == 50  # exact dedup drops nothing here
+    from haplorec_spark.operators.dedup import lsh_candidate_pairs
+
+    pairs = lsh_candidate_pairs(docs).collect()
+    linked = [
+        (p["doc_id_a"], p["doc_id_b"])
+        for p in pairs
+        if p["doc_id_a"] in got and p["doc_id_b"] in got
+    ]
+    assert linked  # the seeded near-copies produce candidate pairs
+    for a, b in linked:
+        assert got[a] == got[b], (a, b)
+    assert "canonical_id" not in out.columns
+    assert set(got.values()) == {"train", "test"}
