@@ -85,6 +85,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     pq_store_topk,
     pq_topk,
     pq_train,
+    refine_topk,
     train_pq_index,
     write_pq_store,
     semantic_dedup_pairs,
@@ -156,6 +157,7 @@ __all__ = [
     "pq_train",
     "profile_table",
     "redact_pii",
+    "refine_topk",
     "select_where_either_subset_of",
     "select_where_subset_of",
     "semantic_dedup_pairs",

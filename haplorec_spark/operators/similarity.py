@@ -1476,6 +1476,89 @@ def pq_store_topk(
     )
 
 
+def refine_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    metric: str = "l2",
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_candidates: int = 10_000_000,
+) -> DataFrame:
+    """Exact re-rank of an approximate candidate shortlist — the FAISS
+    refine stage. Takes ANY (probe_id, neighbor_id) candidate frame
+    (:func:`pq_topk`, :func:`ivf_pq_topk`, :func:`pq_store_topk`,
+    :func:`lsh_bucketed_topk`, ...), fetches the candidates' EXACT
+    corpus vectors, and returns the true top-k per probe. The standard
+    two-stage shape: retrieve ``k' = k * refine_factor`` candidates
+    cheaply (quantized / bucketed), then pay exact distances only on
+    the shortlist — recall approaches exact search while the corpus
+    scan stays compressed.
+
+    ``metric``: ``"l2"`` ranks by exact squared L2 (``dist2``
+    ascending, the PQ family's space), ``"cosine"`` by exact cosine
+    (descending, the brute-force/LSH family's space). Rank ties break
+    on neighbor id, as everywhere in the family.
+
+    Scale shape: the shortlist is |probes| x k' id pairs — it is
+    persisted, MEASURED, and joined onto the corpus scan by broadcast
+    under ``max_broadcast_candidates`` (~20 B per pair), shuffle hash
+    join above (corpus-vs-corpus refinement makes the shortlist
+    corpus-proportional, and a forced broadcast there is an OOM — the
+    hot-set rule). Probe vectors broadcast (query-sized by
+    definition); the only shuffle is the per-probe top-k window.
+    """
+    if metric not in ("l2", "cosine"):
+        raise ValueError(f"metric must be l2 or cosine, got {metric}")
+    cand = candidates.select(probe_col, neighbor_col).distinct().persist()
+    n_cand = cand.count()
+    cand_side = (
+        F.broadcast(cand)
+        if n_cand <= max_broadcast_candidates
+        else cand.hint("merge")
+    )
+    nv = corpus.select(
+        F.col(id_col).alias(neighbor_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_nv"),
+    )
+    pv = probes.select(
+        F.col(id_col).alias(probe_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_pv"),
+    )
+    j = nv.join(cand_side, on=neighbor_col).join(
+        F.broadcast(pv), on=probe_col
+    )
+    if metric == "l2":
+        dist = F.expr(
+            "aggregate(zip_with(_pv, _nv, (a, b) -> (a - b) * (a - b)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        score_col, order = "dist2", F.col("dist2").asc()
+    else:
+        dist = F.expr(
+            "aggregate(zip_with(_pv, _nv, (a, b) -> a * b),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+            " / (sqrt(aggregate(transform(_pv, x -> x * x),"
+            " cast(0.0 as double), (acc, x) -> acc + x))"
+            " * sqrt(aggregate(transform(_nv, x -> x * x),"
+            " cast(0.0 as double), (acc, x) -> acc + x)))"
+        )
+        score_col, order = "cosine", F.col("cosine").desc()
+    scored = j.select(
+        probe_col, neighbor_col, F.round(dist, 6).alias(score_col)
+    )
+    w = Window.partitionBy(probe_col).orderBy(order, F.col(neighbor_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(probe_col, neighbor_col, score_col, "rank")
+    )
+
+
 def write_semantic_store(
     vectors: DataFrame,
     centroids: DataFrame,

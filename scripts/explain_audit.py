@@ -174,6 +174,13 @@ CHECKS = {
         "forbid": ["CartesianProduct", "SortMergeJoin",
                    "Exchange hashpartitioning.*Exchange hashpartitioning"],
     },
+    "_refine_topk": {
+        # exact re-rank of a measured-small shortlist: both the
+        # candidate pairs and the probe vectors broadcast onto the
+        # corpus scan; the only exchange is the top-k window's
+        "expect": ["BroadcastHashJoin", "Window"],
+        "forbid": ["CartesianProduct", "SortMergeJoin"],
+    },
     "_train_linear_grad": {
         # one classifier-training iteration: the cached feature table is
         # reused (InMemoryTableScan), joins resolve to broadcast at this
@@ -352,6 +359,26 @@ def _pq_adc(spark, sf_dir):
         _PQ_CBS,
         k=5,
     )
+
+def _refine_topk(spark, sf_dir):
+    """Exact-refine stage: the candidate shortlist and probe vectors
+    broadcast onto the corpus scan; the only shuffle is the per-probe
+    top-k window."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import refine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cand = probes.select(
+        F.col("vec_id").alias("probe_id")
+    ).crossJoin(
+        emb.filter(F.col("vec_id") % 7 == 0).select(
+            F.col("vec_id").alias("neighbor_id")
+        )
+    )
+    return refine_topk(cand, emb, probes, k=5)
+
 
 def _train_linear_grad(spark, sf_dir):
     """One training iteration's gradient plan: weights broadcast, the

@@ -878,3 +878,98 @@ def test_pq_empty_corpus_edges(spark):
         pq_encode(probes, pq_train(empty, m=2, k=2))
     with _pytest.raises(ValueError, match="empty corpus"):
         write_pq_store(empty, "/tmp/should_never_write_pq")
+
+
+# -------------------------------------------------------- exact refine stage
+
+
+def test_refine_recovers_exact_topk_from_pq_shortlist(spark):
+    """Retrieve a wide ADC shortlist, refine with exact L2: the result
+    must equal exact L2 top-k whenever the shortlist contains it (here
+    the shortlist is the whole corpus, so always)."""
+    from haplorec_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+        refine_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    cb = pq_train(emb, m=4, k=4, iterations=2)
+    shortlist = pq_topk(
+        pq_encode(emb, cb), probes, cb, k=emb.count()
+    )
+    got = sorted(
+        tuple(r)
+        for r in refine_topk(shortlist, emb, probes, k=5).collect()
+    )
+    # exact L2 reference in DuckDB over the same parquet
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "create view emb as select vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) v from "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+            SELECT probe_id, neighbor_id, dist2, rank FROM (
+                SELECT p.vec_id AS probe_id, x.vec_id AS neighbor_id,
+                       round(list_reduce(list_transform(
+                           generate_series(1, len(p.v)),
+                           i -> (p.v[i] - x.v[i]) * (p.v[i] - x.v[i])),
+                           (a, b) -> a + b), 6) AS dist2,
+                       row_number() OVER (PARTITION BY p.vec_id
+                           ORDER BY round(list_reduce(list_transform(
+                               generate_series(1, len(p.v)),
+                               i -> (p.v[i] - x.v[i]) * (p.v[i] - x.v[i])),
+                               (a, b) -> a + b), 6), x.vec_id) AS rank
+                FROM emb p JOIN emb x ON p.vec_id < 5
+                     AND p.vec_id <> x.vec_id)
+            WHERE rank <= 5
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_refine_cosine_matches_brute_force(spark):
+    """Cosine refine over a full-corpus shortlist reproduces
+    brute_force_topk exactly; the forced-shuffle path agrees."""
+    from haplorec_spark.operators.similarity import refine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 4)
+    wide = brute_force_topk(emb, probes, k=emb.count())
+    want = sorted(
+        tuple(r) for r in brute_force_topk(emb, probes, k=5).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in refine_topk(
+            wide, emb, probes, k=5, metric="cosine"
+        ).collect()
+    )
+    assert got == want
+    shuffled = sorted(
+        tuple(r)
+        for r in refine_topk(
+            wide, emb, probes, k=5, metric="cosine",
+            max_broadcast_candidates=0,
+        ).collect()
+    )
+    assert shuffled == want
+
+
+def test_refine_rejects_bad_metric(spark):
+    from haplorec_spark.operators.similarity import refine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="metric"):
+        refine_topk(emb.limit(1), emb, emb.limit(1), metric="dot")
