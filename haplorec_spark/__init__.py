@@ -95,6 +95,7 @@ from haplorec_spark.operators.text import (  # noqa: E402
     bigram_logprob_score,
     chunk_documents,
     linear_text_score,
+    normalize_text,
     perplexity_buckets,
     redact_pii,
     strip_boilerplate_lines,
@@ -147,6 +148,7 @@ __all__ = [
     "media_duplicate_pairs",
     "linear_text_score",
     "mixture_sample",
+    "normalize_text",
     "numeric_quantiles",
     "pack_sequences",
     "parse_urls",

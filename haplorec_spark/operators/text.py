@@ -343,6 +343,62 @@ def unigram_logprob_score(
     )
 
 
+#: Accent-fold table for :func:`normalize_text` — an explicit literal
+#: mapping (not locale collation) so any engine reproduces it
+#: byte-for-byte. Lowercase only: folding runs after lowercasing.
+_ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöøùúûüýÿ"
+_ACCENT_DST = "aaaaaaceeeeiiiinoooooouuuuyy"
+
+#: ASCII punctuation as explicit ranges — identical semantics in Java
+#: regex (Spark) and RE2 (DuckDB etc.), unlike \p{Punct}/[[:punct:]]
+#: whose class membership differs between engines.
+_PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def normalize_text(
+    docs: DataFrame,
+    *,
+    lowercase: bool = True,
+    fold_accents: bool = False,
+    strip_punctuation: bool = False,
+    fold_digits: bool = False,
+    collapse_whitespace: bool = True,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, text_norm): deterministic text normalization — the CCNet
+    hashing prelude (lowercase, accent fold, punctuation strip, digit
+    fold, whitespace collapse) as one map-side column program.
+
+    Dedup hashes computed on raw text miss case/punctuation variants
+    of the same content; the published pipelines normalize BEFORE
+    hashing and keep the raw text for training. Compose accordingly:
+    ``exact_duplicates(normalize_text(docs).withColumnRenamed(
+    "text_norm", "text"))`` finds the variants, the raw corpus stays
+    untouched.
+
+    Every rule is an explicit literal (the accent table, ASCII-range
+    punctuation class, space-class whitespace) rather than a locale or
+    engine-defined character class, so the output is reproducible
+    across engines — the property every downstream hash depends on.
+    Punctuation is replaced by a space (not deleted: deleting glues
+    ``end.Start`` into one token) and the final collapse de-dupes the
+    spaces; digits fold to ``0`` so version strings/ids hash alike.
+    """
+    out = F.col(text_col)
+    if lowercase:
+        out = F.lower(out)
+    if fold_accents:
+        out = F.translate(out, _ACCENT_SRC, _ACCENT_DST)
+    if strip_punctuation:
+        out = F.regexp_replace(out, _PUNCT_CLASS, " ")
+    if fold_digits:
+        out = F.regexp_replace(out, "[0-9]", "0")
+    if collapse_whitespace:
+        out = F.trim(F.regexp_replace(out, "[ \\t\\n\\r]+", " "))
+    return docs.select(F.col(id_col), out.alias("text_norm"))
+
+
 def bigram_logprob_score(
     docs: DataFrame,
     *,

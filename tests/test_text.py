@@ -712,3 +712,86 @@ def test_bigram_min_count_prunes_bigrams_only(spark):
     assert rows[3] == pytest.approx(
         round(math.log10(0.5 / denom), 6), abs=1e-9
     )
+
+
+def test_normalize_text_vs_duckdb(spark):
+    """Full-knob normalization matches a DuckDB replica of the same
+    literal rules on the real corpus — the cross-engine determinism
+    every downstream dedup hash depends on."""
+    from haplorec_spark.operators.text import (
+        _ACCENT_DST,
+        _ACCENT_SRC,
+        normalize_text,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in normalize_text(
+            docs,
+            fold_accents=True,
+            strip_punctuation=True,
+            fold_digits=True,
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            r"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       translate(lower(text), $$SRC$$, $$DST$$),
+                       '[!-/:-@\[-`{-~]', ' ', 'g'),
+                       '[0-9]', '0', 'g'),
+                       '[ ' || chr(9) || chr(10) || chr(13) || ']+',
+                       ' ', 'g')) AS text_norm
+            FROM documents
+            """.replace("$$SRC$$", f"'{_ACCENT_SRC}'")
+            .replace("$$DST$$", f"'{_ACCENT_DST}'")
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_normalize_text_goldens_and_dedup_composition(spark):
+    from haplorec_spark.operators.dedup import exact_duplicates
+    from haplorec_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The  QUICK brown\tfox!"),
+            (2, "the quick brown fox"),
+            (3, "Café déjà-vu costs $12.50, naïvely."),
+            (4, "unrelated"),
+        ],
+        "doc_id int, text string",
+    )
+    norm = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(
+            docs,
+            fold_accents=True,
+            strip_punctuation=True,
+            fold_digits=True,
+        ).collect()
+    }
+    assert norm[1] == "the quick brown fox"
+    assert norm[3] == "cafe deja vu costs 00 00 naively"
+    # case/punct variants of the same content hash together after
+    # normalization (the published compose-before-hash pattern)
+    renamed = normalize_text(
+        docs, strip_punctuation=True
+    ).withColumnRenamed("text_norm", "text")
+    dups = exact_duplicates(renamed).collect()
+    assert {(r["doc_id"], r["canonical_id"]) for r in dups} == {(2, 1)}
+    # defaults leave punctuation/digits/accents alone
+    soft = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(docs).collect()
+    }
+    assert soft[3] == "café déjà-vu costs $12.50, naïvely."
