@@ -434,3 +434,88 @@ def test_chunk_sliding_matches_python_model(spark, texts, chunk, stride):
             cw = ws[start : start + chunk]
             want.append((i, ix, start, len(cw), " ".join(cw)))
     assert got == sorted(want)
+
+
+# --------------------------------------------------- normalization invariants
+
+_norm_text = st.text(
+    alphabet=st.sampled_from(
+        list("abXY 09.!?,-\t\n") + ["é", "À".lower(), "ñ", "ç"]
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(texts=st.lists(_norm_text, min_size=1, max_size=8))
+@SLOW
+def test_normalize_text_is_idempotent(spark, texts):
+    """normalize(normalize(x)) == normalize(x) under every knob — the
+    invariant that keeps dedup hashes stable when a corpus is
+    re-normalized on re-ingest."""
+    from haplorec_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    kw = dict(fold_accents=True, strip_punctuation=True, fold_digits=True)
+    once = normalize_text(docs, **kw)
+    twice = normalize_text(
+        once.withColumnRenamed("text_norm", "text"), **kw
+    )
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+
+
+@given(
+    n_cand=st.integers(min_value=0, max_value=12),
+    k=st.integers(min_value=1, max_value=6),
+)
+@SLOW
+def test_refine_topk_is_contained_in_candidates(spark, n_cand, k):
+    """Refine never invents a neighbor: output pairs are a subset of
+    the candidate pairs, ranks are 1..min(k, candidates-per-probe),
+    and distances are the exact pairwise values."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import refine_topk
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 5 - 2) for j in range(4)])
+        for i in range(8)
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id int, embedding array<float>")
+    cand_pairs = sorted(
+        {((c * 3) % 3, (c * 5) % 8) for c in range(n_cand)}
+    )
+    cand_pairs = [(p, n) for p, n in cand_pairs if p != n]
+    if not cand_pairs:
+        return
+    cand = spark.createDataFrame(
+        cand_pairs, "probe_id int, neighbor_id int"
+    )
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = refine_topk(cand, emb, probes, k=k).collect()
+    got_pairs = {(r["probe_id"], r["neighbor_id"]) for r in out}
+    assert got_pairs <= set(cand_pairs)
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+    vd = dict(vecs)
+    for p, rows in by_probe.items():
+        n_avail = sum(1 for a, _ in cand_pairs if a == p)
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, min(k, n_avail) + 1)
+        )
+        for r in rows:
+            exact = round(
+                sum(
+                    (a - b) ** 2
+                    for a, b in zip(vd[p], vd[r["neighbor_id"]])
+                ),
+                6,
+            )
+            assert math.isclose(r["dist2"], exact, abs_tol=1e-9)
