@@ -50,8 +50,10 @@ from haplorec_spark.operators.multimodal import (  # noqa: E402
 from haplorec_spark.operators.profiling import (  # noqa: E402
     frequent_values,
     numeric_quantiles,
+    profile_drift,
     profile_table,
     text_corpus_profile,
+    value_histogram_psi,
 )
 from haplorec_spark.operators.relevance import bm25_rank, tfidf  # noqa: E402
 from haplorec_spark.operators.sampling import (  # noqa: E402
@@ -157,6 +159,7 @@ __all__ = [
     "pq_store_topk",
     "pq_topk",
     "pq_train",
+    "profile_drift",
     "profile_table",
     "redact_pii",
     "refine_topk",
@@ -176,6 +179,7 @@ __all__ = [
     "train_pq_index",
     "top_fraction_by_score",
     "unigram_logprob_score",
+    "value_histogram_psi",
     "verify_jaccard_pairs",
     "weighted_sample",
     "write_pq_store",

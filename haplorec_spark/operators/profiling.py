@@ -256,3 +256,120 @@ def text_corpus_profile(
         ],
     )
     return row.select(F.explode(pairs).alias("m")).select("m.*")
+
+
+def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+    """(column, metric, before, after, delta, rel_change): compare two
+    :func:`profile_table` outputs — the corpus-monitoring face (a new
+    crawl/drop vs the previous snapshot: did null rates spike, did a
+    column's cardinality collapse, did value ranges shift?).
+
+    One row per (column, metric) for ``n_rows`` / ``n_nulls`` /
+    ``null_fraction`` / ``n_distinct`` / ``avg_length`` (numeric:
+    ``delta`` = after − before, ``rel_change`` = delta / |before|,
+    null when before is 0/null) and for ``min_value`` / ``max_value``
+    (string-compared: delta columns null, drift visible in the
+    before/after pair). Columns present in only one profile appear
+    with the missing side null — schema drift is drift.
+
+    Profiles are column-counted (rows = columns × metrics), so this is
+    driver-scale arithmetic on two tiny frames — the 100 TB cost was
+    already paid by the profiles themselves.
+    """
+    num = ["n_rows", "n_nulls", "null_fraction", "n_distinct",
+           "avg_length"]
+    txt = ["min_value", "max_value"]
+
+    def melt(p: DataFrame, side: str) -> DataFrame:
+        entries = [
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.col(m).cast("double").alias(f"{side}_num"),
+                F.col(m).cast("string").alias(side),
+            )
+            for m in num
+        ] + [
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.lit(None).cast("double").alias(f"{side}_num"),
+                F.col(m).alias(side),
+            )
+            for m in txt
+        ]
+        return p.select(
+            "column", F.explode(F.array(*entries)).alias("e")
+        ).select("column", "e.*")
+
+    j = melt(before, "before").join(
+        melt(after, "after"), on=["column", "metric"], how="full_outer"
+    )
+    delta = F.round(F.col("after_num") - F.col("before_num"), 6)
+    rel = F.when(
+        F.abs(F.col("before_num")) > 0,
+        F.round(
+            (F.col("after_num") - F.col("before_num"))
+            / F.abs(F.col("before_num")),
+            6,
+        ),
+    )
+    return j.select(
+        "column",
+        "metric",
+        "before",
+        "after",
+        delta.alias("delta"),
+        rel.alias("rel_change"),
+    )
+
+
+def value_histogram_psi(
+    freq_before: DataFrame,
+    freq_after: DataFrame,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(column, psi, n_buckets): population stability index per column
+    between two :func:`frequent_values` histograms — the standard
+    drift score (PSI < 0.1 stable, 0.1–0.25 moderate, > 0.25 shifted).
+
+    PSI = Σ_buckets (p_after − p_before) · ln(p_after / p_before),
+    over the UNION of the two top-k bucket sets; shares are computed
+    within each histogram's captured mass and add-``alpha`` smoothed,
+    so a bucket present on one side only contributes a finite,
+    smoothing-bounded term instead of ±inf. Deterministic and
+    engine-replayable (plain arithmetic on the histogram rows).
+
+    Like :func:`profile_drift`, the inputs are top-k-sized — the
+    corpus-scale work happened in ``frequent_values``' one shuffle.
+    """
+    a = freq_before.select(
+        "column", "value", F.col("n_rows").alias("_na")
+    )
+    b = freq_after.select(
+        "column", "value", F.col("n_rows").alias("_nb")
+    )
+    j = a.join(b, on=["column", "value"], how="full_outer").select(
+        "column",
+        F.coalesce(F.col("_na"), F.lit(0)).cast("double").alias("_na"),
+        F.coalesce(F.col("_nb"), F.lit(0)).cast("double").alias("_nb"),
+    )
+    tot = j.groupBy("column").agg(
+        F.sum("_na").alias("_ta"),
+        F.sum("_nb").alias("_tb"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    s = j.join(tot, on="column")
+    pa = (F.col("_na") + F.lit(alpha)) / (
+        F.col("_ta") + F.lit(alpha) * F.col("n_buckets")
+    )
+    pb = (F.col("_nb") + F.lit(alpha)) / (
+        F.col("_tb") + F.lit(alpha) * F.col("n_buckets")
+    )
+    term = (pb - pa) * F.log(pb / pa)
+    return (
+        s.groupBy("column")
+        .agg(
+            F.round(F.sum(term), 6).alias("psi"),
+            F.first("n_buckets").alias("n_buckets"),
+        )
+    )

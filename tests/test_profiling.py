@@ -245,3 +245,84 @@ def test_text_corpus_profile_vs_duckdb(spark):
     # quality/repetition means are present and bounded
     assert 0.0 <= got["avg_quality"] <= 1.0
     assert 0.0 <= got["avg_dup_word_fraction"] <= 1.0
+
+
+# ------------------------------------------------------------ drift faces
+
+
+def test_profile_drift_deltas_and_schema_drift(spark):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.profiling import (
+        profile_drift,
+        profile_table,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "id int, s string"
+    )
+    b = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, None), (4, None)],
+        "id int, s string",
+    ).withColumn("extra", F.lit(1))
+    d = profile_drift(
+        profile_table(a, exact=True), profile_table(b, exact=True)
+    )
+    rows = {(r["column"], r["metric"]): r for r in d.collect()}
+    nf = rows[("s", "null_fraction")]
+    assert float(nf["before"]) == 1 / 3 or abs(
+        float(nf["before"]) - round(1 / 3, 6)
+    ) < 1e-9
+    assert float(nf["after"]) == 0.75
+    assert abs(nf["delta"] - round(0.75 - round(1 / 3, 6), 6)) < 1e-9
+    nr = rows[("id", "n_rows")]
+    assert (float(nr["before"]), float(nr["after"])) == (3.0, 4.0)
+    assert nr["delta"] == 1.0 and abs(nr["rel_change"] - 0.333333) < 1e-6
+    # column only in the after profile: before side null (schema drift)
+    ex = rows[("extra", "n_rows")]
+    assert ex["before"] is None and float(ex["after"]) == 4.0
+    # min/max compared as strings, numeric deltas null
+    mm = rows[("s", "max_value")]
+    assert (mm["before"], mm["after"]) == ("y", "x")
+    assert mm["delta"] is None
+    # identical profiles -> all numeric deltas zero
+    z = profile_drift(profile_table(a), profile_table(a))
+    assert all(
+        r["delta"] == 0.0
+        for r in z.collect()
+        if r["delta"] is not None
+    )
+
+
+def test_value_histogram_psi_hand_computed(spark):
+    import math
+
+    from haplorec_spark.operators.profiling import (
+        frequent_values,
+        value_histogram_psi,
+    )
+
+    a = spark.createDataFrame(
+        [("u",)] * 8 + [("v",)] * 2, "c string"
+    )
+    b = spark.createDataFrame(
+        [("u",)] * 2 + [("v",)] * 8, "c string"
+    )
+    fa, fb = frequent_values(a, ["c"]), frequent_values(b, ["c"])
+    got = value_histogram_psi(fa, fb).collect()[0]
+    # hand replica: buckets {u, v}, alpha=0.5, totals 10/10
+    def p(n, tot, k=2, al=0.5):
+        return (n + al) / (tot + al * k)
+
+    want = sum(
+        (p(nb, 10) - p(na, 10)) * math.log(p(nb, 10) / p(na, 10))
+        for na, nb in [(8, 2), (2, 8)]
+    )
+    assert abs(got["psi"] - round(want, 6)) < 1e-9
+    assert got["n_buckets"] == 2
+    # identical histograms -> psi 0; disjoint values -> psi large
+    same = value_histogram_psi(fa, fa).collect()[0]
+    assert same["psi"] == 0.0
+    c = spark.createDataFrame([("w",)] * 10, "c string")
+    disj = value_histogram_psi(fa, frequent_values(c, ["c"])).collect()[0]
+    assert disj["psi"] > 1.0
