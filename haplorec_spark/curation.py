@@ -83,6 +83,11 @@ class CurationConfig:
     #: "exact" (content-hash), "near" (MinHash-LSH candidate pairs →
     #: connected components, cluster-minimum id survives), or None
     dedup: str | None = "exact"
+    #: hash NORMALIZED text for the dedup stage (case/accents/
+    #: punctuation/digits/whitespace folded via ``normalize_text``'s
+    #: full-knob program) while the surviving rows keep their raw
+    #: text — catches trivially-edited duplicates the raw hash misses
+    normalize_for_dedup: bool = False
     #: n-gram length for span-level dedup AFTER document dedup (the
     #: word-granularity pass runs on the already-shrunk corpus); None
     #: skips the stage
@@ -220,12 +225,30 @@ def curate_documents(
         ).select(cfg.id_col, "text_redacted")
         out = note("redact", out.join(red, cfg.id_col))
 
+    def _dedup_view(df: DataFrame) -> DataFrame:
+        """The frame the dedup stage hashes: raw, or (id, normalized
+        text) when ``normalize_for_dedup`` — map-side, and the raw
+        rows are what survive either way."""
+        if not cfg.normalize_for_dedup:
+            return df
+        from haplorec_spark.operators.text import normalize_text
+
+        return normalize_text(
+            df,
+            fold_accents=True,
+            strip_punctuation=True,
+            fold_digits=True,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).withColumnRenamed("text_norm", cfg.text_col)
+
     if cfg.dedup == "exact":
         # exact content dedup; which duplicate survives must still be
         # deterministic, so keep the min id per content hash
         h = F.md5(F.col(cfg.text_col))
         keep = (
-            out.select(F.col(cfg.id_col), h.alias("__h"))
+            _dedup_view(out)
+            .select(F.col(cfg.id_col), h.alias("__h"))
             .groupBy("__h")
             .agg(F.min(cfg.id_col).alias(cfg.id_col))
             .select(cfg.id_col)
@@ -238,7 +261,7 @@ def curate_documents(
         )
 
         pairs = lsh_candidate_pairs(
-            out, text_col=cfg.text_col, id_col=cfg.id_col
+            _dedup_view(out), text_col=cfg.text_col, id_col=cfg.id_col
         )
         # non-canonical members (canonical = cluster-minimum id) drop;
         # docs in no cluster are untouched by the anti-join

@@ -381,3 +381,29 @@ def test_curation_leakage_safe_split_keeps_near_copies_together(spark):
         assert got[a] == got[b], (a, b)
     assert "canonical_id" not in out.columns
     assert set(got.values()) == {"train", "test"}
+
+
+def test_curation_normalized_dedup_catches_variants(spark):
+    """normalize_for_dedup hashes folded text: case/punctuation
+    variants collapse (min id survives, raw text kept); raw-hash
+    dedup keeps all three."""
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "The QUICK brown fox!"),
+            (2, "en", "the quick brown fox"),
+            (3, "en", "Entirely different content here"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    base = dict(
+        redact=False, min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+    )
+    out, _ = curate_documents(
+        docs, config=CurationConfig(normalize_for_dedup=True, **base)
+    )
+    rows = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1] == "The QUICK brown fox!"  # raw text survives
+    out2, _ = curate_documents(docs, config=CurationConfig(**base))
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2, 3}
