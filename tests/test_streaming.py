@@ -220,7 +220,12 @@ def test_streaming_curation_pipeline_matches_batch(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from haplorec_spark.operators.sampling import hash_split
-    from haplorec_spark.operators.text import quality_score, redact_pii
+    from haplorec_spark.operators.text import (
+        linear_text_score,
+        normalize_text,
+        quality_score,
+        redact_pii,
+    )
 
     d = tmp_path / "incoming_docs"
     d.mkdir()
@@ -232,10 +237,16 @@ def test_streaming_curation_pipeline_matches_batch(spark, tmp_path):
         )
         kept = docs.join(q.select("doc_id"), "doc_id")
         red = redact_pii(kept).select("doc_id", "text_redacted")
-        base = kept.join(red, "doc_id")
+        norm = normalize_text(kept, strip_punctuation=True)
+        clf = linear_text_score(
+            kept, {"the": 0.4, "slow": -0.7}, bias=0.1
+        ).select("doc_id", "prob")
+        base = kept.join(red, "doc_id").join(norm, "doc_id").join(
+            clf, "doc_id"
+        )
         return hash_split(
             base, {"train": 0.9, "valid": 0.1}, ["doc_id"]
-        ).select("doc_id", "text_redacted", "split")
+        ).select("doc_id", "text_redacted", "text_norm", "prob", "split")
 
     batch = curate(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
 
