@@ -105,6 +105,7 @@ from haplorec_spark.operators.text import (  # noqa: E402
 )
 from haplorec_spark.operators.training import (  # noqa: E402
     LinearTextModel,
+    evaluate_binary_classifier,
     train_linear_text_classifier,
 )
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
@@ -135,6 +136,7 @@ __all__ = [
     "curate_documents",
     "decontaminate",
     "duplicate_ngram_spans",
+    "evaluate_binary_classifier",
     "filter_blocked_domains",
     "frequent_values",
     "get_spark",

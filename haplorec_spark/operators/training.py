@@ -53,10 +53,14 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["LinearTextModel", "train_linear_text_classifier"]
+__all__ = [
+    "LinearTextModel",
+    "evaluate_binary_classifier",
+    "train_linear_text_classifier",
+]
 
 #: Probability clamp for the log-loss; keeps log() finite when the
 #: model saturates. Gradients use the unclamped p.
@@ -285,4 +289,113 @@ def train_linear_text_classifier(
         n_docs=n_docs,
         vocab_size=vocab_size,
         loss=history,
+    )
+
+
+def evaluate_binary_classifier(
+    scored: DataFrame,
+    *,
+    label_col: str = "label",
+    prob_col: str = "prob",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One row: (n, n_pos, accuracy, precision, recall, f1, auc) for a
+    scored frame carrying a 0/1 label and a probability column — the
+    eval face of the train (:func:`train_linear_text_classifier`) →
+    apply (``linear_text_score``) loop, run where the scores already
+    live instead of collecting them to a driver-side metrics library.
+
+    Thresholded metrics count TP/FP/FN at ``prob >= threshold`` in ONE
+    aggregate over the scan. AUC is exact, via the Mann-Whitney U
+    statistic: AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg),
+    where R_pos is the rank-sum of positives under ascending ``prob``
+    with AVERAGE ranks on ties (the textbook tie handling — without
+    it, a constant classifier would not score 0.5). Ranking is one
+    global sort of (prob, count)-aggregated DISTINCT scores — the
+    window runs over distinct score values (bounded by score
+    precision, e.g. ≤ 10^6 rows for 6-decimal probabilities), never
+    over the corpus, so the single-partition window is dimension-sized
+    no matter the corpus. Precision/recall/f1 are null (not 0/0) when
+    undefined; AUC is null when either class is absent.
+    """
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+        F.sum(
+            (
+                (F.col(prob_col) >= threshold)
+                & (F.col(label_col) == 1)
+            ).cast("long")
+        ).alias("tp"),
+        F.sum(
+            (
+                (F.col(prob_col) >= threshold)
+                & (F.col(label_col) == 0)
+            ).cast("long")
+        ).alias("fp"),
+        F.sum(
+            (
+                (F.col(prob_col) < threshold) & (F.col(label_col) == 1)
+            ).cast("long")
+        ).alias("fn"),
+        F.sum(
+            (
+                (F.col(prob_col) < threshold) & (F.col(label_col) == 0)
+            ).cast("long")
+        ).alias("tn"),
+    )
+    # distinct-score histogram: (prob, n at that prob, positives at
+    # that prob) — corpus-sized shuffle once, then the rank window
+    # runs over score values only
+    hist = (
+        scored.groupBy(F.col(prob_col).alias("__p"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.sum(F.col(label_col).cast("long")).alias("__cp"),
+        )
+    )
+    w = Window.orderBy("__p").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # average rank of the __c tied rows ending at cumulative count C:
+    # (C - __c + 1 + C) / 2
+    ranked = hist.withColumn("__cum", F.sum("__c").over(w)).select(
+        (
+            (F.col("__cum") - F.col("__c") + 1 + F.col("__cum"))
+            / F.lit(2.0)
+            * F.col("__cp")
+        ).alias("__rpos")
+    )
+    rpos = ranked.agg(F.sum("__rpos").alias("r")).crossJoin(agg)
+    prec = F.when(
+        F.col("tp") + F.col("fp") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fp")),
+    )
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        prec.isNotNull() & rec.isNotNull() & (prec + rec > 0),
+        2 * prec * rec / (prec + rec),
+    )
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = F.when(
+        (F.col("n_pos") > 0) & (n_neg > 0),
+        (
+            F.col("r")
+            - F.col("n_pos") * (F.col("n_pos") + 1) / F.lit(2.0)
+        )
+        / (F.col("n_pos") * n_neg),
+    )
+    return rpos.select(
+        "n",
+        "n_pos",
+        F.round((F.col("tp") + F.col("tn")) / F.col("n"), 6).alias(
+            "accuracy"
+        ),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+        F.round(auc, 6).alias("auc"),
     )

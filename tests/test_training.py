@@ -149,3 +149,106 @@ def test_empty_doc_and_validation(spark):
         train_linear_text_classifier(bad, iterations=1)
     with pytest.raises(ValueError, match="iterations"):
         train_linear_text_classifier(df, iterations=0)
+
+
+# --------------------------------------------------------------- eval face
+
+
+def _py_auc(pairs):
+    """Tie-aware Mann-Whitney AUC replica."""
+    xs = sorted(pairs, key=lambda t: t[0])
+    ranks, i = {}, 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j][0] == xs[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = avg
+        i = j
+    npos = sum(y for _, y in xs)
+    nneg = len(xs) - npos
+    if not npos or not nneg:
+        return None
+    rpos = sum(ranks[t] for t, (_, y) in enumerate(xs) if y)
+    return (rpos - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def test_eval_metrics_match_replicas(spark):
+    from haplorec_spark.operators.training import (
+        evaluate_binary_classifier,
+    )
+
+    pairs = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.5, 0), (0.3, 0), (0.2, 1), (0.1, 0),
+    ]
+    df = spark.createDataFrame(pairs, "prob double, label int")
+    r = evaluate_binary_classifier(df).collect()[0]
+    tp = sum(1 for p, y in pairs if p >= 0.5 and y == 1)
+    fp = sum(1 for p, y in pairs if p >= 0.5 and y == 0)
+    fn = sum(1 for p, y in pairs if p < 0.5 and y == 1)
+    tn = sum(1 for p, y in pairs if p < 0.5 and y == 0)
+    assert (r["n"], r["n_pos"]) == (10, 5)
+    assert r["accuracy"] == (tp + tn) / 10
+    assert r["precision"] == pytest.approx(tp / (tp + fp), abs=1e-6)
+    assert r["recall"] == pytest.approx(tp / (tp + fn), abs=1e-6)
+    assert r["f1"] == pytest.approx(
+        2 * tp / (2 * tp + fp + fn), abs=1e-6
+    )
+    assert r["auc"] == pytest.approx(_py_auc(pairs), abs=1e-6)
+    # DuckDB replay of the tie-averaged rank-sum AUC
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("create table s(prob double, label int)")
+    con.executemany("insert into s values (?, ?)", pairs)
+    want = con.execute(
+        """
+        WITH r AS (SELECT label,
+                          avg(rn) OVER (PARTITION BY prob) AS rk
+                   FROM (SELECT prob, label,
+                                row_number() OVER (ORDER BY prob) AS rn
+                         FROM s))
+        SELECT (sum(CASE WHEN label = 1 THEN rk END)
+                - 5 * 6 / 2.0) / (5 * 5) FROM r
+        """
+    ).fetchone()[0]
+    assert r["auc"] == pytest.approx(want, abs=1e-6)
+
+
+def test_eval_degenerate_classes_and_constant_scores(spark):
+    from haplorec_spark.operators.training import (
+        evaluate_binary_classifier,
+    )
+
+    one_class = spark.createDataFrame(
+        [(0.7, 1), (0.2, 1)], "prob double, label int"
+    )
+    r = evaluate_binary_classifier(one_class).collect()[0]
+    assert r["auc"] is None and r["recall"] == 0.5
+    const = spark.createDataFrame(
+        [(0.4, 1), (0.4, 0), (0.4, 1), (0.4, 0)],
+        "prob double, label int",
+    )
+    c = evaluate_binary_classifier(const).collect()[0]
+    assert c["auc"] == 0.5  # tie-averaged ranks, the textbook value
+    assert c["precision"] is None  # no predicted positives at 0.5
+
+
+def test_eval_closes_the_training_loop(spark, docs):
+    from haplorec_spark.operators.text import linear_text_score
+    from haplorec_spark.operators.training import (
+        evaluate_binary_classifier,
+        train_linear_text_classifier,
+    )
+
+    model = train_linear_text_classifier(
+        docs, iterations=60, learning_rate=2.0
+    )
+    scored = linear_text_score(
+        docs, model.weights, bias=model.bias,
+        max_broadcast_vocab=2_000_000,
+    ).join(docs.select("doc_id", "label"), "doc_id")
+    r = evaluate_binary_classifier(scored).collect()[0]
+    assert r["accuracy"] >= 0.9 and r["auc"] >= 0.9
