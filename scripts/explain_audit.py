@@ -174,6 +174,14 @@ CHECKS = {
         "forbid": ["CartesianProduct", "SortMergeJoin",
                    "Exchange hashpartitioning.*Exchange hashpartitioning"],
     },
+    "_bigram_lm": {
+        # bigram extraction must be Generate over the token array —
+        # a positional self-join of the exploded token stream would
+        # shuffle the corpus at word granularity. (The id-keyed SMJ
+        # restoring no-bigram docs is fine; counts broadcast.)
+        "expect": ["Generate", "BroadcastHashJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "_refine_topk": {
         # exact re-rank of a measured-small shortlist: both the
         # candidate pairs and the probe vectors broadcast onto the
@@ -359,6 +367,16 @@ def _pq_adc(spark, sf_dir):
         _PQ_CBS,
         k=5,
     )
+
+def _bigram_lm(spark, sf_dir):
+    """Bigram-LM scoring plan: pair extraction is a map-side transform
+    over the token array (Generate, never a positional self-join);
+    both count tables broadcast at this vocabulary size."""
+    from haplorec_spark.operators.text import bigram_logprob_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logprob_score(docs)
+
 
 def _refine_topk(spark, sf_dir):
     """Exact-refine stage: the candidate shortlist and probe vectors
