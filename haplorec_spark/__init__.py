@@ -105,6 +105,7 @@ from haplorec_spark.operators.text import (  # noqa: E402
 )
 from haplorec_spark.operators.training import (  # noqa: E402
     LinearTextModel,
+    calibration_buckets,
     evaluate_binary_classifier,
     train_linear_text_classifier,
 )
@@ -127,6 +128,7 @@ __all__ = [
     "asof_join",
     "bigram_logprob_score",
     "bm25_rank",
+    "calibration_buckets",
     "canonicalize_urls",
     "cap_per_domain",
     "cell_profile",

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "LinearTextModel",
+    "calibration_buckets",
     "evaluate_binary_classifier",
     "train_linear_text_classifier",
 ]
@@ -399,3 +400,54 @@ def evaluate_binary_classifier(
         F.round(f1, 6).alias("f1"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+def calibration_buckets(
+    scored: DataFrame,
+    *,
+    n_buckets: int = 10,
+    label_col: str = "label",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """(bucket, p_low, p_high, n, mean_prob, pos_rate, abs_gap): the
+    reliability diagram's data — equal-width probability buckets with
+    predicted-vs-empirical positive rates. ``sum(n * abs_gap) /
+    sum(n)`` over the rows is the expected calibration error (ECE);
+    a well-calibrated quality filter has pos_rate ≈ mean_prob per
+    bucket, and a miscalibrated one mis-ranks every threshold cut
+    built on it.
+
+    One map-side bucket assignment + one aggregate — no window, no
+    sort; bucket count is the only output dimension. ``prob = 1.0``
+    lands in the last bucket (half-open buckets, closed at the top).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    b = F.least(
+        F.floor(F.col(prob_col) * n_buckets).cast("int"),
+        F.lit(n_buckets - 1),
+    )
+    agg = (
+        scored.select(
+            b.alias("bucket"),
+            F.col(prob_col).alias("__p"),
+            F.col(label_col).cast("double").alias("__y"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__p"), 6).alias("mean_prob"),
+            F.round(F.avg("__y"), 6).alias("pos_rate"),
+        )
+    )
+    return agg.select(
+        "bucket",
+        F.round(F.col("bucket") / n_buckets, 6).alias("p_low"),
+        F.round((F.col("bucket") + 1) / n_buckets, 6).alias("p_high"),
+        "n",
+        "mean_prob",
+        "pos_rate",
+        F.round(F.abs(F.col("mean_prob") - F.col("pos_rate")), 6).alias(
+            "abs_gap"
+        ),
+    ).orderBy("bucket")

@@ -252,3 +252,34 @@ def test_eval_closes_the_training_loop(spark, docs):
     ).join(docs.select("doc_id", "label"), "doc_id")
     r = evaluate_binary_classifier(scored).collect()[0]
     assert r["accuracy"] >= 0.9 and r["auc"] >= 0.9
+
+
+def test_calibration_buckets_hand_computed(spark):
+    from haplorec_spark.operators.training import calibration_buckets
+
+    pairs = [
+        (0.05, 0), (0.15, 0), (0.15, 1), (0.95, 1), (0.95, 1),
+        (0.95, 0), (1.0, 1),
+    ]
+    df = spark.createDataFrame(pairs, "prob double, label int")
+    rows = {r["bucket"]: r for r in calibration_buckets(df).collect()}
+    assert set(rows) == {0, 1, 9}
+    b1 = rows[1]
+    assert b1["n"] == 2 and b1["pos_rate"] == 0.5
+    assert b1["mean_prob"] == 0.15 and b1["abs_gap"] == 0.35
+    b9 = rows[9]  # prob=1.0 folds into the top bucket
+    assert b9["n"] == 4
+    assert b9["pos_rate"] == 0.75
+    assert (b9["p_low"], b9["p_high"]) == (0.9, 1.0)
+    # ECE from the frame matches the hand value
+    ece = sum(r["n"] * r["abs_gap"] for r in rows.values()) / len(pairs)
+    by_hand = (
+        1 * abs(0.05 - 0.0)
+        + 2 * abs(0.15 - 0.5)
+        + 4 * abs((0.95 * 3 + 1.0) / 4 - 0.75)
+    ) / 7
+    assert abs(ece - by_hand) < 1e-6
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        calibration_buckets(df, n_buckets=0)
