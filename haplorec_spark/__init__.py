@@ -115,6 +115,7 @@ from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
 from haplorec_spark.streaming import (  # noqa: E402
     stream_dedup_events,
     stream_dedup_ingest,
+    stream_drift_monitor,
     stream_pq_index_ingest,
     stream_semantic_dedup_ingest,
 )
@@ -173,6 +174,7 @@ __all__ = [
     "stream_dedup_events",
     "synthesize_media_table",
     "stream_dedup_ingest",
+    "stream_drift_monitor",
     "stream_pq_index_ingest",
     "stream_semantic_dedup_ingest",
     "strip_boilerplate_lines",

@@ -595,3 +595,70 @@ def incremental_variant_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_drift_monitor(
+    doc_stream: DataFrame,
+    baseline_freq: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+    k: int = 10,
+    alpha: float = 0.5,
+):
+    """foreachBatch drift monitor: score every incoming micro-batch's
+    value distributions against a pinned baseline histogram and append
+    (ingest_batch, column, psi, n_buckets, batch_rows) to
+    ``out_path`` — the streaming face of
+    :func:`~haplorec_spark.operators.profiling.value_histogram_psi`
+    (a new drop whose domain mix / language mix / status values shift
+    hard from the baseline shows up as a PSI spike BEFORE it pollutes
+    the curated corpus downstream).
+
+    ``baseline_freq`` is a :func:`~haplorec_spark.operators.profiling.
+    frequent_values` frame from the reference snapshot (top-k-sized —
+    it rides along as a tiny static side input). Per batch: one top-k
+    histogram over the batch (the ``frequent_values`` single shuffle)
+    + histogram-sized PSI arithmetic. Exactly-once via
+    ``ingest_batch=<batch_id>`` dynamic partition overwrite (the
+    module's standard replay scheme). Returns the started
+    StreamingQuery.
+    """
+    from haplorec_spark.operators.profiling import (
+        frequent_values,
+        value_histogram_psi,
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        n_rows = batch_df.count()
+        fv = frequent_values(batch_df, columns, k)
+        psi = value_histogram_psi(baseline_freq, fv, alpha=alpha)
+        out = psi.select(
+            F.lit(batch_id).alias("ingest_batch"),
+            "column",
+            "psi",
+            "n_buckets",
+            F.lit(n_rows).alias("batch_rows"),
+        ).repartition(1)
+        # the output plan descends from the MAIN session's baseline
+        # frame (foreachBatch hands us a cloned session for batch_df),
+        # so the dynamic-overwrite conf must be set on the session the
+        # write actually runs under — out.sparkSession, not batch_df's
+        out.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            out.write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(out_path)
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

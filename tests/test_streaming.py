@@ -562,3 +562,62 @@ def test_stream_pq_index_ingest_two_drops(spark, tmp_path):
         replayed.groupBy("vec_id").count()
         .filter(F.col("count") > 1).count() == 0
     )
+
+
+def test_stream_drift_monitor_scores_each_drop(spark, tmp_path):
+    """Two drops against a pinned baseline: the baseline-like drop
+    scores near zero PSI, the shifted drop spikes, each batch writes
+    its own ingest_batch partition, and the batch PSI equals the batch
+    value_histogram_psi computed directly."""
+    from haplorec_spark.operators.profiling import (
+        frequent_values,
+        value_histogram_psi,
+    )
+    from haplorec_spark.streaming import stream_drift_monitor
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "drift")
+
+    base_rows = [(i, "en" if i % 4 else "fr") for i in range(40)]
+    baseline = frequent_values(
+        spark.createDataFrame(base_rows, "doc_id long, lang string"),
+        ["lang"],
+    )
+
+    def run_drop(rows, ckpt):
+        spark.createDataFrame(
+            rows, "doc_id long, lang string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_drift_monitor(
+            spark.readStream.schema("doc_id long, lang string")
+            .parquet(str(src)),
+            baseline,
+            out_path=out,
+            checkpoint_dir=str(tmp_path / ckpt),
+            columns=["lang"],
+        )
+        q.awaitTermination(120)
+
+    similar = [(100 + i, "en" if i % 4 else "fr") for i in range(40)]
+    shifted = [(200 + i, "zz") for i in range(40)]
+    run_drop(similar, "ckpt")
+    run_drop(shifted, "ckpt")  # same checkpoint: batch 1
+
+    got = spark.read.parquet(out).collect()
+    by_batch = {
+        r["ingest_batch"]: r for r in got if r["column"] == "lang"
+    }
+    assert set(by_batch) == {0, 1}
+    assert by_batch[0]["batch_rows"] == 40
+    assert by_batch[0]["psi"] < 0.01  # same mix as baseline
+    assert by_batch[1]["psi"] > 1.0   # disjoint value set
+    # batch-0 PSI equals the direct computation on the same rows
+    direct = value_histogram_psi(
+        baseline,
+        frequent_values(
+            spark.createDataFrame(similar, "doc_id long, lang string"),
+            ["lang"],
+        ),
+    ).collect()[0]
+    assert by_batch[0]["psi"] == direct["psi"]
