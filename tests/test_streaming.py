@@ -621,3 +621,53 @@ def test_stream_drift_monitor_scores_each_drop(spark, tmp_path):
         ),
     ).collect()[0]
     assert by_batch[0]["psi"] == direct["psi"]
+
+
+def test_incremental_variant_ingest_second_drop_keeps_first_job(
+    spark, tmp_path
+):
+    """Dynamic partition overwrite must be per-job: batch 2's write
+    may not clobber batch 1's job partitions (regression guard for
+    the foreachBatch cloned-session overwrite-conf pitfall)."""
+    ref = make_ref(
+        spark,
+        ghv=[
+            ("g1", "*1", "rs1", "A"), ("g1", "*1", "rs2", "G"),
+            ("g1", "*2", "rs3", "C"), ("g1", "*2", "rs4", "T"),
+        ],
+        genotype_phenotype=[("g1", "*1", "*1", "homozygote normal")],
+        gene_phenotype_drug_recommendation=GPDR,
+    )
+    src = tmp_path / "incoming2"
+    src.mkdir()
+    wh = str(tmp_path / "wh2")
+    pipe = Pipeline(spark, ref)
+    schema = (
+        "patient_id string, physical_chromosome string, snp_id string, "
+        "allele string, zygosity string"
+    )
+
+    def drop(pid):
+        spark.createDataFrame(
+            [
+                (pid, "A", "rs1", "A", "hom"), (pid, "A", "rs2", "G", "hom"),
+                (pid, "B", "rs1", "A", "hom"), (pid, "B", "rs2", "G", "hom"),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = incremental_variant_ingest(
+            spark.readStream.schema(schema).parquet(str(src)), pipe, wh,
+            checkpoint_dir=str(tmp_path / "ck2"),
+        )
+        q.awaitTermination(180)
+
+    drop("patient1")
+    drop("patient2")
+    gh = spark.read.parquet(f"{wh}/job_patient_gene_haplotype")
+    assert sorted(
+        r["job_id"] for r in gh.select("job_id").distinct().collect()
+    ) == [1, 2]
+    assert sorted(
+        r["patient_id"]
+        for r in gh.select("patient_id").distinct().collect()
+    ) == ["patient1", "patient2"]
