@@ -15,7 +15,9 @@ test_registry.py; their physical operators appear in other gated
 plans): union-distinct, distinct projection, semi join (slots went to
 the dedup-span / semantic-dedup / weighted-sampling gates), large
 orders, anti join, top supplier (slots went to the chunking / PQ-ADC /
-linear-classifier gates).
+linear-classifier gates), running revenue (slot went to the
+text-normalization gate; the ordered running-sum window stays gated
+via q_sessionize's cumulative gap-flag sum).
 
 Numeric discipline: every floating aggregate is wrapped in ``round(x, N)``
 computed identically on both engines so value-hash comparison is stable;
@@ -990,21 +992,11 @@ def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------- running totals (ordered window)
 
-@register(
-    "q_running_revenue",
-    """
-    SELECT month,
-           round(CAST(sum(month_rev) OVER (ORDER BY month
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DOUBLE), 2) AS running_rev
-    FROM (SELECT date_trunc('month', o_orderdate) AS month,
-                 sum(CAST(o_totalprice AS DECIMAL(18,2))) AS month_rev
-          FROM orders GROUP BY 1)
-    """,
-    "monthly revenue running total; DECIMAL accumulation keeps the window "
-    "sum exact and engine-independent (float running sums associate "
-    "differently across engines)",
-)
+# Not a driver gate since round 5 (slot rotated to q_text_normalize):
+# the ordered-window running sum is the same physical shape as
+# q_sessionize's cumulative gap-flag sum (Window.orderBy + unbounded
+# preceding), which keeps its gate; the DECIMAL-accumulation variant
+# stays DuckDB-checked by tests/test_registry.py.
 def q_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     monthly = o.groupBy(

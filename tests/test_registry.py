@@ -108,6 +108,15 @@ ROTATED_OUT_ORACLES = {
     """,
     "q_phenotype_normalize":
         "SELECT p_partkey, lower(p_type) AS phenotype_name FROM part",
+    "q_running_revenue": """
+        SELECT CAST(month AS TIMESTAMP) AS month,
+               round(CAST(sum(month_rev) OVER (ORDER BY month
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE), 2) AS running_rev
+        FROM (SELECT date_trunc('month', o_orderdate) AS month,
+                     sum(CAST(o_totalprice AS DECIMAL(18,2))) AS month_rev
+              FROM orders GROUP BY 1)
+    """,
     "q_top_supplier": """
         WITH revenue AS (
             SELECT l_suppkey,
