@@ -95,6 +95,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
 )
 from haplorec_spark.operators.text import (  # noqa: E402
     bigram_logprob_score,
+    build_vocab,
     chunk_documents,
     linear_text_score,
     normalize_text,
@@ -129,6 +130,7 @@ __all__ = [
     "asof_join",
     "bigram_logprob_score",
     "bm25_rank",
+    "build_vocab",
     "calibration_buckets",
     "canonicalize_urls",
     "cap_per_domain",

@@ -42,7 +42,7 @@ identical Java-regex / RE2 semantics (character classes, +).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language function-word lexicons (public common stopwords).
@@ -1094,4 +1094,67 @@ def q_text_normalize(spark, sf_dir):
         fold_accents=True,
         strip_punctuation=True,
         fold_digits=True,
+    )
+
+
+def build_vocab(
+    docs: DataFrame,
+    *,
+    size: int = 32768,
+    min_count: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """(rank, token, count, fraction, cum_fraction): the top-``size``
+    token vocabulary with cumulative corpus coverage — the artifact a
+    WordPiece/BPE trainer starts from, and the coverage curve that
+    picks a vocabulary size (read off the rank where ``cum_fraction``
+    crosses the OOV budget).
+
+    ``fraction``/``cum_fraction`` are shares of ALL corpus tokens
+    (measured before the ``min_count``/``size`` cuts), so truncating
+    the vocabulary never inflates the coverage it reports. Rank ties
+    break by token for cross-engine determinism.
+
+    Scale shape: one explode + token-keyed count (map-side combined) —
+    the unigram-LM build — then an exact top-``size`` cut: per-
+    partition ``size``-row heads sorted into one final partition (the
+    cut is vocabulary-sized, never corpus-sized), where the rank /
+    running-coverage window runs over at most ``size`` rows. The
+    corpus total rides along as a one-row crossJoin (no separate
+    driver action).
+    """
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    counts = (
+        docs.select(
+            F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    total = counts.agg(F.sum("count").alias("__total"))
+    kept = counts.filter(F.col("count") >= min_count)
+    w = Window.orderBy(F.col("count").desc(), F.col("token"))
+    top = (
+        kept.orderBy(F.col("count").desc(), F.col("token"))
+        .limit(size)
+        .crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_count",
+            F.sum("count").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return top.select(
+        "rank",
+        "token",
+        "count",
+        F.round(F.col("count") / F.col("__total"), 6).alias("fraction"),
+        F.round(F.col("cum_count") / F.col("__total"), 6).alias(
+            "cum_fraction"
+        ),
     )

@@ -795,3 +795,61 @@ def test_normalize_text_goldens_and_dedup_composition(spark):
         for r in normalize_text(docs).collect()
     }
     assert soft[3] == "café déjà-vu costs $12.50, naïvely."
+
+
+def test_build_vocab_vs_duckdb(spark):
+    from haplorec_spark.operators.text import build_vocab
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in build_vocab(docs, size=25).collect()
+    )
+    assert len(got) == 25
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            """
+    WITH c AS (SELECT t AS token, count(*) AS cnt FROM (
+                   SELECT unnest(string_split(lower(text), ' ')) AS t
+                   FROM documents) GROUP BY t),
+         tot AS (SELECT sum(cnt) AS total FROM c),
+         r AS (SELECT token, cnt,
+                      row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+                      sum(cnt) OVER (ORDER BY cnt DESC, token
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS cum
+               FROM c)
+    SELECT rank, token, cnt, round(cnt / tot.total, 6),
+           round(cum / tot.total, 6)
+    FROM r CROSS JOIN tot WHERE rank <= 25
+    """
+        ).fetchall()
+    )
+    assert got == want
+    # coverage is monotone and the top token covers the most
+    by_rank = sorted(got)
+    assert by_rank[0][4] == by_rank[0][3]
+    cums = [t[4] for t in by_rank]
+    assert cums == sorted(cums)
+
+
+def test_build_vocab_min_count_cuts_tail_not_coverage(spark):
+    from haplorec_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id int, text string"
+    )
+    rows = {r["token"]: r for r in build_vocab(docs, min_count=2).collect()}
+    assert set(rows) == {"a", "b"}
+    # fractions are of ALL 6 tokens, so pruning c does not inflate them
+    assert rows["a"]["fraction"] == 0.5
+    assert rows["b"]["cum_fraction"] == pytest.approx(5 / 6, abs=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="size"):
+        build_vocab(docs, size=0)
