@@ -108,6 +108,8 @@ from haplorec_spark.operators.training import (  # noqa: E402
     LinearTextModel,
     calibration_buckets,
     evaluate_binary_classifier,
+    load_text_model,
+    save_text_model,
     train_linear_text_classifier,
 )
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
@@ -154,6 +156,7 @@ __all__ = [
     "jsonl_sink",
     "leakage_safe_split",
     "jsonl_source",
+    "load_text_model",
     "media_duplicate_pairs",
     "linear_text_score",
     "mixture_sample",
@@ -172,6 +175,7 @@ __all__ = [
     "refine_topk",
     "select_where_either_subset_of",
     "select_where_subset_of",
+    "save_text_model",
     "semantic_dedup_pairs",
     "stream_dedup_events",
     "synthesize_media_table",

@@ -60,6 +60,8 @@ __all__ = [
     "LinearTextModel",
     "calibration_buckets",
     "evaluate_binary_classifier",
+    "load_text_model",
+    "save_text_model",
     "train_linear_text_classifier",
 ]
 
@@ -190,6 +192,7 @@ def train_linear_text_classifier(
     min_df: int = 1,
     average: bool = True,
     max_broadcast_vocab: int = 2_000_000,
+    init: LinearTextModel | None = None,
 ) -> LinearTextModel:
     """Fit the linear quality classifier on (text, 0/1 label) rows.
 
@@ -201,6 +204,15 @@ def train_linear_text_classifier(
     Rows with an empty token list score ``bias`` alone and still
     contribute to the bias gradient. Labels must be 0/1 (validated:
     anything else raises ``ValueError`` before the loop starts).
+
+    ``init`` warm-starts from a previous model (continue training
+    after more iterations or on a new labeled drop): weights start
+    from ``init.weights`` instead of zero (words absent there start
+    at 0; init words outside this corpus's vocabulary are dropped —
+    this run's gradients would never touch them) and bias from
+    ``init.bias``. Exactness contract: on the same corpus and
+    settings, train(k, init=train(j)) == train(j + k) to float
+    precision (test-pinned).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
@@ -222,18 +234,33 @@ def train_linear_text_classifier(
     if n_docs == 0:
         raise ValueError("cannot train on an empty corpus")
 
-    # Feature vocabulary with the min_df prune; weights start at 0.
-    # feats is already distinct per (doc, word), so df = plain count.
-    weights = (
+    # Feature vocabulary with the min_df prune; weights start at 0,
+    # or at the init model's values on warm start. feats is already
+    # distinct per (doc, word), so df = plain count.
+    vocab = (
         feats.groupBy("__word")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= min_df)
-        .select("__word", F.lit(0.0).alias("__w"))
-        .localCheckpoint(eager=True)
+        .select("__word")
+    )
+    if init is not None:
+        vocab = vocab.join(
+            init.weights.select(
+                F.col("word").alias("__word"),
+                F.col("weight").alias("__w0"),
+            ),
+            on="__word",
+            how="left",
+        )
+        w0 = F.coalesce(F.col("__w0"), F.lit(0.0))
+    else:
+        w0 = F.lit(0.0)
+    weights = vocab.select("__word", w0.alias("__w")).localCheckpoint(
+        eager=True
     )
     vocab_size = weights.count()  # measured broadcast bound
 
-    bias = 0.0
+    bias = float(init.bias) if init is not None else 0.0
     history: list[float] = []
     lr = float(learning_rate)
     for _ in range(iterations):
@@ -451,3 +478,42 @@ def calibration_buckets(
             "abs_gap"
         ),
     ).orderBy("bucket")
+
+
+def save_text_model(model: LinearTextModel, path: str) -> None:
+    """Persist a trained model: ``<path>/weights`` (the word-weight
+    table, the only data-sized part) + ``<path>/meta`` (one row of
+    scalars + the loss history) — the artifact ``linear_text_score``
+    consumes on any cluster, the store convention of
+    ``write_pq_store``/``write_semantic_store``."""
+    model.weights.write.mode("overwrite").parquet(f"{path}/weights")
+    spark = model.weights.sparkSession
+    spark.createDataFrame(
+        [
+            (
+                float(model.bias),
+                bool(model.average),
+                int(model.n_docs),
+                int(model.vocab_size),
+                [float(x) for x in model.loss],
+            )
+        ],
+        "bias double, average boolean, n_docs long, vocab_size long, "
+        "loss array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def load_text_model(spark, path: str) -> LinearTextModel:
+    """Load a :func:`save_text_model` artifact; the returned model
+    drops straight into ``linear_text_score`` or back into
+    ``train_linear_text_classifier(init=...)`` for continued
+    training."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    return LinearTextModel(
+        weights=spark.read.parquet(f"{path}/weights"),
+        bias=float(meta["bias"]),
+        average=bool(meta["average"]),
+        n_docs=int(meta["n_docs"]),
+        vocab_size=int(meta["vocab_size"]),
+        loss=list(meta["loss"]),
+    )

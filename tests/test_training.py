@@ -283,3 +283,53 @@ def test_calibration_buckets_hand_computed(spark):
 
     with _pytest.raises(ValueError, match="n_buckets"):
         calibration_buckets(df, n_buckets=0)
+
+
+def test_warm_start_equals_straight_run(spark, docs):
+    """train(2, init=train(3)) == train(5) exactly — the continuation
+    contract that makes incremental refits trustworthy."""
+    from haplorec_spark.operators.training import (
+        load_text_model,
+        save_text_model,
+    )
+
+    kw = dict(learning_rate=1.0)
+    first = train_linear_text_classifier(docs, iterations=3, **kw)
+    cont = train_linear_text_classifier(
+        docs, iterations=2, init=first, **kw
+    )
+    straight = train_linear_text_classifier(docs, iterations=5, **kw)
+    wc = {r["word"]: r["weight"] for r in cont.weights.collect()}
+    ws = {r["word"]: r["weight"] for r in straight.weights.collect()}
+    assert wc == pytest.approx(ws, abs=1e-12)
+    assert cont.bias == pytest.approx(straight.bias, abs=1e-12)
+    # loss history continues: cont.loss == straight.loss[3:]
+    assert cont.loss == pytest.approx(straight.loss[3:], abs=1e-12)
+
+
+def test_model_save_load_roundtrip(spark, docs, tmp_path):
+    from haplorec_spark.operators.training import (
+        load_text_model,
+        save_text_model,
+    )
+
+    model = train_linear_text_classifier(docs, iterations=3)
+    path = str(tmp_path / "clf")
+    save_text_model(model, path)
+    back = load_text_model(spark, path)
+    assert back.bias == model.bias
+    assert back.average is model.average
+    assert (back.n_docs, back.vocab_size) == (
+        model.n_docs, model.vocab_size,
+    )
+    assert back.loss == pytest.approx(model.loss, abs=0)
+    wa = {r["word"]: r["weight"] for r in model.weights.collect()}
+    wb = {r["word"]: r["weight"] for r in back.weights.collect()}
+    assert wa == wb
+    # the loaded model warm-starts and applies
+    cont = train_linear_text_classifier(docs, iterations=1, init=back)
+    assert len(cont.loss) == 1
+    scored = linear_text_score(
+        docs, back.weights, bias=back.bias, max_broadcast_vocab=10**9
+    )
+    assert scored.count() == docs.count()
