@@ -341,12 +341,25 @@ def value_histogram_psi(
 
     Like :func:`profile_drift`, the inputs are top-k-sized — the
     corpus-scale work happened in ``frequent_values``' one shuffle.
+
+    NULL is a real bucket: ``frequent_values`` surfaces NULL values as
+    a histogram row, so the bucket join is NULL-SAFE — a column with
+    the same null rate on both sides contributes ~0 PSI instead of the
+    two one-sided phantom buckets a plain equality join would create.
     """
+    # coalesce to a sentinel rather than eqNullSafe: the sentinel keeps
+    # the join a plain hash equi-join on both engines and in the SQL
+    # replica; \x00null cannot collide with a real cast string
+    sent = F.lit("\x00null")
     a = freq_before.select(
-        "column", "value", F.col("n_rows").alias("_na")
+        "column",
+        F.coalesce(F.col("value"), sent).alias("value"),
+        F.col("n_rows").alias("_na"),
     )
     b = freq_after.select(
-        "column", "value", F.col("n_rows").alias("_nb")
+        "column",
+        F.coalesce(F.col("value"), sent).alias("value"),
+        F.col("n_rows").alias("_nb"),
     )
     j = a.join(b, on=["column", "value"], how="full_outer").select(
         "column",

@@ -1488,6 +1488,7 @@ def refine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_broadcast_candidates: int = 10_000_000,
+    max_broadcast_probes: int = 1_000_000,
 ) -> DataFrame:
     """Exact re-rank of an approximate candidate shortlist — the FAISS
     refine stage. Takes ANY (probe_id, neighbor_id) candidate frame
@@ -1509,8 +1510,11 @@ def refine_topk(
     under ``max_broadcast_candidates`` (~20 B per pair), shuffle hash
     join above (corpus-vs-corpus refinement makes the shortlist
     corpus-proportional, and a forced broadcast there is an OOM — the
-    hot-set rule). Probe vectors broadcast (query-sized by
-    definition); the only shuffle is the per-probe top-k window.
+    hot-set rule). The probe-VECTOR side gets the same measured bound
+    (``max_broadcast_probes``, vectors are ~4·dim B each): in the
+    corpus-vs-corpus shape probes == corpus and a forced broadcast
+    would OOM the same way. The only shuffle is the per-probe top-k
+    window (plus the key joins themselves above the bounds).
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be l2 or cosine, got {metric}")
@@ -1529,9 +1533,13 @@ def refine_topk(
         F.col(id_col).alias(probe_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_pv"),
     )
-    j = nv.join(cand_side, on=neighbor_col).join(
-        F.broadcast(pv), on=probe_col
+    n_probes = probes.count()  # measured bound, as everywhere else
+    pv_side = (
+        F.broadcast(pv)
+        if n_probes <= max_broadcast_probes
+        else pv.hint("merge")
     )
+    j = nv.join(cand_side, on=neighbor_col).join(pv_side, on=probe_col)
     if metric == "l2":
         dist = F.expr(
             "aggregate(zip_with(_pv, _nv, (a, b) -> (a - b) * (a - b)),"

@@ -1125,12 +1125,16 @@ def build_vocab(
     """
     if size < 1:
         raise ValueError(f"size must be >= 1, got {size}")
+    # empty-string tokens (leading/trailing/double spaces split to '')
+    # are whitespace artifacts, not vocabulary: they neither occupy a
+    # top-V slot nor inflate the coverage denominator
     counts = (
         docs.select(
             F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias(
                 "token"
             )
         )
+        .filter(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("count"))
     )

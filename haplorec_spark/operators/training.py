@@ -216,6 +216,13 @@ def train_linear_text_classifier(
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if init is not None and bool(init.average) != bool(average):
+        # init weights were learned against the OTHER feature scaling;
+        # continuing from them is silent nonsense, not a warm start
+        raise ValueError(
+            f"init was trained with average={init.average}; this run "
+            f"uses average={average} — feature scalings must match"
+        )
     feats, labels = _prepare_features(
         docs,
         label_col=label_col,
@@ -333,48 +340,24 @@ def evaluate_binary_classifier(
     apply (``linear_text_score``) loop, run where the scores already
     live instead of collecting them to a driver-side metrics library.
 
-    Thresholded metrics count TP/FP/FN at ``prob >= threshold`` in ONE
-    aggregate over the scan. AUC is exact, via the Mann-Whitney U
-    statistic: AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg),
-    where R_pos is the rank-sum of positives under ascending ``prob``
-    with AVERAGE ranks on ties (the textbook tie handling — without
-    it, a constant classifier would not score 0.5). Ranking is one
-    global sort of (prob, count)-aggregated DISTINCT scores — the
-    window runs over distinct score values (bounded by score
-    precision, e.g. ≤ 10^6 rows for 6-decimal probabilities), never
-    over the corpus, so the single-partition window is dimension-sized
-    no matter the corpus. Precision/recall/f1 are null (not 0/0) when
-    undefined; AUC is null when either class is absent.
+    The ONLY corpus-sized work is the one distinct-score histogram
+    build (prob → count, positives; a shuffle with map-side partial
+    aggregation): every thresholded count AND the AUC rank-sum are
+    sums over histogram rows, so the corpus is scanned exactly once.
+    AUC is exact, via the Mann-Whitney U statistic:
+    AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos · n_neg), where R_pos is
+    the rank-sum of positives under ascending ``prob`` with AVERAGE
+    ranks on ties (the textbook tie handling — without it, a constant
+    classifier would not score 0.5). The rank window runs over
+    distinct score values (bounded by score precision, e.g. ≤ 10^6
+    rows for 6-decimal probabilities), never over the corpus, so the
+    single-partition window is dimension-sized no matter the corpus.
+    Precision/recall/f1 are null (not 0/0) when undefined; AUC is null
+    when either class is absent.
     """
-    agg = scored.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
-        F.sum(
-            (
-                (F.col(prob_col) >= threshold)
-                & (F.col(label_col) == 1)
-            ).cast("long")
-        ).alias("tp"),
-        F.sum(
-            (
-                (F.col(prob_col) >= threshold)
-                & (F.col(label_col) == 0)
-            ).cast("long")
-        ).alias("fp"),
-        F.sum(
-            (
-                (F.col(prob_col) < threshold) & (F.col(label_col) == 1)
-            ).cast("long")
-        ).alias("fn"),
-        F.sum(
-            (
-                (F.col(prob_col) < threshold) & (F.col(label_col) == 0)
-            ).cast("long")
-        ).alias("tn"),
-    )
     # distinct-score histogram: (prob, n at that prob, positives at
-    # that prob) — corpus-sized shuffle once, then the rank window
-    # runs over score values only
+    # that prob) — the one corpus-sized shuffle; everything below is
+    # arithmetic over score values
     hist = (
         scored.groupBy(F.col(prob_col).alias("__p"))
         .agg(
@@ -387,14 +370,30 @@ def evaluate_binary_classifier(
     )
     # average rank of the __c tied rows ending at cumulative count C:
     # (C - __c + 1 + C) / 2
-    ranked = hist.withColumn("__cum", F.sum("__c").over(w)).select(
-        (
-            (F.col("__cum") - F.col("__c") + 1 + F.col("__cum"))
-            / F.lit(2.0)
-            * F.col("__cp")
-        ).alias("__rpos")
+    at = F.col("__p") >= threshold
+    rpos = (
+        hist.withColumn("__cum", F.sum("__c").over(w))
+        .agg(
+            F.sum("__c").alias("n"),
+            F.sum("__cp").alias("n_pos"),
+            F.coalesce(
+                F.sum(F.when(at, F.col("__cp"))), F.lit(0)
+            ).alias("tp"),
+            F.coalesce(
+                F.sum(F.when(at, F.col("__c") - F.col("__cp"))),
+                F.lit(0),
+            ).alias("fp"),
+            F.sum(
+                (
+                    (F.col("__cum") - F.col("__c") + 1 + F.col("__cum"))
+                    / F.lit(2.0)
+                )
+                * F.col("__cp")
+            ).alias("r"),
+        )
+        .withColumn("fn", F.col("n_pos") - F.col("tp"))
+        .withColumn("tn", F.col("n") - F.col("n_pos") - F.col("fp"))
     )
-    rpos = ranked.agg(F.sum("__rpos").alias("r")).crossJoin(agg)
     prec = F.when(
         F.col("tp") + F.col("fp") > 0,
         F.col("tp") / (F.col("tp") + F.col("fp")),
@@ -485,8 +484,13 @@ def save_text_model(model: LinearTextModel, path: str) -> None:
     table, the only data-sized part) + ``<path>/meta`` (one row of
     scalars + the loss history) — the artifact ``linear_text_score``
     consumes on any cluster, the store convention of
-    ``write_pq_store``/``write_semantic_store``."""
-    model.weights.write.mode("overwrite").parquet(f"{path}/weights")
+    ``write_pq_store``/``write_semantic_store``.
+
+    Safe to re-save a LOADED model to its own path: the weights are
+    materialized (``localCheckpoint``) before the overwrite deletes
+    the files the lazy plan would otherwise still be reading."""
+    weights = model.weights.localCheckpoint(eager=True)
+    weights.write.mode("overwrite").parquet(f"{path}/weights")
     spark = model.weights.sparkSession
     spark.createDataFrame(
         [

@@ -631,9 +631,11 @@ def stream_drift_monitor(
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
+        batch_df = batch_df.persist()
+        n_rows = batch_df.count()  # doubles as the empty-batch guard
+        if not n_rows:
+            batch_df.unpersist()
             return
-        n_rows = batch_df.count()
         fv = frequent_values(batch_df, columns, k)
         psi = value_histogram_psi(baseline_freq, fv, alpha=alpha)
         out = psi.select(
@@ -646,15 +648,27 @@ def stream_drift_monitor(
         # the output plan descends from the MAIN session's baseline
         # frame (foreachBatch hands us a cloned session for batch_df),
         # so the dynamic-overwrite conf must be set on the session the
-        # write actually runs under — out.sparkSession, not batch_df's
-        out.sparkSession.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        (
-            out.write.mode("overwrite")
-            .partitionBy("ingest_batch")
-            .parquet(out_path)
-        )
+        # write actually runs under — out.sparkSession, not batch_df's.
+        # Save/restore: unlike the per-batch cloned sessions the other
+        # ingests configure, this is the USER's session — the flip must
+        # not leak into their unrelated overwrite writes.
+        conf = out.sparkSession.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(out_path)
+            )
+        finally:
+            if prev is None:
+                conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            batch_df.unpersist()
 
     return (
         doc_stream.writeStream.foreachBatch(ingest)

@@ -326,3 +326,30 @@ def test_value_histogram_psi_hand_computed(spark):
     c = spark.createDataFrame([("w",)] * 10, "c string")
     disj = value_histogram_psi(fa, frequent_values(c, ["c"])).collect()[0]
     assert disj["psi"] > 1.0
+
+
+def test_psi_null_buckets_are_null_safe(spark):
+    """A column with the SAME null rate in both snapshots must score
+    ~0 PSI — NULL is one bucket, not two one-sided phantoms."""
+    from haplorec_spark.operators.profiling import (
+        frequent_values,
+        value_histogram_psi,
+    )
+
+    a = spark.createDataFrame(
+        [("u",)] * 5 + [(None,)] * 5, "c string"
+    )
+    b = spark.createDataFrame(
+        [("u",)] * 5 + [(None,)] * 5, "c string"
+    )
+    r = value_histogram_psi(
+        frequent_values(a, ["c"]), frequent_values(b, ["c"])
+    ).collect()[0]
+    assert r["psi"] == 0.0
+    assert r["n_buckets"] == 2
+    # a real null-rate shift still registers
+    c = spark.createDataFrame([("u",)] * 9 + [(None,)], "c string")
+    shifted = value_histogram_psi(
+        frequent_values(a, ["c"]), frequent_values(c, ["c"])
+    ).collect()[0]
+    assert shifted["psi"] > 0.1

@@ -671,3 +671,32 @@ def test_incremental_variant_ingest_second_drop_keeps_first_job(
         r["patient_id"]
         for r in gh.select("patient_id").distinct().collect()
     ) == ["patient1", "patient2"]
+
+
+def test_stream_drift_monitor_restores_overwrite_conf(spark, tmp_path):
+    """The monitor writes under dynamic partition overwrite but must
+    not leave the USER session's conf flipped afterwards."""
+    from haplorec_spark.operators.profiling import frequent_values
+    from haplorec_spark.streaming import stream_drift_monitor
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    src = tmp_path / "conf_in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "en")], "doc_id long, lang string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    baseline = frequent_values(
+        spark.createDataFrame([(1, "en")], "doc_id long, lang string"),
+        ["lang"],
+    )
+    q = stream_drift_monitor(
+        spark.readStream.schema("doc_id long, lang string")
+        .parquet(str(src)),
+        baseline,
+        out_path=str(tmp_path / "conf_out"),
+        checkpoint_dir=str(tmp_path / "conf_ck"),
+        columns=["lang"],
+    )
+    q.awaitTermination(120)
+    assert spark.conf.get(key, None) == prev

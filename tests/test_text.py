@@ -816,7 +816,7 @@ def test_build_vocab_vs_duckdb(spark):
             """
     WITH c AS (SELECT t AS token, count(*) AS cnt FROM (
                    SELECT unnest(string_split(lower(text), ' ')) AS t
-                   FROM documents) GROUP BY t),
+                   FROM documents) WHERE t <> '' GROUP BY t),
          tot AS (SELECT sum(cnt) AS total FROM c),
          r AS (SELECT token, cnt,
                       row_number() OVER (ORDER BY cnt DESC, token) AS rank,
@@ -853,3 +853,16 @@ def test_build_vocab_min_count_cuts_tail_not_coverage(spark):
 
     with _pytest.raises(ValueError, match="size"):
         build_vocab(docs, size=0)
+
+
+def test_build_vocab_ignores_whitespace_artifact_tokens(spark):
+    from haplorec_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "  a  a b  ")], "doc_id int, text string"
+    )
+    rows = {r["token"]: r for r in build_vocab(docs).collect()}
+    assert set(rows) == {"a", "b"}  # no '' token
+    # coverage denominators count only real tokens (3)
+    assert rows["a"]["fraction"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows["b"]["cum_fraction"] == 1.0

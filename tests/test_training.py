@@ -333,3 +333,29 @@ def test_model_save_load_roundtrip(spark, docs, tmp_path):
         docs, back.weights, bias=back.bias, max_broadcast_vocab=10**9
     )
     assert scored.count() == docs.count()
+
+
+def test_warm_start_rejects_mismatched_feature_scaling(spark, docs):
+    m = train_linear_text_classifier(docs, iterations=1, average=False)
+    with pytest.raises(ValueError, match="average"):
+        train_linear_text_classifier(
+            docs, iterations=1, average=True, init=m
+        )
+
+
+def test_model_resave_to_same_path(spark, docs, tmp_path):
+    """save(load(p), p) must not destroy the artifact it reads."""
+    from haplorec_spark.operators.training import (
+        load_text_model,
+        save_text_model,
+    )
+
+    model = train_linear_text_classifier(docs, iterations=2)
+    path = str(tmp_path / "clf2")
+    save_text_model(model, path)
+    before = {r["word"]: r["weight"]
+              for r in load_text_model(spark, path).weights.collect()}
+    save_text_model(load_text_model(spark, path), path)
+    after = {r["word"]: r["weight"]
+             for r in load_text_model(spark, path).weights.collect()}
+    assert after == before
