@@ -202,6 +202,25 @@ CHECKS = {
                    "HashAggregate.*Exchange.*HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_bpe_pair_counts": {
+        # one BPE training iteration's pair count: map-side zip_with
+        # pair extraction (Generate over the vocabulary-sized symbol
+        # table), then a partial+final aggregate on the pair key — the
+        # corpus itself is not in this plan at all (scanned once up
+        # front into the checkpointed word table)
+        "expect": ["Generate", "HashAggregate.*Exchange.*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython"],
+    },
+    "_bpe_tokenize": {
+        # corpus tokenization: the Python encoder (ArrowEvalPython)
+        # must sit above the DISTINCT-word aggregate, never on the
+        # exploded corpus stream, and the word-keyed join back must
+        # not be a forced broadcast of the unbounded vocabulary
+        "expect": ["HashAggregate.*ArrowEvalPython",
+                   "HashAggregate.*Exchange.*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
@@ -427,6 +446,36 @@ def _train_linear_grad(spark, sf_dir):
         vocab_size=weights.count(), max_broadcast_vocab=2_000_000,
     )
     return _word_gradient(feats, resid, 100)
+
+
+def _bpe_pair_counts(spark, sf_dir):
+    """One BPE training iteration's pair-count plan, exactly as
+    train_bpe builds it (minus the localCheckpoint the real trainer
+    pins the seed table with — the audit wants the lineage visible)."""
+    from haplorec_spark.operators.bpe import _adjacent_pairs, bpe_word_counts
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    syms = bpe_word_counts(docs).select(
+        "count",
+        F.expr("concat(split(word, ''), array('</w>'))").alias("syms"),
+    )
+    return (
+        syms.select("count", F.explode(_adjacent_pairs("syms")).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("count").alias("c"))
+        .orderBy(F.col("c").desc(), "l", "r")
+        .limit(1)
+    )
+
+
+def _bpe_tokenize(spark, sf_dir):
+    from haplorec_spark.operators.bpe import bpe_tokenize, train_bpe
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(docs.limit(20), n_merges=4)
+    return bpe_tokenize(docs, merges)
 
 
 import haplorec_spark.queries as _qmod

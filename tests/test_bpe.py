@@ -1,0 +1,224 @@
+"""BPE trainer/encoder vs an independent pure-Python replica.
+
+The replica re-implements the Sennrich BPE spec from scratch (dict
+word counts, tuple symbol sequences) with the same deterministic
+tie-break (count desc, then (left, right) lexicographic), so the
+Spark operator and the oracle share no code beyond the spec.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from haplorec_spark.operators.bpe import (
+    END_OF_WORD,
+    bpe_encode_words,
+    bpe_tokenize,
+    bpe_word_counts,
+    train_bpe,
+)
+from tests.conftest import rows
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the bat sat on the cat"),
+    (2, "lower lowest newer newest"),
+    (3, "low lower lowest new newer newest"),
+    (4, "wider wide widest the the the"),
+    (5, "a ab abc abcd abcde"),
+    (6, "aaa aaaa aa aaa aaa"),  # overlap stress: greedy (a,a) merges
+    (7, ""),  # empty doc: contributes no words
+    (8, "  double  spaced   words  "),  # whitespace artifacts dropped
+]
+
+
+# --------------------------------------------------------------- replica
+
+
+def _ref_word_counts(texts):
+    c = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def _ref_merge_seq(syms, left, right):
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_train(word_counts, n_merges, min_pair_count=1):
+    table = {
+        tuple(list(w) + [END_OF_WORD]): c for w, c in word_counts.items()
+    }
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in table.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        # count desc, then (left, right) lexicographic
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((left, right, cnt))
+        table = {
+            _ref_merge_seq(s, left, right): c for s, c in table.items()
+        }
+    return merges
+
+
+def _ref_encode(word, ranks):
+    syms = list(word) + [END_OF_WORD]
+    while True:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, syms[i], syms[i + 1])
+        if best is None:
+            return syms
+        syms = list(_ref_merge_seq(syms, best[1], best[2]))
+
+
+# ----------------------------------------------------------------- tests
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_word_counts_match_replica(spark, docs):
+    got = rows(bpe_word_counts(docs))
+    want = sorted(_ref_word_counts([t for _, t in DOCS]).items())
+    assert got == [tuple(kv) for kv in want]
+
+
+def test_trained_merges_match_replica(spark, docs):
+    merges = train_bpe(docs, n_merges=30, checkpoint_interval=5)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    want = [
+        (i, l, r, l + r, c)
+        for i, (l, r, c) in enumerate(
+            _ref_train(_ref_word_counts([t for _, t in DOCS]), 30)
+        )
+    ]
+    assert got == want
+
+
+def test_min_pair_count_stops_early(spark, docs):
+    merges = train_bpe(docs, n_merges=30, min_pair_count=4)
+    got = [(r["left"], r["right"]) for r in merges.orderBy("merge_rank").collect()]
+    want = [
+        (l, r)
+        for l, r, _ in _ref_train(
+            _ref_word_counts([t for _, t in DOCS]), 30, min_pair_count=4
+        )
+    ]
+    assert got == want
+    assert 0 < len(got) < 30
+
+
+def test_exhaustion_stops_before_n_merges(spark):
+    tiny = spark.createDataFrame([(0, "a b")], "doc_id int, text string")
+    merges = train_bpe(tiny, n_merges=50)
+    # 'a</w>' and 'b</w>' fully merge after two rounds; nothing remains
+    assert merges.count() == 2
+
+
+def test_encode_words_match_replica(spark, docs):
+    merges = train_bpe(docs, n_merges=20, checkpoint_interval=7)
+    ranks = {
+        (r["left"], r["right"]): r["merge_rank"]
+        for r in merges.collect()
+    }
+    words = bpe_word_counts(docs).select("word")
+    got = {
+        r["word"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"])
+        for r in bpe_encode_words(words, merges).collect()
+    }
+    for w in _ref_word_counts([t for _, t in DOCS]):
+        want = _ref_encode(w, ranks)
+        assert got[w] == (want, len(want)), w
+
+
+def test_encoding_reconstructs_word(spark, docs):
+    # lossless: concatenating a word's BPE tokens restores word + </w>
+    merges = train_bpe(docs, n_merges=15)
+    words = bpe_word_counts(docs).select("word")
+    bad = (
+        bpe_encode_words(words, merges)
+        .filter(
+            F.array_join("bpe_tokens", "")
+            != F.concat(F.col("word"), F.lit(END_OF_WORD))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_tokenize_counts_match_replica(spark, docs):
+    merges = train_bpe(docs, n_merges=20)
+    ranks = {
+        (r["left"], r["right"]): r["merge_rank"]
+        for r in merges.collect()
+    }
+    got = rows(bpe_tokenize(docs, merges))
+    want = []
+    for doc_id, text in DOCS:
+        ws = [w for w in text.lower().split(" ") if w]
+        if not ws:
+            continue  # empty docs produce no token rows
+        want.append(
+            (doc_id, len(ws), sum(len(_ref_encode(w, ranks)) for w in ws))
+        )
+    assert got == sorted(want)
+
+
+def test_zero_merges_encodes_characters(spark, docs):
+    merges = train_bpe(docs, n_merges=0)
+    assert merges.count() == 0
+    words = spark.createDataFrame([("cat",)], "word string")
+    (r,) = bpe_encode_words(words, merges).collect()
+    assert list(r["bpe_tokens"]) == ["c", "a", "t", END_OF_WORD]
+
+
+def test_trainer_on_parquet_corpus(spark):
+    # integration: the sf0.001 documents table trains without error and
+    # matches the replica end-to-end (corpus-derived word counts)
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(40)
+    merges = train_bpe(docs, n_merges=12)
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want = [
+        (i, l, r, l + r, c)
+        for i, (l, r, c) in enumerate(
+            _ref_train(_ref_word_counts(texts), 12)
+        )
+    ]
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in merges.orderBy("merge_rank").collect()
+    ]
+    assert got == want
