@@ -38,6 +38,7 @@ training-data pipeline target, same charter as dedup/similarity/text.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -458,6 +459,158 @@ def contamination_report(
     )
 
 
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    *,
+    alpha: float = 0.5,
+    min_count: int = 1,
+    max_broadcast_vocab: int = 2_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, log_weight): DSIR-style importance weights for
+    every ``raw`` document against a ``target``-domain corpus.
+
+    DSIR (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling") scores each raw document by the
+    log-likelihood ratio between a target-domain LM and a raw-corpus
+    LM; resampling proportional to the ratio shifts the raw corpus
+    toward the target distribution. Here both LMs are the engine's
+    add-alpha unigram model (``unigram_logprob_score``'s exact
+    smoothing: P(w) = (count + alpha) / (N + alpha * (V + 1)), V and N
+    measured per side before any ``min_count`` prune), and
+    ``log_weight = Σ_tokens log10 P_target(w) - log10 P_raw(w)``,
+    rounded to 6 places so any engine replica is bit-comparable.
+    Empty-string artifacts of repeated whitespace are dropped from
+    both the vocabularies and the scored token stream (the
+    ``build_vocab`` convention); documents with no surviving tokens
+    produce no row.
+
+    Scale shape: ONE combined vocabulary — the two word-count
+    aggregates FULL-joined on word into (word, c_target, c_raw) — so
+    scoring needs a single token join, not one per LM. The combined
+    table is persisted across its two consumers (the N/V totals
+    aggregate and the scoring join — the r4 double-build lesson), and
+    the scoring join is adaptive on the MEASURED kept-vocabulary size:
+    broadcast under ``max_broadcast_vocab`` entries (stopword skew
+    lands on the broadcast side), plain shuffle join above (a
+    web-scale token set must never be forced into executor memory).
+    Then one per-doc sum. The raw corpus is scanned twice total (its
+    vocabulary; scoring), the target corpus once.
+    """
+    ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
+
+    def vocab(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.expr(ws)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    combined = vocab(target, "c_t").join(
+        vocab(raw, "c_r"), on="word", how="full"
+    ).persist()
+    tot = combined.agg(
+        F.sum("c_t").alias("nt"),
+        F.count("c_t").alias("vt"),
+        F.sum("c_r").alias("nr"),
+        F.count("c_r").alias("vr"),
+        F.count(
+            F.when(
+                (F.coalesce(F.col("c_t"), F.lit(0)) >= min_count)
+                | (F.coalesce(F.col("c_r"), F.lit(0)) >= min_count),
+                1,
+            )
+        ).alias("v_kept"),
+    ).first()
+    denom_t = float(tot["nt"] or 0) + alpha * (float(tot["vt"] or 0) + 1.0)
+    denom_r = float(tot["nr"] or 0) + alpha * (float(tot["vr"] or 0) + 1.0)
+    lm = combined
+    if min_count > 1:
+        lm = lm.filter(
+            (F.coalesce(F.col("c_t"), F.lit(0)) >= min_count)
+            | (F.coalesce(F.col("c_r"), F.lit(0)) >= min_count)
+        ).select(
+            "word",
+            F.when(F.col("c_t") >= min_count, F.col("c_t")).alias("c_t"),
+            F.when(F.col("c_r") >= min_count, F.col("c_r")).alias("c_r"),
+        )
+    lm = (
+        F.broadcast(lm)
+        if int(tot["v_kept"] or 0) <= max_broadcast_vocab
+        else lm.hint("merge")
+    )
+    toks = raw.select(F.col(id_col), F.explode(F.expr(ws)).alias("word"))
+    ratio = F.log10(
+        (F.coalesce(F.col("c_t"), F.lit(0)).cast("double") + alpha)
+        / F.lit(denom_t)
+    ) - F.log10(
+        (F.coalesce(F.col("c_r"), F.lit(0)).cast("double") + alpha)
+        / F.lit(denom_r)
+    )
+    return (
+        toks.join(lm, on="word", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(ratio), 6).alias("log_weight"),
+        )
+    )
+
+
+def importance_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    *,
+    seed: str = "dsir",
+    alpha: float = 0.5,
+    min_count: int = 1,
+    max_broadcast_vocab: int = 2_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_tokens, log_weight): the ``k`` raw documents selected by
+    importance resampling toward the target domain — the DSIR
+    selection step, deterministic.
+
+    Sampling without replacement with probability ∝ weight is the
+    Gumbel top-k trick: key = ln(weight) + Gumbel noise, keep the k
+    largest keys. Both terms are reproducible across engines and
+    reruns: ln(weight) = ``log_weight``·ln(10) from the ROUNDED
+    :func:`importance_weights` output, and the noise is
+    -ln(-ln(u)) with u = (band + 0.5) / 2³² from the module's
+    ``md5(seed || id)`` hash band — no ``rand()`` anywhere, the same
+    determinism contract as every other operator here. Ties (measure
+    zero) break by id.
+
+    Scale shape: the weighting is :func:`importance_weights`; the key
+    is one more map-side projection, and the top-k is Spark's
+    sort+limit (per-partition partial top-k, k-row merge — never a
+    global payload sort).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = importance_weights(
+        raw,
+        target,
+        alpha=alpha,
+        min_count=min_count,
+        max_broadcast_vocab=max_broadcast_vocab,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    u = (_hash_band(seed, [id_col]).cast("double") + 0.5) / float(2**32)
+    key = F.col("log_weight") * math.log(10.0) + (-F.log(-F.log(u)))
+    return (
+        w.withColumn("_gkey", key)
+        .orderBy(F.col("_gkey").desc(), id_col)
+        .limit(k)
+        .drop("_gkey")
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402
@@ -496,6 +649,59 @@ def q_sample_weighted(spark, sf_dir):
         "doc_id", ((F.col("doc_id") % 10) / 10.0).alias("w")
     )
     return weighted_sample(docs, "w", ["doc_id"], seed="weighted")
+
+
+#: Tokens-per-doc stream shared by the DSIR oracle's CTEs: non-empty
+#: single-space word split, the build_vocab/importance_weights spec.
+_DUCK_DSIR_WORDS = (
+    "unnest(list_filter(string_split(lower(text), ' '), w -> w <> ''))"
+)
+
+
+@register(
+    "q_dsir_select",
+    # DSIR selection toward a synthetic target domain (every 7th doc):
+    # add-alpha unigram LMs on both sides (alpha=0.5, V/N measured per
+    # side), per-doc summed log10 likelihood ratio, then deterministic
+    # Gumbel top-k from the md5 hash band. k=400 keeps the gate
+    # non-vacuous at sf0.01 (~6k docs) and sf0.1 alike.
+    f"""
+    WITH tv AS (SELECT w, count(*) AS c_t FROM (
+             SELECT {_DUCK_DSIR_WORDS} AS w
+             FROM documents WHERE doc_id % 7 = 0) GROUP BY w),
+         rv AS (SELECT w, count(*) AS c_r FROM (
+             SELECT {_DUCK_DSIR_WORDS} AS w FROM documents) GROUP BY w),
+         v AS (SELECT coalesce(tv.w, rv.w) AS w, c_t, c_r
+               FROM tv FULL JOIN rv ON tv.w = rv.w),
+         tot AS (SELECT coalesce(sum(c_t), 0)::DOUBLE AS nt,
+                        count(c_t)::DOUBLE AS vt,
+                        coalesce(sum(c_r), 0)::DOUBLE AS nr,
+                        count(c_r)::DOUBLE AS vr FROM v),
+         toks AS (SELECT doc_id, {_DUCK_DSIR_WORDS} AS w FROM documents),
+         scored AS (
+             SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                    round(sum(
+                        log10((coalesce(c_t, 0) + 0.5)
+                              / (nt + 0.5 * (vt + 1)))
+                      - log10((coalesce(c_r, 0) + 0.5)
+                              / (nr + 0.5 * (vr + 1)))), 6) AS log_weight
+             FROM toks LEFT JOIN v USING (w) CROSS JOIN tot
+             GROUP BY doc_id)
+    SELECT doc_id, n_tokens, log_weight FROM (
+        SELECT *, log_weight * ln(10)
+                  + (-ln(-ln(({DUCK_BAND.format(
+                      key="'dsir' || chr(31) || doc_id::VARCHAR")}
+                      + 0.5) / 4294967296.0))) AS gkey
+        FROM scored)
+    ORDER BY gkey DESC, doc_id LIMIT 400
+    """,
+    "DSIR importance resampling: unigram-LM log-likelihood ratio "
+    "toward a target domain, deterministic Gumbel top-k selection",
+)
+def q_dsir_select(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 7 == 0)
+    return importance_resample(docs, target, 400, seed="dsir")
 
 
 #: 8-word shingles from a single-space split of the lowercased text —

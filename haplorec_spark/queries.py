@@ -525,17 +525,10 @@ def q_report_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------- F13 (wide<->long melt)
 
-@register(
-    "q_melt_part",
-    """
-    SELECT p_partkey, key, value FROM (
-        SELECT p_partkey, 'retailprice' AS key, p_retailprice::DOUBLE AS value
-        FROM part
-        UNION ALL
-        SELECT p_partkey, 'size' AS key, p_size::DOUBLE AS value FROM part)
-    """,
-    "wide->long unpivot (gene matrix wide->long triples analog)",
-)
+# Not a driver gate since round 5 (slot rotated to q_dsir_select): the
+# melt is one map-side Expand whose kernel stays DuckDB-cross-checked
+# in test_rows.py/test_registry.py; the slot moved to the new DSIR
+# importance-resampling family, which had no hard gate.
 def q_melt_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.operators.reshape import melt
 

@@ -202,6 +202,20 @@ CHECKS = {
                    "HashAggregate.*Exchange.*HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_dsir_weights": {
+        # DSIR scoring: ONE combined-vocabulary join (broadcast under
+        # the measured bound) feeding the per-doc sum — never two
+        # separate LM joins, never a nested loop
+        "expect": ["BroadcastHashJoin",
+                   "HashAggregate.*Exchange.*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "_dsir_weights_large": {
+        # above the measured vocab bound the scoring join must fall
+        # back to a shuffle join, not a forced broadcast
+        "expect": ["SortMergeJoin"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "_bpe_pair_counts": {
         # one BPE training iteration's pair count: map-side zip_with
         # pair extraction (Generate over the vocabulary-sized symbol
@@ -446,6 +460,22 @@ def _train_linear_grad(spark, sf_dir):
         vocab_size=weights.count(), max_broadcast_vocab=2_000_000,
     )
     return _word_gradient(feats, resid, 100)
+
+
+def _dsir_weights(spark, sf_dir, **kw):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.sampling import importance_weights
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    return importance_weights(
+        docs, docs.filter(F.col("doc_id") % 7 == 0), **kw
+    )
+
+
+def _dsir_weights_large(spark, sf_dir):
+    return _dsir_weights(spark, sf_dir, max_broadcast_vocab=0)
 
 
 def _bpe_pair_counts(spark, sf_dir):

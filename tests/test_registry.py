@@ -108,6 +108,14 @@ ROTATED_OUT_ORACLES = {
     """,
     "q_phenotype_normalize":
         "SELECT p_partkey, lower(p_type) AS phenotype_name FROM part",
+    "q_melt_part": """
+        SELECT p_partkey, key, value FROM (
+            SELECT p_partkey, 'retailprice' AS key,
+                   p_retailprice::DOUBLE AS value FROM part
+            UNION ALL
+            SELECT p_partkey, 'size' AS key, p_size::DOUBLE AS value
+            FROM part)
+    """,
     "q_running_revenue": """
         SELECT CAST(month AS TIMESTAMP) AS month,
                round(CAST(sum(month_rev) OVER (ORDER BY month

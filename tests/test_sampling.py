@@ -497,3 +497,114 @@ def test_leakage_safe_split_vs_duckdb(spark, docs, duck):
         ).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------------- DSIR
+
+
+def _ref_dsir_weights(raw_texts, target_texts, alpha=0.5):
+    """Independent replica: add-alpha unigram LMs, summed log10 ratio.
+    raw_texts/target_texts: {doc_id: text} / [text]."""
+    import math
+    from collections import Counter
+
+    def words(t):
+        return [w for w in t.lower().split(" ") if w]
+
+    vt = Counter(w for t in target_texts for w in words(t))
+    vr = Counter(w for t in raw_texts.values() for w in words(t))
+    nt, vtc = sum(vt.values()), len(vt)
+    nr, vrc = sum(vr.values()), len(vr)
+    dt = nt + alpha * (vtc + 1)
+    dr = nr + alpha * (vrc + 1)
+    out = {}
+    for did, t in raw_texts.items():
+        ws = words(t)
+        if not ws:
+            continue
+        lw = sum(
+            math.log10((vt.get(w, 0) + alpha) / dt)
+            - math.log10((vr.get(w, 0) + alpha) / dr)
+            for w in ws
+        )
+        out[did] = (len(ws), round(lw, 6))
+    return out
+
+
+def test_importance_weights_match_replica(spark, docs):
+    from haplorec_spark.operators.sampling import importance_weights
+
+    raw = docs.limit(60)
+    target = raw.filter(F.col("doc_id") % 5 == 0)
+    raw_texts = {r["doc_id"]: r["text"] for r in raw.collect()}
+    target_texts = [
+        t for d, t in raw_texts.items() if d % 5 == 0
+    ]
+    want = _ref_dsir_weights(raw_texts, target_texts)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in importance_weights(raw, target).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6), did
+
+
+def test_importance_weights_shift_toward_target(spark):
+    # docs made of target-domain words must outweigh off-domain docs
+    from haplorec_spark.operators.sampling import importance_weights
+
+    raw = spark.createDataFrame(
+        [(0, "gene variant allele"), (1, "gene variant haplotype"),
+         (2, "stock market futures"), (3, "weather rain forecast")],
+        "doc_id int, text string",
+    )
+    target = raw.filter(F.col("doc_id") <= 1)
+    w = {
+        r["doc_id"]: r["log_weight"]
+        for r in importance_weights(raw, target).collect()
+    }
+    assert min(w[0], w[1]) > max(w[2], w[3])
+
+
+def test_importance_resample_selects_k_highest_keys(spark, docs):
+    import math
+
+    from haplorec_spark.operators.sampling import (
+        importance_resample, importance_weights,
+    )
+
+    raw = docs.limit(80)
+    target = raw.filter(F.col("doc_id") % 5 == 0)
+    k = 20
+    sel = importance_resample(raw, target, k, seed="t")
+    got = sorted(r["doc_id"] for r in sel.collect())
+    assert len(got) == k
+    # replica: gumbel keys from the rounded weights + the band hash
+    weights = {
+        r["doc_id"]: r["log_weight"]
+        for r in importance_weights(raw, target).collect()
+    }
+    keys = {}
+    for did, lw in weights.items():
+        u = (band("t", did) + 0.5) / 2**32
+        keys[did] = lw * math.log(10.0) - math.log(-math.log(u))
+    want = sorted(
+        sorted(keys, key=lambda d: (-keys[d], d))[:k]
+    )
+    assert got == want
+    # determinism: a rerun selects the identical set
+    again = sorted(
+        r["doc_id"] for r in importance_resample(
+            raw, target, k, seed="t"
+        ).collect()
+    )
+    assert again == got
+
+
+def test_importance_resample_rejects_bad_k(spark, docs):
+    from haplorec_spark.operators.sampling import importance_resample
+
+    with pytest.raises(ValueError, match="k must be"):
+        importance_resample(docs, docs, 0)
