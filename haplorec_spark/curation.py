@@ -7,7 +7,8 @@ language keep-list → cross-document boilerplate-line strip → quality +
 repetition filters → unigram-LM score floor → linear-classifier gate →
 perplexity-tier cut →
 PII redaction → document dedup → span-level duplicated-passage strip →
-eval-set decontamination → domain mixture → split assignment →
+eval-set decontamination → DSIR target-domain selection → domain
+mixture → split assignment →
 sliding-window chunking → sequence packing — each stage an existing
 operator from
 ``operators/``, each individually oracle- or replica-verified. The
@@ -94,6 +95,13 @@ class CurationConfig:
     strip_span_ngram: int | None = None
     span_min_df: int = 2
     decontaminate_ngram: int = 8
+    #: DSIR selection: keep the dsir_k documents importance-resampled
+    #: toward the ``target`` corpus passed to :func:`curate_documents`
+    #: (None skips; setting it without a target is an error). Runs
+    #: after decontamination, before mixture — selection sees the
+    #: cleaned corpus, and mixture rebalances the selected set.
+    dsir_k: int | None = None
+    dsir_seed: str = "dsir"
     mixture_weights: Mapping[str, float] | None = None
     splits: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.98, "valid": 0.01, "test": 0.01}
@@ -122,6 +130,7 @@ def curate_documents(
     benchmark: DataFrame | None = None,
     config: CurationConfig = CurationConfig(),
     *,
+    target: DataFrame | None = None,
     count_stages: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation sequence; returns (curated frame, stage
@@ -300,6 +309,24 @@ def curate_documents(
                 id_col=cfg.id_col,
             ),
         )
+
+    if cfg.dsir_k is not None:
+        # domain selection on the cleaned corpus: importance-resample
+        # toward the target distribution (deterministic Gumbel top-k),
+        # then mixture/splits operate on the selected set
+        if target is None:
+            raise ValueError("dsir_k requires a target corpus")
+        from haplorec_spark.operators.sampling import importance_resample
+
+        keep = importance_resample(
+            out,
+            target,
+            cfg.dsir_k,
+            seed=cfg.dsir_seed,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+        ).select(cfg.id_col)
+        out = note("dsir", out.join(keep, cfg.id_col))
 
     if cfg.mixture_weights:
         out = note(

@@ -407,3 +407,37 @@ def test_curation_normalized_dedup_catches_variants(spark):
     assert rows[1] == "The QUICK brown fox!"  # raw text survives
     out2, _ = curate_documents(docs, config=CurationConfig(**base))
     assert {r["doc_id"] for r in out2.collect()} == {1, 2, 3}
+
+
+def test_curation_dsir_stage_selects_toward_target(spark):
+    import pytest
+
+    from haplorec_spark.operators.sampling import importance_resample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(100)
+    target = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", "text")
+    # permissive thresholds isolate the DSIR stage: the curated id set
+    # must equal the standalone operator's selection
+    cfg = CurationConfig(
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+        dsir_k=25,
+        dsir_seed="cur",
+    )
+    out, counts = curate_documents(
+        docs, config=cfg, target=target, count_stages=True
+    )
+    got = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    want = sorted(
+        r["doc_id"]
+        for r in importance_resample(
+            docs, target, 25, seed="cur"
+        ).collect()
+    )
+    assert got == want and counts["dsir"] == 25
+
+    with pytest.raises(ValueError, match="requires a target"):
+        curate_documents(docs, config=cfg)
