@@ -40,7 +40,27 @@ def main() -> None:
     from haplorec_spark.queries import registry
     from haplorec_spark.session import get_spark
 
-    spark = get_spark(app_name="haplorec_spark_bench")
+    # Two sources of in-suite noise (a random heavy query measuring
+    # 2-5x slower than in isolation) are one-session artifacts, not query
+    # cost, and are disabled for measurement:
+    # - the generated-code cache defaults to 100 classes; 50 wide queries
+    #   x several codegen stages evict across the suite, so the "steady"
+    #   pass silently recompiles an arbitrary subset;
+    # - the UI's SQL listener retains every execution's full plan graph —
+    #   this suite's plans embed literal codebooks/hash matrices, so 100
+    #   retained executions are GC ballast and listener-bus churn.
+    # (Deliberately NOT done: per-query clearCache()/System.gc() — a
+    # forced full GC can unload the per-query codegen classloaders,
+    # which measured WORSE than leaving Spark's LRU/weak-ref cleanup
+    # alone: +9 s total, one query 2.4x slower.)
+    spark = get_spark(
+        app_name="haplorec_spark_bench",
+        extra_confs={
+            "spark.sql.codegen.cache.maxEntries": "5000",
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "5",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet readers over every table once (footer reads,
