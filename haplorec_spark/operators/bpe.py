@@ -118,6 +118,7 @@ def train_bpe(
     text_col: str = "text",
     min_word_count: int = 1,
     min_pair_count: int = 1,
+    max_word_chars: int | None = None,
     checkpoint_interval: int = 8,
 ) -> DataFrame:
     """(merge_rank, left, right, merged, pair_count): the learned BPE
@@ -137,12 +138,25 @@ def train_bpe(
     code unit (``split(word, '')``), the documented behavior for the
     ASCII-dominant test corpora; byte-level BPE would swap the seed
     expression only.
+
+    ``max_word_chars`` drops longer "words" from TRAINING (web corpora
+    carry unbroken URLs/base64/DNA runs; the merge fold's accumulator
+    copy is O(len²) per word, so a single 10k-char token costs more
+    than the rest of the vocabulary — and its interior pairs are noise
+    to the merge statistics anyway, the reason real BPE trainers cap
+    word length). Encoding is unaffected: long words still tokenize
+    under the learned merges.
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     spark = docs.sparkSession
+    counts = bpe_word_counts(
+        docs, text_col=text_col, min_count=min_word_count
+    )
+    if max_word_chars is not None:
+        counts = counts.filter(F.length("word") <= max_word_chars)
     syms = (
-        bpe_word_counts(docs, text_col=text_col, min_count=min_word_count)
+        counts
         .select(
             "count",
             F.expr(

@@ -222,3 +222,21 @@ def test_trainer_on_parquet_corpus(spark):
         for r in merges.orderBy("merge_rank").collect()
     ]
     assert got == want
+
+
+def test_max_word_chars_excludes_long_words_from_training(spark):
+    # one giant unbroken token must not contribute merges when capped
+    docs = spark.createDataFrame(
+        [(0, "cat cat cat " + "x" * 200), (1, "cat bat")],
+        "doc_id int, text string",
+    )
+    capped = train_bpe(docs, n_merges=10, max_word_chars=16)
+    got = [(r["left"], r["right"]) for r in capped.orderBy("merge_rank").collect()]
+    texts = ["cat cat cat", "cat bat"]  # the long word dropped
+    want = [
+        (l, r)
+        for l, r, _ in _ref_train(_ref_word_counts(texts), 10)
+    ]
+    assert got == want
+    # no learned symbol contains the capped word's character
+    assert all("x" not in l + r for l, r in got)
