@@ -459,10 +459,38 @@ def contamination_report(
     )
 
 
-def importance_weights(
+def build_dsir_vocab(
     raw: DataFrame,
     target: DataFrame,
     *,
+    text_col: str = "text",
+) -> DataFrame:
+    """(word, c_t, c_r): the combined DSIR vocabulary — target and raw
+    word counts FULL-joined on word (nulls where a word appears on one
+    side only). Build once, persist or write to parquet, and pass to
+    :func:`importance_weights` as ``vocab`` to score LATER batches
+    under the FROZEN likelihood ratio — the incremental pattern every
+    store in this repo uses (scoring drifts silently if each batch
+    re-learns both LMs from itself)."""
+    ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
+
+    def counts(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.expr(ws)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias(cname))
+        )
+
+    return counts(target, "c_t").join(
+        counts(raw, "c_r"), on="word", how="full"
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame | None = None,
+    *,
+    vocab: DataFrame | None = None,
     alpha: float = 0.5,
     min_count: int = 1,
     max_broadcast_vocab: int = 2_000_000,
@@ -498,19 +526,22 @@ def importance_weights(
     web-scale token set must never be forced into executor memory).
     Then one per-doc sum. The raw corpus is scanned twice total (its
     vocabulary; scoring), the target corpus once.
+
+    Pass ``vocab`` (a :func:`build_dsir_vocab` frame) to score under a
+    FROZEN likelihood ratio instead of learning both LMs from the
+    inputs — the incremental/streaming shape: later batches keep the
+    original corpus statistics, and ``target`` is then unused. The
+    totals aggregate over the pinned vocab is vocabulary-sized.
     """
     ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
-
-    def vocab(df: DataFrame, cname: str) -> DataFrame:
-        return (
-            df.select(F.explode(F.expr(ws)).alias("word"))
-            .groupBy("word")
-            .agg(F.count(F.lit(1)).alias(cname))
-        )
-
-    combined = vocab(target, "c_t").join(
-        vocab(raw, "c_r"), on="word", how="full"
-    ).persist()
+    if vocab is None:
+        if target is None:
+            raise ValueError("importance_weights needs target or vocab")
+        combined = build_dsir_vocab(
+            raw, target, text_col=text_col
+        ).persist()
+    else:
+        combined = vocab.persist()
     tot = combined.agg(
         F.sum("c_t").alias("nt"),
         F.count("c_t").alias("vt"),
@@ -561,9 +592,10 @@ def importance_weights(
 
 def importance_resample(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     k: int,
     *,
+    vocab: DataFrame | None = None,
     seed: str = "dsir",
     alpha: float = 0.5,
     min_count: int = 1,
@@ -595,6 +627,7 @@ def importance_resample(
     w = importance_weights(
         raw,
         target,
+        vocab=vocab,
         alpha=alpha,
         min_count=min_count,
         max_broadcast_vocab=max_broadcast_vocab,

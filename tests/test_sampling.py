@@ -608,3 +608,63 @@ def test_importance_resample_rejects_bad_k(spark, docs):
 
     with pytest.raises(ValueError, match="k must be"):
         importance_resample(docs, docs, 0)
+
+
+def test_dsir_pinned_vocab_freezes_the_ratio(spark, docs):
+    import math
+
+    from haplorec_spark.operators.sampling import (
+        build_dsir_vocab, importance_weights,
+    )
+
+    base = docs.limit(60)
+    target = base.filter(F.col("doc_id") % 5 == 0)
+    pinned = build_dsir_vocab(base, target).persist()
+
+    # pinned == self-built on the same corpora
+    self_built = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in importance_weights(base, target).collect()
+    }
+    via_pinned = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in importance_weights(base, vocab=pinned).collect()
+    }
+    assert via_pinned == self_built
+
+    # a LATER batch scores under the FROZEN counts: replica with the
+    # original corpus statistics, not the batch's own
+    batch = docs.filter(
+        (F.col("doc_id") >= 60) & (F.col("doc_id") < 80)
+    )
+    vt, vr = {}, {}
+    for r in pinned.collect():
+        if r["c_t"] is not None:
+            vt[r["word"]] = r["c_t"]
+        if r["c_r"] is not None:
+            vr[r["word"]] = r["c_r"]
+    dt = sum(vt.values()) + 0.5 * (len(vt) + 1)
+    dr = sum(vr.values()) + 0.5 * (len(vr) + 1)
+    want = {}
+    for r in batch.collect():
+        ws = [w for w in r["text"].lower().split(" ") if w]
+        if not ws:
+            continue
+        lw = sum(
+            math.log10((vt.get(w, 0) + 0.5) / dt)
+            - math.log10((vr.get(w, 0) + 0.5) / dr)
+            for w in ws
+        )
+        want[r["doc_id"]] = (len(ws), round(lw, 6))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in importance_weights(batch, vocab=pinned).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0]
+        assert got[did][1] == pytest.approx(want[did][1], abs=2e-6)
+    pinned.unpersist()
+
+    with pytest.raises(ValueError, match="target or vocab"):
+        importance_weights(batch)
