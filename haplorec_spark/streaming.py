@@ -676,3 +676,81 @@ def stream_drift_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_dsir_score(
+    doc_stream: DataFrame,
+    vocab: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    min_log_weight: float | None = None,
+    alpha: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch DSIR scoring: weight every incoming micro-batch's
+    documents against a PINNED combined vocabulary
+    (:func:`~haplorec_spark.operators.sampling.build_dsir_vocab` from
+    the reference raw+target snapshot) and append (ingest_batch, id,
+    n_tokens, log_weight) to ``out_path`` — the streaming face of
+    :func:`~haplorec_spark.operators.sampling.importance_weights`.
+    The frozen ratio is the point: per-batch re-learned LMs would
+    drift with whatever each drop happens to contain.
+
+    ``min_log_weight`` keeps only documents at or above the floor
+    (the streaming selection face — Gumbel top-k needs a global view,
+    so streams select by threshold; calibrate the floor offline from
+    the batch weight distribution). Per batch: one token join against
+    the pinned vocab + a per-doc sum. Exactly-once via
+    ``ingest_batch=<batch_id>`` dynamic partition overwrite (the
+    module's standard replay scheme). Returns the started
+    StreamingQuery.
+    """
+    from haplorec_spark.operators.sampling import importance_weights
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):  # empty-batch guard
+            return
+        w = importance_weights(
+            batch_df,
+            vocab=vocab,
+            alpha=alpha,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        if min_log_weight is not None:
+            w = w.filter(F.col("log_weight") >= min_log_weight)
+        out = w.select(
+            F.lit(batch_id).alias("ingest_batch"),
+            id_col,
+            "n_tokens",
+            "log_weight",
+        ).repartition(1)
+        # same session caveat as stream_drift_monitor: the plan
+        # descends from the MAIN session's pinned vocab, so the
+        # dynamic-overwrite flip goes on out.sparkSession and must be
+        # restored (it is the user's session, not a per-batch clone).
+        conf = out.sparkSession.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(out_path)
+            )
+        finally:
+            if prev is None:
+                conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+
+    return (
+        doc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -700,3 +700,70 @@ def test_stream_drift_monitor_restores_overwrite_conf(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.conf.get(key, None) == prev
+
+
+def test_stream_dsir_score_matches_batch_and_freezes_lm(spark, tmp_path):
+    """Two document drops scored against a pinned DSIR vocabulary:
+    each batch's weights equal the batch importance_weights under the
+    same pinned vocab (stream/batch parity under the FROZEN ratio)
+    and each drop writes its own ingest_batch partition."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.sampling import (
+        build_dsir_vocab,
+        importance_weights,
+    )
+    from haplorec_spark.streaming import stream_dsir_score
+
+    base = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(60)
+    target = base.filter(F.col("doc_id") % 5 == 0)
+    vocab = build_dsir_vocab(base, target).persist()
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "dsir")
+
+    def run_drop(lo, hi):
+        spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_dsir_score(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src)),
+            vocab,
+            out_path=out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    run_drop(60, 75)
+    run_drop(75, 90)  # same checkpoint: batch 1
+
+    got = spark.read.parquet(out)
+    batches = {
+        r["ingest_batch"]
+        for r in got.select("ingest_batch").distinct().collect()
+    }
+    assert batches == {0, 1}
+    for lo, hi, b in ((60, 75, 0), (75, 90, 1)):
+        batch_docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text").filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        want = sorted(
+            (r["doc_id"], r["n_tokens"], r["log_weight"])
+            for r in importance_weights(
+                batch_docs, vocab=vocab
+            ).collect()
+        )
+        have = sorted(
+            (r["doc_id"], r["n_tokens"], r["log_weight"])
+            for r in got.filter(F.col("ingest_batch") == b).collect()
+        )
+        assert have == want, b
+    vocab.unpersist()
