@@ -347,6 +347,103 @@ def mixture_sample(
     )
 
 
+def mixture_upsample(
+    df: DataFrame,
+    target_weights: Mapping[str, float],
+    strata_col: str,
+    key_cols: Sequence[str],
+    *,
+    total_tokens: int | None = None,
+    token_col: str | None = None,
+    text_col: str = "text",
+    seed: str = "mixture",
+    max_replication: float | None = None,
+) -> DataFrame:
+    """Rebalance domains to ``target_weights`` token shares WITH
+    replication — the multi-epoch mixture :func:`mixture_sample`
+    cannot express (high-quality sources are routinely repeated 2-5
+    epochs while web crawl is downsampled; Gopher/LLaMA-style
+    recipes). Output rows carry a ``replica`` column (0-based copy
+    index), so (key_cols, replica) stays unique downstream and the
+    packing tape hashes each copy to its own position.
+
+    Each domain's replication factor is r = share × S / tokens, where
+    S is ``total_tokens`` (the token budget) or, by default, the input
+    total over the listed domains — reshape the mix, keep the size.
+    Every row emits ⌊r⌋ copies plus one more where its hash band falls
+    under frac(r) — tokens match the target in expectation per domain,
+    deterministically (the module's md5 bands, so reruns replicate the
+    identical rows). ``max_replication`` fails fast when a tiny domain
+    would be repeated more than intended (repetition past a handful of
+    epochs measurably hurts models; cap and fix the recipe instead).
+    Domains absent from ``target_weights`` are dropped, as in
+    :func:`mixture_sample`.
+
+    Scale shape: ONE token-total aggregate (domain-count rows to the
+    driver), then a map-side posexplode of ``sequence(0, n_copies-1)``
+    — no join, no second shuffle; output size is the only cost.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must not be empty")
+    for dom, w in target_weights.items():
+        if w <= 0:
+            raise ValueError(f"target weight for {dom!r} must be > 0: {w}")
+    n_tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.lower(F.col(text_col)), " "))
+    ).cast("long")
+    totals = {
+        r["d"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("d"))
+        .agg(F.sum(n_tokens).alias("t"))
+        .collect()
+        if r["d"] in target_weights
+    }
+    missing = set(target_weights) - set(totals)
+    if missing:
+        raise ValueError(
+            f"target domains absent from input: {sorted(missing)}"
+        )
+    s = (
+        float(total_tokens)
+        if total_tokens is not None
+        else float(sum(totals.values()))
+    )
+    reps = {
+        d: (target_weights[d] * s) / totals[d] for d in totals
+    }
+    if max_replication is not None:
+        over = {d: r for d, r in reps.items() if r > max_replication}
+        if over:
+            raise ValueError(
+                f"replication above max_replication={max_replication}: "
+                + ", ".join(f"{d!r}: {r:.2f}" for d, r in sorted(over.items()))
+            )
+    band = _hash_band(seed, key_cols)
+    n_copies = None
+    for dom, r in reps.items():
+        whole = int(r)
+        frac_cut = int((r - whole) * (1 << _BAND_BITS))
+        copies = F.lit(whole) + (band < F.lit(frac_cut)).cast("int")
+        cond = F.col(strata_col) == F.lit(dom)
+        n_copies = (
+            F.when(cond, copies)
+            if n_copies is None
+            else n_copies.when(cond, copies)
+        )
+    n_copies = n_copies.otherwise(F.lit(0))
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .select(
+            "*",
+            F.explode(F.expr("sequence(0, __n - 1)")).alias("replica"),
+        )
+        .drop("__n")
+    )
+
+
 def top_k_by_hash(
     df: DataFrame,
     k: int,

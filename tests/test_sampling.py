@@ -668,3 +668,93 @@ def test_dsir_pinned_vocab_freezes_the_ratio(spark, docs):
 
     with pytest.raises(ValueError, match="target or vocab"):
         importance_weights(batch)
+
+
+def test_mixture_upsample_matches_duckdb_and_hits_shares(spark, docs):
+    import duckdb
+
+    from haplorec_spark.operators.sampling import (
+        DUCK_BAND, mixture_upsample,
+    )
+
+    weights = {"en": 0.2, "de": 0.5, "zh": 0.3}  # forces de/zh upsampling
+    out = mixture_upsample(docs, weights, "lang", ["doc_id"], seed="up")
+    got = sorted(
+        (r["doc_id"], r["replica"]) for r in out.collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    totals = dict(
+        con.execute(
+            """select lang, sum(len(string_split(lower(text), ' ')))
+               from documents group by lang"""
+        ).fetchall()
+    )
+    s = sum(totals[d] for d in weights)
+    case = " ".join(
+        f"WHEN lang = '{d}' THEN {int(w * s / totals[d])}"
+        f" + (band < {int(((w * s / totals[d]) - int(w * s / totals[d])) * (1 << 32))})::INT"
+        for d, w in weights.items()
+    )
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"""
+            WITH b AS (SELECT doc_id, lang,
+                       {DUCK_BAND.format(
+                           key="'up' || chr(31) || doc_id::VARCHAR")} AS band
+                       FROM documents),
+                 n AS (SELECT doc_id, CASE {case} ELSE 0 END AS n_copies
+                       FROM b)
+            SELECT doc_id, unnest(generate_series(0, n_copies - 1)) AS replica
+            FROM n WHERE n_copies > 0
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+    # output token shares approximate the targets (within 15% relative)
+    shares = {
+        r["lang"]: r["t"]
+        for r in out.groupBy("lang").agg(
+            F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("t")
+        ).collect()
+    }
+    tot = sum(shares.values())
+    for d, w in weights.items():
+        assert abs(shares[d] / tot - w) / w < 0.15, (d, shares[d] / tot, w)
+
+    # (key, replica) is unique; determinism across reruns
+    assert len(got) == len(set(got))
+    again = sorted(
+        (r["doc_id"], r["replica"])
+        for r in mixture_upsample(
+            docs, weights, "lang", ["doc_id"], seed="up"
+        ).collect()
+    )
+    assert again == got
+
+
+def test_mixture_upsample_guards(spark, docs):
+    from haplorec_spark.operators.sampling import mixture_upsample
+
+    with pytest.raises(ValueError, match="max_replication"):
+        mixture_upsample(
+            docs, {"de": 0.9, "en": 0.1}, "lang", ["doc_id"],
+            max_replication=2.0,
+        )
+    with pytest.raises(ValueError, match="absent"):
+        mixture_upsample(docs, {"xx": 1.0}, "lang", ["doc_id"])
+    # explicit token budget scales output
+    from pyspark.sql import functions as SF_
+    small = mixture_upsample(
+        docs, {"en": 1.0}, "lang", ["doc_id"], total_tokens=2000
+    )
+    t = small.agg(
+        SF_.sum(SF_.size(SF_.split(SF_.lower(SF_.col("text")), " ")))
+    ).first()[0]
+    assert 1000 < t < 3200  # ~2000 in expectation
