@@ -103,6 +103,16 @@ class CurationConfig:
     dsir_k: int | None = None
     dsir_seed: str = "dsir"
     mixture_weights: Mapping[str, float] | None = None
+    #: "downsample" (mixture_sample — largest output with no
+    #: repetition) or "upsample" (mixture_upsample — multi-epoch
+    #: repetition allowed; rows gain a replica index). Replicas of a
+    #: document always share its split (the split still hashes the
+    #: ORIGINAL id — copies straddling train/eval would be leakage by
+    #: construction), and each replica gets its own identity
+    #: (`<id>#<replica>`) before chunking/packing so tape positions
+    #: stay unique.
+    mixture_mode: str = "downsample"
+    max_replication: float | None = None
     splits: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.98, "valid": 0.01, "test": 0.01}
     )
@@ -328,17 +338,34 @@ def curate_documents(
         ).select(cfg.id_col)
         out = note("dsir", out.join(keep, cfg.id_col))
 
+    if cfg.mixture_mode not in ("downsample", "upsample"):
+        raise ValueError(f"unknown mixture_mode: {cfg.mixture_mode!r}")
     if cfg.mixture_weights:
-        out = note(
-            "mixture",
-            mixture_sample(
-                out,
-                cfg.mixture_weights,
-                cfg.lang_col,
-                [cfg.id_col],
-                text_col=cfg.text_col,
-            ),
-        )
+        if cfg.mixture_mode == "upsample":
+            from haplorec_spark.operators.sampling import mixture_upsample
+
+            out = note(
+                "mixture",
+                mixture_upsample(
+                    out,
+                    cfg.mixture_weights,
+                    cfg.lang_col,
+                    [cfg.id_col],
+                    text_col=cfg.text_col,
+                    max_replication=cfg.max_replication,
+                ),
+            )
+        else:
+            out = note(
+                "mixture",
+                mixture_sample(
+                    out,
+                    cfg.mixture_weights,
+                    cfg.lang_col,
+                    [cfg.id_col],
+                    text_col=cfg.text_col,
+                ),
+            )
 
     if cfg.leakage_safe:
         from haplorec_spark.operators.dedup import lsh_candidate_pairs
@@ -359,6 +386,19 @@ def curate_documents(
         out = note(
             "split", hash_split(out, dict(cfg.splits), [cfg.id_col])
         )
+
+    if "replica" in out.columns:
+        # AFTER split (replicas of one doc share its split by hashing
+        # the original id), each copy becomes its own identity so
+        # chunk ids and tape positions are unique per replica
+        out = out.withColumn(
+            cfg.id_col,
+            F.concat_ws(
+                "#",
+                F.col(cfg.id_col).cast("string"),
+                F.col("replica").cast("string"),
+            ),
+        ).drop("replica")
 
     pack_id = cfg.id_col
     if cfg.chunk_size:
