@@ -202,6 +202,14 @@ CHECKS = {
                    "HashAggregate.*Exchange.*HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_mixture_upsample": {
+        # replication is a pure map-side posexplode after the one
+        # (separate) token-total collect: the output plan itself must
+        # carry NO exchange and no Python
+        "expect": ["Generate"],
+        "forbid": ["Exchange", "CartesianProduct",
+                   "ArrowEvalPython", "BatchEvalPython"],
+    },
     "_dsir_weights": {
         # DSIR scoring: ONE combined-vocabulary join (broadcast under
         # the measured bound) feeding the per-doc sum — never two
@@ -460,6 +468,18 @@ def _train_linear_grad(spark, sf_dir):
         vocab_size=weights.count(), max_broadcast_vocab=2_000_000,
     )
     return _word_gradient(feats, resid, 100)
+
+
+def _mixture_upsample(spark, sf_dir):
+    from haplorec_spark.operators.sampling import mixture_upsample
+    from haplorec_spark.queries import table
+
+    return mixture_upsample(
+        table(spark, sf_dir, "documents"),
+        {"en": 0.2, "de": 0.5, "zh": 0.3},
+        "lang",
+        ["doc_id"],
+    )
 
 
 def _dsir_weights(spark, sf_dir, **kw):
