@@ -320,6 +320,10 @@ def curate_documents(
             ),
         )
 
+    if target is not None and cfg.dsir_k is None:
+        # a supplied target with no dsir_k would silently skip the
+        # selection the caller clearly expects
+        raise ValueError("target corpus supplied but dsir_k is not set")
     if cfg.dsir_k is not None:
         # domain selection on the cleaned corpus: importance-resample
         # toward the target distribution (deterministic Gumbel top-k),
@@ -340,6 +344,14 @@ def curate_documents(
 
     if cfg.mixture_mode not in ("downsample", "upsample"):
         raise ValueError(f"unknown mixture_mode: {cfg.mixture_mode!r}")
+    # near-dup pairs for leakage_safe splits come from the PRE-mixture
+    # frame: replicas of a doc share its id and text, so pairing the
+    # upsampled frame multiplies the most expensive stage's work by the
+    # replication factor for identical output (pairs need id_a < id_b),
+    # and for downsampling the extra pairs about dropped docs are
+    # no-ops in the split's left join
+    pre_mixture = out
+    did_upsample = False
     if cfg.mixture_weights:
         if cfg.mixture_mode == "upsample":
             from haplorec_spark.operators.sampling import mixture_upsample
@@ -355,6 +367,7 @@ def curate_documents(
                     max_replication=cfg.max_replication,
                 ),
             )
+            did_upsample = True
         else:
             out = note(
                 "mixture",
@@ -376,7 +389,7 @@ def curate_documents(
             leakage_safe_split(
                 out,
                 lsh_candidate_pairs(
-                    out, text_col=cfg.text_col, id_col=cfg.id_col
+                    pre_mixture, text_col=cfg.text_col, id_col=cfg.id_col
                 ),
                 dict(cfg.splits),
                 id_col=cfg.id_col,
@@ -387,7 +400,7 @@ def curate_documents(
             "split", hash_split(out, dict(cfg.splits), [cfg.id_col])
         )
 
-    if "replica" in out.columns:
+    if did_upsample:
         # AFTER split (replicas of one doc share its split by hashing
         # the original id), each copy becomes its own identity so
         # chunk ids and tape positions are unique per replica

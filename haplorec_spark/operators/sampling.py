@@ -292,6 +292,41 @@ def stratified_hash_sample(
     return df.filter(band < cutoff)
 
 
+def _domain_token_totals(
+    df: DataFrame,
+    target_weights: Mapping[str, float],
+    strata_col: str,
+    token_col: str | None,
+    text_col: str,
+) -> dict:
+    """Validate the target weights and collect per-domain token totals
+    — the one bounded driver collect the two mixture operators share
+    (domain-count rows, like fk.assign_ids' offsets)."""
+    if not target_weights:
+        raise ValueError("target_weights must not be empty")
+    for dom, w in target_weights.items():
+        if w <= 0:
+            raise ValueError(f"target weight for {dom!r} must be > 0: {w}")
+    n_tokens = (
+        F.col(token_col)
+        if token_col
+        else F.size(F.split(F.lower(F.col(text_col)), " "))
+    ).cast("long")
+    totals = {
+        r["d"]: r["t"]
+        for r in df.groupBy(F.col(strata_col).alias("d"))
+        .agg(F.sum(n_tokens).alias("t"))
+        .collect()
+        if r["d"] in target_weights
+    }
+    missing = set(target_weights) - set(totals)
+    if missing:
+        raise ValueError(
+            f"target domains absent from input: {sorted(missing)}"
+        )
+    return totals
+
+
 def mixture_sample(
     df: DataFrame,
     target_weights: Mapping[str, float],
@@ -316,28 +351,9 @@ def mixture_sample(
     bounded collect like fk.assign_ids' offsets) followed by the
     stratified map-side filter — no join, no second shuffle.
     """
-    if not target_weights:
-        raise ValueError("target_weights must not be empty")
-    for dom, w in target_weights.items():
-        if w <= 0:
-            raise ValueError(f"target weight for {dom!r} must be > 0: {w}")
-    n_tokens = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.lower(F.col(text_col)), " "))
-    ).cast("long")
-    totals = {
-        r["d"]: r["t"]
-        for r in df.groupBy(F.col(strata_col).alias("d"))
-        .agg(F.sum(n_tokens).alias("t"))
-        .collect()
-        if r["d"] in target_weights
-    }
-    missing = set(target_weights) - set(totals)
-    if missing:
-        raise ValueError(
-            f"target domains absent from input: {sorted(missing)}"
-        )
+    totals = _domain_token_totals(
+        df, target_weights, strata_col, token_col, text_col
+    )
     s = min(totals[d] / w for d, w in target_weights.items())
     fractions = {
         d: min(1.0, (target_weights[d] * s) / totals[d]) for d in totals
@@ -383,28 +399,14 @@ def mixture_upsample(
     driver), then a map-side posexplode of ``sequence(0, n_copies-1)``
     — no join, no second shuffle; output size is the only cost.
     """
-    if not target_weights:
-        raise ValueError("target_weights must not be empty")
-    for dom, w in target_weights.items():
-        if w <= 0:
-            raise ValueError(f"target weight for {dom!r} must be > 0: {w}")
-    n_tokens = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.lower(F.col(text_col)), " "))
-    ).cast("long")
-    totals = {
-        r["d"]: r["t"]
-        for r in df.groupBy(F.col(strata_col).alias("d"))
-        .agg(F.sum(n_tokens).alias("t"))
-        .collect()
-        if r["d"] in target_weights
-    }
-    missing = set(target_weights) - set(totals)
-    if missing:
+    if "replica" in df.columns:
         raise ValueError(
-            f"target domains absent from input: {sorted(missing)}"
+            "input already has a 'replica' column — the name is "
+            "reserved for the copy index this operator emits"
         )
+    totals = _domain_token_totals(
+        df, target_weights, strata_col, token_col, text_col
+    )
     s = (
         float(total_tokens)
         if total_tokens is not None

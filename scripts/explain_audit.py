@@ -238,9 +238,13 @@ CHECKS = {
         # corpus tokenization: the Python encoder (ArrowEvalPython)
         # must sit above the DISTINCT-word aggregate, never on the
         # exploded corpus stream, and the word-keyed join back must
-        # not be a forced broadcast of the unbounded vocabulary
-        "expect": ["HashAggregate.*ArrowEvalPython",
-                   "HashAggregate.*Exchange.*HashAggregate"],
+        # not be a forced broadcast of the unbounded vocabulary.
+        # ORDERED pattern: in formatted-explain tree order, the
+        # distinct aggregate pair must print BELOW (after) the Arrow
+        # node — losing the distinct() would leave only scans under
+        # the UDF and fail this match
+        "expect": ["ArrowEvalPython.*HashAggregate.*Exchange"
+                   ".*HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
 }

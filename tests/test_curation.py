@@ -486,3 +486,11 @@ def test_curation_upsample_mixture_replicas_share_split(spark):
             docs,
             config=CurationConfig(mixture_mode="sideways"),
         )
+
+
+def test_curation_target_without_dsir_k_raises(spark):
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    with pytest.raises(ValueError, match="dsir_k is not set"):
+        curate_documents(docs, target=docs)

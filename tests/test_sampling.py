@@ -758,3 +758,11 @@ def test_mixture_upsample_guards(spark, docs):
         SF_.sum(SF_.size(SF_.split(SF_.lower(SF_.col("text")), " ")))
     ).first()[0]
     assert 1000 < t < 3200  # ~2000 in expectation
+
+
+def test_mixture_upsample_rejects_existing_replica_column(spark, docs):
+    from haplorec_spark.operators.sampling import mixture_upsample
+
+    tagged = docs.withColumn("replica", F.lit(9))
+    with pytest.raises(ValueError, match="reserved"):
+        mixture_upsample(tagged, {"en": 1.0}, "lang", ["doc_id"])
