@@ -8,13 +8,24 @@ That is exactly the shape that scales on Spark:
 * ONE corpus scan builds ``(word, count)`` — the same explode +
   token-keyed count as :func:`haplorec_spark.operators.text.build_vocab`
   (map-side combined, one shuffle). At 100 TB the corpus is read once.
-* Every merge iteration then runs over the DISTINCT-WORD table
-  (vocabulary-sized, many orders of magnitude smaller than the corpus):
-  adjacent symbol pairs are zipped map-side, pair counts are one
-  partial-aggregated shuffle of the (pair -> weighted count) table, and
-  the winning pair is a single-row driver round-trip — bounded like the
-  k-means codebook collect in ``similarity.kmeans_centroids``. The
-  merge itself is a map-side array fold (no shuffle, no Python).
+* Merge learning then runs over the DISTINCT-WORD table only
+  (vocabulary-sized, many orders of magnitude smaller than the
+  corpus), adaptively: when the vocabulary fits the measured
+  ``max_driver_vocab`` bound — the normal case; real tokenizer
+  corpora have 10^5-10^6 distinct words — the word-count table is
+  collected ONCE (bounded, like the k-means codebook collect in
+  ``similarity.kmeans_centroids``) and merges are learned by the
+  classic incremental pair-count algorithm in driver memory
+  (:func:`_train_bpe_driver`): a production 32k-64k merge vocabulary
+  is one Spark round-trip plus seconds of CPU, not one Spark job per
+  merge.
+* Above the bound, the distributed loop runs: adjacent symbol pairs
+  are zipped map-side, pair counts are one partial-aggregated shuffle,
+  and each job collects the top ``merge_batch + 1`` pairs, accepting
+  the longest prefix provably identical to what sequential iterations
+  would pick (:func:`_accept_merge_prefix`), applied in one
+  vocabulary-sized pass. Exact, never approximate — all rungs produce
+  the bit-identical merge table (test-pinned).
 * Encoding inverts the same trick: the greedy merge-order loop is
   genuinely procedural (rank-ordered pair replacement — the documented
   pandas-UDF case, like U2/A13), but it runs per DISTINCT word, and the
@@ -111,6 +122,189 @@ def _apply_merge(syms, left: str, right: str):
     )
 
 
+def _apply_merges_batch(merge_list: list[tuple[str, str]]):
+    """Apply an ORDERED batch of merges to a symbol array — one
+    Arrow-batched pandas UDF over the vocabulary-sized symbol table
+    (never the corpus), replacing ``len(merge_list)`` chained
+    single-merge folds with one plan layer. Per merge the replacement
+    is greedy left-to-right, non-overlapping — byte-identical to
+    :func:`_apply_merge` and to the pure-Python replica in
+    ``tests/test_bpe.py``."""
+    from pyspark.sql.functions import pandas_udf
+
+    def apply_one(syms: list, left: str, right: str) -> list:
+        out, i, n = [], 0, len(syms)
+        merged = left + right
+        while i < n:
+            if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    @pandas_udf("array<string>")
+    def apply_all(col: pd.Series) -> pd.Series:
+        def go(syms):
+            syms = list(syms)
+            for left, right in merge_list:
+                syms = apply_one(syms, left, right)
+            return syms
+
+        return col.map(go)
+
+    return apply_all
+
+
+def _train_bpe_driver(
+    word_counts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int]]:
+    """Exact BPE training over a COLLECTED word-count table — the
+    classic incremental algorithm (pair-count heap + pair→word
+    inverted index, only the words containing the merged pair are
+    rewritten per step), so learning 32k merges costs seconds of
+    driver CPU and ZERO Spark jobs. Same spec, same (count desc,
+    (left, right) asc) tie-break as the distributed loop and the
+    pure-Python replica in ``tests/test_bpe.py`` — the three must be
+    bit-identical.
+
+    The heap uses lazy invalidation: every count change pushes a fresh
+    entry; stale entries (stored count != current) are skipped on pop.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [END_OF_WORD], c) for w, c in word_counts
+    ]
+    pair_counts: Counter = Counter()
+    pair_words: defaultdict = defaultdict(set)
+    for ix, (syms, c) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += c
+            pair_words[p].add(ix)
+    heap = [(-c, p) for p, c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negc, pair = heapq.heappop(heap)
+        cnt = pair_counts.get(pair, 0)
+        if cnt <= 0 or -negc != cnt:
+            continue  # stale entry; the current count was re-pushed
+        if cnt < min_pair_count:
+            break
+        left, right = pair
+        merged = left + right
+        merges.append((left, right, cnt))
+        changed: Counter = Counter()
+        for ix in list(pair_words[pair]):
+            syms, wc = words[ix]
+            out: list[str] = []
+            i, n = 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            old_pairs = [
+                (syms[i], syms[i + 1]) for i in range(len(syms) - 1)
+            ]
+            new_pairs = [
+                (out[i], out[i + 1]) for i in range(len(out) - 1)
+            ]
+            for p in old_pairs:
+                changed[p] -= wc
+            for p in new_pairs:
+                changed[p] += wc
+            for p in set(old_pairs) - set(new_pairs):
+                pair_words[p].discard(ix)
+            for p in set(new_pairs) - set(old_pairs):
+                pair_words[p].add(ix)
+            words[ix] = (out, wc)
+        for p, delta in changed.items():
+            if delta == 0:
+                continue
+            c = pair_counts[p] + delta
+            if c <= 0:
+                pair_counts.pop(p, None)
+            else:
+                pair_counts[p] = c
+                heapq.heappush(heap, (-c, p))
+    return merges
+
+
+def _accept_merge_prefix(
+    ranked: list[tuple[str, str, int]],
+    cutoff: int | None,
+    alphabet: set[str],
+) -> list[tuple[str, str, int]]:
+    """The longest prefix of the ranked pair list that PROVABLY equals
+    the picks ``len(prefix)`` sequential BPE iterations would make,
+    so a whole batch can be merged off one pair-count job without
+    changing the learned table.
+
+    ``ranked`` is the collected top pairs, sorted (count desc, left,
+    right) — the trainer's exact pick order; ``cutoff`` is the count
+    of the first pair BELOW the collected window (None when the window
+    holds every existing pair). Scanning in order, a candidate is
+    accepted while ALL of:
+
+    * **symbol-disjoint**: its {left, right} shares no symbol with any
+      earlier accepted pair's {left, right, merged}. Merging (a,b)
+      only changes counts of pairs touching a, b, or the new symbol
+      ab, so disjoint pairs keep their collected counts through every
+      earlier merge in the batch.
+    * **novel merged symbol**: its merged string is not already in the
+      symbol alphabet (scanning stops AFTER accepting a colliding
+      pair). A collision conflates the new symbol with existing
+      occurrences, so pairs touching that string could GAIN count
+      mid-batch in ways the collected counts don't show.
+    * **strict count gap** (positions after the first): its count is
+      strictly above every NON-accepted pair's — i.e. above the count
+      of the first ranked pair outside the accepted prefix (the list
+      is sorted, so that one bounds the rest), and above ``cutoff``.
+      Every pair whose count CAN rise mid-batch — a new pair (ab, x)
+      needs an old (b, x) adjacency at each site, and (b, x) shares b
+      with an accepted pair so it is itself non-accepted — is bounded
+      by a non-accepted pair's collected count, so nothing can outrank
+      (or tie-break past) an accepted pick at its sequential turn;
+      unchanged pairs ranked below stay below under the deterministic
+      (count desc, left, right) order.
+
+    The first pair is always the true sequential pick (same sort, same
+    tie-break), so progress is guaranteed even when the gap rule
+    truncates everything else (flat counts, overlapping top pairs).
+    """
+    accepted: list[tuple[str, str, int]] = []
+    support: set[str] = set()
+    for left, right, cnt in ranked:
+        if accepted and (left in support or right in support):
+            break
+        merged = left + right
+        accepted.append((left, right, cnt))
+        support.update((left, right, merged))
+        if merged in alphabet:
+            break
+    bound: int | None = cutoff
+    if len(accepted) < len(ranked):
+        first_out = ranked[len(accepted)][2]
+        bound = first_out if bound is None else max(bound, first_out)
+    if bound is not None:
+        keep = [accepted[0]]
+        for cand in accepted[1:]:
+            if cand[2] <= bound:
+                break
+            keep.append(cand)
+        accepted = keep
+    return accepted
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int = 50,
@@ -120,6 +314,8 @@ def train_bpe(
     min_pair_count: int = 1,
     max_word_chars: int | None = None,
     checkpoint_interval: int = 8,
+    merge_batch: int = 32,
+    max_driver_vocab: int | None = 500_000,
 ) -> DataFrame:
     """(merge_rank, left, right, merged, pair_count): the learned BPE
     merge table, in training order.
@@ -131,13 +327,32 @@ def train_bpe(
     across engines), and rewrites the symbol arrays map-side. Stops
     early when no pair reaches ``min_pair_count`` (or none is left).
 
-    Scale shape: the corpus is scanned ONCE (``bpe_word_counts``);
-    every one of the ``n_merges`` iterations touches only the
-    vocabulary-sized symbol table — one small shuffle (pair counts)
-    plus a one-row driver collect. Character splitting is per Java
-    code unit (``split(word, '')``), the documented behavior for the
-    ASCII-dominant test corpora; byte-level BPE would swap the seed
-    expression only.
+    Scale shape — three rungs, all producing the IDENTICAL table:
+
+    1. The corpus is scanned ONCE (``bpe_word_counts``) into the
+       word-frequency table; merge learning never touches the corpus
+       again. At 100 TB this scan is the only corpus-sized cost.
+    2. When the distinct-word table fits ``max_driver_vocab`` (the
+       measured-bound adaptive pattern of ``dedup_clusters``/
+       ``assign_ids``; checked by the one bounded ``limit(n+1)``
+       collect that also FETCHES the table), merges are learned by
+       :func:`_train_bpe_driver` — the classic incremental pair-count
+       algorithm — in driver memory: a production 32k–64k merge
+       vocabulary costs ONE Spark round-trip and seconds of CPU,
+       instead of one job per merge. This is the normal path: real
+       tokenizer training corpora have 10^5–10^6 distinct words.
+    3. Above the bound, the distributed loop runs over the symbol
+       table: one pair-count job collects the top ``merge_batch + 1``
+       pairs and accepts the longest prefix provably identical to
+       sequential picks (:func:`_accept_merge_prefix`), applied in
+       one vocabulary-sized pass — O(n_merges / realized-batch)
+       driver round-trips, exact, never approximate.
+
+    ``tests/test_bpe.py`` pins all three rungs against each other and
+    against an independent pure-Python replica. Character splitting
+    is per Java code unit (``split(word, '')``), the documented
+    behavior for the ASCII-dominant test corpora; byte-level BPE
+    would swap the seed expression only.
 
     ``max_word_chars`` drops longer "words" from TRAINING (web corpora
     carry unbroken URLs/base64/DNA runs; the merge fold's accumulator
@@ -149,45 +364,116 @@ def train_bpe(
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if checkpoint_interval < 1:
+        # 0 would divide by zero AFTER the corpus scan was paid, and a
+        # negative value silently disables lineage truncation
+        raise ValueError(
+            f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
+        )
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1, got {merge_batch}")
     spark = docs.sparkSession
     counts = bpe_word_counts(
         docs, text_col=text_col, min_count=min_word_count
     )
     if max_word_chars is not None:
         counts = counts.filter(F.length("word") <= max_word_chars)
-    syms = (
-        counts
-        .select(
-            "count",
-            F.expr(
-                f"concat(split(word, ''), array('{END_OF_WORD}'))"
-            ).alias("syms"),
-        )
-        .localCheckpoint(eager=True)  # pin the corpus-derived seed:
-        # iterations must never re-trigger the corpus scan
+    # pin the corpus-derived word table: neither the driver-bound
+    # probe nor the distributed iterations may re-trigger the corpus
+    # scan
+    counts = counts.localCheckpoint(eager=True)
+    if max_driver_vocab is not None and n_merges > 0:
+        head = counts.limit(max_driver_vocab + 1).collect()
+        if len(head) <= max_driver_vocab:
+            return spark.createDataFrame(
+                [
+                    (i, l, r, l + r, c)
+                    for i, (l, r, c) in enumerate(
+                        _train_bpe_driver(
+                            [(r["word"], int(r["count"])) for r in head],
+                            n_merges,
+                            min_pair_count,
+                        )
+                    )
+                ],
+                "merge_rank int, left string, right string, "
+                "merged string, pair_count bigint",
+            )
+    syms = counts.select(
+        "count",
+        F.expr(
+            f"concat(split(word, ''), array('{END_OF_WORD}'))"
+        ).alias("syms"),
     )
+    # the full symbol alphabet, tracked driver-side for the batch
+    # collision check: seed characters (bounded by the charset, like
+    # the k-means codebook) plus every merged symbol as it is learned
+    alphabet = {
+        r["s"]
+        for r in syms.select(
+            F.explode("syms").alias("s")
+        ).distinct().collect()
+    }
     merges: list[tuple[str, str, int]] = []
-    for it in range(n_merges):
-        best = (
+    layers_since_ckpt = 0
+    while len(merges) < n_merges:
+        want = min(merge_batch, n_merges - len(merges))
+        ranked_rows = (
             syms.select(
                 "count", F.explode(_adjacent_pairs("syms")).alias("p")
             )
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("count").alias("c"))
             .orderBy(F.col("c").desc(), "l", "r")
-            .limit(1)
+            .limit(want + 1)
             .collect()
         )
-        if not best or best[0]["c"] < min_pair_count:
+        if not ranked_rows or ranked_rows[0]["c"] < min_pair_count:
             break
-        left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
-        merges.append((left, right, cnt))
-        syms = syms.select(
-            "count", _apply_merge(F.col("syms"), left, right).alias("syms")
+        ranked = [
+            (r["l"], r["r"], int(r["c"])) for r in ranked_rows[:want]
+        ]
+        cutoff = (
+            int(ranked_rows[want]["c"])
+            if len(ranked_rows) > want
+            else None
         )
-        if (it + 1) % checkpoint_interval == 0:
+        accepted = _accept_merge_prefix(ranked, cutoff, alphabet)
+        # sequential stops at the first pick below min_pair_count;
+        # counts in the accepted prefix are exactly sequential's, so
+        # the same cut applies before the batch is committed
+        hit_floor = any(c < min_pair_count for _, _, c in accepted)
+        if hit_floor:
+            accepted = [
+                (l, r, c) for l, r, c in accepted if c >= min_pair_count
+            ]
+            if not accepted:
+                break
+        merges.extend(accepted)
+        for left, right, _ in accepted:
+            alphabet.add(left + right)
+        if hit_floor or len(merges) >= n_merges:
+            # the symbol table is never read again — skip the apply
+            break
+        if len(accepted) == 1:
+            # single merge: keep the JVM-side map-side array fold
+            left, right, _ = accepted[0]
+            syms = syms.select(
+                "count",
+                _apply_merge(F.col("syms"), left, right).alias("syms"),
+            )
+        else:
+            apply_all = _apply_merges_batch(
+                [(l, r) for l, r, _ in accepted]
+            )
+            syms = syms.select(
+                "count", apply_all(F.col("syms")).alias("syms")
+            )
+        layers_since_ckpt += 1
+        if layers_since_ckpt >= checkpoint_interval:
             # truncate the fold chain so plan analysis stays O(interval)
             syms = syms.localCheckpoint(eager=True)
+            layers_since_ckpt = 0
     return spark.createDataFrame(
         [
             (i, l, r, l + r, c)

@@ -349,9 +349,13 @@ def evaluate_binary_classifier(
     the rank-sum of positives under ascending ``prob`` with AVERAGE
     ranks on ties (the textbook tie handling — without it, a constant
     classifier would not score 0.5). The rank window runs over
-    distinct score values (bounded by score precision, e.g. ≤ 10^6
-    rows for 6-decimal probabilities), never over the corpus, so the
-    single-partition window is dimension-sized no matter the corpus.
+    distinct score values, never over the corpus — and that bound is
+    ENFORCED, not assumed: probabilities are quantized to 6 decimals
+    before the histogram (matching the rounding every in-repo score
+    producer already applies), so the histogram is ≤ 10^6 + 1 rows and
+    the single-partition window is dimension-sized no matter the
+    corpus or the caller's score precision. AUC/threshold counts are
+    therefore exact at 6-decimal score resolution.
     Precision/recall/f1 are null (not 0/0) when undefined; AUC is null
     when either class is absent.
     """
@@ -359,7 +363,7 @@ def evaluate_binary_classifier(
     # that prob) — the one corpus-sized shuffle; everything below is
     # arithmetic over score values
     hist = (
-        scored.groupBy(F.col(prob_col).alias("__p"))
+        scored.groupBy(F.round(F.col(prob_col), 6).alias("__p"))
         .agg(
             F.count(F.lit(1)).alias("__c"),
             F.sum(F.col(label_col).cast("long")).alias("__cp"),
@@ -486,12 +490,32 @@ def save_text_model(model: LinearTextModel, path: str) -> None:
     consumes on any cluster, the store convention of
     ``write_pq_store``/``write_semantic_store``.
 
-    Safe to re-save a LOADED model to its own path: the weights are
-    materialized (``localCheckpoint``) before the overwrite deletes
-    the files the lazy plan would otherwise still be reading."""
-    weights = model.weights.localCheckpoint(eager=True)
-    weights.write.mode("overwrite").parquet(f"{path}/weights")
+    Safe to re-save a LOADED model to its own path, on a real cluster
+    included: the new weights are FULLY WRITTEN to a temporary sibling
+    (``<path>/weights.__tmp__``) before the old directory is replaced
+    by a filesystem rename, so a failure mid-write (lost executor,
+    decommission) leaves the existing artifact intact — overwrite-in-
+    place would have deleted it before the write committed, and
+    ``localCheckpoint`` blocks (executor-storage only, truncated
+    lineage) could not recompute it. The rename goes through the
+    Hadoop ``FileSystem`` API, so any supported scheme (hdfs://,
+    s3a://, file://) works; the checkpoint below additionally keeps
+    the IN-MEMORY loaded model readable after its source files are
+    replaced (a local-mode convenience, not the durability
+    mechanism)."""
     spark = model.weights.sparkSession
+    weights = model.weights.localCheckpoint(eager=True)
+    tmp = f"{path}/weights.__tmp__"
+    weights.write.mode("overwrite").parquet(tmp)
+    jvm = spark.sparkContext._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(f"{path}/weights")
+    fs = hadoop_path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if fs.exists(hadoop_path):
+        fs.delete(hadoop_path, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path):
+        raise IOError(f"rename {tmp} -> {path}/weights failed")
     spark.createDataFrame(
         [
             (

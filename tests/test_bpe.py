@@ -240,3 +240,117 @@ def test_max_word_chars_excludes_long_words_from_training(spark):
     assert got == want
     # no learned symbol contains the capped word's character
     assert all("x" not in l + r for l, r in got)
+
+
+def test_batched_equals_sequential(spark, docs):
+    """merge_batch / max_driver_vocab are pure scheduling knobs: all
+    three rungs (driver-side incremental, distributed sequential,
+    distributed batched) must learn the bit-identical table."""
+    def table(batch, driver):
+        return [
+            tuple(r)
+            for r in train_bpe(
+                docs, n_merges=30, merge_batch=batch,
+                checkpoint_interval=3,
+                max_driver_vocab=500_000 if driver else None,
+            ).orderBy("merge_rank").collect()
+        ]
+
+    sequential = table(1, driver=False)
+    assert table(8, driver=False) == sequential
+    assert table(64, driver=False) == sequential
+    assert table(32, driver=True) == sequential
+
+
+def test_batched_equals_sequential_on_parquet(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60)
+    seq = [
+        tuple(r)
+        for r in train_bpe(
+            docs, n_merges=40, merge_batch=1, max_driver_vocab=None
+        ).orderBy("merge_rank").collect()
+    ]
+    bat = [
+        tuple(r)
+        for r in train_bpe(
+            docs, n_merges=40, merge_batch=16, max_driver_vocab=None
+        ).orderBy("merge_rank").collect()
+    ]
+    drv = [
+        tuple(r)
+        for r in train_bpe(docs, n_merges=40)
+        .orderBy("merge_rank").collect()
+    ]
+    assert bat == seq
+    assert drv == seq
+
+
+def test_merge_symbol_collision_stops_batch(spark):
+    """'a'+'bc' and 'ab'+'c' can both produce symbol 'abc'; the batch
+    acceptance must stay exact when merged strings collide with the
+    evolving alphabet (the replica is the authority)."""
+    text = " ".join(["abc"] * 8 + ["ab"] * 5 + ["bc"] * 4 + ["abcabc"] * 3)
+    docs = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in train_bpe(
+            docs, n_merges=12, merge_batch=12, max_driver_vocab=None
+        ).orderBy("merge_rank").collect()
+    ]
+    want = _ref_train(_ref_word_counts([text]), 12)
+    assert got == want
+
+
+def test_checkpoint_interval_validated(spark, docs):
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        train_bpe(docs, n_merges=2, checkpoint_interval=0)
+    with pytest.raises(ValueError, match="checkpoint_interval"):
+        train_bpe(docs, n_merges=2, checkpoint_interval=-3)
+    with pytest.raises(ValueError, match="merge_batch"):
+        train_bpe(docs, n_merges=2, merge_batch=0)
+
+
+def test_accept_merge_prefix_unit():
+    from haplorec_spark.operators.bpe import _accept_merge_prefix
+
+    # disjoint, strictly descending: all accepted
+    ranked = [("a", "b", 10), ("c", "d", 8), ("e", "f", 6)]
+    assert _accept_merge_prefix(ranked, 2, {"a", "b", "c", "d", "e", "f"}) \
+        == ranked
+    # overlap stops the scan; gap rule drops ties with the rejected one
+    ranked = [("a", "b", 10), ("b", "c", 9), ("e", "f", 6)]
+    assert _accept_merge_prefix(ranked, None, set("abcef")) \
+        == [("a", "b", 10)]
+    # tie with the first non-accepted pair truncates (tie-break hazard)
+    ranked = [("a", "b", 10), ("c", "d", 8), ("e", "f", 8)]
+    out = _accept_merge_prefix(ranked, 8, set("abcdef"))
+    assert out == [("a", "b", 10)]
+    # collision: accepted, but nothing after it
+    ranked = [("a", "b", 10), ("c", "d", 4), ("e", "f", 2)]
+    assert _accept_merge_prefix(ranked, None, {"ab", "a", "b", "c", "d",
+                                               "e", "f"}) \
+        == [("a", "b", 10)]
+    # first pair always survives even under a tie with the cutoff
+    ranked = [("a", "b", 5)]
+    assert _accept_merge_prefix(ranked, 5, set("ab")) == [("a", "b", 5)]
+
+
+def test_distributed_rung_matches_replica(spark, docs):
+    """The same end-to-end checks the default (driver) rung gets, with
+    the distributed loop forced: merges, min_pair_count stop, and the
+    cap all behave identically above the driver-vocab bound."""
+    merges = train_bpe(
+        docs, n_merges=30, min_pair_count=4, max_driver_vocab=None
+    )
+    got = [
+        (r["left"], r["right"]) for r in merges.orderBy("merge_rank").collect()
+    ]
+    want = [
+        (l, r)
+        for l, r, _ in _ref_train(
+            _ref_word_counts([t for _, t in DOCS]), 30, min_pair_count=4
+        )
+    ]
+    assert got == want
