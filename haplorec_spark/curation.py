@@ -113,6 +113,18 @@ class CurationConfig:
     #: stay unique.
     mixture_mode: str = "downsample"
     max_replication: float | None = None
+    #: temperature for DATA-DERIVED mixture weights (w_d ∝ share_d^α,
+    #: the exponent-smoothed multilingual recipe): when set,
+    #: ``mixture_weights`` may be None (all observed domains) or a
+    #: sequence of domain names, and explicit weights are rejected —
+    #: see :func:`~haplorec_spark.operators.sampling.mixture_sample`
+    mixture_alpha: float | None = None
+    #: precomputed per-document token-count column: when set, mixture
+    #: shares and packing budgets are measured in ITS tokens instead
+    #: of whitespace splits. Incompatible with ``chunk_size`` (the
+    #: counts no longer describe chunk rows) and with the
+    #: ``bpe_merges`` argument (which computes counts itself).
+    token_col: str | None = None
     splits: Mapping[str, float] = field(
         default_factory=lambda: {"train": 0.98, "valid": 0.01, "test": 0.01}
     )
@@ -141,6 +153,7 @@ def curate_documents(
     config: CurationConfig = CurationConfig(),
     *,
     target: DataFrame | None = None,
+    bpe_merges: DataFrame | None = None,
     count_stages: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation sequence; returns (curated frame, stage
@@ -158,9 +171,44 @@ def curate_documents(
     split stage hashes near-dup clusters (LSH pairs over the curated
     corpus) instead of documents, so surviving near-copies can never
     straddle train/eval.
+
+    ``bpe_merges`` (a :func:`~haplorec_spark.operators.bpe.train_bpe`
+    merge table) switches TOKEN ACCOUNTING to tokenizer tokens: the
+    mixture stage's domain shares and the packing tape's budgets are
+    measured in BPE tokens of the text they govern — per document for
+    the mixture, per CHUNK when chunking is on — instead of
+    whitespace splits, so the recipe balances the token budget a real
+    training run actually consumes. Each accounting pass is one
+    :func:`~haplorec_spark.operators.bpe.bpe_tokenize` (Python encode
+    over the distinct-word table only; the corpus-sized half is
+    JVM-side) plus an id-keyed join back; rows with no words count 0
+    tokens. Alternatively ``config.token_col`` names a PRECOMPUTED
+    per-document count column (no extra work, but incompatible with
+    chunking, whose rows the precomputed counts no longer describe).
     """
     cfg = config
     counts: dict[str, int] = {}
+    if cfg.token_col is not None and bpe_merges is not None:
+        raise ValueError(
+            "token_col and bpe_merges are mutually exclusive "
+            "token-accounting modes"
+        )
+    if cfg.token_col is not None and cfg.chunk_size:
+        raise ValueError(
+            "token_col does not describe chunk rows; use bpe_merges "
+            "(recomputed per chunk) or whitespace accounting with "
+            "chunking"
+        )
+
+    def _bpe_counts(frame: DataFrame, id_column: str, out_col: str):
+        """(id, out_col): BPE token counts per row of ``frame``; the
+        caller left-joins and coalesces to 0 because wordless rows
+        emit no count row."""
+        from haplorec_spark.operators.bpe import bpe_tokenize
+
+        return bpe_tokenize(
+            frame, bpe_merges, text_col=cfg.text_col, id_col=id_column
+        ).select(id_column, F.col("n_bpe_tokens").alias(out_col))
 
     def note(stage: str, df: DataFrame) -> DataFrame:
         if count_stages:
@@ -352,7 +400,18 @@ def curate_documents(
     # no-ops in the split's left join
     pre_mixture = out
     did_upsample = False
-    if cfg.mixture_weights:
+    if cfg.mixture_weights or cfg.mixture_alpha is not None:
+        mix_token_col = cfg.token_col
+        if bpe_merges is not None:
+            # token accounting in BPE tokens: attach per-document
+            # counts (dropped again below — accounting, not payload)
+            out = out.join(
+                _bpe_counts(out, cfg.id_col, "__mix_tokens"), cfg.id_col,
+                "left",
+            ).withColumn(
+                "__mix_tokens", F.coalesce("__mix_tokens", F.lit(0))
+            )
+            mix_token_col = "__mix_tokens"
         if cfg.mixture_mode == "upsample":
             from haplorec_spark.operators.sampling import mixture_upsample
 
@@ -363,6 +422,8 @@ def curate_documents(
                     cfg.mixture_weights,
                     cfg.lang_col,
                     [cfg.id_col],
+                    alpha=cfg.mixture_alpha,
+                    token_col=mix_token_col,
                     text_col=cfg.text_col,
                     max_replication=cfg.max_replication,
                 ),
@@ -376,9 +437,13 @@ def curate_documents(
                     cfg.mixture_weights,
                     cfg.lang_col,
                     [cfg.id_col],
+                    alpha=cfg.mixture_alpha,
+                    token_col=mix_token_col,
                     text_col=cfg.text_col,
                 ),
             )
+        if bpe_merges is not None:
+            out = out.drop("__mix_tokens")
 
     if cfg.leakage_safe:
         from haplorec_spark.operators.dedup import lsh_candidate_pairs
@@ -454,11 +519,25 @@ def curate_documents(
         # split needs global_start/seq_id offsets that count only that
         # split's tokens. seq_id is therefore unique per (split,
         # seq_id) — consumers key sequences by the pair.
+        pack_token_col = cfg.token_col
+        if bpe_merges is not None:
+            # budget the tape in BPE tokens of the rows being packed
+            # (per chunk when chunking is on); recomputed here rather
+            # than carried from the mixture pass because dedup/chunk
+            # stages changed the rows since
+            out = out.join(
+                _bpe_counts(out, pack_id, "__pack_tokens"), pack_id,
+                "left",
+            ).withColumn(
+                "__pack_tokens", F.coalesce("__pack_tokens", F.lit(0))
+            )
+            pack_token_col = "__pack_tokens"
         tape: DataFrame | None = None
         for name in cfg.splits:
             t = pack_sequences(
                 out.filter(F.col("split") == F.lit(name)),
                 cfg.seq_len,
+                token_col=pack_token_col,
                 text_col=cfg.text_col,
                 id_col=pack_id,
                 seed=f"pack{_PACK_SEP}{name}",
@@ -466,5 +545,7 @@ def curate_documents(
             tape = t if tape is None else tape.unionByName(t)
         assert tape is not None  # cfg.splits is non-empty by contract
         out = note("pack", out.join(tape, pack_id))
+        if bpe_merges is not None:
+            out = out.drop("__pack_tokens")
 
     return out, counts

@@ -294,19 +294,16 @@ def stratified_hash_sample(
 
 def _domain_token_totals(
     df: DataFrame,
-    target_weights: Mapping[str, float],
+    domains,
     strata_col: str,
     token_col: str | None,
     text_col: str,
 ) -> dict:
-    """Validate the target weights and collect per-domain token totals
-    — the one bounded driver collect the two mixture operators share
-    (domain-count rows, like fk.assign_ids' offsets)."""
-    if not target_weights:
-        raise ValueError("target_weights must not be empty")
-    for dom, w in target_weights.items():
-        if w <= 0:
-            raise ValueError(f"target weight for {dom!r} must be > 0: {w}")
+    """Per-domain token totals — the one bounded driver collect the
+    two mixture operators share (domain-count rows, like
+    fk.assign_ids' offsets). ``domains`` restricts (and validates
+    presence of) the listed names; None keeps every observed non-null
+    domain."""
     n_tokens = (
         F.col(token_col)
         if token_col
@@ -317,22 +314,82 @@ def _domain_token_totals(
         for r in df.groupBy(F.col(strata_col).alias("d"))
         .agg(F.sum(n_tokens).alias("t"))
         .collect()
-        if r["d"] in target_weights
+        if r["d"] is not None
+        and (domains is None or r["d"] in domains)
     }
-    missing = set(target_weights) - set(totals)
-    if missing:
-        raise ValueError(
-            f"target domains absent from input: {sorted(missing)}"
-        )
+    if domains is not None:
+        missing = set(domains) - set(totals)
+        if missing:
+            raise ValueError(
+                f"target domains absent from input: {sorted(missing)}"
+            )
+    if not totals:
+        raise ValueError(f"no non-null domains observed in {strata_col!r}")
     return totals
+
+
+def _resolve_mixture(
+    df: DataFrame,
+    target_weights,
+    alpha: float | None,
+    strata_col: str,
+    token_col: str | None,
+    text_col: str,
+) -> tuple[dict, dict]:
+    """(totals, weights) for the two mixture operators.
+
+    With ``alpha`` unset, ``target_weights`` is the explicit
+    share mapping (validated as before). With ``alpha`` set, weights
+    are DERIVED from the data: w_d ∝ share_d^alpha over the observed
+    per-domain token shares — the standard temperature-scaled
+    multilingual/multi-domain recipe (exponent-smoothed sampling,
+    XLM-R style): alpha=1 reproduces the natural mix exactly (the
+    mixture is an identity), alpha=0 is a uniform mix, and alpha in
+    between flattens the head domains toward the tail.
+    ``target_weights`` may then be None (every observed non-null
+    domain participates) or a sequence of domain names restricting
+    the mix; passing a weights MAPPING together with alpha is
+    rejected as ambiguous.
+    """
+    if alpha is None:
+        if not isinstance(target_weights, Mapping):
+            raise ValueError(
+                "target_weights mapping is required when alpha is None"
+            )
+        if not target_weights:
+            raise ValueError("target_weights must not be empty")
+        for dom, w in target_weights.items():
+            if w <= 0:
+                raise ValueError(
+                    f"target weight for {dom!r} must be > 0: {w}"
+                )
+        totals = _domain_token_totals(
+            df, set(target_weights), strata_col, token_col, text_col
+        )
+        return totals, dict(target_weights)
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if isinstance(target_weights, Mapping):
+        raise ValueError(
+            "pass domain names (or None), not a weights mapping, "
+            "together with alpha — weights are derived from the data"
+        )
+    domains = set(target_weights) if target_weights is not None else None
+    totals = _domain_token_totals(
+        df, domains, strata_col, token_col, text_col
+    )
+    raw = {d: float(t) ** alpha for d, t in totals.items()}
+    z = sum(raw.values())
+    return totals, {d: r / z for d, r in raw.items()}
 
 
 def mixture_sample(
     df: DataFrame,
-    target_weights: Mapping[str, float],
+    target_weights: Mapping[str, float] | Sequence[str] | None,
     strata_col: str,
     key_cols: Sequence[str],
     *,
+    alpha: float | None = None,
     token_col: str | None = None,
     text_col: str = "text",
     seed: str = "mixture",
@@ -347,16 +404,23 @@ def mixture_sample(
     dropped). Fractions govern tokens in expectation via uniform row
     hashing; document-size variance averages out at corpus scale.
 
+    ``alpha`` switches to TEMPERATURE-scaled targets derived from the
+    data itself — w_d ∝ share_d^alpha over observed token shares (the
+    exponent-smoothed multilingual recipe): alpha=1 keeps the natural
+    mix (identity), alpha<1 flattens head domains toward the tail,
+    alpha=0 targets a uniform mix. ``target_weights`` is then None
+    (all observed domains) or a sequence of domain names.
+
     One token-total aggregate (domain-count rows to the driver, a
     bounded collect like fk.assign_ids' offsets) followed by the
     stratified map-side filter — no join, no second shuffle.
     """
-    totals = _domain_token_totals(
-        df, target_weights, strata_col, token_col, text_col
+    totals, weights = _resolve_mixture(
+        df, target_weights, alpha, strata_col, token_col, text_col
     )
-    s = min(totals[d] / w for d, w in target_weights.items())
+    s = min(totals[d] / w for d, w in weights.items())
     fractions = {
-        d: min(1.0, (target_weights[d] * s) / totals[d]) for d in totals
+        d: min(1.0, (weights[d] * s) / totals[d]) for d in totals
     }
     return stratified_hash_sample(
         df, fractions, strata_col, key_cols, seed=seed
@@ -365,10 +429,11 @@ def mixture_sample(
 
 def mixture_upsample(
     df: DataFrame,
-    target_weights: Mapping[str, float],
+    target_weights: Mapping[str, float] | Sequence[str] | None,
     strata_col: str,
     key_cols: Sequence[str],
     *,
+    alpha: float | None = None,
     total_tokens: int | None = None,
     token_col: str | None = None,
     text_col: str = "text",
@@ -395,6 +460,12 @@ def mixture_upsample(
     Domains absent from ``target_weights`` are dropped, as in
     :func:`mixture_sample`.
 
+    ``alpha`` derives temperature-scaled targets w_d ∝ share_d^alpha
+    from the observed token shares instead of explicit weights (see
+    :func:`mixture_sample`); with the default token budget, alpha=1
+    is an exact identity (every row keeps one copy) and alpha<1
+    upsamples tail domains while downsampling the head.
+
     Scale shape: ONE token-total aggregate (domain-count rows to the
     driver), then a map-side posexplode of ``sequence(0, n_copies-1)``
     — no join, no second shuffle; output size is the only cost.
@@ -404,17 +475,15 @@ def mixture_upsample(
             "input already has a 'replica' column — the name is "
             "reserved for the copy index this operator emits"
         )
-    totals = _domain_token_totals(
-        df, target_weights, strata_col, token_col, text_col
+    totals, weights = _resolve_mixture(
+        df, target_weights, alpha, strata_col, token_col, text_col
     )
     s = (
         float(total_tokens)
         if total_tokens is not None
         else float(sum(totals.values()))
     )
-    reps = {
-        d: (target_weights[d] * s) / totals[d] for d in totals
-    }
+    reps = {d: (weights[d] * s) / totals[d] for d in totals}
     if max_replication is not None:
         over = {d: r for d, r in reps.items() if r > max_replication}
         if over:

@@ -1988,7 +1988,15 @@ def q_semantic_dedup(spark, sf_dir):
         emb.filter(F.col("vec_id") < 25).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
-    )
+    ).localCheckpoint(eager=True)
+    # gate-local checkpoint: the k-means iterations and BOTH sides of
+    # the within-cell pair join would otherwise re-derive the seeded
+    # union from the scan each time (measured ~2x gate cost). This is
+    # a GATE choice, not an operator change — at corpus scale
+    # within_cell_pairs deliberately recomputes the cheap projection
+    # instead of materializing the vector corpus (similarity.py
+    # within_cell_pairs docstring); here the seeded frame is gate-
+    # sized, so pinning it is the right tradeoff.
     return semantic_dedup_pairs(
         seeded, threshold=0.8, n_clusters=8, iterations=2
     )

@@ -53,6 +53,62 @@ LANG_LEXICON: dict[str, list[str]] = {
     "de": ["der", "die", "das", "und", "ein", "ist", "zu"],
 }
 
+#: Wider per-language function-word lists (public common stopwords)
+#: feeding the character-trigram profiles of :func:`language_id_ngram`.
+#: Declaration order is the deterministic tiebreak order.
+LANG_FUNCTION_WORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "that", "it",
+           "for", "on", "with", "as", "this", "was", "are", "be", "at",
+           "by", "not", "from", "but", "have", "you", "we", "they",
+           "his", "her", "which"],
+    "fr": ["le", "la", "les", "de", "des", "du", "et", "un", "une",
+           "est", "que", "qui", "dans", "pour", "pas", "sur", "avec",
+           "par", "mais", "son", "ses", "nous", "vous", "ils", "elle",
+           "sont", "plus", "ce", "cette", "aux"],
+    "es": ["el", "la", "los", "las", "de", "del", "y", "un", "una",
+           "es", "que", "en", "no", "por", "con", "para", "su", "sus",
+           "se", "lo", "como", "pero", "este", "esta", "son", "fue",
+           "ser", "al", "hay", "muy"],
+    "de": ["der", "die", "das", "und", "ein", "eine", "ist", "zu",
+           "den", "dem", "des", "nicht", "mit", "auf", "von", "im",
+           "sich", "auch", "als", "an", "es", "sind", "war", "wird",
+           "bei", "aus", "nach", "oder", "wie", "einem"],
+    "it": ["il", "lo", "la", "gli", "le", "di", "del", "della", "e",
+           "un", "una", "che", "in", "non", "per", "con", "su", "si",
+           "come", "ma", "anche", "sono", "era", "questo", "questa",
+           "al", "dal", "nel", "della", "degli"],
+    "pt": ["o", "os", "as", "de", "do", "da", "dos", "das", "e", "um",
+           "uma", "que", "em", "por", "com", "para", "se", "mais",
+           "como", "mas", "foi", "ser", "ao", "pelo", "pela", "este",
+           "esta", "os", "uns", "umas"],
+    "nl": ["de", "het", "een", "en", "van", "is", "in", "op", "te",
+           "dat", "die", "niet", "met", "voor", "aan", "als", "er",
+           "maar", "om", "ook", "bij", "uit", "naar", "zijn", "was",
+           "wordt", "deze", "dit", "over", "hebben"],
+}
+
+
+def _trigram_profile(words: list[str]) -> list[str]:
+    """Sorted character trigrams of space-padded words — padding keeps
+    the word-boundary trigrams (' le', 'le ') that carry most of the
+    language signal (the Cavnar & Trenkle 1994 n-gram-profile
+    observation)."""
+    tris: set[str] = set()
+    for w in words:
+        s = f" {w} "
+        for i in range(len(s) - 2):
+            tris.add(s[i : i + 3])
+    return sorted(tris)
+
+
+#: lang -> sorted trigram membership profile (a few hundred entries per
+#: language); shared verbatim by the DuckDB oracle in
+#: tests/test_registry.py so implementation and oracle agree on the
+#: profile by construction.
+LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
+    lang: _trigram_profile(ws) for lang, ws in LANG_FUNCTION_WORDS.items()
+}
+
 _TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
@@ -84,6 +140,51 @@ def language_id(
         f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
     ) + " END"
     return docs.select(
+        F.col(id_col),
+        F.expr(pred).alias("predicted_lang"),
+        F.expr(best).alias("lang_score"),
+    )
+
+
+def language_id_ngram(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, predicted_lang, lang_score): character-trigram profile
+    scoring over 7 languages — the second rung above
+    :func:`language_id`'s whole-word lexicon.
+
+    Each language's profile is the trigram set of its space-padded
+    function words (:data:`LANG_TRIGRAM_PROFILES`, Cavnar &
+    Trenkle-style membership profiles); a document scores
+    ``|doc trigrams ∩ profile| / |doc trigrams|`` per language
+    (multiset over the doc's trigram stream, so frequent function
+    words weigh more), argmax with the deterministic declaration-order
+    tiebreak. Trigram membership generalizes where exact word lookup
+    fails — inflected forms ('les', 'chats') still hit ' le'/'es '
+    style boundary trigrams — while staying a pure map-side column
+    program: zero shuffle, zero Python, profiles are literal arrays
+    (a few hundred entries per language, the literal-codebook pattern
+    of ``similarity.assign_clusters``).
+    """
+    s = f"concat(' ', lower({text_col}), ' ')"
+    tris = (
+        f"transform(sequence(1, greatest(length({s}) - 2, 1)),"
+        f" i -> substring({s}, i, 3))"
+    )
+    doc = docs.select(F.col(id_col), F.expr(tris).alias("__t3"))
+    scores = []
+    for lang, prof in LANG_TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + t + "'" for t in prof)
+        hits = f"size(filter(__t3, t -> array_contains(array({arr}), t)))"
+        scores.append(
+            (lang,
+             f"round({hits} / cast(size(__t3) as double), 6)")
+        )
+    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
+    ) + " END"
+    return doc.select(
         F.col(id_col),
         F.expr(pred).alias("predicted_lang"),
         F.expr(best).alias("lang_score"),

@@ -399,6 +399,35 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (anti-join failure branch) and decontaminate's plan. The 1998+
 # restriction keeps the check non-vacuous (every customer has SOME
 # order). Still DuckDB-checked by tests/test_registry.py.
+# Not a driver gate (the 50-slot budget is full): the trigram-profile
+# language scorer (text.language_id_ngram, the rung above the
+# whole-word lexicon gate q_text_language_id). DuckDB-checked by
+# tests/test_registry.py::ROTATED_OUT_ORACLES, whose SQL embeds the
+# same LANG_TRIGRAM_PROFILES literals.
+def q_text_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import language_id_ngram
+
+    return language_id_ngram(table(spark, sf_dir, "documents"))
+
+
+# Not a driver gate (the 50-slot budget is full): the max_doc_freq
+# hot-shingle cut — the 100 TB lever of ngram_jaccard_pairs, capping
+# the shingle self-join's hottest keys — DuckDB-checked by
+# tests/test_registry.py::ROTATED_OUT_ORACLES with a threshold chosen
+# so the cut CHANGES the answer at sf0.001 (df > 5 shingles exist and
+# carry pairs; tests assert cut != uncut).
+def q_dedup_ngram_jaccard_dfcut(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from haplorec_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        threshold=0.2,
+        max_doc_freq=0.01,
+    )
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(

@@ -247,6 +247,29 @@ CHECKS = {
                    ".*HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "q_text_language_ngram": {
+        # trigram-profile scoring is a pure map-side projection over
+        # literal profile arrays: one scan, zero Exchange, zero Python
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_dedup_ngram_jaccard_dfcut": {
+        # the max_doc_freq cut prunes hot shingles with a BROADCAST
+        # left-anti join (the hot set is df-bounded tiny) before the
+        # shingle self-join; never a nested loop, never a cross join
+        "expect": ["BroadcastHashJoin.*LeftAnti"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "_curation_bpe_pack": {
+        # BPE token accounting inside curation: the Python encoder
+        # (ArrowEvalPython) must sit above the DISTINCT-word aggregate
+        # (the _bpe_tokenize invariant), and the accounting joins stay
+        # equi-joins
+        "expect": ["ArrowEvalPython.*HashAggregate.*Exchange"
+                   ".*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
@@ -530,6 +553,23 @@ def _bpe_tokenize(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = train_bpe(docs.limit(20), n_merges=4)
     return bpe_tokenize(docs, merges)
+
+
+def _curation_bpe_pack(spark, sf_dir):
+    from haplorec_spark.curation import CurationConfig, curate_documents
+    from haplorec_spark.operators.bpe import train_bpe
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(docs.limit(20), n_merges=4)
+    out, _ = curate_documents(
+        docs,
+        config=CurationConfig(
+            mixture_weights={"en": 0.5, "de": 0.5}, seq_len=64
+        ),
+        bpe_merges=merges,
+    )
+    return out
 
 
 import haplorec_spark.queries as _qmod

@@ -494,3 +494,169 @@ def test_curation_target_without_dsir_k_raises(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
     with pytest.raises(ValueError, match="dsir_k is not set"):
         curate_documents(docs, target=docs)
+
+
+def test_curation_bpe_token_accounting_mixture_and_pack(spark):
+    """bpe_merges switches token accounting to tokenizer tokens: the
+    mixture's keep set must equal mixture_sample over a PRECOMPUTED
+    BPE count column (and a DuckDB band replica of the same math), and
+    the packing tape's n_tokens must be the BPE counts, not whitespace
+    counts."""
+    import duckdb
+
+    from haplorec_spark.operators.bpe import bpe_tokenize, train_bpe
+    from haplorec_spark.operators.sampling import DUCK_BAND, mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    merges = train_bpe(docs, n_merges=25)
+    weights = {"en": 0.4, "de": 0.6}
+    # disable every other stage so the mixture is isolated
+    cfg = CurationConfig(
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+        mixture_weights=weights,
+        seq_len=64,
+    )
+    out, _ = curate_documents(docs, config=cfg, bpe_merges=merges)
+    rows = out.collect()
+    got_ids = sorted(r["doc_id"] for r in rows)
+
+    # equivalent run over an explicitly precomputed token column
+    counts = bpe_tokenize(docs, merges).select("doc_id", "n_bpe_tokens")
+    pre = docs.join(counts, "doc_id", "left").withColumn(
+        "n_bpe_tokens", F.coalesce("n_bpe_tokens", F.lit(0))
+    )
+    want = mixture_sample(
+        pre, weights, "lang", ["doc_id"], token_col="n_bpe_tokens"
+    )
+    assert got_ids == sorted(r["doc_id"] for r in want.collect())
+
+    # DuckDB replica of the fraction math over the same precomputed
+    # counts (registered as a table), selecting by the same band
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    con.execute("create table bpe_counts (doc_id bigint, n bigint)")
+    con.executemany(
+        "insert into bpe_counts values (?, ?)",
+        [(r["doc_id"], r["n_bpe_tokens"]) for r in counts.collect()],
+    )
+    totals = dict(
+        con.execute(
+            """select d.lang, sum(coalesce(c.n, 0))
+               from documents d left join bpe_counts c using (doc_id)
+               where d.lang in ('en', 'de') group by d.lang"""
+        ).fetchall()
+    )
+    s = min(totals[d] / w for d, w in weights.items())
+    fr = {d: min(1.0, weights[d] * s / totals[d]) for d in weights}
+    case = " ".join(
+        f"WHEN lang = '{d}' THEN {int(f * (1 << 32))}"
+        for d, f in fr.items()
+    )
+    duck_ids = [
+        t[0]
+        for t in con.execute(
+            f"""
+            SELECT doc_id FROM (
+                SELECT doc_id, lang,
+                       {DUCK_BAND.format(
+                           key="'mixture' || chr(31) || doc_id::VARCHAR")}
+                           AS band
+                FROM documents WHERE lang IN ('en', 'de'))
+            WHERE band < CASE {case} ELSE 0 END
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got_ids == duck_ids
+
+    # realized mixture shares, measured in BPE tokens, near the target
+    cnt = {r["doc_id"]: r["n_bpe_tokens"] for r in counts.collect()}
+    lang_of = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    by_lang = {"en": 0, "de": 0}
+    for i in got_ids:
+        by_lang[lang_of[i]] += cnt.get(i, 0)
+    tot = sum(by_lang.values())
+    for d, w in weights.items():
+        assert abs(by_lang[d] / tot - w) / w < 0.15, (d, by_lang[d] / tot)
+
+    # the packing tape budgeted in BPE tokens: n_tokens == BPE count
+    for r in rows:
+        assert r["n_tokens"] == cnt.get(r["doc_id"], 0)
+    # and the helper accounting columns never leak into the output
+    assert "__mix_tokens" not in out.columns
+    assert "__pack_tokens" not in out.columns
+
+
+def test_curation_token_accounting_guards(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    import pytest
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        curate_documents(
+            docs,
+            config=CurationConfig(token_col="n"),
+            bpe_merges=docs.limit(0),
+        )
+    with pytest.raises(ValueError, match="chunk"):
+        curate_documents(
+            docs, config=CurationConfig(token_col="n", chunk_size=10)
+        )
+
+
+def test_curation_token_col_feeds_mixture_and_pack(spark):
+    """config.token_col: a precomputed count column drives both the
+    mixture shares and the packing tape."""
+    from haplorec_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "my_tokens", (F.col("doc_id") % 7 + 1).cast("long")
+    )
+    weights = {"en": 0.5, "de": 0.5}
+    cfg = CurationConfig(
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+        mixture_weights=weights,
+        token_col="my_tokens",
+        seq_len=32,
+    )
+    out, _ = curate_documents(docs, config=cfg)
+    want = mixture_sample(
+        docs, weights, "lang", ["doc_id"], token_col="my_tokens"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in want.collect()
+    )
+    for r in out.collect():
+        assert r["n_tokens"] == r["my_tokens"]
+
+
+def test_curation_mixture_alpha_passthrough(spark):
+    """mixture_alpha=1.0 is the identity mixture inside curation."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = CurationConfig(
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+        mixture_alpha=1.0,
+    )
+    out, _ = curate_documents(docs, config=cfg)
+    in_ids = sorted(
+        r["doc_id"]
+        for r in docs.filter(F.col("lang").isNotNull()).collect()
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == in_ids

@@ -136,7 +136,80 @@ ROTATED_OUT_ORACLES = {
         FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
+    # the max_doc_freq hot-shingle cut of ngram_jaccard_pairs (the
+    # 100 TB join lever): shingles in > 1% of documents are dropped
+    # BEFORE sizes/intersections, so Jaccard is over the cut sets.
+    # test_jaccard_dfcut_changes_the_answer proves the cut is
+    # non-vacuous at sf0.001.
+    "q_dedup_ngram_jaccard_dfcut": """
+        WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                   FROM documents),
+             sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
+                        SELECT doc_id,
+                               unnest(CASE WHEN len(ws) >= 3
+                                      THEN list_transform(
+                                               generate_series(1, len(ws) - 2),
+                                               i -> ws[i] || ' ' || ws[i+1]
+                                                          || ' ' || ws[i+2])
+                                      ELSE []::VARCHAR[] END) AS shingle
+                        FROM w)),
+             hot AS (SELECT shingle FROM sh0 GROUP BY shingle
+                     HAVING count(*) >
+                            0.01 * (SELECT count(DISTINCT doc_id)
+                                    FROM documents)),
+             sh AS (SELECT * FROM sh0
+                    WHERE shingle NOT IN (SELECT shingle FROM hot)),
+             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh
+                       GROUP BY doc_id),
+             inter AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                              count(*) AS n_common
+                       FROM sh a JOIN sh b USING (shingle)
+                       WHERE a.doc_id < b.doc_id
+                       GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_id_a, doc_id_b, jaccard FROM (
+            SELECT doc_id_a, doc_id_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_id_a
+            JOIN sizes sb ON sb.doc_id = doc_id_b)
+        WHERE jaccard >= 0.2
+    """,
 }
+
+
+def _language_ngram_oracle() -> str:
+    """DuckDB replica of text.language_id_ngram, built from the SAME
+    trigram-profile literals so implementation and oracle agree on the
+    profiles by construction (the established lexicon-gate pattern)."""
+    from haplorec_spark.operators.text import LANG_TRIGRAM_PROFILES
+
+    score_exprs = []
+    for lang, prof in LANG_TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + t + "'" for t in prof)
+        score_exprs.append(
+            f"round(len(list_filter(t3, t -> list_contains([{arr}], t)))"
+            f" / len(t3)::DOUBLE, 6) AS s_{lang}"
+        )
+    langs = list(LANG_TRIGRAM_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_transform(
+                              generate_series(1, greatest(length(s) - 2, 1)),
+                              i -> substr(s, i, 3)) AS t3
+                   FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s
+                         FROM documents)),
+             scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
+        SELECT doc_id, {pred} AS predicted_lang, {best} AS lang_score
+        FROM scored
+    """
+
+
+ROTATED_OUT_ORACLES["q_text_language_ngram"] = _language_ngram_oracle()
 
 
 def test_rotated_out_queries_still_match_duckdb(spark):
@@ -146,7 +219,8 @@ def test_rotated_out_queries_still_match_duckdb(spark):
 
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
-    for t in ("customer", "orders", "part", "supplier", "lineitem"):
+    for t in ("customer", "orders", "part", "supplier", "lineitem",
+              "documents"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf}/{t}.parquet')"
@@ -162,3 +236,25 @@ def test_rotated_out_queries_still_match_duckdb(spark):
         got = sorted(norm(tuple(r)) for r in getattr(q, name)(spark, sf).collect())
         want = sorted(norm(tuple(t)) for t in con.execute(sql).fetchall())
         assert got == want, name
+
+
+def test_jaccard_dfcut_changes_the_answer(spark):
+    """The max_doc_freq oracle must exercise a NON-vacuous cut: at
+    sf0.001 the cut frame differs from the uncut gate result (hot
+    shingles exist and carried score mass)."""
+    import haplorec_spark.queries as q
+    from haplorec_spark.operators.dedup import ngram_jaccard_pairs
+    from haplorec_spark.queries import table
+
+    sf = "/root/testdata/sf0.001"
+    cut = sorted(
+        tuple(r)
+        for r in q.q_dedup_ngram_jaccard_dfcut(spark, sf).collect()
+    )
+    uncut = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(
+            table(spark, sf, "documents"), threshold=0.2
+        ).collect()
+    )
+    assert cut != uncut

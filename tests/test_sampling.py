@@ -766,3 +766,87 @@ def test_mixture_upsample_rejects_existing_replica_column(spark, docs):
     tagged = docs.withColumn("replica", F.lit(9))
     with pytest.raises(ValueError, match="reserved"):
         mixture_upsample(tagged, {"en": 1.0}, "lang", ["doc_id"])
+
+
+def test_mixture_alpha_one_is_identity(spark, docs):
+    """alpha=1 reproduces the natural mix: the downsample face keeps
+    every row and the upsample face emits exactly one copy of each."""
+    from haplorec_spark.operators.sampling import mixture_upsample
+
+    ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    out = mixture_sample(docs, None, "lang", ["doc_id"], alpha=1.0)
+    assert sorted(r["doc_id"] for r in out.collect()) == ids
+    up = mixture_upsample(docs, None, "lang", ["doc_id"], alpha=1.0)
+    got = sorted((r["doc_id"], r["replica"]) for r in up.collect())
+    assert got == [(i, 0) for i in ids]
+
+
+def test_mixture_alpha_flattens_vs_replica(spark, docs):
+    """alpha=0.5 boosts tail-domain share; the realized keep set must
+    replicate the w_d ∝ share_d^alpha math computed independently from
+    DuckDB token totals + the pure-Python band."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    totals = dict(
+        con.execute(
+            """select lang, sum(len(string_split(lower(text), ' ')))
+               from documents where lang is not null group by lang"""
+        ).fetchall()
+    )
+    raw = {d: float(t) ** 0.5 for d, t in totals.items()}
+    z = sum(raw.values())
+    w = {d: r / z for d, r in raw.items()}
+    s = min(totals[d] / w[d] for d in totals)
+    fr = {d: min(1.0, w[d] * s / totals[d]) for d in totals}
+
+    out = mixture_sample(docs, None, "lang", ["doc_id"], alpha=0.5)
+    rows = docs.select("doc_id", "lang").collect()
+    want = sorted(
+        r["doc_id"] for r in rows
+        if r["lang"] is not None
+        and band("mixture", r["doc_id"]) < int(fr[r["lang"]] * (1 << 32))
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == want
+
+    # flattening property: the smallest domain's realized token share
+    # strictly exceeds its natural share
+    small = min(totals, key=totals.get)
+    nat = totals[small] / sum(totals.values())
+    kept = {
+        r["lang"]: r["t"]
+        for r in out.groupBy("lang").agg(
+            F.sum(F.size(F.split(F.lower(F.col("text")), " "))).alias("t")
+        ).collect()
+    }
+    got_share = kept[small] / sum(kept.values())
+    assert got_share > nat
+
+
+def test_mixture_alpha_guards(spark, docs):
+    from haplorec_spark.operators.sampling import mixture_upsample
+
+    with pytest.raises(ValueError, match="weights mapping"):
+        mixture_sample(docs, None, "lang", ["doc_id"])
+    with pytest.raises(ValueError, match="not a weights mapping"):
+        mixture_sample(docs, {"en": 1.0}, "lang", ["doc_id"], alpha=0.5)
+    with pytest.raises(ValueError, match="alpha"):
+        mixture_sample(docs, None, "lang", ["doc_id"], alpha=-0.1)
+    with pytest.raises(ValueError, match="absent"):
+        mixture_sample(
+            docs, ["en", "not_a_lang"], "lang", ["doc_id"], alpha=0.5
+        )
+    # restricting to a subset of domains drops the rest
+    langs = sorted(
+        r["lang"] for r in docs.select("lang").distinct().collect()
+        if r["lang"] is not None
+    )
+    keep_two = langs[:2]
+    out = mixture_upsample(docs, keep_two, "lang", ["doc_id"], alpha=0.5)
+    assert set(
+        r["lang"] for r in out.select("lang").distinct().collect()
+    ) == set(keep_two)

@@ -866,3 +866,41 @@ def test_build_vocab_ignores_whitespace_artifact_tokens(spark):
     # coverage denominators count only real tokens (3)
     assert rows["a"]["fraction"] == pytest.approx(2 / 3, abs=1e-6)
     assert rows["b"]["cum_fraction"] == 1.0
+
+
+def test_language_id_ngram_disagreement_case(spark):
+    """Inflected French with none of the lexicon's exact words: the
+    whole-word rung misses (falls back to 'en' by declaration-order
+    tiebreak on all-zero scores) while the trigram-profile rung reads
+    the boundary trigrams and answers 'fr'."""
+    from haplorec_spark.operators.text import language_id_ngram
+
+    rows = [(1, "les chats noirs dormaient tranquillement"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "der hund und die katze sind im garten")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    lex = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id(docs).collect()
+    }
+    tri = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_ngram(docs).collect()
+    }
+    assert lex[1] != "fr"      # the lexicon rung gets doc 1 wrong
+    assert tri[1] == "fr"      # the trigram rung gets it right
+    assert tri[2] == "en" and tri[3] == "de"
+
+
+def test_language_id_ngram_deterministic_tiebreak_and_empty(spark):
+    from haplorec_spark.operators.text import language_id_ngram
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "zzz qqq xxx")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+           for r in language_id_ngram(docs).collect()}
+    # all-zero scores fall back to the first declared language with
+    # score 0 — never null, never nondeterministic
+    assert got[1] == ("en", 0.0)
+    assert got[2][1] is not None
