@@ -102,11 +102,30 @@ def main() -> None:
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         cold[name] = round(time.time() - t0, 3)
 
-    times: dict[str, float] = {}
-    for name, q in sorted(registry().items()):
-        t0 = time.time()
-        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+    # Three timed steady passes; the reported per-query number is the
+    # MEDIAN and the min/max spread is kept alongside, so a ±0.5 s
+    # host-contention blip (Firecracker CPU steal) is self-evidently
+    # noise instead of reading as a per-query regression.
+    passes: list[dict[str, float]] = []
+    for _ in range(3):
+        t: dict[str, float] = {}
+        for name, q in sorted(registry().items()):
+            t0 = time.time()
+            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t[name] = round(time.time() - t0, 3)
+        passes.append(t)
+    times = {
+        name: sorted(p[name] for p in passes)[1]
+        for name in passes[0]
+    }
+    spread = {
+        name: {
+            "min": min(p[name] for p in passes),
+            "median": times[name],
+            "max": max(p[name] for p in passes),
+        }
+        for name in passes[0]
+    }
 
     total = round(sum(times.values()), 3)
     print(json.dumps({
@@ -114,11 +133,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         # The primary metric switched from cold to steady-state timing
-        # in round 4 (commit 0390f98); the explicit methodology field
-        # keeps old and new runs from being compared unknowingly.
-        "methodology": "steady_state_after_warmup_pass",
-        "bench_version": 2,
+        # in round 4 (commit 0390f98); bench_version 3 (round 6) made
+        # the steady number the median of three passes and added the
+        # per-query spread. The explicit methodology field keeps runs
+        # under different schemes from being compared unknowingly.
+        "methodology": "steady_state_median_of_3_after_warmup_pass",
+        "bench_version": 3,
         "queries": times,
+        "queries_spread": spread,
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf,
     }))

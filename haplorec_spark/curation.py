@@ -60,6 +60,12 @@ class CurationConfig:
     90/5/5-style splits are the caller's choice)."""
 
     languages: Sequence[str] | None = None
+    #: derive ``lang_col`` from the text BEFORE any language-dependent
+    #: stage ("ngram" = trigram profiles, "lexicon" = whole-word
+    #: stopword scan — both map-side, no join); None trusts the
+    #: input's existing column. For corpora with no language metadata
+    #: (raw crawl), set this or the language filter/mixture see nulls.
+    detect_language: str | None = None
     #: strip lines shared by >= this many documents before any
     #: doc-level scoring (None skips the stage)
     boilerplate_min_df: int | None = None
@@ -216,6 +222,15 @@ def curate_documents(
         return df
 
     out = note("input", docs)
+    if cfg.detect_language is not None:
+        from haplorec_spark.operators.text import with_language
+
+        out = with_language(
+            out,
+            method=cfg.detect_language,
+            text_col=cfg.text_col,
+            lang_col=cfg.lang_col,
+        )
     if cfg.languages is not None:
         out = note(
             "language",

@@ -166,29 +166,84 @@ def language_id_ngram(
     (a few hundred entries per language, the literal-codebook pattern
     of ``similarity.assign_clusters``).
     """
+    trigrams, pred, best = _ngram_lang_exprs(text_col)
+    return (
+        docs.select(F.col(id_col), trigrams.alias("__t3"))
+        .select(
+            F.col(id_col),
+            pred.alias("predicted_lang"),
+            best.alias("lang_score"),
+        )
+    )
+
+
+def _ngram_lang_exprs(text_col: str):
+    """(trigram Column, pred Column over ``__t3``, best Column over
+    ``__t3``) — the trigram-profile scorer as reusable expressions, so
+    callers (``language_id_ngram``, curation's detect_language) stay
+    map-side without an id-keyed join back."""
     s = f"concat(' ', lower({text_col}), ' ')"
     tris = (
         f"transform(sequence(1, greatest(length({s}) - 2, 1)),"
         f" i -> substring({s}, i, 3))"
     )
-    doc = docs.select(F.col(id_col), F.expr(tris).alias("__t3"))
     scores = []
     for lang, prof in LANG_TRIGRAM_PROFILES.items():
         arr = ", ".join("'" + t + "'" for t in prof)
         hits = f"size(filter(__t3, t -> array_contains(array({arr}), t)))"
         scores.append(
-            (lang,
-             f"round({hits} / cast(size(__t3) as double), 6)")
+            (lang, f"round({hits} / cast(size(__t3) as double), 6)")
         )
     best = "greatest(" + ", ".join(s for _, s in scores) + ")"
     pred = "CASE " + " ".join(
         f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
     ) + " END"
-    return doc.select(
-        F.col(id_col),
-        F.expr(pred).alias("predicted_lang"),
-        F.expr(best).alias("lang_score"),
-    )
+    return F.expr(tris), F.expr(pred), F.expr(best)
+
+
+def with_language(
+    docs: DataFrame,
+    *,
+    method: str = "ngram",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """``docs`` with ``lang_col`` (over)written by the predicted
+    language — the attach-in-place face of :func:`language_id` /
+    :func:`language_id_ngram` for pipelines whose input has no (or an
+    untrusted) language column. Two projections, zero shuffle, zero
+    join: the trigram stream is materialized once in a helper column
+    and dropped."""
+    if method == "ngram":
+        trigrams, pred, _ = _ngram_lang_exprs(text_col)
+        drop = [c for c in ("__t3", lang_col) if c in docs.columns]
+        return (
+            docs.drop(*drop)
+            .withColumn("__t3", trigrams)
+            .withColumn(lang_col, pred)
+            .drop("__t3")
+        )
+    if method == "lexicon":
+        # the lexicon CASE applies inline — no id join needed
+        words = f"split(lower({text_col}), ' ')"
+        n = f"size({words})"
+        scores = [
+            (
+                lang,
+                f"round({_hit_count(words, lex)}"
+                f" / cast({n} as double), 6)",
+            )
+            for lang, lex in LANG_LEXICON.items()
+        ]
+        best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+        pred = "CASE " + " ".join(
+            f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
+        ) + " END"
+        out = docs
+        if lang_col in out.columns:
+            out = out.drop(lang_col)
+        return out.withColumn(lang_col, F.expr(pred))
+    raise ValueError(f"unknown language-id method: {method!r}")
 
 
 def _repetition_exprs(text_col: str) -> list[tuple[str, str]]:

@@ -660,3 +660,31 @@ def test_curation_mixture_alpha_passthrough(spark):
         for r in docs.filter(F.col("lang").isNotNull()).collect()
     )
     assert sorted(r["doc_id"] for r in out.collect()) == in_ids
+
+
+def test_curation_detect_language_drives_filter_and_mixture(spark):
+    """detect_language derives lang from the text (input has none), so
+    the language keep-list and the mixture operate on predictions."""
+    from haplorec_spark.operators.text import with_language
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").drop("lang")
+    cfg = CurationConfig(
+        detect_language="ngram",
+        languages=["en", "de"],
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+    )
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    rows = out.collect()
+    assert rows
+    pred = {
+        r["doc_id"]: r["lang"] for r in with_language(docs).collect()
+    }
+    assert all(r["lang"] == pred[r["doc_id"]] for r in rows)
+    assert {r["lang"] for r in rows} <= {"en", "de"}
+    assert counts["language"] == sum(
+        1 for v in pred.values() if v in ("en", "de")
+    )

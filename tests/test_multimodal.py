@@ -134,3 +134,45 @@ def test_media_duplicate_pairs_finds_byte_copies(spark):
                if r["media_id_b"] - r["media_id_a"] == 1000)
     # no false positives among the 12 distinct originals
     assert not any(a < 100 and b < 100 for a, b in got)
+
+
+def test_real_codec_smoke_with_pillow(spark):
+    """The pluggable codec seam beyond the fake container: a REAL PNG
+    decodes through the same Spark plumbing when Pillow is importable.
+    Skip-marked cleanly when it is not (this container ships no image
+    libs); run under `pip install pillow` to exercise the real path."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    arr = (
+        np.arange(10 * 12 * 3, dtype=np.uint32) * 37 % 256
+    ).astype(np.uint8).reshape(10, 12, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(payload), "t", {})], MEDIA_SCHEMA
+    )
+
+    (m,) = decode_image_metadata(media).collect()
+    assert (m.width, m.height, m.channels, m.n_bytes) == (
+        12, 10, 3, len(payload)
+    )
+
+    # resize re-encodes as the documented FAKEIMG container; pixel
+    # content must equal the nearest-neighbor take over the PNG array
+    (r,) = resize_images(media, 6, 5).collect()
+    out = bytes(r.payload)
+    head, raw = out.split(b"|", 4)[:4], out.split(b"|", 4)[4]
+    assert head == [b"FAKEIMG", b"6", b"5", b"3"]
+    ys = np.arange(5) * 10 // 5
+    xs = np.arange(6) * 12 // 6
+    want = arr[ys][:, xs]
+    got_px = np.frombuffer(raw, dtype=np.uint8).reshape(5, 6, 3)
+    assert (got_px == want).all()
+
+    # features run off the decoded pixels, matching numpy on the array
+    (f,) = image_features(media).collect()
+    assert f.mean_pixel == pytest.approx(float(arr.mean()), abs=1e-6)

@@ -904,3 +904,29 @@ def test_language_id_ngram_deterministic_tiebreak_and_empty(spark):
     # score 0 — never null, never nondeterministic
     assert got[1] == ("en", 0.0)
     assert got[2][1] is not None
+
+
+def test_with_language_attaches_in_place(spark):
+    from haplorec_spark.operators.text import language_id_ngram, with_language
+
+    rows = [(1, "les chats noirs dormaient tranquillement", "xx"),
+            (2, "the quick brown fox jumps over the lazy dog", "xx")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = with_language(docs)
+    assert out.columns == ["doc_id", "text", "lang"]
+    got = {r["doc_id"]: r["lang"] for r in out.collect()}
+    want = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_ngram(docs).collect()
+    }
+    assert got == want  # the untrusted input column was overwritten
+    # map-side: no Exchange in the attach plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # lexicon rung + unknown method guard
+    lex = with_language(docs, method="lexicon")
+    assert lex.columns == ["doc_id", "text", "lang"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="method"):
+        with_language(docs, method="fasttext")
