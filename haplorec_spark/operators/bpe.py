@@ -53,6 +53,8 @@ __all__ = [
     "train_bpe",
     "bpe_encode_words",
     "bpe_tokenize",
+    "bpe_vocab",
+    "bpe_encode_ids",
 ]
 
 #: End-of-word sentinel appended as its own symbol (the Sennrich setup):
@@ -550,6 +552,122 @@ def bpe_encode_words(
         .distinct()
         .withColumn("bpe_tokens", encode(F.col("word")))
         .withColumn("n_bpe_tokens", F.size("bpe_tokens"))
+    )
+
+
+def bpe_vocab(
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    text_col: str = "text",
+    specials: tuple[str, ...] = ("<pad>", "<unk>", "<bos>", "<eos>"),
+) -> DataFrame:
+    """(token_id, token, count): the id-assigned vocabulary a trained
+    tokenizer ships — specials first (ids 0..len-1), then every token
+    the merge table produces over this corpus, ordered by corpus
+    frequency desc then token asc (deterministic across engines and
+    layouts).
+
+    The token set must come from the CORPUS, not the merge table
+    alone: characters that never participated in a merge are still
+    tokens. One distinct-word encode (the bounded pandas UDF of
+    :func:`bpe_encode_words`) weighted by word counts, one token-keyed
+    aggregate, and a single-partition rank window over the
+    vocabulary-sized result (dimension-sized, like
+    ``fk.resolve_fk_ids``' dictionary).
+    """
+    from pyspark.sql import Window
+
+    counts = bpe_word_counts(docs, text_col=text_col)
+    enc = bpe_encode_words(counts.select("word"), merges)
+    tok_counts = (
+        counts.join(enc, on="word")
+        .select(F.explode("bpe_tokens").alias("token"), "count")
+        .groupBy("token")
+        .agg(F.sum("count").alias("count"))
+    )
+    w = Window.orderBy(F.col("count").desc(), "token")
+    base = tok_counts.select(
+        (F.row_number().over(w) + F.lit(len(specials) - 1)).alias(
+            "token_id"
+        ),
+        "token",
+        "count",
+    )
+    spark = docs.sparkSession
+    spec = spark.createDataFrame(
+        [(i, s, 0) for i, s in enumerate(specials)],
+        "token_id int, token string, count bigint",
+    )
+    return spec.unionByName(base)
+
+
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: DataFrame,
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """(id, token_ids, n_tokens): every document as its BPE token-id
+    sequence, in text order — the array a training-shard consumer
+    feeds a model.
+
+    Scale shape: the greedy encoder runs once per DISTINCT word with
+    BOTH bounded tables (merge ranks, vocabulary) closed over in one
+    Arrow-batched pandas UDF, so each distinct word maps straight to
+    its id array; the corpus half is posexplode + word-keyed join +
+    one per-document aggregate whose ordering is restored map-side
+    (``array_sort`` over (position, ids) structs — no window, no
+    second shuffle). Tokens absent from ``vocab`` (possible when the
+    vocabulary was built on a different corpus slice) map to
+    ``unk_token``'s id.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = _merge_ranks(merges)
+    tok_ids = {
+        r["token"]: r["token_id"]
+        for r in vocab.select("token", "token_id").collect()
+    }
+    if unk_token not in tok_ids:
+        raise ValueError(
+            f"vocab has no {unk_token!r} row to map unknown tokens to"
+        )
+    unk = tok_ids[unk_token]
+
+    @pandas_udf("array<int>")
+    def encode_ids(col: pd.Series) -> pd.Series:
+        return col.map(
+            lambda w: [
+                tok_ids.get(t, unk) for t in _encode_word(w, ranks)
+            ]
+        )
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(f"filter(split(lower({text_col}), ' '), w -> w != '')")
+        ).alias("pos", "word"),
+    )
+    enc = (
+        toks.select("word")
+        .distinct()
+        .withColumn("ids", encode_ids(F.col("word")))
+    )
+    return (
+        toks.join(enc, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "flatten(transform("
+                " array_sort(collect_list(struct(pos, ids))),"
+                " x -> x.ids))"
+            ).alias("token_ids")
+        )
+        .withColumn("n_tokens", F.size("token_ids"))
     )
 
 

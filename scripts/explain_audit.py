@@ -261,6 +261,16 @@ CHECKS = {
         "expect": ["BroadcastHashJoin.*LeftAnti"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_bpe_encode_ids": {
+        # id encoding: the Python encoder must run over the DISTINCT
+        # word aggregate (never the exploded corpus stream), and the
+        # per-doc reassembly is one aggregate with map-side array_sort
+        # (no Window, no second corpus shuffle)
+        "expect": ["ArrowEvalPython.*HashAggregate.*Exchange"
+                   ".*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window"],
+    },
     "_curation_bpe_pack": {
         # BPE token accounting inside curation: the Python encoder
         # (ArrowEvalPython) must sit above the DISTINCT-word aggregate
@@ -553,6 +563,19 @@ def _bpe_tokenize(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = train_bpe(docs.limit(20), n_merges=4)
     return bpe_tokenize(docs, merges)
+
+
+def _bpe_encode_ids(spark, sf_dir):
+    from haplorec_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(docs.limit(20), n_merges=4)
+    return bpe_encode_ids(docs, merges, bpe_vocab(docs.limit(20), merges))
 
 
 def _curation_bpe_pack(spark, sf_dir):

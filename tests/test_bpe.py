@@ -354,3 +354,64 @@ def test_distributed_rung_matches_replica(spark, docs):
         )
     ]
     assert got == want
+
+
+def test_vocab_and_encode_ids_match_replica(spark, docs):
+    from haplorec_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    merges = train_bpe(docs, n_merges=20)
+    ranks = {
+        (r["left"], r["right"]): r["merge_rank"] for r in merges.collect()
+    }
+    # replica vocabulary: token -> corpus frequency over ref encodings
+    wc = _ref_word_counts([t for _, t in DOCS])
+    freq = Counter()
+    for w, c in wc.items():
+        for t in _ref_encode(w, ranks):
+            freq[t] += c
+    specials = ("<pad>", "<unk>", "<bos>", "<eos>")
+    order = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))
+    want_vocab = [(i, s, 0) for i, s in enumerate(specials)] + [
+        (len(specials) + i, t, c) for i, (t, c) in enumerate(order)
+    ]
+    vocab = bpe_vocab(docs, merges)
+    got_vocab = [
+        tuple(r) for r in vocab.orderBy("token_id").collect()
+    ]
+    assert got_vocab == want_vocab
+
+    # id sequences: concatenated per-word encodings in text order
+    ids = {t: i for i, t, _ in want_vocab}
+    out = {
+        r["doc_id"]: (list(r["token_ids"]), r["n_tokens"])
+        for r in bpe_encode_ids(docs, merges, vocab).collect()
+    }
+    for doc_id, text in DOCS:
+        ws = [w for w in text.lower().split(" ") if w]
+        if not ws:
+            assert doc_id not in out
+            continue
+        want = [ids[t] for w in ws for t in _ref_encode(w, ranks)]
+        assert out[doc_id] == (want, len(want)), doc_id
+
+
+def test_encode_ids_unknown_token_maps_to_unk(spark, docs):
+    from haplorec_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    merges = train_bpe(docs, n_merges=10)
+    vocab = bpe_vocab(docs, merges)
+    ids = {r["token"]: r["token_id"] for r in vocab.collect()}
+    other = spark.createDataFrame(
+        [(99, "zqz cat")], "doc_id int, text string"
+    )  # 'z'/'q' never occur in DOCS -> unk per character
+    (r,) = bpe_encode_ids(other, merges, vocab).collect()
+    got = list(r["token_ids"])
+    assert got[:3] == [ids["<unk>"]] * 3  # z, q, z
+    assert ids["<unk>"] not in got[3:]  # 'cat' tokens all known
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="<unk>"):
+        bpe_encode_ids(
+            other, merges, vocab.filter(F.col("token") != "<unk>")
+        )
