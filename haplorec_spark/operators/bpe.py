@@ -55,12 +55,49 @@ __all__ = [
     "bpe_tokenize",
     "bpe_vocab",
     "bpe_encode_ids",
+    "decode_byte_token",
 ]
 
 #: End-of-word sentinel appended as its own symbol (the Sennrich setup):
 #: it lets the learned subwords distinguish word-final from word-internal
 #: occurrences without reserving any real character.
 END_OF_WORD = "</w>"
+
+
+def _seed_syms_py(word: str, byte_level: bool) -> list[str]:
+    """A word's seed symbol sequence (sans sentinel): characters, or —
+    byte-level mode, the GPT-2-style modern default — its UTF-8 bytes
+    as two-char lowercase hex strings, so any unicode text tokenizes
+    over a closed 256-symbol base alphabet with no <unk> at the
+    character level."""
+    if byte_level:
+        h = word.encode("utf-8").hex()
+        return [h[i : i + 2] for i in range(0, len(h), 2)]
+    return list(word)
+
+
+def _seed_syms_sql(byte_level: bool) -> str:
+    """The SQL twin of :func:`_seed_syms_py` over a ``word`` column,
+    sentinel appended — the only expression byte-level mode swaps."""
+    if byte_level:
+        h = "lower(hex(encode(word, 'UTF-8')))"
+        return (
+            f"concat(transform(sequence(1, length({h}) div 2),"
+            f" i -> substring({h}, 2*i - 1, 2)),"
+            f" array('{END_OF_WORD}'))"
+        )
+    return f"concat(split(word, ''), array('{END_OF_WORD}'))"
+
+
+def decode_byte_token(token: str) -> str:
+    """Render a byte-level token (hex string) as text for display;
+    undecodable byte runs (a token may split a multi-byte codepoint)
+    show replacement characters. The sentinel passes through."""
+    if token == END_OF_WORD:
+        return token
+    body = token[:-len(END_OF_WORD)] if token.endswith(END_OF_WORD) else token
+    tail = token[len(body):]
+    return bytes.fromhex(body).decode("utf-8", errors="replace") + tail
 
 
 def bpe_word_counts(
@@ -163,6 +200,7 @@ def _train_bpe_driver(
     word_counts: list[tuple[str, int]],
     n_merges: int,
     min_pair_count: int,
+    byte_level: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Exact BPE training over a COLLECTED word-count table — the
     classic incremental algorithm (pair-count heap + pair→word
@@ -180,7 +218,8 @@ def _train_bpe_driver(
     from collections import Counter, defaultdict
 
     words: list[tuple[list[str], int]] = [
-        (list(w) + [END_OF_WORD], c) for w, c in word_counts
+        (_seed_syms_py(w, byte_level) + [END_OF_WORD], c)
+        for w, c in word_counts
     ]
     pair_counts: Counter = Counter()
     pair_words: defaultdict = defaultdict(set)
@@ -318,6 +357,7 @@ def train_bpe(
     checkpoint_interval: int = 8,
     merge_batch: int = 32,
     max_driver_vocab: int | None = 500_000,
+    byte_level: bool = False,
 ) -> DataFrame:
     """(merge_rank, left, right, merged, pair_count): the learned BPE
     merge table, in training order.
@@ -351,10 +391,16 @@ def train_bpe(
        driver round-trips, exact, never approximate.
 
     ``tests/test_bpe.py`` pins all three rungs against each other and
-    against an independent pure-Python replica. Character splitting
-    is per Java code unit (``split(word, '')``), the documented
-    behavior for the ASCII-dominant test corpora; byte-level BPE
-    would swap the seed expression only.
+    against an independent pure-Python replica.
+
+    ``byte_level`` seeds each word as its UTF-8 BYTES (two-char hex
+    symbols, the GPT-2-style modern default) instead of Java code
+    units: the base alphabet is closed at 256, so arbitrary unicode
+    tokenizes with no character-level <unk>, and learned tokens can
+    split multi-byte codepoints. Train and encode MUST agree on the
+    flag (hex symbols never match char symbols); render tokens for
+    display with :func:`decode_byte_token`. Default (char-level) is
+    the documented behavior for the ASCII-dominant test corpora.
 
     ``max_word_chars`` drops longer "words" from TRAINING (web corpora
     carry unbroken URLs/base64/DNA runs; the merge fold's accumulator
@@ -395,6 +441,7 @@ def train_bpe(
                             [(r["word"], int(r["count"])) for r in head],
                             n_merges,
                             min_pair_count,
+                            byte_level,
                         )
                     )
                 ],
@@ -402,10 +449,7 @@ def train_bpe(
                 "merged string, pair_count bigint",
             )
     syms = counts.select(
-        "count",
-        F.expr(
-            f"concat(split(word, ''), array('{END_OF_WORD}'))"
-        ).alias("syms"),
+        "count", F.expr(_seed_syms_sql(byte_level)).alias("syms")
     )
     # the full symbol alphabet, tracked driver-side for the batch
     # collision check: seed characters (bounded by the charset, like
@@ -495,7 +539,11 @@ def _merge_ranks(merges: DataFrame) -> dict[tuple[str, str], int]:
     }
 
 
-def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def _encode_word(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    byte_level: bool = False,
+) -> list[str]:
     """Greedy rank-order BPE encoding of one word (training-order
     replay): repeatedly merge the present pair with the LOWEST merge
     rank, left-to-right non-overlapping, until no learned pair
@@ -504,7 +552,7 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     merged — the subword-nmt encoding semantics.) The pure-Python
     replica in ``tests/test_bpe.py`` re-implements this spec
     independently."""
-    syms = list(word) + [END_OF_WORD]
+    syms = _seed_syms_py(word, byte_level) + [END_OF_WORD]
     while len(syms) > 1:
         pairs = {(syms[i], syms[i + 1]) for i in range(len(syms) - 1)}
         ranked = [(ranks[p], p) for p in pairs if p in ranks]
@@ -529,7 +577,11 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
 
 
 def bpe_encode_words(
-    words: DataFrame, merges: DataFrame, *, word_col: str = "word"
+    words: DataFrame,
+    merges: DataFrame,
+    *,
+    word_col: str = "word",
+    byte_level: bool = False,
 ) -> DataFrame:
     """(word, bpe_tokens, n_bpe_tokens): each distinct word encoded
     with the learned merge table.
@@ -545,7 +597,7 @@ def bpe_encode_words(
 
     @pandas_udf("array<string>")
     def encode(col: pd.Series) -> pd.Series:
-        return col.map(lambda w: _encode_word(w, ranks))
+        return col.map(lambda w: _encode_word(w, ranks, byte_level))
 
     return (
         words.select(F.col(word_col).alias("word"))
@@ -561,6 +613,7 @@ def bpe_vocab(
     *,
     text_col: str = "text",
     specials: tuple[str, ...] = ("<pad>", "<unk>", "<bos>", "<eos>"),
+    byte_level: bool = False,
 ) -> DataFrame:
     """(token_id, token, count): the id-assigned vocabulary a trained
     tokenizer ships — specials first (ids 0..len-1), then every token
@@ -579,7 +632,9 @@ def bpe_vocab(
     from pyspark.sql import Window
 
     counts = bpe_word_counts(docs, text_col=text_col)
-    enc = bpe_encode_words(counts.select("word"), merges)
+    enc = bpe_encode_words(
+        counts.select("word"), merges, byte_level=byte_level
+    )
     tok_counts = (
         counts.join(enc, on="word")
         .select(F.explode("bpe_tokens").alias("token"), "count")
@@ -610,6 +665,7 @@ def bpe_encode_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     unk_token: str = "<unk>",
+    byte_level: bool = False,
 ) -> DataFrame:
     """(id, token_ids, n_tokens): every document as its BPE token-id
     sequence, in text order — the array a training-shard consumer
@@ -642,7 +698,8 @@ def bpe_encode_ids(
     def encode_ids(col: pd.Series) -> pd.Series:
         return col.map(
             lambda w: [
-                tok_ids.get(t, unk) for t in _encode_word(w, ranks)
+                tok_ids.get(t, unk)
+                for t in _encode_word(w, ranks, byte_level)
             ]
         )
 
@@ -677,6 +734,7 @@ def bpe_tokenize(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    byte_level: bool = False,
 ) -> DataFrame:
     """(id, n_words, n_bpe_tokens): per-document BPE token accounting
     — the fertility measurement (BPE tokens per word) that sizes a
@@ -694,7 +752,9 @@ def bpe_tokenize(
         F.col(id_col),
         F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("word"),
     ).filter(F.col("word") != "")
-    encoded = bpe_encode_words(toks, merges).select("word", "n_bpe_tokens")
+    encoded = bpe_encode_words(
+        toks, merges, byte_level=byte_level
+    ).select("word", "n_bpe_tokens")
     return (
         toks.join(encoded, on="word")
         .groupBy(id_col)

@@ -415,3 +415,92 @@ def test_encode_ids_unknown_token_maps_to_unk(spark, docs):
         bpe_encode_ids(
             other, merges, vocab.filter(F.col("token") != "<unk>")
         )
+
+
+# ------------------------------------------------------- byte-level mode
+
+
+def _ref_train_bytes(word_counts, n_merges, min_pair_count=1):
+    """Replica trainer over UTF-8-byte seeds (hex-pair symbols)."""
+    def seed(w):
+        h = w.encode("utf-8").hex()
+        return tuple([h[i:i + 2] for i in range(0, len(h), 2)]
+                     + [END_OF_WORD])
+
+    table = {seed(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in table.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((left, right, cnt))
+        table = {
+            _ref_merge_seq(s, left, right): c for s, c in table.items()
+        }
+    return merges
+
+
+def test_byte_level_matches_replica_all_rungs(spark):
+    from haplorec_spark.operators.bpe import decode_byte_token
+
+    rows = [(0, "café café crème"), (1, "naïve café déjà vu"),
+            (2, "the cat sat"), (3, "日本 語 日本")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    wc = _ref_word_counts([t for _, t in rows])
+    want = [
+        (i, l, r, l + r, c)
+        for i, (l, r, c) in enumerate(_ref_train_bytes(wc, 25))
+    ]
+
+    def table(**kw):
+        return [
+            tuple(r)
+            for r in train_bpe(docs, n_merges=25, byte_level=True, **kw)
+            .orderBy("merge_rank").collect()
+        ]
+
+    assert table() == want                            # driver rung
+    assert table(max_driver_vocab=None) == want       # distributed seq
+    assert table(max_driver_vocab=None, merge_batch=8) == want  # batched
+
+    # tokens render back to readable text: the most frequent full-word
+    # merge chain reconstructs 'café</w>' from hex
+    merges = train_bpe(docs, n_merges=25, byte_level=True)
+    words = spark.createDataFrame([("café",)], "word string")
+    (enc,) = bpe_encode_words(words, merges, byte_level=True).collect()
+    joined = "".join(decode_byte_token(t) for t in enc["bpe_tokens"])
+    assert joined == "café" + END_OF_WORD
+
+
+def test_byte_level_encode_ids_round_trip(spark):
+    from haplorec_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    rows = [(0, "café café crème the"), (1, "the naïve café")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    merges = train_bpe(docs, n_merges=15, byte_level=True)
+    vocab = bpe_vocab(docs, merges, byte_level=True)
+    out = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(
+            docs, merges, vocab, byte_level=True
+        ).collect()
+    }
+    tok_of = {r["token_id"]: r["token"] for r in vocab.collect()}
+    # id sequences decode losslessly back to each document's words
+    for did, text in rows:
+        hexcat = "".join(tok_of[i] for i in out[did])
+        joined = hexcat.replace(END_OF_WORD, "")
+        words = [w for w in text.lower().split() if w]
+        assert bytes.fromhex(joined).decode("utf-8") == "".join(words)
+        assert hexcat.count(END_OF_WORD) == len(words)
