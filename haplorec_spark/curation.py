@@ -153,6 +153,102 @@ class CurationConfig:
     lang_col: str = "lang"
 
 
+def map_side_curation(
+    docs: DataFrame, config: CurationConfig = CurationConfig()
+) -> DataFrame:
+    """The shuffle-free subset of :func:`curate_documents` as ONE
+    composed projection/filter chain — no joins, no aggregates — so it
+    applies unchanged to a STREAMING frame (the per-micro-batch filter
+    of :func:`haplorec_spark.streaming.stream_curate_ingest`) or to a
+    batch frame where only these stages are wanted.
+
+    Stages, in the batch pipeline's order: language detection
+    (``detect_language``) → language keep-list → quality + Gopher
+    repetition floors → literal-map classifier gate
+    (``classifier_weights``; vocabularies beyond the literal-map bound
+    need the batch path's measured join) → PII redaction
+    (``text_redacted`` attached) → split assignment (``split``
+    attached; a per-row hash, so streaming rows get the identical
+    split they would get in batch). Dedup is deliberately ABSENT: it
+    is corpus-global, and the streaming face runs it against a
+    persisted store instead.
+
+    Raises for config knobs that need corpus-global state —
+    boilerplate strip, LM/perplexity cuts, span strip, DSIR, mixture,
+    chunking, packing, leakage-safe splits, precomputed token columns
+    — so a silent semantics downgrade is impossible.
+    """
+    from haplorec_spark.operators.text import (
+        _literal_score_prob,
+        _quality_exprs,
+        _redact_columns,
+        with_language,
+    )
+
+    cfg = config
+    offenders = [
+        name
+        for name in (
+            "boilerplate_min_df",
+            "min_avg_logprob",
+            "max_ppl_bucket",
+            "strip_span_ngram",
+            "dsir_k",
+            "chunk_size",
+            "seq_len",
+            "token_col",
+        )
+        if getattr(cfg, name) is not None
+    ]
+    if cfg.mixture_weights or cfg.mixture_alpha is not None:
+        offenders.append("mixture")
+    if cfg.leakage_safe:
+        offenders.append("leakage_safe")
+    if cfg.normalize_for_dedup:
+        offenders.append("normalize_for_dedup")
+    if offenders:
+        raise ValueError(
+            "config stages need corpus-global state and are batch-only "
+            f"(use curate_documents): {offenders}"
+        )
+    if (
+        cfg.classifier_weights is not None
+        and len(cfg.classifier_weights) > 256
+    ):
+        raise ValueError(
+            "classifier vocabulary exceeds the literal-map bound (256); "
+            "the adaptive-join path is batch-only"
+        )
+
+    out = docs
+    if cfg.detect_language is not None:
+        out = with_language(
+            out,
+            method=cfg.detect_language,
+            text_col=cfg.text_col,
+            lang_col=cfg.lang_col,
+        )
+    if cfg.languages is not None:
+        out = out.filter(F.col(cfg.lang_col).isin(list(cfg.languages)))
+    qexprs = _quality_exprs(cfg.text_col, include_repetition=True)
+    for alias, expr in qexprs:
+        out = out.withColumn(alias, F.expr(expr))
+    out = out.filter(
+        (F.col("quality") >= cfg.min_quality)
+        & (F.col("dup_word_fraction") < cfg.max_dup_word_fraction)
+        & (F.col("top_word_fraction") <= cfg.max_top_word_fraction)
+    ).drop(*[a for a, _ in qexprs])
+    if cfg.classifier_weights is not None:
+        _score, prob = _literal_score_prob(
+            cfg.classifier_weights, cfg.classifier_bias, True, cfg.text_col
+        )
+        out = out.filter(prob >= cfg.min_classifier_prob)
+    if cfg.redact:
+        redacted, _counts = _redact_columns(cfg.text_col)
+        out = out.withColumn("text_redacted", redacted)
+    return hash_split(out, dict(cfg.splits), [cfg.id_col])
+
+
 def curate_documents(
     docs: DataFrame,
     benchmark: DataFrame | None = None,

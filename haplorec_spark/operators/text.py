@@ -322,6 +322,19 @@ def quality_score(
     With ``include_repetition`` the Gopher repetition features are
     appended in the same single map-side projection (no join).
     """
+    exprs = _quality_exprs(text_col, include_repetition)
+    return docs.select(
+        F.col(id_col), *[F.expr(e).alias(a) for a, e in exprs]
+    )
+
+
+def _quality_exprs(
+    text_col: str, include_repetition: bool
+) -> list[tuple[str, str]]:
+    """(alias, SQL expr) pairs of the quality/repetition features —
+    shared by :func:`quality_score` (projection face) and
+    ``curation.map_side_curation`` (attach-in-place face, usable on a
+    streaming frame with no join)."""
     words = f"split(lower({text_col}), ' ')"
     n_words = f"size({words})"
     stop_ratio = (
@@ -333,22 +346,19 @@ def quality_score(
     len_ok = f"CASE WHEN {n_words} >= 10 AND {n_words} <= 100000 THEN 1.0 ELSE 0.0 END"
     wlen_ok = f"CASE WHEN {mean_word_len} >= 2 AND {mean_word_len} <= 12 THEN 1.0 ELSE 0.0 END"
     stop_ok = f"CASE WHEN {stop_ratio} >= 0.01 THEN 1.0 ELSE 0.0 END"
-    extra = (
-        [F.expr(e).alias(a) for a, e in _repetition_exprs(text_col)]
-        if include_repetition
-        else []
-    )
-    return docs.select(
-        F.col(id_col),
-        F.expr(n_words).alias("n_words"),
-        F.expr(f"round({mean_word_len}, 6)").alias("mean_word_len"),
-        F.expr(f"round({stop_ratio}, 6)").alias("stopword_ratio"),
-        F.expr(
+    exprs = [
+        ("n_words", n_words),
+        ("mean_word_len", f"round({mean_word_len}, 6)"),
+        ("stopword_ratio", f"round({stop_ratio}, 6)"),
+        (
+            "quality",
             f"round(cast(0.4 * {len_ok} + 0.3 * {wlen_ok} + 0.3 * {stop_ok}"
-            f" as double), 6)"
-        ).alias("quality"),
-        *extra,
-    )
+            f" as double), 6)",
+        ),
+    ]
+    if include_repetition:
+        exprs.extend(_repetition_exprs(text_col))
+    return exprs
 
 
 def token_counts(
@@ -397,6 +407,15 @@ def redact_pii(
     follows :data:`PII_PATTERNS`; counts are measured on the original
     text, so a string matching several patterns reports under each.
     """
+    redacted, counts = _redact_columns(text_col)
+    return docs.select(
+        F.col(id_col), redacted.alias("text_redacted"), *counts
+    )
+
+
+def _redact_columns(text_col: str):
+    """(redacted Column, [count Columns]) — shared by
+    :func:`redact_pii` and ``curation.map_side_curation``."""
     redacted = F.col(text_col)
     counts = []
     for name, pat in PII_PATTERNS:
@@ -406,9 +425,7 @@ def redact_pii(
             ).alias(f"n_{name}")
         )
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
-    return docs.select(
-        F.col(id_col), redacted.alias("text_redacted"), *counts
-    )
+    return redacted, counts
 
 
 def unigram_logprob_score(
@@ -777,6 +794,32 @@ def doc_fingerprints(
     )
 
 
+def _literal_score_prob(weights, bias, average, text_col):
+    """(score, prob) Columns for a literal-map linear classifier —
+    shared by :func:`linear_text_score`'s small-vocabulary path and
+    ``curation.map_side_curation``'s streaming-safe gate."""
+    ws = f"split(lower({text_col}), ' ')"
+    n_tok = F.expr(f"size({ws})")
+    if weights:
+        entries = ", ".join(
+            "'" + w.replace("'", "''") + f"', CAST({float(x)!r} AS DOUBLE)"
+            for w, x in sorted(weights.items())
+        )
+        lookup = f"element_at(map({entries}), w)"
+    else:
+        lookup = "cast(null as double)"
+    total = F.expr(
+        f"aggregate({ws}, cast(0.0 as double),"
+        f" (acc, w) -> acc + coalesce({lookup}, cast(0.0 as double)))"
+    )
+    score = F.lit(float(bias)) + (
+        total / n_tok.cast("double") if average else total
+    )
+    score = F.round(score, 6)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
+    return score, prob
+
+
 def linear_text_score(
     docs: DataFrame,
     weights,
@@ -813,29 +856,12 @@ def linear_text_score(
     ws = f"split(lower({text_col}), ' ')"
     n_tok = F.expr(f"size({ws})")
     if isinstance(weights, _Mapping) and len(weights) <= max_literal_vocab:
-        if weights:
-            entries = ", ".join(
-                "'" + w.replace("'", "''") + f"', CAST({float(x)!r} AS DOUBLE)"
-                for w, x in sorted(weights.items())
-            )
-            lookup = f"element_at(map({entries}), w)"
-        else:
-            lookup = "cast(null as double)"
-        total = F.expr(
-            f"aggregate({ws}, cast(0.0 as double),"
-            f" (acc, w) -> acc + coalesce({lookup}, cast(0.0 as double)))"
-        )
-        score = F.lit(float(bias)) + (
-            total / n_tok.cast("double") if average else total
-        )
-        score = F.round(score, 6)
+        score, prob = _literal_score_prob(weights, bias, average, text_col)
         return docs.select(
             F.col(id_col),
             n_tok.alias("n_tokens"),
             score.alias("score"),
-            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias(
-                "prob"
-            ),
+            prob.alias("prob"),
         )
     if isinstance(weights, _Mapping):
         weights = docs.sparkSession.createDataFrame(

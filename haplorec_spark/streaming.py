@@ -678,6 +678,75 @@ def stream_drift_monitor(
     )
 
 
+def stream_curate_ingest(
+    doc_stream: DataFrame,
+    *,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    config=None,
+    verify_threshold: float | None = None,
+):
+    """Streaming corpus curation: the config-driven twin of
+    :func:`haplorec_spark.curation.curate_documents` for an unbounded
+    document source.
+
+    Each micro-batch passes through the MAP-SIDE curation stages
+    (:func:`~haplorec_spark.curation.map_side_curation`: language
+    detection/keep-list, quality + repetition floors, literal-map
+    classifier gate, PII redaction, split assignment — all pure
+    projections/filters, so they run on the stream itself with zero
+    state), then ``config.dedup`` selects the cross-batch dedup store:
+    ``"exact"`` / ``"near"`` delegate to :func:`stream_dedup_ingest`
+    (content-hash or MinHash-LSH store, exactly-once
+    ``ingest_batch``-partitioned output; ``verify_threshold`` as
+    there), ``None`` appends the filtered batches with the same
+    exactly-once partition scheme and no store. Corpus-global stages
+    (mixture, DSIR, packing, …) stay batch-only and raise loudly —
+    run :func:`curate_documents` over the accumulated ``out_path``
+    when a training snapshot is cut.
+
+    Returns the started StreamingQuery.
+    """
+    from haplorec_spark.curation import CurationConfig, map_side_curation
+
+    cfg = config if config is not None else CurationConfig(dedup=None)
+    filtered = map_side_curation(doc_stream, cfg)
+    if cfg.dedup in ("exact", "near"):
+        return stream_dedup_ingest(
+            filtered,
+            store_path=store_path,
+            out_path=out_path,
+            checkpoint_dir=checkpoint_dir,
+            mode=cfg.dedup,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
+            verify_threshold=verify_threshold,
+        )
+    if cfg.dedup:
+        raise ValueError(f"unknown dedup mode: {cfg.dedup!r}")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        sp = batch_df.sparkSession
+        sp.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        (
+            batch_df.withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(out_path)
+        )
+
+    return (
+        filtered.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_dsir_score(
     doc_stream: DataFrame,
     vocab: DataFrame,

@@ -261,6 +261,15 @@ CHECKS = {
         "expect": ["BroadcastHashJoin.*LeftAnti"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_map_side_curation": {
+        # the streaming-safe curation chain must be ONE map-side stage
+        # set: detection, filters, redaction, split — zero Exchange,
+        # zero Python, zero join
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "BroadcastNestedLoopJoin",
+                   "HashAggregate"],
+    },
     "_bpe_encode_ids": {
         # id encoding: the Python encoder must run over the DISTINCT
         # word aggregate (never the exploded corpus stream), and the
@@ -563,6 +572,21 @@ def _bpe_tokenize(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     merges = train_bpe(docs.limit(20), n_merges=4)
     return bpe_tokenize(docs, merges)
+
+
+def _map_side_curation(spark, sf_dir):
+    from haplorec_spark.curation import CurationConfig, map_side_curation
+    from haplorec_spark.queries import table
+
+    return map_side_curation(
+        table(spark, sf_dir, "documents"),
+        CurationConfig(
+            detect_language="ngram",
+            languages=["en", "de"],
+            classifier_weights={"the": 0.4, "slow": -0.7},
+            dedup=None,
+        ),
+    )
 
 
 def _bpe_encode_ids(spark, sf_dir):

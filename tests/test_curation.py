@@ -688,3 +688,54 @@ def test_curation_detect_language_drives_filter_and_mixture(spark):
     assert counts["language"] == sum(
         1 for v in pred.values() if v in ("en", "de")
     )
+
+
+def test_map_side_curation_matches_batch_subset(spark):
+    """On a map-side-only config, map_side_curation's one-chain face
+    must keep exactly the rows/columns the full batch pipeline keeps."""
+    from haplorec_spark.curation import map_side_curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = CurationConfig(
+        languages=["en", "de"],
+        classifier_weights={"the": 0.4, "slow": -0.7},
+        classifier_bias=0.1,
+        min_classifier_prob=0.4,
+        dedup=None,
+    )
+    fast = map_side_curation(docs, cfg)
+    full, _ = curate_documents(docs, config=cfg)
+    cols = sorted(full.columns)
+    assert sorted(fast.columns) == cols
+    assert sorted(
+        tuple(r) for r in fast.select(*cols).collect()
+    ) == sorted(tuple(r) for r in full.select(*cols).collect())
+    # zero Exchange: the whole chain is one map-side stage set
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_map_side_curation_rejects_global_stages(spark):
+    import pytest
+
+    from haplorec_spark.curation import map_side_curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for bad in (
+        CurationConfig(mixture_weights={"en": 1.0}),
+        CurationConfig(dsir_k=10),
+        CurationConfig(seq_len=128),
+        CurationConfig(chunk_size=50),
+        CurationConfig(min_avg_logprob=-5.0),
+        CurationConfig(boilerplate_min_df=2),
+        CurationConfig(leakage_safe=True),
+    ):
+        with pytest.raises(ValueError, match="batch-only"):
+            map_side_curation(docs, bad)
+    with pytest.raises(ValueError, match="literal-map"):
+        map_side_curation(
+            docs,
+            CurationConfig(
+                classifier_weights={f"w{i}": 0.1 for i in range(300)}
+            ),
+        )

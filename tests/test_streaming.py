@@ -767,3 +767,92 @@ def test_stream_dsir_score_matches_batch_and_freezes_lm(spark, tmp_path):
         )
         assert have == want, b
     vocab.unpersist()
+
+
+def test_stream_curate_ingest_filters_and_dedups_across_drops(
+    spark, tmp_path
+):
+    """Config-driven streaming curation: quality floor drops junk,
+    redaction and split columns appear, and the exact-dedup store
+    drops content redelivered in a later drop."""
+    from haplorec_spark.curation import CurationConfig
+    from haplorec_spark.streaming import stream_curate_ingest
+
+    good_a = (
+        "the data pipeline reads parquet files and writes curated "
+        "shards with stable splits every day of the week"
+    )
+    good_b = (
+        "a second perfectly reasonable document with the usual "
+        "wording and enough words in it to pass the quality floor"
+    )
+    junk = "zz zz zz zz"  # too short + no stopwords -> quality 0
+    src = tmp_path / "incoming_cur"
+    src.mkdir()
+    cfg = CurationConfig(dedup="exact")
+
+    def run_drop(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_curate_ingest(
+            spark.readStream.schema(
+                "doc_id long, lang string, text string"
+            ).parquet(str(src)),
+            store_path=str(tmp_path / "cur_store"),
+            out_path=str(tmp_path / "cur_out"),
+            checkpoint_dir=str(tmp_path / "cur_ckpt"),
+            config=cfg,
+        )
+        q.awaitTermination(120)
+
+    run_drop([(1, "en", good_a), (2, "en", junk)])
+    run_drop([(10, "en", good_a), (11, "en", good_b)])
+
+    out = spark.read.parquet(str(tmp_path / "cur_out"))
+    rows_out = {r["doc_id"]: r for r in out.collect()}
+    # junk filtered, redelivered good_a deduped across drops
+    assert set(rows_out) == {1, 11}
+    assert {"text_redacted", "split"} <= set(out.columns)
+    # split matches the batch hash assignment for the same id
+    from haplorec_spark.curation import map_side_curation
+
+    batch = {
+        r["doc_id"]: r["split"]
+        for r in map_side_curation(
+            spark.createDataFrame(
+                [(1, "en", good_a), (11, "en", good_b)],
+                "doc_id long, lang string, text string",
+            ),
+            cfg,
+        ).collect()
+    }
+    assert {k: v["split"] for k, v in rows_out.items()} == batch
+
+
+def test_stream_curate_ingest_no_dedup_mode(spark, tmp_path):
+    from haplorec_spark.curation import CurationConfig
+    from haplorec_spark.streaming import stream_curate_ingest
+
+    text = (
+        "the data pipeline reads parquet files and writes curated "
+        "shards with stable splits every day of the week"
+    )
+    src = tmp_path / "incoming_nd"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "en", text), (2, "en", text)],
+        "doc_id long, lang string, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_curate_ingest(
+        spark.readStream.schema(
+            "doc_id long, lang string, text string"
+        ).parquet(str(src)),
+        store_path=str(tmp_path / "nd_store"),
+        out_path=str(tmp_path / "nd_out"),
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+        config=CurationConfig(dedup=None),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "nd_out"))
+    assert out.count() == 2  # no dedup: both identical docs kept
