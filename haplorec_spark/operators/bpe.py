@@ -56,6 +56,8 @@ __all__ = [
     "bpe_vocab",
     "bpe_encode_ids",
     "decode_byte_token",
+    "save_bpe_tokenizer",
+    "load_bpe_tokenizer",
 ]
 
 #: End-of-word sentinel appended as its own symbol (the Sennrich setup):
@@ -725,6 +727,55 @@ def bpe_encode_ids(
             ).alias("token_ids")
         )
         .withColumn("n_tokens", F.size("token_ids"))
+    )
+
+
+def save_bpe_tokenizer(
+    merges: DataFrame,
+    vocab: DataFrame | None,
+    path: str,
+    *,
+    byte_level: bool = False,
+) -> None:
+    """Persist a trained tokenizer: ``<path>/merges`` (+ optional
+    ``<path>/vocab``) and a one-row ``<path>/meta`` carrying
+    ``byte_level`` — the flag train and encode MUST agree on, which is
+    exactly why it lives in the artifact instead of in every caller's
+    head. Writes use the temp-sibling + rename scheme of
+    ``training.save_text_model`` so re-saving over an existing
+    artifact can never destroy it mid-write. The loaded artifact
+    drops into every encode face (``bpe_encode_words`` /
+    ``bpe_tokenize`` / ``bpe_encode_ids``), batch or streaming."""
+    from haplorec_spark.operators.training import safe_overwrite_parquet
+
+    spark = merges.sparkSession
+    safe_overwrite_parquet(merges, f"{path}/merges")
+    if vocab is not None:
+        safe_overwrite_parquet(vocab, f"{path}/vocab")
+    safe_overwrite_parquet(
+        spark.createDataFrame(
+            [(bool(byte_level), vocab is not None)],
+            "byte_level boolean, has_vocab boolean",
+        ),
+        f"{path}/meta",
+    )
+
+
+def load_bpe_tokenizer(
+    spark, path: str
+) -> tuple[DataFrame, DataFrame | None, bool]:
+    """(merges, vocab-or-None, byte_level) from a
+    :func:`save_bpe_tokenizer` artifact."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    vocab = (
+        spark.read.parquet(f"{path}/vocab")
+        if meta["has_vocab"]
+        else None
+    )
+    return (
+        spark.read.parquet(f"{path}/merges"),
+        vocab,
+        bool(meta["byte_level"]),
     )
 
 

@@ -483,6 +483,28 @@ def calibration_buckets(
     ).orderBy("bucket")
 
 
+def safe_overwrite_parquet(df: DataFrame, dest: str) -> None:
+    """Replace the parquet directory at ``dest`` with ``df`` WITHOUT
+    the overwrite-in-place failure window: the new data is fully
+    written to a ``.__tmp__`` sibling first, then swapped in by a
+    filesystem rename through the Hadoop ``FileSystem`` API (any
+    supported scheme). A failure mid-write leaves the existing
+    artifact intact — ``mode('overwrite')`` straight at ``dest``
+    would have deleted it before the write committed."""
+    spark = df.sparkSession
+    tmp = f"{dest}.__tmp__"
+    df.write.mode("overwrite").parquet(tmp)
+    jvm = spark.sparkContext._jvm
+    hadoop_path = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = hadoop_path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    if fs.exists(hadoop_path):
+        fs.delete(hadoop_path, True)
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path):
+        raise IOError(f"rename {tmp} -> {dest} failed")
+
+
 def save_text_model(model: LinearTextModel, path: str) -> None:
     """Persist a trained model: ``<path>/weights`` (the word-weight
     table, the only data-sized part) + ``<path>/meta`` (one row of
@@ -503,19 +525,9 @@ def save_text_model(model: LinearTextModel, path: str) -> None:
     the IN-MEMORY loaded model readable after its source files are
     replaced (a local-mode convenience, not the durability
     mechanism)."""
-    spark = model.weights.sparkSession
     weights = model.weights.localCheckpoint(eager=True)
-    tmp = f"{path}/weights.__tmp__"
-    weights.write.mode("overwrite").parquet(tmp)
-    jvm = spark.sparkContext._jvm
-    hadoop_path = jvm.org.apache.hadoop.fs.Path(f"{path}/weights")
-    fs = hadoop_path.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration()
-    )
-    if fs.exists(hadoop_path):
-        fs.delete(hadoop_path, True)
-    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), hadoop_path):
-        raise IOError(f"rename {tmp} -> {path}/weights failed")
+    safe_overwrite_parquet(weights, f"{path}/weights")
+    spark = model.weights.sparkSession
     spark.createDataFrame(
         [
             (

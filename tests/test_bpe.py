@@ -504,3 +504,50 @@ def test_byte_level_encode_ids_round_trip(spark):
         words = [w for w in text.lower().split() if w]
         assert bytes.fromhex(joined).decode("utf-8") == "".join(words)
         assert hexcat.count(END_OF_WORD) == len(words)
+
+
+def test_tokenizer_save_load_round_trip(spark, docs, tmp_path):
+    from haplorec_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+
+    merges = train_bpe(docs, n_merges=15, byte_level=True)
+    vocab = bpe_vocab(docs, merges, byte_level=True)
+    path = str(tmp_path / "tok")
+    save_bpe_tokenizer(merges, vocab, path, byte_level=True)
+
+    m2, v2, bl = load_bpe_tokenizer(spark, path)
+    assert bl is True and v2 is not None
+    assert sorted(tuple(r) for r in m2.collect()) == sorted(
+        tuple(r) for r in merges.collect()
+    )
+    assert sorted(tuple(r) for r in v2.collect()) == sorted(
+        tuple(r) for r in vocab.collect()
+    )
+    # loaded artifact drives id encoding identically
+    a = sorted(
+        (r["doc_id"], tuple(r["token_ids"]))
+        for r in bpe_encode_ids(
+            docs, merges, vocab, byte_level=True
+        ).collect()
+    )
+    b = sorted(
+        (r["doc_id"], tuple(r["token_ids"]))
+        for r in bpe_encode_ids(docs, m2, v2, byte_level=bl).collect()
+    )
+    assert a == b
+
+    # re-save a LOADED artifact over its own path (the overwrite-safety
+    # contract), and the vocab-less form round-trips too
+    save_bpe_tokenizer(m2, v2, path, byte_level=bl)
+    m3, v3, _ = load_bpe_tokenizer(spark, path)
+    assert sorted(tuple(r) for r in m3.collect()) == sorted(
+        tuple(r) for r in merges.collect()
+    )
+    path2 = str(tmp_path / "tok2")
+    save_bpe_tokenizer(merges, None, path2)
+    m4, v4, bl4 = load_bpe_tokenizer(spark, path2)
+    assert v4 is None and bl4 is False and m4.count() == merges.count()
