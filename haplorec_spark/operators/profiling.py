@@ -258,6 +258,65 @@ def text_corpus_profile(
     return row.select(F.explode(pairs).alias("m")).select("m.*")
 
 
+def embedding_profile(
+    vectors: DataFrame, *, vec_col: str = "embedding"
+) -> DataFrame:
+    """(metric, value): the vector-column sanity audit in ONE pass —
+    the embeddings-table sibling of :func:`text_corpus_profile`, run
+    BEFORE any ANN/semantic-dedup job: a single corrupt drop (ragged
+    dimensions, NaN/zero vectors) otherwise surfaces as a mystery
+    failure deep inside a k-means or a cosine join.
+
+    Metrics: row count, null-vector count, distinct dimension count +
+    min/max dimension (a healthy table has exactly one), vectors
+    containing NaN or non-finite values, zero-norm vectors (cosine
+    is undefined on them), and norm mean/min/max. Every number is an
+    aggregate column of one ``agg`` over one map-side projection
+    (norms and NaN flags are array folds) — one scalar row out, then
+    unpivoted. Exact, not sampled: at 100 TB this is one scan with
+    partial aggregation, the same cost class as any corpus count.
+    """
+    v = F.col(vec_col)
+    nrm = F.expr(
+        f"sqrt(aggregate({vec_col}, cast(0.0 as double),"
+        f" (acc, x) -> acc + cast(x as double) * cast(x as double)))"
+    )
+    has_nan = F.expr(
+        f"exists({vec_col}, x -> isnan(cast(x as double)))"
+    )
+    row = vectors.select(
+        v.isNull().cast("double").alias("_null"),
+        F.when(v.isNull(), None).otherwise(F.size(v)).alias("_dim"),
+        F.when(v.isNull(), None).otherwise(has_nan.cast("double")).alias(
+            "_nan"
+        ),
+        F.when(v.isNull() | has_nan, None).otherwise(nrm).alias("_nrm"),
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_vectors"),
+        F.sum("_null").alias("n_null_vectors"),
+        F.countDistinct("_dim").cast("double").alias("n_distinct_dims"),
+        F.min("_dim").cast("double").alias("min_dim"),
+        F.max("_dim").cast("double").alias("max_dim"),
+        F.coalesce(F.sum("_nan"), F.lit(0.0)).alias("n_nan_vectors"),
+        F.sum(
+            F.when(F.col("_nrm") == 0.0, 1.0).otherwise(0.0)
+        ).alias("n_zero_norm"),
+        F.round(F.avg("_nrm"), 6).alias("avg_norm"),
+        F.round(F.min("_nrm"), 6).alias("min_norm"),
+        F.round(F.max("_nrm"), 6).alias("max_norm"),
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("metric"),
+                F.col(c).cast("double").alias("value"),
+            )
+            for c in row.columns
+        ]
+    )
+    return row.select(F.explode(pairs).alias("m")).select("m.*")
+
+
 def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
     """(column, metric, before, after, delta, rel_change): compare two
     :func:`profile_table` outputs — the corpus-monitoring face (a new

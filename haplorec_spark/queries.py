@@ -399,6 +399,15 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (anti-join failure branch) and decontaminate's plan. The 1998+
 # restriction keeps the check non-vacuous (every customer has SOME
 # order). Still DuckDB-checked by tests/test_registry.py.
+# Not a driver gate (the 50-slot budget is full): the embeddings-table
+# sanity audit (profiling.embedding_profile). DuckDB-checked by
+# tests/test_registry.py::ROTATED_OUT_ORACLES.
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.profiling import embedding_profile
+
+    return embedding_profile(table(spark, sf_dir, "embeddings"))
+
+
 # Not a driver gate (the 50-slot budget is full): the trigram-profile
 # language scorer (text.language_id_ngram, the rung above the
 # whole-word lexicon gate q_text_language_id). DuckDB-checked by

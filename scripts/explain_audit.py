@@ -261,6 +261,15 @@ CHECKS = {
         "expect": ["BroadcastHashJoin.*LeftAnti"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "q_embedding_profile": {
+        # one map-side projection + ONE aggregate (partial+final) —
+        # a single corpus scan; norms/NaN flags are array folds, never
+        # a second pass or a join
+        "expect": ["HashAggregate.*Exchange.*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "ArrowEvalPython", "BatchEvalPython",
+                   "Exchange hashpartitioning.*Exchange hashpartitioning"],
+    },
     "_map_side_curation": {
         # the streaming-safe curation chain must be ONE map-side stage
         # set: detection, filters, redaction, split — zero Exchange,

@@ -353,3 +353,40 @@ def test_psi_null_buckets_are_null_safe(spark):
         frequent_values(a, ["c"]), frequent_values(c, ["c"])
     ).collect()[0]
     assert shifted["psi"] > 0.1
+
+
+def test_embedding_profile_flags_corruption(spark):
+    """Null vectors, NaN components, zero norms, and ragged dims each
+    land in their own metric; healthy rows drive the norm stats."""
+    import math
+
+    from haplorec_spark.operators.profiling import embedding_profile
+
+    rows = [
+        (1, [3.0, 4.0]),          # norm 5
+        (2, [0.0, 0.0]),          # zero norm
+        (3, None),                # null vector
+        (4, [float("nan"), 1.0]), # NaN component
+        (5, [1.0, 0.0, 0.0]),     # ragged: dim 3
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["metric"]: r["value"] for r in embedding_profile(df).collect()}
+    assert got["n_vectors"] == 5.0
+    assert got["n_null_vectors"] == 1.0
+    assert got["n_nan_vectors"] == 1.0
+    assert got["n_zero_norm"] == 1.0
+    assert got["n_distinct_dims"] == 2.0
+    assert (got["min_dim"], got["max_dim"]) == (2.0, 3.0)
+    assert got["max_norm"] == 5.0 and got["min_norm"] == 0.0
+    assert math.isclose(got["avg_norm"], round((5.0 + 0.0 + 1.0) / 3, 6))
+
+
+def test_embedding_profile_healthy_table(spark):
+    from haplorec_spark.operators.profiling import embedding_profile
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {r["metric"]: r["value"] for r in embedding_profile(emb).collect()}
+    assert got["n_null_vectors"] == 0.0
+    assert got["n_nan_vectors"] == 0.0
+    assert got["n_distinct_dims"] == 1.0
+    assert got["min_norm"] > 0

@@ -211,6 +211,46 @@ def _language_ngram_oracle() -> str:
 
 ROTATED_OUT_ORACLES["q_text_language_ngram"] = _language_ngram_oracle()
 
+ROTATED_OUT_ORACLES["q_embedding_profile"] = """
+    WITH p AS (
+        SELECT CASE WHEN embedding IS NULL THEN 1.0 ELSE 0.0 END AS nul,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE len(embedding) END AS dim,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE (CASE WHEN len(list_filter(embedding,
+                               x -> isnan(x::DOUBLE))) > 0
+                          THEN 1.0 ELSE 0.0 END) END AS nan,
+               CASE WHEN embedding IS NULL
+                      OR len(list_filter(embedding,
+                             x -> isnan(x::DOUBLE))) > 0 THEN NULL
+                    ELSE sqrt(list_reduce(list_transform(embedding,
+                             x -> x::DOUBLE * x::DOUBLE),
+                             (a, b) -> a + b)) END AS nrm
+        FROM embeddings),
+    a AS (SELECT count(*)::DOUBLE AS n_vectors,
+                 sum(nul) AS n_null_vectors,
+                 count(DISTINCT dim)::DOUBLE AS n_distinct_dims,
+                 min(dim)::DOUBLE AS min_dim,
+                 max(dim)::DOUBLE AS max_dim,
+                 coalesce(sum(nan), 0.0) AS n_nan_vectors,
+                 sum(CASE WHEN nrm = 0 THEN 1.0 ELSE 0.0 END)
+                     AS n_zero_norm,
+                 round(avg(nrm), 6) AS avg_norm,
+                 round(min(nrm), 6) AS min_norm,
+                 round(max(nrm), 6) AS max_norm
+          FROM p)
+    SELECT 'n_vectors' AS metric, n_vectors AS value FROM a
+    UNION ALL SELECT 'n_null_vectors', n_null_vectors FROM a
+    UNION ALL SELECT 'n_distinct_dims', n_distinct_dims FROM a
+    UNION ALL SELECT 'min_dim', min_dim FROM a
+    UNION ALL SELECT 'max_dim', max_dim FROM a
+    UNION ALL SELECT 'n_nan_vectors', n_nan_vectors FROM a
+    UNION ALL SELECT 'n_zero_norm', n_zero_norm FROM a
+    UNION ALL SELECT 'avg_norm', avg_norm FROM a
+    UNION ALL SELECT 'min_norm', min_norm FROM a
+    UNION ALL SELECT 'max_norm', max_norm FROM a
+"""
+
 
 def test_rotated_out_queries_still_match_duckdb(spark):
     import duckdb
@@ -220,7 +260,7 @@ def test_rotated_out_queries_still_match_duckdb(spark):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     for t in ("customer", "orders", "part", "supplier", "lineitem",
-              "documents"):
+              "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf}/{t}.parquet')"
