@@ -519,3 +519,46 @@ def test_refine_topk_is_contained_in_candidates(spark, n_cand, k):
                 6,
             )
             assert math.isclose(r["dist2"], exact, abs_tol=1e-9)
+
+
+# --------------------------------------------------- BPE rung equivalence
+
+# tiny alphabet + short words force heavy symbol overlap, count ties,
+# and merged-symbol collisions — exactly the hazards the batched
+# distributed rung's acceptance proof (_accept_merge_prefix) must
+# survive while staying bit-identical to sequential training
+bpe_words = st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=5),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(corpus=st.lists(bpe_words, min_size=1, max_size=4))
+def test_bpe_rungs_equal_replica_on_random_corpora(spark, corpus):
+    from haplorec_spark.operators.bpe import train_bpe
+    from tests.test_bpe import _ref_train, _ref_word_counts
+
+    texts = [" ".join(ws) for ws in corpus]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id int, text string"
+    )
+    want = [
+        (i, l, r, l + r, c)
+        for i, (l, r, c) in enumerate(
+            _ref_train(_ref_word_counts(texts), 12)
+        )
+    ]
+    drv = [
+        tuple(r)
+        for r in train_bpe(docs, n_merges=12).orderBy("merge_rank").collect()
+    ]
+    assert drv == want
+    bat = [
+        tuple(r)
+        for r in train_bpe(
+            docs, n_merges=12, max_driver_vocab=None, merge_batch=6
+        ).orderBy("merge_rank").collect()
+    ]
+    assert bat == want
