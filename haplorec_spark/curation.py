@@ -231,6 +231,17 @@ def map_side_curation(
     if cfg.languages is not None:
         out = out.filter(F.col(cfg.lang_col).isin(list(cfg.languages)))
     qexprs = _quality_exprs(cfg.text_col, include_repetition=True)
+    clobbered = sorted(
+        {a for a, _ in qexprs}.intersection(out.columns)
+    )
+    if clobbered:
+        # the attach-in-place chain would silently overwrite AND drop
+        # these input columns (the batch face's projection+join
+        # preserves them) — refuse rather than diverge
+        raise ValueError(
+            "input already carries quality-feature column names this "
+            f"face would overwrite: {clobbered}; rename them first"
+        )
     for alias, expr in qexprs:
         out = out.withColumn(alias, F.expr(expr))
     out = out.filter(

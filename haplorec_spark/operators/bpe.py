@@ -303,11 +303,15 @@ def _accept_merge_prefix(
       only changes counts of pairs touching a, b, or the new symbol
       ab, so disjoint pairs keep their collected counts through every
       earlier merge in the batch.
-    * **novel merged symbol**: its merged string is not already in the
-      symbol alphabet (scanning stops AFTER accepting a colliding
-      pair). A collision conflates the new symbol with existing
-      occurrences, so pairs touching that string could GAIN count
-      mid-batch in ways the collected counts don't show.
+    * **novel merged symbol, no self-pair**: its merged string is not
+      already in the symbol alphabet, and scanning stops AFTER
+      accepting a colliding pair OR a self-pair (left == right). A
+      collision conflates the new symbol with existing occurrences; a
+      self-pair's merge sites mint new pairs out of the accepted
+      pair's OWN occurrences ([a,a,a,a] → (aa,aa)) — in both cases
+      pairs can GAIN count mid-batch in ways the collected counts
+      don't bound, so nothing after such a pair is provably the
+      sequential pick.
     * **strict count gap** (positions after the first): its count is
       strictly above every NON-accepted pair's — i.e. above the count
       of the first ranked pair outside the accepted prefix (the list
@@ -332,7 +336,14 @@ def _accept_merge_prefix(
         merged = left + right
         accepted.append((left, right, cnt))
         support.update((left, right, merged))
-        if merged in alphabet:
+        if merged in alphabet or left == right:
+            # collision — or a SELF-pair: merging (a,a) over a run
+            # [a,a,a,...] mints new (aa,a)/(aa,aa) adjacencies whose
+            # counts derive from the accepted pair's own occurrences,
+            # so they are NOT bounded by the non-accepted window (the
+            # neighbor pair at each mint site is the accepted pair
+            # itself — the one case the disjointness argument cannot
+            # cover). Nothing after this pair is provably sequential.
             break
     bound: int | None = cutoff
     if len(accepted) < len(ranked):
@@ -455,13 +466,18 @@ def train_bpe(
     )
     # the full symbol alphabet, tracked driver-side for the batch
     # collision check: seed characters (bounded by the charset, like
-    # the k-means codebook) plus every merged symbol as it is learned
-    alphabet = {
-        r["s"]
-        for r in syms.select(
-            F.explode("syms").alias("s")
-        ).distinct().collect()
-    }
+    # the k-means codebook) plus every merged symbol as it is learned.
+    # Only needed when batches can exceed one pair — with
+    # merge_batch=1 the single candidate is accepted unconditionally,
+    # so the distinct+collect job would be pure waste
+    alphabet: set[str] = set()
+    if merge_batch > 1 and n_merges > 0:
+        alphabet = {
+            r["s"]
+            for r in syms.select(
+                F.explode("syms").alias("s")
+            ).distinct().collect()
+        }
     merges: list[tuple[str, str, int]] = []
     layers_since_ckpt = 0
     while len(merges) < n_merges:
@@ -643,6 +659,14 @@ def bpe_vocab(
         .groupBy("token")
         .agg(F.sum("count").alias("count"))
     )
+    if specials:
+        # reserved names: a corpus token spelled exactly like a special
+        # (web text routinely contains literal '<unk>') must not mint a
+        # SECOND row with that name — it is excluded here, so encoding
+        # resolves such occurrences to the special's id, deterministic
+        tok_counts = tok_counts.filter(
+            ~F.col("token").isin(list(specials))
+        )
     w = Window.orderBy(F.col("count").desc(), "token")
     base = tok_counts.select(
         (F.row_number().over(w) + F.lit(len(specials) - 1)).alias(
@@ -716,7 +740,7 @@ def bpe_encode_ids(
         .distinct()
         .withColumn("ids", encode_ids(F.col("word")))
     )
-    return (
+    agg = (
         toks.join(enc, on="word")
         .groupBy(id_col)
         .agg(
@@ -725,6 +749,19 @@ def bpe_encode_ids(
                 " array_sort(collect_list(struct(pos, ids))),"
                 " x -> x.ids))"
             ).alias("token_ids")
+        )
+    )
+    # wordless documents (empty/whitespace-only text) produce no token
+    # rows — LEFT-join them back as empty sequences so "every document"
+    # means every document (the curation accounting contract)
+    return (
+        docs.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .withColumn(
+            "token_ids",
+            F.coalesce(
+                "token_ids", F.expr("cast(array() as array<int>)")
+            ),
         )
         .withColumn("n_tokens", F.size("token_ids"))
     )

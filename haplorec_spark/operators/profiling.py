@@ -269,12 +269,14 @@ def embedding_profile(
 
     Metrics: row count, null-vector count, distinct dimension count +
     min/max dimension (a healthy table has exactly one), vectors
-    containing NaN or non-finite values, zero-norm vectors (cosine
-    is undefined on them), and norm mean/min/max. Every number is an
-    aggregate column of one ``agg`` over one map-side projection
-    (norms and NaN flags are array folds) — one scalar row out, then
-    unpivoted. Exact, not sampled: at 100 TB this is one scan with
-    partial aggregation, the same cost class as any corpus count.
+    containing NaN / infinite / null ELEMENTS (three separate counts —
+    a ragged cast upstream shows up as whichever it produced), zero-
+    norm vectors (cosine is undefined on them), and norm mean/min/max
+    over the clean rows only. Every number is an aggregate column of
+    one ``agg`` over one map-side projection (norms and badness flags
+    are array folds) — one scalar row out, then unpivoted. Exact, not
+    sampled: at 100 TB this is one scan with partial aggregation, the
+    same cost class as any corpus count.
     """
     v = F.col(vec_col)
     nrm = F.expr(
@@ -282,15 +284,28 @@ def embedding_profile(
         f" (acc, x) -> acc + cast(x as double) * cast(x as double)))"
     )
     has_nan = F.expr(
-        f"exists({vec_col}, x -> isnan(cast(x as double)))"
+        f"exists({vec_col},"
+        f" x -> x is not null and isnan(cast(x as double)))"
     )
+    has_inf = F.expr(
+        f"exists({vec_col}, x -> x is not null and"
+        f" abs(cast(x as double)) = cast('Infinity' as double))"
+    )
+    has_null_elem = F.expr(f"exists({vec_col}, x -> x is null)")
+    bad = has_nan | has_inf | has_null_elem
     row = vectors.select(
         v.isNull().cast("double").alias("_null"),
         F.when(v.isNull(), None).otherwise(F.size(v)).alias("_dim"),
         F.when(v.isNull(), None).otherwise(has_nan.cast("double")).alias(
             "_nan"
         ),
-        F.when(v.isNull() | has_nan, None).otherwise(nrm).alias("_nrm"),
+        F.when(v.isNull(), None).otherwise(has_inf.cast("double")).alias(
+            "_inf"
+        ),
+        F.when(v.isNull(), None)
+        .otherwise(has_null_elem.cast("double"))
+        .alias("_nule"),
+        F.when(v.isNull() | bad, None).otherwise(nrm).alias("_nrm"),
     ).agg(
         F.count(F.lit(1)).cast("double").alias("n_vectors"),
         F.sum("_null").alias("n_null_vectors"),
@@ -298,6 +313,10 @@ def embedding_profile(
         F.min("_dim").cast("double").alias("min_dim"),
         F.max("_dim").cast("double").alias("max_dim"),
         F.coalesce(F.sum("_nan"), F.lit(0.0)).alias("n_nan_vectors"),
+        F.coalesce(F.sum("_inf"), F.lit(0.0)).alias("n_inf_vectors"),
+        F.coalesce(F.sum("_nule"), F.lit(0.0)).alias(
+            "n_null_element_vectors"
+        ),
         F.sum(
             F.when(F.col("_nrm") == 0.0, 1.0).otherwise(0.0)
         ).alias("n_zero_norm"),

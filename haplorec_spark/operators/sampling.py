@@ -325,6 +325,14 @@ def _domain_token_totals(
             )
     if not totals:
         raise ValueError(f"no non-null domains observed in {strata_col!r}")
+    zero = sorted(d for d, t in totals.items() if not t)
+    if zero:
+        # a zero-token domain (possible with token_col / BPE-count
+        # accounting over wordless rows) cannot carry any share of the
+        # mix; both operators would otherwise divide by it
+        raise ValueError(
+            f"domains with zero tokens cannot be mixed: {zero}"
+        )
     return totals
 
 

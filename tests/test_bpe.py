@@ -389,7 +389,8 @@ def test_vocab_and_encode_ids_match_replica(spark, docs):
     for doc_id, text in DOCS:
         ws = [w for w in text.lower().split(" ") if w]
         if not ws:
-            assert doc_id not in out
+            # wordless docs are PRESENT with an empty id sequence
+            assert out[doc_id] == ([], 0)
             continue
         want = [ids[t] for w in ws for t in _ref_encode(w, ranks)]
         assert out[doc_id] == (want, len(want)), doc_id
@@ -551,3 +552,62 @@ def test_tokenizer_save_load_round_trip(spark, docs, tmp_path):
     save_bpe_tokenizer(merges, None, path2)
     m4, v4, bl4 = load_bpe_tokenizer(spark, path2)
     assert v4 is None and bl4 is False and m4.count() == merges.count()
+
+
+def test_self_pair_batch_stays_sequential(spark):
+    """Regression (round-6 review): merging a SELF-pair (a,a) mints
+    pairs like (aa,aa) out of the accepted pair's own occurrences, so
+    the batch must stop after it — otherwise the distributed batched
+    rung diverges from sequential on run-heavy corpora."""
+    text = "aaaaaab " * 9 + "b b"
+    docs = spark.createDataFrame([(0, text)], "doc_id int, text string")
+    want = [
+        tuple(r)
+        for r in train_bpe(
+            docs, n_merges=4, max_driver_vocab=None, merge_batch=1
+        ).orderBy("merge_rank").collect()
+    ]
+    got = [
+        tuple(r)
+        for r in train_bpe(
+            docs, n_merges=4, max_driver_vocab=None, merge_batch=6
+        ).orderBy("merge_rank").collect()
+    ]
+    drv = [
+        tuple(r)
+        for r in train_bpe(docs, n_merges=4).orderBy("merge_rank").collect()
+    ]
+    ref = [
+        (i, l, r, l + r, c)
+        for i, (l, r, c) in enumerate(
+            _ref_train(_ref_word_counts([text]), 4)
+        )
+    ]
+    assert want == ref and got == ref and drv == ref
+
+
+def test_vocab_excludes_special_collisions(spark):
+    """A corpus token spelled like a special must not mint a second
+    vocab row; occurrences resolve to the special's id."""
+    from haplorec_spark.operators.bpe import bpe_encode_ids, bpe_vocab
+
+    # '<unk>' appears as a real corpus word often enough to fully merge
+    docs = spark.createDataFrame(
+        [(0, " ".join(["<unk>"] * 30 + ["cat"] * 3))],
+        "doc_id int, text string",
+    )
+    merges = train_bpe(docs, n_merges=30)
+    vocab = bpe_vocab(docs, merges)
+    toks = [r["token"] for r in vocab.collect()]
+    assert toks.count("<unk>") == 1  # only the special row survives
+    ids = {r["token"]: r["token_id"] for r in vocab.collect()}
+    (row,) = bpe_encode_ids(
+        spark.createDataFrame([(9, "<unk>")], "doc_id int, text string"),
+        merges,
+        vocab,
+    ).collect()
+    # the fully-merged corpus token '<unk></w>' is also excluded? no —
+    # only exact special names are; the word encodes to its learned
+    # tokens, which resolve to their own ids unless they collide
+    assert all(isinstance(i, int) for i in row["token_ids"])
+    assert ids["<unk>"] == 1

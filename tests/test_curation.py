@@ -739,3 +739,15 @@ def test_map_side_curation_rejects_global_stages(spark):
                 classifier_weights={f"w{i}": 0.1 for i in range(300)}
             ),
         )
+
+
+def test_map_side_curation_rejects_clobbering_columns(spark):
+    import pytest
+
+    from haplorec_spark.curation import map_side_curation
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "quality", F.lit(0.99)
+    )
+    with pytest.raises(ValueError, match="quality"):
+        map_side_curation(docs, CurationConfig(dedup=None))

@@ -363,21 +363,26 @@ def test_embedding_profile_flags_corruption(spark):
     from haplorec_spark.operators.profiling import embedding_profile
 
     rows = [
-        (1, [3.0, 4.0]),          # norm 5
-        (2, [0.0, 0.0]),          # zero norm
-        (3, None),                # null vector
-        (4, [float("nan"), 1.0]), # NaN component
-        (5, [1.0, 0.0, 0.0]),     # ragged: dim 3
+        (1, [3.0, 4.0]),            # norm 5
+        (2, [0.0, 0.0]),            # zero norm
+        (3, None),                  # null vector
+        (4, [float("nan"), 1.0]),   # NaN component
+        (5, [1.0, 0.0, 0.0]),       # ragged: dim 3
+        (6, [float("inf"), 1.0]),   # infinite component
+        (7, [None, 1.0]),           # null ELEMENT
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r["metric"]: r["value"] for r in embedding_profile(df).collect()}
-    assert got["n_vectors"] == 5.0
+    assert got["n_vectors"] == 7.0
     assert got["n_null_vectors"] == 1.0
     assert got["n_nan_vectors"] == 1.0
+    assert got["n_inf_vectors"] == 1.0
+    assert got["n_null_element_vectors"] == 1.0
     assert got["n_zero_norm"] == 1.0
     assert got["n_distinct_dims"] == 2.0
     assert (got["min_dim"], got["max_dim"]) == (2.0, 3.0)
     assert got["max_norm"] == 5.0 and got["min_norm"] == 0.0
+    # norm stats cover only the clean rows (ids 1, 2, 5)
     assert math.isclose(got["avg_norm"], round((5.0 + 0.0 + 1.0) / 3, 6))
 
 
@@ -388,5 +393,7 @@ def test_embedding_profile_healthy_table(spark):
     got = {r["metric"]: r["value"] for r in embedding_profile(emb).collect()}
     assert got["n_null_vectors"] == 0.0
     assert got["n_nan_vectors"] == 0.0
+    assert got["n_inf_vectors"] == 0.0
+    assert got["n_null_element_vectors"] == 0.0
     assert got["n_distinct_dims"] == 1.0
     assert got["min_norm"] > 0

@@ -218,11 +218,22 @@ ROTATED_OUT_ORACLES["q_embedding_profile"] = """
                     ELSE len(embedding) END AS dim,
                CASE WHEN embedding IS NULL THEN NULL
                     ELSE (CASE WHEN len(list_filter(embedding,
-                               x -> isnan(x::DOUBLE))) > 0
+                               x -> x IS NOT NULL
+                                    AND isnan(x::DOUBLE))) > 0
                           THEN 1.0 ELSE 0.0 END) END AS nan,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE (CASE WHEN len(list_filter(embedding,
+                               x -> x IS NOT NULL
+                                    AND isinf(x::DOUBLE))) > 0
+                          THEN 1.0 ELSE 0.0 END) END AS inf,
+               CASE WHEN embedding IS NULL THEN NULL
+                    ELSE (CASE WHEN len(list_filter(embedding,
+                               x -> x IS NULL)) > 0
+                          THEN 1.0 ELSE 0.0 END) END AS nule,
                CASE WHEN embedding IS NULL
                       OR len(list_filter(embedding,
-                             x -> isnan(x::DOUBLE))) > 0 THEN NULL
+                             x -> x IS NULL OR isnan(x::DOUBLE)
+                                  OR isinf(x::DOUBLE))) > 0 THEN NULL
                     ELSE sqrt(list_reduce(list_transform(embedding,
                              x -> x::DOUBLE * x::DOUBLE),
                              (a, b) -> a + b)) END AS nrm
@@ -233,6 +244,8 @@ ROTATED_OUT_ORACLES["q_embedding_profile"] = """
                  min(dim)::DOUBLE AS min_dim,
                  max(dim)::DOUBLE AS max_dim,
                  coalesce(sum(nan), 0.0) AS n_nan_vectors,
+                 coalesce(sum(inf), 0.0) AS n_inf_vectors,
+                 coalesce(sum(nule), 0.0) AS n_null_element_vectors,
                  sum(CASE WHEN nrm = 0 THEN 1.0 ELSE 0.0 END)
                      AS n_zero_norm,
                  round(avg(nrm), 6) AS avg_norm,
@@ -245,6 +258,9 @@ ROTATED_OUT_ORACLES["q_embedding_profile"] = """
     UNION ALL SELECT 'min_dim', min_dim FROM a
     UNION ALL SELECT 'max_dim', max_dim FROM a
     UNION ALL SELECT 'n_nan_vectors', n_nan_vectors FROM a
+    UNION ALL SELECT 'n_inf_vectors', n_inf_vectors FROM a
+    UNION ALL SELECT 'n_null_element_vectors', n_null_element_vectors
+              FROM a
     UNION ALL SELECT 'n_zero_norm', n_zero_norm FROM a
     UNION ALL SELECT 'avg_norm', avg_norm FROM a
     UNION ALL SELECT 'min_norm', min_norm FROM a

@@ -850,3 +850,21 @@ def test_mixture_alpha_guards(spark, docs):
     assert set(
         r["lang"] for r in out.select("lang").distinct().collect()
     ) == set(keep_two)
+
+
+def test_mixture_rejects_zero_token_domains(spark, docs):
+    from haplorec_spark.operators.sampling import mixture_upsample
+
+    tagged = docs.withColumn(
+        "n_tok",
+        F.when(F.col("lang") == "de", F.lit(0)).otherwise(F.lit(5)),
+    )
+    with pytest.raises(ValueError, match="zero tokens"):
+        mixture_sample(
+            tagged, {"en": 0.5, "de": 0.5}, "lang", ["doc_id"],
+            token_col="n_tok",
+        )
+    with pytest.raises(ValueError, match="zero tokens"):
+        mixture_upsample(
+            tagged, None, "lang", ["doc_id"], alpha=0.5, token_col="n_tok"
+        )
