@@ -19,13 +19,19 @@ That is exactly the shape that scales on Spark:
   (:func:`_train_bpe_driver`): a production 32k-64k merge vocabulary
   is one Spark round-trip plus seconds of CPU, not one Spark job per
   merge.
-* Above the bound, the distributed loop runs: adjacent symbol pairs
-  are zipped map-side, pair counts are one partial-aggregated shuffle,
-  and each job collects the top ``merge_batch + 1`` pairs, accepting
-  the longest prefix provably identical to what sequential iterations
-  would pick (:func:`_accept_merge_prefix`), applied in one
-  vocabulary-sized pass. Exact, never approximate — all rungs produce
-  the bit-identical merge table (test-pinned).
+* Above the bound, the distributed loop runs with an INCREMENTALLY
+  MAINTAINED pair-count DataFrame: the adjacent-pair counts are
+  aggregated ONCE up front, then each iteration collects the top
+  ``merge_batch + 1`` pairs from that table, accepts the longest
+  prefix provably identical to what sequential iterations would pick
+  (:func:`_accept_merge_prefix`), rewrites ONLY the words that
+  contain an accepted pair, and folds the induced count delta
+  (-old adjacencies, +new adjacencies of the rewritten words) back
+  into the pair table — the same delta bookkeeping
+  :func:`_train_bpe_driver` does in memory, as a vocabulary-sized
+  DataFrame update. No iteration ever re-zips and re-aggregates the
+  full symbol table again. Exact, never approximate — all rungs
+  produce the bit-identical merge table (test-pinned).
 * Encoding inverts the same trick: the greedy merge-order loop is
   genuinely procedural (rank-ordered pair replacement — the documented
   pandas-UDF case, like U2/A13), but it runs per DISTINCT word, and the
@@ -369,7 +375,7 @@ def train_bpe(
     max_word_chars: int | None = None,
     checkpoint_interval: int = 8,
     merge_batch: int = 32,
-    max_driver_vocab: int | None = 500_000,
+    max_driver_vocab: int | None = 2_000_000,
     byte_level: bool = False,
 ) -> DataFrame:
     """(merge_rank, left, right, merged, pair_count): the learned BPE
@@ -396,12 +402,27 @@ def train_bpe(
        vocabulary costs ONE Spark round-trip and seconds of CPU,
        instead of one job per merge. This is the normal path: real
        tokenizer training corpora have 10^5–10^6 distinct words.
+       Driver memory is ≈2 GB per million words (measured: 1.16M
+       words → 2.08 GB RSS, 3.6 merges/s over the first 500 merges
+       and accelerating as pair supports shrink), so the 2M default
+       costs ≈4 GB — size the knob to the driver's heap, the same
+       way every single-node tokenizer trainer is sized.
     3. Above the bound, the distributed loop runs over the symbol
-       table: one pair-count job collects the top ``merge_batch + 1``
-       pairs and accepts the longest prefix provably identical to
-       sequential picks (:func:`_accept_merge_prefix`), applied in
-       one vocabulary-sized pass — O(n_merges / realized-batch)
-       driver round-trips, exact, never approximate.
+       table with an INCREMENTALLY MAINTAINED pair-count DataFrame
+       (aggregated once at seed, then updated with each accepted
+       batch's exact ±delta — the driver rung's bookkeeping as a
+       DataFrame update): one top-k job per iteration collects the
+       top ``merge_batch + 1`` pairs and accepts the longest prefix
+       provably identical to sequential picks
+       (:func:`_accept_merge_prefix`), rewriting only the words that
+       contain an accepted pair — O(n_merges / realized-batch)
+       driver round-trips, exact, never approximate. Measured 2.7×
+       (1.16M-word vocab) to 3.7× (116k) over the round-6
+       recount-every-pair loop; the residual per-iteration cost is
+       the ~0.3-0.4 s Spark job floor plus one map-side hit scan,
+       so the driver rung remains ~13× faster at 1.16M words —
+       prune (``min_word_count``, ``max_word_chars``) or raise
+       ``max_driver_vocab`` before leaning on this rung.
 
     ``tests/test_bpe.py`` pins all three rungs against each other and
     against an independent pure-Python replica.
@@ -426,8 +447,10 @@ def train_bpe(
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if checkpoint_interval < 1:
-        # 0 would divide by zero AFTER the corpus scan was paid, and a
-        # negative value silently disables lineage truncation
+        # retained for API stability: the incremental loop now
+        # truncates lineage every iteration (non-eager checkpoints),
+        # but an invalid cadence is still a caller bug worth failing
+        # fast on, before the corpus scan is paid
         raise ValueError(
             f"checkpoint_interval must be >= 1, got {checkpoint_interval}"
         )
@@ -461,9 +484,14 @@ def train_bpe(
                 "merge_rank int, left string, right string, "
                 "merged string, pair_count bigint",
             )
-    syms = counts.select(
-        "count", F.expr(_seed_syms_sql(byte_level)).alias("syms")
-    )
+    # re-widen before seeding: AQE coalesces the word-count shuffle to
+    # ~1 partition at test scale, which would serialize every
+    # iteration's hit scan and merge apply onto one core — one
+    # vocabulary-sized shuffle up front buys full-width map stages for
+    # the whole loop
+    syms = counts.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("count", F.expr(_seed_syms_sql(byte_level)).alias("syms"))
     # the full symbol alphabet, tracked driver-side for the batch
     # collision check: seed characters (bounded by the charset, like
     # the k-means codebook) plus every merged symbol as it is learned.
@@ -478,17 +506,28 @@ def train_bpe(
                 F.explode("syms").alias("s")
             ).distinct().collect()
         }
+    # the pair-count table, aggregated ONCE from the seed symbols and
+    # then maintained INCREMENTALLY: every accepted batch folds its
+    # exact count delta (-old adjacencies, +new adjacencies of the
+    # rewritten words) back in — the driver rung's bookkeeping
+    # (bpe.py _train_bpe_driver) re-expressed as a vocabulary-sized
+    # DataFrame update, so no iteration re-aggregates the full symbol
+    # table. Non-eager checkpoints: each iteration's top-k job is the
+    # first (and only) computation of the pending update, after which
+    # the lineage is truncated.
+    pairs = (
+        syms.select(
+            "count", F.explode(_adjacent_pairs("syms")).alias("p")
+        )
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("count").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     merges: list[tuple[str, str, int]] = []
-    layers_since_ckpt = 0
     while len(merges) < n_merges:
         want = min(merge_batch, n_merges - len(merges))
         ranked_rows = (
-            syms.select(
-                "count", F.explode(_adjacent_pairs("syms")).alias("p")
-            )
-            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-            .agg(F.sum("count").alias("c"))
-            .orderBy(F.col("c").desc(), "l", "r")
+            pairs.orderBy(F.col("c").desc(), "l", "r")
             .limit(want + 1)
             .collect()
         )
@@ -517,27 +556,101 @@ def train_bpe(
         for left, right, _ in accepted:
             alphabet.add(left + right)
         if hit_floor or len(merges) >= n_merges:
-            # the symbol table is never read again — skip the apply
+            # neither table is ever read again — skip the apply
             break
+        # rewrite ONLY the words containing an accepted pair: accepted
+        # batches are symbol-disjoint (_accept_merge_prefix), so a
+        # word no accepted pair occurs in pre-batch is untouched by
+        # the whole batch (merging two symbols can never create an
+        # adjacency of two symbols it doesn't mint). The hit test is
+        # one map-side exists() over the adjacency zip; literals go
+        # through Column lambdas so corpus characters need no SQL
+        # escaping.
+        pair_lits = [(l, r) for l, r, _ in accepted]
+
+        def _make_is_hit(lits):
+            def _is_hit(p):
+                cond = F.lit(False)
+                for left, right in lits:
+                    cond = cond | (
+                        (p["l"] == F.lit(left))
+                        & (p["r"] == F.lit(right))
+                    )
+                return cond
+
+            return _is_hit
+
+        flagged = syms.withColumn(
+            "hit",
+            F.exists(_adjacent_pairs("syms"), _make_is_hit(pair_lits)),
+        )
+        misses = flagged.filter(~F.col("hit")).select("count", "syms")
+        hits = flagged.filter(F.col("hit")).select(
+            "count", F.col("syms").alias("old_syms")
+        )
         if len(accepted) == 1:
             # single merge: keep the JVM-side map-side array fold
             left, right, _ = accepted[0]
-            syms = syms.select(
-                "count",
-                _apply_merge(F.col("syms"), left, right).alias("syms"),
-            )
+            new_syms = _apply_merge(F.col("old_syms"), left, right)
         else:
-            apply_all = _apply_merges_batch(
-                [(l, r) for l, r, _ in accepted]
+            apply_all = _apply_merges_batch(pair_lits)
+            new_syms = apply_all(F.col("old_syms"))
+        # computed once (by the next top-k job, through the delta
+        # lineage), then reused as the rewritten half of the symbol
+        # table — hit rows only, a small fraction of the vocabulary
+        hits = hits.select(
+            "count", "old_syms", new_syms.alias("syms")
+        ).localCheckpoint(eager=False)
+        # raw ±count delta terms, NOT pre-aggregated: the union's
+        # groupBy below already sums them, so a separate delta groupBy
+        # would only add a second shuffle to every iteration
+        delta = (
+            hits.select(
+                "count",
+                _adjacent_pairs("old_syms").alias("op"),
+                _adjacent_pairs("syms").alias("np"),
             )
-            syms = syms.select(
-                "count", apply_all(F.col("syms")).alias("syms")
+            .select(
+                F.explode(
+                    F.concat(
+                        F.expr(
+                            "transform(op, p -> struct("
+                            "p.l as l, p.r as r, -count as d))"
+                        ),
+                        F.expr(
+                            "transform(np, p -> struct("
+                            "p.l as l, p.r as r, count as d))"
+                        ),
+                    )
+                ).alias("pd")
             )
-        layers_since_ckpt += 1
-        if layers_since_ckpt >= checkpoint_interval:
-            # truncate the fold chain so plan analysis stays O(interval)
-            syms = syms.localCheckpoint(eager=True)
-            layers_since_ckpt = 0
+            .select(
+                F.col("pd.l").alias("l"),
+                F.col("pd.r").alias("r"),
+                F.col("pd.d").alias("c"),
+            )
+        )
+        pairs = (
+            pairs.unionByName(delta)
+            .groupBy("l", "r")
+            .agg(F.sum("c").alias("c"))
+            .filter(F.col("c") > 0)
+            .localCheckpoint(eager=False)
+        )
+        # coalesce the union back to a constant width: without it the
+        # miss/hit split DOUBLES the partition count every iteration
+        # (narrow merge, no shuffle — the table is vocabulary-sized).
+        # Checkpointed non-eagerly EVERY iteration: the next top-k job
+        # computes this table anyway (through delta → hits → flagged),
+        # which materializes the checkpoint for free — so the next
+        # iteration's hit scan reads stored partitions instead of
+        # re-running a stack of exists() filters (depth-k recompute was
+        # measured at ~4× the per-iteration cost before this).
+        syms = (
+            misses.unionByName(hits.select("count", "syms"))
+            .coalesce(spark.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=False)
+        )
     return spark.createDataFrame(
         [
             (i, l, r, l + r, c)
