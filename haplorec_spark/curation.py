@@ -62,10 +62,16 @@ class CurationConfig:
     languages: Sequence[str] | None = None
     #: derive ``lang_col`` from the text BEFORE any language-dependent
     #: stage ("ngram" = trigram profiles, "lexicon" = whole-word
-    #: stopword scan — both map-side, no join); None trusts the
-    #: input's existing column. For corpora with no language metadata
-    #: (raw crawl), set this or the language filter/mixture see nulls.
+    #: stopword scan, "model" = the trained char-n-gram rung, which
+    #: additionally needs ``language_model`` — all map-side, no
+    #: join); None trusts the input's existing column. For corpora
+    #: with no language metadata (raw crawl), set this or the
+    #: language filter/mixture see nulls.
     detect_language: str | None = None
+    #: the distilled literal model for ``detect_language="model"``:
+    #: {lang: (bias, {feature: weight})} under the 256-feature
+    #: map-side bound (``training.top_features`` produces it)
+    language_model: Mapping | None = None
     #: strip lines shared by >= this many documents before any
     #: doc-level scoring (None skips the stage)
     boilerplate_min_df: int | None = None
@@ -227,6 +233,7 @@ def map_side_curation(
             method=cfg.detect_language,
             text_col=cfg.text_col,
             lang_col=cfg.lang_col,
+            model=cfg.language_model,
         )
     if cfg.languages is not None:
         out = out.filter(F.col(cfg.lang_col).isin(list(cfg.languages)))
@@ -337,6 +344,7 @@ def curate_documents(
             method=cfg.detect_language,
             text_col=cfg.text_col,
             lang_col=cfg.lang_col,
+            model=cfg.language_model,
         )
     if cfg.languages is not None:
         out = note(

@@ -109,6 +109,282 @@ LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
     lang: _trigram_profile(ws) for lang, ws in LANG_FUNCTION_WORDS.items()
 }
 
+
+
+#: The distilled TRAINED language-ID model (third rung): one-vs-rest
+#: logistic weights over character-trigram features, top 36 features
+#: per language (252 total — under the 256 map-side literal bound).
+#: {lang: (bias, {feature: weight})}; feature tokens are
+#: ``char_ngram_text_sql`` trigrams (spaces rendered ``▁``), weights
+#: rounded to 6 decimals. Trained in-engine by
+#: ``training.train_language_classifier`` on the deterministic
+#: function-word + common-word corpus and distilled by
+#: ``training.top_features`` — regenerate with
+#: ``scripts/make_pinned_langid.py``. Shared verbatim by the DuckDB
+#: oracle in tests/test_registry.py (the LANG_TRIGRAM_PROFILES
+#: convention), so implementation and oracle agree on the model by
+#: construction.
+PINNED_LANGID_MODEL = {'de': (-1.806742,
+        {'ach': 0.434969,
+         'as▁': -0.380002,
+         'aus': 0.44887,
+         'bei': 0.402282,
+         'ben': 0.383481,
+         'ch▁': 0.572281,
+         'der': 0.652809,
+         'ebe': 0.419664,
+         'ein': 0.702619,
+         'eit': 0.42046,
+         'en▁': 1.085879,
+         'er▁': 0.570842,
+         'e▁d': 0.390971,
+         'hau': 0.476352,
+         'hen': 0.447759,
+         'ich': 0.398305,
+         'ie▁': 0.390902,
+         'ind': 0.414545,
+         'ine': 0.465247,
+         'iss': 0.39958,
+         'nd▁': 0.427223,
+         'n▁a': 0.621218,
+         'os▁': -0.452052,
+         'r▁z': 0.383495,
+         'sse': 0.441702,
+         'st▁': 0.430362,
+         's▁d': -0.370778,
+         'te▁': 0.733977,
+         'ute': 0.486974,
+         '▁au': 0.594361,
+         '▁co': -0.395736,
+         '▁de': 0.491977,
+         '▁ei': 0.702619,
+         '▁le': 0.417155,
+         '▁si': 0.369838,
+         '▁wi': 0.510156}),
+ 'en': (-1.757257,
+        {'at▁': 0.420108,
+         'de▁': -0.263658,
+         'ed▁': 0.71747,
+         'en▁': -0.867642,
+         'es▁': 0.354081,
+         'e▁a': 0.337575,
+         'e▁t': 0.346143,
+         'gs▁': 0.268768,
+         'hin': 0.268768,
+         'his': 0.478502,
+         'ing': 1.124166,
+         'is▁': 0.561122,
+         'ngs': 0.268768,
+         'ng▁': 0.946783,
+         'of▁': 0.272172,
+         'os▁': -0.460777,
+         'que': -0.27526,
+         's▁a': 0.339623,
+         's▁b': 0.390808,
+         's▁d': -0.376744,
+         's▁w': 0.356256,
+         'te▁': -0.416644,
+         'the': 0.471707,
+         'thi': 0.521322,
+         'wor': 0.393541,
+         '▁da': -0.339483,
+         '▁de': -0.618723,
+         '▁es': -0.273428,
+         '▁le': -0.433882,
+         '▁of': 0.272172,
+         '▁pa': -0.280101,
+         '▁qu': -0.314654,
+         '▁th': 1.245676,
+         '▁to': 0.262485,
+         '▁un': -0.345771,
+         '▁wa': 0.584776}),
+ 'es': (-1.813115,
+        {'aba': 0.430468,
+         'abr': 0.278131,
+         'as▁': 0.316225,
+         'a▁c': 0.320345,
+         'bra': 0.278131,
+         'el▁': 0.470201,
+         'ing': -0.296206,
+         'ino': 0.296208,
+         'lab': 0.278131,
+         'las': 0.293862,
+         'le▁': -0.275754,
+         'mos': 0.375087,
+         'nin': 0.296208,
+         'nos': 0.514475,
+         'n▁e': 0.332705,
+         'osa': 0.295493,
+         'os▁': 1.021067,
+         'que': 0.310095,
+         'rab': 0.430468,
+         's▁d': 0.407652,
+         's▁l': 0.381301,
+         'ue▁': 0.397589,
+         '▁co': 0.462495,
+         '▁es': 0.548911,
+         '▁ha': 0.38763,
+         '▁la': 0.421071,
+         '▁lo': 0.376372,
+         '▁ma': -0.333317,
+         '▁pa': 0.303722,
+         '▁se': 0.324464,
+         '▁su': 0.351552,
+         '▁un': 0.275107,
+         '▁vi': 0.32597,
+         '▁wa': -0.285659,
+         '▁wo': -0.288884,
+         '▁y▁': 0.294753}),
+ 'fr': (-1.778818,
+        {'ais': 0.584847,
+         'as▁': -0.428105,
+         'de▁': 0.3136,
+         'ell': 0.32969,
+         'ent': 0.817741,
+         'en▁': -1.158778,
+         'er▁': -0.542476,
+         'es▁': 0.952159,
+         'ing': -0.298609,
+         'iso': 0.453804,
+         'le▁': 0.68938,
+         'lle': 0.539787,
+         'mai': 0.384576,
+         'ne▁': 0.396043,
+         'nne': 0.591091,
+         'ns▁': 0.841346,
+         'nt▁': 1.119176,
+         'ons': 0.399866,
+         'os▁': -0.468529,
+         'ous': 0.335814,
+         'ses': 0.448579,
+         'son': 0.760363,
+         's▁a': 0.296858,
+         's▁d': 0.422914,
+         's▁e': 0.352147,
+         's▁l': 0.327609,
+         'ts▁': 0.552463,
+         't▁e': 0.448578,
+         't▁p': 0.507914,
+         't▁q': 0.410537,
+         'ur▁': 0.398896,
+         'us▁': 0.475669,
+         'vou': 0.409021,
+         '▁ce': 0.436563,
+         '▁co': -0.407426,
+         '▁so': 0.306559}),
+ 'it': (-1.775135,
+        {'al▁': 0.352842,
+         'as▁': -0.685549,
+         'a▁a': 0.569453,
+         'a▁d': 0.5327,
+         'del': 0.64683,
+         'ell': 0.363274,
+         'el▁': 0.369303,
+         'en▁': -1.152173,
+         'es▁': -0.441145,
+         'e▁l': 0.402668,
+         'gli': 0.502422,
+         'gon': 0.437119,
+         'he▁': 0.379807,
+         'iam': 0.637183,
+         'i▁c': 0.492214,
+         'i▁d': 0.408077,
+         'la▁': 0.580499,
+         'li▁': 0.502422,
+         'lla': 0.390503,
+         'l▁d': 0.351168,
+         'mo▁': 0.353744,
+         'ni▁': 0.549355,
+         'no▁': 1.04085,
+         'ole': 0.483011,
+         'ono': 0.862829,
+         'os▁': -0.47395,
+         'o▁c': 0.498856,
+         'o▁u': 0.399503,
+         'per': 0.374231,
+         's▁a': -0.363296,
+         's▁d': -0.384679,
+         'ues': 0.376373,
+         'va▁': 0.418591,
+         '▁an': 0.410191,
+         '▁co': 0.388622,
+         '▁de': 0.437134}),
+ 'nl': (-1.829752,
+        {'aan': 0.526282,
+         'aar': 0.430276,
+         'an▁': 0.635898,
+         'ar▁': 0.363325,
+         'as▁': -0.420869,
+         'de▁': 0.323862,
+         'en▁': 2.96161,
+         'es▁': -0.440478,
+         'et▁': 0.91234,
+         'eze': 0.46286,
+         'is▁': 0.31964,
+         'lde': 0.274237,
+         'men': 0.419723,
+         'n▁d': 0.753167,
+         'n▁e': 0.494501,
+         'n▁o': 0.352787,
+         'n▁w': 0.380068,
+         'on▁': -0.307563,
+         'oor': 0.511506,
+         'ord': 0.42064,
+         'os▁': -0.446016,
+         'ren': 0.444131,
+         's▁a': -0.350135,
+         's▁d': -0.36425,
+         't▁m': 0.376378,
+         '▁aa': 0.274697,
+         '▁an': -0.356577,
+         '▁co': -0.391087,
+         '▁di': 0.56448,
+         '▁he': 0.578521,
+         '▁me': 0.505661,
+         '▁pa': -0.274485,
+         '▁qu': -0.312683,
+         '▁un': -0.342044,
+         '▁we': 0.366834,
+         '▁wo': 0.553055}),
+ 'pt': (-1.805513,
+        {'am▁': 0.44028,
+         'as▁': 1.610607,
+         'a▁c': 0.373178,
+         'a▁d': 0.327565,
+         'a▁e': 0.413134,
+         'a▁f': 0.36524,
+         'cas': 0.414987,
+         'com': 0.323039,
+         'do▁': 0.355744,
+         'em▁': 0.73028,
+         'en▁': -1.137666,
+         'es▁': -0.440545,
+         'e▁c': 0.502947,
+         'lha': 0.450979,
+         'mas': 0.411408,
+         'ma▁': 0.379648,
+         'mos': 0.360291,
+         'm▁u': 0.441978,
+         'nca': 0.508337,
+         'on▁': -0.313783,
+         'os▁': 1.196129,
+         'o▁p': 0.342564,
+         'pel': 0.355928,
+         'que': 0.327883,
+         'ria': 0.469729,
+         's▁a': 0.455898,
+         's▁d': 0.597708,
+         's▁p': 0.588938,
+         's▁u': 0.307804,
+         'uma': 0.471489,
+         '▁co': 0.407267,
+         '▁da': 0.458056,
+         '▁do': 0.480845,
+         '▁os': 0.469412,
+         '▁pe': 0.568328,
+         '▁um': 0.742065})}
+
+
 _TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
@@ -201,19 +477,189 @@ def _ngram_lang_exprs(text_col: str):
     return F.expr(tris), F.expr(pred), F.expr(best)
 
 
+def char_ngram_text_sql(text_col: str, n: int = 3) -> str:
+    """SQL for the character-n-gram FEATURE TEXT of a document: the
+    space-padded, lowercased sliding n-grams of ``text_col``, joined
+    by single spaces with in-gram spaces rendered ``▁`` so the
+    bag-of-words tokenizer (``split(..., ' ')``) recovers exactly one
+    token per n-gram. This is the shared feature definition between
+    ``training.train_language_classifier`` (which trains on it) and
+    :func:`language_id_model` (which scores with it) — they must
+    never drift, so both call this."""
+    s = f"concat(' ', lower({text_col}), ' ')"
+    return (
+        f"array_join(transform("
+        f"sequence(1, greatest(length({s}) - {n - 1}, 1)),"
+        f" i -> translate(substring({s}, i, {n}), ' ', '▁')), ' ')"
+    )
+
+
+def _langid_literal_cols(model, ftext: str):
+    """(pred Column, best-prob Column) for the literal mapping form
+    ``{lang: (bias, {feature: weight})}`` over the feature-text SQL
+    ``ftext`` — one map-side CASE/greatest program, zero shuffle (the
+    :func:`_literal_score_prob` pattern, per language)."""
+    probs: list[tuple[str, object]] = []
+    for lang, (bias, weights) in model.items():
+        _, prob = _literal_score_prob(weights, bias, True, ftext)
+        probs.append((lang, prob))
+    best = F.greatest(*[p for _, p in probs]) if len(probs) > 1 else probs[0][1]
+    pred = F.when(F.lit(False), F.lit(None))
+    for lang, p in probs:
+        pred = pred.when(p == best, F.lit(lang))
+    return pred, best
+
+
+def language_id_model(
+    docs: DataFrame,
+    model,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_literal_vocab: int = 256,
+    max_broadcast_vocab: int = 2_000_000,
+) -> DataFrame:
+    """(id, predicted_lang, lang_score): the TRAINED third rung of
+    language ID — per-language one-vs-rest linear scores over
+    character-n-gram features, argmax with the model's declared
+    language order as the deterministic tiebreak (first listed wins).
+    ``lang_score`` is the winning language's sigmoid probability,
+    rounded to 6 decimals (so literal and join paths agree bit-for-bit
+    and the DuckDB oracle can replay it).
+
+    ``model`` is a ``training.LanguageIdModel`` or its literal mapping
+    form ``{lang: (bias, {feature: weight})}`` (from
+    ``training.top_features`` / ``LanguageIdModel.as_literal`` or
+    :data:`PINNED_LANGID_MODEL`).
+
+    Scale shape, chosen by the measured total vocabulary (the
+    :func:`linear_text_score` pattern): a mapping under
+    ``max_literal_vocab`` total features inlines as literal SQL maps —
+    pure map-side projection, zero shuffle, the form
+    ``curation.map_side_curation`` and streaming ingest require;
+    larger models run ONE n-gram explode → (lang, word, weight) join
+    (broadcast under ``max_broadcast_vocab``, shuffle join above) →
+    per-doc pivot over the bounded language list → the same argmax.
+    Both paths produce identical predictions (test-asserted).
+    """
+    from collections.abc import Mapping as _Mapping
+
+    ftext = char_ngram_text_sql(text_col)
+    if isinstance(model, _Mapping):
+        total = sum(len(w) for _, w in model.values())
+        if total <= max_literal_vocab:
+            pred, best = _langid_literal_cols(model, ftext)
+            return docs.select(
+                F.col(id_col),
+                pred.alias("predicted_lang"),
+                best.alias("lang_score"),
+            )
+        languages = list(model)
+        spark = docs.sparkSession
+        weights = spark.createDataFrame(
+            [
+                (lang, w, float(x))
+                for lang, (_, ws) in model.items()
+                for w, x in ws.items()
+            ],
+            "lang string, word string, weight double",
+        )
+        biases = {lang: float(b) for lang, (b, _) in model.items()}
+    else:
+        languages = list(model.languages)
+        weights = model.weights
+        biases = dict(model.biases)
+        if int(model.ngram) != 3:
+            ftext = char_ngram_text_sql(text_col, int(model.ngram))
+    n_vocab = weights.count()  # measured bound, as everywhere else
+    w = (
+        F.broadcast(weights)
+        if n_vocab <= max_broadcast_vocab
+        else weights.hint("merge")
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.expr(f"split({ftext}, ' ')").alias("__grams"),
+    )
+    sums = (
+        base.select(id_col, F.explode("__grams").alias("word"))
+        .join(w, on="word", how="inner")
+        .groupBy(id_col)
+        .pivot("lang", languages)
+        .agg(F.sum("weight"))
+    )
+    scored = base.select(
+        id_col, F.expr("size(__grams)").cast("double").alias("__n")
+    ).join(sums, on=id_col, how="left")
+    probs: list[tuple[str, object]] = []
+    for lang in languages:
+        score = F.round(
+            F.lit(biases[lang])
+            + F.coalesce(F.col(f"`{lang}`"), F.lit(0.0)) / F.col("__n"),
+            6,
+        )
+        probs.append(
+            (
+                lang,
+                F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6),
+            )
+        )
+    best = F.greatest(*[p for _, p in probs]) if len(probs) > 1 else probs[0][1]
+    pred = F.when(F.lit(False), F.lit(None))
+    for lang, p in probs:
+        pred = pred.when(p == best, F.lit(lang))
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.alias("lang_score"),
+    )
+
+
 def with_language(
     docs: DataFrame,
     *,
     method: str = "ngram",
     text_col: str = "text",
     lang_col: str = "lang",
+    model=None,
 ) -> DataFrame:
     """``docs`` with ``lang_col`` (over)written by the predicted
     language — the attach-in-place face of :func:`language_id` /
     :func:`language_id_ngram` for pipelines whose input has no (or an
     untrusted) language column. Two projections, zero shuffle, zero
     join: the trigram stream is materialized once in a helper column
-    and dropped."""
+    and dropped.
+
+    ``method="model"`` attaches the TRAINED rung's prediction
+    (:func:`language_id_model`) and requires ``model`` in the literal
+    mapping form under the map-side bound — this face must stay
+    shuffle-free (it is what ``curation.map_side_curation`` and
+    streaming ingest call), so a DataFrame-weights model belongs to
+    the batch scorer, distilled first via ``training.top_features``."""
+    if method == "model":
+        from collections.abc import Mapping as _Mapping
+
+        if not isinstance(model, _Mapping):
+            raise ValueError(
+                "with_language(method='model') needs the literal "
+                "mapping form {lang: (bias, {feature: weight})} — "
+                "distill a trained model with training.top_features"
+            )
+        total = sum(len(w) for _, w in model.values())
+        if total > 256:
+            raise ValueError(
+                f"model has {total} features, above the map-side "
+                "literal bound (256); distill with a smaller k or "
+                "score in batch via language_id_model"
+            )
+        pred, _ = _langid_literal_cols(model, char_ngram_text_sql(text_col))
+        out = docs.drop(lang_col) if lang_col in docs.columns else docs
+        return out.withColumn(lang_col, pred)
+    if model is not None:
+        raise ValueError(
+            f"model= is only meaningful with method='model', got "
+            f"method={method!r}"
+        )
     if method == "ngram":
         trigrams, pred, _ = _ngram_lang_exprs(text_col)
         drop = [c for c in ("__t3", lang_col) if c in docs.columns]

@@ -57,11 +57,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "LanguageIdModel",
     "LinearTextModel",
     "calibration_buckets",
     "evaluate_binary_classifier",
+    "load_language_model",
     "load_text_model",
+    "save_language_model",
     "save_text_model",
+    "top_features",
+    "train_language_classifier",
     "train_linear_text_classifier",
 ]
 
@@ -324,6 +329,225 @@ def train_linear_text_classifier(
         n_docs=n_docs,
         vocab_size=vocab_size,
         loss=history,
+    )
+
+
+@dataclass
+class LanguageIdModel:
+    """A trained multi-language identifier: one one-vs-rest linear
+    model per language over character-n-gram features — the third
+    language-ID rung, above the whole-word lexicon
+    (``text.language_id``) and the trigram membership profiles
+    (``text.language_id_ngram``), for the short/inflected documents
+    where unweighted profile overlap ties or misleads.
+
+    ``weights`` is a (lang, word, weight) DataFrame whose ``word``
+    values are the n-gram feature tokens produced by
+    ``text.char_ngram_text_sql`` (spaces rendered as ``▁``);
+    ``languages`` fixes the deterministic argmax tiebreak order
+    (first listed wins), and ``biases``/``average``/``ngram`` must
+    travel with the weights — ``text.language_id_model`` consumes
+    exactly this bundle.
+    """
+
+    languages: list[str]
+    weights: DataFrame
+    biases: dict[str, float]
+    average: bool
+    ngram: int
+
+    def as_literal(self) -> dict[str, tuple[float, dict[str, float]]]:
+        """{lang: (bias, {feature: weight})} — the driver-side literal
+        form ``text.language_id_model`` inlines as a map-side column
+        program and ``curation.map_side_curation`` requires (bounded;
+        the caller is responsible for having distilled the vocabulary
+        first, e.g. via ``top_features``)."""
+        rows = self.weights.collect()
+        out: dict[str, tuple[float, dict[str, float]]] = {
+            lang: (float(self.biases[lang]), {}) for lang in self.languages
+        }
+        for r in rows:
+            out[r["lang"]][1][r["word"]] = float(r["weight"])
+        return out
+
+
+def train_language_classifier(
+    docs: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: list[str] | None = None,
+    ngram: int = 3,
+    iterations: int = 12,
+    learning_rate: float = 1.0,
+    l2: float = 0.0,
+    min_df: int = 2,
+    max_broadcast_vocab: int = 2_000_000,
+) -> LanguageIdModel:
+    """Fit the model rung of language ID on (text, lang) labeled rows:
+    per language a one-vs-rest binary linear classifier
+    (:func:`train_linear_text_classifier`, unchanged — same loss, same
+    physical shape) over CHARACTER-N-GRAM features
+    (``text.char_ngram_text_sql``: the space-padded n-gram stream,
+    spaces rendered ``▁`` so the bag tokenizer's split survives).
+
+    Character n-grams are what real language identifiers (fastText
+    langid et al., publicly documented) train on: inflected forms the
+    function-word lexicons miss ('les chats', 'parlons') still light
+    up their boundary n-grams, and LEARNED weights separate languages
+    that share n-grams, where :func:`text.language_id_ngram`'s
+    unweighted profile membership ties. Labeled data is
+    training-set-sized (not corpus-sized); scoring the corpus is the
+    scale path and lives in ``text.language_id_model``.
+
+    ``languages`` fixes both the label set and the deterministic
+    prediction tiebreak order; default = sorted distinct values of
+    ``lang_col`` (a bounded label-set collect).
+    """
+    from haplorec_spark.operators.text import char_ngram_text_sql
+
+    if languages is None:
+        languages = sorted(
+            r[0]
+            for r in docs.select(lang_col).distinct().collect()
+            if r[0] is not None
+        )
+    if not languages:
+        raise ValueError("no languages to train on")
+    feat = docs.select(
+        F.col(id_col),
+        F.expr(char_ngram_text_sql(text_col, ngram)).alias("__ftext"),
+        F.col(lang_col).alias("__lang"),
+    ).persist()
+    weights: DataFrame | None = None
+    biases: dict[str, float] = {}
+    try:
+        for lang in languages:
+            m = train_linear_text_classifier(
+                feat.select(
+                    F.col(id_col),
+                    F.col("__ftext"),
+                    (F.col("__lang") == F.lit(lang))
+                    .cast("int")
+                    .alias("__is_lang"),
+                ),
+                label_col="__is_lang",
+                text_col="__ftext",
+                id_col=id_col,
+                iterations=iterations,
+                learning_rate=learning_rate,
+                l2=l2,
+                min_df=min_df,
+                average=True,
+                max_broadcast_vocab=max_broadcast_vocab,
+            )
+            lw = m.weights.select(
+                F.lit(lang).alias("lang"), "word", "weight"
+            )
+            weights = lw if weights is None else weights.unionByName(lw)
+            biases[lang] = float(m.bias)
+        assert weights is not None
+        weights = weights.localCheckpoint(eager=True)
+    finally:
+        feat.unpersist()
+    return LanguageIdModel(
+        languages=list(languages),
+        weights=weights,
+        biases=biases,
+        average=True,
+        ngram=ngram,
+    )
+
+
+def top_features(
+    model: LanguageIdModel, k: int = 32
+) -> dict[str, tuple[float, dict[str, float]]]:
+    """Distill the model to its ``k`` strongest features per language
+    (by |weight|; ties broken by word for determinism), as the literal
+    mapping form. This is how a trained model gets under the map-side
+    literal bound: scoring stays exact w.r.t. the DISTILLED weights
+    (OOV features contribute 0 by the shared convention), the
+    established trade of every literal-codebook path."""
+    ranked = model.weights.withColumn(
+        "__rk",
+        F.row_number().over(
+            Window.partitionBy("lang").orderBy(
+                F.abs(F.col("weight")).desc(), "word"
+            )
+        ),
+    ).filter(F.col("__rk") <= k)
+    out: dict[str, tuple[float, dict[str, float]]] = {
+        lang: (float(model.biases[lang]), {}) for lang in model.languages
+    }
+    for r in ranked.collect():
+        out[r["lang"]][1][r["word"]] = round(float(r["weight"]), 6)
+    return out
+
+
+def _weights_fingerprint(weights: DataFrame) -> str:
+    """Cheap content fingerprint of a weight table: row count plus a
+    6-decimal |weight| mass, enough to catch a meta/weights artifact
+    mismatch (the torn-save failure mode) without hashing every row."""
+    row = weights.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.abs(F.col("weight"))), 6).alias("mass"),
+    ).first()
+    return f"{int(row['n'])}:{float(row['mass'] or 0.0):.6f}"
+
+
+def save_language_model(model: LanguageIdModel, path: str) -> None:
+    """Persist the language identifier: ``<path>/weights`` first, then
+    ``<path>/meta`` (per-language bias + tiebreak rank + the shared
+    scalars) LAST, carrying a fingerprint of the weights table —
+    ``load_language_model`` validates it, so a crash between the two
+    swaps is DETECTED at load instead of silently pairing new weights
+    with a stale meta (each part is individually atomic via
+    :func:`safe_overwrite_parquet`)."""
+    weights = model.weights.localCheckpoint(eager=True)
+    safe_overwrite_parquet(weights, f"{path}/weights")
+    spark = model.weights.sparkSession
+    fp = _weights_fingerprint(weights)
+    meta = spark.createDataFrame(
+        [
+            (
+                lang,
+                rank,
+                float(model.biases[lang]),
+                bool(model.average),
+                int(model.ngram),
+                fp,
+            )
+            for rank, lang in enumerate(model.languages)
+        ],
+        "lang string, rank int, bias double, average boolean, "
+        "ngram int, weights_fingerprint string",
+    )
+    safe_overwrite_parquet(meta, f"{path}/meta")
+
+
+def load_language_model(spark, path: str) -> LanguageIdModel:
+    """Load a :func:`save_language_model` artifact, validating the
+    meta's weights fingerprint against the weights actually on disk
+    (raises ``IOError`` on a torn artifact)."""
+    meta = sorted(
+        spark.read.parquet(f"{path}/meta").collect(),
+        key=lambda r: r["rank"],
+    )
+    weights = spark.read.parquet(f"{path}/weights")
+    fp = _weights_fingerprint(weights)
+    want = meta[0]["weights_fingerprint"]
+    if fp != want:
+        raise IOError(
+            f"language model at {path} is torn: weights fingerprint "
+            f"{fp} != meta's {want} (re-save the artifact)"
+        )
+    return LanguageIdModel(
+        languages=[r["lang"] for r in meta],
+        weights=weights,
+        biases={r["lang"]: float(r["bias"]) for r in meta},
+        average=bool(meta[0]["average"]),
+        ngram=int(meta[0]["ngram"]),
     )
 
 

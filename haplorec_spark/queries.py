@@ -419,6 +419,23 @@ def q_text_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id_ngram(table(spark, sf_dir, "documents"))
 
 
+# Not a driver gate (the 50-slot budget is full): the TRAINED
+# language-ID rung (text.language_id_model) scoring with the pinned
+# distilled one-vs-rest trigram model. DuckDB-checked by
+# tests/test_registry.py::ROTATED_OUT_ORACLES, whose SQL embeds the
+# same PINNED_LANGID_MODEL literals (bias + per-trigram weights +
+# sigmoid + declaration-order argmax).
+def q_text_language_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id_model,
+    )
+
+    return language_id_model(
+        table(spark, sf_dir, "documents"), PINNED_LANGID_MODEL
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): the max_doc_freq
 # hot-shingle cut — the 100 TB lever of ngram_jaccard_pairs, capping
 # the shingle self-join's hottest keys — DuckDB-checked by

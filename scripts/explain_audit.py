@@ -254,6 +254,14 @@ CHECKS = {
         "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
                    "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "q_text_language_model": {
+        # the TRAINED rung's literal path (pinned 252-feature model):
+        # per-language literal-map aggregate + sigmoid + argmax is
+        # still ONE map-side projection — zero Exchange, zero Python
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "q_dedup_ngram_jaccard_dfcut": {
         # the max_doc_freq cut prunes hot shingles with a BROADCAST
         # left-anti join (the hot set is df-bounded tiny) before the

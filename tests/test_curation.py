@@ -751,3 +751,45 @@ def test_map_side_curation_rejects_clobbering_columns(spark):
     )
     with pytest.raises(ValueError, match="quality"):
         map_side_curation(docs, CurationConfig(dedup=None))
+
+
+def test_curation_detect_language_model_rung(spark):
+    """detect_language="model" + language_model wires the TRAINED rung
+    into both curation faces: predictions come from the pinned literal
+    model, the keep-list filters on them, and the map-side face stays
+    one shuffle-free chain."""
+    from haplorec_spark.curation import map_side_curation
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id_model,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").drop("lang")
+    cfg = CurationConfig(
+        detect_language="model",
+        language_model=PINNED_LANGID_MODEL,
+        languages=["en", "de"],
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+    )
+    pred = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(docs, PINNED_LANGID_MODEL).collect()
+    }
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    rows = out.collect()
+    assert rows
+    assert all(r["lang"] == pred[r["doc_id"]] for r in rows)
+    assert {r["lang"] for r in rows} <= {"en", "de"}
+    assert counts["language"] == sum(
+        1 for v in pred.values() if v in ("en", "de")
+    )
+    fast = map_side_curation(docs, cfg)
+    assert sorted(r["doc_id"] for r in fast.collect()) == sorted(
+        r["doc_id"] for r in rows
+    )
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -211,6 +211,52 @@ def _language_ngram_oracle() -> str:
 
 ROTATED_OUT_ORACLES["q_text_language_ngram"] = _language_ngram_oracle()
 
+
+def _language_model_oracle() -> str:
+    """DuckDB replica of text.language_id_model's literal path, built
+    from the SAME pinned weights so implementation and oracle agree on
+    the model by construction: per language
+    prob = round(sigmoid(round(bias + sum(weight[t3])/len(t3), 6)), 6),
+    argmax with declaration-order tiebreak."""
+    from haplorec_spark.operators.text import PINNED_LANGID_MODEL
+
+    score_exprs = []
+    for lang, (bias, ws) in PINNED_LANGID_MODEL.items():
+        items = sorted(ws.items())
+        keys = ", ".join("'" + t.replace("'", "''") + "'" for t, _ in items)
+        vals = ", ".join(repr(float(x)) for _, x in items)
+        lookup = (
+            f"coalesce(list_extract([{vals}]::DOUBLE[],"
+            f" list_position([{keys}], t)), 0.0)"
+        )
+        total = f"list_sum(list_transform(t3, t -> {lookup}))"
+        score = (
+            f"round({float(bias)!r} + coalesce({total}, 0.0)"
+            f" / len(t3)::DOUBLE, 6)"
+        )
+        score_exprs.append(
+            f"round(1.0 / (1.0 + exp(-({score}))), 6) AS p_{lang}"
+        )
+    langs = list(PINNED_LANGID_MODEL)
+    best = "greatest(" + ", ".join(f"p_{la}" for la in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN p_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_transform(
+                              generate_series(1, greatest(length(s) - 2, 1)),
+                              i -> replace(substr(s, i, 3), ' ', '▁')) AS t3
+                   FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s
+                         FROM documents)),
+             scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
+        SELECT doc_id, {pred} AS predicted_lang, {best} AS lang_score
+        FROM scored
+    """
+
+
+ROTATED_OUT_ORACLES["q_text_language_model"] = _language_model_oracle()
+
 ROTATED_OUT_ORACLES["q_embedding_profile"] = """
     WITH p AS (
         SELECT CASE WHEN embedding IS NULL THEN 1.0 ELSE 0.0 END AS nul,

@@ -930,3 +930,150 @@ def test_with_language_attaches_in_place(spark):
 
     with _pytest.raises(ValueError, match="method"):
         with_language(docs, method="fasttext")
+
+
+#: Short inflected sentences (content words outside the function-word
+#: lists) — the regime the TRAINED rung exists for. Shared by the
+#: accuracy comparison below and crafted honestly: four per language,
+#: no sentence appears in the pinned model's training corpus.
+LANGID_EVAL = [
+    ("en", "the children were playing in the gardens"),
+    ("en", "she was reading an interesting book at home"),
+    ("en", "many houses were built near the river"),
+    ("en", "they walked slowly through the old streets"),
+    ("fr", "les chats dormaient dans la cuisine"),
+    ("fr", "nous parlons avec les enfants dans le jardin"),
+    ("fr", "elles chantaient pendant la soiree"),
+    ("fr", "il regardait les oiseaux depuis la fenetre"),
+    ("es", "los gatos dormian en la cocina"),
+    ("es", "hablamos con los ninos en el jardin"),
+    ("es", "ellas cantaban durante la noche"),
+    ("es", "miraba los pajaros desde la ventana"),
+    ("de", "die katzen schliefen in der kueche"),
+    ("de", "wir sprechen mit den kindern im garten"),
+    ("de", "sie sangen waehrend des abends"),
+    ("de", "er schaute die voegel vom fenster aus"),
+    ("it", "i gatti dormivano nella cucina"),
+    ("it", "parliamo con i bambini nel giardino"),
+    ("it", "loro cantavano durante la serata"),
+    ("it", "guardava gli uccelli dalla finestra"),
+    ("pt", "os gatos dormiam na cozinha"),
+    ("pt", "falamos com as criancas no jardim"),
+    ("pt", "elas cantavam durante a noite"),
+    ("pt", "olhava os passaros pela janela"),
+    ("nl", "de katten sliepen in de keuken"),
+    ("nl", "wij spreken met de kinderen in de tuin"),
+    ("nl", "zij zongen tijdens de avond"),
+    ("nl", "hij keek naar de vogels vanuit het raam"),
+]
+
+
+def test_language_id_model_beats_ngram_on_inflected(spark):
+    """The trained rung's reason to exist: on short inflected
+    documents the LEARNED weights separate the Romance languages
+    where unweighted trigram-profile membership ties toward the
+    bigger profile (it/pt scored as es/fr). Strictly more correct on
+    the shared eval set."""
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id_model,
+        language_id_ngram,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, lang, t) for i, (lang, t) in enumerate(LANGID_EVAL)],
+        "doc_id long, want string, text string",
+    )
+    model_pred = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(docs, PINNED_LANGID_MODEL).collect()
+    }
+    ngram_pred = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_ngram(docs).collect()
+    }
+    model_acc = sum(
+        model_pred[i] == lang for i, (lang, _) in enumerate(LANGID_EVAL)
+    )
+    ngram_acc = sum(
+        ngram_pred[i] == lang for i, (lang, _) in enumerate(LANGID_EVAL)
+    )
+    assert model_acc > ngram_acc, (model_acc, ngram_acc)
+    # and not by luck on a weak baseline: both rungs are well above
+    # chance (chance = 4/28), the model at >=85%
+    assert ngram_acc >= 20
+    assert model_acc >= 24
+
+
+def test_language_id_model_literal_matches_join_path(spark):
+    """Both physical paths — the literal map-side program and the
+    explode → weight join → pivot — produce bit-identical
+    (predicted_lang, lang_score)."""
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(LANGID_EVAL[:8])]
+        + [(100, ""), (101, "zzz qqq")],
+        "doc_id long, text string",
+    )
+    lit = sorted(
+        tuple(r)
+        for r in language_id_model(docs, PINNED_LANGID_MODEL).collect()
+    )
+    joined = sorted(
+        tuple(r)
+        for r in language_id_model(
+            docs, PINNED_LANGID_MODEL, max_literal_vocab=0
+        ).collect()
+    )
+    assert lit == joined
+
+
+def test_language_id_model_literal_plan_is_map_side(spark):
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id_model,
+    )
+
+    docs = spark.createDataFrame([(1, "hola")], "doc_id long, text string")
+    plan = (
+        language_id_model(docs, PINNED_LANGID_MODEL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_with_language_model_method(spark):
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id_model,
+        with_language,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t, "xx") for i, (_, t) in enumerate(LANGID_EVAL[:6])],
+        "doc_id long, text string, lang string",
+    )
+    out = with_language(docs, method="model", model=PINNED_LANGID_MODEL)
+    assert out.columns == ["doc_id", "text", "lang"]
+    got = {r["doc_id"]: r["lang"] for r in out.collect()}
+    want = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(docs, PINNED_LANGID_MODEL).collect()
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="literal mapping"):
+        with_language(docs, method="model")  # no model given
+    big = {"en": (0.0, {f"t{i:03d}": 0.1 for i in range(300)})}
+    with pytest.raises(ValueError, match="literal bound"):
+        with_language(docs, method="model", model=big)
+    with pytest.raises(ValueError, match="only meaningful"):
+        with_language(docs, method="ngram", model=PINNED_LANGID_MODEL)

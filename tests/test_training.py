@@ -359,3 +359,114 @@ def test_model_resave_to_same_path(spark, docs, tmp_path):
     after = {r["word"]: r["weight"]
              for r in load_text_model(spark, path).weights.collect()}
     assert after == before
+
+
+@pytest.fixture(scope="module")
+def lang_docs(spark):
+    """Tiny 3-language labeled corpus for the language-ID trainer:
+    enough signal to separate, small enough to train in seconds."""
+    rows = []
+    sents = {
+        "en": ["the cat is in the house", "we have the best dog",
+               "this is the old garden", "they are in the house",
+               "the dog and the cat play", "it is a good day"],
+        "fr": ["le chat est dans la maison", "nous avons le chien",
+               "c est le vieux jardin", "ils sont dans la maison",
+               "le chien et le chat jouent", "c est une bonne journee"],
+        "de": ["die katze ist im haus", "wir haben den besten hund",
+               "das ist der alte garten", "sie sind im haus",
+               "der hund und die katze spielen", "es ist ein guter tag"],
+    }
+    i = 0
+    for lang, ss in sents.items():
+        for s in ss:
+            rows.append((i, lang, s))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_train_language_classifier_separates(spark, lang_docs):
+    from haplorec_spark.operators.text import language_id_model
+    from haplorec_spark.operators.training import train_language_classifier
+
+    model = train_language_classifier(
+        lang_docs, iterations=20, learning_rate=8.0, min_df=2
+    )
+    assert model.languages == ["de", "en", "fr"]  # sorted label set
+    held_out = spark.createDataFrame(
+        [(0, "en", "the house and the garden"),
+         (1, "fr", "la maison et le jardin"),
+         (2, "de", "das haus und der garten")],
+        "doc_id long, want string, text string",
+    )
+    pred = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(held_out, model).collect()
+    }
+    want = {r["doc_id"]: r["want"] for r in held_out.collect()}
+    assert pred == want
+
+
+def test_top_features_distills_and_matches_full_argmax(spark, lang_docs):
+    from haplorec_spark.operators.text import language_id_model
+    from haplorec_spark.operators.training import (
+        top_features,
+        train_language_classifier,
+    )
+
+    model = train_language_classifier(
+        lang_docs, iterations=20, learning_rate=8.0, min_df=2
+    )
+    lit = top_features(model, k=10)
+    assert set(lit) == set(model.languages)
+    for lang, (bias, ws) in lit.items():
+        assert len(ws) <= 10
+        assert bias == pytest.approx(model.biases[lang])
+    # the distilled literal model still classifies nearly all of the
+    # training set (distillation is lossy by design — the k=10 cut on
+    # this tiny corpus is allowed a couple of boundary flips)
+    got = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(lang_docs, lit).collect()
+    }
+    want = {r["doc_id"]: r["lang"] for r in lang_docs.collect()}
+    agree = sum(got[i] == want[i] for i in want)
+    assert agree >= len(want) - 2, (agree, len(want))
+    # as_literal carries the FULL vocabulary
+    full = model.as_literal()
+    assert sum(len(w) for _, w in full.values()) == model.weights.count()
+
+
+def test_language_model_save_load_and_torn_artifact(
+    spark, lang_docs, tmp_path
+):
+    from haplorec_spark.operators.text import language_id_model
+    from haplorec_spark.operators.training import (
+        load_language_model,
+        save_language_model,
+        train_language_classifier,
+    )
+
+    model = train_language_classifier(
+        lang_docs, iterations=8, learning_rate=8.0, min_df=2
+    )
+    path = str(tmp_path / "langid")
+    save_language_model(model, path)
+    loaded = load_language_model(spark, path)
+    assert loaded.languages == model.languages
+    assert loaded.biases == pytest.approx(model.biases)
+    assert loaded.average == model.average and loaded.ngram == model.ngram
+    want = sorted(
+        tuple(r) for r in language_id_model(lang_docs, model).collect()
+    )
+    got = sorted(
+        tuple(r) for r in language_id_model(lang_docs, loaded).collect()
+    )
+    assert got == want
+    # torn artifact: new weights swapped in, meta stale -> load raises
+    half = model.weights.limit(model.weights.count() // 2)
+    from haplorec_spark.operators.training import safe_overwrite_parquet
+
+    safe_overwrite_parquet(half, f"{path}/weights")
+    with pytest.raises(IOError, match="torn"):
+        load_language_model(spark, path)
