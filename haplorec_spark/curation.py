@@ -21,9 +21,15 @@ dedup), so a rerun — or a run on a differently-partitioned copy —
 produces the identical curated corpus. That property is what makes
 backfills and incremental drops safe, and the tests pin it.
 
-Stage counts are OPTIONAL (``count_stages=True``): each count is a
-job over the lazy prefix, priceless for an audit run, wasteful in a
-production pass-through — default off, the plan stays one lazy graph.
+Stage counts are OPTIONAL (``count_stages=True``) and, from round 7,
+SINGLE-PASS over the document-survival prefix: per-doc map-side stages
+become boolean flag columns (the same shared expressions the chain
+filters on), corpus-global stages become left-join flags against the
+chain's own keep-sets, and one aggregate resolves every survival
+count — a map-side-only config audits in ONE corpus scan
+(test-pinned). Only the row-reshaping tail (mixture, split, chunk,
+pack) still costs one count job per stage. Default off, the plan
+stays one lazy graph.
 """
 
 from __future__ import annotations
@@ -306,6 +312,11 @@ def curate_documents(
     per-document count column (no extra work, but incompatible with
     chunking, whose rows the precomputed counts no longer describe).
     """
+    from haplorec_spark.operators.text import (
+        _literal_score_prob,
+        _quality_exprs,
+    )
+
     cfg = config
     counts: dict[str, int] = {}
     if cfg.token_col is not None and bpe_merges is not None:
@@ -330,12 +341,65 @@ def curate_documents(
             frame, bpe_merges, text_col=cfg.text_col, id_col=id_column
         ).select(id_column, F.col("n_bpe_tokens").alias(out_col))
 
+    # ---- stage accounting (count_stages=True) --------------------
+    # Round-7 single-pass design: the SURVIVAL prefix (every stage up
+    # to the mixture, all of which keep/drop whole documents) is
+    # audited by ONE aggregate over a flag frame instead of one count
+    # job per increasingly-long lazy prefix (~11 jobs before). Per-doc
+    # map-side stages (language, quality, small-vocab classifier)
+    # become boolean COLUMNS on the audit frame — sharing the exact
+    # expressions the chain filters on — and corpus-global stages
+    # (LM floor, ppl tiers, dedup, DSIR, decontamination) become
+    # left-join flags against the chain's own lazy keep-sets, so the
+    # audited predicate is the chain's predicate by construction.
+    # counts[stage_k] = Σ(flag_1 ∧ … ∧ flag_k) — one job. Stages that
+    # only REWRITE text (boilerplate, redact, span-strip) are
+    # row-preserving inner joins and inherit the previous count.
+    # Stages that reshape the row universe (mixture, split, chunk,
+    # pack) still cost one count job each — their outputs are not
+    # document-survival predicates. For a map-side-only config the
+    # audit aggregate is a single corpus scan (test-pinned).
+    audit: DataFrame | None = None
+    survival: list[tuple[str, str | None]] = []  # (stage, flag col)
+    late: list[tuple[str, DataFrame]] = []  # post-survival stages
+
+    def _flag_map(stage: str, col) -> None:
+        nonlocal audit
+        assert audit is not None
+        name = f"__f_{stage}"
+        audit = audit.withColumn(
+            name, F.coalesce(col.cast("boolean"), F.lit(False))
+        )
+        survival.append((stage, name))
+
+    def _flag_ids(stage: str, ids: DataFrame, anti: bool = False) -> None:
+        """Left-join flag: alive iff the id is (not, when ``anti``) in
+        the chain's keep-set (loser-set) for this stage."""
+        nonlocal audit
+        assert audit is not None
+        name, marker = f"__f_{stage}", f"__m_{stage}"
+        audit = audit.join(
+            ids.select(cfg.id_col).withColumn(marker, F.lit(True)),
+            cfg.id_col,
+            "left",
+        ).withColumn(
+            name,
+            F.col(marker).isNull() if anti else F.col(marker).isNotNull(),
+        ).drop(marker)
+        survival.append((stage, name))
+
+    def _flag_same(stage: str) -> None:
+        """Row-preserving rewrite stage: count = previous stage's."""
+        survival.append((stage, None))
+
     def note(stage: str, df: DataFrame) -> DataFrame:
+        """Record a row-universe-changing stage for a per-stage count
+        job (deferred until the end, after the survival aggregate)."""
         if count_stages:
-            counts[stage] = df.count()
+            late.append((stage, df))
         return df
 
-    out = note("input", docs)
+    out = docs
     if cfg.detect_language is not None:
         from haplorec_spark.operators.text import with_language
 
@@ -346,11 +410,22 @@ def curate_documents(
             lang_col=cfg.lang_col,
             model=cfg.language_model,
         )
+    if count_stages:
+        # audit base AFTER the language attach, so the flag exprs see
+        # the same derived lang; __t is the text the NEXT per-doc flag
+        # reads (re-pointed at the cleaned text after boilerplate)
+        cols = [F.col(cfg.id_col), F.col(cfg.text_col).alias("__t")]
+        if cfg.lang_col in out.columns:
+            cols.append(F.col(cfg.lang_col))
+        audit = out.select(*cols)
+        survival.append(("input", None))
     if cfg.languages is not None:
-        out = note(
-            "language",
-            out.filter(F.col(cfg.lang_col).isin(list(cfg.languages))),
-        )
+        out = out.filter(F.col(cfg.lang_col).isin(list(cfg.languages)))
+        if count_stages:
+            _flag_map(
+                "language",
+                F.col(cfg.lang_col).isin(list(cfg.languages)),
+            )
 
     if cfg.boilerplate_min_df:
         # line-level cleanup FIRST: quality/repetition scores and the
@@ -365,9 +440,23 @@ def curate_documents(
         ).select(
             cfg.id_col, F.col("text_clean").alias(cfg.text_col)
         )
-        out = note(
-            "boilerplate", out.drop(cfg.text_col).join(cleaned, cfg.id_col)
-        )
+        out = out.drop(cfg.text_col).join(cleaned, cfg.id_col)
+        if count_stages:
+            # row-preserving; downstream per-doc flags must read the
+            # CLEANED text (dead rows keep the raw text — their flag
+            # values never reach a count, every prefix conjunction
+            # already excludes them)
+            assert audit is not None
+            audit = audit.join(
+                cleaned.select(
+                    cfg.id_col, F.col(cfg.text_col).alias("__t_clean")
+                ),
+                cfg.id_col,
+                "left",
+            ).withColumn(
+                "__t", F.coalesce("__t_clean", "__t")
+            ).drop("__t_clean")
+            _flag_same("boilerplate")
 
     q = quality_score(
         out,
@@ -379,7 +468,20 @@ def curate_documents(
         & (F.col("dup_word_fraction") < cfg.max_dup_word_fraction)
         & (F.col("top_word_fraction") <= cfg.max_top_word_fraction)
     )
-    out = note("quality", out.join(q.select(cfg.id_col), cfg.id_col))
+    out = out.join(q.select(cfg.id_col), cfg.id_col)
+    if count_stages:
+        # the same per-doc exprs map_side_curation shares with
+        # quality_score, evaluated on the audit text — map-side
+        qx = dict(_quality_exprs("__t", include_repetition=True))
+        _flag_map(
+            "quality",
+            (F.expr(qx["quality"]) >= cfg.min_quality)
+            & (F.expr(qx["dup_word_fraction"]) < cfg.max_dup_word_fraction)
+            & (
+                F.expr(qx["top_word_fraction"])
+                <= cfg.max_top_word_fraction
+            ),
+        )
 
     if cfg.min_avg_logprob is not None:
         # LM trained on the quality-filtered corpus itself: gibberish
@@ -388,7 +490,11 @@ def curate_documents(
         lm = unigram_logprob_score(
             out, text_col=cfg.text_col, id_col=cfg.id_col
         ).filter(F.col("avg_logprob") >= cfg.min_avg_logprob)
-        out = note("lm_score", out.join(lm.select(cfg.id_col), cfg.id_col))
+        out = out.join(lm.select(cfg.id_col), cfg.id_col)
+        if count_stages:
+            # corpus-global (the LM is the surviving corpus's own
+            # distribution): flag against the chain's keep-set
+            _flag_ids("lm_score", lm)
 
     if cfg.classifier_weights is not None:
         clf = linear_text_score(
@@ -398,9 +504,23 @@ def curate_documents(
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         ).filter(F.col("prob") >= cfg.min_classifier_prob)
-        out = note(
-            "classifier", out.join(clf.select(cfg.id_col), cfg.id_col)
-        )
+        out = out.join(clf.select(cfg.id_col), cfg.id_col)
+        if count_stages:
+            if len(cfg.classifier_weights) <= 256:
+                # per-doc and literal-sized: the same shared scoring
+                # exprs, map-side on the audit text (both physical
+                # paths of linear_text_score round identically)
+                _s, prob = _literal_score_prob(
+                    cfg.classifier_weights,
+                    cfg.classifier_bias,
+                    True,
+                    "__t",
+                )
+                _flag_map(
+                    "classifier", prob >= cfg.min_classifier_prob
+                )
+            else:
+                _flag_ids("classifier", clf)
 
     if cfg.max_ppl_bucket is not None:
         # relative cut: keep the cleanest tiers of THIS corpus's score
@@ -412,15 +532,19 @@ def curate_documents(
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         ).filter(F.col("ppl_bucket") <= cfg.max_ppl_bucket)
-        out = note(
-            "ppl_bucket", out.join(tiers.select(cfg.id_col), cfg.id_col)
-        )
+        out = out.join(tiers.select(cfg.id_col), cfg.id_col)
+        if count_stages:
+            # corpus-global (tier edges come from the surviving score
+            # distribution): keep-set flag
+            _flag_ids("ppl_bucket", tiers)
 
     if cfg.redact:
         red = redact_pii(
             out, text_col=cfg.text_col, id_col=cfg.id_col
         ).select(cfg.id_col, "text_redacted")
-        out = note("redact", out.join(red, cfg.id_col))
+        out = out.join(red, cfg.id_col)
+        if count_stages:
+            _flag_same("redact")  # row-preserving attach
 
     def _dedup_view(df: DataFrame) -> DataFrame:
         """The frame the dedup stage hashes: raw, or (id, normalized
@@ -450,7 +574,10 @@ def curate_documents(
             .agg(F.min(cfg.id_col).alias(cfg.id_col))
             .select(cfg.id_col)
         )
-        out = note("dedup", out.join(keep, cfg.id_col))
+        out = out.join(keep, cfg.id_col)
+        if count_stages:
+            # corpus-global (min id per hash among SURVIVORS)
+            _flag_ids("dedup", keep)
     elif cfg.dedup == "near":
         from haplorec_spark.operators.dedup import (
             dedup_clusters,
@@ -467,7 +594,9 @@ def curate_documents(
             .filter(F.col("doc_id") != F.col("canonical_id"))
             .select(F.col("doc_id").alias(cfg.id_col))
         )
-        out = note("dedup", out.join(losers, cfg.id_col, "left_anti"))
+        out = out.join(losers, cfg.id_col, "left_anti")
+        if count_stages:
+            _flag_ids("dedup", losers, anti=True)
     elif cfg.dedup:  # falsy (None/False) skips dedup entirely
         raise ValueError(f"unknown dedup mode: {cfg.dedup!r}")
 
@@ -482,21 +611,22 @@ def curate_documents(
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         ).select(cfg.id_col, F.col("text_clean").alias(cfg.text_col))
-        out = note(
-            "strip_spans", out.drop(cfg.text_col).join(spans, cfg.id_col)
-        )
+        out = out.drop(cfg.text_col).join(spans, cfg.id_col)
+        if count_stages:
+            _flag_same("strip_spans")  # row-preserving rewrite
 
     if benchmark is not None:
-        out = note(
-            "decontaminate",
-            decontaminate(
-                out,
-                benchmark,
-                n=cfg.decontaminate_ngram,
-                text_col=cfg.text_col,
-                id_col=cfg.id_col,
-            ),
+        out = decontaminate(
+            out,
+            benchmark,
+            n=cfg.decontaminate_ngram,
+            text_col=cfg.text_col,
+            id_col=cfg.id_col,
         )
+        if count_stages:
+            # per-doc vs the benchmark shingles, but the operator owns
+            # the predicate — flag against its surviving ids
+            _flag_ids("decontaminate", out)
 
     if target is not None and cfg.dsir_k is None:
         # a supplied target with no dsir_k would silently skip the
@@ -518,7 +648,10 @@ def curate_documents(
             text_col=cfg.text_col,
             id_col=cfg.id_col,
         ).select(cfg.id_col)
-        out = note("dsir", out.join(keep, cfg.id_col))
+        out = out.join(keep, cfg.id_col)
+        if count_stages:
+            # corpus-global (Gumbel top-k over the survivors)
+            _flag_ids("dsir", keep)
 
     if cfg.mixture_mode not in ("downsample", "upsample"):
         raise ValueError(f"unknown mixture_mode: {cfg.mixture_mode!r}")
@@ -678,4 +811,24 @@ def curate_documents(
         if bpe_merges is not None:
             out = out.drop("__pack_tokens")
 
+    if count_stages:
+        # ONE aggregate resolves every survival-stage count: stage k's
+        # count is the number of docs passing the conjunction of all
+        # flags up to k (row-preserving stages contribute no flag and
+        # inherit the running conjunction). Only the row-reshaping
+        # tail (mixture/split/chunk/pack) still costs one job each.
+        assert audit is not None
+        aggs = []
+        conj = F.lit(True)
+        for i, (_stage, colname) in enumerate(survival):
+            if colname is not None:
+                conj = conj & F.col(colname)
+            aggs.append(
+                F.sum(F.when(conj, 1).otherwise(0)).alias(f"__c{i}")
+            )
+        row = audit.agg(*aggs).first()
+        for i, (stage, _colname) in enumerate(survival):
+            counts[stage] = int(row[f"__c{i}"] or 0)
+        for stage, frame in late:
+            counts[stage] = frame.count()
     return out, counts

@@ -793,3 +793,147 @@ def test_curation_detect_language_model_rung(spark):
     )
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_single_pass_counts_match_legacy_per_stage_jobs(spark):
+    """Round-7 single-pass stage accounting must reproduce exactly the
+    counts the per-stage count() jobs used to produce — replicated
+    here stage by stage with the same operators (the legacy
+    computation, kept as the independent reference)."""
+    from haplorec_spark.operators.text import (
+        linear_text_score,
+        perplexity_buckets,
+        quality_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = {"the": 0.4, "slow": -0.7}
+    cfg = CurationConfig(
+        languages=["en", "de"],
+        min_quality=0.3,
+        classifier_weights=w,
+        classifier_bias=0.1,
+        min_classifier_prob=0.4,
+        max_ppl_bucket=1,
+        ppl_n_buckets=3,
+        redact=True,
+        dedup="exact",
+    )
+    _out, counts = curate_documents(docs, config=cfg, count_stages=True)
+
+    # legacy reference: progressive filters, one count each
+    ref = {}
+    d = docs
+    ref["input"] = d.count()
+    d = d.filter(F.col("lang").isin("en", "de"))
+    ref["language"] = d.count()
+    q = quality_score(d, include_repetition=True).filter(
+        (F.col("quality") >= cfg.min_quality)
+        & (F.col("dup_word_fraction") < cfg.max_dup_word_fraction)
+        & (F.col("top_word_fraction") <= cfg.max_top_word_fraction)
+    )
+    d = d.join(q.select("doc_id"), "doc_id")
+    ref["quality"] = d.count()
+    clf = linear_text_score(
+        d, w, bias=cfg.classifier_bias
+    ).filter(F.col("prob") >= cfg.min_classifier_prob)
+    d = d.join(clf.select("doc_id"), "doc_id")
+    ref["classifier"] = d.count()
+    tiers = perplexity_buckets(d, n_buckets=3).filter(
+        F.col("ppl_bucket") <= 1
+    )
+    d = d.join(tiers.select("doc_id"), "doc_id")
+    ref["ppl_bucket"] = d.count()
+    ref["redact"] = ref["ppl_bucket"]  # row-preserving attach
+    keep = (
+        d.select("doc_id", F.md5(F.col("text")).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    d = d.join(keep, "doc_id")
+    ref["dedup"] = d.count()
+    ref["split"] = ref["dedup"]
+
+    assert counts == ref, (counts, ref)
+
+
+def test_single_pass_counts_with_lm_and_decontaminate(spark):
+    """Corpus-global stages whose predicate depends on the surviving
+    prefix (self-trained LM floor, benchmark decontamination) flag
+    against the chain's own keep-sets — counts must equal the legacy
+    progressive computation."""
+    from haplorec_spark.operators.sampling import decontaminate
+    from haplorec_spark.operators.text import (
+        quality_score,
+        unigram_logprob_score,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.limit(3).select("doc_id", "text")
+    cfg = CurationConfig(
+        min_quality=0.3,
+        min_avg_logprob=-3.5,
+        redact=False,
+        dedup=None,
+        decontaminate_ngram=8,
+    )
+    _out, counts = curate_documents(
+        docs, benchmark=bench, config=cfg, count_stages=True
+    )
+
+    d = docs
+    ref = {"input": d.count()}
+    q = quality_score(d, include_repetition=True).filter(
+        (F.col("quality") >= cfg.min_quality)
+        & (F.col("dup_word_fraction") < cfg.max_dup_word_fraction)
+        & (F.col("top_word_fraction") <= cfg.max_top_word_fraction)
+    )
+    d = d.join(q.select("doc_id"), "doc_id")
+    ref["quality"] = d.count()
+    lm = unigram_logprob_score(d).filter(
+        F.col("avg_logprob") >= cfg.min_avg_logprob
+    )
+    d = d.join(lm.select("doc_id"), "doc_id")
+    ref["lm_score"] = d.count()
+    d = decontaminate(d, bench, n=8)
+    ref["decontaminate"] = d.count()
+    ref["split"] = ref["decontaminate"]
+    assert counts == ref, (counts, ref)
+
+
+def test_single_pass_counts_cost_one_extra_action_map_side(spark):
+    """For a map-side-only survival config the whole survival audit is
+    ONE extra Spark action (the flag aggregate) on top of what a plain
+    curated-output materialization costs — NOT one count job per
+    stage. Measured via the status tracker: the audited run may exceed
+    the baseline (chain + one count of the output) by at most the
+    aggregate's own AQE sub-jobs, and must stay strictly below one
+    action per survival stage."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cfg = CurationConfig(
+        languages=["en", "de"],
+        min_quality=0.3,
+        classifier_weights={"the": 0.4},
+        redact=True,
+        dedup=None,
+    )
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    sc = spark.sparkContext
+    sc.setJobGroup("curation-base", "baseline")
+    try:
+        out, _ = curate_documents(docs, config=cfg, count_stages=False)
+        out.count()
+        base = len(tracker.getJobIdsForGroup("curation-base"))
+        sc.setJobGroup("curation-audit", "single-pass audit")
+        _out, counts = curate_documents(docs, config=cfg, count_stages=True)
+        audit = len(tracker.getJobIdsForGroup("curation-audit"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert set(counts) == {
+        "input", "language", "quality", "classifier", "redact", "split"
+    }
+    # one extra action ≈ 2 AQE sub-jobs; 6 audited stages would have
+    # cost ≥ 6 extra actions under the legacy per-stage counting
+    assert audit - base <= 3, (audit, base)
+    assert audit - base < len(counts) - 1, (audit, base)
