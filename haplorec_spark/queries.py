@@ -408,11 +408,45 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_profile(table(spark, sf_dir, "embeddings"))
 
 
-# Not a driver gate (the 50-slot budget is full): the trigram-profile
-# language scorer (text.language_id_ngram, the rung above the
-# whole-word lexicon gate q_text_language_id). DuckDB-checked by
-# tests/test_registry.py::ROTATED_OUT_ORACLES, whose SQL embeds the
-# same LANG_TRIGRAM_PROFILES literals.
+def _language_ngram_oracle_sql() -> str:
+    """DuckDB replica of text.language_id_ngram, built from the SAME
+    trigram-profile literals so implementation and oracle agree on the
+    profiles by construction (the established lexicon-gate pattern).
+    Promoted into the driver 50 in round 7 (q_collapse_by_key rotated
+    out — its physical shape is covered by q_report_collapse)."""
+    from haplorec_spark.operators.text import LANG_TRIGRAM_PROFILES
+
+    score_exprs = []
+    for lang, prof in LANG_TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + t + "'" for t in prof)
+        score_exprs.append(
+            f"round(len(list_filter(t3, t -> list_contains([{arr}], t)))"
+            f" / len(t3)::DOUBLE, 6) AS s_{lang}"
+        )
+    langs = list(LANG_TRIGRAM_PROFILES)
+    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
+    ) + " END"
+    return f"""
+        WITH t AS (SELECT doc_id,
+                          list_transform(
+                              generate_series(1, greatest(length(s) - 2, 1)),
+                              i -> substr(s, i, 3)) AS t3
+                   FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s
+                         FROM documents)),
+             scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
+        SELECT doc_id, {pred} AS predicted_lang, {best} AS lang_score
+        FROM scored
+    """
+
+
+@register(
+    "q_text_language_ngram",
+    _language_ngram_oracle_sql(),
+    "trigram-profile language ID (7 languages), map-side literal "
+    "profiles (training-data text-analysis family)",
+)
 def q_text_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.operators.text import language_id_ngram
 
@@ -615,17 +649,11 @@ def q_phenotype_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------ F9 (collapse-by-key)
 
-@register(
-    "q_collapse_by_key",
-    """
-    SELECT n_nationkey AS c_nationkey,
-           string_agg(DISTINCT c_mktsegment, '. ' ORDER BY c_mktsegment)
-               AS c_mktsegment
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_nationkey
-    """,
-    "unique-join collapse of non-key fields per primary key (F9 analog)",
-)
+# Not a driver gate from round 7 (rotated out to free a slot for the
+# newest operator family, q_text_language_ngram): its group+collect
+# physical shape is also exercised by the driver-gated
+# q_report_collapse, and the oracle stays green via
+# tests/test_registry.py::ROTATED_OUT_ORACLES.
 def q_collapse_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.operators.fk import collapse_by_key
 

@@ -178,38 +178,16 @@ ROTATED_OUT_ORACLES = {
 }
 
 
-def _language_ngram_oracle() -> str:
-    """DuckDB replica of text.language_id_ngram, built from the SAME
-    trigram-profile literals so implementation and oracle agree on the
-    profiles by construction (the established lexicon-gate pattern)."""
-    from haplorec_spark.operators.text import LANG_TRIGRAM_PROFILES
-
-    score_exprs = []
-    for lang, prof in LANG_TRIGRAM_PROFILES.items():
-        arr = ", ".join("'" + t + "'" for t in prof)
-        score_exprs.append(
-            f"round(len(list_filter(t3, t -> list_contains([{arr}], t)))"
-            f" / len(t3)::DOUBLE, 6) AS s_{lang}"
-        )
-    langs = list(LANG_TRIGRAM_PROFILES)
-    best = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
-    pred = "CASE " + " ".join(
-        f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
-    ) + " END"
-    return f"""
-        WITH t AS (SELECT doc_id,
-                          list_transform(
-                              generate_series(1, greatest(length(s) - 2, 1)),
-                              i -> substr(s, i, 3)) AS t3
-                   FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s
-                         FROM documents)),
-             scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
-        SELECT doc_id, {pred} AS predicted_lang, {best} AS lang_score
-        FROM scored
-    """
-
-
-ROTATED_OUT_ORACLES["q_text_language_ngram"] = _language_ngram_oracle()
+#: round 7: q_collapse_by_key rotated OUT of the driver 50 (its slot
+#: went to q_text_language_ngram, the newest operator family); its
+#: group+collect shape is also driver-gated via q_report_collapse.
+ROTATED_OUT_ORACLES["q_collapse_by_key"] = """
+    SELECT n_nationkey AS c_nationkey,
+           string_agg(DISTINCT c_mktsegment, '. ' ORDER BY c_mktsegment)
+               AS c_mktsegment
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+"""
 
 
 def _language_model_oracle() -> str:
@@ -322,7 +300,7 @@ def test_rotated_out_queries_still_match_duckdb(spark):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     for t in ("customer", "orders", "part", "supplier", "lineitem",
-              "documents", "embeddings"):
+              "nation", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf}/{t}.parquet')"
