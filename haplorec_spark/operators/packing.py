@@ -240,3 +240,207 @@ def write_training_shards(
     )
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
     return manifest
+
+
+def pack_token_ids(
+    docs_ids: DataFrame,
+    seq_len: int,
+    *,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    seed: str = "pack",
+    bos_id: int | None = None,
+    eos_id: int | None = None,
+    pad_id: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(seq_id, input_ids, n_real): the corpus as FIXED-LENGTH training
+    sequences in token-ID space — the materialized form of the
+    :func:`pack_sequences` tape, so a training consumer reads id
+    arrays cut at exactly ``seq_len`` ids instead of re-tokenizing
+    text against the tape arithmetic.
+
+    ``docs_ids`` carries one id array per document (the
+    ``bpe.bpe_encode_ids`` output shape). Documents are laid
+    end-to-end in the deterministic ``md5(seed, id)`` pack order —
+    the same order, same tape — after per-document decoration:
+    ``bos_id`` prepended / ``eos_id`` appended when given (the GPT
+    document-separator convention). Every sequence holds exactly
+    ``seq_len`` ids; the final partial sequence is padded with
+    ``pad_id`` (``n_real`` still counts only real tokens) or DROPPED
+    when ``pad_id`` is None.
+
+    Scale shape: the tape positions come from :func:`pack_sequences`'
+    two-phase global running sum (never a single-partition window);
+    each document then explodes into AT MOST one fragment per training
+    sequence it touches — fragments PARTITION the document's ids
+    (``slice``), so the corpus crosses exactly ONE seq_id-keyed
+    shuffle at its original size, and the per-sequence reassembly is
+    the same map-side ``array_sort`` + ``flatten`` as
+    ``bpe_encode_ids`` (no window). seq_ids are dense integers —
+    uniform shuffle keys by construction, no skew at any corpus size.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    decorated = F.col(ids_col)
+    if bos_id is not None:
+        decorated = F.concat(F.array(F.lit(int(bos_id))), decorated)
+    if eos_id is not None:
+        decorated = F.concat(decorated, F.array(F.lit(int(eos_id))))
+    base = docs_ids.select(
+        F.col(id_col), decorated.alias("__ids")
+    ).withColumn("__n", F.size("__ids").cast("long"))
+    tape = pack_sequences(
+        base.filter(F.col("__n") > 0),
+        seq_len,
+        token_col="__n",
+        id_col=id_col,
+        seed=seed,
+        num_partitions=num_partitions,
+    ).select(id_col, "global_start", "seq_id", "seq_id_end")
+    frags = (
+        base.join(tape, on=id_col)
+        .select(
+            "__ids",
+            "__n",
+            "global_start",
+            F.explode(
+                F.sequence(F.col("seq_id"), F.col("seq_id_end"))
+            ).alias("seq_id"),
+        )
+        .select(
+            "seq_id",
+            # this fragment's slice of the document: tape positions
+            # [max(gs, s*L), min(gs+n, (s+1)*L)) — 1-based slice()
+            F.expr(
+                f"slice(__ids,"
+                f" greatest(seq_id * {seq_len} - global_start, 0) + 1,"
+                f" least(global_start + __n, (seq_id + 1) * {seq_len})"
+                f" - greatest(seq_id * {seq_len}, global_start))"
+            ).alias("frag_ids"),
+            F.expr(
+                f"greatest(global_start - seq_id * {seq_len}, 0)"
+            ).alias("frag_offset"),
+        )
+    )
+    seqs = frags.groupBy("seq_id").agg(
+        F.expr(
+            "flatten(transform("
+            " array_sort(collect_list(struct(frag_offset, frag_ids))),"
+            " x -> x.frag_ids))"
+        ).alias("input_ids")
+    )
+    seqs = seqs.withColumn("n_real", F.size("input_ids"))
+    if pad_id is None:
+        return seqs.filter(F.col("n_real") == seq_len)
+    # array_repeat, NOT transform(sequence(1, k)): Spark's sequence()
+    # DESCENDS when the bound is below the start, so k = 0 would mint
+    # [1, 0] and pad two ids onto every already-full sequence
+    return seqs.withColumn(
+        "input_ids",
+        F.expr(
+            f"concat(input_ids,"
+            f" array_repeat({int(pad_id)}, {seq_len} - n_real))"
+        ),
+    )
+
+
+def write_id_sequence_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    merges: DataFrame,
+    vocab: DataFrame,
+    seq_len: int,
+    seqs_per_shard: int,
+    bos_token: str | None = "<bos>",
+    eos_token: str | None = "<eos>",
+    pad_token: str | None = "<pad>",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "pack",
+    byte_level: bool = False,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Export the corpus as fixed-length TOKEN-ID training shards and
+    return the shard manifest — the id-space composition of
+    ``bpe_encode_ids`` → :func:`pack_token_ids` → sharded write, so a
+    training consumer streams ready-to-batch ``input_ids`` arrays
+    with no tokenization or tape arithmetic of its own.
+
+    ``bos_token``/``eos_token`` wrap each document on the tape (None
+    skips); the final partial sequence is padded with ``pad_token``
+    (None drops it). Token names resolve through ``vocab`` (the
+    ``bpe_vocab`` artifact — its specials carry the ids). Shards are
+    CONTIGUOUS sequence ranges (``shard_id = seq_id DIV
+    seqs_per_shard``) so shard N's sequences are exactly tape order —
+    one hash exchange on shard_id, rows sorted by seq_id within each
+    shard file. The manifest (shard_id, n_seqs, n_real_tokens,
+    content_hash) is written as ``<path>/_manifest`` (the
+    :func:`write_training_shards` convention, crc32 content sums)."""
+    if seqs_per_shard <= 0:
+        raise ValueError(
+            f"seqs_per_shard must be positive, got {seqs_per_shard}"
+        )
+    from haplorec_spark.operators.bpe import bpe_encode_ids
+
+    names = [t for t in (bos_token, eos_token, pad_token) if t is not None]
+    tok_ids = {
+        r["token"]: int(r["token_id"])
+        for r in vocab.filter(F.col("token").isin(names or [""]))
+        .select("token", "token_id")
+        .collect()
+    }
+    missing = [t for t in names if t not in tok_ids]
+    if missing:
+        raise ValueError(f"vocab has no rows for special tokens {missing}")
+    ids = bpe_encode_ids(
+        docs,
+        merges,
+        vocab,
+        text_col=text_col,
+        id_col=id_col,
+        byte_level=byte_level,
+    )
+    seqs = pack_token_ids(
+        ids,
+        seq_len,
+        id_col=id_col,
+        seed=seed,
+        bos_id=tok_ids.get(bos_token) if bos_token else None,
+        eos_id=tok_ids.get(eos_token) if eos_token else None,
+        pad_id=tok_ids.get(pad_token) if pad_token else None,
+    ).withColumn(
+        "shard_id", F.expr(f"seq_id DIV {seqs_per_shard}")
+    )
+    spark = docs.sparkSession
+    (
+        seqs.repartition(
+            spark.sparkContext.defaultParallelism, "shard_id"
+        )
+        .sortWithinPartitions("shard_id", "seq_id")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+    written = spark.read.format(fmt).load(path)
+    manifest = (
+        written.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("n_real").alias("n_real_tokens"),
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        _SEP,
+                        F.col("seq_id").cast("string"),
+                        F.col("input_ids").cast("string"),
+                    )
+                )
+            ).alias("content_hash"),
+        )
+        .orderBy("shard_id")
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    return manifest

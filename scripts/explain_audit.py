@@ -262,6 +262,16 @@ CHECKS = {
         "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
                    "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_pack_token_ids": {
+        # id-space sequence packing: the corpus crosses ONE
+        # seq_id-keyed aggregate (fragments partition each doc's ids);
+        # reassembly is map-side array_sort+flatten — no window over
+        # the corpus, no cross join. The only Arrow node is the
+        # bounded distinct-word encoder.
+        "expect": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window.*Window.*Window"],
+    },
     "q_dedup_ngram_jaccard_dfcut": {
         # the max_doc_freq cut prunes hot shingles with a BROADCAST
         # left-anti join (the hot set is df-bounded tiny) before the
@@ -604,6 +614,21 @@ def _map_side_curation(spark, sf_dir):
             dedup=None,
         ),
     )
+
+
+def _pack_token_ids(spark, sf_dir):
+    from haplorec_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_vocab,
+        train_bpe,
+    )
+    from haplorec_spark.operators.packing import pack_token_ids
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(docs.limit(20), n_merges=4)
+    ids = bpe_encode_ids(docs, merges, bpe_vocab(docs.limit(20), merges))
+    return pack_token_ids(ids, 128, pad_id=0)
 
 
 def _bpe_encode_ids(spark, sf_dir):

@@ -228,3 +228,156 @@ def test_shards_json_format_and_validation(spark, tmp_path):
         write_training_shards(docs, out, n_shards=2, fmt="csv")
     with pytest.raises(ValueError, match="positive"):
         write_training_shards(docs, out, n_shards=0)
+
+
+def _small_tokenizer(spark, docs):
+    from haplorec_spark.operators.bpe import bpe_vocab, train_bpe
+
+    merges = train_bpe(docs, n_merges=12)
+    vocab = bpe_vocab(docs, merges)
+    return merges, vocab
+
+
+def test_pack_token_ids_vs_duckdb_tape_replay(spark):
+    """The id-space tape must be the byte-exact materialization of the
+    pack_sequences arithmetic: DuckDB replays md5 order -> running sum
+    -> global token positions -> position//L grouping over the SAME
+    per-document id arrays and must reproduce every sequence."""
+    from haplorec_spark.operators.bpe import bpe_encode_ids
+    from haplorec_spark.operators.packing import pack_token_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    merges, vocab = _small_tokenizer(spark, docs)
+    ids = bpe_encode_ids(docs, merges, vocab)
+    L = 128
+    got = sorted(
+        (r["seq_id"], tuple(r["input_ids"]), r["n_real"])
+        for r in pack_token_ids(ids, L, pad_id=None).collect()
+    )
+    con = duckdb.connect()
+    con.register("ids_tbl", ids.toPandas())
+    want = sorted(
+        (int(s), tuple(v), len(v))
+        for s, v in con.execute(
+            f"""
+            WITH t AS (SELECT doc_id, token_ids AS ids,
+                              len(token_ids)::BIGINT AS n,
+                              md5('pack' || chr(31) || doc_id::VARCHAR)
+                                  AS key
+                       FROM ids_tbl WHERE len(token_ids) > 0),
+                 o AS (SELECT *,
+                              sum(n) OVER (ORDER BY key
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - n AS gs
+                       FROM t),
+                 flat AS (SELECT gs + i - 1 AS pos, ids[i] AS tok
+                          FROM o, unnest(generate_series(1, n)) AS u(i))
+            SELECT pos // {L} AS seq_id,
+                   list(tok ORDER BY pos) AS input_ids
+            FROM flat GROUP BY 1
+            """
+        ).fetchall()
+        if len(v) == L  # replica keeps the partial; operator drops it
+    )
+    assert got == want
+    assert got and all(len(v) == L for _, v, _ in got)
+
+
+def test_pack_token_ids_bos_eos_pad_and_roundtrip_decode(spark):
+    """bos/eos wrap every document on the tape; the padded tail keeps
+    n_real honest; and decoding the concatenated sequences through the
+    vocabulary reconstructs the corpus text in pack order — the proof
+    a training consumer needs no re-tokenization."""
+    from haplorec_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encode_ids,
+    )
+    from haplorec_spark.operators.packing import _pack_key, pack_token_ids
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(25)
+    merges, vocab = _small_tokenizer(spark, docs)
+    ids = bpe_encode_ids(docs, merges, vocab)
+    tok = {r["token_id"]: r["token"] for r in vocab.collect()}
+    name_id = {v: k for k, v in tok.items()}
+    bos, eos, pad = name_id["<bos>"], name_id["<eos>"], name_id["<pad>"]
+    L = 64
+    seqs = pack_token_ids(
+        ids, L, bos_id=bos, eos_id=eos, pad_id=pad
+    ).orderBy("seq_id")
+    rows = seqs.collect()
+    assert all(len(r["input_ids"]) == L for r in rows)
+    # only the final sequence may carry padding, pad ids only after
+    # n_real, and n_real counts exactly the non-pad prefix
+    for i, r in enumerate(rows):
+        body, tail = r["input_ids"][: r["n_real"]], r["input_ids"][r["n_real"]:]
+        assert pad not in body
+        assert all(t == pad for t in tail)
+        if i < len(rows) - 1:
+            assert r["n_real"] == L
+    # decode: strip pad, split documents on eos, map ids -> tokens,
+    # join and strip END_OF_WORD markers
+    stream = [t for r in rows for t in r["input_ids"][: r["n_real"]]]
+    docs_out, cur = [], []
+    for t in stream:
+        if t == bos:
+            cur = []
+        elif t == eos:
+            docs_out.append("".join(tok[i] for i in cur))
+        else:
+            cur.append(t)
+    decoded = [
+        s.replace(END_OF_WORD, " ").strip() for s in docs_out
+    ]
+    ordered = (
+        docs.withColumn("__k", _pack_key("pack", "doc_id"))
+        .orderBy("__k")
+        .collect()
+    )
+    want = [
+        " ".join(w for w in r["text"].lower().split(" ") if w)
+        for r in ordered
+    ]
+    assert decoded == want
+
+
+def test_write_id_sequence_shards_manifest_and_layout(spark, tmp_path):
+    from haplorec_spark.operators.packing import write_id_sequence_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    merges, vocab = _small_tokenizer(spark, docs)
+    path = str(tmp_path / "idshards")
+    manifest = write_id_sequence_shards(
+        docs,
+        path,
+        merges=merges,
+        vocab=vocab,
+        seq_len=64,
+        seqs_per_shard=8,
+    )
+    m = manifest.collect()
+    assert m
+    written = spark.read.parquet(path)
+    rows = written.collect()
+    assert all(len(r["input_ids"]) == 64 for r in rows)
+    # contiguous shard ranges: every sequence's shard is seq_id DIV 8
+    assert all(r["shard_id"] == r["seq_id"] // 8 for r in rows)
+    # manifest totals match what was written
+    got = {r["shard_id"]: (r["n_seqs"], r["n_real_tokens"]) for r in m}
+    from collections import defaultdict
+
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        agg[r["shard_id"]][0] += 1
+        agg[r["shard_id"]][1] += r["n_real"]
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # persisted manifest round-trips
+    saved = spark.read.parquet(f"{path}/_manifest").collect()
+    assert sorted(tuple(r) for r in saved) == sorted(tuple(r) for r in m)
+    # unknown special name fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="special"):
+        write_id_sequence_shards(
+            docs, path, merges=merges, vocab=vocab, seq_len=64,
+            seqs_per_shard=8, bos_token="<nope>",
+        )
