@@ -38,10 +38,10 @@ That is exactly the shape that scales on Spark:
   corpus gets its tokens back through a word-keyed join. The Python
   cost is vocabulary-sized; the corpus-sized work stays JVM-side.
 
-Lineage across iterations is truncated with periodic eager
-``localCheckpoint()`` (the ``dedup_clusters`` pattern) so ``n_merges``
-chained folds never build an O(n_merges)-deep plan for Catalyst to
-re-analyze each round.
+Lineage across iterations is truncated with non-eager
+``localCheckpoint()`` every iteration (materialized for free by the
+next top-k job) so ``n_merges`` chained folds never build an
+O(n_merges)-deep plan for Catalyst to re-analyze each round.
 
 Determinism: ties in pair counts break by (left, right) lexicographic
 order, so the learned merge table is reproducible across engines — the
@@ -61,6 +61,7 @@ __all__ = [
     "bpe_tokenize",
     "bpe_vocab",
     "bpe_encode_ids",
+    "bpe_token_length_histogram",
     "decode_byte_token",
     "save_bpe_tokenizer",
     "load_bpe_tokenizer",
@@ -962,5 +963,43 @@ def bpe_tokenize(
         .agg(
             F.count(F.lit(1)).alias("n_words"),
             F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_token_length_histogram(
+    docs: DataFrame,
+    merges: DataFrame,
+    *,
+    text_col: str = "text",
+    byte_level: bool = False,
+) -> DataFrame:
+    """(column='token_len', value, n_rows): the corpus's BPE
+    token-LENGTH distribution under a trained merge table, in the
+    ``profiling.frequent_values`` histogram shape so
+    ``profiling.value_histogram_psi`` scores two corpora (or a pinned
+    baseline vs a new drop) directly.
+
+    Token length is the operational fingerprint of tokenizer fit: a
+    corpus the tokenizer was trained for encodes into long learned
+    tokens; a shifted corpus (new language, new jargon, markup blow-up)
+    falls back to short fragments — the distribution moves before any
+    downstream metric does. One distinct-word encode (the bounded
+    pandas UDF) weighted by word counts, one length-keyed aggregate —
+    never a corpus-sized Python path.
+    """
+    counts = bpe_word_counts(docs, text_col=text_col)
+    enc = bpe_encode_words(
+        counts.select("word"), merges, byte_level=byte_level
+    )
+    return (
+        counts.join(enc, on="word")
+        .select(F.explode("bpe_tokens").alias("t"), "count")
+        .groupBy(F.length("t").alias("len"))
+        .agg(F.sum("count").alias("n_rows"))
+        .select(
+            F.lit("token_len").alias("column"),
+            F.col("len").cast("string").alias("value"),
+            "n_rows",
         )
     )

@@ -678,6 +678,111 @@ def stream_drift_monitor(
     )
 
 
+def stream_tokenizer_drift(
+    doc_stream: DataFrame,
+    merges: DataFrame,
+    baseline_hist: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    byte_level: bool = False,
+    alpha: float = 0.5,
+):
+    """foreachBatch tokenizer-rot monitor: score every incoming
+    micro-batch against a PINNED tokenizer artifact and append
+    (ingest_batch, psi, n_buckets, fertility, batch_rows, n_tokens,
+    n_words) to ``out_path`` — the tokenizer-specific face of
+    :func:`stream_drift_monitor`, because for a long-lived corpus
+    stream the tokenizer is the component that silently rots: the
+    merge table was learned on yesterday's distribution, and a drop
+    whose language/jargon/markup mix has moved encodes into MORE,
+    SHORTER tokens long before any downstream quality metric reacts.
+
+    Two complementary signals per batch, both against the pinned
+    ``merges``:
+
+    * **fertility** — BPE tokens per whitespace word (the standard
+      tokenizer-fit number; rises as the vocabulary stops covering
+      the stream);
+    * **psi** — population stability index of the batch's BPE
+      token-LENGTH histogram vs ``baseline_hist`` (a
+      :func:`~haplorec_spark.operators.bpe.bpe_token_length_histogram`
+      frame from the tokenizer's own training corpus, histogram-sized,
+      riding along as a tiny static side input).
+
+    Per batch: one distinct-word encode (the bounded pandas UDF) +
+    two histogram-sized aggregates. Batch parity with the batch
+    operators is test-pinned; exactly-once via
+    ``ingest_batch=<batch_id>`` dynamic partition overwrite (the
+    module's standard replay scheme). Returns the started
+    StreamingQuery.
+    """
+    from haplorec_spark.operators.bpe import (
+        bpe_token_length_histogram,
+        bpe_word_counts,
+    )
+    from haplorec_spark.operators.profiling import value_histogram_psi
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        n_rows = batch_df.count()  # doubles as the empty-batch guard
+        if not n_rows:
+            batch_df.unpersist()
+            return
+        hist = bpe_token_length_histogram(
+            batch_df, merges, text_col=text_col, byte_level=byte_level
+        ).localCheckpoint(eager=True)  # consumed by PSI and the totals
+        totals = hist.agg(F.sum("n_rows").alias("t")).first()
+        n_tokens = int(totals["t"] or 0)
+        n_words = int(
+            bpe_word_counts(batch_df, text_col=text_col)
+            .agg(F.sum("count").alias("t"))
+            .first()["t"]
+            or 0
+        )
+        psi = value_histogram_psi(baseline_hist, hist, alpha=alpha)
+        out = psi.select(
+            F.lit(batch_id).alias("ingest_batch"),
+            "psi",
+            "n_buckets",
+            F.round(
+                F.lit(n_tokens / n_words if n_words else 0.0), 6
+            ).alias("fertility"),
+            F.lit(n_rows).alias("batch_rows"),
+            F.lit(n_tokens).alias("n_tokens"),
+            F.lit(n_words).alias("n_words"),
+        ).repartition(1)
+        # same session caveat as stream_drift_monitor: the output plan
+        # descends from the MAIN session's baseline frame, so the
+        # dynamic-overwrite conf flips on out.sparkSession (the user's
+        # session) with save/restore.
+        conf = out.sparkSession.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                out.write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(out_path)
+            )
+        finally:
+            if prev is None:
+                conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", prev
+                )
+            batch_df.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_curate_ingest(
     doc_stream: DataFrame,
     *,

@@ -262,6 +262,14 @@ CHECKS = {
         "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
                    "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_bpe_token_length_histogram": {
+        # tokenizer-drift fingerprint: distinct-word encode (bounded
+        # Arrow UDF) + one length-keyed aggregate — the corpus never
+        # crosses a Python path row-at-a-time, no cross join
+        "expect": ["ArrowEvalPython", "HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "BatchEvalPython"],
+    },
     "_pack_token_ids": {
         # id-space sequence packing: the corpus crosses ONE
         # seq_id-keyed aggregate (fragments partition each doc's ids);
@@ -614,6 +622,18 @@ def _map_side_curation(spark, sf_dir):
             dedup=None,
         ),
     )
+
+
+def _bpe_token_length_histogram(spark, sf_dir):
+    from haplorec_spark.operators.bpe import (
+        bpe_token_length_histogram,
+        train_bpe,
+    )
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    merges = train_bpe(docs.limit(20), n_merges=4)
+    return bpe_token_length_histogram(docs, merges)
 
 
 def _pack_token_ids(spark, sf_dir):

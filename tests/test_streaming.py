@@ -856,3 +856,82 @@ def test_stream_curate_ingest_no_dedup_mode(spark, tmp_path):
     q.awaitTermination(120)
     out = spark.read.parquet(str(tmp_path / "nd_out"))
     assert out.count() == 2  # no dedup: both identical docs kept
+
+
+def test_stream_tokenizer_drift_two_drops(spark, tmp_path):
+    """Tokenizer-rot face: a drop drawn from the tokenizer's own
+    training distribution scores near-zero PSI and baseline-like
+    fertility; a shifted drop (unseen jargon) spikes the token-length
+    PSI and raises fertility. Per-batch numbers equal the batch
+    operators run directly on the same rows (parity)."""
+    from haplorec_spark.operators.bpe import (
+        bpe_token_length_histogram,
+        bpe_tokenize,
+        train_bpe,
+    )
+    from haplorec_spark.operators.profiling import value_histogram_psi
+    from haplorec_spark.streaming import stream_tokenizer_drift
+    from pyspark.sql import functions as F
+
+    base_rows = [
+        (i, "the river flows past the old stone house every morning")
+        for i in range(20)
+    ]
+    train = spark.createDataFrame(base_rows, "doc_id long, text string")
+    merges = train_bpe(train, n_merges=30).localCheckpoint(eager=True)
+    baseline = bpe_token_length_histogram(train, merges).localCheckpoint(
+        eager=True
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "tokdrift")
+
+    def run_drop(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_tokenizer_drift(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src)),
+            merges,
+            baseline,
+            out_path=out,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        )
+        q.awaitTermination(120)
+
+    similar = [
+        (100 + i, "the river flows past the old stone house every morning")
+        for i in range(20)
+    ]
+    shifted = [
+        (200 + i, "qzx77 transmogrification hyperquark zzyzx qwfp")
+        for i in range(20)
+    ]
+    run_drop(similar)
+    run_drop(shifted)
+
+    by_batch = {
+        r["ingest_batch"]: r for r in spark.read.parquet(out).collect()
+    }
+    assert set(by_batch) == {0, 1}
+    assert by_batch[0]["batch_rows"] == 20
+    # drop 0: training-like -> stable lengths, low PSI
+    assert by_batch[0]["psi"] < 0.1
+    # drop 1: unseen jargon -> fragment fallback, PSI spike and
+    # higher tokens-per-word than the training-like drop
+    assert by_batch[1]["psi"] > 0.25
+    assert by_batch[1]["fertility"] > by_batch[0]["fertility"]
+
+    # parity with the batch operators on the same rows
+    sim_df = spark.createDataFrame(similar, "doc_id long, text string")
+    direct_psi = value_histogram_psi(
+        baseline, bpe_token_length_histogram(sim_df, merges)
+    ).collect()[0]
+    assert by_batch[0]["psi"] == direct_psi["psi"]
+    tok = bpe_tokenize(sim_df, merges).agg(
+        F.sum("n_bpe_tokens").alias("t"), F.sum("n_words").alias("w")
+    ).first()
+    want_fert = round(tok["t"] / tok["w"], 6)
+    assert by_batch[0]["fertility"] == pytest.approx(want_fert, abs=1e-6)
