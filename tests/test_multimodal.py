@@ -176,3 +176,111 @@ def test_real_codec_smoke_with_pillow(spark):
     # features run off the decoded pixels, matching numpy on the array
     (f,) = image_features(media).collect()
     assert f.mean_pixel == pytest.approx(float(arr.mean()), abs=1e-6)
+
+
+def _wav_bytes(sr, pcm, channels=1):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_codec_smoke_wav_audio(spark):
+    """The audio seam against a REAL container with no optional
+    install: RIFF/WAV decodes through the stdlib wave module inside
+    the same mapInPandas plumbing — sample rate, frame count,
+    duration and RMS must match numpy on the source samples, mono and
+    stereo (channel-mean downmix)."""
+    from haplorec_spark.operators.multimodal import decode_audio_metadata
+
+    sr, n = 8000, 1600
+    mono = (np.sin(np.arange(n) * 0.05) * 12000).astype(np.int16)
+    stereo = np.stack(
+        [mono, (mono.astype(np.int32) // 2).astype(np.int16)], axis=1
+    ).reshape(-1)
+    media = spark.createDataFrame(
+        [
+            (1, "audio/wav", bytearray(_wav_bytes(sr, mono)), "t", {}),
+            (2, "audio/wav", bytearray(_wav_bytes(sr, stereo, 2)), "t", {}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    got = {r["media_id"]: r for r in decode_audio_metadata(media).collect()}
+    m = got[1]
+    assert (m["sample_rate"], m["n_samples"]) == (sr, n)
+    assert m["duration_sec"] == pytest.approx(n / sr)
+    assert m["rms"] == pytest.approx(
+        float(np.sqrt((mono.astype(np.float64) ** 2).mean())), rel=1e-9
+    )
+    s = got[2]
+    downmix = stereo.reshape(-1, 2).astype(np.float64).mean(axis=1)
+    assert (s["sample_rate"], s["n_samples"]) == (sr, n)
+    assert s["rms"] == pytest.approx(
+        float(np.sqrt((downmix ** 2).mean())), rel=1e-9
+    )
+
+
+def test_real_codec_smoke_soundfile_flac(spark):
+    """Import-gated second audio rung: a FLAC payload decodes through
+    soundfile inside the same plumbing. Skips cleanly when soundfile
+    is not installed (this container); run under
+    `pip install soundfile` to exercise the real path."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    from haplorec_spark.operators.multimodal import decode_audio_metadata
+
+    sr, n = 16000, 2400
+    pcm = (np.sin(np.arange(n) * 0.03) * 9000).astype(np.int16)
+    buf = io.BytesIO()
+    sf.write(buf, pcm, sr, format="FLAC")
+    media = spark.createDataFrame(
+        [(1, "audio/flac", bytearray(buf.getvalue()), "t", {})],
+        MEDIA_SCHEMA,
+    )
+    (m,) = decode_audio_metadata(media).collect()
+    assert (m["sample_rate"], m["n_samples"]) == (sr, n)
+    # FLAC is lossless: rescaled float64 samples reproduce int16 rms
+    assert m["rms"] == pytest.approx(
+        float(np.sqrt((pcm.astype(np.float64) ** 2).mean())), rel=1e-6
+    )
+
+
+def test_real_codec_smoke_av_video(spark):
+    """Import-gated video rung: a real container (PyAV/ffmpeg) decodes
+    through sample_video_frames' plumbing — frame indices stride
+    every_n and each frame lands as raw RGB24 bytes of the declared
+    geometry. Skips cleanly when PyAV is not installed (this
+    container); run under `pip install av` to exercise it."""
+    av = pytest.importorskip("av")
+    import io
+
+    from haplorec_spark.operators.multimodal import sample_video_frames
+
+    w, h, n_frames = 32, 24, 8
+    buf = io.BytesIO()
+    container = av.open(buf, "w", format="mp4")
+    stream = container.add_stream("mpeg4", rate=4)
+    stream.width, stream.height, stream.pix_fmt = w, h, "yuv420p"
+    for i in range(n_frames):
+        arr = np.full((h, w, 3), i * 30 % 256, dtype=np.uint8)
+        for packet in stream.encode(
+            av.VideoFrame.from_ndarray(arr, format="rgb24")
+        ):
+            container.mux(packet)
+    for packet in stream.encode():
+        container.mux(packet)
+    container.close()
+    media = spark.createDataFrame(
+        [(1, "video/mp4", bytearray(buf.getvalue()), "t", {})],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_video_frames(media, every_n=2).collect()
+    assert [r["frame_index"] for r in rows] == [0, 2, 4, 6]
+    assert all(len(r["frame"]) == w * h * 3 for r in rows)
