@@ -881,6 +881,21 @@ def bpe_encode_ids(
     )
 
 
+def _table_fingerprint(df: DataFrame, *cols: str) -> str:
+    """Cheap order-insensitive content fingerprint of an artifact
+    part: row count + crc32 sum over the named columns — enough to
+    catch a torn multi-part save (one part swapped, another stale)
+    without hashing bytes."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                           for c in cols]))
+        ).alias("h"),
+    ).first()
+    return f"{int(row['n'])}:{int(row['h'] or 0)}"
+
+
 def save_bpe_tokenizer(
     merges: DataFrame,
     vocab: DataFrame | None,
@@ -894,19 +909,38 @@ def save_bpe_tokenizer(
     exactly why it lives in the artifact instead of in every caller's
     head. Writes use the temp-sibling + rename scheme of
     ``training.save_text_model`` so re-saving over an existing
-    artifact can never destroy it mid-write. The loaded artifact
+    artifact can never destroy it mid-write, and meta — written LAST —
+    carries a content fingerprint of each data part that
+    :func:`load_bpe_tokenizer` validates: the parts are individually
+    atomic but not jointly, so a crash between swaps must be DETECTED
+    at load (new merges under a stale meta would silently flip
+    ``byte_level`` semantics) rather than trusted. The loaded artifact
     drops into every encode face (``bpe_encode_words`` /
     ``bpe_tokenize`` / ``bpe_encode_ids``), batch or streaming."""
     from haplorec_spark.operators.training import safe_overwrite_parquet
 
     spark = merges.sparkSession
+    merges = merges.localCheckpoint(eager=True)
     safe_overwrite_parquet(merges, f"{path}/merges")
+    vocab_fp = None
     if vocab is not None:
+        vocab = vocab.localCheckpoint(eager=True)
         safe_overwrite_parquet(vocab, f"{path}/vocab")
+        vocab_fp = _table_fingerprint(vocab, "token_id", "token")
     safe_overwrite_parquet(
         spark.createDataFrame(
-            [(bool(byte_level), vocab is not None)],
-            "byte_level boolean, has_vocab boolean",
+            [
+                (
+                    bool(byte_level),
+                    vocab is not None,
+                    _table_fingerprint(
+                        merges, "merge_rank", "left", "right"
+                    ),
+                    vocab_fp,
+                )
+            ],
+            "byte_level boolean, has_vocab boolean, "
+            "merges_fingerprint string, vocab_fingerprint string",
         ),
         f"{path}/meta",
     )
@@ -916,18 +950,42 @@ def load_bpe_tokenizer(
     spark, path: str
 ) -> tuple[DataFrame, DataFrame | None, bool]:
     """(merges, vocab-or-None, byte_level) from a
-    :func:`save_bpe_tokenizer` artifact."""
+    :func:`save_bpe_tokenizer` artifact, validating meta's content
+    fingerprints against the parts actually on disk — a torn save
+    (crash between part swaps) raises ``IOError`` instead of pairing
+    new merges with a stale ``byte_level`` flag. Artifacts from
+    before the fingerprint field load as-is (nothing to validate
+    against)."""
     meta = spark.read.parquet(f"{path}/meta").first()
-    vocab = (
-        spark.read.parquet(f"{path}/vocab")
-        if meta["has_vocab"]
+    merges = spark.read.parquet(f"{path}/merges")
+    want = (
+        meta["merges_fingerprint"]
+        if "merges_fingerprint" in meta.__fields__
         else None
     )
-    return (
-        spark.read.parquet(f"{path}/merges"),
-        vocab,
-        bool(meta["byte_level"]),
-    )
+    if want is not None:
+        got = _table_fingerprint(merges, "merge_rank", "left", "right")
+        if got != want:
+            raise IOError(
+                f"tokenizer at {path} is torn: merges fingerprint "
+                f"{got} != meta's {want} (re-save the artifact)"
+            )
+    vocab = None
+    if meta["has_vocab"]:
+        vocab = spark.read.parquet(f"{path}/vocab")
+        want_v = (
+            meta["vocab_fingerprint"]
+            if "vocab_fingerprint" in meta.__fields__
+            else None
+        )
+        if want_v is not None:
+            got_v = _table_fingerprint(vocab, "token_id", "token")
+            if got_v != want_v:
+                raise IOError(
+                    f"tokenizer at {path} is torn: vocab fingerprint "
+                    f"{got_v} != meta's {want_v} (re-save the artifact)"
+                )
+    return merges, vocab, bool(meta["byte_level"])
 
 
 def bpe_tokenize(

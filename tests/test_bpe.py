@@ -611,3 +611,81 @@ def test_vocab_excludes_special_collisions(spark):
     # tokens, which resolve to their own ids unless they collide
     assert all(isinstance(i, int) for i in row["token_ids"])
     assert ids["<unk>"] == 1
+
+
+def test_char_mode_rung_parity_on_astral_unicode(spark):
+    """ADVICE r6: char-mode seeding must agree across rungs BEYOND the
+    BMP — the driver rung seeds by Python code points (list(word)),
+    the distributed rung by Spark split(word, ''), and for
+    supplementary-plane characters (emoji, rare CJK) those could
+    diverge on engines whose empty-pattern split cuts surrogate
+    halves. Spark 4 splits by code point (probed), so all rungs must
+    stay bit-identical on an astral-heavy corpus — this pins the
+    guarantee so an engine upgrade that regresses to code-unit
+    splitting fails loudly instead of silently flipping tables when a
+    corpus crosses max_driver_vocab."""
+    rows = [
+        ("🎉🎊 fête 🎉🎊 fête naïve",),
+        ("𝕊𝕡𝕒𝕣𝕜 🎉🎉 𝕊𝕡𝕒𝕣𝕜 data",),
+        ("汉字 🚀🚀 汉字 fête naïve",),
+        ("🎉🎊 𝕊𝕡𝕒𝕣𝕜 🚀 data data",),
+    ] * 3
+    docs = spark.createDataFrame(rows, "text string")
+
+    def table(**kw):
+        return [
+            tuple(r)
+            for r in train_bpe(docs, n_merges=15, **kw)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+
+    driver = table()
+    assert table(max_driver_vocab=None, merge_batch=1) == driver
+    assert table(max_driver_vocab=None, merge_batch=8) == driver
+    # the learned symbols really do carry astral characters (the test
+    # would be vacuous if the corpus collapsed to ASCII pairs)
+    assert any(
+        any(ord(c) > 0xFFFF for c in merged)
+        for _, _, _, merged, _ in driver
+    )
+
+
+def test_tokenizer_artifact_torn_save_detected(spark, docs, tmp_path):
+    """ADVICE r6: the three-part artifact is individually atomic but
+    not jointly — meta (written last) carries fingerprints of the data
+    parts, so a crash between swaps (simulated: merges re-swapped
+    under the old meta) raises at load instead of silently pairing new
+    merges with a stale byte_level flag."""
+    from haplorec_spark.operators.bpe import (
+        bpe_vocab,
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+    from haplorec_spark.operators.training import safe_overwrite_parquet
+
+    merges = train_bpe(docs, n_merges=10)
+    vocab = bpe_vocab(docs, merges)
+    path = str(tmp_path / "tok")
+    save_bpe_tokenizer(merges, vocab, path)
+    m2, v2, bl = load_bpe_tokenizer(spark, path)
+    assert not bl and v2 is not None
+    assert sorted(tuple(r) for r in m2.collect()) == sorted(
+        tuple(r) for r in merges.collect()
+    )
+    # torn: a NEW merges table swapped in, meta still the old one
+    half = merges.filter(F.col("merge_rank") < 5).localCheckpoint(
+        eager=True
+    )
+    safe_overwrite_parquet(half, f"{path}/merges")
+    with pytest.raises(IOError, match="torn"):
+        load_bpe_tokenizer(spark, path)
+    # re-save repairs; torn vocab is caught the same way
+    save_bpe_tokenizer(merges, vocab, path)
+    load_bpe_tokenizer(spark, path)
+    safe_overwrite_parquet(
+        vocab.filter(F.col("token_id") < 6).localCheckpoint(eager=True),
+        f"{path}/vocab",
+    )
+    with pytest.raises(IOError, match="torn"):
+        load_bpe_tokenizer(spark, path)
