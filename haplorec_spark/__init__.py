@@ -40,6 +40,8 @@ from haplorec_spark.operators.division import (  # noqa: E402
 )
 from haplorec_spark.operators.packing import (  # noqa: E402
     pack_sequences,
+    pack_token_ids,
+    write_id_sequence_shards,
     write_training_shards,
 )
 from haplorec_spark.operators.pivot import grouped_rows_to_columns  # noqa: E402
@@ -97,6 +99,7 @@ from haplorec_spark.operators.text import (  # noqa: E402
     bigram_logprob_score,
     build_vocab,
     chunk_documents,
+    language_id_model,
     linear_text_score,
     normalize_text,
     perplexity_buckets,
@@ -105,11 +108,16 @@ from haplorec_spark.operators.text import (  # noqa: E402
     unigram_logprob_score,
 )
 from haplorec_spark.operators.training import (  # noqa: E402
+    LanguageIdModel,
     LinearTextModel,
     calibration_buckets,
     evaluate_binary_classifier,
+    load_language_model,
     load_text_model,
+    save_language_model,
     save_text_model,
+    top_features,
+    train_language_classifier,
     train_linear_text_classifier,
 )
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
@@ -121,10 +129,12 @@ from haplorec_spark.streaming import (  # noqa: E402
     stream_drift_monitor,
     stream_pq_index_ingest,
     stream_semantic_dedup_ingest,
+    stream_tokenizer_drift,
 )
 
 __all__ = [
     "CurationConfig",
+    "LanguageIdModel",
     "LinearTextModel",
     "Pipeline",
     "ReferenceTables",
@@ -154,8 +164,10 @@ __all__ = [
     "interval_join",
     "ivf_pq_topk",
     "jsonl_sink",
+    "language_id_model",
     "leakage_safe_split",
     "jsonl_source",
+    "load_language_model",
     "load_text_model",
     "media_duplicate_pairs",
     "linear_text_score",
@@ -163,6 +175,7 @@ __all__ = [
     "normalize_text",
     "numeric_quantiles",
     "pack_sequences",
+    "pack_token_ids",
     "parse_urls",
     "perplexity_buckets",
     "pq_encode",
@@ -175,6 +188,7 @@ __all__ = [
     "refine_topk",
     "select_where_either_subset_of",
     "select_where_subset_of",
+    "save_language_model",
     "save_text_model",
     "semantic_dedup_pairs",
     "stream_dedup_events",
@@ -183,10 +197,13 @@ __all__ = [
     "stream_drift_monitor",
     "stream_pq_index_ingest",
     "stream_semantic_dedup_ingest",
+    "stream_tokenizer_drift",
     "strip_boilerplate_lines",
     "strip_duplicate_ngram_spans",
     "text_corpus_profile",
     "tfidf",
+    "top_features",
+    "train_language_classifier",
     "train_linear_text_classifier",
     "train_pq_index",
     "top_fraction_by_score",
@@ -196,6 +213,7 @@ __all__ = [
     "weighted_sample",
     "write_pq_store",
     "write_semantic_store",
+    "write_id_sequence_shards",
     "write_training_shards",
     "__version__",
 ]
