@@ -883,17 +883,14 @@ def bpe_encode_ids(
 
 def _table_fingerprint(df: DataFrame, *cols: str) -> str:
     """Cheap order-insensitive content fingerprint of an artifact
-    part: row count + crc32 sum over the named columns — enough to
-    catch a torn multi-part save (one part swapped, another stale)
-    without hashing bytes."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(
-            F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string")
-                                           for c in cols]))
-        ).alias("h"),
-    ).first()
-    return f"{int(row['n'])}:{int(row['h'] or 0)}"
+    part — the shared scheme hosted in ``operators.training``
+    (count + crc32 over the named columns), so the BPE tokenizer and
+    language-model artifacts tear-check identically."""
+    from haplorec_spark.operators.training import (
+        _table_fingerprint as _fp,
+    )
+
+    return _fp(df, *cols)
 
 
 def save_bpe_tokenizer(
@@ -1031,6 +1028,7 @@ def bpe_token_length_histogram(
     *,
     text_col: str = "text",
     byte_level: bool = False,
+    word_counts: DataFrame | None = None,
 ) -> DataFrame:
     """(column='token_len', value, n_rows): the corpus's BPE
     token-LENGTH distribution under a trained merge table, in the
@@ -1044,9 +1042,16 @@ def bpe_token_length_histogram(
     falls back to short fragments — the distribution moves before any
     downstream metric does. One distinct-word encode (the bounded
     pandas UDF) weighted by word counts, one length-keyed aggregate —
-    never a corpus-sized Python path.
+    never a corpus-sized Python path. ``word_counts`` reuses a
+    precomputed :func:`bpe_word_counts` frame (callers that also need
+    the totals — the streaming fertility monitor — pay the corpus
+    shuffle once, not twice).
     """
-    counts = bpe_word_counts(docs, text_col=text_col)
+    counts = (
+        word_counts
+        if word_counts is not None
+        else bpe_word_counts(docs, text_col=text_col)
+    )
     enc = bpe_encode_words(
         counts.select("word"), merges, byte_level=byte_level
     )

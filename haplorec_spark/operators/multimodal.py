@@ -88,37 +88,57 @@ def _decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
         return sr, n, np.frombuffer(raw, dtype=np.int16)[:n].astype(
             np.float64
         )
+    riff_reason = None
     if payload[:4] == b"RIFF":
         import io
         import wave
 
-        with wave.open(io.BytesIO(payload)) as w:
-            if w.getsampwidth() != 2:
-                raise NotImplementedError(
-                    f"only 16-bit PCM WAV is wired up; got sample "
-                    f"width {w.getsampwidth()}"
+        # stdlib wave only speaks integer-PCM WAVE; anything else in
+        # RIFF clothing (float32 WAV, 24-bit, AVI/WEBP containers)
+        # falls through to the soundfile rung instead of raising here
+        try:
+            with wave.open(io.BytesIO(payload)) as w:
+                if w.getsampwidth() == 2:
+                    sr = w.getframerate()
+                    n = w.getnframes()
+                    pcm = np.frombuffer(
+                        w.readframes(n), dtype=np.int16
+                    ).astype(np.float64)
+                    if w.getnchannels() > 1:
+                        # channel-mean downmix: one sample stream per
+                        # frame, so n_samples == n_frames whatever
+                        # the layout
+                        pcm = pcm.reshape(
+                            -1, w.getnchannels()
+                        ).mean(axis=1)
+                    return sr, n, pcm
+                riff_reason = (
+                    f"sample width {w.getsampwidth()} (stdlib wave "
+                    f"rung is 16-bit PCM only)"
                 )
-            sr = w.getframerate()
-            n = w.getnframes()
-            pcm = np.frombuffer(
-                w.readframes(n), dtype=np.int16
-            ).astype(np.float64)
-            if w.getnchannels() > 1:
-                # channel-mean downmix: one sample stream per frame,
-                # so n_samples == n_frames whatever the layout
-                pcm = pcm.reshape(-1, w.getnchannels()).mean(axis=1)
-            return sr, n, pcm
+        except (wave.Error, EOFError) as e:
+            riff_reason = str(e) or type(e).__name__
     if _HAVE_SOUNDFILE:  # pragma: no cover - optional install
         import io
 
         import soundfile as sf
 
-        data, sr = sf.read(io.BytesIO(payload), dtype="float64")
+        try:
+            data, sr = sf.read(io.BytesIO(payload), dtype="float64")
+        except Exception as e:
+            raise NotImplementedError(
+                f"soundfile could not decode payload: {e}"
+            ) from e
         if data.ndim > 1:
             data = data.mean(axis=1)
         # soundfile normalizes to [-1, 1]; rescale to the int16 range
         # so rms is comparable across the WAV and FAKEAUD rungs
         return int(sr), int(data.shape[0]), data * 32768.0
+    if riff_reason is not None:
+        raise NotImplementedError(
+            f"RIFF payload is not 16-bit PCM WAV ({riff_reason}) "
+            f"and soundfile is not importable"
+        )
     raise NotImplementedError(
         "real audio codecs unavailable: payload is neither FAKEAUD "
         "nor RIFF/WAV, and soundfile is not importable"

@@ -494,6 +494,25 @@ def char_ngram_text_sql(text_col: str, n: int = 3) -> str:
     )
 
 
+def _mapping_ngram(model) -> int:
+    """Recover the n-gram size a literal mapping form was trained
+    with: every ``char_ngram_text_sql`` feature is exactly ``n``
+    characters (in-gram spaces rendered ``▁``), so the key lengths
+    carry it — the mapping drops the model's ``ngram`` field, and
+    scoring with the wrong n would silently miss every feature and
+    predict bias-only."""
+    lens = {len(w) for _, ws in model.values() for w in ws}
+    if not lens:
+        return 3
+    if len(lens) > 1:
+        raise ValueError(
+            f"literal language model mixes feature lengths "
+            f"{sorted(lens)} — not a single char_ngram_text_sql "
+            f"feature space"
+        )
+    return lens.pop()
+
+
 def _langid_literal_cols(model, ftext: str):
     """(pred Column, best-prob Column) for the literal mapping form
     ``{lang: (bias, {feature: weight})}`` over the feature-text SQL
@@ -530,7 +549,11 @@ def language_id_model(
     ``model`` is a ``training.LanguageIdModel`` or its literal mapping
     form ``{lang: (bias, {feature: weight})}`` (from
     ``training.top_features`` / ``LanguageIdModel.as_literal`` or
-    :data:`PINNED_LANGID_MODEL`).
+    :data:`PINNED_LANGID_MODEL`). The mapping form's n-gram size is
+    recovered from its feature-key lengths (every
+    ``char_ngram_text_sql`` feature is exactly n characters), so a
+    4-gram-trained distilled model scores with 4-grams — never
+    silently with the default 3.
 
     Scale shape, chosen by the measured total vocabulary (the
     :func:`linear_text_score` pattern): a mapping under
@@ -544,15 +567,24 @@ def language_id_model(
     """
     from collections.abc import Mapping as _Mapping
 
-    ftext = char_ngram_text_sql(text_col)
     if isinstance(model, _Mapping):
+        # the mapping form drops the ngram field; the feature keys
+        # carry it (and the form is average-normalized by convention,
+        # enforced at distill time by training.top_features/as_literal)
+        ftext = char_ngram_text_sql(text_col, _mapping_ngram(model))
+        average = True
         total = sum(len(w) for _, w in model.values())
         if total <= max_literal_vocab:
-            pred, best = _langid_literal_cols(model, ftext)
-            return docs.select(
-                F.col(id_col),
-                pred.alias("predicted_lang"),
-                best.alias("lang_score"),
+            pred, best = _langid_literal_cols(model, "__ftext")
+            drop = [c for c in ("__ftext",) if c in docs.columns]
+            return (
+                docs.drop(*drop)
+                .withColumn("__ftext", F.expr(ftext))
+                .select(
+                    F.col(id_col),
+                    pred.alias("predicted_lang"),
+                    best.alias("lang_score"),
+                )
             )
         languages = list(model)
         spark = docs.sparkSession
@@ -565,13 +597,14 @@ def language_id_model(
             "lang string, word string, weight double",
         )
         biases = {lang: float(b) for lang, (b, _) in model.items()}
+        n_vocab = total  # known driver-side — no re-measuring job
     else:
         languages = list(model.languages)
         weights = model.weights
         biases = dict(model.biases)
-        if int(model.ngram) != 3:
-            ftext = char_ngram_text_sql(text_col, int(model.ngram))
-    n_vocab = weights.count()  # measured bound, as everywhere else
+        average = bool(model.average)
+        ftext = char_ngram_text_sql(text_col, int(model.ngram))
+        n_vocab = weights.count()  # measured bound, as everywhere else
     w = (
         F.broadcast(weights)
         if n_vocab <= max_broadcast_vocab
@@ -593,11 +626,10 @@ def language_id_model(
     ).join(sums, on=id_col, how="left")
     probs: list[tuple[str, object]] = []
     for lang in languages:
-        score = F.round(
-            F.lit(biases[lang])
-            + F.coalesce(F.col(f"`{lang}`"), F.lit(0.0)) / F.col("__n"),
-            6,
-        )
+        contrib = F.coalesce(F.col(f"`{lang}`"), F.lit(0.0))
+        if average:
+            contrib = contrib / F.col("__n")
+        score = F.round(F.lit(biases[lang]) + contrib, 6)
         probs.append(
             (
                 lang,
@@ -652,9 +684,15 @@ def with_language(
                 "literal bound (256); distill with a smaller k or "
                 "score in batch via language_id_model"
             )
-        pred, _ = _langid_literal_cols(model, char_ngram_text_sql(text_col))
-        out = docs.drop(lang_col) if lang_col in docs.columns else docs
-        return out.withColumn(lang_col, pred)
+        pred, _ = _langid_literal_cols(model, "__ftext")
+        ftext = char_ngram_text_sql(text_col, _mapping_ngram(model))
+        drop = [c for c in ("__ftext", lang_col) if c in docs.columns]
+        return (
+            docs.drop(*drop)
+            .withColumn("__ftext", F.expr(ftext))
+            .withColumn(lang_col, pred)
+            .drop("__ftext")
+        )
     if model is not None:
         raise ValueError(
             f"model= is only meaningful with method='model', got "

@@ -361,7 +361,17 @@ class LanguageIdModel:
         form ``text.language_id_model`` inlines as a map-side column
         program and ``curation.map_side_curation`` requires (bounded;
         the caller is responsible for having distilled the vocabulary
-        first, e.g. via ``top_features``)."""
+        first, e.g. via ``top_features``). The mapping form carries no
+        ``average`` flag — it scores average-normalized by convention
+        — so a non-averaging model cannot be represented and raises
+        rather than silently rescaling."""
+        if not self.average:
+            raise ValueError(
+                "the literal mapping form is average-normalized by "
+                "convention; a model trained with average=False "
+                "cannot be distilled — score it via "
+                "text.language_id_model with the full model instead"
+            )
         rows = self.weights.collect()
         out: dict[str, tuple[float, dict[str, float]]] = {
             lang: (float(self.biases[lang]), {}) for lang in self.languages
@@ -468,7 +478,16 @@ def top_features(
     mapping form. This is how a trained model gets under the map-side
     literal bound: scoring stays exact w.r.t. the DISTILLED weights
     (OOV features contribute 0 by the shared convention), the
-    established trade of every literal-codebook path."""
+    established trade of every literal-codebook path. Raises for a
+    non-averaging model (the mapping form carries no ``average``
+    flag; see :meth:`LanguageIdModel.as_literal`)."""
+    if not model.average:
+        raise ValueError(
+            "the literal mapping form is average-normalized by "
+            "convention; a model trained with average=False cannot "
+            "be distilled — score it via text.language_id_model "
+            "with the full model instead"
+        )
     ranked = model.weights.withColumn(
         "__rk",
         F.row_number().over(
@@ -485,15 +504,22 @@ def top_features(
     return out
 
 
-def _weights_fingerprint(weights: DataFrame) -> str:
-    """Cheap content fingerprint of a weight table: row count plus a
-    6-decimal |weight| mass, enough to catch a meta/weights artifact
-    mismatch (the torn-save failure mode) without hashing every row."""
-    row = weights.agg(
+def _table_fingerprint(df: DataFrame, *cols: str) -> str:
+    """Cheap order-insensitive content fingerprint of an artifact
+    part: row count + crc32 sum over the named columns — enough to
+    catch a torn multi-part save (one part swapped, another stale)
+    without hashing bytes. Shared with the BPE tokenizer artifact
+    (``operators.bpe`` imports it), so a sign flip, a renamed word,
+    or a cross-row permutation all change the fingerprint — the
+    failure modes a count + |weight|-mass scheme would miss."""
+    row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.abs(F.col("weight"))), 6).alias("mass"),
+        F.sum(
+            F.crc32(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                           for c in cols]))
+        ).alias("h"),
     ).first()
-    return f"{int(row['n'])}:{float(row['mass'] or 0.0):.6f}"
+    return f"{int(row['n'])}:{int(row['h'] or 0)}"
 
 
 def save_language_model(model: LanguageIdModel, path: str) -> None:
@@ -507,7 +533,7 @@ def save_language_model(model: LanguageIdModel, path: str) -> None:
     weights = model.weights.localCheckpoint(eager=True)
     safe_overwrite_parquet(weights, f"{path}/weights")
     spark = model.weights.sparkSession
-    fp = _weights_fingerprint(weights)
+    fp = _table_fingerprint(weights, "lang", "word", "weight")
     meta = spark.createDataFrame(
         [
             (
@@ -535,7 +561,7 @@ def load_language_model(spark, path: str) -> LanguageIdModel:
         key=lambda r: r["rank"],
     )
     weights = spark.read.parquet(f"{path}/weights")
-    fp = _weights_fingerprint(weights)
+    fp = _table_fingerprint(weights, "lang", "word", "weight")
     want = meta[0]["weights_fingerprint"]
     if fp != want:
         raise IOError(

@@ -711,8 +711,10 @@ def stream_tokenizer_drift(
       frame from the tokenizer's own training corpus, histogram-sized,
       riding along as a tiny static side input).
 
-    Per batch: one distinct-word encode (the bounded pandas UDF) +
-    two histogram-sized aggregates. Batch parity with the batch
+    Per batch: ONE corpus shuffle (the word-count frame, checkpointed
+    and shared by the histogram and the fertility denominator) + one
+    distinct-word encode (the bounded pandas UDF) + two
+    histogram-sized aggregates. Batch parity with the batch
     operators is test-pinned; exactly-once via
     ``ingest_batch=<batch_id>`` dynamic partition overwrite (the
     module's standard replay scheme). Returns the started
@@ -730,16 +732,22 @@ def stream_tokenizer_drift(
         if not n_rows:
             batch_df.unpersist()
             return
+        # ONE corpus-batch shuffle: the word-count frame feeds both
+        # the token-length histogram and the fertility denominator
+        wc = bpe_word_counts(batch_df, text_col=text_col).localCheckpoint(
+            eager=True
+        )
         hist = bpe_token_length_histogram(
-            batch_df, merges, text_col=text_col, byte_level=byte_level
+            batch_df,
+            merges,
+            text_col=text_col,
+            byte_level=byte_level,
+            word_counts=wc,
         ).localCheckpoint(eager=True)  # consumed by PSI and the totals
         totals = hist.agg(F.sum("n_rows").alias("t")).first()
         n_tokens = int(totals["t"] or 0)
         n_words = int(
-            bpe_word_counts(batch_df, text_col=text_col)
-            .agg(F.sum("count").alias("t"))
-            .first()["t"]
-            or 0
+            wc.agg(F.sum("count").alias("t")).first()["t"] or 0
         )
         psi = value_histogram_psi(baseline_hist, hist, alpha=alpha)
         out = psi.select(

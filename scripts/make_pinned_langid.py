@@ -7,7 +7,7 @@ logistic regression over character-trigram features) on a DETERMINISTIC
 synthetic corpus derived from ``text.LANG_FUNCTION_WORDS`` (sliding
 8-word windows over each language's function-word list — the same
 public stopword lists the trigram-profile rung is built from), then
-distills to the top 24 features per language via
+distills to the top 36 features per language via
 ``training.top_features``. Weights are rounded to 6 decimals by the
 distiller, so the printed literal is stable enough to diff.
 

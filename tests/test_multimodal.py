@@ -284,3 +284,39 @@ def test_real_codec_smoke_av_video(spark):
     rows = sample_video_frames(media, every_n=2).collect()
     assert [r["frame_index"] for r in rows] == [0, 2, 4, 6]
     assert all(len(r["frame"]) == w * h * 3 for r in rows)
+
+
+def test_decode_audio_riff_contract_non_pcm16():
+    """Regression: a RIFF payload stdlib wave can't read (24-bit PCM,
+    float32 WAV, non-WAVE RIFF like AVI) must fall through to the
+    soundfile rung when installed, and otherwise raise the contract's
+    NotImplementedError — never leak wave.Error out of the kernel."""
+    import struct
+
+    from haplorec_spark.operators.multimodal import (
+        _HAVE_SOUNDFILE,
+        _decode_audio,
+    )
+
+    def riff_wav(fmt_code, bits, data):
+        fmt = struct.pack(
+            "<HHIIHH", fmt_code, 1, 8000, 8000 * bits // 8,
+            bits // 8, bits,
+        )
+        body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    pcm24 = riff_wav(1, 24, b"\x00\x00\x00" * 16)
+    f32 = riff_wav(3, 32, struct.pack("<8f", *([0.25] * 8)))
+    for payload in (pcm24, f32):
+        if _HAVE_SOUNDFILE:
+            sr, n, samples = _decode_audio(payload)
+            assert sr == 8000 and n == len(samples)
+        else:
+            with pytest.raises(NotImplementedError):
+                _decode_audio(payload)
+    # a RIFF container that is not audio at all is NotImplementedError
+    # on BOTH rungs (soundfile cannot read it either)
+    with pytest.raises(NotImplementedError):
+        _decode_audio(b"RIFF\x08\x00\x00\x00AVI LIST")

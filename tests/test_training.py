@@ -470,3 +470,100 @@ def test_language_model_save_load_and_torn_artifact(
     safe_overwrite_parquet(half, f"{path}/weights")
     with pytest.raises(IOError, match="torn"):
         load_language_model(spark, path)
+
+
+def test_four_gram_distilled_model_scores_with_four_grams(spark, lang_docs):
+    """Regression: the literal mapping form drops the model's ngram
+    field; the scorer must recover it from feature-key lengths (every
+    char_ngram_text_sql feature is exactly n chars) — the old
+    hardcoded-trigram path missed every 4-gram feature and predicted
+    one bias-only constant language for the whole corpus."""
+    from haplorec_spark.operators.text import language_id_model
+    from haplorec_spark.operators.training import (
+        top_features,
+        train_language_classifier,
+    )
+
+    model = train_language_classifier(
+        lang_docs, ngram=4, iterations=20, learning_rate=8.0, min_df=2
+    )
+    lit = top_features(model, k=10)
+    assert all(len(w) == 4 for _, ws in lit.values() for w in ws)
+    full = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(lang_docs, model).collect()
+    }
+    got = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(lang_docs, lit).collect()
+    }
+    # the bug's signature was a single constant prediction
+    assert len(set(got.values())) > 1
+    agree = sum(got[i] == full[i] for i in full)
+    assert agree >= len(full) - 2, (agree, len(full))
+
+
+def test_average_false_model_scored_and_undistillable(spark, lang_docs):
+    """The LanguageIdModel.average field is public API: the full-model
+    scorer must honor average=False (no gram-count division), and the
+    literal mapping form — which carries no average flag — must refuse
+    to distill such a model instead of silently rescaling."""
+    import dataclasses
+
+    from haplorec_spark.operators.text import language_id_model
+    from haplorec_spark.operators.training import (
+        top_features,
+        train_language_classifier,
+    )
+
+    model = train_language_classifier(
+        lang_docs, iterations=8, learning_rate=8.0, min_df=2
+    )
+    summed = dataclasses.replace(model, average=False)
+    avg_scores = {
+        r["doc_id"]: r["lang_score"]
+        for r in language_id_model(lang_docs, model).collect()
+    }
+    sum_scores = {
+        r["doc_id"]: r["lang_score"]
+        for r in language_id_model(lang_docs, summed).collect()
+    }
+    assert any(avg_scores[i] != sum_scores[i] for i in avg_scores)
+    with pytest.raises(ValueError, match="average"):
+        top_features(summed)
+    with pytest.raises(ValueError, match="average"):
+        summed.as_literal()
+
+
+def test_torn_artifact_weight_permutation_detected(
+    spark, lang_docs, tmp_path
+):
+    """Regression: the old count+|weight|-mass fingerprint passed a
+    stale weights table whose weights were permuted across words; the
+    shared crc32 row fingerprint must catch it."""
+    from haplorec_spark.operators.training import (
+        load_language_model,
+        safe_overwrite_parquet,
+        save_language_model,
+        train_language_classifier,
+    )
+
+    model = train_language_classifier(
+        lang_docs, iterations=8, learning_rate=8.0, min_df=2
+    )
+    path = str(tmp_path / "langid_perm")
+    save_language_model(model, path)
+    rows = [list(r) for r in spark.read.parquet(f"{path}/weights").collect()]
+    i, j = next(
+        (a, b)
+        for a in range(len(rows))
+        for b in range(a + 1, len(rows))
+        if rows[a][2] != rows[b][2]
+    )
+    rows[i][2], rows[j][2] = rows[j][2], rows[i][2]  # same count, same mass
+    permuted = spark.createDataFrame(
+        [tuple(r) for r in rows], "lang string, word string, weight double"
+    )
+    safe_overwrite_parquet(permuted, f"{path}/weights")
+    with pytest.raises(IOError, match="torn"):
+        load_language_model(spark, path)
