@@ -389,11 +389,15 @@ _TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
 def _hit_count(words_expr: str, lexicon: list[str]) -> str:
-    """SQL count of tokens contained in the lexicon (array_contains scan)."""
+    """SQL count of tokens contained in the lexicon.
+
+    Membership is written ``w IN (...)`` — not
+    ``array_contains(array(...), w)`` — so Catalyst's OptimizeIn rule
+    rewrites the literal list to an ``InSet`` hash lookup; the array
+    form is an O(|lexicon|) scan per token per language, measured
+    ~15× slower on the sf0.1 trigram gate."""
     arr = ", ".join(f"'{w}'" for w in lexicon)
-    return (
-        f"size(filter({words_expr}, w -> array_contains(array({arr}), w)))"
-    )
+    return f"size(filter({words_expr}, w -> w in ({arr})))"
 
 
 def language_id(
@@ -442,9 +446,10 @@ def language_id_ngram(
     (a few hundred entries per language, the literal-codebook pattern
     of ``similarity.assign_clusters``).
     """
-    trigrams, pred, best = _ngram_lang_exprs(text_col)
+    trigrams, score_cols, pred, best = _ngram_lang_exprs(text_col)
     return (
         docs.select(F.col(id_col), trigrams.alias("__t3"))
+        .select(F.col(id_col), *score_cols)
         .select(
             F.col(id_col),
             pred.alias("predicted_lang"),
@@ -454,27 +459,54 @@ def language_id_ngram(
 
 
 def _ngram_lang_exprs(text_col: str):
-    """(trigram Column, pred Column over ``__t3``, best Column over
-    ``__t3``) — the trigram-profile scorer as reusable expressions, so
-    callers (``language_id_ngram``, curation's detect_language) stay
-    map-side without an id-keyed join back."""
+    """(trigram Column, per-language score Columns aliased
+    ``__s_<lang>``, pred Column over the score columns, best Column
+    over them) — the trigram-profile scorer as reusable expressions,
+    so callers (``language_id_ngram``, curation's detect_language)
+    stay map-side without an id-keyed join back. Three stacked
+    projections, each consuming the previous one's helper columns:
+    trigrams → scores → argmax.
+
+    Two measured hot-path choices (together 21.6 → 1.9 s on the sf0.1
+    gate):
+
+    * Trigrams slide over a per-document CHAR ARRAY bound once as a
+      lambda variable (``transform(array(split(s, '')), cs -> ...)``
+      — code-point safe: Java regex zero-width matches cannot split
+      a surrogate pair) instead of calling ``substring(s, i, 3)`` per
+      position: UTF8String.substring locates code point i by
+      scanning from the start, making the per-index form O(len²) per
+      document. ``slice`` + ``concat_ws`` reproduces the short
+      boundary gram of the substring form exactly, so scores are
+      bit-identical to the DuckDB oracle's ``substr`` replay.
+    * Profile membership is an IN-list (Catalyst's OptimizeIn turns
+      ≥10 literals into an ``InSet`` hash probe), not
+      ``array_contains`` over a literal array (an O(|profile|) scan
+      per trigram per language); and each language's score is
+      materialized ONCE as a ``__s_<lang>`` column before the
+      argmax, instead of re-inlining the score expression into every
+      CASE arm and the ``greatest``."""
     s = f"concat(' ', lower({text_col}), ' ')"
     tris = (
-        f"transform(sequence(1, greatest(length({s}) - 2, 1)),"
-        f" i -> substring({s}, i, 3))"
+        f"flatten(transform(array(split({s}, '')),"
+        f" cs -> transform(sequence(1, greatest(size(cs) - 2, 1)),"
+        f" i -> concat_ws('', slice(cs, i, 3)))))"
     )
-    scores = []
+    score_cols = []
     for lang, prof in LANG_TRIGRAM_PROFILES.items():
         arr = ", ".join("'" + t + "'" for t in prof)
-        hits = f"size(filter(__t3, t -> array_contains(array({arr}), t)))"
-        scores.append(
-            (lang, f"round({hits} / cast(size(__t3) as double), 6)")
+        score_cols.append(
+            F.expr(
+                f"round(size(filter(__t3, t -> t in ({arr})))"
+                f" / cast(size(__t3) as double), 6)"
+            ).alias(f"__s_{lang}")
         )
-    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
-    pred = "CASE " + " ".join(
-        f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
-    ) + " END"
-    return F.expr(tris), F.expr(pred), F.expr(best)
+    langs = list(LANG_TRIGRAM_PROFILES)
+    best = F.greatest(*[F.col(f"__s_{la}") for la in langs])
+    pred = F.when(F.lit(False), F.lit(None))
+    for la in langs:
+        pred = pred.when(F.col(f"__s_{la}") == best, F.lit(la))
+    return F.expr(tris), score_cols, pred, best
 
 
 def char_ngram_text_sql(text_col: str, n: int = 3) -> str:
@@ -485,12 +517,20 @@ def char_ngram_text_sql(text_col: str, n: int = 3) -> str:
     token per n-gram. This is the shared feature definition between
     ``training.train_language_classifier`` (which trains on it) and
     :func:`language_id_model` (which scores with it) — they must
-    never drift, so both call this."""
+    never drift, so both call this.
+
+    Same O(len) construction as :func:`_ngram_lang_exprs`: the char
+    array is bound once as a lambda variable instead of a per-index
+    ``substring`` scan (which is O(len²) per document); ``slice`` +
+    ``concat_ws`` keeps gram values — including the short boundary
+    gram of a sub-n-length document — identical to the substring
+    form, so trained weights and the DuckDB oracles are unaffected."""
     s = f"concat(' ', lower({text_col}), ' ')"
     return (
-        f"array_join(transform("
-        f"sequence(1, greatest(length({s}) - {n - 1}, 1)),"
-        f" i -> translate(substring({s}, i, {n}), ' ', '▁')), ' ')"
+        f"array_join(flatten(transform(array(split({s}, '')),"
+        f" cs -> transform(sequence(1, greatest(size(cs) - {n - 1}, 1)),"
+        f" i -> translate(concat_ws('', slice(cs, i, {n})), ' ', '▁')))),"
+        f" ' ')"
     )
 
 
@@ -699,13 +739,15 @@ def with_language(
             f"method={method!r}"
         )
     if method == "ngram":
-        trigrams, pred, _ = _ngram_lang_exprs(text_col)
-        drop = [c for c in ("__t3", lang_col) if c in docs.columns]
+        trigrams, score_cols, pred, _ = _ngram_lang_exprs(text_col)
+        helper = ["__t3"] + [f"__s_{la}" for la in LANG_TRIGRAM_PROFILES]
+        drop = [c for c in (*helper, lang_col) if c in docs.columns]
         return (
             docs.drop(*drop)
             .withColumn("__t3", trigrams)
+            .select("*", *score_cols)
             .withColumn(lang_col, pred)
-            .drop("__t3")
+            .drop(*helper)
         )
     if method == "lexicon":
         # the lexicon CASE applies inline — no id join needed
