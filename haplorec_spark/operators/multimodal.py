@@ -116,7 +116,9 @@ def _decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
                     f"sample width {w.getsampwidth()} (stdlib wave "
                     f"rung is 16-bit PCM only)"
                 )
-        except (wave.Error, EOFError) as e:
+        except (wave.Error, EOFError, ValueError) as e:
+            # ValueError: frombuffer on an odd-length (truncated) data
+            # chunk — torn file, same fall-through as a format error
             riff_reason = str(e) or type(e).__name__
     if _HAVE_SOUNDFILE:  # pragma: no cover - optional install
         import io

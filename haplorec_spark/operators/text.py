@@ -479,6 +479,9 @@ def _ngram_lang_exprs(text_col: str):
       document. ``slice`` + ``concat_ws`` reproduces the short
       boundary gram of the substring form exactly, so scores are
       bit-identical to the DuckDB oracle's ``substr`` replay.
+      (Bit-parity relies on Spark ≥ 3.4 empty-pattern split semantics
+      — no trailing '' element, SPARK-40194; the engine targets
+      Spark 4.)
     * Profile membership is an IN-list (Catalyst's OptimizeIn turns
       ≥10 literals into an ``InSet`` hash probe), not
       ``array_contains`` over a literal array (an O(|profile|) scan
@@ -536,21 +539,18 @@ def char_ngram_text_sql(text_col: str, n: int = 3) -> str:
 
 def _mapping_ngram(model) -> int:
     """Recover the n-gram size a literal mapping form was trained
-    with: every ``char_ngram_text_sql`` feature is exactly ``n``
-    characters (in-gram spaces rendered ``▁``), so the key lengths
-    carry it — the mapping drops the model's ``ngram`` field, and
+    with: a full ``char_ngram_text_sql`` feature is exactly ``n``
+    characters (in-gram spaces rendered ``▁``), so the LONGEST key
+    carries it — the mapping drops the model's ``ngram`` field, and
     scoring with the wrong n would silently miss every feature and
-    predict bias-only."""
+    predict bias-only. Shorter keys are legitimate boundary grams of
+    the same space (a document shorter than n-2 chars emits one
+    sub-n gram), and scoring at n reproduces those same short grams
+    for the same short documents, so max is exact — not a
+    heuristic — whenever at least one full-length feature survived
+    distillation."""
     lens = {len(w) for _, ws in model.values() for w in ws}
-    if not lens:
-        return 3
-    if len(lens) > 1:
-        raise ValueError(
-            f"literal language model mixes feature lengths "
-            f"{sorted(lens)} — not a single char_ngram_text_sql "
-            f"feature space"
-        )
-    return lens.pop()
+    return max(lens) if lens else 3
 
 
 def _langid_literal_cols(model, ftext: str):

@@ -564,6 +564,15 @@ def load_language_model(spark, path: str) -> LanguageIdModel:
     fp = _table_fingerprint(weights, "lang", "word", "weight")
     want = meta[0]["weights_fingerprint"]
     if fp != want:
+        # the pre-crc32 scheme wrote "<n>:<|weight| mass>" with a
+        # decimal point; distinguish a scheme change from real tearing
+        # so an intact old artifact gets an actionable message
+        if "." in str(want):
+            raise IOError(
+                f"language model at {path} was saved with an older "
+                f"fingerprint scheme ({want}); re-save it with this "
+                f"version's save_language_model to upgrade"
+            )
         raise IOError(
             f"language model at {path} is torn: weights fingerprint "
             f"{fp} != meta's {want} (re-save the artifact)"

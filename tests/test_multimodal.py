@@ -320,3 +320,25 @@ def test_decode_audio_riff_contract_non_pcm16():
     # on BOTH rungs (soundfile cannot read it either)
     with pytest.raises(NotImplementedError):
         _decode_audio(b"RIFF\x08\x00\x00\x00AVI LIST")
+
+
+def test_decode_audio_truncated_pcm16_wav():
+    """A torn 16-bit PCM WAV whose data chunk ends on an odd byte must
+    follow the same contract as other undecodable RIFF payloads
+    (NotImplementedError / soundfile fall-through), not leak the
+    numpy frombuffer ValueError out of the kernel."""
+    from haplorec_spark.operators.multimodal import (
+        _HAVE_SOUNDFILE,
+        _decode_audio,
+    )
+
+    pcm = (np.arange(64) * 100).astype(np.int16)
+    torn = _wav_bytes(8000, pcm)[:-1]  # odd-length data chunk
+    if _HAVE_SOUNDFILE:
+        try:
+            _decode_audio(torn)  # soundfile may tolerate or refuse
+        except NotImplementedError:
+            pass
+    else:
+        with pytest.raises(NotImplementedError):
+            _decode_audio(torn)

@@ -1079,16 +1079,16 @@ def test_with_language_model_method(spark):
         with_language(docs, method="ngram", model=PINNED_LANGID_MODEL)
 
 
-def test_mapping_ngram_inference_and_mixed_lengths():
-    """The literal mapping form's n-gram size comes from its feature
-    key lengths; a mixed-length mapping is not a char_ngram_text_sql
-    feature space and must raise rather than score wrong."""
-    import pytest
-
+def test_mapping_ngram_inference():
+    """The literal mapping form's n-gram size is the LONGEST feature
+    key: full grams carry n; shorter keys are the boundary grams a
+    sub-n-length document legitimately emits in the same space (so a
+    model trained on a corpus with tiny documents still distills and
+    scores — max, not uniformity)."""
     from haplorec_spark.operators.text import _mapping_ngram
 
     assert _mapping_ngram({"en": (0.1, {"abc": 1.0, "de▁": 0.5})}) == 3
     assert _mapping_ngram({"en": (0.1, {"abcd": 1.0})}) == 4
     assert _mapping_ngram({"en": (0.1, {})}) == 3  # empty -> default
-    with pytest.raises(ValueError, match="mixes"):
-        _mapping_ngram({"en": (0.0, {"abc": 1.0, "abcd": 1.0})})
+    # mixed lengths = full grams + boundary grams of the same space
+    assert _mapping_ngram({"en": (0.0, {"ab": 1.0, "abcd": 1.0})}) == 4

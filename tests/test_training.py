@@ -15,6 +15,8 @@ import math
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from haplorec_spark.operators.text import linear_text_score
 from haplorec_spark.operators.training import train_linear_text_classifier
 
@@ -566,4 +568,31 @@ def test_torn_artifact_weight_permutation_detected(
     )
     safe_overwrite_parquet(permuted, f"{path}/weights")
     with pytest.raises(IOError, match="torn"):
+        load_language_model(spark, path)
+
+
+def test_old_fingerprint_scheme_gets_actionable_error(
+    spark, lang_docs, tmp_path
+):
+    """An intact artifact saved under the pre-crc32 fingerprint scheme
+    (count + |weight| mass, carries a decimal point) must fail load
+    with the re-save message, not be misreported as torn."""
+    from haplorec_spark.operators.training import (
+        load_language_model,
+        safe_overwrite_parquet,
+        save_language_model,
+        train_language_classifier,
+    )
+
+    model = train_language_classifier(
+        lang_docs, iterations=4, learning_rate=8.0, min_df=2
+    )
+    path = str(tmp_path / "langid_old")
+    save_language_model(model, path)
+    meta = spark.read.parquet(f"{path}/meta")
+    old = meta.withColumn(
+        "weights_fingerprint", F.lit("252:13.482716")
+    )
+    safe_overwrite_parquet(old, f"{path}/meta")
+    with pytest.raises(IOError, match="older fingerprint scheme"):
         load_language_model(spark, path)
