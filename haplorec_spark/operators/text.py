@@ -1225,10 +1225,14 @@ def strip_boilerplate_lines(
     assumption, not a bound, and ``min_doc_freq=2`` on a web corpus is
     not tiny):
 
-    * ``<= max_broadcast_lines`` hot lines: fold to ONE array row that
-      broadcasts onto the doc scan; reconstruction is a per-row
-      ``filter`` over the split — document text never crosses a
-      shuffle.
+    * ``<= max_broadcast_lines`` hot lines: fold to ONE row holding
+      the hot set hash-bucketed into ~``n_hot/64`` power-of-two
+      buckets (``array<array<string>>``), broadcast onto the doc
+      scan; each line's membership probe is one ``xxhash64`` + an
+      O(64) in-bucket scan (a flat array_contains would be an
+      O(n_hot) scan per line — 200k string compares at the bound),
+      and reconstruction is a per-row ``filter`` over the split —
+      document text never crosses a shuffle.
     * larger: explode-and-regroup — per-(doc, position) lines anti-join
       the hot set (shuffle hash/merge join, forced: a mis-estimated
       broadcast of an unbounded set is an OOM, not a slow query), then
@@ -1256,10 +1260,46 @@ def strip_boilerplate_lines(
     n_hot = hot.count()
 
     if n_hot <= max_broadcast_lines:
-        hot_arr = hot.agg(F.collect_list("_line").alias("_hot"))
-        kept = F.filter(ls, lambda l: ~F.array_contains(F.col("_hot"), l))
+        # hash-bucketed broadcast set: a flat collect_list probed with
+        # array_contains is an O(n_hot) scan PER LINE (12.8M string
+        # compares per 64-line doc at the 200k bound); bucketing by
+        # xxhash64 into ~n_hot/64 power-of-two buckets makes each
+        # probe one hash + an O(64) in-bucket scan, still exact, still
+        # one broadcast row, zero added shuffles (the bucket groupBy
+        # rides the existing hot-set aggregation's partitioning).
+        nb = 1 << max(0, (n_hot // 64)).bit_length()
+        hot_arr = (
+            hot.groupBy(
+                F.pmod(F.xxhash64("_line"), F.lit(nb)).alias("_b")
+            )
+            .agg(F.collect_list("_line").alias("_bls"))
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("_b", "_bls"))
+                ).alias("_m")
+            )
+            .select(
+                F.expr(
+                    # try_element_at: ANSI-mode-neutral missing-key
+                    # lookup (plain element_at raises under ANSI)
+                    f"transform(sequence(0, {nb - 1}), b ->"
+                    f" coalesce(try_element_at(_m, cast(b as bigint)),"
+                    f" cast(array() as array<string>)))"
+                ).alias("_hot")
+            )
+        )
+        kept = F.filter(
+            ls,
+            lambda l: ~F.array_contains(
+                F.get(
+                    F.col("_hot"),
+                    F.pmod(F.xxhash64(l), F.lit(nb)).cast("int"),
+                ),
+                l,
+            ),
+        )
         return (
-            docs.crossJoin(F.broadcast(hot_arr))  # one row: the array
+            docs.crossJoin(F.broadcast(hot_arr))  # one row: the buckets
             .select(
                 F.col(id_col),
                 F.array_join(kept, line_delim).alias("text_clean"),

@@ -1092,3 +1092,38 @@ def test_mapping_ngram_inference():
     assert _mapping_ngram({"en": (0.1, {})}) == 3  # empty -> default
     # mixed lengths = full grams + boundary grams of the same space
     assert _mapping_ngram({"en": (0.0, {"ab": 1.0, "abcd": 1.0})}) == 4
+
+
+def test_strip_boilerplate_bucketed_set_matches_shuffle_path(spark):
+    """The broadcast hot set is hash-bucketed (~n_hot/64 power-of-two
+    buckets) so each probe is one xxhash64 + an O(64) in-bucket scan;
+    with a hot set wide enough to spread over several buckets, the
+    bucketed broadcast path must equal the forced shuffle path row
+    for row (exactness of the bucketing, including lines that hash
+    into empty buckets)."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("only-"), F.col("id")),
+            F.concat(F.lit("boiler-"), F.pmod(F.col("id"), F.lit(100))),
+            F.concat(F.lit("boiler-"), F.pmod(F.col("id") + 7, F.lit(100))),
+            F.concat(F.lit("also-unique-"), F.col("id")),
+        ).alias("text"),
+    )
+    fast = {
+        tuple(r)
+        for r in strip_boilerplate_lines(docs, min_doc_freq=2).collect()
+    }
+    slow = {
+        tuple(r)
+        for r in strip_boilerplate_lines(
+            docs, min_doc_freq=2, max_broadcast_lines=0
+        ).collect()
+    }
+    assert fast == slow
+    assert any(r[3] == 2 for r in fast)  # the boiler- lines got cut
