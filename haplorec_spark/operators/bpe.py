@@ -89,10 +89,12 @@ def _seed_syms_sql(byte_level: bool) -> str:
     """The SQL twin of :func:`_seed_syms_py` over a ``word`` column,
     sentinel appended — the only expression byte-level mode swaps."""
     if byte_level:
+        # one regex pass chunks the hex into byte pairs — the
+        # per-index substring form recomputed the hex inside the
+        # lambda and paid UTF8String's O(i) code-point walk per pair
         h = "lower(hex(encode(word, 'UTF-8')))"
         return (
-            f"concat(transform(sequence(1, length({h}) div 2),"
-            f" i -> substring({h}, 2*i - 1, 2)),"
+            f"concat(regexp_extract_all({h}, '..', 0),"
             f" array('{END_OF_WORD}'))"
         )
     return f"concat(split(word, ''), array('{END_OF_WORD}'))"
