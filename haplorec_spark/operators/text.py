@@ -1265,8 +1265,8 @@ def strip_boilerplate_lines(
         # compares per 64-line doc at the 200k bound); bucketing by
         # xxhash64 into ~n_hot/64 power-of-two buckets makes each
         # probe one hash + an O(64) in-bucket scan, still exact, still
-        # one broadcast row, zero added shuffles (the bucket groupBy
-        # rides the existing hot-set aggregation's partitioning).
+        # one broadcast row; the bucket groupBy adds one HOT-SET-sized
+        # exchange (<= max_broadcast_lines rows), nothing corpus-sized.
         nb = 1 << max(0, (n_hot // 64)).bit_length()
         hot_arr = (
             hot.groupBy(
