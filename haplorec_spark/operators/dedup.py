@@ -519,6 +519,10 @@ def strip_duplicate_ngram_spans(
     # hashes matched on lowercased words, but reconstruction keeps the
     # original casing — a single-space split has identical arity/indices
     ws = f"split({text_col}, ' ')"
+    # the kept-words scan is O(words × starts) per document; it is
+    # materialized ONCE as a helper column so text_clean and n_removed
+    # both read it instead of re-running the exists() scan (the
+    # language-ID scorer's materialize-before-reuse pattern)
     kept = (
         f"filter(transform({ws}, (w, i) -> struct(w as w, i as i)),"
         f" s -> NOT exists(_starts,"
@@ -526,18 +530,22 @@ def strip_duplicate_ngram_spans(
     )
     return (
         docs.join(starts, on=id_col, how="left")
+        .withColumn(
+            "_kept",
+            F.expr(
+                f"CASE WHEN _starts IS NULL THEN NULL ELSE {kept} END"
+            ),
+        )
         .select(
             F.col(id_col),
             F.when(F.col("_starts").isNull(), F.col(text_col))
             .otherwise(
-                F.expr(f"array_join(transform({kept}, s -> s.w), ' ')")
+                F.expr("array_join(transform(_kept, s -> s.w), ' ')")
             )
             .alias("text_clean"),
             F.expr(f"size({ws})").alias("n_words"),
             F.when(F.col("_starts").isNull(), F.lit(0))
-            .otherwise(
-                F.expr(f"size({ws}) - size({kept})")
-            )
+            .otherwise(F.expr(f"size({ws}) - size(_kept)"))
             .alias("n_removed"),
         )
     )
