@@ -410,19 +410,27 @@ def language_id(
     """
     words = f"split(lower({text_col}), ' ')"
     n = f"size({words})"
-    scores = [
-        (lang, f"round({_hit_count(words, lex)} / cast({n} as double), 6)")
+    # each lexicon score materializes ONCE as a column before the
+    # argmax (the _ngram_lang_exprs pattern) — inlining it into every
+    # CASE arm and the greatest() re-ran the hit scan ~8x per language
+    score_cols = [
+        F.expr(
+            f"round({_hit_count(words, lex)} / cast({n} as double), 6)"
+        ).alias(f"__s_{lang}")
         for lang, lex in LANG_LEXICON.items()
     ]
-    # argmax via greatest + case chain in declaration order
-    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
-    pred = "CASE " + " ".join(
-        f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
-    ) + " END"
-    return docs.select(
-        F.col(id_col),
-        F.expr(pred).alias("predicted_lang"),
-        F.expr(best).alias("lang_score"),
+    langs = list(LANG_LEXICON)
+    best = F.greatest(*[F.col(f"__s_{la}") for la in langs])
+    pred = F.when(F.lit(False), F.lit(None))
+    for la in langs:
+        pred = pred.when(F.col(f"__s_{la}") == best, F.lit(la))
+    return (
+        docs.select(F.col(id_col), *score_cols)
+        .select(
+            F.col(id_col),
+            pred.alias("predicted_lang"),
+            best.alias("lang_score"),
+        )
     )
 
 
@@ -750,25 +758,30 @@ def with_language(
             .drop(*helper)
         )
     if method == "lexicon":
-        # the lexicon CASE applies inline — no id join needed
+        # scores materialize once as helper columns before the argmax
+        # (the same shape as language_id / the ngram face)
         words = f"split(lower({text_col}), ' ')"
         n = f"size({words})"
-        scores = [
-            (
-                lang,
+        score_cols = [
+            F.expr(
                 f"round({_hit_count(words, lex)}"
-                f" / cast({n} as double), 6)",
-            )
+                f" / cast({n} as double), 6)"
+            ).alias(f"__s_{lang}")
             for lang, lex in LANG_LEXICON.items()
         ]
-        best = "greatest(" + ", ".join(s for _, s in scores) + ")"
-        pred = "CASE " + " ".join(
-            f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
-        ) + " END"
-        out = docs
-        if lang_col in out.columns:
-            out = out.drop(lang_col)
-        return out.withColumn(lang_col, F.expr(pred))
+        langs = list(LANG_LEXICON)
+        best = F.greatest(*[F.col(f"__s_{la}") for la in langs])
+        pred = F.when(F.lit(False), F.lit(None))
+        for la in langs:
+            pred = pred.when(F.col(f"__s_{la}") == best, F.lit(la))
+        helper = [f"__s_{la}" for la in langs]
+        drop = [c for c in (*helper, lang_col) if c in docs.columns]
+        return (
+            docs.drop(*drop)
+            .select("*", *score_cols)
+            .withColumn(lang_col, pred)
+            .drop(*helper)
+        )
     raise ValueError(f"unknown language-id method: {method!r}")
 
 
