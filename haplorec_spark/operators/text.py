@@ -562,19 +562,26 @@ def _mapping_ngram(model) -> int:
 
 
 def _langid_literal_cols(model, ftext: str):
-    """(pred Column, best-prob Column) for the literal mapping form
-    ``{lang: (bias, {feature: weight})}`` over the feature-text SQL
-    ``ftext`` — one map-side CASE/greatest program, zero shuffle (the
-    :func:`_literal_score_prob` pattern, per language)."""
-    probs: list[tuple[str, object]] = []
+    """(per-language probability Columns aliased ``__p_<lang>``, pred
+    Column over them, best-prob Column over them) for the literal
+    mapping form ``{lang: (bias, {feature: weight})}`` over the
+    feature-text SQL ``ftext`` — map-side, zero shuffle (the
+    :func:`_literal_score_prob` pattern, per language). Callers
+    materialize the probability columns in one projection and argmax
+    over the column references in the next, so each literal-map
+    aggregate runs once per row instead of once per CASE arm plus
+    once inside the ``greatest``."""
+    prob_cols = []
+    langs = list(model)
     for lang, (bias, weights) in model.items():
         _, prob = _literal_score_prob(weights, bias, True, ftext)
-        probs.append((lang, prob))
-    best = F.greatest(*[p for _, p in probs]) if len(probs) > 1 else probs[0][1]
+        prob_cols.append(prob.alias(f"__p_{lang}"))
+    refs = [F.col(f"__p_{la}") for la in langs]
+    best = F.greatest(*refs) if len(refs) > 1 else refs[0]
     pred = F.when(F.lit(False), F.lit(None))
-    for lang, p in probs:
-        pred = pred.when(p == best, F.lit(lang))
-    return pred, best
+    for la in langs:
+        pred = pred.when(F.col(f"__p_{la}") == best, F.lit(la))
+    return prob_cols, pred, best
 
 
 def language_id_model(
@@ -623,11 +630,14 @@ def language_id_model(
         average = True
         total = sum(len(w) for _, w in model.values())
         if total <= max_literal_vocab:
-            pred, best = _langid_literal_cols(model, "__ftext")
+            prob_cols, pred, best = _langid_literal_cols(
+                model, "__ftext"
+            )
             drop = [c for c in ("__ftext",) if c in docs.columns]
             return (
                 docs.drop(*drop)
                 .withColumn("__ftext", F.expr(ftext))
+                .select(F.col(id_col), *prob_cols)
                 .select(
                     F.col(id_col),
                     pred.alias("predicted_lang"),
@@ -732,14 +742,16 @@ def with_language(
                 "literal bound (256); distill with a smaller k or "
                 "score in batch via language_id_model"
             )
-        pred, _ = _langid_literal_cols(model, "__ftext")
+        prob_cols, pred, _ = _langid_literal_cols(model, "__ftext")
         ftext = char_ngram_text_sql(text_col, _mapping_ngram(model))
-        drop = [c for c in ("__ftext", lang_col) if c in docs.columns]
+        helper = ["__ftext"] + [f"__p_{la}" for la in model]
+        drop = [c for c in (*helper, lang_col) if c in docs.columns]
         return (
             docs.drop(*drop)
             .withColumn("__ftext", F.expr(ftext))
+            .select("*", *prob_cols)
             .withColumn(lang_col, pred)
-            .drop("__ftext")
+            .drop(*helper)
         )
     if model is not None:
         raise ValueError(
