@@ -400,19 +400,15 @@ def _hit_count(words_expr: str, lexicon: list[str]) -> str:
     return f"size(filter({words_expr}, w -> w in ({arr})))"
 
 
-def language_id(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """(id, predicted_lang, lang_score): argmax of lexicon-hit ratios.
-
-    Deterministic tiebreak: higher score wins, then lexicon declaration
-    order (en, fr, es, de). Score = hits / token count, rounded.
-    """
+def _lexicon_lang_exprs(text_col: str):
+    """(score Columns aliased ``__s_<lang>``, pred Column over them,
+    best Column over them) — the lexicon-hit scorer shared by
+    :func:`language_id` and ``with_language(method='lexicon')``, the
+    same materialize-before-argmax shape as :func:`_ngram_lang_exprs`
+    (inlining each score into every CASE arm and the ``greatest()``
+    re-ran the hit scan ~8× per language)."""
     words = f"split(lower({text_col}), ' ')"
     n = f"size({words})"
-    # each lexicon score materializes ONCE as a column before the
-    # argmax (the _ngram_lang_exprs pattern) — inlining it into every
-    # CASE arm and the greatest() re-ran the hit scan ~8x per language
     score_cols = [
         F.expr(
             f"round({_hit_count(words, lex)} / cast({n} as double), 6)"
@@ -424,6 +420,18 @@ def language_id(
     pred = F.when(F.lit(False), F.lit(None))
     for la in langs:
         pred = pred.when(F.col(f"__s_{la}") == best, F.lit(la))
+    return score_cols, pred, best
+
+
+def language_id(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, predicted_lang, lang_score): argmax of lexicon-hit ratios.
+
+    Deterministic tiebreak: higher score wins, then lexicon declaration
+    order (en, fr, es, de). Score = hits / token count, rounded.
+    """
+    score_cols, pred, best = _lexicon_lang_exprs(text_col)
     return (
         docs.select(F.col(id_col), *score_cols)
         .select(
@@ -576,11 +584,13 @@ def _langid_literal_cols(model, ftext: str):
     for lang, (bias, weights) in model.items():
         _, prob = _literal_score_prob(weights, bias, True, ftext)
         prob_cols.append(prob.alias(f"__p_{lang}"))
-    refs = [F.col(f"__p_{la}") for la in langs]
+    # backtick-quoted: model keys are user data and may contain dots,
+    # which unquoted F.col would parse as nested-field access
+    refs = [F.col(f"`__p_{la}`") for la in langs]
     best = F.greatest(*refs) if len(refs) > 1 else refs[0]
     pred = F.when(F.lit(False), F.lit(None))
     for la in langs:
-        pred = pred.when(F.col(f"__p_{la}") == best, F.lit(la))
+        pred = pred.when(F.col(f"`__p_{la}`") == best, F.lit(la))
     return prob_cols, pred, best
 
 
@@ -770,23 +780,8 @@ def with_language(
             .drop(*helper)
         )
     if method == "lexicon":
-        # scores materialize once as helper columns before the argmax
-        # (the same shape as language_id / the ngram face)
-        words = f"split(lower({text_col}), ' ')"
-        n = f"size({words})"
-        score_cols = [
-            F.expr(
-                f"round({_hit_count(words, lex)}"
-                f" / cast({n} as double), 6)"
-            ).alias(f"__s_{lang}")
-            for lang, lex in LANG_LEXICON.items()
-        ]
-        langs = list(LANG_LEXICON)
-        best = F.greatest(*[F.col(f"__s_{la}") for la in langs])
-        pred = F.when(F.lit(False), F.lit(None))
-        for la in langs:
-            pred = pred.when(F.col(f"__s_{la}") == best, F.lit(la))
-        helper = [f"__s_{la}" for la in langs]
+        score_cols, pred, _ = _lexicon_lang_exprs(text_col)
+        helper = [f"__s_{la}" for la in LANG_LEXICON]
         drop = [c for c in (*helper, lang_col) if c in docs.columns]
         return (
             docs.drop(*drop)
@@ -1292,7 +1287,7 @@ def strip_boilerplate_lines(
         # probe one hash + an O(64) in-bucket scan, still exact, still
         # one broadcast row; the bucket groupBy adds one HOT-SET-sized
         # exchange (<= max_broadcast_lines rows), nothing corpus-sized.
-        nb = 1 << max(0, (n_hot // 64)).bit_length()
+        nb = 1 << (n_hot // 64).bit_length()
         hot_arr = (
             hot.groupBy(
                 F.pmod(F.xxhash64("_line"), F.lit(nb)).alias("_b")

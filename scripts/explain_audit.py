@@ -104,10 +104,11 @@ CHECKS = {
                    r"Exchange hashpartitioning\(vec_id"],
     },
     "_strip_boilerplate": {
-        # the hot-line set folds to ONE array row broadcast onto the
+        # the hot-line set folds to ONE bucketed row broadcast onto the
         # doc scan (the BNLJ build side is that single row — intended);
-        # document text must never enter an Exchange, so the only
-        # shuffle is the line-df aggregate
+        # document text must never enter an Exchange — the only
+        # shuffles are the line-df aggregate and the HOT-SET-sized
+        # bucket groupBy (both bounded, neither carries text)
         "expect": ["BroadcastNestedLoopJoin"],
         "forbid": ["CartesianProduct",
                    "Exchange hashpartitioning.*Exchange hashpartitioning"

@@ -1127,3 +1127,61 @@ def test_strip_boilerplate_bucketed_set_matches_shuffle_path(spark):
     }
     assert fast == slow
     assert any(r[3] == 2 for r in fast)  # the boiler- lines got cut
+
+
+def test_strip_boilerplate_empty_bucket_lines_survive(spark):
+    """Deterministic cover for the empty-bucket branch: the hot set is
+    chosen (by computing xxhash64 in-session) to land ENTIRELY in
+    bucket 0 of nb=2, so every unique line hashing to bucket 1 probes
+    an empty bucket — if the coalesce-to-empty-array guard broke,
+    array_contains(NULL, l) would silently drop those lines."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import strip_boilerplate_lines
+
+    cand = spark.range(2000).select(
+        F.concat(F.lit("cand-"), F.col("id")).alias("l"),
+        F.pmod(F.xxhash64(F.concat(F.lit("cand-"), F.col("id"))),
+               F.lit(2)).alias("b"),
+    ).collect()
+    bucket0 = [r["l"] for r in cand if r["b"] == 0][:70]  # hot set
+    bucket1 = [r["l"] for r in cand if r["b"] == 1][:5]   # probes
+    assert len(bucket0) == 70 and len(bucket1) == 5
+    rows = []
+    # every bucket0 line appears in 2 docs -> hot (n_hot=70 -> nb=2);
+    # bucket1 lines appear once each -> must survive the empty bucket
+    for i, hl in enumerate(bucket0):
+        rows.append((2 * i, hl + "\nunique-a-" + str(i)))
+        rows.append((2 * i + 1, hl + "\nunique-b-" + str(i)))
+    for j, ul in enumerate(bucket1):
+        rows.append((1000 + j, ul + "\nunique-c-" + str(j)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(docs, min_doc_freq=2).collect()
+    }
+    for j, ul in enumerate(bucket1):
+        r = got[1000 + j]
+        assert r["text_clean"] == ul + "\nunique-c-" + str(j)
+        assert r["n_removed"] == 0
+    assert got[0]["n_removed"] == 1  # hot line stripped
+
+
+def test_language_id_model_dotted_language_keys(spark):
+    """Model language keys are user data and may contain dots (e.g.
+    'zh.hant'); the materialized __p_<lang> references must be
+    backtick-quoted or Spark parses them as nested-field access."""
+    from haplorec_spark.operators.text import language_id_model
+
+    docs = spark.createDataFrame(
+        [(1, "aaa bbb"), (2, "ccc ddd")], ["doc_id", "text"]
+    )
+    model = {
+        "zh.hant": (0.0, {"aaa": 5.0}),
+        "en": (0.0, {"ccc": 5.0}),
+    }
+    got = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_model(docs, model).collect()
+    }
+    assert got[1] == "zh.hant" and got[2] == "en"
