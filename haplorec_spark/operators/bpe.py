@@ -410,6 +410,15 @@ def train_bpe(
        and accelerating as pair supports shrink), so the 2M default
        costs ≈4 GB — size the knob to the driver's heap, the same
        way every single-node tokenizer trainer is sized.
+
+       **Driver-memory prerequisite** (not just a docstring aside):
+       the 2M-word default assumes a driver with ≥8 GB of heap —
+       Spark's default 1g ``spark.driver.memory`` can OOM on a corpus
+       whose pruned vocabulary approaches the bound. On a
+       default-configured driver pass ``max_driver_vocab=500_000``
+       (the pre-round-7 default, ≈1 GB) or raise
+       ``spark.driver.memory``; callers who sized their driver keep
+       the fast rung for every realistic tokenizer corpus.
     3. Above the bound, the distributed loop runs over the symbol
        table with an INCREMENTALLY MAINTAINED pair-count DataFrame
        (aggregated once at seed, then updated with each accepted

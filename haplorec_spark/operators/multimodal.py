@@ -100,17 +100,25 @@ def _decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
             with wave.open(io.BytesIO(payload)) as w:
                 if w.getsampwidth() == 2:
                     sr = w.getframerate()
-                    n = w.getnframes()
+                    nch = w.getnchannels()
                     pcm = np.frombuffer(
-                        w.readframes(n), dtype=np.int16
+                        w.readframes(w.getnframes()), dtype=np.int16
                     ).astype(np.float64)
-                    if w.getnchannels() > 1:
+                    # frame count comes from the samples actually
+                    # READ, not the header: a frame-truncated (even-
+                    # length) data chunk returns fewer samples than
+                    # getnframes() claims, and trusting the header
+                    # would overstate n_frames/duration while rms ran
+                    # over the real samples — the same [:n]
+                    # defensiveness as the FAKEAUD rung
+                    n = len(pcm) // nch
+                    if nch > 1:
                         # channel-mean downmix: one sample stream per
                         # frame, so n_samples == n_frames whatever
-                        # the layout
-                        pcm = pcm.reshape(
-                            -1, w.getnchannels()
-                        ).mean(axis=1)
+                        # the layout (a torn partial frame is dropped)
+                        pcm = pcm[: n * nch].reshape(-1, nch).mean(
+                            axis=1
+                        )
                     return sr, n, pcm
                 riff_reason = (
                     f"sample width {w.getsampwidth()} (stdlib wave "

@@ -378,6 +378,10 @@ class LanguageIdModel:
         }
         for r in rows:
             out[r["lang"]][1][r["word"]] = float(r["weight"])
+        # undistilled, so every trained feature is here — but the
+        # mapping form still needs ONE full-length key to carry the
+        # gram size (see training._ensure_full_length_feature)
+        _ensure_full_length_feature(out, self)
         return out
 
 
@@ -501,7 +505,41 @@ def top_features(
     }
     for r in ranked.collect():
         out[r["lang"]][1][r["word"]] = round(float(r["weight"]), 6)
+    _ensure_full_length_feature(out, model)
     return out
+
+
+def _ensure_full_length_feature(
+    out: dict[str, tuple[float, dict[str, float]]], model: LanguageIdModel
+) -> None:
+    """The mapping form drops ``ngram``; scorers recover it as the
+    LONGEST feature-key length (``text._mapping_ngram``), which is
+    only exact if at least one FULL-length feature (exactly ``ngram``
+    characters) survived distillation. If top-|weight| selection kept
+    only sub-n boundary grams, force-include the single strongest
+    full-length feature from the full weight table (one extra entry —
+    the bound check happens at the consumer); if the trained weights
+    contain no full-length feature at all, the gram size is genuinely
+    unrecoverable and we raise rather than let the scorer silently
+    run at the wrong n and predict near-bias-only."""
+    n = int(model.ngram)
+    if any(len(w) == n for _, ws in out.values() for w in ws):
+        return
+    best = (
+        model.weights.filter(F.length("word") == n)
+        .orderBy(F.abs(F.col("weight")).desc(), "word")
+        .limit(1)
+        .collect()
+    )
+    if not best:
+        raise ValueError(
+            f"trained weights contain no full-length ({n}-char) "
+            "feature; the literal mapping form cannot carry the "
+            "gram size — score with the full LanguageIdModel via "
+            "text.language_id_model instead"
+        )
+    r = best[0]
+    out[r["lang"]][1][r["word"]] = round(float(r["weight"]), 6)
 
 
 def _table_fingerprint(df: DataFrame, *cols: str) -> str:

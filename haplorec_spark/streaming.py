@@ -749,18 +749,33 @@ def stream_tokenizer_drift(
         n_words = int(
             wc.agg(F.sum("count").alias("t")).first()["t"] or 0
         )
-        psi = value_histogram_psi(baseline_hist, hist, alpha=alpha)
-        out = psi.select(
-            F.lit(batch_id).alias("ingest_batch"),
-            "psi",
-            "n_buckets",
-            F.round(
-                F.lit(n_tokens / n_words if n_words else 0.0), 6
-            ).alias("fertility"),
-            F.lit(n_rows).alias("batch_rows"),
-            F.lit(n_tokens).alias("n_tokens"),
-            F.lit(n_words).alias("n_words"),
-        ).repartition(1)
+        # the output row is BUILT driver-side from scalars instead of
+        # projected off the PSI frame: a non-empty batch whose texts
+        # contain zero words yields an EMPTY histogram, and a
+        # frame-shaped projection would then emit no row at all —
+        # silently absent from the monitor instead of recorded with
+        # n_words=0. Every non-empty batch appends exactly one row.
+        p = (
+            value_histogram_psi(baseline_hist, hist, alpha=alpha)
+            .select("psi", "n_buckets")
+            .first()
+        )
+        out = batch_df.sparkSession.createDataFrame(
+            [
+                (
+                    int(batch_id),
+                    float(p["psi"]) if p and p["psi"] is not None else None,
+                    int(p["n_buckets"]) if p else 0,
+                    round(n_tokens / n_words, 6) if n_words else 0.0,
+                    int(n_rows),
+                    int(n_tokens),
+                    int(n_words),
+                )
+            ],
+            "ingest_batch bigint, psi double, n_buckets bigint, "
+            "fertility double, batch_rows bigint, n_tokens bigint, "
+            "n_words bigint",
+        )
         # same session caveat as stream_drift_monitor: the output plan
         # descends from the MAIN session's baseline frame, so the
         # dynamic-overwrite conf flips on out.sparkSession (the user's

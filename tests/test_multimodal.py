@@ -342,3 +342,26 @@ def test_decode_audio_truncated_pcm16_wav():
     else:
         with pytest.raises(NotImplementedError):
             _decode_audio(torn)
+
+
+def test_decode_audio_frame_truncated_wav_uses_actual_samples():
+    """ADVICE r7: a frame-truncated (even-length) WAV payload whose
+    header still claims the full frame count must report n_frames /
+    duration from the samples actually READ — trusting getnframes()
+    overstated the audio while rms ran over the real samples."""
+    from haplorec_spark.operators.multimodal import _decode_audio
+
+    pcm = (np.sin(np.arange(100) * 0.1) * 9000).astype(np.int16)
+    torn = _wav_bytes(8000, pcm)[:-40]  # drop 20 whole mono frames
+    sr, n, got = _decode_audio(torn)
+    assert (sr, n) == (8000, 80)
+    assert len(got) == 80
+    np.testing.assert_allclose(got, pcm[:80].astype(np.float64))
+
+    # stereo torn mid-frame: one trailing sample (half a frame) is
+    # dropped, frames = whole frames actually present
+    stereo = np.stack([pcm, pcm // 2], axis=1).reshape(-1)
+    torn2 = _wav_bytes(8000, stereo, channels=2)[:-2]
+    sr2, n2, got2 = _decode_audio(torn2)
+    assert (sr2, n2) == (8000, 99)
+    assert len(got2) == 99

@@ -935,3 +935,47 @@ def test_stream_tokenizer_drift_two_drops(spark, tmp_path):
     ).first()
     want_fert = round(tok["t"] / tok["w"], 6)
     assert by_batch[0]["fertility"] == pytest.approx(want_fert, abs=1e-6)
+
+
+def test_stream_tokenizer_drift_zero_word_batch_emits_row(spark, tmp_path):
+    """ADVICE r7: a non-empty micro-batch whose texts contain zero
+    words (whitespace-only) must still append exactly one monitor row
+    — recorded with n_words=0 / fertility 0.0 — instead of being
+    silently absent from the output."""
+    from haplorec_spark.operators.bpe import (
+        bpe_token_length_histogram,
+        train_bpe,
+    )
+    from haplorec_spark.streaming import stream_tokenizer_drift
+
+    train = spark.createDataFrame(
+        [(i, "the old stone house") for i in range(8)],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(train, n_merges=10).localCheckpoint(eager=True)
+    baseline = bpe_token_length_histogram(train, merges).localCheckpoint(
+        eager=True
+    )
+
+    src = tmp_path / "blank_incoming"
+    src.mkdir()
+    out = str(tmp_path / "blankdrift")
+    spark.createDataFrame(
+        [(1, "   "), (2, ""), (3, "     ")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_tokenizer_drift(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src)),
+        merges,
+        baseline,
+        out_path=out,
+        checkpoint_dir=str(tmp_path / "blank_ckpt"),
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["batch_rows"], r["n_words"], r["n_tokens"]) == (3, 0, 0)
+    assert r["fertility"] == 0.0

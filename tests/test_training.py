@@ -596,3 +596,56 @@ def test_old_fingerprint_scheme_gets_actionable_error(
     safe_overwrite_parquet(old, f"{path}/meta")
     with pytest.raises(IOError, match="older fingerprint scheme"):
         load_language_model(spark, path)
+
+
+def test_top_features_force_includes_full_length_feature(spark):
+    """ADVICE r7: the mapping form recovers the gram size from its
+    LONGEST key, so distillation must never keep only sub-n boundary
+    grams — the strongest full-length feature is force-included."""
+    from haplorec_spark.operators.training import (
+        LanguageIdModel,
+        top_features,
+    )
+
+    w = spark.createDataFrame(
+        [
+            ("aa", "x▁", 9.0),      # short boundary gram, dominates
+            ("aa", "abc", 0.2),
+            ("aa", "abd", 0.5),     # strongest full-length feature
+        ],
+        "lang string, word string, weight double",
+    )
+    m = LanguageIdModel(
+        languages=["aa"], weights=w, biases={"aa": 0.0},
+        average=True, ngram=3,
+    )
+    lit = top_features(m, k=1)
+    keys = set(lit["aa"][1])
+    assert "x▁" in keys          # the top-|weight| pick survives
+    assert "abd" in keys         # full-length carrier force-included
+    assert max(len(k) for k in keys) == 3
+
+
+def test_literal_form_raises_without_any_full_length_feature(spark):
+    """A trained weight table with NO full-length feature cannot carry
+    the gram size in the mapping form: both distillation faces raise
+    instead of letting the scorer run at the wrong n."""
+    import pytest
+
+    from haplorec_spark.operators.training import (
+        LanguageIdModel,
+        top_features,
+    )
+
+    w = spark.createDataFrame(
+        [("aa", "x▁", 9.0), ("aa", "yz", 1.0)],
+        "lang string, word string, weight double",
+    )
+    m = LanguageIdModel(
+        languages=["aa"], weights=w, biases={"aa": 0.0},
+        average=True, ngram=3,
+    )
+    with pytest.raises(ValueError, match="full-length"):
+        top_features(m, k=1)
+    with pytest.raises(ValueError, match="full-length"):
+        m.as_literal()
