@@ -55,6 +55,8 @@ import pandas as pd  # module-level so the pandas-UDF type hints resolve
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
+    "GPT2_PRETOKEN_PATTERN",
+    "pretokenize_words",
     "bpe_word_counts",
     "train_bpe",
     "bpe_encode_words",
@@ -111,11 +113,82 @@ def decode_byte_token(token: str) -> str:
     return bytes.fromhex(body).decode("utf-8", errors="replace") + tail
 
 
+#: The published GPT-2/RoBERTa pre-tokenization pattern (Radford et
+#: al. 2019, the ``pat`` of the public reference encoder): contraction
+#: suffixes first, then optionally-space-prefixed Unicode
+#: letter/number/punctuation category runs, then whitespace — where
+#: ``\s+(?!\S)`` keeps the LAST space of a multi-space run glued to
+#: the following word, the "leading-space ownership" that makes
+#: ``' word'`` and ``'word'`` distinct tokens. Java regex handles the
+#: lookahead and ``\p{L}``/``\p{N}`` natively; note Java's ``\s`` is
+#: ASCII whitespace (the one documented divergence from the Python
+#: ``regex``-module original, which treats e.g. NBSP as whitespace —
+#: here NBSP is a punctuation run, a stable and deterministic choice).
+GPT2_PRETOKEN_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+#: Valid ``pretokenize=`` modes, shared by every face that splits
+#: documents into words (train, encode, fertility, histogram, drift).
+PRETOKENIZE_MODES = ("whitespace", "gpt2")
+
+
+def pretokenize_words(text_col: str, pretokenize: str = "whitespace"):
+    """Column of the document's word array under the named
+    pre-tokenization mode — THE single definition of "word" shared by
+    training (:func:`bpe_word_counts`) and every encode face
+    (:func:`bpe_encode_ids`, :func:`bpe_tokenize`), so the two can
+    never drift; the mode travels in the saved artifact
+    (:func:`save_bpe_tokenizer`) for the same reason ``byte_level``
+    does.
+
+    * ``"whitespace"`` — the original behavior: lowercase, split on
+      single spaces, drop empty strings. Right for whitespace-clean
+      analytic corpora; on real web text it glues punctuation to
+      words (``word.``, ``(word``) so learned merges and any public
+      tokenizer disagree.
+    * ``"gpt2"`` — the published GPT-2 regex
+      (:data:`GPT2_PRETOKEN_PATTERN`): case is PRESERVED,
+      punctuation/letters/digits split into separate runs, a word
+      owns its single leading space. Whitespace-only pretokens are
+      dropped (they carry no merge signal — the engine's
+      word-frequency contract has never counted bare separators).
+      This is the mode that makes byte-level training and
+      ``bpe_encode_ids`` agree with public tokenizer behavior on
+      punctuation-glued web text.
+
+    One ``regexp_extract_all`` pass per document either way — a
+    map-side column program, no Python.
+    """
+    if pretokenize not in PRETOKENIZE_MODES:
+        raise ValueError(
+            f"unknown pretokenize mode {pretokenize!r}; "
+            f"expected one of {PRETOKENIZE_MODES}"
+        )
+    if pretokenize == "gpt2":
+        toks = F.regexp_extract_all(
+            F.col(text_col), F.lit(GPT2_PRETOKEN_PATTERN), F.lit(0)
+        )
+        return F.filter(toks, lambda w: ~w.rlike(r"^\s+$"))
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda w: w != ""
+    )
+
+
 def bpe_word_counts(
-    docs: DataFrame, *, text_col: str = "text", min_count: int = 1
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 1,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
-    """(word, count): the whitespace word-frequency table the trainer
-    consumes — one corpus scan, one map-side-combined shuffle.
+    """(word, count): the word-frequency table the trainer consumes —
+    one corpus scan, one map-side-combined shuffle. "Word" is defined
+    by ``pretokenize`` (:func:`pretokenize_words`): the default
+    whitespace split, or the published GPT-2 regex for
+    public-tokenizer-faithful training on web text.
 
     ``min_count`` drops hapax-legomena-style noise before training
     (standard practice: a pair occurring only inside singleton words
@@ -124,9 +197,10 @@ def bpe_word_counts(
     """
     counts = (
         docs.select(
-            F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("word")
+            F.explode(pretokenize_words(text_col, pretokenize)).alias(
+                "word"
+            )
         )
-        .filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("count"))
     )
@@ -380,6 +454,7 @@ def train_bpe(
     merge_batch: int = 32,
     max_driver_vocab: int | None = 2_000_000,
     byte_level: bool = False,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """(merge_rank, left, right, merged, pair_count): the learned BPE
     merge table, in training order.
@@ -448,6 +523,15 @@ def train_bpe(
     display with :func:`decode_byte_token`. Default (char-level) is
     the documented behavior for the ASCII-dominant test corpora.
 
+    ``pretokenize`` picks the word definition
+    (:func:`pretokenize_words`): the default whitespace split, or
+    ``"gpt2"`` — the published GPT-2 regex (contraction suffixes,
+    letter/digit/punctuation category runs, leading-space ownership,
+    case preserved) — so byte-level training learns merges over the
+    same pretokens a public tokenizer would see on punctuation-glued
+    web text. Train and encode MUST agree on the mode (the artifact
+    carries it, like ``byte_level``).
+
     ``max_word_chars`` drops longer "words" from TRAINING (web corpora
     carry unbroken URLs/base64/DNA runs; the merge fold's accumulator
     copy is O(len²) per word, so a single 10k-char token costs more
@@ -470,7 +554,10 @@ def train_bpe(
         raise ValueError(f"merge_batch must be >= 1, got {merge_batch}")
     spark = docs.sparkSession
     counts = bpe_word_counts(
-        docs, text_col=text_col, min_count=min_word_count
+        docs,
+        text_col=text_col,
+        min_count=min_word_count,
+        pretokenize=pretokenize,
     )
     if max_word_chars is not None:
         counts = counts.filter(F.length("word") <= max_word_chars)
@@ -757,6 +844,7 @@ def bpe_vocab(
     text_col: str = "text",
     specials: tuple[str, ...] = ("<pad>", "<unk>", "<bos>", "<eos>"),
     byte_level: bool = False,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """(token_id, token, count): the id-assigned vocabulary a trained
     tokenizer ships — specials first (ids 0..len-1), then every token
@@ -774,7 +862,9 @@ def bpe_vocab(
     """
     from pyspark.sql import Window
 
-    counts = bpe_word_counts(docs, text_col=text_col)
+    counts = bpe_word_counts(
+        docs, text_col=text_col, pretokenize=pretokenize
+    )
     enc = bpe_encode_words(
         counts.select("word"), merges, byte_level=byte_level
     )
@@ -817,6 +907,7 @@ def bpe_encode_ids(
     id_col: str = "doc_id",
     unk_token: str = "<unk>",
     byte_level: bool = False,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """(id, token_ids, n_tokens): every document as its BPE token-id
     sequence, in text order — the array a training-shard consumer
@@ -856,9 +947,9 @@ def bpe_encode_ids(
 
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(
-            F.expr(f"filter(split(lower({text_col}), ' '), w -> w != '')")
-        ).alias("pos", "word"),
+        F.posexplode(pretokenize_words(text_col, pretokenize)).alias(
+            "pos", "word"
+        ),
     )
     enc = (
         toks.select("word")
@@ -910,12 +1001,13 @@ def save_bpe_tokenizer(
     path: str,
     *,
     byte_level: bool = False,
+    pretokenize: str = "whitespace",
 ) -> None:
     """Persist a trained tokenizer: ``<path>/merges`` (+ optional
     ``<path>/vocab``) and a one-row ``<path>/meta`` carrying
-    ``byte_level`` — the flag train and encode MUST agree on, which is
-    exactly why it lives in the artifact instead of in every caller's
-    head. Writes use the temp-sibling + rename scheme of
+    ``byte_level`` AND ``pretokenize`` — the flags train and encode
+    MUST agree on, which is exactly why they live in the artifact
+    instead of in every caller's head. Writes use the temp-sibling + rename scheme of
     ``training.save_text_model`` so re-saving over an existing
     artifact can never destroy it mid-write, and meta — written LAST —
     carries a content fingerprint of each data part that
@@ -927,6 +1019,11 @@ def save_bpe_tokenizer(
     ``bpe_tokenize`` / ``bpe_encode_ids``), batch or streaming."""
     from haplorec_spark.operators.training import safe_overwrite_parquet
 
+    if pretokenize not in PRETOKENIZE_MODES:
+        raise ValueError(
+            f"unknown pretokenize mode {pretokenize!r}; "
+            f"expected one of {PRETOKENIZE_MODES}"
+        )
     spark = merges.sparkSession
     merges = merges.localCheckpoint(eager=True)
     safe_overwrite_parquet(merges, f"{path}/merges")
@@ -940,6 +1037,7 @@ def save_bpe_tokenizer(
             [
                 (
                     bool(byte_level),
+                    str(pretokenize),
                     vocab is not None,
                     _table_fingerprint(
                         merges, "merge_rank", "left", "right"
@@ -947,7 +1045,8 @@ def save_bpe_tokenizer(
                     vocab_fp,
                 )
             ],
-            "byte_level boolean, has_vocab boolean, "
+            "byte_level boolean, pretokenize string, "
+            "has_vocab boolean, "
             "merges_fingerprint string, vocab_fingerprint string",
         ),
         f"{path}/meta",
@@ -956,14 +1055,16 @@ def save_bpe_tokenizer(
 
 def load_bpe_tokenizer(
     spark, path: str
-) -> tuple[DataFrame, DataFrame | None, bool]:
-    """(merges, vocab-or-None, byte_level) from a
+) -> tuple[DataFrame, DataFrame | None, bool, str]:
+    """(merges, vocab-or-None, byte_level, pretokenize) from a
     :func:`save_bpe_tokenizer` artifact, validating meta's content
     fingerprints against the parts actually on disk — a torn save
     (crash between part swaps) raises ``IOError`` instead of pairing
     new merges with a stale ``byte_level`` flag. Artifacts from
     before the fingerprint field load as-is (nothing to validate
-    against)."""
+    against); artifacts from before the ``pretokenize`` field load
+    as ``"whitespace"`` — the only word definition that existed when
+    they were trained."""
     meta = spark.read.parquet(f"{path}/meta").first()
     merges = spark.read.parquet(f"{path}/merges")
     want = (
@@ -993,7 +1094,12 @@ def load_bpe_tokenizer(
                     f"tokenizer at {path} is torn: vocab fingerprint "
                     f"{got_v} != meta's {want_v} (re-save the artifact)"
                 )
-    return merges, vocab, bool(meta["byte_level"])
+    pretokenize = (
+        str(meta["pretokenize"])
+        if "pretokenize" in meta.__fields__
+        else "whitespace"
+    )
+    return merges, vocab, bool(meta["byte_level"]), pretokenize
 
 
 def bpe_tokenize(
@@ -1003,6 +1109,7 @@ def bpe_tokenize(
     text_col: str = "text",
     id_col: str = "doc_id",
     byte_level: bool = False,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """(id, n_words, n_bpe_tokens): per-document BPE token accounting
     — the fertility measurement (BPE tokens per word) that sizes a
@@ -1018,8 +1125,8 @@ def bpe_tokenize(
     """
     toks = docs.select(
         F.col(id_col),
-        F.explode(F.expr(f"split(lower({text_col}), ' ')")).alias("word"),
-    ).filter(F.col("word") != "")
+        F.explode(pretokenize_words(text_col, pretokenize)).alias("word"),
+    )
     encoded = bpe_encode_words(
         toks, merges, byte_level=byte_level
     ).select("word", "n_bpe_tokens")
@@ -1040,6 +1147,7 @@ def bpe_token_length_histogram(
     text_col: str = "text",
     byte_level: bool = False,
     word_counts: DataFrame | None = None,
+    pretokenize: str = "whitespace",
 ) -> DataFrame:
     """(column='token_len', value, n_rows): the corpus's BPE
     token-LENGTH distribution under a trained merge table, in the
@@ -1061,7 +1169,9 @@ def bpe_token_length_histogram(
     counts = (
         word_counts
         if word_counts is not None
-        else bpe_word_counts(docs, text_col=text_col)
+        else bpe_word_counts(
+            docs, text_col=text_col, pretokenize=pretokenize
+        )
     )
     enc = bpe_encode_words(
         counts.select("word"), merges, byte_level=byte_level

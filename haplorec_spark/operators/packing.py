@@ -360,6 +360,7 @@ def write_id_sequence_shards(
     id_col: str = "doc_id",
     seed: str = "pack",
     byte_level: bool = False,
+    pretokenize: str = "whitespace",
     fmt: str = "parquet",
 ) -> DataFrame:
     """Export the corpus as fixed-length TOKEN-ID training shards and
@@ -377,7 +378,13 @@ def write_id_sequence_shards(
     one hash exchange on shard_id, rows sorted by seq_id within each
     shard file. The manifest (shard_id, n_seqs, n_real_tokens,
     content_hash) is written as ``<path>/_manifest`` (the
-    :func:`write_training_shards` convention, crc32 content sums)."""
+    :func:`write_training_shards` convention, crc32 content sums).
+
+    ``pretokenize`` must match how ``merges``/``vocab`` were trained
+    (it travels in the ``bpe.save_bpe_tokenizer`` artifact):
+    ``"gpt2"`` is what makes the "consumer never re-tokenizes"
+    promise hold on punctuation-glued web text, not just
+    whitespace-clean corpora."""
     if seqs_per_shard <= 0:
         raise ValueError(
             f"seqs_per_shard must be positive, got {seqs_per_shard}"
@@ -401,6 +408,7 @@ def write_id_sequence_shards(
         text_col=text_col,
         id_col=id_col,
         byte_level=byte_level,
+        pretokenize=pretokenize,
     )
     seqs = pack_token_ids(
         ids,

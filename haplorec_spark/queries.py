@@ -470,6 +470,24 @@ def q_text_language_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Not a driver gate (the 50-slot budget is full): GPT-2-regex
+# pre-tokenized word counts — the word-frequency table the tokenizer
+# trainer consumes under pretokenize="gpt2" (contraction suffixes,
+# unicode letter/digit/punctuation category runs, leading-space
+# ownership, case preserved). DuckDB-checked by
+# tests/test_registry.py::ROTATED_OUT_ORACLES via an RE2-safe
+# equivalent (RE2 lacks the pattern's (?!\S) lookahead; a marker
+# inserted before the last whitespace of each run reproduces the
+# last-space-glues-to-the-word behavior exactly — fixture-proven in
+# tests/test_bpe.py against a pure-Python replica).
+def q_bpe_gpt2_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.bpe import bpe_word_counts
+
+    return bpe_word_counts(
+        table(spark, sf_dir, "documents"), pretokenize="gpt2"
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): the max_doc_freq
 # hot-shingle cut — the 100 TB lever of ngram_jaccard_pairs, capping
 # the shingle self-join's hottest keys — DuckDB-checked by

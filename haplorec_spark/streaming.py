@@ -687,6 +687,7 @@ def stream_tokenizer_drift(
     checkpoint_dir: str,
     text_col: str = "text",
     byte_level: bool = False,
+    pretokenize: str = "whitespace",
     alpha: float = 0.5,
 ):
     """foreachBatch tokenizer-rot monitor: score every incoming
@@ -711,6 +712,11 @@ def stream_tokenizer_drift(
       frame from the tokenizer's own training corpus, histogram-sized,
       riding along as a tiny static side input).
 
+    ``byte_level`` and ``pretokenize`` must match the pinned
+    artifact's flags (both travel in ``bpe.save_bpe_tokenizer`` meta)
+    — scoring a gpt2-pretokenized tokenizer with whitespace words
+    would report phantom drift.
+
     Per batch: ONE corpus shuffle (the word-count frame, checkpointed
     and shared by the histogram and the fertility denominator) + one
     distinct-word encode (the bounded pandas UDF) + two
@@ -734,9 +740,9 @@ def stream_tokenizer_drift(
             return
         # ONE corpus-batch shuffle: the word-count frame feeds both
         # the token-length histogram and the fertility denominator
-        wc = bpe_word_counts(batch_df, text_col=text_col).localCheckpoint(
-            eager=True
-        )
+        wc = bpe_word_counts(
+            batch_df, text_col=text_col, pretokenize=pretokenize
+        ).localCheckpoint(eager=True)
         hist = bpe_token_length_histogram(
             batch_df,
             merges,

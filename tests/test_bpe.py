@@ -520,8 +520,8 @@ def test_tokenizer_save_load_round_trip(spark, docs, tmp_path):
     path = str(tmp_path / "tok")
     save_bpe_tokenizer(merges, vocab, path, byte_level=True)
 
-    m2, v2, bl = load_bpe_tokenizer(spark, path)
-    assert bl is True and v2 is not None
+    m2, v2, bl, ptk = load_bpe_tokenizer(spark, path)
+    assert bl is True and v2 is not None and ptk == "whitespace"
     assert sorted(tuple(r) for r in m2.collect()) == sorted(
         tuple(r) for r in merges.collect()
     )
@@ -543,15 +543,15 @@ def test_tokenizer_save_load_round_trip(spark, docs, tmp_path):
 
     # re-save a LOADED artifact over its own path (the overwrite-safety
     # contract), and the vocab-less form round-trips too
-    save_bpe_tokenizer(m2, v2, path, byte_level=bl)
-    m3, v3, _ = load_bpe_tokenizer(spark, path)
+    save_bpe_tokenizer(m2, v2, path, byte_level=bl, pretokenize=ptk)
+    m3, v3, _, _ = load_bpe_tokenizer(spark, path)
     assert sorted(tuple(r) for r in m3.collect()) == sorted(
         tuple(r) for r in merges.collect()
     )
     path2 = str(tmp_path / "tok2")
     save_bpe_tokenizer(merges, None, path2)
-    m4, v4, bl4 = load_bpe_tokenizer(spark, path2)
-    assert v4 is None and bl4 is False and m4.count() == merges.count()
+    m4, v4, bl4, ptk4 = load_bpe_tokenizer(spark, path2)
+    assert v4 is None and bl4 is False and ptk4 == "whitespace" and m4.count() == merges.count()
 
 
 def test_self_pair_batch_stays_sequential(spark):
@@ -668,7 +668,7 @@ def test_tokenizer_artifact_torn_save_detected(spark, docs, tmp_path):
     vocab = bpe_vocab(docs, merges)
     path = str(tmp_path / "tok")
     save_bpe_tokenizer(merges, vocab, path)
-    m2, v2, bl = load_bpe_tokenizer(spark, path)
+    m2, v2, bl, _ = load_bpe_tokenizer(spark, path)
     assert not bl and v2 is not None
     assert sorted(tuple(r) for r in m2.collect()) == sorted(
         tuple(r) for r in merges.collect()
@@ -689,3 +689,243 @@ def test_tokenizer_artifact_torn_save_detected(spark, docs, tmp_path):
     )
     with pytest.raises(IOError, match="torn"):
         load_bpe_tokenizer(spark, path)
+
+
+# ------------------------------------------- GPT-2 pre-tokenization
+
+def _is_sp(c):
+    # Java regex \s (the engine's pattern host) is ASCII whitespace
+    return c in " \t\n\x0b\f\r"
+
+
+def _gpt2_pretokens_ref(text):
+    """Pure-Python replica of GPT2_PRETOKEN_PATTERN (leftmost-first
+    alternation semantics, hand-walked — shares no regex engine with
+    the implementation): contraction suffixes; optionally
+    space-prefixed unicode letter / number / other runs; whitespace
+    runs gluing their last space to a following word."""
+    import unicodedata
+
+    def cat(c):
+        return unicodedata.category(c)[0]
+
+    toks, i, n = [], 0, len(text)
+    while i < n:
+        hit = None
+        for suf in ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d"):
+            if text.startswith(suf, i):
+                hit = suf
+                break
+        if hit:
+            toks.append(hit)
+            i += len(hit)
+            continue
+        lead = 1 if text[i] == " " else 0
+        k = i + lead
+        if k < n and cat(text[k]) == "L":
+            while k < n and cat(text[k]) == "L":
+                k += 1
+            toks.append(text[i:k])
+        elif k < n and cat(text[k]) == "N":
+            while k < n and cat(text[k]) == "N":
+                k += 1
+            toks.append(text[i:k])
+        elif k < n and not _is_sp(text[k]):
+            while (
+                k < n
+                and not _is_sp(text[k])
+                and cat(text[k]) not in ("L", "N")
+            ):
+                k += 1
+            toks.append(text[i:k])
+        else:
+            k = i
+            while k < n and _is_sp(text[k]):
+                k += 1
+            if k == n or k - i == 1:
+                toks.append(text[i:k])
+            else:
+                # \s+(?!\S): leave the last space glued to the word
+                toks.append(text[i:k - 1])
+                k -= 1
+        i = k
+    return toks
+
+
+GPT2_FIXTURES = [
+    "Hello, world! It's John's dog.",
+    "a  b   c\td",
+    "  leading and trailing  ",
+    "x2y 42nd héllo Füße naïve 北京 東京42",
+    "(word) word. word? 'quoted' \"dq\" e.g., U.S.A.",
+    "don't can't we'll they've I'm he'd you're",
+    "price: $5.99, 10% off!",
+    "",
+    "   ",
+    "line1\nline2\r\nline3",
+    "CamelCase UPPER lower 'S ODD'S",
+    "multi    spaces      here",
+]
+
+
+def test_gpt2_pretokens_match_replica(spark):
+    from haplorec_spark.operators.bpe import pretokenize_words
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GPT2_FIXTURES)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: list(r["w"])
+        for r in df.select(
+            "doc_id", pretokenize_words("text", "gpt2").alias("w")
+        ).collect()
+    }
+    for i, t in enumerate(GPT2_FIXTURES):
+        want = [
+            w
+            for w in _gpt2_pretokens_ref(t)
+            if not (w and all(_is_sp(c) for c in w))
+        ]
+        assert got[i] == want, repr(t)
+
+
+def test_gpt2_pretokens_punctuation_and_contractions():
+    """The headline fidelity cases, pinned explicitly: punctuation
+    splits off the word, a word owns its single leading space, case
+    is preserved, contraction suffixes are their own tokens."""
+    assert _gpt2_pretokens_ref("Hello, world! It's John's dog.") == [
+        "Hello", ",", " world", "!", " It", "'s", " John", "'s",
+        " dog", ".",
+    ]
+    # leading-space ownership across a multi-space run: the run keeps
+    # all but its last space; the word keeps one
+    assert _gpt2_pretokens_ref("a   b") == ["a", "  ", " b"]
+
+
+def test_gpt2_word_counts_match_replica(spark):
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GPT2_FIXTURES)],
+        "doc_id long, text string",
+    )
+    got = rows(bpe_word_counts(df, pretokenize="gpt2"))
+    want = Counter(
+        w
+        for t in GPT2_FIXTURES
+        for w in _gpt2_pretokens_ref(t)
+        if not (w and all(_is_sp(c) for c in w))
+    )
+    assert got == sorted(want.items())
+
+
+def test_gpt2_rung_parity(spark):
+    """Driver and distributed rungs learn the bit-identical merge
+    table under gpt2 pre-tokenization (space-prefixed words and punct
+    runs flow through both loops unchanged)."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(GPT2_FIXTURES)],
+        "doc_id long, text string",
+    )
+    a = [
+        tuple(r)
+        for r in train_bpe(df, n_merges=25, pretokenize="gpt2")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    b = [
+        tuple(r)
+        for r in train_bpe(
+            df, n_merges=25, pretokenize="gpt2", max_driver_vocab=None
+        )
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert a == b and len(a) == 25
+
+
+def test_gpt2_byte_level_encode_ids_round_trip(spark):
+    """The id-space export contract on punctuation-glued unicode web
+    text: gpt2 + byte_level ids decode back to the EXACT original
+    text (single-spaced text: every space is owned by the following
+    word, so concatenating decoded pretokens restores the document)."""
+    from haplorec_spark.operators.bpe import (
+        END_OF_WORD,
+        bpe_encode_ids,
+        bpe_vocab,
+    )
+
+    texts = [
+        "It's a naïve test, 100% real!",
+        "Füße (feet) cost $5.99 — don't they?",
+        "北京 and 東京42 overlap; e.g. U.S.A.",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = train_bpe(
+        df, n_merges=40, byte_level=True, pretokenize="gpt2"
+    )
+    vocab = bpe_vocab(df, merges, byte_level=True, pretokenize="gpt2")
+    tok_of = {
+        r["token_id"]: r["token"]
+        for r in vocab.select("token_id", "token").collect()
+    }
+    out = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in bpe_encode_ids(
+            df, merges, vocab, byte_level=True, pretokenize="gpt2"
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        hexcat = "".join(
+            tok_of[x].replace(END_OF_WORD, "") for x in out[i]
+        )
+        assert bytes.fromhex(hexcat).decode("utf-8") == t, t
+
+
+def test_unknown_pretokenize_mode_raises(spark, docs):
+    from haplorec_spark.operators.bpe import save_bpe_tokenizer
+
+    with pytest.raises(ValueError, match="pretokenize"):
+        bpe_word_counts(docs, pretokenize="words")
+    merges = train_bpe(docs, n_merges=3)
+    with pytest.raises(ValueError, match="pretokenize"):
+        save_bpe_tokenizer(merges, None, "/tmp/never", pretokenize="x")
+
+
+def test_artifact_meta_carries_pretokenize(spark, docs, tmp_path):
+    """Train/encode must agree on the word definition, so the flag
+    travels in the artifact (the byte_level contract); artifacts from
+    before the field load as whitespace."""
+    from haplorec_spark.operators.bpe import (
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+    from haplorec_spark.operators.training import safe_overwrite_parquet
+
+    merges = train_bpe(docs, n_merges=8, pretokenize="gpt2")
+    path = str(tmp_path / "tok_gpt2")
+    save_bpe_tokenizer(merges, None, path, pretokenize="gpt2")
+    _, _, bl, ptk = load_bpe_tokenizer(spark, path)
+    assert (bl, ptk) == (False, "gpt2")
+
+    # legacy artifact: meta without the pretokenize field
+    from haplorec_spark.operators.bpe import _table_fingerprint
+
+    legacy = str(tmp_path / "tok_legacy")
+    m = merges.localCheckpoint(eager=True)
+    safe_overwrite_parquet(m, f"{legacy}/merges")
+    safe_overwrite_parquet(
+        spark.createDataFrame(
+            [(False, False,
+              _table_fingerprint(m, "merge_rank", "left", "right"),
+              None)],
+            "byte_level boolean, has_vocab boolean, "
+            "merges_fingerprint string, vocab_fingerprint string",
+        ),
+        f"{legacy}/meta",
+    )
+    _, _, _, ptk2 = load_bpe_tokenizer(spark, legacy)
+    assert ptk2 == "whitespace"

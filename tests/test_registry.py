@@ -235,6 +235,32 @@ def _language_model_oracle() -> str:
 
 ROTATED_OUT_ORACLES["q_text_language_model"] = _language_model_oracle()
 
+# GPT-2-regex pre-tokenized word counts. RE2 (DuckDB) lacks the
+# published pattern's (?!\S) lookahead, whose only job is to glue the
+# LAST whitespace of a run to the following word; inserting a marker
+# (chr(1)) before that last whitespace and tokenizing each piece with
+# the lookahead-free alternation reproduces the behavior exactly
+# (piece boundaries are exactly where the lookahead would have split).
+# Whitespace-only pretokens are dropped on both sides (the engine's
+# word-frequency contract).
+ROTATED_OUT_ORACLES["q_bpe_gpt2_word_counts"] = r"""
+    WITH marked AS (
+        SELECT regexp_replace(text, '(\s*)(\s)(\S)',
+                              '\1' || chr(1) || '\2\3', 'g') AS t
+        FROM documents
+    ), pieces AS (
+        SELECT unnest(string_split(t, chr(1))) AS piece FROM marked
+    ), toks AS (
+        SELECT unnest(regexp_extract_all(piece,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+        )) AS word
+        FROM pieces
+    )
+    SELECT word, count(*) AS "count" FROM toks
+    WHERE NOT regexp_matches(word, '^\s+$')
+    GROUP BY word
+"""
+
 ROTATED_OUT_ORACLES["q_embedding_profile"] = """
     WITH p AS (
         SELECT CASE WHEN embedding IS NULL THEN 1.0 ELSE 0.0 END AS nul,
