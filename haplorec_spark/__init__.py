@@ -82,6 +82,7 @@ from haplorec_spark.operators.dedup import (  # noqa: E402
 )
 from haplorec_spark.operators.similarity import (  # noqa: E402
     ann_recall,
+    ann_recall_summary,
     cell_profile,
     incremental_semantic_pairs,
     ivf_pq_topk,
@@ -139,6 +140,7 @@ __all__ = [
     "Pipeline",
     "ReferenceTables",
     "ann_recall",
+    "ann_recall_summary",
     "asof_join",
     "bigram_logprob_score",
     "bm25_rank",

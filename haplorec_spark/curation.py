@@ -75,9 +75,18 @@ class CurationConfig:
     #: language filter/mixture see nulls.
     detect_language: str | None = None
     #: the distilled literal model for ``detect_language="model"``:
-    #: {lang: (bias, {feature: weight})} under the 256-feature
-    #: map-side bound (``training.top_features`` produces it)
+    #: {lang: (bias, {feature: weight})} under the map-side literal
+    #: bound (text.MAX_LITERAL_FEATURES; ``training.top_features``
+    #: produces it)
     language_model: Mapping | None = None
+    #: unknown-language floor for ``detect_language``: documents whose
+    #: best rung score falls below it are labeled ``und`` (ISO 639-2
+    #: undetermined) instead of forced onto the least-bad in-inventory
+    #: language — then the ``languages=`` keep-list drops them (or
+    #: keeps them, if 'und' is listed). On a raw crawl — mostly
+    #: out-of-inventory text — this is what makes ``languages=``
+    #: filtering mean what it says. None keeps the argmax behavior.
+    language_min_score: float | None = None
     #: strip lines shared by >= this many documents before any
     #: doc-level scoring (None skips the stage)
     boilerplate_min_df: int | None = None
@@ -223,13 +232,16 @@ def map_side_curation(
             "config stages need corpus-global state and are batch-only "
             f"(use curate_documents): {offenders}"
         )
+    from haplorec_spark.operators.text import MAX_LITERAL_FEATURES
+
     if (
         cfg.classifier_weights is not None
-        and len(cfg.classifier_weights) > 256
+        and len(cfg.classifier_weights) > MAX_LITERAL_FEATURES
     ):
         raise ValueError(
-            "classifier vocabulary exceeds the literal-map bound (256); "
-            "the adaptive-join path is batch-only"
+            "classifier vocabulary exceeds the literal-map bound "
+            f"({MAX_LITERAL_FEATURES}); the adaptive-join path is "
+            "batch-only"
         )
 
     out = docs
@@ -240,6 +252,7 @@ def map_side_curation(
             text_col=cfg.text_col,
             lang_col=cfg.lang_col,
             model=cfg.language_model,
+            min_score=cfg.language_min_score,
         )
     if cfg.languages is not None:
         out = out.filter(F.col(cfg.lang_col).isin(list(cfg.languages)))
@@ -409,6 +422,7 @@ def curate_documents(
             text_col=cfg.text_col,
             lang_col=cfg.lang_col,
             model=cfg.language_model,
+            min_score=cfg.language_min_score,
         )
     if count_stages:
         # audit base AFTER the language attach, so the flag exprs see
@@ -506,7 +520,11 @@ def curate_documents(
         ).filter(F.col("prob") >= cfg.min_classifier_prob)
         out = out.join(clf.select(cfg.id_col), cfg.id_col)
         if count_stages:
-            if len(cfg.classifier_weights) <= 256:
+            from haplorec_spark.operators.text import (
+                MAX_LITERAL_FEATURES as _MLF,
+            )
+
+            if len(cfg.classifier_weights) <= _MLF:
                 # per-doc and literal-sized: the same shared scoring
                 # exprs, map-side on the audit text (both physical
                 # paths of linear_text_score round identically)

@@ -818,6 +818,38 @@ def ann_recall(
     )
 
 
+def ann_recall_summary(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    probe_col: str = "probe_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """One-row overall recall of an approximate top-k against the
+    exact top-k: (n_probes, n_exact, n_hit, micro_recall,
+    macro_recall) — micro = total hits / total exact pairs, macro =
+    mean of the per-probe recalls (:func:`ann_recall`), which differ
+    whenever probes have unequal n_exact (boundary probes with < k
+    real neighbors). This is the number a knob sweep reads: recall@k
+    as a function of ``nprobe`` / ``n_probe_flips`` / PQ ``m``
+    becomes one row per setting (the SCALE.md recall table), turning
+    the approximate-index knobs into measured recall/latency curves
+    instead of hopes. One extra aggregate over the per-probe frame —
+    evaluation-sample sized."""
+    per = ann_recall(
+        approx, exact, probe_col=probe_col, neighbor_col=neighbor_col
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("n_exact").alias("n_exact"),
+        F.sum("n_hit").alias("n_hit"),
+        F.round(
+            F.sum("n_hit") / F.sum("n_exact").cast("double"), 6
+        ).alias("micro_recall"),
+        F.round(F.avg("recall"), 6).alias("macro_recall"),
+    )
+
+
 # --------------------------------------------------- product quantization
 
 
@@ -1515,6 +1547,11 @@ def refine_topk(
     corpus-vs-corpus shape probes == corpus and a forced broadcast
     would OOM the same way. The only shuffle is the per-probe top-k
     window (plus the key joins themselves above the bounds).
+
+    Measure what refinement buys with :func:`ann_recall` /
+    :func:`ann_recall_summary` against :func:`brute_force_topk` —
+    the recall@k-vs-knob tables in SCALE.md come from exactly that
+    pairing.
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be l2 or cosine, got {metric}")

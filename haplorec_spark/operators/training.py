@@ -51,6 +51,7 @@ training-data pipeline mandate, paired with ``linear_text_score``.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -194,10 +195,12 @@ def train_linear_text_classifier(
     iterations: int = 20,
     learning_rate: float = 1.0,
     l2: float = 0.0,
+    l1: float = 0.0,
     min_df: int = 1,
     average: bool = True,
     max_broadcast_vocab: int = 2_000_000,
     init: LinearTextModel | None = None,
+    vocab: Sequence[str] | None = None,
 ) -> LinearTextModel:
     """Fit the linear quality classifier on (text, 0/1 label) rows.
 
@@ -205,6 +208,24 @@ def train_linear_text_classifier(
     least that many documents (hapax features are noise and triple
     the vocabulary on web text); pruned words simply carry no weight,
     matching ``linear_text_score``'s OOV-contributes-0 convention.
+
+    ``vocab`` RESTRICTS the feature vocabulary to the given words
+    (intersected with the corpus's min_df vocabulary): the
+    prune-and-REFIT move — select a bounded feature set from a full
+    model, then retrain on exactly that set so the surviving features
+    absorb the dropped ones' discriminative work, which top-|weight|
+    truncation alone cannot do (the distilled-model quality lever
+    behind ``scripts/make_pinned_langid.py``).
+
+    ``l1`` trains a SPARSE model by proximal gradient descent (ISTA:
+    the gradient step is followed by soft-thresholding
+    ``w ← sign(w)·max(|w| − lr·l1, 0)``) — the standard way to get a
+    small-and-accurate linear model, because the model CONCENTRATES
+    its discriminative mass onto few features during training instead
+    of having a dense model truncated after the fact. This is what
+    makes map-side literal scoring bounds (256 features) achievable
+    without the quality cliff of top-|weight| pruning. Exact zeros
+    stay in the weights frame (callers drop them when distilling).
 
     Rows with an empty token list score ``bias`` alone and still
     contribute to the bias gradient. Labels must be 0/1 (validated:
@@ -249,12 +270,15 @@ def train_linear_text_classifier(
     # Feature vocabulary with the min_df prune; weights start at 0,
     # or at the init model's values on warm start. feats is already
     # distinct per (doc, word), so df = plain count.
+    keep = vocab
     vocab = (
         feats.groupBy("__word")
         .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") >= min_df)
         .select("__word")
     )
+    if keep is not None:
+        vocab = vocab.filter(F.col("__word").isin(list(keep)))
     if init is not None:
         vocab = vocab.join(
             init.weights.select(
@@ -299,19 +323,21 @@ def train_linear_text_classifier(
         history.append(float(stats["loss"]))
 
         grad = _word_gradient(feats, resid, n_docs)
+        step = F.col("__w") - lr * (
+            F.coalesce(F.col("__g"), F.lit(0.0))
+            + F.lit(float(l2)) * F.col("__w")
+        )
+        if l1:
+            # ISTA proximal step: soft-threshold the gradient update
+            # so weights hit EXACT zero — sparsity emerges during
+            # training rather than by post-hoc truncation
+            thr = F.lit(lr * float(l1))
+            step = F.signum(step) * F.greatest(
+                F.abs(step) - thr, F.lit(0.0)
+            )
         new_weights = (
             weights.join(grad, on="__word", how="left")
-            .select(
-                "__word",
-                (
-                    F.col("__w")
-                    - lr
-                    * (
-                        F.coalesce(F.col("__g"), F.lit(0.0))
-                        + F.lit(float(l2)) * F.col("__w")
-                    )
-                ).alias("__w"),
-            )
+            .select("__word", step.alias("__w"))
             .localCheckpoint(eager=True)
         )
         resid.unpersist()
@@ -396,8 +422,10 @@ def train_language_classifier(
     iterations: int = 12,
     learning_rate: float = 1.0,
     l2: float = 0.0,
+    l1: float = 0.0,
     min_df: int = 2,
     max_broadcast_vocab: int = 2_000_000,
+    vocab: Sequence[str] | None = None,
 ) -> LanguageIdModel:
     """Fit the model rung of language ID on (text, lang) labeled rows:
     per language a one-vs-rest binary linear classifier
@@ -418,6 +446,15 @@ def train_language_classifier(
     ``languages`` fixes both the label set and the deterministic
     prediction tiebreak order; default = sorted distinct values of
     ``lang_col`` (a bounded label-set collect).
+
+    ``vocab`` restricts every per-language model to the given feature
+    set (see :func:`train_linear_text_classifier`): the REFIT half of
+    prune-and-refit — after top-|weight| selection from a full model,
+    retraining on the kept set redistributes the dropped features'
+    discriminative work (measured on the pinned-model eval: refit
+    recovers truncation loss when the candidate set is tight, and the
+    distilled-k sweep in scripts/make_pinned_langid.py picks the
+    operating point under text.MAX_LITERAL_FEATURES).
     """
     from haplorec_spark.operators.text import char_ngram_text_sql
 
@@ -452,9 +489,11 @@ def train_language_classifier(
                 iterations=iterations,
                 learning_rate=learning_rate,
                 l2=l2,
+                l1=l1,
                 min_df=min_df,
                 average=True,
                 max_broadcast_vocab=max_broadcast_vocab,
+                vocab=vocab,
             )
             lw = m.weights.select(
                 F.lit(lang).alias("lang"), "word", "weight"

@@ -408,12 +408,15 @@ def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_profile(table(spark, sf_dir, "embeddings"))
 
 
-def _language_ngram_oracle_sql() -> str:
+def _language_ngram_oracle_sql(min_score: float | None = None) -> str:
     """DuckDB replica of text.language_id_ngram, built from the SAME
     trigram-profile literals so implementation and oracle agree on the
     profiles by construction (the established lexicon-gate pattern).
     Promoted into the driver 50 in round 7 (q_collapse_by_key rotated
-    out — its physical shape is covered by q_report_collapse)."""
+    out — its physical shape is covered by q_report_collapse).
+    ``min_score`` adds the unknown-language floor arm (round 8): below
+    it the argmax is replaced by 'und', replaying
+    text._floor_pred."""
     from haplorec_spark.operators.text import LANG_TRIGRAM_PROFILES
 
     score_exprs = []
@@ -428,6 +431,11 @@ def _language_ngram_oracle_sql() -> str:
     pred = "CASE " + " ".join(
         f"WHEN s_{la} = {best} THEN '{la}'" for la in langs
     ) + " END"
+    if min_score is not None:
+        pred = (
+            f"CASE WHEN {best} >= {min_score!r} THEN ({pred}) "
+            f"ELSE 'und' END"
+        )
     return f"""
         WITH t AS (SELECT doc_id,
                           list_transform(
@@ -467,6 +475,72 @@ def q_text_language_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return language_id_model(
         table(spark, sf_dir, "documents"), PINNED_LANGID_MODEL
+    )
+
+
+# Not driver gates (the 50-slot budget is full): the unknown-language
+# floor arm of each language-ID rung (round 8). Thresholds sit
+# mid-distribution at sf0.001 (measured percentiles) so each oracle
+# exercises BOTH outcomes — some documents flip to 'und', some keep
+# their argmax label; tests/test_registry.py asserts non-vacuity.
+# DuckDB-checked by ROTATED_OUT_ORACLES.
+LANGID_FLOORS = {"lexicon": 0.051, "ngram": 0.1003, "model": 0.0934}
+
+
+def q_text_language_id_floor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import language_id
+
+    return language_id(
+        table(spark, sf_dir, "documents"),
+        min_score=LANGID_FLOORS["lexicon"],
+    )
+
+
+def q_text_language_ngram_floor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from haplorec_spark.operators.text import language_id_ngram
+
+    return language_id_ngram(
+        table(spark, sf_dir, "documents"),
+        min_score=LANGID_FLOORS["ngram"],
+    )
+
+
+def q_text_language_model_floor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id_model,
+    )
+
+    return language_id_model(
+        table(spark, sf_dir, "documents"),
+        PINNED_LANGID_MODEL,
+        min_score=LANGID_FLOORS["model"],
+    )
+
+
+# Not a driver gate (the 50-slot budget is full): ANN recall@k — the
+# evaluation harness that turns the approximate-index knobs (LSH
+# probe flips, IVF nprobe, PQ m, refine) into measured recall curves.
+# Approx = the LSH gate's result, exact = the brute-force gate's, so
+# the DuckDB oracle composes those two gates' own oracle SQL verbatim
+# (tests/test_registry.py) — implementation and oracle agree on both
+# inputs by construction.
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_recall,
+        brute_force_topk,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return ann_recall(
+        ann_lsh_topk(emb, probes, k=5),
+        brute_force_topk(emb, probes, k=5),
     )
 
 

@@ -736,7 +736,7 @@ def test_map_side_curation_rejects_global_stages(spark):
         map_side_curation(
             docs,
             CurationConfig(
-                classifier_weights={f"w{i}": 0.1 for i in range(300)}
+                classifier_weights={f"w{i}": 0.1 for i in range(2500)}
             ),
         )
 
@@ -937,3 +937,53 @@ def test_single_pass_counts_cost_one_extra_action_map_side(spark):
     # cost ≥ 6 extra actions under the legacy per-stage counting
     assert audit - base <= 3, (audit, base)
     assert audit - base < len(counts) - 1, (audit, base)
+
+
+def test_curation_language_floor_drops_oov_text(spark):
+    """language_min_score composes with the languages= keep-list: raw
+    gibberish that the argmax would mislabel into the keep-list now
+    lands in 'und' and is dropped, and the stage accounting shows the
+    new drops."""
+    from haplorec_spark.operators.text import with_language
+
+    real = spark.read.parquet(f"{SF_DIR}/documents.parquet").drop("lang")
+    gib = spark.createDataFrame(
+        [
+            (900001, "qzx wvv kkjq zzt bbrm plok"),
+            (900002, ";;; ### @@@ %%% &&&"),
+        ],
+        real.select("doc_id", "text").schema,
+    )
+    docs = real.select("doc_id", "text").unionByName(gib)
+    floor = 0.09
+    base = dict(
+        detect_language="ngram",
+        languages=["en", "de"],
+        min_quality=0.0,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+    )
+    out_f, counts_f = curate_documents(
+        docs,
+        config=CurationConfig(language_min_score=floor, **base),
+        count_stages=True,
+    )
+    kept = {r["doc_id"] for r in out_f.collect()}
+    assert not kept & {900001, 900002}
+    # parity with the operator's own floored predictions
+    pred = {
+        r["doc_id"]: r["lang"]
+        for r in with_language(docs, min_score=floor).collect()
+    }
+    assert counts_f["language"] == sum(
+        1 for v in pred.values() if v in ("en", "de")
+    )
+    # the floor must be the thing that dropped them: without it the
+    # argmax files the gibberish under SOME in-inventory label
+    assert pred[900001] == "und" and pred[900002] == "und"
+    out_nf, counts_nf = curate_documents(
+        docs, config=CurationConfig(**base), count_stages=True
+    )
+    assert counts_nf["language"] >= counts_f["language"]

@@ -190,12 +190,13 @@ ROTATED_OUT_ORACLES["q_collapse_by_key"] = """
 """
 
 
-def _language_model_oracle() -> str:
+def _language_model_oracle(min_score: float | None = None) -> str:
     """DuckDB replica of text.language_id_model's literal path, built
     from the SAME pinned weights so implementation and oracle agree on
     the model by construction: per language
     prob = round(sigmoid(round(bias + sum(weight[t3])/len(t3), 6)), 6),
-    argmax with declaration-order tiebreak."""
+    argmax with declaration-order tiebreak. ``min_score`` adds the
+    round-8 unknown-language floor arm (below it → 'und')."""
     from haplorec_spark.operators.text import PINNED_LANGID_MODEL
 
     score_exprs = []
@@ -220,6 +221,11 @@ def _language_model_oracle() -> str:
     pred = "CASE " + " ".join(
         f"WHEN p_{la} = {best} THEN '{la}'" for la in langs
     ) + " END"
+    if min_score is not None:
+        pred = (
+            f"CASE WHEN {best} >= {min_score!r} THEN ({pred}) "
+            f"ELSE 'und' END"
+        )
     return f"""
         WITH t AS (SELECT doc_id,
                           list_transform(
@@ -234,6 +240,91 @@ def _language_model_oracle() -> str:
 
 
 ROTATED_OUT_ORACLES["q_text_language_model"] = _language_model_oracle()
+
+
+def _lexicon_floor_oracle(min_score: float) -> str:
+    """The lexicon rung's driver-gate SQL (text.py registration) plus
+    the round-8 unknown-language floor arm, built from the same
+    _duck_lang_scores literals."""
+    from haplorec_spark.operators.text import _duck_lang_scores
+
+    scores = _duck_lang_scores()
+    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
+    ) + " END"
+    return f"""
+        SELECT doc_id,
+               CASE WHEN {best} >= {min_score!r} THEN ({pred})
+                    ELSE 'und' END AS predicted_lang,
+               {best} AS lang_score
+        FROM documents
+    """
+
+
+def _floor_oracles() -> dict[str, str]:
+    from haplorec_spark.queries import (
+        LANGID_FLOORS,
+        _language_ngram_oracle_sql,
+    )
+
+    return {
+        "q_text_language_id_floor": _lexicon_floor_oracle(
+            LANGID_FLOORS["lexicon"]
+        ),
+        "q_text_language_ngram_floor": _language_ngram_oracle_sql(
+            LANGID_FLOORS["ngram"]
+        ),
+        "q_text_language_model_floor": _language_model_oracle(
+            LANGID_FLOORS["model"]
+        ),
+    }
+
+
+ROTATED_OUT_ORACLES.update(_floor_oracles())
+
+
+def _ann_recall_oracle() -> str:
+    """Recall of the LSH gate vs the brute-force gate, composed from
+    those two driver gates' OWN oracle SQL (DuckDB allows CTE-bearing
+    subqueries as derived tables), so all three stay consistent by
+    construction."""
+    from haplorec_spark.queries import registry
+
+    reg = registry()
+    exact = reg["q_ann_brute_force"].sql
+    approx = reg["q_ann_lsh_bucketed"].sql
+    return f"""
+        SELECT probe_id, n_exact, n_hit,
+               round(n_hit / n_exact::DOUBLE, 6) AS recall
+        FROM (
+            SELECT e.probe_id, count(*)::BIGINT AS n_exact,
+                   count(a.neighbor_id)::BIGINT AS n_hit
+            FROM ({exact}) e
+            LEFT JOIN ({approx}) a
+              ON e.probe_id = a.probe_id
+             AND e.neighbor_id = a.neighbor_id
+            GROUP BY e.probe_id)
+    """
+
+
+ROTATED_OUT_ORACLES["q_ann_recall"] = _ann_recall_oracle()
+
+
+def test_langid_floors_are_non_vacuous(spark):
+    """Each floor oracle must exercise BOTH outcomes at sf0.001: some
+    documents flip to 'und', some keep an in-inventory argmax label —
+    otherwise the threshold arm tests nothing."""
+    import haplorec_spark.queries as q
+
+    sf = "/root/testdata/sf0.001"
+    for name in _floor_oracles():
+        langs = {
+            r["predicted_lang"]
+            for r in getattr(q, name)(spark, sf).collect()
+        }
+        assert "und" in langs, f"{name}: floor never fired"
+        assert langs - {"und"}, f"{name}: floor swallowed everything"
 
 # GPT-2-regex pre-tokenized word counts. RE2 (DuckDB) lacks the
 # published pattern's (?!\S) lookahead, whose only job is to glue the

@@ -973,3 +973,34 @@ def test_refine_rejects_bad_metric(spark):
 
     with _pytest.raises(ValueError, match="metric"):
         refine_topk(emb.limit(1), emb, emb.limit(1), metric="dot")
+
+
+def test_ann_recall_summary_matches_per_probe(spark):
+    """The one-row overall face: micro = total hits / total exact,
+    macro = mean per-probe recall — pinned against ann_recall's
+    per-probe frame computed in Python."""
+    import pytest
+
+    from haplorec_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_recall,
+        ann_recall_summary,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    approx = ann_lsh_topk(emb, probes, k=5)
+    exact = brute_force_topk(emb, probes, k=5)
+    per = ann_recall(approx, exact).collect()
+    (row,) = ann_recall_summary(approx, exact).collect()
+    assert row["n_probes"] == len(per)
+    assert row["n_exact"] == sum(r["n_exact"] for r in per)
+    assert row["n_hit"] == sum(r["n_hit"] for r in per)
+    assert row["micro_recall"] == pytest.approx(
+        round(sum(r["n_hit"] for r in per)
+              / sum(r["n_exact"] for r in per), 6), abs=1e-9
+    )
+    assert row["macro_recall"] == pytest.approx(
+        round(sum(r["recall"] for r in per) / len(per), 6), abs=1e-6
+    )

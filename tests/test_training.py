@@ -37,14 +37,18 @@ DOCS = [
 ]
 
 
-def numpy_train(rows, iterations, lr, l2=0.0, min_df=1, average=True):
-    """Dense replica of the documented update rule."""
+def numpy_train(rows, iterations, lr, l2=0.0, min_df=1, average=True,
+                l1=0.0, keep=None):
+    """Dense replica of the documented update rule (incl. the ISTA
+    soft-threshold for l1 and the round-8 vocab keep-set)."""
     toks = [(i, t.lower().split(" "), y) for i, t, y in rows]
     df = {}
     for _, ws, _ in toks:
         for w in set(ws):
             df[w] = df.get(w, 0) + 1
     vocab = sorted(w for w, c in df.items() if c >= min_df)
+    if keep is not None:
+        vocab = [w for w in vocab if w in set(keep)]
     vidx = {w: j for j, w in enumerate(vocab)}
     n, v = len(toks), len(vocab)
     X = np.zeros((n, v))
@@ -65,6 +69,8 @@ def numpy_train(rows, iterations, lr, l2=0.0, min_df=1, average=True):
         r = p - y
         grad = X.T @ r / n + l2 * wts
         wts -= lr * grad
+        if l1:
+            wts = np.sign(wts) * np.maximum(np.abs(wts) - lr * l1, 0.0)
         bias -= lr * float(np.mean(r))
     return dict(zip(vocab, wts)), bias, losses
 
@@ -649,3 +655,48 @@ def test_literal_form_raises_without_any_full_length_feature(spark):
         top_features(m, k=1)
     with pytest.raises(ValueError, match="full-length"):
         m.as_literal()
+
+
+def test_l1_training_matches_replica_and_sparsifies(spark, docs):
+    """Round-8 ISTA knob: l1 training matches the numpy proximal-step
+    replica to float precision AND produces exact zeros (sparsity
+    emerges during training, not by post-hoc truncation)."""
+    from haplorec_spark.operators.training import (
+        train_linear_text_classifier,
+    )
+
+    m = train_linear_text_classifier(
+        docs, iterations=8, learning_rate=1.0, l1=0.02
+    )
+    got = {
+        r["word"]: r["weight"] for r in m.weights.collect()
+    }
+    want_w, want_b, _ = numpy_train(DOCS, 8, 1.0, l1=0.02)
+    assert set(got) == set(want_w)
+    for w in got:
+        assert got[w] == pytest.approx(want_w[w], abs=1e-12), w
+    assert m.bias == pytest.approx(want_b, abs=1e-12)
+    n_zero = sum(1 for x in got.values() if x == 0.0)
+    assert n_zero > 0  # exact zeros exist
+    assert any(x != 0.0 for x in got.values())  # and signal survives
+
+
+def test_vocab_restricted_training_matches_replica(spark, docs):
+    """Round-8 refit knob: vocab= restricts the feature set; the fit
+    matches the numpy replica trained on the same restricted
+    vocabulary, and no out-of-vocab feature appears."""
+    from haplorec_spark.operators.training import (
+        train_linear_text_classifier,
+    )
+
+    keep = ["the", "click", "buy", "dog"]
+    m = train_linear_text_classifier(
+        docs, iterations=6, learning_rate=1.0, vocab=keep
+    )
+    got = {r["word"]: r["weight"] for r in m.weights.collect()}
+    assert set(got) <= set(keep)
+    want_w, want_b, _ = numpy_train(DOCS, 6, 1.0, keep=keep)
+    assert set(got) == set(want_w)
+    for w in got:
+        assert got[w] == pytest.approx(want_w[w], abs=1e-12), w
+    assert m.bias == pytest.approx(want_b, abs=1e-12)
