@@ -32,6 +32,95 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def load_bench_json(path: str) -> dict:
+    """Best-effort load of a prior bench artifact: the file may be the
+    bench JSON itself, a driver wrapper ``{"parsed": {...}}``, or a
+    wrapper whose ``parsed`` is null with the JSON line inside a
+    raw/tail string field (the driver-side truncation seen in
+    BENCH_r06/r07)."""
+    with open(path) as f:
+        doc = json.load(f)
+    if "queries" in doc:
+        return doc
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return doc["parsed"]
+    for key in ("raw", "tail", "stdout"):
+        blob = doc.get(key)
+        if isinstance(blob, str):
+            for line in reversed(blob.strip().splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        cand = json.loads(line)
+                    except ValueError:
+                        continue
+                    if "queries" in cand:
+                        return cand
+    raise ValueError(f"{path}: no bench JSON with a 'queries' map found")
+
+
+def compare_runs(
+    cur: dict[str, float],
+    prev: dict[str, float],
+    *,
+    ratio_threshold: float = 1.25,
+    min_delta_sec: float = 0.3,
+) -> dict:
+    """Host-normalized comparison of two per-query timing maps.
+
+    Raw cross-day ratios conflate host swing with code change (this
+    host's bench totals move ±30% day to day, every query uniformly —
+    round-7 judging had to settle it with a same-day worktree A/B).
+    The estimator built in here: the MEDIAN per-query ratio over the
+    common queries approximates the host factor, because code changes
+    touch few queries while host swing moves all of them — the median
+    is exact whenever fewer than half the common queries changed
+    behavior (the every-round reality). Each query's ratio is divided
+    by that median; a query is flagged only when its NORMALIZED ratio
+    crosses ``ratio_threshold`` AND its raw delta crosses
+    ``min_delta_sec`` (sub-100 ms queries jitter past any ratio).
+    """
+    common = sorted(set(cur) & set(prev))
+    ratios = {
+        q: cur[q] / prev[q] for q in common if prev[q] > 0
+    }
+    if not ratios:
+        return {
+            "common_queries": 0,
+            "median_ratio": None,
+            "normalized_regressions": [],
+            "normalized_improvements": [],
+        }
+    med = sorted(ratios.values())[len(ratios) // 2]
+    regressions, improvements = [], []
+    for q, r in sorted(ratios.items()):
+        nr = r / med if med > 0 else r
+        entry = {
+            "query": q,
+            "prev_sec": prev[q],
+            "cur_sec": cur[q],
+            "raw_ratio": round(r, 3),
+            "normalized_ratio": round(nr, 3),
+        }
+        if nr >= ratio_threshold and cur[q] - prev[q] * med >= min_delta_sec:
+            regressions.append(entry)
+        elif (
+            nr <= 1.0 / ratio_threshold
+            and prev[q] * med - cur[q] >= min_delta_sec
+        ):
+            improvements.append(entry)
+    regressions.sort(key=lambda e: -e["normalized_ratio"])
+    improvements.sort(key=lambda e: e["normalized_ratio"])
+    return {
+        "common_queries": len(common),
+        "median_ratio": round(med, 4),
+        "new_queries": sorted(set(cur) - set(prev)),
+        "removed_queries": sorted(set(prev) - set(cur)),
+        "normalized_regressions": regressions,
+        "normalized_improvements": improvements,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -128,7 +217,7 @@ def main() -> None:
     }
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
@@ -143,7 +232,22 @@ def main() -> None:
         "queries_spread": spread,
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf,
-    }))
+    }
+    if "--compare" in sys.argv:
+        baseline = sys.argv[sys.argv.index("--compare") + 1]
+        out["compare"] = {
+            "baseline": baseline,
+            **compare_runs(times, load_bench_json(baseline)["queries"]),
+        }
+    # the stdout line is the driver's artifact, but driver-side capture
+    # has truncated it before (BENCH_r06/r07 "parsed": null) — write the
+    # same JSON to a file so the artifact is self-contained
+    local = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(local, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
