@@ -37,7 +37,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from haplorec_spark.operators.packing import _SEP as _PACK_SEP
@@ -294,9 +294,31 @@ def curate_documents(
     target: DataFrame | None = None,
     bpe_merges: DataFrame | None = None,
     count_stages: bool = False,
+    reject_sample_k: int | None = None,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation sequence; returns (curated frame, stage
-    counts — empty unless ``count_stages``).
+    counts — empty unless ``count_stages``), plus a third element —
+    the per-stage REJECT reservoir frame — when ``reject_sample_k``
+    is set.
+
+    ``reject_sample_k`` (requires ``count_stages``) captures up to k
+    rejected documents PER survival stage: (stage, doc_id, text,
+    reject_priority), where ``stage`` is the FIRST stage whose
+    predicate the document failed and ``text`` is the text that
+    predicate actually read (post-boilerplate when that stage ran).
+    Sampling is the deterministic hash-minimum pattern of
+    ``sampling.top_k_by_hash`` — the k smallest
+    ``md5('rejects', doc_id)`` priorities per stage — so a rerun
+    reproduces the same reservoir and two operators inspecting the
+    same drop argue about the same documents. This is the
+    WHY-did-my-data-die face for a 100 TB run: the chain is NOT
+    re-executed — the death stage comes from the same single-scan
+    flag frame the stage counts use, and the only added work is one
+    death-stage-keyed exchange whose per-stage top-k is rank-limited
+    (Spark's WindowGroupLimit keeps it a bounded per-partition heap,
+    never a full sort). Off by default: zero extra work. Row-reshaping
+    tail stages (mixture/split/chunk/pack) drop rows by
+    construction, not by predicate, and are out of reservoir scope.
 
     Output columns: the input's, plus ``text_redacted`` (when
     ``redact``), ``split``, — when ``chunk_size`` is set — one row per
@@ -332,6 +354,16 @@ def curate_documents(
 
     cfg = config
     counts: dict[str, int] = {}
+    if reject_sample_k is not None:
+        if reject_sample_k < 1:
+            raise ValueError(
+                f"reject_sample_k must be >= 1, got {reject_sample_k}"
+            )
+        if not count_stages:
+            raise ValueError(
+                "reject_sample_k needs the stage flag frame; pass "
+                "count_stages=True"
+            )
     if cfg.token_col is not None and bpe_merges is not None:
         raise ValueError(
             "token_col and bpe_merges are mutually exclusive "
@@ -849,4 +881,38 @@ def curate_documents(
             counts[stage] = int(row[f"__c{i}"] or 0)
         for stage, frame in late:
             counts[stage] = frame.count()
+    if reject_sample_k is not None:
+        assert audit is not None
+        # death stage = the FIRST failed flag (flags evaluate in
+        # chain order, so the CASE's first-match semantics give
+        # exactly "the stage that killed it")
+        death = F.when(F.lit(False), F.lit(None))
+        for stage, colname in survival:
+            if colname is not None:
+                death = death.when(~F.col(colname), F.lit(stage))
+        rejected = (
+            audit.withColumn("__death", death)
+            .filter(F.col("__death").isNotNull())
+            .select(
+                F.col("__death").alias("stage"),
+                F.col(cfg.id_col),
+                F.col("__t").alias(cfg.text_col),
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit("rejects"),
+                        F.col(cfg.id_col).cast("string"),
+                    )
+                ).alias("reject_priority"),
+            )
+        )
+        w = Window.partitionBy("stage").orderBy(
+            "reject_priority", cfg.id_col
+        )
+        rejects = (
+            rejected.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= reject_sample_k)
+            .drop("__rn")
+        )
+        return out, counts, rejects
     return out, counts

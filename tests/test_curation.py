@@ -987,3 +987,74 @@ def test_curation_language_floor_drops_oov_text(spark):
         docs, config=CurationConfig(**base), count_stages=True
     )
     assert counts_nf["language"] >= counts_f["language"]
+
+
+def test_reject_reservoir_captures_why_documents_died(spark):
+    """Round-8 reject sampling: with reject_sample_k the chain also
+    returns up to k deterministic hash-minimum rejects PER stage,
+    labeled with the FIRST stage whose predicate the document failed
+    — so an operator can inspect why data died without re-running
+    the chain."""
+    rows = (
+        # survives everything
+        [(i, "the house and the water and the people are here today "
+              "and the children are reading the words", "web")
+         for i in range(10)]
+        # dies at the language keep-list (French)
+        + [(100 + i, "le chat est dans la maison avec les enfants et "
+                     "nous parlons pendant la soiree ensemble", "web")
+           for i in range(5)]
+        # dies at quality (too short once language passes)
+        + [(200 + i, "the end", "web") for i in range(5)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, domain string"
+    )
+    # "the end" scores 0.6 (length gate 0 at 2 words, word-len 0.3,
+    # stopword 0.3) — below 0.7; the long English docs score 1.0
+    cfg = CurationConfig(
+        detect_language="lexicon",
+        languages=["en"],
+        min_quality=0.7,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+    )
+    out, counts, rejects = curate_documents(
+        docs, config=cfg, count_stages=True, reject_sample_k=3
+    )
+    got = rejects.collect()
+    by_stage: dict[str, list] = {}
+    for r in got:
+        by_stage.setdefault(r["stage"], []).append(r)
+    # bounded per stage
+    assert all(len(v) <= 3 for v in by_stage.values())
+    # the French docs die at the language stage, the stubs at quality
+    assert {r["doc_id"] for r in by_stage["language"]} <= set(
+        range(100, 105)
+    )
+    assert {r["doc_id"] for r in by_stage["quality"]} <= set(
+        range(200, 205)
+    )
+    # first-failure semantics: every reject appears exactly once
+    assert len({r["doc_id"] for r in got}) == len(got)
+    # deterministic: a rerun reproduces the reservoir exactly
+    _, _, rejects2 = curate_documents(
+        docs, config=cfg, count_stages=True, reject_sample_k=3
+    )
+    assert sorted(map(tuple, got)) == sorted(
+        map(tuple, rejects2.collect())
+    )
+    # counts unchanged vs the 2-tuple face
+    out0, counts0 = curate_documents(docs, config=cfg, count_stages=True)
+    assert counts0 == counts
+    # guard rails
+    import pytest
+
+    with pytest.raises(ValueError, match="count_stages"):
+        curate_documents(docs, config=cfg, reject_sample_k=3)
+    with pytest.raises(ValueError, match=">= 1"):
+        curate_documents(
+            docs, config=cfg, count_stages=True, reject_sample_k=0
+        )
