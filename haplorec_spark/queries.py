@@ -544,6 +544,20 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Not a driver gate (the 50-slot budget is full): the unigram-LM
+# tokenizer's candidate-piece seeding — the SQL-expressible half of
+# the trainer (the EM loop itself is iterative and replica-pinned in
+# tests/test_unigram.py). DuckDB-checked by ROTATED_OUT_ORACLES.
+def q_unigram_seed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.bpe import bpe_word_counts
+    from haplorec_spark.operators.unigram import unigram_seed_counts
+
+    return unigram_seed_counts(
+        bpe_word_counts(table(spark, sf_dir, "documents")),
+        max_piece_len=4,
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): GPT-2-regex
 # pre-tokenized word counts — the word-frequency table the tokenizer
 # trainer consumes under pretokenize="gpt2" (contraction suffixes,

@@ -325,6 +325,16 @@ CHECKS = {
                    ".*HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_unigram_encode_ids": {
+        # the unigram rung shares BPE's id-encode invariant: the
+        # Viterbi segmenter (ArrowEvalPython) runs over the DISTINCT
+        # word aggregate, never the exploded corpus stream; per-doc
+        # reassembly is map-side array_sort, no Window
+        "expect": ["ArrowEvalPython.*HashAggregate.*Exchange"
+                   ".*HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window"],
+    },
 }
 
 
@@ -680,6 +690,19 @@ def _curation_bpe_pack(spark, sf_dir):
         bpe_merges=merges,
     )
     return out
+
+
+def _unigram_encode_ids(spark, sf_dir):
+    from haplorec_spark.operators.unigram import (
+        train_unigram,
+        unigram_encode_ids,
+        unigram_vocab,
+    )
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    pieces = train_unigram(docs.limit(20), 60, max_piece_len=4)
+    return unigram_encode_ids(docs, pieces, unigram_vocab(pieces))
 
 
 import haplorec_spark.queries as _qmod

@@ -310,6 +310,28 @@ def _ann_recall_oracle() -> str:
 
 ROTATED_OUT_ORACLES["q_ann_recall"] = _ann_recall_oracle()
 
+# unigram tokenizer seeding: every substring of length 1..4 of every
+# distinct word, weighted by word frequency — the candidate vocabulary
+# the (iterative, replica-pinned) EM trainer prunes.
+ROTATED_OUT_ORACLES["q_unigram_seed_counts"] = """
+    WITH wc AS (
+        SELECT word, count(*) AS c FROM (
+            SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+        WHERE word <> '' GROUP BY word
+    ), subs AS (
+        SELECT piece, c FROM (
+            SELECT unnest(flatten(list_transform(
+                       range(1, length(word) + 1),
+                       i -> list_transform(range(1, 5),
+                                           n -> substr(word, i, n))
+                   ))) AS piece,
+                   c
+            FROM wc)
+        WHERE piece <> '')
+    SELECT piece, sum(c)::BIGINT AS count FROM subs GROUP BY piece
+"""
+
 
 def test_langid_floors_are_non_vacuous(spark):
     """Each floor oracle must exercise BOTH outcomes at sf0.001: some
