@@ -452,7 +452,7 @@ def _language_ngram_oracle_sql(min_score: float | None = None) -> str:
 @register(
     "q_text_language_ngram",
     _language_ngram_oracle_sql(),
-    "trigram-profile language ID (7 languages), map-side literal "
+    "trigram-profile language ID (11 languages), map-side literal "
     "profiles (training-data text-analysis family)",
 )
 def q_text_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1301,3 +1301,37 @@ def test_with_language_floor_matches_batch_rung(spark):
         }
         assert got == want, method
         assert "und" in set(got.values()), method
+
+
+def test_language_scorer_survives_downstream_rewrites(spark):
+    """Round-8 regression: the language scorers must be SINGLE
+    self-contained expressions, because downstream rewrites (pushed
+    filters, stage-count aggregate extraction) substitute through
+    projections and previously multiplied the stacked helper levels —
+    the curation chain's split-count plan held 529 copies of the
+    trigram construction (236 s for a 50k audit vs 23 s after the
+    fix). Pin: a detect -> keep-list -> quality chain's final plan
+    contains at most a handful of scorer copies."""
+    from haplorec_spark.curation import CurationConfig, curate_documents
+
+    docs = spark.createDataFrame(
+        [(i, "the cat is in the house and the dog is here") for i in
+         range(30)],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(
+        detect_language="ngram",
+        languages=["en", "de"],
+        language_min_score=0.09,
+        min_quality=0.3,
+        redact=False,
+        dedup=None,
+    )
+    out, _ = curate_documents(docs, config=cfg, count_stages=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # 'slice(' appears once per trigram-construction copy; the ngram
+    # scorer may legitimately be copied once per downstream REFERENCE
+    # (lang output + pushed language filter + floor) but never per
+    # reference x per language x per level
+    n = plan.count("slice(")
+    assert n <= 6, f"scorer inlined {n} times — expression blowup"
