@@ -86,8 +86,10 @@ def compare_runs(
     }
     if not ratios:
         return {
-            "common_queries": 0,
+            "common_queries": len(common),
             "median_ratio": None,
+            "new_queries": sorted(set(cur) - set(prev)),
+            "removed_queries": sorted(set(prev) - set(cur)),
             "normalized_regressions": [],
             "normalized_improvements": [],
         }
@@ -122,6 +124,18 @@ def compare_runs(
 
 
 def main() -> None:
+    # validate --compare BEFORE minutes of query execution: a missing
+    # operand or unreadable baseline should fail in milliseconds, not
+    # after the whole benchmark has run
+    baseline_queries = None
+    baseline_path = None
+    if "--compare" in sys.argv:
+        i = sys.argv.index("--compare")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--compare needs a baseline JSON path")
+        baseline_path = sys.argv[i + 1]
+        baseline_queries = load_bench_json(baseline_path)["queries"]
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -233,11 +247,10 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": sf,
     }
-    if "--compare" in sys.argv:
-        baseline = sys.argv[sys.argv.index("--compare") + 1]
+    if baseline_queries is not None:
         out["compare"] = {
-            "baseline": baseline,
-            **compare_runs(times, load_bench_json(baseline)["queries"]),
+            "baseline": baseline_path,
+            **compare_runs(times, baseline_queries),
         }
     # the stdout line is the driver's artifact, but driver-side capture
     # has truncated it before (BENCH_r06/r07 "parsed": null) — write the

@@ -295,7 +295,10 @@ def curate_documents(
     bpe_merges: DataFrame | None = None,
     count_stages: bool = False,
     reject_sample_k: int | None = None,
-) -> tuple[DataFrame, dict[str, int]]:
+) -> (
+    tuple[DataFrame, dict[str, int]]
+    | tuple[DataFrame, dict[str, int], DataFrame]
+):
     """Run the full curation sequence; returns (curated frame, stage
     counts — empty unless ``count_stages``), plus a third element —
     the per-stage REJECT reservoir frame — when ``reject_sample_k``

@@ -213,19 +213,25 @@ def train_linear_text_classifier(
     (intersected with the corpus's min_df vocabulary): the
     prune-and-REFIT move — select a bounded feature set from a full
     model, then retrain on exactly that set so the surviving features
-    absorb the dropped ones' discriminative work, which top-|weight|
-    truncation alone cannot do (the distilled-model quality lever
-    behind ``scripts/make_pinned_langid.py``).
+    can absorb the dropped ones' discriminative work. (Measured
+    honestly on the pinned-model eval: refit did NOT beat plain
+    top-|weight| truncation at equal budget there — the sweep lives
+    in SCALE.md — but the knob is the standard tool for corpora where
+    it does, and the shipped pinned model uses plain ``top_features``
+    at k=128.)
 
     ``l1`` trains a SPARSE model by proximal gradient descent (ISTA:
     the gradient step is followed by soft-thresholding
     ``w ← sign(w)·max(|w| − lr·l1, 0)``) — the standard way to get a
-    small-and-accurate linear model, because the model CONCENTRATES
-    its discriminative mass onto few features during training instead
-    of having a dense model truncated after the fact. This is what
-    makes map-side literal scoring bounds (256 features) achievable
-    without the quality cliff of top-|weight| pruning. Exact zeros
-    stay in the weights frame (callers drop them when distilling).
+    small-and-accurate linear model: the model CONCENTRATES its
+    discriminative mass onto few features during training instead of
+    having a dense model truncated after the fact — the standard tool
+    for fitting under a map-side literal budget
+    (``text.MAX_LITERAL_FEATURES``). Exact zeros stay in the weights
+    frame (callers drop them when distilling). Note the ISTA
+    shrinkage biases surviving weights low; on the pinned-model eval
+    plain top-|weight| truncation of an unregularized model measured
+    better (SCALE.md) — measure per corpus.
 
     Rows with an empty token list score ``bias`` alone and still
     contribute to the bias gradient. Labels must be 0/1 (validated:

@@ -92,20 +92,19 @@ def unigram_seed_counts(
     """
     pieces = (
         f"flatten(transform(sequence(1, length(word)),"
-        f" i -> transform(sequence(1, {int(max_piece_len)}),"
+        f" i -> transform("
+        f" sequence(1, least({int(max_piece_len)}, length(word) - i + 1)),"
         f" n -> substring(word, i, n))))"
     )
     return (
         counts.select(
             F.explode(F.expr(pieces)).alias("piece"), "count"
         )
-        # substring beyond the end returns a short or empty string:
-        # the short tails are REAL suffix pieces (substring(w, i, n)
-        # with i+n > len) and must be kept exactly once each — which
-        # the position loop already guarantees; only empties (i >
-        # len) are artifacts. They cannot arise for i <= length, so
-        # filtering '' is exact.
-        .filter(F.col("piece") != "")
+        # the inner length loop is clipped to the remaining characters
+        # (least(L, len - i + 1)) so each substring occurrence is
+        # emitted EXACTLY once — an unclipped loop would re-emit every
+        # word-final piece once per excess length (substring() clips
+        # silently), inflating suffix counts by up to L-1x
         .groupBy("piece")
         .agg(F.sum("count").alias("count"))
     )
@@ -227,13 +226,30 @@ def train_unigram(
         counts = counts.filter(F.length("word") <= max_word_chars)
     # pin the corpus-derived table: every EM round re-reads it
     counts = counts.localCheckpoint(eager=True)
+    if not counts.head(1):
+        raise ValueError(
+            "training corpus has no words (empty or whitespace-only "
+            "text, or everything fell below min_word_count/"
+            "max_word_chars)"
+        )
 
-    seeds = unigram_seed_counts(counts, max_piece_len=max_piece_len)
+    # checkpoint the seed aggregate ONCE: the singles count, the
+    # multi-piece cut, and the first EM round all read it
+    seeds = unigram_seed_counts(
+        counts, max_piece_len=max_piece_len
+    ).localCheckpoint(eager=True)
     singles = seeds.filter(F.length("piece") == 1)
+    n_singles = singles.count()
+    if n_singles > vocab_size:
+        raise ValueError(
+            f"the training alphabet alone has {n_singles} characters, "
+            f"above vocab_size={vocab_size} — the alphabet is never "
+            "pruned, so the target is unreachable"
+        )
     multi = (
         seeds.filter(F.length("piece") > 1)
         .orderBy(F.col("count").desc(), "piece")
-        .limit(max(seed_size - singles.count(), 0))
+        .limit(max(seed_size - n_singles, 0))
     )
     pieces = singles.unionByName(multi).localCheckpoint(eager=True)
 
@@ -263,13 +279,6 @@ def train_unigram(
         )
         return kept.localCheckpoint(eager=True)
 
-    n_singles = singles.count()
-    if n_singles > vocab_size:
-        raise ValueError(
-            f"the training alphabet alone has {n_singles} characters, "
-            f"above vocab_size={vocab_size} — the alphabet is never "
-            "pruned, so the target is unreachable"
-        )
     current = pieces
     while True:
         for _ in range(em_iters):

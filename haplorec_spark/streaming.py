@@ -782,10 +782,11 @@ def stream_tokenizer_drift(
             "fertility double, batch_rows bigint, n_tokens bigint, "
             "n_words bigint",
         )
-        # same session caveat as stream_drift_monitor: the output plan
-        # descends from the MAIN session's baseline frame, so the
-        # dynamic-overwrite conf flips on out.sparkSession (the user's
-        # session) with save/restore.
+        # out is built on batch_df's (cloned) session, but the conf
+        # flip below must still save/restore — foreachBatch clones
+        # SHARE the underlying SQLConf entry unless the query sets
+        # per-query overrides, and leaking partitionOverwriteMode
+        # would silently change unrelated writes.
         conf = out.sparkSession.conf
         prev = conf.get("spark.sql.sources.partitionOverwriteMode", None)
         conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -323,8 +323,9 @@ ROTATED_OUT_ORACLES["q_unigram_seed_counts"] = """
         SELECT piece, c FROM (
             SELECT unnest(flatten(list_transform(
                        range(1, length(word) + 1),
-                       i -> list_transform(range(1, 5),
-                                           n -> substr(word, i, n))
+                       i -> list_transform(
+                           range(1, least(4, length(word) - i + 1) + 1),
+                           n -> substr(word, i, n))
                    ))) AS piece,
                    c
             FROM wc)

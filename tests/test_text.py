@@ -1335,3 +1335,38 @@ def test_language_scorer_survives_downstream_rewrites(spark):
     # reference x per language x per level
     n = plan.count("slice(")
     assert n <= 6, f"scorer inlined {n} times — expression blowup"
+
+
+def test_null_text_yields_null_prediction_on_every_rung(spark):
+    """Review-caught (round 8): the struct argmax over all-NULL scores
+    tiebreaks to the first declared language, so NULL text must be
+    guarded. Pinned contract — unified across rungs (they used to
+    disagree): NULL text -> NULL prediction + NULL score; with the
+    floor set, NULL falls to 'und' (NULL >= floor is NULL)."""
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id,
+        language_id_model,
+        language_id_ngram,
+        with_language,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat is in the house"), (1, None)],
+        "doc_id long, text string",
+    )
+    for df in (
+        language_id(docs),
+        language_id_ngram(docs),
+        language_id_model(docs, PINNED_LANGID_MODEL),
+    ):
+        got = {r["doc_id"]: tuple(r)[1:] for r in df.collect()}
+        assert got[1] == (None, None)
+        assert got[0][0] == "en"
+    floored = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in language_id_ngram(docs, min_score=0.1).collect()
+    }
+    assert floored[1] == "und"
+    wl = {r["doc_id"]: r["lang"] for r in with_language(docs).collect()}
+    assert wl == {0: "en", 1: None}

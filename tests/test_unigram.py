@@ -53,10 +53,9 @@ def _ref_seeds(wc, max_len):
     c = Counter()
     for w, n in wc.items():
         for i in range(len(w)):
-            for ln in range(1, max_len + 1):
-                p = w[i : i + ln]
-                if p:
-                    c[p] += n
+            # clip to the remaining chars: each occurrence counts once
+            for ln in range(1, min(max_len, len(w) - i) + 1):
+                c[w[i : i + ln]] += n
     return dict(c)
 
 
@@ -291,9 +290,8 @@ def test_gpt2_pretokenize_flows_through(spark):
     seeds = Counter()
     for w, n in wc.items():
         for i in range(len(w)):
-            for ln in range(1, 5):
-                if w[i : i + ln]:
-                    seeds[w[i : i + ln]] += n
+            for ln in range(1, min(4, len(w) - i) + 1):
+                seeds[w[i : i + ln]] += n
     got_seeds = {
         (r["piece"], r["count"])
         for r in unigram_seed_counts(
@@ -319,3 +317,13 @@ def test_train_unigram_validation(spark, docs):
         train_unigram(docs, 30, pretokenize="nope")
     with pytest.raises(ValueError, match="alphabet"):
         train_unigram(docs, 3)  # alphabet alone exceeds the target
+
+
+def test_empty_corpus_fails_with_clear_error(spark):
+    """Review-caught: a wordless corpus previously crashed with
+    'math domain error' (log(0)) deep in the EM loop."""
+    empty = spark.createDataFrame(
+        [(0, ""), (1, "   ")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="no words"):
+        train_unigram(empty, 40)
