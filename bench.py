@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -93,7 +94,7 @@ def compare_runs(
             "normalized_regressions": [],
             "normalized_improvements": [],
         }
-    med = sorted(ratios.values())[len(ratios) // 2]
+    med = statistics.median(ratios.values())
     regressions, improvements = [], []
     for q, r in sorted(ratios.items()):
         nr = r / med if med > 0 else r

@@ -562,8 +562,11 @@ def _ensure_full_length_feature(
     only exact if at least one FULL-length feature (exactly ``ngram``
     characters) survived distillation. If top-|weight| selection kept
     only sub-n boundary grams, force-include the single strongest
-    full-length feature from the full weight table (one extra entry —
-    the bound check happens at the consumer); if the trained weights
+    full-length feature from the full weight table, then evict the
+    globally weakest kept feature so the total feature count is
+    unchanged — a model distilled to land exactly at the consumer's
+    ``MAX_LITERAL_FEATURES`` bound stays at the bound instead of
+    overshooting by one and being rejected. If the trained weights
     contain no full-length feature at all, the gram size is genuinely
     unrecoverable and we raise rather than let the scorer silently
     run at the wrong n and predict near-bias-only."""
@@ -584,6 +587,16 @@ def _ensure_full_length_feature(
             "text.language_id_model instead"
         )
     r = best[0]
+    # evict BEFORE inserting the carrier so it can never evict itself
+    # (deterministic: smallest |weight|, ties broken by (lang, word))
+    kept = [
+        (abs(w), lang, word)
+        for lang, (_, ws) in sorted(out.items())
+        for word, w in sorted(ws.items())
+    ]
+    if kept:
+        _, evict_lang, evict_word = min(kept)
+        del out[evict_lang][1][evict_word]
     out[r["lang"]][1][r["word"]] = round(float(r["weight"]), 6)
 
 

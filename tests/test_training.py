@@ -605,9 +605,14 @@ def test_old_fingerprint_scheme_gets_actionable_error(
 
 
 def test_top_features_force_includes_full_length_feature(spark):
-    """ADVICE r7: the mapping form recovers the gram size from its
-    LONGEST key, so distillation must never keep only sub-n boundary
-    grams — the strongest full-length feature is force-included."""
+    """ADVICE r7 + r8: the mapping form recovers the gram size from
+    its LONGEST key, so distillation must never keep only sub-n
+    boundary grams — the strongest full-length feature is
+    force-included, and (r8) the globally weakest kept feature is
+    evicted in exchange so the total feature count never exceeds
+    k × languages (a model distilled to land exactly at
+    MAX_LITERAL_FEATURES must not overshoot to 2049 and be rejected
+    by the consumer's bound check)."""
     from haplorec_spark.operators.training import (
         LanguageIdModel,
         top_features,
@@ -615,21 +620,30 @@ def test_top_features_force_includes_full_length_feature(spark):
 
     w = spark.createDataFrame(
         [
-            ("aa", "x▁", 9.0),      # short boundary gram, dominates
+            ("aa", "x▁", 9.0),      # short boundary grams dominate
+            ("aa", "y▁", 5.0),      # ... so k=2 keeps only sub-n keys
             ("aa", "abc", 0.2),
             ("aa", "abd", 0.5),     # strongest full-length feature
+            ("bb", "qr", 3.0),
+            ("bb", "s▁", 0.01),     # globally weakest kept → evicted
         ],
         "lang string, word string, weight double",
     )
     m = LanguageIdModel(
-        languages=["aa"], weights=w, biases={"aa": 0.0},
+        languages=["aa", "bb"], weights=w, biases={"aa": 0.0, "bb": 0.0},
         average=True, ngram=3,
     )
-    lit = top_features(m, k=1)
-    keys = set(lit["aa"][1])
-    assert "x▁" in keys          # the top-|weight| pick survives
-    assert "abd" in keys         # full-length carrier force-included
-    assert max(len(k) for k in keys) == 3
+    lit = top_features(m, k=2)
+    keys_aa = set(lit["aa"][1])
+    keys_bb = set(lit["bb"][1])
+    assert "abd" in keys_aa      # full-length carrier force-included
+    assert "s▁" not in keys_bb   # weakest kept feature evicted in trade
+    assert "qr" in keys_bb
+    # the bound-critical invariant: carrier insertion never grows the
+    # total feature count past what k × languages allows
+    total = len(keys_aa) + len(keys_bb)
+    assert total <= 2 * 2
+    assert max(len(k) for k in keys_aa | keys_bb) == 3
 
 
 def test_literal_form_raises_without_any_full_length_feature(spark):
