@@ -31,7 +31,11 @@ Layout:
 
 __version__ = "0.1.0"
 
-from haplorec_spark.curation import CurationConfig, curate_documents  # noqa: E402
+from haplorec_spark.curation import (  # noqa: E402
+    CurationConfig,
+    curate_documents,
+    curation_report,
+)
 from haplorec_spark.operators.asof import asof_join  # noqa: E402
 from haplorec_spark.operators.ranges import interval_join  # noqa: E402
 from haplorec_spark.operators.division import (  # noqa: E402
@@ -105,6 +109,7 @@ from haplorec_spark.operators.text import (  # noqa: E402
     normalize_text,
     perplexity_buckets,
     redact_pii,
+    script_fractions,
     strip_boilerplate_lines,
     unigram_logprob_score,
 )
@@ -123,7 +128,12 @@ from haplorec_spark.operators.training import (  # noqa: E402
 )
 from haplorec_spark.pipeline import Pipeline, ReferenceTables  # noqa: E402
 from haplorec_spark.session import get_spark  # noqa: E402
-from haplorec_spark.sources import jsonl_sink, jsonl_source  # noqa: E402
+from haplorec_spark.sources import (  # noqa: E402
+    jsonl_sink,
+    jsonl_source,
+    warc_source,
+    wet_source,
+)
 from haplorec_spark.streaming import (  # noqa: E402
     stream_dedup_events,
     stream_dedup_ingest,
@@ -153,6 +163,7 @@ __all__ = [
     "cluster_size_profile",
     "contamination_report",
     "curate_documents",
+    "curation_report",
     "decontaminate",
     "duplicate_ngram_spans",
     "evaluate_binary_classifier",
@@ -169,6 +180,8 @@ __all__ = [
     "language_id_model",
     "leakage_safe_split",
     "jsonl_source",
+    "warc_source",
+    "wet_source",
     "load_language_model",
     "load_text_model",
     "media_duplicate_pairs",
@@ -187,6 +200,7 @@ __all__ = [
     "profile_drift",
     "profile_table",
     "redact_pii",
+    "script_fractions",
     "refine_topk",
     "select_where_either_subset_of",
     "select_where_subset_of",

@@ -169,6 +169,17 @@ class CurationConfig:
     chunk_size: int | None = None
     chunk_stride: int | None = None
     chunk_min_words: int = 1
+    #: word definition for the quality/repetition stage and chunking:
+    #: "whitespace" (historical single-space split) or "script"
+    #: (script-segmented — space-free-script characters become their
+    #: own words, a no-op on spaced-script text; see
+    #: ``text.segmented_text_sql``). A crawl with ANY zh/ja/th share
+    #: needs "script": under "whitespace" such a document is ONE word,
+    #: the quality gate reads it as pathological, and the pipeline
+    #: silently drops entire writing systems. The language rungs are
+    #: script-aware unconditionally (their segmentation is a no-op on
+    #: spaced scripts, so there is no knob to get wrong there).
+    segmentation: str = "whitespace"
     text_col: str = "text"
     id_col: str = "doc_id"
     lang_col: str = "lang"
@@ -256,7 +267,11 @@ def map_side_curation(
         )
     if cfg.languages is not None:
         out = out.filter(F.col(cfg.lang_col).isin(list(cfg.languages)))
-    qexprs = _quality_exprs(cfg.text_col, include_repetition=True)
+    qexprs = _quality_exprs(
+        cfg.text_col,
+        include_repetition=True,
+        segmentation=cfg.segmentation,
+    )
     clobbered = sorted(
         {a for a, _ in qexprs}.intersection(out.columns)
     )
@@ -512,6 +527,7 @@ def curate_documents(
         text_col=cfg.text_col,
         id_col=cfg.id_col,
         include_repetition=True,
+        segmentation=cfg.segmentation,
     ).filter(
         (F.col("quality") >= cfg.min_quality)
         & (F.col("dup_word_fraction") < cfg.max_dup_word_fraction)
@@ -521,7 +537,13 @@ def curate_documents(
     if count_stages:
         # the same per-doc exprs map_side_curation shares with
         # quality_score, evaluated on the audit text — map-side
-        qx = dict(_quality_exprs("__t", include_repetition=True))
+        qx = dict(
+            _quality_exprs(
+                "__t",
+                include_repetition=True,
+                segmentation=cfg.segmentation,
+            )
+        )
         _flag_map(
             "quality",
             (F.expr(qx["quality"]) >= cfg.min_quality)
@@ -807,6 +829,7 @@ def curate_documents(
             min_words=cfg.chunk_min_words,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
+            segmentation=cfg.segmentation,
         ).select(
             cfg.id_col,
             "chunk_ix",
@@ -871,6 +894,14 @@ def curate_documents(
         # inherit the running conjunction). Only the row-reshaping
         # tail (mixture/split/chunk/pack) still costs one job each.
         assert audit is not None
+        if reject_sample_k is not None:
+            # two actions read the flag frame (this aggregate + the
+            # reservoir collect below) — persist it so the language
+            # scorer / quality expressions evaluate once per row, not
+            # once per action (measured 95 → ~50 s at 50k CJK docs);
+            # the reservoir is materialized bounded below, so the
+            # cache is released before returning
+            audit = audit.persist()
         aggs = []
         conj = F.lit(True)
         for i, (_stage, colname) in enumerate(survival):
@@ -916,6 +947,96 @@ def curate_documents(
             rejected.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= reject_sample_k)
             .drop("__rn")
+            # bounded (k rows per stage): pin it so the audit cache
+            # can be released without the caller's later collect
+            # recomputing the whole flag frame
+            .localCheckpoint(eager=True)
         )
+        audit.unpersist()
         return out, counts, rejects
     return out, counts
+
+
+def curation_report(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    config: CurationConfig = CurationConfig(),
+    *,
+    target: DataFrame | None = None,
+    bpe_merges: DataFrame | None = None,
+    reject_sample_k: int = 5,
+    max_sample_chars: int = 120,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(report, curated, input_profile): the survival dashboard a
+    100 TB curation operator actually reads — one row per pipeline
+    stage with ``(stage, n_in, n_out, n_dropped, drop_rate,
+    sample_reject_ids, sample_rejects)``, where the samples are the
+    deterministic per-stage reject reservoirs (up to
+    ``reject_sample_k`` documents whose DEATH stage this was, texts
+    truncated to ``max_sample_chars``).
+
+    Composition, not new machinery: the counts and reservoirs come
+    from ONE :func:`curate_documents` run (``count_stages=True`` +
+    ``reject_sample_k`` — the single-scan flag-frame audit; no stage
+    is re-executed), the report assembly is a bounded driver-side
+    collect (``k × #stages`` reservoir rows), and ``input_profile``
+    is the LAZY
+    :func:`~haplorec_spark.operators.profiling.text_corpus_profile`
+    of the input corpus — it costs its one corpus scan only if the
+    caller collects it. ``curated`` is the pipeline's output frame,
+    so reading the report never wastes the run.
+
+    Accounting semantics inherited from ``count_stages``: a
+    row-preserving rewrite stage (boilerplate, redact) inherits the
+    previous count (drop_rate 0); the row-reshaping tail (mixture /
+    split / chunk / pack) counts ROWS of its output, so a chunking
+    stage can legitimately report n_out > n_in (drop_rate is floored
+    at 0 rather than reported negative).
+    """
+    from haplorec_spark.operators.profiling import text_corpus_profile
+
+    out, counts, rejects = curate_documents(
+        docs,
+        benchmark,
+        config,
+        target=target,
+        bpe_merges=bpe_merges,
+        count_stages=True,
+        reject_sample_k=reject_sample_k,
+    )
+    samples: dict[str, list[tuple[str, str]]] = {}
+    for r in rejects.collect():  # bounded: k rows per stage
+        samples.setdefault(r["stage"], []).append(
+            (
+                r["reject_priority"],
+                str(r[config.id_col]),
+                (r[config.text_col] or "")[:max_sample_chars],
+            )
+        )
+    rows = []
+    prev = None
+    for stage, n_out_c in counts.items():
+        n_in = n_out_c if prev is None else prev
+        dropped = max(n_in - n_out_c, 0)
+        sample = sorted(samples.get(stage, []))
+        rows.append(
+            (
+                stage,
+                int(n_in),
+                int(n_out_c),
+                int(dropped),
+                round(dropped / n_in, 6) if n_in else 0.0,
+                [i for _, i, _ in sample],
+                [t for _, _, t in sample],
+            )
+        )
+        prev = n_out_c
+    report = docs.sparkSession.createDataFrame(
+        rows,
+        "stage string, n_in bigint, n_out bigint, n_dropped bigint, "
+        "drop_rate double, sample_reject_ids array<string>, "
+        "sample_rejects array<string>",
+    )
+    return report, out, text_corpus_profile(
+        docs, text_col=config.text_col, id_col=config.id_col
+    )

@@ -139,6 +139,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     seed: str = "shards",
     fmt: str = "parquet",
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Export the curated corpus as deterministic training shards and
     return the shard manifest.
@@ -170,6 +171,17 @@ def write_training_shards(
     its deterministic order — and the manifest is one aggregate over
     the written files (reading back what was written, so the manifest
     doubles as a write-back check).
+
+    ``shuffle_salt`` (round 9) re-keys the DETERMINISTIC SEEDED
+    SHUFFLE a training consumer reads in: intra-shard row order
+    becomes ``md5(shuffle_salt, id)`` instead of the packing key, and
+    in ``n_shards`` mode the shard-assignment band is salted too —
+    so each epoch's re-export permutes both which shard a document
+    lands in and the order inside it, while ``shard_tokens`` mode
+    keeps its token-budget boundaries (the tape stays seeded by
+    ``seed``) and permutes only the within-shard order. Same hash-band
+    machinery, same single exchange — no new shuffle shape. The
+    manifest records the salt (NULL when unsalted).
     """
     if (shard_tokens is None) == (n_shards is None):
         raise ValueError("pass exactly one of shard_tokens / n_shards")
@@ -198,11 +210,14 @@ def write_training_shards(
 
         out = docs.select(
             "*",
-            F.pmod(_hash_band(seed, [id_col]), F.lit(n_shards)).alias(
-                "shard_id"
-            ),
+            F.pmod(
+                _hash_band(shuffle_salt or seed, [id_col]),
+                F.lit(n_shards),
+            ).alias("shard_id"),
         )
         width = n_shards
+    if shuffle_salt is not None:
+        key = _pack_key(shuffle_salt, id_col)
     spark = docs.sparkSession
     n_parts = width or spark.sparkContext.defaultParallelism
     (
@@ -235,6 +250,9 @@ def write_training_shards(
                     )
                 )
             ).alias("content_hash"),
+        )
+        .withColumn(
+            "shuffle_salt", F.lit(shuffle_salt).cast("string")
         )
         .orderBy("shard_id")
     )
@@ -362,6 +380,7 @@ def write_id_sequence_shards(
     byte_level: bool = False,
     pretokenize: str = "whitespace",
     fmt: str = "parquet",
+    shuffle_salt: str | None = None,
 ) -> DataFrame:
     """Export the corpus as fixed-length TOKEN-ID training shards and
     return the shard manifest — the id-space composition of
@@ -384,7 +403,21 @@ def write_id_sequence_shards(
     (it travels in the ``bpe.save_bpe_tokenizer`` artifact):
     ``"gpt2"`` is what makes the "consumer never re-tokenizes"
     promise hold on punctuation-glued web text, not just
-    whitespace-clean corpora."""
+    whitespace-clean corpora.
+
+    ``shuffle_salt`` (round 9) decorrelates what a training consumer
+    READS from the tape layout: sequences of one long document occupy
+    ADJACENT tape positions, so contiguous shards stream them
+    back-to-back. With a salt, sequence→shard becomes the salted
+    hash band mod ``ceil(n_seqs / seqs_per_shard)`` and intra-shard
+    order the salted md5 of ``seq_id`` — a deterministic seeded
+    permutation of the whole corpus at sequence granularity (shard
+    sizes are multinomial around ``seqs_per_shard``, no longer
+    exact). Costs ONE extra count job over the persisted sequence
+    frame (the shard count must be known before assignment); the
+    unsalted path stays single-pass. Re-exporting with a new salt =
+    a new epoch order; the manifest records the salt (NULL when
+    unsalted)."""
     if seqs_per_shard <= 0:
         raise ValueError(
             f"seqs_per_shard must be positive, got {seqs_per_shard}"
@@ -418,20 +451,41 @@ def write_id_sequence_shards(
         bos_id=tok_ids.get(bos_token) if bos_token else None,
         eos_id=tok_ids.get(eos_token) if eos_token else None,
         pad_id=tok_ids.get(pad_token) if pad_token else None,
-    ).withColumn(
-        "shard_id", F.expr(f"seq_id DIV {seqs_per_shard}")
     )
     spark = docs.sparkSession
+    if shuffle_salt is None:
+        seqs = seqs.withColumn(
+            "shard_id", F.expr(f"seq_id DIV {seqs_per_shard}")
+        )
+        order = [F.col("seq_id")]
+    else:
+        from haplorec_spark.operators.sampling import _hash_band
+
+        # the salted assignment needs the shard COUNT up front: one
+        # persisted pass + count, then the same single write exchange
+        seqs = seqs.persist()
+        n_seqs = seqs.count()
+        n_out_shards = max(1, -(-n_seqs // seqs_per_shard))
+        seqs = seqs.withColumn(
+            "shard_id",
+            F.pmod(
+                _hash_band(shuffle_salt, ["seq_id"]),
+                F.lit(n_out_shards),
+            ),
+        )
+        order = [_pack_key(shuffle_salt, "seq_id")]
     (
         seqs.repartition(
             spark.sparkContext.defaultParallelism, "shard_id"
         )
-        .sortWithinPartitions("shard_id", "seq_id")
+        .sortWithinPartitions(F.col("shard_id"), *order)
         .write.partitionBy("shard_id")
         .mode("overwrite")
         .format(fmt)
         .save(path)
     )
+    if shuffle_salt is not None:
+        seqs.unpersist()
     written = spark.read.format(fmt).load(path)
     manifest = (
         written.groupBy("shard_id")
@@ -447,6 +501,9 @@ def write_id_sequence_shards(
                     )
                 )
             ).alias("content_hash"),
+        )
+        .withColumn(
+            "shuffle_salt", F.lit(shuffle_salt).cast("string")
         )
         .orderBy("shard_id")
     )

@@ -45,12 +45,98 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Tiny per-language function-word lexicons (public common stopwords).
+def _codepoint_class(ranges: list[tuple[int, int]]) -> str:
+    """Regex character-class body for codepoint ranges, written as
+    LITERAL characters (``一-龥``) rather than ``\\x{...}`` or
+    ``\\p{script=...}`` escapes — literal ranges are the one spelling
+    that is valid, and means the same thing, in Java regex (Spark),
+    RE2 (the DuckDB oracles), and Python ``re`` (the replica tests),
+    and they survive SQL string literals with no escaping rules."""
+    return "".join(f"{chr(a)}-{chr(b)}" for a, b in ranges)
+
+
+#: Unicode ranges of the SPACE-FREE scripts — writing systems with no
+#: word-separating spaces, where the engine's whitespace "word"
+#: definition would otherwise see an entire document as one word
+#: (pathological mean word length, token count 1, no language signal).
+#: Han (CJK Unified + Ext A + compatibility), Hiragana, Katakana
+#: (+ phonetic extensions), Thai.
+_SPACEFREE_RANGES: list[tuple[int, int]] = [
+    (0x3041, 0x309F),  # Hiragana
+    (0x30A0, 0x30FF),  # Katakana (incl. ー)
+    (0x31F0, 0x31FF),  # Katakana phonetic extensions
+    (0x3400, 0x4DBF),  # CJK Extension A
+    (0x4E00, 0x9FFF),  # CJK Unified Ideographs
+    (0xF900, 0xFAFF),  # CJK Compatibility Ideographs
+    (0x0E01, 0x0E5B),  # Thai
+]
+
+#: Character class matching ONE space-free-script character.
+SPACEFREE_CLASS = f"[{_codepoint_class(_SPACEFREE_RANGES)}]"
+
+#: Hangul ranges — Korean is NOT space-free (words are space-
+#: separated), so Hangul is excluded from segmentation; the ranges
+#: exist for :func:`script_fractions`' per-script audit columns.
+_HANGUL_RANGES: list[tuple[int, int]] = [
+    (0x1100, 0x11FF),
+    (0x3130, 0x318F),
+    (0xAC00, 0xD7AF),
+]
+
+#: Valid ``segmentation=`` modes for the word-based operators
+#: (:func:`quality_score`, :func:`token_counts`,
+#: :func:`chunk_documents`, :func:`repetition_metrics`).
+SEGMENTATION_MODES = ("whitespace", "script")
+
+
+def segmented_text_sql(text_col: str) -> str:
+    """SQL for ``text_col`` with every space-free-script character
+    isolated as its own whitespace-delimited token, runs of spaces
+    collapsed and ends trimmed (the canonical segmented form — spaced
+    and continuous spellings of the same CJK text converge to one
+    string). On text containing NO space-free-script characters the
+    segmentation pass is an exact no-op, so "script" segmentation is
+    SELF-SELECTING per character: Latin corpora keep their whitespace
+    words bit-for-bit while zh/ja/th spans decompose per character
+    (the standard character-as-word proxy for Han — each ideograph is
+    a morpheme — and a deterministic counting proxy for Kana/Thai).
+    Three chained ``regexp_replace``/``trim`` passes — map-side,
+    whole-stage-codegen, no Python."""
+    seg = f"regexp_replace({text_col}, '({SPACEFREE_CLASS})', ' $1 ')"
+    return f"trim(regexp_replace({seg}, '  +', ' '))"
+
+
+def _words_sql(text_col: str, segmentation: str) -> str:
+    """SQL for the lowercased word array under the named segmentation
+    mode. ``"whitespace"`` is the engine's historical definition
+    (single-space split, empties kept — every pinned oracle hash was
+    computed over it, so it must stay bit-identical); ``"script"``
+    splits the canonical segmented form and drops empty tokens (the
+    canonical form cannot produce them except for empty text)."""
+    if segmentation not in SEGMENTATION_MODES:
+        raise ValueError(
+            f"unknown segmentation mode {segmentation!r}; "
+            f"expected one of {SEGMENTATION_MODES}"
+        )
+    if segmentation == "script":
+        seg = segmented_text_sql(f"lower({text_col})")
+        return f"filter(split({seg}, ' '), w -> w != '')"
+    return f"split(lower({text_col}), ' ')"
+
+
+# Tiny per-language function-word lexicons (public common stopwords;
+# zh/ja/th entries are single characters — the tokens the script
+# segmentation produces; ko entries are whole words, Korean being a
+# spaced script).
 LANG_LEXICON: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is"],
     "fr": ["le", "la", "de", "et", "un", "une", "est"],
     "es": ["el", "la", "de", "y", "un", "una", "es"],
     "de": ["der", "die", "das", "und", "ein", "ist", "zu"],
+    "zh": ["的", "是", "不", "了", "在", "我", "有"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で"],
+    "ko": ["이", "그", "것", "수", "있다", "하다", "저"],
+    "th": ["า", "น", "ร", "เ", "ก", "อ", "ง"],
 }
 
 #: Wider per-language function-word lists (public common stopwords)
@@ -102,6 +188,29 @@ LANG_FUNCTION_WORDS: dict[str, list[str]] = {
            "yok", "en", "kadar", "sonra", "her", "ki", "diye",
            "olarak", "ancak", "bütün", "şey", "şimdi", "nasıl",
            "çünkü"],
+    # Space-free scripts (round 9): zh/ja/th entries are single
+    # characters — the exact tokens script segmentation emits, so the
+    # padded profile trigram ' X ' matches the segmented stream; ja is
+    # kana-led (hiragana is Japanese-exclusive; Han alone would
+    # collide with zh). ko is a spaced script, so its entries are
+    # whole words like every other spaced language. All from public
+    # character/word frequency lists.
+    "zh": ["的", "一", "是", "不", "了", "人", "我", "在", "有", "他",
+           "这", "中", "大", "来", "上", "国", "个", "到", "说", "们",
+           "为", "子", "和", "你", "地", "出", "道", "也", "时", "年",
+           "得", "就", "那", "要", "下", "以", "生", "会", "自", "着"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て", "と", "し",
+           "れ", "さ", "あ", "る", "い", "う", "か", "き", "こ", "す",
+           "ま", "な", "ん", "も", "よ", "ら", "り", "っ", "へ", "ね",
+           "わ", "け", "ど", "そ", "み", "ち", "や", "だ", "ろ", "え"],
+    "ko": ["이", "그", "저", "것", "수", "있다", "없다", "하다",
+           "되다", "같다", "보다", "때", "사람", "우리", "자신",
+           "당신", "무엇", "어떤", "모든", "다른", "많은", "좋은",
+           "오늘", "지금", "여기", "거기", "누구", "하나", "정말",
+           "함께"],
+    "th": ["า", "น", "ร", "เ", "ก", "อ", "ง", "ม", "ย", "ล", "ว",
+           "ส", "ด", "ท", "ต", "ห", "ป", "จ", "แ", "บ", "ค", "ช",
+           "พ", "ใ", "ไ", "้", "่", "ี", "ิ", "ั"],
 }
 
 
@@ -129,11 +238,15 @@ LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
 
 
 #: The distilled TRAINED language-ID model (third rung): one-vs-rest
-#: logistic weights over character-trigram features, 11 languages
-#: (round 8: en/fr/es/de/it/pt/nl + sv/da/pl/tr), top 128 features
-#: per language (1,408 total — inside :data:`MAX_LITERAL_FEATURES`;
-#: k chosen by the measured eval sweep in
-#: ``scripts/make_pinned_langid.py``).
+#: logistic weights over character-trigram features, 15 languages
+#: (round 9: en/fr/es/de/it/pt/nl/sv/da/pl/tr + the space-free-script
+#: inventory zh/ja/ko/th over the script-segmented gram stream).
+#: Budget-allocated distillation: 160 features per Latin language +
+#: 32 per space-free-script language (1,888 total — inside
+#: :data:`MAX_LITERAL_FEATURES`; the allocation chosen by the
+#: measured eval sweep in ``scripts/make_pinned_langid.py`` — script
+#: grams are categorically separable, so zh/ja/ko/th saturate small
+#: and the surplus goes to the confusable Latin block).
 #: {lang: (bias, {feature: weight})}; feature tokens are
 #: ``char_ngram_text_sql`` trigrams (spaces rendered ``▁``), weights
 #: rounded to 6 decimals. Trained in-engine by
@@ -144,1425 +257,1909 @@ LANG_TRIGRAM_PROFILES: dict[str, list[str]] = {
 #: oracle in tests/test_registry.py (the LANG_TRIGRAM_PROFILES
 #: convention), so implementation and oracle agree on the model by
 #: construction.
-PINNED_LANGID_MODEL = {'da': (-2.330334,
-        {'af▁': 0.161931,
-         'and': 0.161311,
-         'as▁': -0.239327,
-         'bej': 0.125442,
-         'bor': 0.121544,
-         'bør': 0.167442,
-         'dde': 0.133728,
-         'den': 0.14576,
-         'der': 0.332856,
-         'de▁': 0.28238,
-         'd▁a': 0.271005,
-         'd▁f': 0.117074,
-         'edd': 0.133728,
-         'ede': 0.136223,
-         'ed▁': 0.213165,
-         'ege': 0.236709,
-         'ejd': 0.125442,
-         'enn': 0.201256,
-         'er▁': 1.598727,
-         'esk': 0.121906,
-         'es▁': -0.161202,
-         'et▁': 0.333237,
-         'e▁m': 0.164063,
-         'for': 0.139571,
-         'f▁o': 0.140207,
-         'ged': 0.136223,
-         'ger': 0.185957,
-         'get': 0.147317,
-         'gge': 0.136223,
-         'giv': 0.127501,
-         'går': 0.129448,
-         'gør': 0.151182,
-         'g▁e': 0.141857,
-         'han': 0.127037,
-         'hed': 0.128123,
-         'hun': 0.148787,
-         'hus': 0.154636,
-         'ide': 0.134682,
-         'id▁': 0.14307,
-         'igg': 0.136223,
-         'ig▁': 0.157276,
-         'ikk': 0.14322,
-         'ill': 0.153509,
-         'il▁': 0.124829,
-         'ing': 0.136439,
-         'ive': 0.128767,
-         'jde': 0.125442,
-         'ker': 0.156191,
-         'ke▁': 0.14322,
-         'kig': 0.136223,
-         'kke': 0.14322,
-         'la▁': -0.116992,
-         'leg': 0.135281,
-         'le▁': 0.126732,
-         'lle': 0.203086,
-         'læs': 0.140202,
-         'med': 0.122927,
-         'men': 0.229437,
-         'mer': 0.142147,
-         'mme': 0.211062,
-         'm▁t': 0.138753,
-         'nde': 0.136367,
-         'nd▁': 0.125489,
-         'nes': 0.121906,
-         'ng▁': 0.121549,
-         'nne': 0.163541,
-         'no▁': -0.139794,
-         'n▁b': 0.214557,
-         'n▁g': 0.184049,
-         'omm': 0.163375,
-         'om▁': 0.20833,
-         'on▁': -0.115047,
-         'os▁': -0.177879,
-         'på▁': 0.119904,
-         'que': -0.114552,
-         'rd▁': 0.134282,
-         'rn▁': 0.150514,
-         'r▁d': 0.271227,
-         'r▁h': 0.175461,
-         'r▁l': 0.131307,
-         'r▁o': 0.144217,
-         'r▁s': 0.222817,
-         'r▁t': 0.202207,
-         'r▁v': 0.511023,
-         'ske': 0.121906,
-         'som': 0.187026,
-         's▁a': -0.147109,
-         's▁d': -0.130615,
-         'te▁': -0.161851,
-         'tid': 0.150211,
-         'tin': 0.222869,
-         't▁å': 0.116584,
-         'van': 0.150438,
-         'ver': 0.13654,
-         'vid': 0.127541,
-         'vil': 0.125106,
-         'vi▁': 0.127616,
-         'yor': -0.130714,
-         'år▁': 0.266173,
-         'å▁k': 0.118078,
-         'æse': 0.140202,
-         'ørn': 0.167442,
-         'ør▁': 0.151182,
-         '▁af': 0.161931,
-         '▁bo': 0.121544,
-         '▁bø': 0.167442,
-         '▁co': -0.198726,
-         '▁da': -0.147844,
-         '▁de': 0.165036,
-         '▁er': 0.145406,
-         '▁et': 0.122324,
-         '▁fo': 0.128718,
-         '▁ge': -0.114144,
-         '▁gå': 0.129448,
-         '▁gø': 0.151182,
-         '▁hu': 0.289075,
-         '▁ik': 0.14322,
-         '▁læ': 0.140202,
-         '▁me': 0.396597,
-         '▁og': 0.171632,
-         '▁or': 0.141883,
-         '▁på': 0.119904,
-         '▁sk': 0.136294,
-         '▁so': 0.138093,
-         '▁ti': 0.318262,
-         '▁va': 0.184398,
-         '▁vi': 0.363259,
-         '▁år': 0.136725}),
- 'de': (-2.314591,
-        {'ach': 0.184765,
-         'ahr': 0.131276,
-         'als': 0.188929,
-         'ass': 0.128884,
-         'auc': 0.120799,
-         'auf': 0.182759,
-         'aus': 0.193724,
-         'aut': 0.112843,
-         'bei': 0.198512,
-         'ben': 0.275213,
-         'cht': 0.258644,
-         'ch▁': 0.288942,
-         'dem': 0.123906,
-         'den': 0.119811,
-         'der': 0.285503,
-         'd▁d': 0.115285,
-         'ebe': 0.240092,
-         'ehe': 0.122384,
-         'ein': 0.381927,
-         'eis': 0.118269,
-         'eit': 0.211904,
-         'em▁': 0.122666,
-         'ent': -0.121474,
-         'en▁': 0.910369,
-         'ese': 0.122413,
-         'eut': 0.11314,
-         'e▁d': 0.193287,
-         'e▁u': 0.115702,
-         'geb': 0.120471,
-         'geh': 0.122384,
-         'ge▁': 0.131613,
-         'hau': 0.249122,
-         'hei': 0.118269,
-         'hen': 0.238237,
-         'hre': 0.192677,
-         'ich': 0.373764,
-         'iel': 0.115301,
-         'ie▁': 0.107996,
-         'im▁': 0.123003,
-         'ind': 0.209299,
-         'ine': 0.193407,
-         'in▁': 0.14189,
-         'iss': 0.236806,
-         'is▁': -0.109358,
-         'ite': 0.110979,
-         'it▁': 0.151133,
-         'jah': 0.131276,
-         'kin': 0.109264,
-         'kt▁': 0.119546,
-         'la▁': -0.117292,
-         'leb': 0.119621,
-         'les': 0.110082,
-         'leu': 0.11314,
-         'llt': 0.114081,
-         'ls▁': 0.180994,
-         'lte': 0.120401,
-         'mac': 0.12258,
-         'mit': 0.119005,
-         'mme': 0.258396,
-         'nde': 0.307656,
-         'nd▁': 0.202538,
-         'ng▁': -0.141334,
-         'nic': 0.172183,
-         'no▁': -0.140565,
-         'n▁a': 0.406341,
-         'n▁d': 0.162876,
-         'n▁n': 0.147441,
-         'n▁s': 0.198732,
-         'oll': 0.120401,
-         'omm': 0.135049,
-         'om▁': -0.11761,
-         'ort': 0.115268,
-         'or▁': -0.219728,
-         'os▁': -0.179354,
-         'pie': 0.111235,
-         'que': -0.115757,
-         're▁': 0.128488,
-         'rte': 0.115703,
-         'r▁d': -0.127255,
-         'r▁v': -0.143819,
-         'r▁z': 0.182004,
-         'sch': 0.319775,
-         'sen': 0.203357,
-         'sic': 0.121514,
-         'spi': 0.124997,
-         'sse': 0.247421,
-         'sst': 0.118269,
-         'st▁': 0.220672,
-         's▁a': -0.148824,
-         's▁i': 0.153061,
-         'tet': 0.117416,
-         'te▁': 0.368843,
-         't▁d': 0.142784,
-         't▁e': 0.134716,
-         't▁w': 0.177337,
-         'uch': 0.120799,
-         'uf▁': 0.120061,
-         'und': 0.220737,
-         'us▁': 0.117688,
-         'ute': 0.232493,
-         'u▁w': 0.112892,
-         'was': 0.183045,
-         'wis': 0.118537,
-         'wol': 0.120401,
-         'yor': -0.13071,
-         'zu▁': 0.12922,
-         '▁au': 0.291531,
-         '▁co': -0.200462,
-         '▁de': 0.283947,
-         '▁di': 0.180906,
-         '▁ei': 0.315683,
-         '▁ge': 0.238194,
-         '▁im': 0.191199,
-         '▁in': -0.126483,
-         '▁le': 0.230545,
-         '▁me': -0.132718,
-         '▁ni': 0.188724,
-         '▁pa': -0.111793,
-         '▁qu': -0.110994,
-         '▁sc': 0.228615,
-         '▁si': 0.165515,
-         '▁ti': -0.117809,
-         '▁va': -0.117102,
-         '▁vi': -0.175684,
-         '▁wa': 0.144759,
-         '▁wi': 0.265908,
-         '▁wo': 0.168603,
-         '▁zu': 0.191778}),
- 'en': (-2.290416,
-        {'adi': 0.121326,
-         'are': 0.122919,
-         'ars': 0.13349,
-         'ar▁': -0.18964,
-         'at▁': 0.237926,
-         'ayi': 0.124458,
-         'be▁': 0.139723,
-         'by▁': 0.132912,
-         'cal': 0.121075,
-         'de▁': -0.180356,
-         'dre': 0.130628,
-         'ds▁': 0.213327,
-         'd▁c': 0.114288,
-         'd▁t': 0.161795,
-         'ead': 0.121326,
-         'ear': 0.13349,
-         'ed▁': 0.423814,
-         'ent': -0.122256,
-         'en▁': -0.515355,
-         'er▁': -0.125811,
-         'es▁': 0.367998,
-         'eth': 0.116189,
-         'e▁a': 0.197473,
-         'f▁t': 0.117421,
-         'ght': 0.114462,
-         'giv': 0.124912,
-         'goi': 0.128778,
-         'gs▁': 0.13374,
-         'g▁f': 0.194291,
-         'g▁w': 0.173453,
-         'hat': 0.126031,
-         'her': 0.176268,
-         'hil': 0.130628,
-         'hin': 0.272112,
-         'his': 0.167428,
-         'hou': 0.194637,
-         'ild': 0.116081,
-         'ing': 1.067651,
-         'is▁': 0.265627,
-         'ith': 0.121806,
-         'ivi': 0.12064,
-         'kes': 0.133932,
-         'kno': 0.136086,
-         'ks▁': 0.12864,
-         'lay': 0.124458,
-         'la▁': -0.117734,
-         'ldr': 0.116052,
-         'led': 0.121075,
-         'liv': 0.12064,
-         'loo': 0.122902,
-         'mak': 0.119438,
-         'men': -0.116511,
-         'mes': 0.138845,
-         'ngs': 0.13374,
-         'ng▁': 0.991133,
-         'nin': 0.244012,
-         'not': 0.254652,
-         'now': 0.136086,
-         'no▁': -0.141255,
-         'nte': 0.135906,
-         'n▁a': -0.121255,
-         'n▁e': -0.129097,
-         'of▁': 0.135028,
-         'oin': 0.128778,
-         'oke': 0.122902,
-         'ome': 0.157756,
-         'ork': 0.12864,
-         'os▁': -0.18095,
-         'oth': 0.144147,
-         'oug': 0.114462,
-         'ows': 0.136086,
-         'pla': 0.124458,
-         'que': -0.115892,
-         'rds': 0.128047,
-         'rea': 0.121326,
-         'rks': 0.12864,
-         'rs▁': 0.126366,
-         'r▁d': -0.126782,
-         'r▁v': -0.142223,
-         's▁a': 0.244846,
-         's▁b': 0.241026,
-         's▁d': -0.132827,
-         's▁o': 0.118708,
-         's▁w': 0.1989,
-         'ted': 0.167988,
-         'ter': 0.123726,
-         'te▁': -0.162008,
-         'tha': 0.126031,
-         'the': 0.281002,
-         'thi': 0.398425,
-         'th▁': 0.121806,
-         'ugh': 0.114462,
-         'use': 0.131792,
-         'ves': 0.139751,
-         'wan': 0.125147,
-         'wat': 0.116159,
-         'wit': 0.121806,
-         'wor': 0.236129,
-         'ws▁': 0.136086,
-         'yea': 0.13349,
-         'yin': 0.124458,
-         'yor': -0.130787,
-         '▁al': -0.133358,
-         '▁an': 0.1823,
-         '▁by': 0.121638,
-         '▁da': -0.148979,
-         '▁de': -0.294482,
-         '▁fr': 0.158899,
-         '▁go': 0.128778,
-         '▁ho': 0.115698,
-         '▁it': 0.122892,
-         '▁kn': 0.136086,
-         '▁le': -0.160119,
-         '▁li': 0.147918,
-         '▁me': -0.131436,
-         '▁no': 0.134268,
-         '▁of': 0.135028,
-         '▁on': 0.121043,
-         '▁pl': 0.117389,
-         '▁th': 0.607967,
-         '▁to': 0.163865,
-         '▁un': -0.118532,
-         '▁va': -0.115493,
-         '▁vi': -0.174672,
-         '▁wa': 0.39726,
-         '▁wi': 0.142023,
-         '▁wo': 0.179255,
-         '▁ye': 0.13349}),
- 'es': (-2.303668,
-        {'aba': 0.239727,
-         'abe': 0.1132,
-         'abr': 0.137717,
-         'ace': 0.124917,
-         'agu': 0.129331,
-         'aja': 0.120044,
-         'ala': 0.123295,
-         'ami': 0.128181,
-         'ano': 0.165397,
-         'ar▁': -0.18866,
-         'asa': 0.117277,
-         'as▁': 0.315982,
-         'a▁c': 0.170794,
-         'a▁e': 0.112996,
-         'a▁h': 0.108146,
-         'a▁j': 0.119615,
-         'a▁u': 0.124813,
-         'a▁y': 0.128757,
-         'baj': 0.120044,
-         'ba▁': 0.132428,
-         'bra': 0.137717,
-         'cem': 0.124917,
-         'con': 0.11331,
-         'cos': 0.123243,
-         'del': 0.11222,
-         'der': -0.105917,
-         'do▁': 0.14077,
-         'een': 0.12661,
-         'ega': 0.106261,
-         'el▁': 0.20937,
-         'emo': 0.111642,
-         'emp': 0.190112,
-         'ene': 0.127302,
-         'er▁': -0.431185,
-         'esc': 0.124892,
-         'et▁': -0.166343,
-         'e▁n': 0.1769,
-         'gan': 0.137782,
-         'gua': 0.116951,
-         'hac': 0.124917,
-         'ia▁': 0.106729,
-         'iem': 0.146353,
-         'ien': 0.147072,
-         'ina': 0.130957,
-         'ing': -0.210576,
-         'ino': 0.147727,
-         'ira': 0.132428,
-         'is▁': -0.108519,
-         'ja▁': 0.120044,
-         'jue': 0.137782,
-         'lab': 0.137717,
-         'lam': 0.137912,
-         'las': 0.145123,
-         'lee': 0.124147,
-         'le▁': -0.196285,
-         'lla': 0.104303,
-         'los': 0.122717,
-         'l▁c': 0.190168,
-         'men': -0.116419,
-         'min': 0.123829,
-         'mir': 0.132428,
-         'mos': 0.222953,
-         'na▁': 0.170107,
-         'ng▁': -0.140271,
-         'nin': 0.120342,
-         'nos': 0.27411,
-         'no▁': 0.239275,
-         'n▁e': 0.13789,
-         'n▁l': 0.110507,
-         'n▁p': 0.121376,
-         'n▁q': 0.121117,
-         'n▁v': 0.142284,
-         'om▁': -0.116689,
-         'on▁': 0.111646,
-         'osa': 0.138927,
-         'os▁': 0.733585,
-         'o▁e': 0.141487,
-         'o▁m': 0.10955,
-         'o▁s': 0.122347,
-         'pal': 0.123295,
-         'pie': 0.11755,
-         'que': 0.26251,
-         'rab': 0.239727,
-         'ras': 0.123295,
-         'ria': 0.170028,
-         'ro▁': 0.150334,
-         'r▁d': -0.126163,
-         'r▁v': -0.141221,
-         'sab': 0.1132,
-         'sas': 0.131918,
-         'sa▁': 0.160853,
-         'sus': 0.128072,
-         's▁c': 0.107383,
-         's▁d': 0.275673,
-         's▁l': 0.206935,
-         's▁p': 0.14957,
-         's▁s': 0.128288,
-         's▁u': 0.106399,
-         'tra': 0.153444,
-         'ua▁': 0.115353,
-         'ueg': 0.137782,
-         'uer': 0.113127,
-         'ue▁': 0.168792,
-         'una': 0.124283,
-         'vam': 0.111311,
-         'vie': 0.181144,
-         'yor': -0.130797,
-         'y▁a': 0.12725,
-         '▁ag': 0.129331,
-         '▁ca': 0.158311,
-         '▁co': 0.298775,
-         '▁es': 0.370725,
-         '▁ha': 0.14074,
-         '▁ju': 0.189014,
-         '▁la': 0.194228,
-         '▁ll': 0.137912,
-         '▁lo': 0.213282,
-         '▁ma': -0.208,
-         '▁mi': 0.107481,
-         '▁pa': 0.175112,
-         '▁qu': 0.179237,
-         '▁se': 0.132308,
-         '▁su': 0.20896,
-         '▁tr': 0.153444,
-         '▁un': 0.18822,
-         '▁vi': 0.117869,
-         '▁wo': -0.104341,
-         '▁y▁': 0.146418}),
- 'fr': (-2.291476,
-        {'ail': 0.114219,
-         'ais': 0.432663,
-         'ait': 0.108483,
-         'ant': 0.121076,
-         'an▁': -0.137365,
-         'app': 0.173098,
-         'arc': 0.153128,
-         'as▁': -0.124346,
-         'au▁': 0.142886,
-         'ce▁': 0.133441,
-         'des': 0.120704,
-         'don': 0.11198,
-         'du▁': 0.13678,
-         'eau': 0.142886,
-         'ec▁': 0.109558,
-         'ees': 0.131539,
-         'ell': 0.165133,
-         'enf': 0.134467,
-         'ens': 0.207527,
-         'ent': 0.639217,
-         'en▁': -0.587278,
-         'er▁': -0.562875,
-         'es▁': 0.60489,
-         'e▁j': 0.110834,
-         'e▁p': 0.135774,
-         'e▁v': 0.153809,
-         'fai': 0.109845,
-         'fan': 0.134467,
-         'gar': 0.109622,
-         'hos': 0.133032,
-         'ien': 0.126354,
-         'ing': -0.211827,
-         'ise': 0.125059,
-         'iso': 0.248433,
-         'is▁': 0.223485,
-         'it▁': 0.117831,
-         'ive': 0.183607,
-         'jou': 0.200841,
-         'lai': 0.108483,
-         'le▁': 0.417841,
-         'lis': 0.125059,
-         'lle': 0.250105,
-         'llo': 0.109332,
-         'lon': 0.109332,
-         'mai': 0.312853,
-         'mot': 0.140712,
-         'nee': 0.131539,
-         'ne▁': 0.222356,
-         'nfa': 0.134467,
-         'ng▁': -0.141555,
-         'nne': 0.301565,
-         'no▁': -0.14283,
-         'nse': 0.11318,
-         'ns▁': 0.431247,
-         'nts': 0.134467,
-         'nt▁': 0.743899,
-         'n▁a': -0.121126,
-         'n▁t': 0.121352,
-         'oir': 0.193848,
-         'om▁': -0.116406,
-         'onn': 0.11198,
-         'ons': 0.219177,
-         'on▁': 0.164048,
-         'or▁': -0.218968,
-         'ose': 0.11736,
-         'os▁': -0.183157,
-         'ots': 0.140712,
-         'oue': 0.133728,
-         'oul': 0.108483,
-         'our': 0.251799,
-         'ous': 0.179664,
-         'pas': 0.109067,
-         'pou': 0.10876,
-         'ppe': 0.111657,
-         'que': 0.184537,
-         'qui': 0.11391,
-         'rav': 0.114219,
-         'rch': 0.153128,
-         'reg': 0.109622,
-         'sav': 0.112941,
-         'ses': 0.233939,
-         'son': 0.400638,
-         'sur': 0.10959,
-         's▁a': 0.285351,
-         's▁d': 0.253238,
-         's▁e': 0.222767,
-         's▁l': 0.231259,
-         's▁s': 0.147664,
-         's▁u': 0.109763,
-         'ter': -0.116059,
-         'ts▁': 0.251583,
-         't▁a': 0.125046,
-         't▁e': 0.216003,
-         't▁p': 0.179509,
-         't▁q': 0.207273,
-         'uen': 0.116645,
-         'ue▁': 0.160524,
-         'ui▁': 0.11391,
-         'ula': 0.108483,
-         'une': 0.137386,
-         'ur▁': 0.21835,
-         'us▁': 0.191489,
-         'u▁m': 0.112706,
-         'u▁u': 0.125738,
-         'vai': 0.114219,
-         'vec': 0.109558,
-         'ven': 0.112545,
-         'voi': 0.112941,
-         'vou': 0.198032,
-         'yor': -0.130528,
-         '▁ap': 0.173098,
-         '▁ce': 0.140832,
-         '▁du': 0.125219,
-         '▁ea': 0.142886,
-         '▁ec': 0.153925,
-         '▁en': 0.115507,
-         '▁et': 0.171296,
-         '▁in': -0.125748,
-         '▁jo': 0.133728,
-         '▁ma': 0.238674,
-         '▁me': -0.131227,
-         '▁mo': 0.120561,
-         '▁pa': 0.129774,
-         '▁qu': 0.230996,
-         '▁ti': -0.116903,
-         '▁un': 0.189601,
-         '▁va': -0.115294,
-         '▁vo': 0.158548}),
- 'it': (-2.287086,
-        {'acc': 0.115752,
-         'acq': 0.129454,
-         'al▁': 0.12242,
-         'amb': 0.139514,
-         'amo': 0.203862,
-         'and': 0.156231,
-         'ann': 0.127638,
-         'ano': 0.141399,
-         'an▁': -0.136689,
-         'ape': 0.120461,
-         'aro': 0.125405,
-         'ar▁': -0.188718,
-         'as▁': -0.245757,
-         'a▁a': 0.225806,
-         'a▁d': 0.204098,
-         'a▁n': 0.139697,
-         'a▁p': 0.241725,
-         'bam': 0.139514,
-         'bin': 0.139514,
-         'can': 0.123822,
-         'cci': 0.115752,
-         'che': 0.179856,
-         'cos': 0.206749,
-         'cqu': 0.129454,
-         'dav': 0.115769,
-         'del': 0.304105,
-         'de▁': -0.180534,
-         'dia': 0.114793,
-         'di▁': 0.118332,
-         'egg': 0.120505,
-         'ell': 0.151848,
-         'el▁': 0.170327,
-         'emp': 0.122165,
-         'eng': 0.111948,
-         'en▁': -0.655442,
-         'er▁': -0.517405,
-         'est': 0.151352,
-         'es▁': -0.163421,
-         'et▁': -0.165574,
-         'eva': 0.115152,
-         'e▁l': 0.170471,
-         'fac': 0.115752,
-         'ggo': 0.120505,
-         'gio': 0.123822,
-         'gli': 0.208819,
-         'gon': 0.239209,
-         'he▁': 0.203196,
-         'hia': 0.118611,
-         'iam': 0.349155,
-         'ing': -0.210953,
-         'ini': 0.255673,
-         'ioc': 0.123822,
-         'ivo': 0.183354,
-         'i▁c': 0.238363,
-         'i▁d': 0.226989,
-         'i▁i': 0.12763,
-         'la▁': 0.324722,
-         'lev': 0.115152,
-         'li▁': 0.199856,
-         'lla': 0.159524,
-         'lo▁': 0.174907,
-         'l▁a': 0.114303,
-         'l▁s': 0.117944,
-         'ma▁': 0.165545,
-         'mbi': 0.139514,
-         'men': -0.115564,
-         'me▁': 0.172205,
-         'mo▁': 0.206701,
-         'ngo': 0.118704,
-         'ng▁': -0.140799,
-         'ni▁': 0.280619,
-         'nni': 0.130214,
-         'non': 0.11514,
-         'no▁': 0.790455,
-         'nte': 0.114262,
-         'n▁a': -0.120466,
-         'n▁e': -0.128314,
-         'oca': 0.123822,
-         'ole': 0.221615,
-         'om▁': -0.116067,
-         'ono': 0.593049,
-         'on▁': 0.139412,
-         'ora': 0.118319,
-         'or▁': -0.219619,
-         'ose': 0.131462,
-         'os▁': -0.184843,
-         'o▁c': 0.287236,
-         'o▁q': 0.130035,
-         'o▁s': 0.244814,
-         'o▁u': 0.212878,
-         'per': 0.225002,
-         'qua': 0.206481,
-         'ra▁': 0.152814,
-         'rda': 0.115769,
-         're▁': 0.127911,
-         'rol': 0.125405,
-         'r▁d': -0.126424,
-         'r▁v': -0.141063,
-         'sap': 0.120461,
-         'sa▁': 0.227608,
-         'si▁': 0.120082,
-         'sta': 0.123764,
-         's▁a': -0.151172,
-         's▁d': -0.134696,
-         'ter': -0.116093,
-         'te▁': 0.122764,
-         'uar': 0.115769,
-         'ues': 0.143105,
-         'va▁': 0.216859,
-         'vol': 0.115152,
-         'von': 0.170515,
-         'vor': 0.118319,
-         'yor': -0.130875,
-         '▁ac': 0.129454,
-         '▁an': 0.238233,
-         '▁ca': 0.140522,
-         '▁ch': 0.170068,
-         '▁co': 0.297307,
-         '▁de': 0.125293,
-         '▁gl': 0.148775,
-         '▁gu': 0.115769,
-         '▁in': 0.209595,
-         '▁la': 0.178995,
-         '▁le': 0.130132,
-         '▁qu': 0.130445,
-         '▁ti': -0.116566,
-         '▁un': 0.148872,
-         '▁va': -0.115115}),
- 'nl': (-2.326034,
-        {'aan': 0.276313,
-         'aar': 0.222752,
-         'als': 0.11595,
-         'an▁': 0.310074,
-         'are': 0.11573,
-         'as▁': -0.147374,
-         'ate': 0.113147,
-         'dat': 0.131646,
-         'den': 0.24239,
-         'der': 0.108174,
-         'die': 0.119421,
-         'eek': 0.136855,
-         'eet': 0.134902,
-         'ein': 0.111464,
-         'ek▁': 0.116953,
-         'ent': -0.120623,
-         'en▁': 1.900375,
-         'ere': 0.176059,
-         'erk': 0.1248,
-         'er▁': -0.127797,
-         'es▁': -0.163164,
-         'ets': 0.157696,
-         'et▁': 0.401984,
-         'eve': 0.118038,
-         'eze': 0.19671,
-         'e▁s': 0.148671,
-         'gaa': 0.138582,
-         'gev': 0.133875,
-         'gt▁': 0.133253,
-         'hee': 0.134902,
-         'hui': 0.133892,
-         'iet': 0.290363,
-         'ijd': 0.173648,
-         'ild': 0.123244,
-         'ind': 0.180771,
-         'in▁': 0.150421,
-         'is▁': 0.186275,
-         'it▁': 0.219656,
-         'jar': 0.12213,
-         'jd▁': 0.173648,
-         'kee': 0.136855,
-         'ken': 0.137865,
-         'kin': 0.109663,
-         'kt▁': 0.259172,
-         'k▁v': 0.109871,
-         'k▁w': 0.110276,
-         'la▁': -0.116283,
-         'lde': 0.137348,
-         'len': 0.197427,
-         'lez': 0.131173,
-         'le▁': -0.194648,
-         'maa': 0.135158,
-         'mak': 0.123762,
-         'men': 0.234067,
-         'met': 0.129107,
-         'm▁w': 0.114737,
-         'nde': 0.231308,
-         'nen': 0.173748,
-         'ng▁': -0.141349,
-         'nie': 0.175613,
-         'no▁': -0.139921,
-         'n▁d': 0.447341,
-         'n▁e': 0.235294,
-         'n▁i': 0.161468,
-         'n▁j': 0.113484,
-         'n▁o': 0.273257,
-         'n▁w': 0.157028,
-         'ome': 0.166,
-         'one': 0.13168,
-         'on▁': -0.113987,
-         'ook': 0.114422,
-         'oor': 0.269162,
-         'op▁': 0.133563,
-         'ord': 0.152561,
-         'os▁': -0.1779,
-         'p▁w': 0.116853,
-         'que': -0.115841,
-         'rde': 0.120807,
-         'ren': 0.359859,
-         'rkt': 0.202355,
-         'r▁d': -0.12723,
-         'r▁v': -0.143645,
-         'r▁w': 0.238075,
-         'spe': 0.132148,
-         's▁d': -0.130618,
-         'ter': 0.108817,
-         'tij': 0.173648,
-         'ts▁': 0.12175,
-         't▁b': 0.147321,
-         't▁d': 0.126153,
-         't▁k': 0.163556,
-         't▁l': 0.162712,
-         't▁m': 0.173291,
-         'uis': 0.133892,
-         'van': 0.111818,
-         'ven': 0.130715,
-         'voo': 0.136884,
-         'wat': 0.119972,
-         'wer': 0.1248,
-         'wet': 0.129554,
-         'wil': 0.137348,
-         'won': 0.13168,
-         'woo': 0.132278,
-         'yor': -0.131468,
-         'zen': 0.131173,
-         '▁aa': 0.137731,
-         '▁co': -0.199204,
-         '▁di': 0.289252,
-         '▁ee': 0.113484,
-         '▁er': 0.11128,
-         '▁ga': 0.138582,
-         '▁he': 0.243363,
-         '▁ke': 0.124131,
-         '▁ma': 0.190785,
-         '▁me': 0.142632,
-         '▁ni': 0.120335,
-         '▁oo': 0.127338,
-         '▁op': 0.133563,
-         '▁pa': -0.111343,
-         '▁qu': -0.11099,
-         '▁so': -0.10838,
-         '▁sp': 0.111587,
-         '▁un': -0.117867,
-         '▁vi': -0.175318,
-         '▁wa': 0.147325,
-         '▁we': 0.246481,
-         '▁wi': 0.139155,
-         '▁wo': 0.260084}),
- 'pl': (-2.264541,
-        {'ają': 0.431701,
-         'ak▁': 0.218616,
-         'an▁': -0.136631,
-         'ar▁': -0.189193,
-         'as▁': -0.119048,
-         'ata': 0.147995,
-         'atr': 0.117669,
-         'azy': 0.116258,
-         'ał▁': 0.117374,
-         'a▁p': 0.158281,
-         'a▁r': 0.12816,
-         'a▁t': 0.175746,
-         'a▁ż': 0.123877,
-         'bie': 0.133806,
-         'chc': 0.117374,
-         'ci▁': 0.139412,
-         'co▁': 0.116969,
-         'czy': 0.521252,
-         'de▁': -0.179702,
-         'dom': 0.156161,
-         'dy▁': 0.153719,
-         'dzi': 0.577843,
-         'eci': 0.150168,
-         'ecz': 0.147283,
-         'emy': 0.116652,
-         'ent': -0.122539,
-         'en▁': -0.655689,
-         'er▁': -0.643917,
-         'es▁': -0.162474,
-         'et▁': -0.166272,
-         'e▁l': 0.126274,
-         'e▁n': 0.150245,
-         'gra': 0.132458,
-         'hci': 0.117374,
-         'iał': 0.117374,
-         'idz': 0.116652,
-         'iec': 0.150168,
-         'ied': 0.171198,
-         'ie▁': 0.372187,
-         'ing': -0.211551,
-         'ię▁': 0.14789,
-         'i▁z': 0.133081,
-         'jak': 0.117677,
-         'jes': 0.125311,
-         'je▁': 0.213783,
-         'ją▁': 0.431701,
-         'lat': 0.217717,
-         'lud': 0.127923,
-         'my▁': 0.230342,
-         'm▁d': 0.137593,
-         'naz': 0.116258,
-         'na▁': 0.182194,
-         'ng▁': -0.141454,
-         'no▁': -0.142832,
-         'n▁a': -0.120636,
-         'n▁e': -0.128219,
-         'oda': 0.15228,
-         'or▁': -0.219907,
-         'os▁': -0.182268,
-         'owa': 0.143603,
-         'o▁w': 0.135596,
-         'pat': 0.117669,
-         'prz': 0.445626,
-         'que': -0.117123,
-         'raj': 0.132458,
-         'rze': 0.391911,
-         'rzy': 0.389028,
-         'r▁d': -0.126195,
-         'r▁v': -0.140943,
-         'się': 0.14789,
-         'szk': 0.196251,
-         'sło': 0.143603,
-         's▁a': -0.150328,
-         's▁d': -0.132867,
-         'taj': 0.120306,
-         'tak': 0.117972,
-         'ter': -0.116077,
-         'te▁': -0.162321,
-         'to▁': 0.188292,
-         'trz': 0.117669,
-         'udz': 0.127923,
-         'wa▁': 0.259861,
-         'wod': 0.15228,
-         'yor': -0.131633,
-         'yta': 0.120306,
-         'ywa': 0.116258,
-         'ył▁': 0.117669,
-         'y▁s': 0.122041,
-         'y▁z': 0.155147,
-         'zec': 0.147283,
-         'ze▁': 0.148686,
-         'zie': 0.577843,
-         'zyt': 0.120306,
-         'zyw': 0.116258,
-         'zył': 0.117669,
-         'zy▁': 0.392765,
-         'zą▁': 0.174177,
-         'z▁d': 0.232185,
-         'ą▁j': 0.214637,
-         'ą▁p': 0.196439,
-         'ę▁d': 0.12983,
-         'łow': 0.143603,
-         'że▁': 0.221364,
-         '▁an': -0.166524,
-         '▁cz': 0.3409,
-         '▁de': -0.293713,
-         '▁do': 0.270372,
-         '▁dz': 0.150168,
-         '▁gr': 0.132458,
-         '▁id': 0.116652,
-         '▁je': 0.125311,
-         '▁la': 0.144716,
-         '▁le': -0.160116,
-         '▁lu': 0.127923,
-         '▁me': -0.130753,
-         '▁na': 0.22726,
-         '▁ni': 0.245252,
-         '▁pr': 0.550656,
-         '▁rz': 0.147283,
-         '▁sł': 0.143603,
-         '▁ti': -0.116347,
-         '▁to': 0.121032,
-         '▁un': -0.118967,
-         '▁vi': -0.1744,
-         '▁w▁': 0.130044,
-         '▁za': 0.264778,
-         '▁z▁': 0.154087,
-         '▁że': 0.138334}),
- 'pt': (-2.294634,
-        {'agu': 0.116644,
-         'ala': 0.116336,
-         'alh': 0.117179,
-         'ami': 0.126531,
-         'am▁': 0.318046,
-         'anc': 0.112673,
-         'an▁': -0.136097,
-         'ao▁': 0.1527,
-         'ar▁': -0.188228,
-         'as▁': 0.896257,
-         'avr': 0.131318,
-         'aze': 0.11204,
-         'a▁c': 0.184802,
-         'a▁d': 0.207053,
-         'a▁e': 0.137722,
-         'a▁f': 0.193513,
-         'a▁v': 0.17364,
-         'bal': 0.117179,
-         'bri': 0.127435,
-         'cam': 0.184747,
-         'cas': 0.235657,
-         'ca▁': 0.150868,
-         'cha': 0.121857,
-         'coi': 0.136396,
-         'com': 0.261103,
-         'cri': 0.111928,
-         'das': 0.119471,
-         'da▁': 0.169185,
-         'dos': 0.132931,
-         'do▁': 0.284122,
-         'eem': 0.135396,
-         'emp': 0.124803,
-         'em▁': 0.516479,
-         'ent': -0.123122,
-         'en▁': -0.652766,
-         'er▁': -0.399417,
-         'esc': 0.127318,
-         'ess': 0.119224,
-         'es▁': -0.164011,
-         'et▁': -0.164687,
-         'e▁c': 0.289392,
-         'faz': 0.120299,
-         'gam': 0.119328,
-         'ham': 0.19907,
-         'hav': 0.122465,
-         'heg': 0.119328,
-         'ian': 0.132883,
-         'inc': 0.133978,
-         'ing': -0.210213,
-         'isa': 0.136396,
-         'lav': 0.118525,
-         'lee': 0.120675,
-         'le▁': -0.196049,
-         'lha': 0.247097,
-         'mas': 0.183401,
-         'ma▁': 0.199558,
-         'men': -0.114905,
-         'min': 0.120882,
-         'mos': 0.215127,
-         'm▁l': 0.107097,
-         'm▁o': 0.178981,
-         'm▁q': 0.1184,
-         'm▁u': 0.353226,
-         'nca': 0.343275,
-         'ng▁': -0.140465,
-         'n▁a': -0.11993,
-         'n▁e': -0.128065,
-         'oas': 0.119224,
-         'ois': 0.136396,
-         'olh': 0.129918,
-         'on▁': -0.115578,
-         'os▁': 0.790735,
-         'o▁c': 0.18656,
-         'o▁o': 0.162916,
-         'o▁p': 0.126211,
-         'pal': 0.116336,
-         'pel': 0.124312,
-         'pes': 0.119224,
-         'que': 0.258261,
-         'ras': 0.116336,
-         'ria': 0.312986,
-         'rin': 0.121078,
-         'r▁d': -0.125822,
-         'r▁v': -0.140842,
-         'sas': 0.119774,
-         'sa▁': 0.146882,
-         'soa': 0.119224,
-         'sso': 0.119224,
-         's▁a': 0.302428,
-         's▁c': 0.168076,
-         's▁d': 0.373383,
-         's▁e': 0.136691,
-         's▁p': 0.295791,
-         's▁s': 0.145354,
-         'tra': 0.150467,
-         'uer': 0.111145,
-         'uma': 0.200296,
-         'um▁': 0.13491,
-         'vam': 0.108627,
-         'vem': 0.198889,
-         'vra': 0.131318,
-         'yor': -0.130758,
-         'zem': 0.11204,
-         '▁ag': 0.116644,
-         '▁br': 0.11532,
-         '▁ca': 0.140668,
-         '▁ch': 0.187384,
-         '▁co': 0.370938,
-         '▁cr': 0.132883,
-         '▁da': 0.274276,
-         '▁de': -0.142668,
-         '▁do': 0.221655,
-         '▁em': 0.124812,
-         '▁es': 0.201974,
-         '▁e▁': 0.119648,
-         '▁ge': -0.112819,
-         '▁ni': -0.107154,
-         '▁ol': 0.122111,
-         '▁os': 0.197151,
-         '▁pa': 0.164508,
-         '▁pe': 0.350558,
-         '▁qu': 0.174225,
-         '▁se': 0.247893,
-         '▁so': -0.10789,
-         '▁te': 0.138023,
-         '▁ti': -0.116015,
-         '▁tr': 0.150467,
-         '▁um': 0.335206}),
- 'sv': (-2.318643,
-        {'ade': 0.13678,
-         'ad▁': 0.151337,
-         'ake': 0.119672,
-         'arn': 0.153886,
-         'ar▁': 0.371449,
-         'as▁': -0.239692,
-         'att': 0.261278,
-         'av▁': 0.150656,
-         'bar': 0.146895,
-         'bet': 0.130717,
-         'bor': 0.12138,
-         'de▁': 0.140375,
-         'd▁f': 0.109029,
-         'd▁v': 0.108898,
-         'eke': 0.142744,
-         'er▁': 0.998864,
-         'es▁': -0.161355,
-         'eta': 0.273746,
-         'ete': 0.112749,
-         'ett': 0.149264,
-         'för': 0.145384,
-         'ger': 0.189846,
-         'går': 0.133065,
-         'gör': 0.156248,
-         'han': 0.129196,
-         'het': 0.122175,
-         'hon': 0.153075,
-         'hus': 0.138274,
-         'id▁': 0.198982,
-         'ig▁': 0.150344,
-         'ill': 0.299581,
-         'int': 0.16736,
-         'isk': 0.114151,
-         'is▁': -0.108244,
-         'itt': 0.131026,
-         'i▁g': 0.107188,
-         'ker': 0.344618,
-         'kom': 0.111028,
-         'kor': 0.114151,
-         'lek': 0.142744,
-         'lle': 0.132903,
-         'll▁': 0.134766,
-         'läs': 0.137958,
-         'med': 0.123761,
-         'mma': 0.122003,
-         'män': 0.114151,
-         'm▁s': 0.129307,
-         'no▁': -0.140048,
-         'nte': 0.128141,
-         'n▁a': 0.218688,
-         'n▁b': 0.201221,
-         'n▁g': 0.190371,
-         'omm': 0.168618,
-         'om▁': 0.20683,
-         'os▁': -0.17857,
-         'på▁': 0.120766,
-         'que': -0.114922,
-         'rd▁': 0.123869,
-         'rn▁': 0.135337,
-         'r▁d': 0.2679,
-         'r▁e': 0.129417,
-         'r▁l': 0.12578,
-         'r▁o': 0.15072,
-         'r▁s': 0.210603,
-         'r▁t': 0.203817,
-         'r▁v': 0.584743,
-         'sak': 0.148498,
-         'ser': 0.163669,
-         'sko': 0.192743,
-         'som': 0.171563,
-         's▁a': -0.147548,
-         's▁d': -0.130775,
-         's▁ä': 0.136931,
-         'tad': 0.13678,
-         'tar': 0.251834,
-         'ten': 0.189283,
-         'ter': 0.172614,
-         'tid': 0.135137,
-         'til': 0.177484,
-         'tit': 0.129049,
-         'tta': 0.13678,
-         'tte': 0.210079,
-         'tt▁': 0.266508,
-         't▁å': 0.107482,
-         'vat': 0.150654,
-         'vet': 0.143028,
-         'vil': 0.125907,
-         'vi▁': 0.13799,
-         'vän': 0.109199,
-         'v▁o': 0.131465,
-         'yor': -0.13133,
-         'änn': 0.223349,
-         'är▁': 0.154548,
-         'äse': 0.137958,
-         'år▁': 0.259107,
-         'å▁t': 0.118626,
-         'ör▁': 0.301631,
-         '▁av': 0.13908,
-         '▁bo': 0.12138,
-         '▁co': -0.199381,
-         '▁da': -0.147977,
-         '▁de': 0.161766,
-         '▁et': 0.106291,
-         '▁fö': 0.145384,
-         '▁gå': 0.133065,
-         '▁gö': 0.156248,
-         '▁ho': 0.139121,
-         '▁hu': 0.107265,
-         '▁in': 0.107593,
-         '▁lä': 0.137958,
-         '▁ma': -0.116963,
-         '▁me': 0.171023,
-         '▁mä': 0.114151,
-         '▁oc': 0.16051,
-         '▁om': 0.118412,
-         '▁or': 0.131473,
-         '▁pa': -0.111618,
-         '▁pe': -0.106493,
-         '▁på': 0.120766,
-         '▁qu': -0.110313,
-         '▁sk': 0.131509,
-         '▁so': 0.12254,
-         '▁ti': 0.347843,
-         '▁va': 0.26019,
-         '▁vi': 0.292727,
-         '▁vä': 0.109199,
-         '▁är': 0.154548,
-         '▁år': 0.126042}),
- 'tr': (-2.286851,
-        {'ada': 0.182712,
-         'aha': 0.115297,
-         'akt': 0.113815,
-         'ak▁': 0.133852,
-         'alı': 0.160362,
-         'ama': 0.157054,
-         'anl': 0.108188,
-         'ar▁': 0.646951,
-         'as▁': -0.241179,
-         'aşl': 0.161513,
-         'aşı': 0.11287,
-         'a▁b': 0.23,
-         'a▁ş': 0.113008,
-         'bak': 0.113815,
-         'baş': 0.139382,
-         'bir': 0.217745,
-         'bi▁': 0.118351,
-         'bu▁': 0.110052,
-         'cuk': 0.131612,
-         'dah': 0.115297,
-         'diy': 0.193983,
-         'di▁': 0.168377,
-         'edi': 0.111323,
-         'ele': 0.162139,
-         'eli': 0.225701,
-         'ent': -0.121236,
-         'en▁': -0.203274,
-         'er▁': -0.18297,
-         'es▁': -0.1615,
-         'et▁': -0.167011,
-         'ev▁': 0.134579,
-         'eyl': 0.13115,
-         'e▁ç': 0.115688,
-         'gib': 0.118351,
-         'ibi': 0.118351,
-         'ile': 0.132643,
-         'ime': 0.111117,
-         'ing': -0.211409,
-         'ir▁': 0.144969,
-         'iyo': 0.372436,
-         'içi': 0.132763,
-         'i▁o': 0.188419,
-         'kad': 0.198149,
-         'kel': 0.121022,
-         'kla': 0.131612,
-         'ktı': 0.113815,
-         'kuy': 0.114121,
-         'k▁k': 0.149896,
-         'k▁y': 0.170241,
-         'lar': 0.533716,
-         'ler': 0.315634,
-         'lim': 0.121022,
-         'lıy': 0.123663,
-         'mel': 0.121022,
-         'ng▁': -0.141015,
-         'nla': 0.108188,
-         'no▁': -0.141477,
-         'nuy': 0.116829,
-         'n▁a': -0.12191,
-         'n▁h': 0.12636,
-         'ocu': 0.131612,
-         'oku': 0.200113,
-         'ok▁': 0.204843,
-         'om▁': -0.117155,
-         'on▁': -0.114435,
-         'oru': 0.212964,
-         'or▁': 0.909849,
-         'os▁': -0.180298,
-         'oyn': 0.116829,
-         'que': -0.116284,
-         'ruz': 0.212964,
-         'r▁a': 0.285644,
-         'r▁d': 0.295268,
-         'r▁g': 0.183635,
-         'r▁k': 0.114452,
-         'r▁v': -0.143201,
-         'r▁ç': 0.245558,
-         'r▁ş': 0.124753,
-         's▁a': -0.148714,
-         's▁d': -0.131346,
-         'ter': -0.116799,
-         'tı▁': 0.113815,
-         'ukl': 0.131612,
-         'uyo': 0.28873,
-         'uz▁': 0.212964,
-         'u▁n': 0.112967,
-         'u▁y': 0.110052,
-         'v▁i': 0.117863,
-         'yaz': 0.132194,
-         'yaş': 0.11287,
-         'yle': 0.13115,
-         'ynu': 0.116829,
-         'yor': 1.235394,
-         'yıl': 0.126355,
-         'z▁b': 0.147723,
-         'çin': 0.132763,
-         'çoc': 0.131612,
-         'çok': 0.113491,
-         'ün▁': 0.135353,
-         'ıll': 0.126355,
-         'ıyo': 0.506979,
-         'şey': 0.19523,
-         'şıy': 0.216786,
-         '▁ba': 0.214998,
-         '▁bi': 0.393201,
-         '▁bu': 0.169926,
-         '▁co': -0.201248,
-         '▁da': 0.121851,
-         '▁de': -0.148663,
-         '▁ev': 0.125411,
-         '▁gi': 0.182637,
-         '▁il': 0.114284,
-         '▁iç': 0.132763,
-         '▁le': -0.160399,
-         '▁ma': -0.2071,
-         '▁me': -0.131712,
-         '▁ne': 0.118207,
-         '▁ok': 0.200113,
-         '▁oy': 0.116829,
-         '▁qu': -0.111493,
-         '▁ti': -0.117394,
-         '▁un': -0.11814,
-         '▁ve': 0.146411,
-         '▁vi': -0.175574,
-         '▁ya': 0.423225,
-         '▁yı': 0.126355,
-         '▁ço': 0.245103,
-         '▁şe': 0.19523})}
+PINNED_LANGID_MODEL = {'da': (-2.658472,
+        {'af▁': 0.122313,
+         'and': 0.13713,
+         'arb': 0.079749,
+         'as▁': -0.133999,
+         'bej': 0.094759,
+         'bor': 0.094956,
+         'bør': 0.126401,
+         'dde': 0.100974,
+         'den': 0.123433,
+         'der': 0.26462,
+         'det': 0.086224,
+         'de▁': 0.240789,
+         'd▁a': 0.209948,
+         'd▁f': 0.092239,
+         'd▁s': 0.076906,
+         'd▁v': 0.084423,
+         'edd': 0.100974,
+         'ede': 0.102815,
+         'ed▁': 0.175549,
+         'ege': 0.178713,
+         'ejd': 0.094759,
+         'enn': 0.157423,
+         'en▁': 0.091266,
+         'er▁': 1.298502,
+         'esk': 0.092033,
+         'es▁': -0.090149,
+         'et▁': 0.275349,
+         'e▁k': 0.080471,
+         'e▁m': 0.138069,
+         'for': 0.10802,
+         'f▁o': 0.10591,
+         'ged': 0.102815,
+         'ger': 0.145539,
+         'get': 0.11228,
+         'gge': 0.102815,
+         'giv': 0.099246,
+         'går': 0.101242,
+         'gør': 0.114183,
+         'g▁e': 0.107082,
+         'han': 0.099278,
+         'hed': 0.097867,
+         'hun': 0.112357,
+         'hus': 0.120263,
+         'ide': 0.101772,
+         'id▁': 0.112743,
+         'igg': 0.102815,
+         'ig▁': 0.122469,
+         'ikk': 0.108187,
+         'ill': 0.125853,
+         'il▁': 0.096267,
+         'ing': 0.138729,
+         'ive': 0.11256,
+         'i▁g': 0.079249,
+         'jde': 0.094759,
+         'ker': 0.126219,
+         'ke▁': 0.108187,
+         'kig': 0.102815,
+         'kke': 0.108187,
+         'kom': 0.086506,
+         'leg': 0.104688,
+         'le▁': 0.128437,
+         'lle': 0.167215,
+         'læs': 0.1059,
+         'l▁h': 0.07552,
+         'med': 0.095993,
+         'men': 0.190098,
+         'mer': 0.122124,
+         'mme': 0.17274,
+         'm▁t': 0.10474,
+         'm▁v': 0.075809,
+         'nde': 0.118544,
+         'nd▁': 0.102491,
+         'ner': 0.074097,
+         'nes': 0.092033,
+         'ng▁': 0.114993,
+         'nne': 0.136441,
+         'no▁': -0.078124,
+         'n▁b': 0.172331,
+         'n▁g': 0.153968,
+         'omm': 0.133934,
+         'om▁': 0.174859,
+         'ord': 0.091041,
+         'or▁': 0.112596,
+         'os▁': -0.099697,
+         'på▁': 0.093663,
+         'rbe': 0.079749,
+         'rd▁': 0.106286,
+         'rn▁': 0.117048,
+         'r▁d': 0.22336,
+         'r▁h': 0.137171,
+         'r▁i': 0.074537,
+         'r▁l': 0.108984,
+         'r▁o': 0.117622,
+         'r▁p': 0.081072,
+         'r▁s': 0.179331,
+         'r▁t': 0.161118,
+         'r▁v': 0.403291,
+         'ser': 0.07506,
+         'sig': 0.072984,
+         'ske': 0.092033,
+         'som': 0.148773,
+         's▁a': -0.082363,
+         's▁d': -0.073219,
+         's▁e': 0.087792,
+         'ter': 0.091981,
+         'te▁': -0.090322,
+         'tid': 0.116669,
+         'til': 0.090194,
+         'tin': 0.171329,
+         't▁h': 0.089462,
+         't▁å': 0.090756,
+         'un▁': 0.088674,
+         'us▁': 0.085799,
+         'van': 0.116364,
+         'ver': 0.116983,
+         'vid': 0.097847,
+         'vil': 0.097697,
+         'vi▁': 0.100154,
+         'yor': -0.072872,
+         'år▁': 0.20768,
+         'å▁k': 0.089126,
+         'æse': 0.1059,
+         'ørn': 0.126401,
+         'ør▁': 0.114183,
+         '▁af': 0.122313,
+         '▁at': 0.074783,
+         '▁bo': 0.094956,
+         '▁bø': 0.126401,
+         '▁co': -0.111197,
+         '▁da': -0.0826,
+         '▁de': 0.174706,
+         '▁en': 0.076654,
+         '▁er': 0.114429,
+         '▁et': 0.101935,
+         '▁fo': 0.101975,
+         '▁gi': 0.078688,
+         '▁gå': 0.101242,
+         '▁gø': 0.114183,
+         '▁ha': 0.076115,
+         '▁hu': 0.224617,
+         '▁ik': 0.108187,
+         '▁ki': 0.077665,
+         '▁ko': 0.079106,
+         '▁læ': 0.1059,
+         '▁me': 0.316024,
+         '▁og': 0.129593,
+         '▁om': 0.087757,
+         '▁or': 0.110502,
+         '▁på': 0.093663,
+         '▁sk': 0.106368,
+         '▁so': 0.121495,
+         '▁ti': 0.255952,
+         '▁va': 0.156981,
+         '▁ve': 0.08744,
+         '▁vi': 0.299726,
+         '▁år': 0.106438,
+         '▁น▁': -0.117047,
+         '▁เ▁': -0.090124,
+         '▁่▁': -0.074245,
+         '▁る▁': -0.086226}),
+ 'de': (-2.650051,
+        {'ach': 0.139525,
+         'ahr': 0.099017,
+         'als': 0.14565,
+         'arb': 0.073367,
+         'ass': 0.097288,
+         'auc': 0.091279,
+         'auf': 0.137952,
+         'aus': 0.146167,
+         'aut': 0.086509,
+         'bei': 0.149741,
+         'ben': 0.21315,
+         'cha': 0.08228,
+         'cht': 0.195186,
+         'ch▁': 0.221357,
+         'das': 0.078972,
+         'dem': 0.093586,
+         'den': 0.104603,
+         'der': 0.229415,
+         'des': 0.083492,
+         'die': 0.075532,
+         'din': 0.084034,
+         'd▁d': 0.086967,
+         'ebe': 0.181379,
+         'ehe': 0.092432,
+         'ein': 0.291593,
+         'eis': 0.089307,
+         'eit': 0.159863,
+         'em▁': 0.105505,
+         'en▁': 0.793489,
+         'er▁': 0.144931,
+         'ese': 0.092464,
+         'es▁': 0.091432,
+         'eun': 0.077209,
+         'eut': 0.085329,
+         'e▁d': 0.149245,
+         'e▁e': 0.072768,
+         'e▁u': 0.087275,
+         'fre': 0.077209,
+         'f▁w': 0.079466,
+         'geb': 0.091026,
+         'geh': 0.092432,
+         'ge▁': 0.099287,
+         'hau': 0.188052,
+         'hei': 0.089307,
+         'hen': 0.181304,
+         'hre': 0.145343,
+         'ht▁': 0.082279,
+         'h▁g': 0.079835,
+         'h▁k': 0.080368,
+         'ich': 0.283449,
+         'iel': 0.089021,
+         'ie▁': 0.09473,
+         'im▁': 0.092915,
+         'ind': 0.162545,
+         'ine': 0.145914,
+         'in▁': 0.119719,
+         'iss': 0.17883,
+         'ite': 0.08503,
+         'it▁': 0.126538,
+         'jah': 0.099017,
+         'kin': 0.086595,
+         'kt▁': 0.096161,
+         'leb': 0.090353,
+         'len': 0.08148,
+         'les': 0.085606,
+         'leu': 0.085329,
+         'llt': 0.087397,
+         'ls▁': 0.141234,
+         'lte': 0.09091,
+         'mac': 0.092613,
+         'men': 0.083637,
+         'mit': 0.089856,
+         'mme': 0.206915,
+         'm▁l': 0.074325,
+         'm▁m': 0.075119,
+         'nde': 0.244594,
+         'nd▁': 0.158973,
+         'ne▁': 0.075619,
+         'nge': 0.078778,
+         'ng▁': -0.078662,
+         'nic': 0.132096,
+         'no▁': -0.078341,
+         'n▁a': 0.321378,
+         'n▁d': 0.133791,
+         'n▁k': 0.078658,
+         'n▁n': 0.114967,
+         'n▁s': 0.153807,
+         'oll': 0.09091,
+         'omm': 0.112435,
+         'ort': 0.089589,
+         'or▁': -0.122416,
+         'os▁': -0.100179,
+         'pie': 0.086754,
+         'rbe': 0.073367,
+         'reu': 0.077209,
+         're▁': 0.109641,
+         'rte': 0.089835,
+         'r▁d': -0.070954,
+         'r▁v': -0.080155,
+         'r▁z': 0.138967,
+         'sch': 0.246178,
+         'sen': 0.161143,
+         'sic': 0.091818,
+         'sin': 0.077239,
+         'spi': 0.094407,
+         'sse': 0.186811,
+         'sst': 0.089307,
+         'st▁': 0.171949,
+         's▁a': -0.082964,
+         's▁i': 0.118109,
+         's▁j': 0.082737,
+         'tet': 0.088608,
+         'te▁': 0.300724,
+         't▁d': 0.110846,
+         't▁e': 0.108098,
+         't▁s': 0.073329,
+         't▁w': 0.135036,
+         'uch': 0.091279,
+         'uf▁': 0.090652,
+         'und': 0.169115,
+         'us▁': 0.103828,
+         'ute': 0.175448,
+         'u▁w': 0.085239,
+         'von': 0.080936,
+         'was': 0.142674,
+         'wis': 0.089523,
+         'wol': 0.09091,
+         'wor': 0.077503,
+         'yor': -0.072776,
+         'zei': 0.071255,
+         'zu▁': 0.09756,
+         '▁au': 0.222795,
+         '▁be': 0.081967,
+         '▁co': -0.111769,
+         '▁de': 0.262154,
+         '▁di': 0.148821,
+         '▁ei': 0.239895,
+         '▁ge': 0.195872,
+         '▁im': 0.144337,
+         '▁in': -0.070337,
+         '▁is': 0.075208,
+         '▁ja': 0.079002,
+         '▁ki': 0.072352,
+         '▁le': 0.198863,
+         '▁me': -0.073872,
+         '▁mi': 0.075301,
+         '▁ni': 0.158105,
+         '▁sc': 0.180445,
+         '▁si': 0.136502,
+         '▁sp': 0.082701,
+         '▁vi': -0.097979,
+         '▁wa': 0.123309,
+         '▁wi': 0.211699,
+         '▁wo': 0.143343,
+         '▁ze': 0.071255,
+         '▁zu': 0.144726,
+         '▁น▁': -0.117436,
+         '▁เ▁': -0.090424,
+         '▁่▁': -0.074492,
+         '▁る▁': -0.086514}),
+ 'en': (-2.636842,
+        {'adi': 0.091785,
+         'ake': 0.084454,
+         'all': 0.081518,
+         'ant': 0.086665,
+         'are': 0.095541,
+         'ars': 0.100826,
+         'ar▁': -0.105509,
+         'ate': 0.08675,
+         'at▁': 0.185135,
+         'ayi': 0.094142,
+         'be▁': 0.105551,
+         'by▁': 0.100425,
+         'cal': 0.091552,
+         'chi': 0.087149,
+         'de▁': -0.10047,
+         'dre': 0.09859,
+         'ds▁': 0.161143,
+         'd▁c': 0.086263,
+         'd▁t': 0.122305,
+         'd▁w': 0.077039,
+         'ead': 0.091785,
+         'ear': 0.100826,
+         'ed▁': 0.330802,
+         'en▁': -0.261976,
+         'eop': 0.085652,
+         'es▁': 0.30044,
+         'eth': 0.087799,
+         'e▁a': 0.159351,
+         'e▁g': 0.079912,
+         'for': 0.082532,
+         'fro': 0.077636,
+         'f▁t': 0.08866,
+         'ght': 0.086472,
+         'giv': 0.09725,
+         'goi': 0.097367,
+         'gs▁': 0.100978,
+         'g▁f': 0.146932,
+         'g▁i': 0.08152,
+         'g▁o': 0.079825,
+         'g▁w': 0.131105,
+         'hat': 0.095296,
+         'her': 0.135125,
+         'hil': 0.09859,
+         'hin': 0.205559,
+         'his': 0.134902,
+         'hou': 0.146973,
+         'ht▁': 0.079579,
+         'h▁l': 0.080921,
+         'ild': 0.090501,
+         'ing': 0.825346,
+         'is▁': 0.215306,
+         'ith': 0.092095,
+         'ivi': 0.09125,
+         'ked': 0.087902,
+         'kes': 0.10122,
+         'kno': 0.102805,
+         'ks▁': 0.097211,
+         'lay': 0.094142,
+         'ldr': 0.090551,
+         'led': 0.091552,
+         'liv': 0.09125,
+         'loo': 0.092917,
+         'mak': 0.09312,
+         'mes': 0.104892,
+         'mor': 0.080095,
+         'ngs': 0.100978,
+         'ng▁': 0.756106,
+         'nin': 0.187478,
+         'not': 0.192444,
+         'now': 0.102805,
+         'no▁': -0.078468,
+         'nte': 0.117957,
+         'n▁c': 0.080112,
+         'n▁y': 0.085158,
+         'of▁': 0.101965,
+         'oin': 0.097367,
+         'oke': 0.092917,
+         'ome': 0.127463,
+         'ook': 0.085434,
+         'opl': 0.085652,
+         'ork': 0.097211,
+         'orn': 0.080095,
+         'os▁': -0.100638,
+         'oth': 0.108924,
+         'ot▁': 0.079996,
+         'oug': 0.086472,
+         'ous': 0.088011,
+         'ows': 0.102805,
+         'o▁h': 0.08295,
+         'peo': 0.085652,
+         'pla': 0.094142,
+         'ple': 0.085652,
+         'rds': 0.096775,
+         'rea': 0.091785,
+         'rie': 0.091718,
+         'rks': 0.097211,
+         'rni': 0.080095,
+         'rom': 0.077636,
+         'rs▁': 0.096877,
+         'r▁v': -0.079337,
+         's▁a': 0.207428,
+         's▁b': 0.182083,
+         's▁g': 0.080303,
+         's▁h': 0.082874,
+         's▁o': 0.089647,
+         's▁t': 0.078076,
+         's▁w': 0.154923,
+         'ted': 0.129326,
+         'ter': 0.112183,
+         'te▁': -0.09009,
+         'tha': 0.095296,
+         'the': 0.212204,
+         'thi': 0.301068,
+         'th▁': 0.092095,
+         'to▁': 0.077571,
+         't▁k': 0.076927,
+         't▁r': 0.080341,
+         'ugh': 0.086472,
+         'use': 0.099494,
+         'ves': 0.105564,
+         'vin': 0.083268,
+         'wan': 0.09462,
+         'was': 0.081886,
+         'wat': 0.090588,
+         'wit': 0.092095,
+         'wor': 0.182523,
+         'ws▁': 0.102805,
+         'yea': 0.100826,
+         'yin': 0.094142,
+         'y▁w': 0.081208,
+         '▁an': 0.164352,
+         '▁as': 0.08189,
+         '▁at': 0.091057,
+         '▁a▁': 0.083096,
+         '▁be': 0.077891,
+         '▁by': 0.094191,
+         '▁da': -0.082796,
+         '▁de': -0.164085,
+         '▁fr': 0.125821,
+         '▁go': 0.097367,
+         '▁ho': 0.090522,
+         '▁it': 0.092964,
+         '▁kn': 0.102805,
+         '▁le': -0.089207,
+         '▁li': 0.117141,
+         '▁no': 0.112337,
+         '▁of': 0.101965,
+         '▁on': 0.09154,
+         '▁pl': 0.090223,
+         '▁st': 0.087847,
+         '▁th': 0.459324,
+         '▁to': 0.128355,
+         '▁vi': -0.097365,
+         '▁wa': 0.309485,
+         '▁wi': 0.120745,
+         '▁wo': 0.150904,
+         '▁ye': 0.100826,
+         '▁น▁': -0.118064,
+         '▁เ▁': -0.090907,
+         '▁る▁': -0.086978}),
+ 'es': (-2.644045,
+        {'aba': 0.183385,
+         'abe': 0.087953,
+         'abr': 0.103914,
+         'ace': 0.094261,
+         'agu': 0.100612,
+         'aja': 0.090528,
+         'ala': 0.095971,
+         'ama': 0.071664,
+         'ami': 0.10466,
+         'amo': 0.073054,
+         'ano': 0.13341,
+         'an▁': 0.090571,
+         'ara': 0.081988,
+         'ar▁': -0.105221,
+         'asa': 0.094561,
+         'as▁': 0.27778,
+         'a▁c': 0.137536,
+         'a▁e': 0.091841,
+         'a▁h': 0.081615,
+         'a▁j': 0.090235,
+         'a▁n': 0.073112,
+         'a▁p': 0.086097,
+         'a▁u': 0.094194,
+         'a▁y': 0.097194,
+         'baj': 0.090528,
+         'ba▁': 0.099894,
+         'ber': 0.079988,
+         'bra': 0.103914,
+         'cas': 0.086382,
+         'cem': 0.094261,
+         'con': 0.088009,
+         'cos': 0.097903,
+         'dan': 0.076009,
+         'del': 0.091724,
+         'do▁': 0.11959,
+         'een': 0.097866,
+         'ega': 0.086503,
+         'el▁': 0.164787,
+         'emo': 0.086958,
+         'emp': 0.153402,
+         'ene': 0.096026,
+         'en▁': 0.190611,
+         'eri': 0.081982,
+         'ero': 0.073556,
+         'er▁': -0.203233,
+         'esc': 0.099061,
+         'est': 0.074091,
+         'et▁': -0.092762,
+         'e▁n': 0.139142,
+         'e▁v': 0.074559,
+         'gan': 0.103931,
+         'gua': 0.093751,
+         'hac': 0.094261,
+         'ia▁': 0.084659,
+         'iem': 0.115961,
+         'ien': 0.120041,
+         'ina': 0.101822,
+         'ing': -0.117357,
+         'ino': 0.111543,
+         'ira': 0.099894,
+         'ja▁': 0.090528,
+         'jue': 0.103931,
+         'lab': 0.103914,
+         'lam': 0.103999,
+         'las': 0.109565,
+         'la▁': 0.096322,
+         'lee': 0.096571,
+         'le▁': -0.10911,
+         'lla': 0.085373,
+         'los': 0.092631,
+         'lo▁': 0.077503,
+         'l▁c': 0.144841,
+         'min': 0.097904,
+         'mir': 0.099894,
+         'mos': 0.173752,
+         'na▁': 0.137515,
+         'ndo': 0.082555,
+         'nen': 0.072849,
+         'ng▁': -0.078154,
+         'nin': 0.096323,
+         'nos': 0.210145,
+         'no▁': 0.202069,
+         'n▁e': 0.124458,
+         'n▁l': 0.085635,
+         'n▁p': 0.09159,
+         'n▁q': 0.091334,
+         'n▁v': 0.113796,
+         'omo': 0.070778,
+         'on▁': 0.102718,
+         'osa': 0.106582,
+         'os▁': 0.573724,
+         'o▁e': 0.10784,
+         'o▁m': 0.084189,
+         'o▁s': 0.1035,
+         'o▁t': 0.075428,
+         'pal': 0.095971,
+         'par': 0.072218,
+         'pie': 0.091205,
+         'por': 0.082788,
+         'que': 0.214599,
+         'rab': 0.183385,
+         'ras': 0.095971,
+         'ria': 0.135825,
+         'ro▁': 0.116183,
+         'r▁d': -0.070438,
+         'r▁q': 0.077633,
+         'r▁v': -0.079008,
+         'sab': 0.087953,
+         'sas': 0.102759,
+         'sa▁': 0.131862,
+         'sus': 0.096597,
+         'su▁': 0.08073,
+         's▁a': 0.071634,
+         's▁c': 0.085202,
+         's▁d': 0.227596,
+         's▁l': 0.164161,
+         's▁p': 0.121621,
+         's▁s': 0.106543,
+         's▁u': 0.08293,
+         'te▁': 0.072197,
+         'tie': 0.07522,
+         'tra': 0.12217,
+         'ua▁': 0.092883,
+         'ueg': 0.103931,
+         'uer': 0.08819,
+         'ue▁': 0.134424,
+         'una': 0.096378,
+         'un▁': 0.082056,
+         'u▁v': 0.077782,
+         'vam': 0.086794,
+         'vie': 0.138923,
+         'viv': 0.081858,
+         'yor': -0.072745,
+         'y▁a': 0.096041,
+         '▁ag': 0.100612,
+         '▁ca': 0.130823,
+         '▁co': 0.257237,
+         '▁de': 0.074523,
+         '▁es': 0.292142,
+         '▁ha': 0.116238,
+         '▁ju': 0.146159,
+         '▁la': 0.160385,
+         '▁ll': 0.103999,
+         '▁lo': 0.167536,
+         '▁ma': -0.115647,
+         '▁mi': 0.086054,
+         '▁pa': 0.149635,
+         '▁pe': 0.083386,
+         '▁po': 0.073129,
+         '▁qu': 0.152495,
+         '▁se': 0.112403,
+         '▁su': 0.166716,
+         '▁tr': 0.12217,
+         '▁un': 0.160057,
+         '▁vi': 0.117873,
+         '▁y▁': 0.110518,
+         '▁น▁': -0.117718,
+         '▁เ▁': -0.090641,
+         '▁่▁': -0.074671,
+         '▁る▁': -0.086723}),
+ 'fr': (-2.637415,
+        {'ail': 0.08625,
+         'ais': 0.329381,
+         'ait': 0.081914,
+         'all': 0.071902,
+         'ann': 0.086236,
+         'ans': 0.080049,
+         'ant': 0.094177,
+         'an▁': -0.076464,
+         'app': 0.130677,
+         'arc': 0.115586,
+         'ard': 0.072025,
+         'au▁': 0.107976,
+         'ave': 0.078593,
+         'avo': 0.078295,
+         'ce▁': 0.102244,
+         'che': 0.088122,
+         'cho': 0.084545,
+         'c▁v': 0.072494,
+         'des': 0.093735,
+         'de▁': 0.097232,
+         'don': 0.084586,
+         'du▁': 0.103351,
+         'eau': 0.107976,
+         'ec▁': 0.082761,
+         'ees': 0.099363,
+         'ell': 0.13161,
+         'enf': 0.101596,
+         'ens': 0.162984,
+         'ent': 0.493028,
+         'en▁': -0.315336,
+         'er▁': -0.29949,
+         'es▁': 0.475189,
+         'e▁c': 0.095731,
+         'e▁e': 0.077949,
+         'e▁j': 0.085514,
+         'e▁m': 0.077716,
+         'e▁p': 0.106714,
+         'e▁s': 0.07449,
+         'e▁v': 0.121029,
+         'fai': 0.082975,
+         'fan': 0.101596,
+         'gar': 0.08278,
+         'hos': 0.100504,
+         'ien': 0.104965,
+         'ing': -0.117749,
+         'ir▁': 0.076101,
+         'ise': 0.094548,
+         'iso': 0.187696,
+         'is▁': 0.183885,
+         'it▁': 0.101771,
+         'ive': 0.153069,
+         'jou': 0.151737,
+         'lai': 0.081914,
+         'les': 0.080154,
+         'le▁': 0.3431,
+         'lis': 0.094548,
+         'lle': 0.20156,
+         'llo': 0.082566,
+         'lon': 0.082566,
+         'mai': 0.240913,
+         'mar': 0.087625,
+         'mis': 0.077682,
+         'mot': 0.106358,
+         'mps': 0.072063,
+         'nee': 0.099363,
+         'ne▁': 0.17343,
+         'nfa': 0.101596,
+         'ng▁': -0.078601,
+         'nne': 0.237982,
+         'nou': 0.078515,
+         'no▁': -0.07912,
+         'nse': 0.087629,
+         'ns▁': 0.328336,
+         'nts': 0.101596,
+         'nt▁': 0.564763,
+         'n▁m': 0.07939,
+         'n▁t': 0.097591,
+         'oir': 0.146387,
+         'onn': 0.084586,
+         'ons': 0.165541,
+         'on▁': 0.141564,
+         'or▁': -0.121868,
+         'ose': 0.091838,
+         'os▁': -0.101552,
+         'ots': 0.106358,
+         'oue': 0.101106,
+         'oul': 0.081914,
+         'our': 0.190064,
+         'ous': 0.138365,
+         'pas': 0.082357,
+         'pou': 0.082128,
+         'ppe': 0.084353,
+         'ps▁': 0.072063,
+         'que': 0.157101,
+         'qui': 0.086078,
+         'rav': 0.08625,
+         'rch': 0.115586,
+         'rde': 0.075051,
+         'reg': 0.08278,
+         'r▁f': 0.072501,
+         'sav': 0.085301,
+         'ses': 0.176702,
+         'son': 0.308647,
+         'st▁': 0.075803,
+         'sur': 0.082771,
+         's▁a': 0.237551,
+         's▁d': 0.21071,
+         's▁e': 0.175218,
+         's▁l': 0.1821,
+         's▁r': 0.072513,
+         's▁s': 0.120836,
+         's▁u': 0.085572,
+         'ts▁': 0.194854,
+         't▁a': 0.094322,
+         't▁c': 0.080324,
+         't▁e': 0.168158,
+         't▁p': 0.137897,
+         't▁q': 0.156684,
+         'uen': 0.091658,
+         'ue▁': 0.128519,
+         'ui▁': 0.086078,
+         'ula': 0.081914,
+         'une': 0.103857,
+         'un▁': 0.082903,
+         'ur▁': 0.164899,
+         'us▁': 0.158073,
+         'u▁m': 0.086729,
+         'u▁u': 0.09502,
+         'vai': 0.08625,
+         'vec': 0.082761,
+         'ven': 0.098641,
+         'voi': 0.085301,
+         'vou': 0.149494,
+         'yor': -0.072562,
+         '▁ap': 0.130677,
+         '▁au': 0.076441,
+         '▁av': 0.073972,
+         '▁ce': 0.106336,
+         '▁du': 0.09695,
+         '▁ea': 0.107976,
+         '▁ec': 0.116214,
+         '▁en': 0.103113,
+         '▁et': 0.13776,
+         '▁hi': 0.085713,
+         '▁jo': 0.101106,
+         '▁le': 0.078571,
+         '▁li': 0.077116,
+         '▁ma': 0.21331,
+         '▁me': -0.073115,
+         '▁mo': 0.095209,
+         '▁pa': 0.116226,
+         '▁qu': 0.190565,
+         '▁so': 0.08808,
+         '▁un': 0.161381,
+         '▁vi': 0.08631,
+         '▁vo': 0.127544,
+         '▁น▁': -0.118035,
+         '▁เ▁': -0.090885,
+         '▁่▁': -0.074872,
+         '▁る▁': -0.086957}),
+ 'it': (-2.63502,
+        {'acc': 0.087415,
+         'acq': 0.097791,
+         'al▁': 0.094106,
+         'amb': 0.105382,
+         'amo': 0.159346,
+         'and': 0.133714,
+         'ann': 0.100717,
+         'ano': 0.1158,
+         'an▁': -0.076157,
+         'ape': 0.090955,
+         'ard': 0.076988,
+         'aro': 0.094751,
+         'ar▁': -0.105099,
+         'asa': 0.085863,
+         'as▁': -0.136168,
+         'avo': 0.082643,
+         'a▁a': 0.172053,
+         'a▁d': 0.159229,
+         'a▁e': 0.08196,
+         'a▁i': 0.074739,
+         'a▁l': 0.07926,
+         'a▁n': 0.110813,
+         'a▁p': 0.197691,
+         'bam': 0.105382,
+         'bin': 0.105382,
+         'can': 0.09358,
+         'cas': 0.077933,
+         'cci': 0.087415,
+         'che': 0.144294,
+         'chi': 0.0775,
+         'cia': 0.080456,
+         'con': 0.079424,
+         'cos': 0.159291,
+         'cqu': 0.097791,
+         'dav': 0.087413,
+         'del': 0.232942,
+         'de▁': -0.100514,
+         'dia': 0.086675,
+         'di▁': 0.093258,
+         'egg': 0.091084,
+         'ell': 0.121856,
+         'el▁': 0.136262,
+         'emp': 0.103377,
+         'eng': 0.085904,
+         'ent': 0.088784,
+         'en▁': -0.366333,
+         'ere': 0.075973,
+         'er▁': -0.266122,
+         'est': 0.125797,
+         'es▁': -0.090741,
+         'et▁': -0.092317,
+         'eva': 0.086936,
+         'e▁b': 0.082358,
+         'e▁l': 0.142446,
+         'e▁m': 0.091102,
+         'e▁s': 0.076324,
+         'fac': 0.087415,
+         'ggo': 0.091084,
+         'gio': 0.09358,
+         'gli': 0.157682,
+         'gon': 0.180738,
+         'he▁': 0.157254,
+         'hia': 0.089595,
+         'iam': 0.263685,
+         'ici': 0.075776,
+         'ing': -0.117347,
+         'ini': 0.195833,
+         'ioc': 0.09358,
+         'ivo': 0.138513,
+         'i▁c': 0.182111,
+         'i▁d': 0.171439,
+         'i▁g': 0.083791,
+         'i▁i': 0.096298,
+         'lav': 0.08151,
+         'la▁': 0.260727,
+         'leg': 0.082452,
+         'lev': 0.086936,
+         'le▁': 0.108809,
+         'li▁': 0.152739,
+         'lla': 0.126118,
+         'lo▁': 0.136176,
+         'l▁a': 0.086343,
+         'l▁s': 0.089012,
+         'ma▁': 0.139811,
+         'mbi': 0.105382,
+         'me▁': 0.132003,
+         'mic': 0.075776,
+         'mo▁': 0.160913,
+         'nch': 0.077305,
+         'ndi': 0.082221,
+         'ndo': 0.076256,
+         'ngo': 0.089654,
+         'ng▁': -0.078262,
+         'ni▁': 0.213599,
+         'nni': 0.102126,
+         'non': 0.086932,
+         'no▁': 0.607939,
+         'nte': 0.101806,
+         'n▁f': 0.075959,
+         'oca': 0.09358,
+         'ole': 0.171158,
+         'ono': 0.447953,
+         'on▁': 0.123479,
+         'ora': 0.089322,
+         'or▁': -0.122089,
+         'ose': 0.102147,
+         'os▁': -0.102203,
+         'o▁c': 0.221733,
+         'o▁d': 0.08225,
+         'o▁g': 0.082524,
+         'o▁q': 0.098108,
+         'o▁s': 0.193803,
+         'o▁u': 0.160903,
+         'per': 0.172048,
+         'qua': 0.155874,
+         'ra▁': 0.124695,
+         'rda': 0.087413,
+         're▁': 0.109538,
+         'rol': 0.094751,
+         'r▁v': -0.078835,
+         'sap': 0.090955,
+         'sa▁': 0.18083,
+         'se▁': 0.083792,
+         'si▁': 0.090685,
+         'sta': 0.09741,
+         'sto': 0.080625,
+         's▁a': -0.08374,
+         's▁d': -0.07464,
+         'ta▁': 0.078862,
+         'te▁': 0.119683,
+         'to▁': 0.088254,
+         'uar': 0.087413,
+         'ua▁': 0.081312,
+         'ues': 0.107971,
+         'una': 0.082735,
+         'va▁': 0.166589,
+         'vol': 0.086936,
+         'von': 0.131376,
+         'vor': 0.089322,
+         '▁ac': 0.097791,
+         '▁an': 0.205547,
+         '▁ba': 0.077595,
+         '▁ca': 0.117701,
+         '▁ch': 0.142265,
+         '▁co': 0.256232,
+         '▁de': 0.145139,
+         '▁e▁': 0.086536,
+         '▁gl': 0.112351,
+         '▁gu': 0.087413,
+         '▁in': 0.176898,
+         '▁la': 0.149389,
+         '▁le': 0.124711,
+         '▁pe': 0.081407,
+         '▁qu': 0.116436,
+         '▁sc': 0.081384,
+         '▁un': 0.13137,
+         '▁น▁': -0.118149,
+         '▁เ▁': -0.090973,
+         '▁่▁': -0.074944,
+         '▁る▁': -0.087042}),
+ 'ja': (-2.621204,
+        {'en▁': -0.364563,
+         'er▁': -0.3578,
+         '▁い▁': 0.33708,
+         '▁え▁': 0.209614,
+         '▁か▁': 0.200277,
+         '▁が▁': 0.19738,
+         '▁く▁': 0.343382,
+         '▁こ▁': 0.357494,
+         '▁さ▁': 0.241809,
+         '▁し▁': 0.269211,
+         '▁す▁': 0.213786,
+         '▁た▁': 0.201945,
+         '▁つ▁': 0.206571,
+         '▁て▁': 0.277877,
+         '▁で▁': 0.188328,
+         '▁ぶ▁': 0.354351,
+         '▁ま▁': 0.23799,
+         '▁む▁': 0.462047,
+         '▁も▁': 0.3824,
+         '▁る▁': 1.115796,
+         '▁を▁': 0.197515,
+         '▁何▁': 0.193896,
+         '▁供▁': 0.193042,
+         '▁家▁': 0.201988,
+         '▁水▁': 0.184284,
+         '▁葉▁': 0.192852,
+         '▁言▁': 0.192852,
+         '▁遊▁': 0.183806,
+         'る▁す': 0.192445,
+         '子▁供': 0.193042,
+         '言▁葉': 0.192852,
+         '遊▁ぶ': 0.183806}),
+ 'ko': (-2.618066,
+        {'en▁': -0.365006,
+         'er▁': -0.358235,
+         '▁것▁': 0.20336,
+         '▁놀다': 0.186546,
+         '▁말▁': 0.198775,
+         '▁물▁': 0.204552,
+         '▁보다': 0.341562,
+         '▁사람': 0.342185,
+         '▁수▁': 0.205748,
+         '▁아이': 0.198404,
+         '▁없다': 0.191949,
+         '▁여기': 0.251207,
+         '▁있다': 0.201014,
+         '▁지금': 0.208105,
+         '▁집▁': 0.205785,
+         '▁하다': 0.35722,
+         '▁함께': 0.191067,
+         '금▁여': 0.187601,
+         '기▁이': 0.210881,
+         '놀다▁': 0.186546,
+         '다▁보': 0.296975,
+         '다▁하': 0.254307,
+         '보다▁': 0.341562,
+         '아이들': 0.198404,
+         '없다▁': 0.191949,
+         '여기▁': 0.251207,
+         '이들▁': 0.198404,
+         '있다▁': 0.201014,
+         '지금▁': 0.208105,
+         '집▁수': 0.181213,
+         '하다▁': 0.56198,
+         '함께▁': 0.191067}),
+ 'nl': (-2.656124,
+        {'aan': 0.20865,
+         'aar': 0.168257,
+         'ake': 0.087423,
+         'als': 0.09217,
+         'an▁': 0.253416,
+         'are': 0.090534,
+         'ar▁': 0.075217,
+         'ate': 0.089652,
+         'at▁': 0.076917,
+         'bij': 0.08136,
+         'dat': 0.099572,
+         'den': 0.19494,
+         'der': 0.099116,
+         'de▁': 0.089687,
+         'die': 0.092686,
+         'din': 0.083581,
+         'd▁h': 0.074448,
+         'eek': 0.103343,
+         'een': 0.077546,
+         'eet': 0.101933,
+         'ein': 0.092723,
+         'ek▁': 0.092273,
+         'ele': 0.075117,
+         'en▁': 1.525092,
+         'ere': 0.136921,
+         'erk': 0.094289,
+         'es▁': -0.090924,
+         'ete': 0.085752,
+         'ets': 0.118944,
+         'et▁': 0.326806,
+         'eve': 0.092421,
+         'eze': 0.148708,
+         'e▁s': 0.126705,
+         'e▁w': 0.078247,
+         'gaa': 0.104653,
+         'gev': 0.101248,
+         'gt▁': 0.101906,
+         'hee': 0.101933,
+         'het': 0.077855,
+         'hui': 0.101204,
+         'iet': 0.219234,
+         'ijd': 0.13121,
+         'ij▁': 0.08136,
+         'ild': 0.095875,
+         'ind': 0.141631,
+         'int': 0.075131,
+         'in▁': 0.125995,
+         'is▁': 0.156631,
+         'it▁': 0.176854,
+         'jar': 0.094107,
+         'jd▁': 0.13121,
+         'kee': 0.103343,
+         'ken': 0.104189,
+         'kin': 0.086945,
+         'kom': 0.077936,
+         'kt▁': 0.198866,
+         'k▁v': 0.084921,
+         'k▁w': 0.083333,
+         'lde': 0.103692,
+         'len': 0.152124,
+         'lez': 0.099228,
+         'le▁': -0.108639,
+         'ls▁': 0.087787,
+         'maa': 0.102204,
+         'mak': 0.096317,
+         'men': 0.194137,
+         'met': 0.098769,
+         'm▁w': 0.086765,
+         'nde': 0.188628,
+         'nen': 0.138018,
+         'nge': 0.078284,
+         'ng▁': -0.078742,
+         'nie': 0.138507,
+         'no▁': -0.078148,
+         'nse': 0.078121,
+         'n▁a': 0.082684,
+         'n▁d': 0.343457,
+         'n▁e': 0.197753,
+         'n▁i': 0.126634,
+         'n▁j': 0.085976,
+         'n▁k': 0.078645,
+         'n▁m': 0.075142,
+         'n▁n': 0.074175,
+         'n▁o': 0.208007,
+         'n▁w': 0.122181,
+         'ok▁': 0.083255,
+         'ome': 0.133325,
+         'one': 0.099586,
+         'ook': 0.089038,
+         'oor': 0.203342,
+         'op▁': 0.100928,
+         'ord': 0.12455,
+         'os▁': -0.099671,
+         'pel': 0.084701,
+         'p▁w': 0.08831,
+         'rde': 0.093587,
+         'ren': 0.280071,
+         'rkt': 0.154569,
+         'r▁g': 0.077646,
+         'r▁k': 0.083385,
+         'r▁v': -0.080158,
+         'r▁w': 0.180926,
+         'sch': 0.090467,
+         'spe': 0.099937,
+         's▁h': 0.077425,
+         's▁i': 0.079011,
+         's▁m': 0.080083,
+         'ten': 0.080663,
+         'ter': 0.101017,
+         'tij': 0.13121,
+         'ts▁': 0.098908,
+         't▁b': 0.113428,
+         't▁d': 0.098662,
+         't▁k': 0.127367,
+         't▁l': 0.126184,
+         't▁m': 0.139557,
+         'uis': 0.101204,
+         'uit': 0.079266,
+         'van': 0.088149,
+         'ven': 0.112168,
+         'voo': 0.103352,
+         'vri': 0.079484,
+         'wat': 0.093462,
+         'wer': 0.094289,
+         'wet': 0.097955,
+         'wil': 0.103692,
+         'won': 0.099586,
+         'woo': 0.09999,
+         'zen': 0.099228,
+         '▁aa': 0.103997,
+         '▁al': 0.099873,
+         '▁co': -0.111354,
+         '▁di': 0.228628,
+         '▁ee': 0.085976,
+         '▁er': 0.089376,
+         '▁ga': 0.104653,
+         '▁he': 0.197493,
+         '▁is': 0.077722,
+         '▁ja': 0.078925,
+         '▁ke': 0.096244,
+         '▁ma': 0.17758,
+         '▁me': 0.12883,
+         '▁ni': 0.107764,
+         '▁om': 0.082926,
+         '▁oo': 0.096245,
+         '▁op': 0.100928,
+         '▁sc': 0.086568,
+         '▁sp': 0.088581,
+         '▁ui': 0.079266,
+         '▁vi': -0.097918,
+         '▁vo': 0.077679,
+         '▁vr': 0.079484,
+         '▁wa': 0.125213,
+         '▁we': 0.187866,
+         '▁wi': 0.118705,
+         '▁wo': 0.210821,
+         '▁น▁': -0.11716,
+         '▁เ▁': -0.090211,
+         '▁่▁': -0.074317,
+         '▁る▁': -0.086309}),
+ 'pl': (-2.622836,
+        {'acu': 0.079411,
+         'aje': 0.08228,
+         'ają': 0.326436,
+         'ak▁': 0.168749,
+         'ale': 0.083818,
+         'ar▁': -0.105097,
+         'ata': 0.111973,
+         'atr': 0.088917,
+         'azy': 0.087874,
+         'ał▁': 0.088696,
+         'a▁n': 0.081083,
+         'a▁p': 0.136434,
+         'a▁r': 0.09699,
+         'a▁t': 0.138013,
+         'a▁ż': 0.093684,
+         'bie': 0.101084,
+         'bim': 0.08598,
+         'być': 0.079807,
+         'chc': 0.088696,
+         'cia': 0.081871,
+         'ci▁': 0.107691,
+         'co▁': 0.088397,
+         'cuj': 0.079411,
+         'cza': 0.085398,
+         'czy': 0.394218,
+         'daj': 0.08228,
+         'da▁': 0.091048,
+         'de▁': -0.099985,
+         'dom': 0.118119,
+         'duż': 0.08228,
+         'dy▁': 0.116101,
+         'dzi': 0.437007,
+         'dzą': 0.08314,
+         'eci': 0.113626,
+         'ecz': 0.111459,
+         'edz': 0.080213,
+         'emy': 0.088184,
+         'en▁': -0.365756,
+         'er▁': -0.358813,
+         'esz': 0.087324,
+         'es▁': -0.090184,
+         'et▁': -0.09243,
+         'ez▁': 0.082276,
+         'eć▁': 0.080213,
+         'e▁l': 0.109984,
+         'e▁n': 0.119675,
+         'gra': 0.100177,
+         'hci': 0.088696,
+         'hod': 0.08314,
+         'iał': 0.088696,
+         'idz': 0.088184,
+         'iec': 0.113626,
+         'ied': 0.129417,
+         'ies': 0.083354,
+         'ieć': 0.080213,
+         'ie▁': 0.289608,
+         'imy': 0.08598,
+         'ing': -0.117372,
+         'ię▁': 0.111909,
+         'i▁z': 0.10069,
+         'jak': 0.088991,
+         'jes': 0.094772,
+         'je▁': 0.161691,
+         'ją▁': 0.326436,
+         'kaj': 0.087324,
+         'lat': 0.164628,
+         'lud': 0.096768,
+         'mie': 0.087324,
+         'my▁': 0.174164,
+         'm▁d': 0.104067,
+         'naz': 0.087874,
+         'na▁': 0.146777,
+         'obi': 0.08598,
+         'oda': 0.11517,
+         'odz': 0.08314,
+         'od▁': 0.08719,
+         'or▁': -0.121978,
+         'os▁': -0.100962,
+         'owa': 0.108601,
+         'o▁w': 0.102551,
+         'pat': 0.088917,
+         'pra': 0.079411,
+         'prz': 0.336948,
+         'rac': 0.079411,
+         'raj': 0.100177,
+         'rob': 0.08598,
+         'rze': 0.296396,
+         'rzy': 0.294069,
+         'się': 0.111909,
+         'szk': 0.148348,
+         'sło': 0.108601,
+         's▁a': -0.083238,
+         'taj': 0.090992,
+         'tak': 0.089146,
+         'ta▁': 0.087896,
+         'te▁': -0.090023,
+         'to▁': 0.148308,
+         'trz': 0.088917,
+         'udz': 0.096768,
+         'uje': 0.079411,
+         'użo': 0.08228,
+         'wa▁': 0.196475,
+         'wod': 0.11517,
+         'w▁l': 0.083832,
+         'ych': 0.08314,
+         'yta': 0.090992,
+         'ywa': 0.087874,
+         'yć▁': 0.079807,
+         'ył▁': 0.088917,
+         'y▁s': 0.093591,
+         'y▁z': 0.117291,
+         'zas': 0.085398,
+         'za▁': 0.080715,
+         'zec': 0.111459,
+         'zez': 0.082276,
+         'ze▁': 0.113629,
+         'zie': 0.437007,
+         'zka': 0.087324,
+         'zyc': 0.08314,
+         'zyt': 0.090992,
+         'zyw': 0.087874,
+         'zył': 0.088917,
+         'zy▁': 0.297028,
+         'zą▁': 0.131703,
+         'z▁d': 0.175658,
+         'ą▁j': 0.162337,
+         'ą▁p': 0.148575,
+         'ę▁d': 0.098245,
+         'łow': 0.108601,
+         'że▁': 0.167331,
+         'żo▁': 0.08228,
+         '▁an': -0.092304,
+         '▁cz': 0.25782,
+         '▁de': -0.163415,
+         '▁do': 0.212713,
+         '▁dz': 0.113626,
+         '▁gr': 0.100177,
+         '▁id': 0.088184,
+         '▁i▁': 0.084715,
+         '▁je': 0.094772,
+         '▁la': 0.124194,
+         '▁le': -0.089013,
+         '▁lu': 0.096768,
+         '▁na': 0.179518,
+         '▁ni': 0.199922,
+         '▁od': 0.082815,
+         '▁pr': 0.416358,
+         '▁ro': 0.08598,
+         '▁rz': 0.111459,
+         '▁sł': 0.108601,
+         '▁ta': 0.081854,
+         '▁to': 0.096979,
+         '▁vi': -0.097042,
+         '▁w▁': 0.098334,
+         '▁za': 0.202143,
+         '▁z▁': 0.116571,
+         '▁że': 0.104621,
+         '▁น▁': -0.118735,
+         '▁เ▁': -0.091424,
+         '▁る▁': -0.087475}),
+ 'pt': (-2.638991,
+        {'aba': 0.073191,
+         'abe': 0.081781,
+         'agu': 0.091522,
+         'ala': 0.091053,
+         'alh': 0.088413,
+         'ami': 0.103673,
+         'amo': 0.07117,
+         'am▁': 0.240293,
+         'anc': 0.089394,
+         'ano': 0.076745,
+         'an▁': -0.07596,
+         'ao▁': 0.115162,
+         'ara': 0.079535,
+         'ar▁': -0.104963,
+         'asa': 0.084153,
+         'as▁': 0.705618,
+         'ava': 0.084476,
+         'avr': 0.099317,
+         'aze': 0.086294,
+         'a▁c': 0.148168,
+         'a▁d': 0.161644,
+         'a▁e': 0.110254,
+         'a▁f': 0.148863,
+         'a▁p': 0.084983,
+         'a▁v': 0.133418,
+         'bal': 0.088413,
+         'ber': 0.0738,
+         'bri': 0.097659,
+         'cam': 0.142476,
+         'cas': 0.184714,
+         'ca▁': 0.116001,
+         'cha': 0.094521,
+         'coi': 0.103217,
+         'com': 0.206559,
+         'cri': 0.088967,
+         'das': 0.092831,
+         'da▁': 0.135582,
+         'dos': 0.100564,
+         'do▁': 0.225357,
+         'eem': 0.102344,
+         'ega': 0.071651,
+         'emo': 0.083266,
+         'emp': 0.105555,
+         'em▁': 0.395698,
+         'en▁': -0.365448,
+         'eri': 0.080633,
+         'er▁': -0.180085,
+         'esc': 0.100928,
+         'ess': 0.090171,
+         'es▁': -0.091039,
+         'et▁': -0.092009,
+         'e▁b': 0.077308,
+         'e▁c': 0.229575,
+         'faz': 0.09085,
+         'foi': 0.077213,
+         'gam': 0.090098,
+         'gos': 0.070876,
+         'gua': 0.08463,
+         'ham': 0.150372,
+         'hav': 0.093989,
+         'ha▁': 0.08161,
+         'heg': 0.090098,
+         'ian': 0.100561,
+         'ia▁': 0.08329,
+         'igo': 0.070876,
+         'inc': 0.1013,
+         'ing': -0.117116,
+         'isa': 0.103217,
+         'lav': 0.092255,
+         'lee': 0.094154,
+         'le▁': -0.108932,
+         'lha': 0.186541,
+         'mas': 0.138437,
+         'ma▁': 0.164874,
+         'min': 0.09585,
+         'mos': 0.168176,
+         'm▁l': 0.083134,
+         'm▁m': 0.072412,
+         'm▁o': 0.135171,
+         'm▁q': 0.089455,
+         'm▁u': 0.266946,
+         'nca': 0.263493,
+         'ndo': 0.07464,
+         'ng▁': -0.078174,
+         'nos': 0.086509,
+         'n▁e': -0.071626,
+         'oas': 0.090171,
+         'ois': 0.103217,
+         'oi▁': 0.077213,
+         'olh': 0.098127,
+         'omo': 0.082833,
+         'os▁': 0.616693,
+         'o▁c': 0.147859,
+         'o▁o': 0.124566,
+         'o▁p': 0.097392,
+         'pal': 0.091053,
+         'pel': 0.098808,
+         'pes': 0.090171,
+         'por': 0.081311,
+         'que': 0.211647,
+         'rab': 0.073191,
+         'ras': 0.091053,
+         'ria': 0.24117,
+         'rin': 0.09411,
+         'r▁q': 0.076544,
+         'r▁v': -0.078792,
+         'sab': 0.081781,
+         'sas': 0.094118,
+         'sa▁': 0.121869,
+         'soa': 0.090171,
+         'sso': 0.090171,
+         's▁a': 0.250698,
+         's▁c': 0.129935,
+         's▁d': 0.300129,
+         's▁e': 0.111877,
+         's▁p': 0.229471,
+         's▁s': 0.119263,
+         's▁t': 0.071176,
+         'tra': 0.120173,
+         'ua▁': 0.083827,
+         'uer': 0.086814,
+         'ue▁': 0.077995,
+         'uma': 0.151341,
+         'um▁': 0.101994,
+         'vam': 0.08491,
+         'va▁': 0.084389,
+         'vem': 0.150249,
+         'viv': 0.079553,
+         'vra': 0.099317,
+         'yor': -0.072675,
+         'zem': 0.086294,
+         '▁ag': 0.091522,
+         '▁as': 0.079343,
+         '▁br': 0.090917,
+         '▁ca': 0.118187,
+         '▁ch': 0.154869,
+         '▁co': 0.311042,
+         '▁cr': 0.100561,
+         '▁da': 0.229435,
+         '▁do': 0.17699,
+         '▁em': 0.095727,
+         '▁es': 0.168261,
+         '▁e▁': 0.093202,
+         '▁fa': 0.07741,
+         '▁ma': 0.077506,
+         '▁ol': 0.093808,
+         '▁os': 0.148979,
+         '▁o▁': 0.075634,
+         '▁pa': 0.142223,
+         '▁pe': 0.277844,
+         '▁po': 0.071605,
+         '▁qu': 0.148929,
+         '▁se': 0.197425,
+         '▁te': 0.113013,
+         '▁tr': 0.120173,
+         '▁um': 0.253335,
+         '▁น▁': -0.117965,
+         '▁เ▁': -0.090831,
+         '▁่▁': -0.074828,
+         '▁る▁': -0.086906}),
+ 'sv': (-2.652227,
+        {'ade': 0.1032,
+         'ad▁': 0.11608,
+         'ake': 0.095974,
+         'an▁': 0.099345,
+         'arb': 0.083904,
+         'arn': 0.116113,
+         'ar▁': 0.308044,
+         'as▁': -0.134023,
+         'att': 0.197132,
+         'av▁': 0.113705,
+         'a▁m': 0.080232,
+         'bar': 0.112225,
+         'bet': 0.098684,
+         'bor': 0.094727,
+         'det': 0.079534,
+         'de▁': 0.136386,
+         'd▁a': 0.082539,
+         'd▁f': 0.086285,
+         'd▁s': 0.07546,
+         'd▁v': 0.08491,
+         'eke': 0.107756,
+         'en▁': 0.145402,
+         'er▁': 0.856468,
+         'es▁': -0.090127,
+         'eta': 0.206684,
+         'ete': 0.089365,
+         'ett': 0.113941,
+         'et▁': 0.070683,
+         'e▁k': 0.085813,
+         'för': 0.109741,
+         'ger': 0.148153,
+         'går': 0.103792,
+         'gör': 0.117946,
+         'han': 0.100769,
+         'het': 0.094596,
+         'hon': 0.11554,
+         'hus': 0.108221,
+         'id▁': 0.153737,
+         'ig▁': 0.117369,
+         'ill': 0.232975,
+         'int': 0.134114,
+         'isk': 0.086104,
+         'itt': 0.100009,
+         'i▁g': 0.086658,
+         'ker': 0.264559,
+         'kom': 0.09282,
+         'kor': 0.086104,
+         'lek': 0.107756,
+         'lle': 0.115563,
+         'll▁': 0.101712,
+         'läs': 0.104137,
+         'l▁h': 0.075668,
+         'mar': 0.081645,
+         'med': 0.096508,
+         'mer': 0.073585,
+         'mma': 0.091997,
+         'mme': 0.073481,
+         'män': 0.086104,
+         'm▁s': 0.097572,
+         'm▁v': 0.082529,
+         'ner': 0.07578,
+         'nge': 0.079533,
+         'nis': 0.078881,
+         'nni': 0.073379,
+         'no▁': -0.078154,
+         'nte': 0.112215,
+         'n▁a': 0.183105,
+         'n▁b': 0.162478,
+         'n▁g': 0.158527,
+         'omm': 0.137647,
+         'om▁': 0.173718,
+         'ord': 0.083407,
+         'or▁': 0.080756,
+         'os▁': -0.099887,
+         'på▁': 0.09419,
+         'rbe': 0.083904,
+         'rd▁': 0.098604,
+         'rn▁': 0.105881,
+         'r▁d': 0.220785,
+         'r▁e': 0.107753,
+         'r▁h': 0.083704,
+         'r▁i': 0.071756,
+         'r▁l': 0.104834,
+         'r▁o': 0.122206,
+         'r▁p': 0.081589,
+         'r▁s': 0.170266,
+         'r▁t': 0.162134,
+         'r▁v': 0.457178,
+         'sak': 0.112055,
+         'ser': 0.133017,
+         'sig': 0.073323,
+         'sko': 0.147474,
+         'som': 0.137293,
+         's▁a': -0.082465,
+         's▁d': -0.073216,
+         's▁ä': 0.103338,
+         'tad': 0.1032,
+         'tar': 0.191207,
+         'ta▁': 0.083782,
+         'ten': 0.147186,
+         'ter': 0.148459,
+         'tid': 0.105558,
+         'til': 0.136962,
+         'tit': 0.09889,
+         'tta': 0.1032,
+         'tte': 0.161301,
+         'tt▁': 0.201057,
+         't▁h': 0.078361,
+         't▁å': 0.084034,
+         'us▁': 0.073891,
+         'var': 0.07198,
+         'vat': 0.113705,
+         'vet': 0.108,
+         'vil': 0.098199,
+         'vi▁': 0.107636,
+         'vän': 0.082428,
+         'v▁o': 0.099221,
+         'yor': -0.073054,
+         'änn': 0.168532,
+         'är▁': 0.116641,
+         'äse': 0.104137,
+         'år▁': 0.202339,
+         'å▁t': 0.089506,
+         'ör▁': 0.227687,
+         '▁ar': 0.070361,
+         '▁av': 0.107261,
+         '▁ba': 0.089142,
+         '▁bo': 0.094727,
+         '▁co': -0.111361,
+         '▁da': -0.082576,
+         '▁de': 0.172253,
+         '▁et': 0.090109,
+         '▁fö': 0.109741,
+         '▁gå': 0.103792,
+         '▁gö': 0.117946,
+         '▁ha': 0.077663,
+         '▁ho': 0.107771,
+         '▁hu': 0.091068,
+         '▁in': 0.101696,
+         '▁ko': 0.085411,
+         '▁lä': 0.104137,
+         '▁me': 0.150222,
+         '▁mä': 0.086104,
+         '▁oc': 0.121054,
+         '▁om': 0.095521,
+         '▁or': 0.102818,
+         '▁på': 0.09419,
+         '▁sa': 0.076215,
+         '▁sk': 0.102767,
+         '▁so': 0.110005,
+         '▁ti': 0.277439,
+         '▁va': 0.21263,
+         '▁vi': 0.247697,
+         '▁vä': 0.082428,
+         '▁är': 0.116641,
+         '▁år': 0.098548,
+         '▁น▁': -0.117336,
+         '▁เ▁': -0.090346,
+         '▁่▁': -0.074428,
+         '▁る▁': -0.086439}),
+ 'th': (-2.638333,
+        {'en▁': -0.362266,
+         'er▁': -0.355541,
+         'า▁น': 0.391821,
+         'ี▁ย': 0.265631,
+         'ื▁่': 0.280477,
+         'เ▁ร': 0.322339,
+         '่▁น': 0.205619,
+         '▁ก▁': 0.504077,
+         '▁ค▁': 0.348587,
+         '▁ง▁': 0.480448,
+         '▁ด▁': 0.634292,
+         '▁ท▁': 0.33983,
+         '▁น▁': 1.513181,
+         '▁บ▁': 0.293991,
+         '▁ป▁': 0.239569,
+         '▁ม▁': 0.586641,
+         '▁ย▁': 0.622359,
+         '▁ร▁': 0.680465,
+         '▁ล▁': 0.326121,
+         '▁ว▁': 0.351901,
+         '▁อ▁': 0.676913,
+         '▁า▁': 0.824432,
+         '▁ำ▁': 0.376997,
+         '▁ิ▁': 0.391856,
+         '▁ี▁': 0.559581,
+         '▁ื▁': 0.280477,
+         '▁ู▁': 0.360727,
+         '▁เ▁': 1.165184,
+         '▁ไ▁': 0.25317,
+         '▁็▁': 0.223945,
+         '▁่▁': 0.959908,
+         '▁้▁': 0.625146}),
+ 'tr': (-2.634905,
+        {'ada': 0.141216,
+         'aha': 0.087262,
+         'akt': 0.086094,
+         'ak▁': 0.106117,
+         'alı': 0.121287,
+         'ama': 0.128785,
+         'anl': 0.081702,
+         'apı': 0.080101,
+         'ar▁': 0.510942,
+         'as▁': -0.134288,
+         'aşl': 0.122105,
+         'aşı': 0.085426,
+         'a▁b': 0.173811,
+         'a▁ş': 0.085351,
+         'bak': 0.086094,
+         'baş': 0.105424,
+         'bil': 0.079152,
+         'bir': 0.164413,
+         'biz': 0.080772,
+         'bi▁': 0.089513,
+         'bu▁': 0.083122,
+         'cuk': 0.099377,
+         'dah': 0.087262,
+         'dar': 0.078545,
+         'diy': 0.146596,
+         'di▁': 0.130283,
+         'edi': 0.084178,
+         'ele': 0.129871,
+         'eli': 0.170731,
+         'es▁': -0.089952,
+         'et▁': -0.092908,
+         'ev▁': 0.101613,
+         'eyl': 0.099043,
+         'e▁ç': 0.087356,
+         'gel': 0.079247,
+         'gib': 0.089513,
+         'gid': 0.081016,
+         'güz': 0.080585,
+         'ha▁': 0.080413,
+         'ibi': 0.089513,
+         'idi': 0.081016,
+         'ile': 0.100164,
+         'ilm': 0.079152,
+         'ime': 0.085984,
+         'ing': -0.117536,
+         'ins': 0.078063,
+         'ir▁': 0.11184,
+         'iyo': 0.281874,
+         'iz▁': 0.080772,
+         'içi': 0.100243,
+         'i▁o': 0.142422,
+         'kad': 0.149765,
+         'kel': 0.091484,
+         'ki▁': 0.074398,
+         'kla': 0.099377,
+         'ktı': 0.086094,
+         'kuy': 0.086386,
+         'k▁k': 0.113279,
+         'k▁y': 0.128726,
+         'lar': 0.403031,
+         'ler': 0.241359,
+         'lim': 0.091484,
+         'liy': 0.079247,
+         'lla': 0.076307,
+         'lme': 0.079152,
+         'lıy': 0.093601,
+         'lış': 0.078571,
+         'mek': 0.079152,
+         'mel': 0.091484,
+         'ng▁': -0.07835,
+         'nla': 0.081702,
+         'no▁': -0.078536,
+         'nra': 0.079505,
+         'nuy': 0.088401,
+         'n▁b': 0.093032,
+         'n▁h': 0.09784,
+         'ocu': 0.099377,
+         'oku': 0.151317,
+         'ok▁': 0.157806,
+         'onr': 0.079505,
+         'oru': 0.161116,
+         'or▁': 0.711281,
+         'os▁': -0.100339,
+         'oyn': 0.088401,
+         'pıy': 0.080101,
+         'riy': 0.079664,
+         'ruz': 0.161116,
+         'r▁a': 0.219172,
+         'r▁d': 0.240602,
+         'r▁g': 0.141445,
+         'r▁k': 0.089024,
+         'r▁v': -0.079717,
+         'r▁ç': 0.185828,
+         'r▁ş': 0.094308,
+         'san': 0.081702,
+         'ste': 0.075711,
+         'su▁': 0.084683,
+         's▁a': -0.08273,
+         'ted': 0.073648,
+         'tı▁': 0.086094,
+         'ukl': 0.099377,
+         'uyo': 0.218512,
+         'uz▁': 0.161116,
+         'u▁n': 0.085334,
+         'u▁y': 0.083122,
+         've▁': 0.078355,
+         'v▁i': 0.088986,
+         'yap': 0.080101,
+         'yaz': 0.099881,
+         'yaş': 0.085426,
+         'yle': 0.099043,
+         'ynu': 0.088401,
+         'yok': 0.079454,
+         'yor': 0.934869,
+         'yıl': 0.095435,
+         'zel': 0.080585,
+         'z▁b': 0.11167,
+         'çal': 0.078571,
+         'çin': 0.100243,
+         'çoc': 0.099377,
+         'çok': 0.085904,
+         'ün▁': 0.102187,
+         'üze': 0.080585,
+         'ıll': 0.095435,
+         'ıyo': 0.383583,
+         'ışı': 0.078571,
+         'ı▁b': 0.075423,
+         'şey': 0.147466,
+         'şıy': 0.163996,
+         '▁ba': 0.170323,
+         '▁bi': 0.302531,
+         '▁bu': 0.130132,
+         '▁co': -0.111837,
+         '▁da': 0.11667,
+         '▁ev': 0.096534,
+         '▁gi': 0.146696,
+         '▁gü': 0.080585,
+         '▁he': 0.092523,
+         '▁hi': 0.075926,
+         '▁il': 0.089969,
+         '▁iç': 0.100243,
+         '▁ka': 0.078545,
+         '▁ke': 0.083388,
+         '▁le': -0.089297,
+         '▁ma': -0.115121,
+         '▁ne': 0.090923,
+         '▁ok': 0.151317,
+         '▁oy': 0.088401,
+         '▁ve': 0.124273,
+         '▁vi': -0.097708,
+         '▁ya': 0.319967,
+         '▁yo': 0.074357,
+         '▁yı': 0.095435,
+         '▁ça': 0.078571,
+         '▁ço': 0.185281,
+         '▁şe': 0.147466,
+         '▁น▁': -0.118158,
+         '▁เ▁': -0.090979,
+         '▁่▁': -0.07495,
+         '▁る▁': -0.087048}),
+ 'zh': (-2.620428,
+        {'en▁': -0.364671,
+         'er▁': -0.357906,
+         '▁一▁': 0.286304,
+         '▁上▁': 0.42086,
+         '▁中▁': 0.228815,
+         '▁人▁': 0.370941,
+         '▁他▁': 0.261367,
+         '▁们▁': 0.262462,
+         '▁住▁': 0.247865,
+         '▁叫▁': 0.261391,
+         '▁在▁': 0.364388,
+         '▁天▁': 0.222471,
+         '▁子▁': 0.473842,
+         '▁想▁': 0.344129,
+         '▁我▁': 0.246823,
+         '▁时▁': 0.258761,
+         '▁是▁': 0.286232,
+         '▁有▁': 0.370308,
+         '▁来▁': 0.413278,
+         '▁玩▁': 0.253669,
+         '▁看▁': 0.228779,
+         '▁词▁': 0.239968,
+         '▁读▁': 0.261319,
+         '▁这▁': 0.356954,
+         '▁道▁': 0.285119,
+         '他▁叫': 0.2287,
+         '住▁他': 0.228669,
+         '叫▁这': 0.228728,
+         '在▁读': 0.228647,
+         '有▁住': 0.22864,
+         '玩▁在': 0.224822,
+         '读▁有': 0.228637})}
 
 _TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
@@ -1615,7 +2212,13 @@ def _argmax_struct_sql(score_sqls: list[tuple[str, str]]) -> str:
 # handful of times (one per reference), never multiply its internals.
 def _lexicon_struct(text_col: str):
     """struct(s, ni, l): the lexicon rung's argmax as one
-    self-contained Column (see the design note above)."""
+    self-contained Column (see the design note above). The word stream
+    is the SCRIPT-SEGMENTED form (round 9): a no-op on spaced-script
+    text, while zh/ja/th text decomposes per character so the
+    single-character entries of :data:`LANG_LEXICON` can hit — without
+    it a space-free-script document is ONE token and every lexicon
+    scores zero. Empty tokens are dropped (the canonical segmented
+    form guarantee), so the hit ratio's denominator is real tokens."""
     scores = [
         (
             lang,
@@ -1626,7 +2229,7 @@ def _lexicon_struct(text_col: str):
     ]
     inner = _argmax_struct_sql(scores)
     return F.expr(
-        f"transform(array(split(lower({text_col}), ' ')),"
+        f"transform(array({_words_sql(text_col, 'script')}),"
         f" ws -> {inner})[0]"
     )
 
@@ -1637,8 +2240,16 @@ def _ngram_lang_struct(text_col: str):
     (O(len) char-array lambda construction; InSet profile membership
     — see the per-rung docstrings), now with the trigram stream bound
     once as the outer lambda variable so no downstream rewrite can
-    re-inline its construction per language."""
-    s = f"concat(' ', lower({text_col}), ' ')"
+    re-inline its construction per language.
+
+    The trigram stream runs over the SCRIPT-SEGMENTED canonical form
+    (round 9): spaced-script text is unchanged (segmentation is a
+    character-level no-op, space runs collapse to the canonical single
+    space), while zh/ja/th text yields ``' X '``-shaped boundary
+    trigrams that match the single-character profile entries — the
+    unsegmented stream contains no spaces at all, so no space-padded
+    profile could ever hit it."""
+    s = f"concat(' ', {segmented_text_sql(f'lower({text_col})')}, ' ')"
     tris = (
         f"flatten(transform(array(split({s}, '')),"
         f" cs -> transform(sequence(1, greatest(size(cs) - 2, 1)),"
@@ -1723,6 +2334,29 @@ def _null_text_guard(struct_col, text_col: str):
     ).otherwise(struct_col)
 
 
+def _floor_lang_col(struct_col, min_score):
+    """The floored predicted-language Column as ONE self-contained
+    expression: the scorer struct is bound once as a lambda variable
+    (``transform(array(x), lx -> ...)[0]``, the round-8 anti-blowup
+    binding), so downstream Project collapse copies the scorer once
+    per REFERENCE to the language column — not once per field access
+    inside the floor CASE. Semantics identical to
+    ``_floor_pred(x.l, x.s, min_score)`` including the NULL-text
+    contract (NULL struct → NULL language; with a floor set, the
+    NULL comparison falls through to ``und`` — the pre-existing
+    behavior, pinned by the floor tests)."""
+    arr = F.array(struct_col)
+    if min_score is None:
+        return F.transform(arr, lambda lx: lx.getField("l"))[0]
+    return F.transform(
+        arr,
+        lambda lx: F.when(
+            lx.getField("s") >= F.lit(float(min_score)),
+            lx.getField("l"),
+        ).otherwise(F.lit(UNKNOWN_LANG)),
+    )[0]
+
+
 def _floor_pred(pred, best, min_score):
     """predicted-language Column with the ``min_score`` floor applied:
     below the floor the argmax is overridden to :data:`UNKNOWN_LANG`
@@ -1778,8 +2412,8 @@ def language_id_ngram(
     min_score: float | None = None,
 ) -> DataFrame:
     """(id, predicted_lang, lang_score): character-trigram profile
-    scoring over 11 languages — the second rung above
-    :func:`language_id`'s whole-word lexicon.
+    scoring over 15 languages (11 spaced + zh/ja/ko/th) — the second
+    rung above :func:`language_id`'s whole-word lexicon.
 
     Each language's profile is the trigram set of its space-padded
     function words (:data:`LANG_TRIGRAM_PROFILES`, Cavnar &
@@ -1830,8 +2464,17 @@ def char_ngram_text_sql(text_col: str, n: int = 3) -> str:
     ``substring`` scan (which is O(len²) per document); ``slice`` +
     ``concat_ws`` keeps gram values — including the short boundary
     gram of a sub-n-length document — identical to the substring
-    form, so trained weights and the DuckDB oracles are unaffected."""
-    s = f"concat(' ', lower({text_col}), ' ')"
+    form, so trained weights and the DuckDB oracles are unaffected.
+
+    Round 9: the gram stream runs over the SCRIPT-SEGMENTED canonical
+    form (:func:`segmented_text_sql` — a no-op on spaced-script text,
+    per-character isolation on zh/ja/th), so the trained rung sees
+    ``▁的▁`` boundary grams and ``时▁间`` character-collocation grams
+    on space-free scripts instead of one unbroken run. Training
+    (``training.train_language_classifier``) and scoring share this
+    definition, so the pinned model and the segmentation can never
+    drift."""
+    s = f"concat(' ', {segmented_text_sql(f'lower({text_col})')}, ' ')"
     return (
         f"array_join(flatten(transform(array(split({s}, '')),"
         f" cs -> transform(sequence(1, greatest(size(cs) - {n - 1}, 1)),"
@@ -2039,20 +2682,15 @@ def with_language(
         x = _null_text_guard(
             _langid_literal_struct(model, ftext), text_col
         )
-        drop = [c for c in ("__lx", lang_col) if c in docs.columns]
-        return (
-            docs.drop(*drop)
-            .withColumn("__lx", x)
-            .withColumn(
-                lang_col,
-                _floor_pred(
-                    F.col("__lx").getField("l"),
-                    F.col("__lx").getField("s"),
-                    min_score,
-                ),
-            )
-            .drop("__lx")
-        )
+        # ONE self-contained expression (the scorer struct bound once
+        # — round 9): a chain that references the language column k
+        # times (keep-list filter, audit flag, mixture key) then
+        # carries k copies of the scorer, not 2k (the floor's .l/.s
+        # double-access used to double every downstream copy —
+        # measured 72.7 → 45.6 s on the 50k-doc curation_report)
+        return docs.drop(
+            *[c for c in (lang_col,) if c in docs.columns]
+        ).withColumn(lang_col, _floor_lang_col(x, min_score))
     if model is not None:
         raise ValueError(
             f"model= is only meaningful with method='model', got "
@@ -2065,24 +2703,15 @@ def with_language(
             else _lexicon_struct(text_col),
             text_col,
         )
-        drop = [c for c in ("__lx", lang_col) if c in docs.columns]
-        return (
-            docs.drop(*drop)
-            .withColumn("__lx", x)
-            .withColumn(
-                lang_col,
-                _floor_pred(
-                    F.col("__lx").getField("l"),
-                    F.col("__lx").getField("s"),
-                    min_score,
-                ),
-            )
-            .drop("__lx")
-        )
+        return docs.drop(
+            *[c for c in (lang_col,) if c in docs.columns]
+        ).withColumn(lang_col, _floor_lang_col(x, min_score))
     raise ValueError(f"unknown language-id method: {method!r}")
 
 
-def _repetition_exprs(text_col: str) -> list[tuple[str, str]]:
+def _repetition_exprs(
+    text_col: str, segmentation: str = "whitespace"
+) -> list[tuple[str, str]]:
     """(alias, SQL expr) pairs for the Gopher-style repetition features.
 
     All three are computed from the word array of one row — map-side,
@@ -2098,9 +2727,22 @@ def _repetition_exprs(text_col: str) -> list[tuple[str, str]]:
       groupBy (one shuffle) — this map-side form is chosen because the
       filter runs per-row over 100 TB where a shuffle costs more than
       the per-doc scan.
+
+    ``segmentation="script"`` (round 9) measures the same fractions
+    over the script-segmented word stream (:func:`_words_sql`) — on a
+    zh/ja/th document the whitespace stream is ONE word (dup fractions
+    pinned at 0/1 regardless of content), the segmented stream is the
+    character sequence, where repetition is meaningful again. Script
+    mode binds the word array once as a lambda variable per alias
+    (``transform(array(ws), ...)[0]``, the round-8 anti-blowup
+    pattern); whitespace mode keeps the historical expression text
+    bit-for-bit (pinned oracle hashes).
     """
-    ws = f"split(lower({text_col}), ' ')"
-    n = f"size({ws})"
+    if segmentation == "script":
+        ws, n = "ws", "size(ws)"
+    else:
+        ws = _words_sql(text_col, segmentation)
+        n = f"size({ws})"
     bi = (
         f"zip_with(slice({ws}, 1, {n} - 1), slice({ws}, 2, {n} - 1),"
         f" (a, b) -> concat(a, ' ', b))"
@@ -2109,7 +2751,7 @@ def _repetition_exprs(text_col: str) -> list[tuple[str, str]]:
         f"array_max(transform(array_distinct({ws}),"
         f" w -> size(filter({ws}, x -> x = w))))"
     )
-    return [
+    exprs = [
         (
             "dup_word_fraction",
             f"round(1.0 - size(array_distinct({ws})) / cast({n} as double), 6)",
@@ -2125,21 +2767,37 @@ def _repetition_exprs(text_col: str) -> list[tuple[str, str]]:
             f"round({top} / cast({n} as double), 6)",
         ),
     ]
+    if segmentation == "script":
+        outer = _words_sql(text_col, segmentation)
+        exprs = [
+            (a, f"transform(array({outer}), ws -> {e})[0]")
+            for a, e in exprs
+        ]
+    return exprs
 
 
 def repetition_metrics(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, dup_word_fraction, dup_bigram_fraction, top_word_fraction).
 
     Gopher-style repetition quality filters (see
     :func:`_repetition_exprs`); a document whose mass concentrates in
     few repeated words/bigrams is boilerplate or spam and these are the
-    standard drop signals.
+    standard drop signals. ``segmentation="script"`` measures them
+    over the script-segmented word stream (space-free-script
+    correctness — see :func:`segmented_text_sql`).
     """
     return docs.select(
         F.col(id_col),
-        *[F.expr(e).alias(a) for a, e in _repetition_exprs(text_col)],
+        *[
+            F.expr(e).alias(a)
+            for a, e in _repetition_exprs(text_col, segmentation)
+        ],
     )
 
 
@@ -2149,6 +2807,7 @@ def quality_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     include_repetition: bool = False,
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Per-document quality features + combined score in [0, 1].
 
@@ -2157,30 +2816,103 @@ def quality_score(
     score is a fixed-weight sum, rounded for cross-engine stability.
     With ``include_repetition`` the Gopher repetition features are
     appended in the same single map-side projection (no join).
+
+    ``segmentation="script"`` (round 9) computes every word-based
+    feature over the script-segmented stream and appends a measured
+    ``spacefree_fraction`` column — see :func:`_quality_exprs`. This
+    is the mode that stops the quality gate from silently rejecting
+    every zh/ja/th document (whitespace mode sees one giant "word":
+    n_words = 1 fails the length band, mean word length is the whole
+    document, stopword ratio is 0).
     """
-    exprs = _quality_exprs(text_col, include_repetition)
+    exprs = _quality_exprs(
+        text_col, include_repetition, segmentation=segmentation
+    )
     return docs.select(
         F.col(id_col), *[F.expr(e).alias(a) for a, e in exprs]
     )
 
 
+#: Minimum fraction of dense-script characters (over non-space
+#: characters) at which the mean-word-length band is waived under
+#: ``segmentation="script"`` — the [2, 12] band is a LATIN-alphabet
+#: heuristic; a predominantly Han/Kana/Thai document's segmented words
+#: are single characters (mean ≈ 1) by construction, and Hangul packs
+#: 2–3 letters per syllable block so Korean words measure 2–3 "chars"
+#: — in both cases the band misreads a normal document as gibberish.
+#: 0.3 keeps the band for mostly-Latin text with incidental CJK spans
+#: while waiving it once the document is substantially dense-script.
+SPACEFREE_WLEN_WAIVER = 0.3
+
+#: The waiver's character class: the space-free scripts PLUS Hangul
+#: (spaced, so never segmented, but its syllable blocks make the
+#: chars-per-word band systematically under-read).
+_WLEN_WAIVER_CLASS = (
+    f"[{_codepoint_class(_SPACEFREE_RANGES + _HANGUL_RANGES)}]"
+)
+
+
+def _spacefree_fraction_sql(
+    text_col: str, char_class: str = SPACEFREE_CLASS
+) -> str:
+    """SQL for the fraction of non-space characters matching
+    ``char_class`` (default: the space-free scripts — the measured
+    script-fraction signal; 0.0 for empty/whitespace-only text)."""
+    n_sf = f"size(regexp_extract_all({text_col}, '{char_class}', 0))"
+    n_chars = f"length(replace({text_col}, ' ', ''))"
+    return (
+        f"CASE WHEN {n_chars} > 0"
+        f" THEN {n_sf} / cast({n_chars} as double) ELSE 0.0 END"
+    )
+
+
 def _quality_exprs(
-    text_col: str, include_repetition: bool
+    text_col: str,
+    include_repetition: bool,
+    segmentation: str = "whitespace",
 ) -> list[tuple[str, str]]:
     """(alias, SQL expr) pairs of the quality/repetition features —
     shared by :func:`quality_score` (projection face) and
     ``curation.map_side_curation`` (attach-in-place face, usable on a
-    streaming frame with no join)."""
-    words = f"split(lower({text_col}), ' ')"
-    n_words = f"size({words})"
+    streaming frame with no join).
+
+    ``segmentation="whitespace"`` is the historical expression text,
+    bit-for-bit (pinned oracle hashes). ``"script"`` computes words
+    over the script-segmented stream (:func:`_words_sql`), widens the
+    stopword lexicon with the space-free-script function
+    characters/words (zh/ja/th entries can only ever hit segmented
+    CJK tokens, so Latin documents are unaffected), waives the
+    mean-word-length band for predominantly space-free-script
+    documents (:data:`SPACEFREE_WLEN_WAIVER` — segmented CJK words
+    are single characters by construction), and appends the measured
+    ``spacefree_fraction`` column. Each script-mode feature binds its
+    word array once as a lambda variable (the round-8 anti-blowup
+    pattern)."""
+    if segmentation == "script":
+        words, n_words = "ws", "size(ws)"
+        stop_lex = (
+            LANG_LEXICON["en"] + LANG_LEXICON["zh"] + LANG_LEXICON["ja"]
+            + LANG_LEXICON["ko"] + LANG_LEXICON["th"]
+        )
+    else:
+        words = _words_sql(text_col, segmentation)
+        n_words = f"size({words})"
+        stop_lex = LANG_LEXICON["en"]
     stop_ratio = (
-        f"{_hit_count(words, LANG_LEXICON['en'])} / cast({n_words} as double)"
+        f"{_hit_count(words, stop_lex)} / cast({n_words} as double)"
     )
     mean_word_len = (
         f"(length(replace({text_col}, ' ', ''))) / cast({n_words} as double)"
     )
     len_ok = f"CASE WHEN {n_words} >= 10 AND {n_words} <= 100000 THEN 1.0 ELSE 0.0 END"
-    wlen_ok = f"CASE WHEN {mean_word_len} >= 2 AND {mean_word_len} <= 12 THEN 1.0 ELSE 0.0 END"
+    wlen_band = f"CASE WHEN {mean_word_len} >= 2 AND {mean_word_len} <= 12 THEN 1.0 ELSE 0.0 END"
+    if segmentation == "script":
+        wlen_ok = (
+            f"CASE WHEN {_spacefree_fraction_sql(text_col, _WLEN_WAIVER_CLASS)}"
+            f" >= {SPACEFREE_WLEN_WAIVER!r} THEN 1.0 ELSE {wlen_band} END"
+        )
+    else:
+        wlen_ok = wlen_band
     stop_ok = f"CASE WHEN {stop_ratio} >= 0.01 THEN 1.0 ELSE 0.0 END"
     exprs = [
         ("n_words", n_words),
@@ -2192,30 +2924,117 @@ def _quality_exprs(
             f" as double), 6)",
         ),
     ]
+    if segmentation == "script":
+        outer = _words_sql(text_col, segmentation)
+        exprs = [
+            (a, f"transform(array({outer}), ws -> {e})[0]")
+            for a, e in exprs
+        ]
+        exprs.append(
+            (
+                "spacefree_fraction",
+                f"round({_spacefree_fraction_sql(text_col)}, 6)",
+            )
+        )
     if include_repetition:
-        exprs.extend(_repetition_exprs(text_col))
+        exprs.extend(_repetition_exprs(text_col, segmentation))
     return exprs
 
 
 def token_counts(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, n_ws_tokens, n_regex_tokens, chars_per_token).
 
     n_ws_tokens: single-space split arity. n_regex_tokens: BPE-ish
     pre-tokenization — maximal letter runs, digit runs, and individual
     non-alphanumeric marks — the standard proxy for LLM token budgeting.
+
+    ``segmentation="script"`` (round 9) counts ``n_ws_tokens`` over
+    the script-segmented word stream (a zh/ja/th document is otherwise
+    ONE whitespace token — a 10,000-character budget reported as 1);
+    ``chars_per_token`` keeps the ORIGINAL character count in its
+    numerator (segmentation spaces are an engine artifact, not
+    content). ``n_regex_tokens`` is segmentation-independent by
+    construction: every non-alphanumeric character — including each
+    CJK character — is already its own regex token.
     """
+    ws = _words_sql(text_col, segmentation)
     return docs.select(
         F.col(id_col),
-        F.expr(f"size(split(lower({text_col}), ' '))").alias("n_ws_tokens"),
+        F.expr(f"size({ws})").alias("n_ws_tokens"),
         F.expr(
             f"size(regexp_extract_all(lower({text_col}), '{_TOKEN_REGEX}', 0))"
         ).alias("n_regex_tokens"),
         F.expr(
-            f"round(length({text_col}) / cast(size(split(lower({text_col}),"
-            f" ' ')) as double), 6)"
+            f"round(length({text_col}) / cast(size({ws})"
+            f" as double), 6)"
         ).alias("chars_per_token"),
+    )
+
+
+#: Per-script character classes for :func:`script_fractions` — the
+#: measured script-mix signal that tells an operator whether a corpus
+#: slice needs ``segmentation="script"`` and which language family it
+#: is. Latin covers ASCII + Latin-1 letters + Latin Extended-A (the
+#: engine's European inventory); the space-free classes reuse the
+#: segmentation ranges; Hangul is its own (spaced) family.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": "[A-Za-zÀ-ÖØ-öø-ÿĀ-ſ]",
+    "han": f"[{_codepoint_class([(0x3400, 0x4DBF), (0x4E00, 0x9FFF), (0xF900, 0xFAFF)])}]",
+    "kana": f"[{_codepoint_class([(0x3041, 0x309F), (0x30A0, 0x30FF), (0x31F0, 0x31FF)])}]",
+    "hangul": f"[{_codepoint_class(_HANGUL_RANGES)}]",
+    "thai": f"[{_codepoint_class([(0x0E01, 0x0E5B)])}]",
+}
+
+
+def script_fractions(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_chars, latin_fraction, han_fraction, kana_fraction,
+    hangul_fraction, thai_fraction, other_fraction,
+    spacefree_fraction): the measured per-document script mix.
+
+    The routing/audit face of space-free-script support (round 9):
+    fractions are over NON-SPACE characters (0.0 throughout for
+    empty/whitespace-only text); ``other_fraction`` is the residual
+    (digits, punctuation, scripts outside the five classes), so the
+    six script columns sum to 1 for non-empty text;
+    ``spacefree_fraction`` is the segmentation trigger signal
+    (han + kana + thai — the :data:`SPACEFREE_CLASS` definition, the
+    same expression the script-mode quality band waiver measures).
+    One map-side projection — a handful of ``regexp_extract_all``
+    counts per row, zero shuffle at any corpus size.
+    """
+    n_chars = f"length(replace({text_col}, ' ', ''))"
+    counts = {
+        name: f"size(regexp_extract_all({text_col}, '{cls}', 0))"
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+
+    def frac(num: str) -> str:
+        return (
+            f"round(CASE WHEN {n_chars} > 0"
+            f" THEN {num} / cast({n_chars} as double)"
+            f" ELSE 0.0 END, 6)"
+        )
+
+    other = f"({n_chars} - {' - '.join(counts.values())})"
+    return docs.select(
+        F.col(id_col),
+        F.expr(n_chars).alias("n_chars"),
+        *[
+            F.expr(frac(c)).alias(f"{name}_fraction")
+            for name, c in counts.items()
+        ],
+        F.expr(frac(other)).alias("other_fraction"),
+        F.expr(
+            f"round({_spacefree_fraction_sql(text_col)}, 6)"
+        ).alias("spacefree_fraction"),
     )
 
 
@@ -2675,7 +3494,7 @@ def doc_fingerprints(
 #: ``with_language(method="model")``, ``curation.map_side_curation``).
 #: Raised 256 → 2048 in round 8 with the pinned-model inventory
 #: extension: the sibling trigram-profile rung already inlines ~3,900
-#: profile literals map-side (11 languages × ~350 trigrams, InSet
+#: profile literals map-side (15 languages × ~40-350 trigrams, InSet
 #: probes), so a ~1,400-entry literal model is the same plan-footprint
 #: class — and the scorer below prefilters each lookup with an
 #: InSet membership probe, so a token that misses the vocabulary
@@ -2818,6 +3637,7 @@ def chunk_documents(
     min_words: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, chunk_ix, chunk_start, n_words, chunk_text): fixed word
     windows over each document.
@@ -2837,12 +3657,31 @@ def chunk_documents(
     corpus size, and each output chunk row is bounded by ``chunk_size``
     words regardless of input document length (the property that makes
     downstream per-row work skew-free).
+
+    ``segmentation="script"`` (round 9) windows over the
+    script-segmented, case-preserving word stream — a zh/ja/th
+    document is otherwise ONE whitespace word, i.e. a single unbounded
+    chunk that defeats both the budget and the skew-freedom property;
+    segmented, it chunks per character. ``chunk_text`` re-joins with
+    single spaces (the canonical segmented spelling — byte-identical
+    to the input only for spaced scripts).
     """
     if stride is None:
         stride = chunk_size
     if chunk_size < 1 or stride < 1 or min_words < 1:
         raise ValueError("chunk_size, stride, min_words must be >= 1")
-    ws = f"split({text_col}, ' ')"
+    if segmentation == "script":
+        ws = (
+            f"filter(split({segmented_text_sql(text_col)}, ' '),"
+            f" w -> w != '')"
+        )
+    elif segmentation == "whitespace":
+        ws = f"split({text_col}, ' ')"
+    else:
+        raise ValueError(
+            f"unknown segmentation mode {segmentation!r}; "
+            f"expected one of {SEGMENTATION_MODES}"
+        )
     starts = f"sequence(0, greatest(size({ws}) - 1, 0), {stride})"
     exploded = docs.select(
         F.col(id_col),
@@ -2927,10 +3766,41 @@ def perplexity_buckets(
 from haplorec_spark.queries import register, table  # noqa: E402
 
 
+def _duck_segmented_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`segmented_text_sql` (RE2 spells the
+    backreference ``\\1`` and needs the explicit global flag; the
+    literal character-range class is shared verbatim)."""
+    seg = (
+        f"regexp_replace({text_expr}, '({SPACEFREE_CLASS})',"
+        f" ' \\1 ', 'g')"
+    )
+    return f"trim(regexp_replace({seg}, '  +', ' ', 'g'))"
+
+
+def _duck_words_sql(text_expr: str) -> str:
+    """DuckDB twin of ``_words_sql(text_expr, "script")``."""
+    return (
+        f"list_filter(string_split({_duck_segmented_sql(f'lower({text_expr})')},"
+        f" ' '), w -> w != '')"
+    )
+
+
 def _duck_hits(lex: list[str]) -> str:
+    # the HISTORICAL whitespace word stream — the quality oracle's
+    # form (q_text_quality is whitespace-mode by default)
     arr = ", ".join(f"'{w}'" for w in lex)
     return (
         f"len(list_filter(string_split(lower(text), ' '),"
+        f" w -> list_contains([{arr}], w)))"
+    )
+
+
+def _duck_hits_seg(lex: list[str]) -> str:
+    # the script-segmented word stream — the lexicon language rung's
+    # form (round 9)
+    arr = ", ".join(f"'{w}'" for w in lex)
+    return (
+        f"len(list_filter({_duck_words_sql('text')},"
         f" w -> list_contains([{arr}], w)))"
     )
 
@@ -2939,7 +3809,7 @@ def _duck_lang_scores() -> list[tuple[str, str]]:
     return [
         (
             lang,
-            f"round({_duck_hits(lex)} / len(string_split(lower(text), ' '))::DOUBLE, 6)",
+            f"round({_duck_hits_seg(lex)} / len({_duck_words_sql('text')})::DOUBLE, 6)",
         )
         for lang, lex in LANG_LEXICON.items()
     ]

@@ -520,7 +520,7 @@ def train_language_classifier(
 
 
 def top_features(
-    model: LanguageIdModel, k: int = 32
+    model: LanguageIdModel, k=32
 ) -> dict[str, tuple[float, dict[str, float]]]:
     """Distill the model to its ``k`` strongest features per language
     (by |weight|; ties broken by word for determinism), as the literal
@@ -529,7 +529,16 @@ def top_features(
     (OOV features contribute 0 by the shared convention), the
     established trade of every literal-codebook path. Raises for a
     non-averaging model (the mapping form carries no ``average``
-    flag; see :meth:`LanguageIdModel.as_literal`)."""
+    flag; see :meth:`LanguageIdModel.as_literal`).
+
+    ``k`` may be a mapping ``{lang: k}`` (missing languages fall back
+    to its ``"*"`` entry, default 32) — the budget-allocation knob
+    (round 9): a language whose features are categorical (the
+    space-free scripts — any Han gram separates zh from every spaced
+    language) saturates at small k, and its surplus is better spent
+    on the mutually-confusable Latin inventory under the shared
+    :data:`~haplorec_spark.operators.text.MAX_LITERAL_FEATURES`
+    budget."""
     if not model.average:
         raise ValueError(
             "the literal mapping form is average-normalized by "
@@ -537,6 +546,28 @@ def top_features(
             "be distilled — score it via text.language_id_model "
             "with the full model instead"
         )
+    from collections.abc import Mapping as _Mapping
+
+    if isinstance(k, _Mapping):
+        default = int(k.get("*", 32))
+        entries = [
+            x
+            for lang, kk in sorted(k.items())
+            if lang != "*"
+            for x in (lang, int(kk))
+        ]
+        if entries:
+            k_expr = F.coalesce(
+                F.element_at(
+                    F.create_map(*[F.lit(e) for e in entries]),
+                    F.col("lang"),
+                ),
+                F.lit(default),
+            )
+        else:
+            k_expr = F.lit(default)
+    else:
+        k_expr = F.lit(int(k))
     ranked = model.weights.withColumn(
         "__rk",
         F.row_number().over(
@@ -544,7 +575,7 @@ def top_features(
                 F.abs(F.col("weight")).desc(), "word"
             )
         ),
-    ).filter(F.col("__rk") <= k)
+    ).filter(F.col("__rk") <= k_expr)
     out: dict[str, tuple[float, dict[str, float]]] = {
         lang: (float(model.biases[lang]), {}) for lang in model.languages
     }

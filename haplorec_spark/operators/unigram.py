@@ -8,19 +8,30 @@ and prunes it top-down, keeping the pieces a unigram language model
 over segmentations finds most useful. Encoding segments each word into
 the maximum-likelihood piece sequence (Viterbi).
 
-This implementation is the deterministic HARD-EM variant, documented
-divergences from Kudo's reference:
+The trainer offers both E-steps (``em=`` on :func:`train_unigram`;
+round 9 added "soft"), with documented divergences from Kudo's
+reference either way:
 
-* the E-step uses VITERBI (best-path) piece counts, not
-  forward-backward expected counts — hard EM is the standard
-  simplification, and it makes the trainer bit-reproducible against
-  the pure-Python replica in ``tests/test_unigram.py``;
-* pruning ranks prunable pieces by their Viterbi count under the
-  current model (a proxy for Kudo's exact likelihood-loss ranking):
-  a piece the best segmentations never use contributes nothing and
-  is dropped first. Single-character pieces are never pruned, so the
-  alphabet stays closed and every training-alphabet word remains
-  segmentable.
+* ``em="hard"`` (default) uses VITERBI (best-path) piece counts —
+  the standard simplification, bit-reproducible against the
+  pure-Python replica in ``tests/test_unigram.py`` on any platform
+  (integer counts end to end);
+* ``em="soft"`` uses forward-backward EXPECTED counts — Kudo's
+  actual E-step. Expected counts are floats; determinism is restored
+  by FIXED-POINT rounding per (word, piece) BEFORE the corpus
+  aggregate (scaled to :data:`SOFT_COUNT_SCALE` integer units), so
+  the shuffle sums exact integers in any order. The replica pins the
+  result bit-identically on the same platform (``exp``/``log`` are
+  libm calls, the one platform-dependence the hard variant avoids);
+* pruning ranks prunable pieces by their (hard or expected) count
+  under the current model (a proxy for Kudo's exact
+  likelihood-loss ranking): a piece the segmentations never use
+  contributes nothing and is dropped first. Single-character pieces
+  are never pruned, so the alphabet stays closed and every
+  training-alphabet word remains segmentable.
+* the ENCODE face is Viterbi in both variants (identical to
+  SentencePiece's default ``nbest_size=1`` decoding), so a hard- and
+  a soft-trained tokenizer differ only through their piece tables.
 
 Determinism contract (everything the replica pins):
 
@@ -140,6 +151,81 @@ def _viterbi(word: str, logp: dict[str, float], max_len: int):
     return out
 
 
+#: Fixed-point scale for soft-EM expected counts: one expected use of
+#: a piece = 1e6 integer units. Rounding happens per (word, piece)
+#: BEFORE the corpus aggregate, so Spark's shuffle sums exact
+#: integers — associative in any order — instead of floats whose
+#: accumulation order would make the trainer non-deterministic.
+SOFT_COUNT_SCALE = 1_000_000
+
+
+def _expected_counts(
+    word: str, logp: dict[str, float], max_len: int
+) -> dict[str, int] | None:
+    """Forward-backward expected piece counts for one word under the
+    current model, fixed-point rounded to :data:`SOFT_COUNT_SCALE`
+    units (Kudo 2018's E-step). Position loops run in ascending order
+    (a fixed float accumulation order, part of the determinism
+    contract). Returns None for an out-of-alphabet word, mirroring
+    :func:`_viterbi`; pieces rounding to zero are dropped (they carry
+    no count, like a piece Viterbi never picks)."""
+    n = len(word)
+    alpha = [0.0] * (n + 1)
+    alpha[0] = 1.0
+    for i in range(1, n + 1):
+        s = 0.0
+        for ln in range(1, min(max_len, i) + 1):
+            lp = logp.get(word[i - ln : i])
+            if lp is not None:
+                s += alpha[i - ln] * math.exp(lp)
+        alpha[i] = s
+    z = alpha[n]
+    if z <= 0.0:
+        return None
+    beta = [0.0] * (n + 1)
+    beta[n] = 1.0
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for ln in range(1, min(max_len, n - i) + 1):
+            lp = logp.get(word[i : i + ln])
+            if lp is not None:
+                s += math.exp(lp) * beta[i + ln]
+        beta[i] = s
+    out: dict[str, float] = {}
+    for i in range(n):
+        for ln in range(1, min(max_len, n - i) + 1):
+            p = word[i : i + ln]
+            lp = logp.get(p)
+            if lp is not None:
+                e = alpha[i] * math.exp(lp) * beta[i + ln] / z
+                if e > 0.0:
+                    out[p] = out.get(p, 0.0) + e
+    scaled = {
+        p: int(round(e * SOFT_COUNT_SCALE)) for p, e in out.items()
+    }
+    return {p: c for p, c in scaled.items() if c > 0}
+
+
+def _soft_counts_udf(logp: dict[str, float], max_len: int):
+    """Arrow-batched per-distinct-word expected-count extraction —
+    the soft-EM twin of :func:`_viterbi_udf`. Emits the word's
+    (piece, fixed-point count) pairs; the caller multiplies by the
+    word's corpus count and aggregates integers."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<struct<piece: string, c: long>>")
+    def soft(col: pd.Series) -> pd.Series:
+        def one(w):
+            ec = _expected_counts(w, logp, max_len)
+            if ec is None:
+                return None
+            return [(p, c) for p, c in sorted(ec.items())]
+
+        return col.map(one)
+
+    return soft
+
+
 def _viterbi_udf(logp: dict[str, float], max_len: int):
     """Arrow-batched per-distinct-word Viterbi segmentation (the
     bounded pandas-UDF shape of ``bpe_encode_words``); the piece
@@ -183,22 +269,31 @@ def train_unigram(
     min_word_count: int = 1,
     max_word_chars: int | None = None,
     pretokenize: str = "whitespace",
+    em: str = "hard",
 ) -> DataFrame:
     """(piece, count, logp): the trained unigram piece table — all
     single characters of the training alphabet plus the
     highest-count multi-character pieces, at most ``vocab_size`` rows
-    (a multi-char straggler whose final-pass Viterbi count is zero
-    carries no probability and is dropped, so the table can come in
-    slightly under target — exactly like SentencePiece's final prune).
+    (a multi-char straggler whose final-pass count is zero carries no
+    probability and is dropped, so the table can come in slightly
+    under target — exactly like SentencePiece's final prune).
 
     The loop: seed ``seed_size`` candidates from substring counts
-    (default 8× the target), then alternate ``em_iters`` hard-EM
-    rounds (Viterbi segment every DISTINCT word under the current
-    model → integer piece counts → re-normalize) with a pruning round
-    that keeps the top ``shrink`` fraction of prunable pieces by
-    Viterbi count, until the target size is reached; one final EM
-    pass rescores the surviving vocabulary. ``pretokenize`` picks the
-    word definition (shared with BPE — the artifact carries it).
+    (default 8× the target), then alternate ``em_iters`` EM rounds
+    (segment/score every DISTINCT word under the current model →
+    integer piece counts → re-normalize) with a pruning round that
+    keeps the top ``shrink`` fraction of prunable pieces by count,
+    until the target size is reached; one final EM pass rescores the
+    surviving vocabulary. ``pretokenize`` picks the word definition
+    (shared with BPE — the artifact carries it).
+
+    ``em`` picks the E-step (module docstring): ``"hard"`` = Viterbi
+    best-path counts (integers end to end, fully portable);
+    ``"soft"`` = forward-backward expected counts (Kudo's E-step),
+    fixed-point rounded per (word, piece) so the corpus aggregate
+    sums exact integers — ``count`` is then in
+    :data:`SOFT_COUNT_SCALE` units (one expected use = 1e6), which
+    cancels in the normalization.
 
     ``logp`` is ``log(count) - log(total)`` of the FINAL EM pass —
     what :func:`unigram_encode_words` segments with.
@@ -209,6 +304,10 @@ def train_unigram(
         raise ValueError(f"shrink must be in (0, 1), got {shrink}")
     if em_iters < 1:
         raise ValueError(f"em_iters must be >= 1, got {em_iters}")
+    if em not in ("hard", "soft"):
+        raise ValueError(
+            f"unknown em mode {em!r}; expected 'hard' or 'soft'"
+        )
     if pretokenize not in PRETOKENIZE_MODES:
         raise ValueError(
             f"unknown pretokenize mode {pretokenize!r}; "
@@ -254,14 +353,29 @@ def train_unigram(
     pieces = singles.unionByName(multi).localCheckpoint(eager=True)
 
     def em_round(pcs: DataFrame) -> DataFrame:
-        """One hard-EM round: Viterbi counts under pcs, integer."""
-        seg = _viterbi_udf(_collect_logp(pcs), max_piece_len)
-        segged = counts.withColumn("pieces", seg(F.col("word")))
-        new = (
-            segged.select(F.explode("pieces").alias("piece"), "count")
-            .groupBy("piece")
-            .agg(F.sum("count").alias("count"))
-        )
+        """One EM round: (hard) Viterbi or (soft) expected counts
+        under pcs — integer either way (soft is fixed-point-scaled
+        BEFORE this aggregate, so the shuffle sum is exact)."""
+        if em == "soft":
+            soft = _soft_counts_udf(_collect_logp(pcs), max_piece_len)
+            segged = counts.withColumn("pc", soft(F.col("word")))
+            new = (
+                segged.select(F.explode("pc").alias("x"), "count")
+                .select(
+                    F.col("x.piece").alias("piece"),
+                    (F.col("x.c") * F.col("count")).alias("count"),
+                )
+                .groupBy("piece")
+                .agg(F.sum("count").alias("count"))
+            )
+        else:
+            seg = _viterbi_udf(_collect_logp(pcs), max_piece_len)
+            segged = counts.withColumn("pieces", seg(F.col("word")))
+            new = (
+                segged.select(F.explode("pieces").alias("piece"), "count")
+                .groupBy("piece")
+                .agg(F.sum("count").alias("count"))
+            )
         # pieces the best paths never used drop to count 0 — keep the
         # single-char alphabet alive regardless (prob floor of 1 use),
         # so no word ever becomes unsegmentable mid-training
@@ -493,15 +607,18 @@ def save_unigram_tokenizer(
     *,
     max_piece_len: int = 8,
     pretokenize: str = "whitespace",
+    em: str = "hard",
 ) -> None:
     """Persist a trained unigram tokenizer: ``<path>/pieces``
     (+ optional ``<path>/vocab``) and a one-row ``<path>/meta``
     carrying ``max_piece_len`` and ``pretokenize`` — the knobs train
-    and encode MUST agree on. Same crash-safety contract as
-    ``bpe.save_bpe_tokenizer``: temp-sibling + rename per part, meta
-    written LAST with a content fingerprint of each data part
-    (the shared ``training._table_fingerprint`` scheme), so a torn
-    save is DETECTED at load instead of trusted."""
+    and encode MUST agree on — plus the ``em`` variant the table was
+    trained with (provenance: encoding is Viterbi either way, but a
+    continued training run must resume with the same E-step). Same
+    crash-safety contract as ``bpe.save_bpe_tokenizer``: temp-sibling
+    + rename per part, meta written LAST with a content fingerprint
+    of each data part (the shared ``training._table_fingerprint``
+    scheme), so a torn save is DETECTED at load instead of trusted."""
     from haplorec_spark.operators.training import (
         _table_fingerprint,
         safe_overwrite_parquet,
@@ -511,6 +628,10 @@ def save_unigram_tokenizer(
         raise ValueError(
             f"unknown pretokenize mode {pretokenize!r}; "
             f"expected one of {PRETOKENIZE_MODES}"
+        )
+    if em not in ("hard", "soft"):
+        raise ValueError(
+            f"unknown em mode {em!r}; expected 'hard' or 'soft'"
         )
     spark = pieces.sparkSession
     pieces = pieces.localCheckpoint(eager=True)
@@ -526,12 +647,14 @@ def save_unigram_tokenizer(
                 (
                     int(max_piece_len),
                     str(pretokenize),
+                    str(em),
                     vocab is not None,
                     _table_fingerprint(pieces, "piece", "count"),
                     vocab_fp,
                 )
             ],
-            "max_piece_len int, pretokenize string, has_vocab boolean, "
+            "max_piece_len int, pretokenize string, em string, "
+            "has_vocab boolean, "
             "pieces_fingerprint string, vocab_fingerprint string",
         ),
         f"{path}/meta",
@@ -540,11 +663,13 @@ def save_unigram_tokenizer(
 
 def load_unigram_tokenizer(
     spark, path: str
-) -> tuple[DataFrame, DataFrame | None, int, str]:
-    """(pieces, vocab-or-None, max_piece_len, pretokenize) from a
+) -> tuple[DataFrame, DataFrame | None, int, str, str]:
+    """(pieces, vocab-or-None, max_piece_len, pretokenize, em) from a
     :func:`save_unigram_tokenizer` artifact, validating meta's
     fingerprints against the parts on disk (torn save → ``IOError``,
-    the ``bpe.load_bpe_tokenizer`` contract)."""
+    the ``bpe.load_bpe_tokenizer`` contract). Artifacts written
+    before the ``em`` flag existed load as ``"hard"`` (what they
+    were)."""
     from haplorec_spark.operators.training import _table_fingerprint
 
     meta = spark.read.parquet(f"{path}/meta").first()
@@ -566,9 +691,15 @@ def load_unigram_tokenizer(
                 f"fingerprint {got_v} != meta's "
                 f"{meta['vocab_fingerprint']} (re-save the artifact)"
             )
+    em = (
+        str(meta["em"])
+        if "em" in (meta.__fields__ or [])
+        else "hard"
+    )
     return (
         pieces,
         vocab,
         int(meta["max_piece_len"]),
         str(meta["pretokenize"]),
+        em,
     )

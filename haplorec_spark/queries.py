@@ -416,8 +416,14 @@ def _language_ngram_oracle_sql(min_score: float | None = None) -> str:
     out — its physical shape is covered by q_report_collapse).
     ``min_score`` adds the unknown-language floor arm (round 8): below
     it the argmax is replaced by 'und', replaying
-    text._floor_pred."""
-    from haplorec_spark.operators.text import LANG_TRIGRAM_PROFILES
+    text._floor_pred. Round 9: the trigram stream runs over the
+    script-segmented canonical form (text.segmented_text_sql — no-op
+    on spaced scripts, per-character isolation on zh/ja/th), replayed
+    via the shared _duck_segmented_sql twin."""
+    from haplorec_spark.operators.text import (
+        LANG_TRIGRAM_PROFILES,
+        _duck_segmented_sql,
+    )
 
     score_exprs = []
     for lang, prof in LANG_TRIGRAM_PROFILES.items():
@@ -436,12 +442,13 @@ def _language_ngram_oracle_sql(min_score: float | None = None) -> str:
             f"CASE WHEN {best} >= {min_score!r} THEN ({pred}) "
             f"ELSE 'und' END"
         )
+    seg = _duck_segmented_sql("lower(text)")
     return f"""
         WITH t AS (SELECT doc_id,
                           list_transform(
                               generate_series(1, greatest(length(s) - 2, 1)),
                               i -> substr(s, i, 3)) AS t3
-                   FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s
+                   FROM (SELECT doc_id, ' ' || {seg} || ' ' AS s
                          FROM documents)),
              scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
         SELECT doc_id, {pred} AS predicted_lang, {best} AS lang_score
@@ -452,7 +459,8 @@ def _language_ngram_oracle_sql(min_score: float | None = None) -> str:
 @register(
     "q_text_language_ngram",
     _language_ngram_oracle_sql(),
-    "trigram-profile language ID (11 languages), map-side literal "
+    "trigram-profile language ID (15 languages incl. zh/ja/ko/th), "
+    "map-side literal "
     "profiles (training-data text-analysis family)",
 )
 def q_text_language_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,7 +492,7 @@ def q_text_language_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exercises BOTH outcomes — some documents flip to 'und', some keep
 # their argmax label; tests/test_registry.py asserts non-vacuity.
 # DuckDB-checked by ROTATED_OUT_ORACLES.
-LANGID_FLOORS = {"lexicon": 0.051, "ngram": 0.1003, "model": 0.0934}
+LANGID_FLOORS = {"lexicon": 0.051, "ngram": 0.1003, "model": 0.068}
 
 
 def q_text_language_id_floor(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -281,6 +281,194 @@ def jsonl_sink(
     w.json(path)
 
 
+#: Output schema of :func:`warc_source` — one row per WARC record.
+WARC_SCHEMA = (
+    "source_file STRING, record_ix INT, record_offset BIGINT, "
+    "record_id STRING, record_type STRING, target_uri STRING, "
+    "warc_date STRING, content_type STRING, content_length BIGINT, "
+    "text STRING, _corrupt_record STRING"
+)
+
+_WARC_BATCH_ROWS = 1024  # bound per-yield Arrow batch size
+
+
+def _parse_warc_member(data: bytes, source: str, start_ix: int):
+    """Parse one uncompressed WARC stream into record dicts (pure
+    Python, executor-side; shared by the .warc and .warc.gz paths).
+
+    Record framing follows ISO 28500: a version line, CRLF-separated
+    named headers up to a blank line, exactly ``Content-Length`` bytes
+    of payload, then two CRLFs. Malformed framing quarantines the REST
+    of the stream as one row (after a framing error, record boundaries
+    are unrecoverable — resyncing on the next 'WARC/' literal could
+    split a payload that legitimately contains it)."""
+    out = []
+    pos = 0
+    ix = start_ix
+    n = len(data)
+    while pos < n:
+        # tolerate stray CRLFs between records (some writers pad)
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        rec = {
+            "source_file": source, "record_ix": ix, "record_offset": pos,
+            "record_id": None, "record_type": None, "target_uri": None,
+            "warc_date": None, "content_type": None,
+            "content_length": None, "text": None, "_corrupt_record": None,
+        }
+        hdr_end = data.find(b"\r\n\r\n", pos)
+        if not data.startswith(b"WARC/", pos) or hdr_end < 0:
+            rec["_corrupt_record"] = (
+                f"unparseable record framing at offset {pos}"
+            )
+            out.append(rec)
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(b"\r\n")[1:]:
+            k, sep, v = line.partition(b":")
+            if sep:
+                headers[k.strip().lower().decode("ascii", "replace")] = (
+                    v.strip().decode("utf-8", "replace")
+                )
+        rec["record_id"] = headers.get("warc-record-id")
+        rec["record_type"] = headers.get("warc-type")
+        rec["target_uri"] = headers.get("warc-target-uri")
+        rec["warc_date"] = headers.get("warc-date")
+        rec["content_type"] = headers.get("content-type")
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            rec["_corrupt_record"] = (
+                f"missing/invalid Content-Length at offset {pos}"
+            )
+            out.append(rec)
+            break
+        rec["content_length"] = length
+        body_start = hdr_end + 4
+        if body_start + length > n:
+            rec["_corrupt_record"] = (
+                f"truncated payload at offset {pos}: declared {length}, "
+                f"{n - body_start} available"
+            )
+            out.append(rec)
+            break
+        payload = data[body_start : body_start + length]
+        ctype = (rec["content_type"] or "").lower()
+        if "msgtype=response" in ctype:
+            # an HTTP response capture: drop the HTTP header block,
+            # honor its declared charset for the body
+            split = payload.find(b"\r\n\r\n")
+            http_hdrs = payload[: max(split, 0)]
+            body = payload[split + 4 :] if split >= 0 else payload
+            charset = "utf-8"
+            for line in http_hdrs.split(b"\r\n"):
+                low = line.lower()
+                if low.startswith(b"content-type:") and b"charset=" in low:
+                    charset = (
+                        low.split(b"charset=", 1)[1]
+                        .split(b";")[0].strip()
+                        .decode("ascii", "replace")
+                    )
+        else:
+            body, charset = payload, "utf-8"
+        try:
+            rec["text"] = body.decode(charset)
+        except (UnicodeDecodeError, LookupError) as exc:
+            rec["_corrupt_record"] = f"payload decode failed: {exc}"
+        out.append(rec)
+        ix += 1
+        pos = body_start + length
+    return out
+
+
+def warc_source(
+    spark: SparkSession,
+    path: str,
+    *,
+    record_types: Sequence[str] | None = ("response", "conversion"),
+) -> DataFrame:
+    """Web-archive (WARC / WET) scan → one typed row per record.
+
+    The entry-point operator for real crawl corpora (Common Crawl and
+    friends ship WARC for raw captures and WET for extracted text —
+    both are ISO 28500 record streams). Columns: provenance
+    (``source_file``, ``record_ix``, ``record_offset`` in the
+    uncompressed stream), the standard WARC headers (``record_id``,
+    ``record_type``, ``target_uri``, ``warc_date``, ``content_type``,
+    ``content_length``), the decoded ``text`` payload, and the
+    :func:`jsonl_source` quarantine convention: a malformed record or
+    undecodable payload keeps its row with ``_corrupt_record`` set and
+    ``text`` null — a dropped shard is worse than a quarantine table.
+    HTTP ``response`` captures have their HTTP header block stripped
+    and the body decoded per its declared charset; everything else
+    (WET ``conversion`` records included) decodes as UTF-8.
+
+    ``record_types`` keeps only those WARC-Types (default: the two
+    content-bearing ones — ``warcinfo``/``request``/``metadata``
+    records are framing); pass None to keep everything. Quarantined
+    rows always survive the filter (their type may be unreadable).
+
+    Scale shape: ``binaryFile`` scan → ``mapInPandas`` with a bounded
+    per-batch yield. One row per FILE into the parser (gzip members
+    are not splittable mid-stream, so the file is the parallelism
+    unit — a crawl dump ships tens of thousands of ~1 GB files, which
+    keeps every executor busy at 100 TB; ``binaryFile`` caps cells at
+    2 GB, matching the ecosystem's shard-size convention). The parser
+    is pure Python by necessity (record framing is imperative), but it
+    runs once per FILE, not per document — per-record work downstream
+    stays in column programs. Multi-member gzip (the per-record-member
+    layout WARC writers use precisely so partial fetches can resync)
+    decompresses in one pass.
+    """
+    import pandas as pd  # executor-side import kept top-level-free
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                raw = row["content"]
+                if raw[:2] == b"\x1f\x8b":
+                    import gzip
+
+                    raw = gzip.decompress(raw)  # multi-member capable
+                recs = _parse_warc_member(bytes(raw), row["path"], 0)
+                for i in range(0, len(recs), _WARC_BATCH_ROWS):
+                    yield pd.DataFrame(recs[i : i + _WARC_BATCH_ROWS])
+
+    out = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(parse, WARC_SCHEMA)
+    )
+    if record_types is not None:
+        out = out.filter(
+            F.col("record_type").isin(list(record_types))
+            | F.col("_corrupt_record").isNotNull()
+        )
+    return out
+
+
+def wet_source(spark: SparkSession, path: str) -> DataFrame:
+    """WET extracted-text scan shaped for :func:`curate_documents`:
+    (doc_id, url, fetch_time, text, _corrupt_record) — one row per
+    ``conversion`` record, ``doc_id`` = the WARC record id (falling
+    back to file:offset for quarantined rows missing one),
+    ``fetch_time`` the parsed WARC-Date, ``url`` ready for the
+    ``web.py`` domain operators (canonicalize_urls / domain caps)."""
+    return warc_source(spark, path, record_types=("conversion",)).select(
+        F.coalesce(
+            F.col("record_id"),
+            F.concat_ws(":", "source_file", "record_offset"),
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.to_timestamp("warc_date").alias("fetch_time"),
+        "text",
+        "_corrupt_record",
+    )
+
+
 def stage_source(
     spark: SparkSession, stage: str, path: str, *, separator: str = "\t"
 ) -> DataFrame:

@@ -120,6 +120,20 @@ CHECKS = {
         "expect": ["BroadcastHashJoin", "Window"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_script_curation": {
+        # script-segmented curation chain: map-side only (Project +
+        # Filter over the scan) — no Exchange, no Python eval, and the
+        # hash_split attach is a column program
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "_wet_source": {
+        # WARC/WET scan: binaryFile -> ONE ArrowEval (mapInPandas) per
+        # file; record parsing must not induce a shuffle
+        "expect": ["ArrowEvalPython|MapInPandas|PythonMapInArrow"],
+        "forbid": ["Exchange", "CartesianProduct"],
+    },
     "_dup_spans_large": {
         # hot set measured over the broadcast bound: the join back onto
         # the gram stream MUST degrade to a shuffle join — a forced
@@ -690,6 +704,51 @@ def _curation_bpe_pack(spark, sf_dir):
         bpe_merges=merges,
     )
     return out
+
+
+def _script_curation(spark, sf_dir):
+    # the script-segmented curation chain (round 9): language detect +
+    # keep-list + quality floors under segmentation="script" must stay
+    # ONE map-side projection/filter chain — segmentation is regexp
+    # passes inside the same expressions, no join, no Python
+    from haplorec_spark.curation import CurationConfig, map_side_curation
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents")
+    return map_side_curation(
+        docs,
+        CurationConfig(
+            detect_language="ngram",
+            languages=["en", "zh", "ja", "ko", "th"],
+            segmentation="script",
+        ),
+    )
+
+
+def _wet_source(spark, sf_dir):
+    # the WARC/WET record parser: a binaryFile scan into ONE
+    # mapInPandas — per-FILE Python (the imperative record framing),
+    # never a shuffle; downstream work stays in column programs
+    import gzip as _gzip
+    import os
+
+    from haplorec_spark.sources import wet_source
+
+    p = "/tmp/drive/_audit_wet"
+    os.makedirs(p, exist_ok=True)
+    payload = b"the audit record payload"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Record-ID: <urn:uuid:a>\r\n"
+        b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"WARC-Target-URI: http://example.com/\r\n"
+        b"Content-Type: text/plain\r\n"
+        + b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        + payload + b"\r\n\r\n"
+    )
+    with open(f"{p}/a.warc.gz", "wb") as f:
+        f.write(_gzip.compress(rec))
+    return wet_source(spark, p)
 
 
 def _unigram_encode_ids(spark, sf_dir):

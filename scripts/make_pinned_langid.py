@@ -80,6 +80,24 @@ LANG_COMMON_WORDS: dict[str, list[str]] = {
            "ev", "su", "kelimeler", "oynuyor", "okuyor", "yaşıyor",
            "baktı", "istedi", "gidiyoruz", "yapıyoruz", "geliyor",
            "veriyor", "bilmek", "çalışıyor", "güzel"],
+    # Space-free scripts (round 9). Everyday content words from public
+    # frequency dictionaries, like every list above. The corpus
+    # builder joins words with spaces either way — char_ngram_text_sql
+    # canonicalizes through script segmentation, so spaced and
+    # continuous spellings of the same zh/ja/th text produce the same
+    # gram stream by construction.
+    "zh": ["时间", "人们", "孩子", "房子", "水", "词", "玩", "读",
+           "住", "叫", "看", "想", "去", "做", "来", "给", "知道",
+           "工作", "学校", "朋友"],
+    "ja": ["時間", "人々", "子供", "家", "水", "言葉", "遊ぶ",
+           "読む", "住む", "呼ぶ", "見る", "行く", "来る", "する",
+           "知る", "仕事", "学校", "友達", "食べる", "飲む"],
+    "ko": ["시간", "사람들", "아이들", "집", "물", "말", "놀다",
+           "읽다", "살다", "부르다", "보다", "가다", "오다", "하다",
+           "알다", "일", "학교", "친구", "먹다", "마시다"],
+    "th": ["เวลา", "คน", "เด็ก", "บ้าน", "น้ำ", "คำ", "เล่น",
+           "อ่าน", "อยู่", "เรียก", "ดู", "ไป", "มา", "ทำ", "รู้",
+           "งาน", "โรงเรียน", "เพื่อน", "กิน", "ดื่ม"],
 }
 
 #: Second content-word tranche (round 8, added with the sv/da/pl/tr
@@ -136,6 +154,20 @@ LANG_EXTRA_WORDS: dict[str, list[str]] = {
            "yazıyor", "koşuyor", "başlıyor", "bitiyor", "düşünüyor",
            "alıyor", "küçük", "başka", "birlikte", "hiçbir", "asla",
            "bugün", "yarın", "hemen"],
+    "zh": ["早上", "晚上", "冬天", "夏天", "故事", "写", "走",
+           "跑", "开始", "结束", "想法", "带", "小", "一起",
+           "什么", "没有", "总是", "从来", "现在", "这里"],
+    "ja": ["朝", "夜", "冬", "夏", "物語", "書く", "歩く", "走る",
+           "始まる", "終わる", "考える", "持つ", "小さい", "一緒",
+           "何か", "何も", "いつも", "決して", "今", "ここ"],
+    "ko": ["아침", "저녁", "겨울", "여름", "이야기", "쓰다",
+           "걷다", "달리다", "시작하다", "끝나다", "생각하다",
+           "가지다", "작다", "함께", "무언가", "아무것도", "항상",
+           "결코", "지금", "여기"],
+    "th": ["เช้า", "เย็น", "หนาว", "ร้อน", "เรื่อง", "เขียน",
+           "เดิน", "วิ่ง", "เริ่ม", "จบ", "คิด", "มี", "เล็ก",
+           "อื่น", "ด้วยกัน", "บางอย่าง", "ไม่มี", "เสมอ",
+           "ตอนนี้", "ที่นี่"],
 }
 
 
@@ -170,12 +202,21 @@ def main() -> None:
         docs, iterations=60, learning_rate=8.0, min_df=2
     )
     # k sized by the measured eval sweep (tests/test_text.py
-    # LANGID_EVAL, 44 items): k=96 -> 32, k=112 -> 33, k=128 -> 34,
-    # k=144/180 -> 34, k=253 -> 33 — the curve peaks at k=128
-    # (1,408 entries, inside text.MAX_LITERAL_FEATURES = 2048; more
-    # features re-admit noise). The trigram-profile rung scores 33 on
-    # the same eval, so k=128 is the smallest k that beats it.
-    literal = top_features(model, k=128)
+    # LANGID_EVAL — 60 items since round 9's zh/ja/ko/th extension).
+    # Round-9 sweep under the 15-language inventory: uniform k=128 ->
+    # 49/60 (1,920 feats); latin 160 / cjk 32 -> 50/60 (1,888);
+    # latin 172 / cjk 32 -> 50/60 (2,020); latin 144 / cjk 64 ->
+    # 49/60; latin 136 / cjk 8 -> 48/60 (CJK itself degrades).
+    # Longer/sharper training (iterations=100, or lr=12) did not move
+    # the best allocation (50/60 both). The space-free scripts are
+    # categorically separable (any Han/kana/hangul/thai gram decides),
+    # so they saturate at k=32 and the surplus budget goes to the
+    # mutually-confusable Latin languages. The trigram-profile rung
+    # scores 49 on the same eval — this allocation is what keeps the
+    # trained rung strictly ahead.
+    literal = top_features(
+        model, k={"zh": 32, "ja": 32, "ko": 32, "th": 32, "*": 160}
+    )
     literal = {
         lang: (round(bias, 6), ws) for lang, (bias, ws) in literal.items()
     }

@@ -1058,3 +1058,75 @@ def test_reject_reservoir_captures_why_documents_died(spark):
         curate_documents(
             docs, config=cfg, count_stages=True, reject_sample_k=0
         )
+
+
+def test_curation_report_golden(spark):
+    """Round-9 curation_report: the survival dashboard composes the
+    stage counts, the reject reservoirs, and the lazy corpus profile
+    from ONE curate_documents run — golden-checked over a fixture
+    whose every document has a known fate."""
+    from haplorec_spark.curation import curation_report
+
+    rows = (
+        [(i, "the house and the water and the people are here today "
+              "and the children are reading the words", "web")
+         for i in range(8)]
+        + [(100 + i, "le chat est dans la maison avec les enfants et "
+                     "nous parlons pendant la soiree ensemble", "web")
+           for i in range(4)]
+        + [(200 + i, "the end", "web") for i in range(3)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, domain string"
+    )
+    cfg = CurationConfig(
+        detect_language="lexicon",
+        languages=["en"],
+        min_quality=0.7,
+        max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1,
+        redact=False,
+        dedup=None,
+    )
+    report, curated, profile = curation_report(
+        docs, config=cfg, reject_sample_k=2, max_sample_chars=20
+    )
+    rep = {r["stage"]: r for r in report.collect()}
+    # chain arithmetic: input 15 -> language drops the 4 French ->
+    # quality drops the 3 stubs -> split keeps rows
+    assert rep["input"]["n_in"] == 15 and rep["input"]["n_out"] == 15
+    assert rep["language"]["n_in"] == 15
+    assert rep["language"]["n_out"] == 11
+    assert rep["language"]["n_dropped"] == 4
+    assert rep["language"]["drop_rate"] == round(4 / 15, 6)
+    assert rep["quality"]["n_in"] == 11
+    assert rep["quality"]["n_out"] == 8
+    # every stage's n_in is the previous stage's n_out (chain order)
+    by_order = [r["stage"] for r in report.collect()]
+    chain = {r["stage"]: (r["n_in"], r["n_out"]) for r in report.collect()}
+    prev = None
+    for s in by_order:
+        if prev is not None:
+            assert chain[s][0] == chain[prev][1], (s, prev)
+        prev = s
+    # reservoirs: bounded, truncated, and from the right population
+    lang = rep["language"]
+    assert len(lang["sample_reject_ids"]) == 2
+    assert set(lang["sample_reject_ids"]) <= {str(100 + i) for i in range(4)}
+    assert all(len(t) <= 20 for t in lang["sample_rejects"])
+    qual = rep["quality"]
+    assert set(qual["sample_reject_ids"]) <= {str(200 + i) for i in range(3)}
+    # surviving stages carry empty reservoirs
+    assert rep["input"]["sample_reject_ids"] == []
+    # curated output = the 8 good docs (now split-labeled)
+    assert {r["doc_id"] for r in curated.collect()} == set(range(8))
+    # the lazy profile is the INPUT corpus's dashboard
+    prof = {r["metric"]: r["value"] for r in profile.collect()}
+    assert prof["n_docs"] == 15.0
+    # determinism: a rerun reproduces the report bit-for-bit
+    report2, _, _ = curation_report(
+        docs, config=cfg, reject_sample_k=2, max_sample_chars=20
+    )
+    assert sorted(map(tuple, report.collect())) == sorted(
+        map(tuple, report2.collect())
+    )

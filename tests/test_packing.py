@@ -381,3 +381,146 @@ def test_write_id_sequence_shards_manifest_and_layout(spark, tmp_path):
             docs, path, merges=merges, vocab=vocab, seq_len=64,
             seqs_per_shard=8, bos_token="<nope>",
         )
+
+
+# ------------------------------------------------- seeded shard shuffle
+
+
+def test_training_shards_shuffle_salt_banded(spark, tmp_path):
+    """n_shards mode under a shuffle salt: assignment is the SALTED
+    band (DuckDB-replayed), deterministic per salt, different across
+    salts, and the manifest records the salt."""
+    from haplorec_spark.operators.packing import write_training_shards
+    from haplorec_spark.operators.sampling import DUCK_BAND
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "salted")
+    m1 = write_training_shards(
+        docs, out, n_shards=4, seed="s1", shuffle_salt="epoch1"
+    ).collect()
+    assert all(r["shuffle_salt"] == "epoch1" for r in m1)
+    con = duckdb.connect()
+    con.execute(
+        "create view documents as select * from "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    band = DUCK_BAND.format(key="'epoch1' || chr(31) || doc_id::VARCHAR")
+    want = dict(
+        con.execute(
+            f"SELECT ({band} % 4)::INT, count(*) FROM documents GROUP BY 1"
+        ).fetchall()
+    )
+    assert want == {r["shard_id"]: r["n_docs"] for r in m1}
+    # determinism: same salt reproduces the content hashes exactly
+    m2 = write_training_shards(
+        docs, out, n_shards=4, seed="s1", shuffle_salt="epoch1"
+    ).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+    # a different salt produces a different assignment
+    m3 = write_training_shards(
+        docs, out, n_shards=4, seed="s1", shuffle_salt="epoch2"
+    ).collect()
+    assert {r["shard_id"]: r["n_docs"] for r in m3} != {
+        r["shard_id"]: r["n_docs"] for r in m1
+    }
+
+
+def test_training_shards_shuffle_salt_keeps_token_budget(spark, tmp_path):
+    """shard_tokens mode: the salt permutes intra-shard ORDER only —
+    shard membership (the token-budget tape cut, seeded by ``seed``)
+    is identical with and without the salt."""
+    from haplorec_spark.operators.packing import write_training_shards
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    base, salted = str(tmp_path / "b"), str(tmp_path / "s")
+    write_training_shards(docs, base, shard_tokens=2048)
+    write_training_shards(
+        docs, salted, shard_tokens=2048, shuffle_salt="e1"
+    )
+    b = {
+        r["doc_id"]: r["shard_id"]
+        for r in spark.read.parquet(base).collect()
+    }
+    s = {
+        r["doc_id"]: r["shard_id"]
+        for r in spark.read.parquet(salted).collect()
+    }
+    assert b == s  # same membership
+    # but a different on-disk row order inside at least one shard
+    from haplorec_spark.operators.packing import _pack_key
+
+    sal = spark.read.parquet(salted)
+    per_file = (
+        sal.selectExpr(
+            "shard_id", "doc_id",
+            "monotonically_increasing_id() as rid",
+        )
+        .orderBy("rid")
+        .collect()
+    )
+    by_shard = {}
+    for r in per_file:
+        by_shard.setdefault(r["shard_id"], []).append(r["doc_id"])
+    import hashlib
+
+    def key(salt, d):
+        return hashlib.md5(
+            f"{salt}\x1f{d}".encode()
+        ).hexdigest()
+
+    for sid, ids in by_shard.items():
+        assert ids == sorted(ids, key=lambda d: key("e1", d))
+
+
+def test_id_sequence_shards_shuffle_salt(spark, tmp_path):
+    """Sequence-granularity seeded shuffle: salted assignment is the
+    DuckDB-replayed band over seq_id, intra-shard order the salted
+    md5, content identical to the unsalted export (same sequences,
+    permuted placement), deterministic per salt."""
+    from haplorec_spark.operators.packing import write_id_sequence_shards
+    from haplorec_spark.operators.sampling import DUCK_BAND
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    merges, vocab = _small_tokenizer(spark, docs)
+    plain, salted = str(tmp_path / "p"), str(tmp_path / "s")
+    write_id_sequence_shards(
+        docs, plain, merges=merges, vocab=vocab, seq_len=64,
+        seqs_per_shard=8,
+    )
+    m1 = write_id_sequence_shards(
+        docs, salted, merges=merges, vocab=vocab, seq_len=64,
+        seqs_per_shard=8, shuffle_salt="epoch1",
+    ).collect()
+    assert all(r["shuffle_salt"] == "epoch1" for r in m1)
+    p_rows = spark.read.parquet(plain).collect()
+    s_rows = spark.read.parquet(salted).collect()
+    # same sequences, same content — only placement differs
+    assert sorted(
+        (r["seq_id"], tuple(r["input_ids"])) for r in p_rows
+    ) == sorted((r["seq_id"], tuple(r["input_ids"])) for r in s_rows)
+    n_seqs = len(p_rows)
+    n_shards = -(-n_seqs // 8)
+    con = duckdb.connect()
+    con.register(
+        "seqs",
+        __import__("pandas").DataFrame(
+            {"seq_id": [r["seq_id"] for r in p_rows]}
+        ),
+    )
+    band = DUCK_BAND.format(key="'epoch1' || chr(31) || seq_id::VARCHAR")
+    want = dict(
+        con.execute(
+            f"SELECT ({band} % {n_shards})::INT, count(*) "
+            "FROM seqs GROUP BY 1"
+        ).fetchall()
+    )
+    got = {}
+    for r in s_rows:
+        got[r["shard_id"]] = got.get(r["shard_id"], 0) + 1
+    assert got == want
+    # determinism: re-export reproduces the manifest content hashes
+    m2 = write_id_sequence_shards(
+        docs, salted, merges=merges, vocab=vocab, seq_len=64,
+        seqs_per_shard=8, shuffle_salt="epoch1",
+    ).collect()
+    assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))

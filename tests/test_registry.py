@@ -196,8 +196,14 @@ def _language_model_oracle(min_score: float | None = None) -> str:
     the model by construction: per language
     prob = round(sigmoid(round(bias + sum(weight[t3])/len(t3), 6)), 6),
     argmax with declaration-order tiebreak. ``min_score`` adds the
-    round-8 unknown-language floor arm (below it → 'und')."""
-    from haplorec_spark.operators.text import PINNED_LANGID_MODEL
+    round-8 unknown-language floor arm (below it → 'und'). Round 9:
+    the gram stream runs over the script-segmented canonical form
+    (the shared _duck_segmented_sql twin of text.segmented_text_sql —
+    a no-op on spaced scripts)."""
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        _duck_segmented_sql,
+    )
 
     score_exprs = []
     for lang, (bias, ws) in PINNED_LANGID_MODEL.items():
@@ -226,12 +232,13 @@ def _language_model_oracle(min_score: float | None = None) -> str:
             f"CASE WHEN {best} >= {min_score!r} THEN ({pred}) "
             f"ELSE 'und' END"
         )
+    seg = _duck_segmented_sql("lower(text)")
     return f"""
         WITH t AS (SELECT doc_id,
                           list_transform(
                               generate_series(1, greatest(length(s) - 2, 1)),
                               i -> replace(substr(s, i, 3), ' ', '▁')) AS t3
-                   FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS s
+                   FROM (SELECT doc_id, ' ' || {seg} || ' ' AS s
                          FROM documents)),
              scored AS (SELECT doc_id, {', '.join(score_exprs)} FROM t)
         SELECT doc_id, {pred} AS predicted_lang, {best} AS lang_score

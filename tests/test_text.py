@@ -982,6 +982,25 @@ LANGID_EVAL = [
     ("tr", "bahçede çocuklarla konuşuyoruz"),
     ("tr", "gece boyunca şarkı söylediler"),
     ("tr", "pencereden kuşlara bakıyordu"),
+    # round 9: the space-free-script inventory (zh/ja continuous Han/
+    # kana, th continuous Thai, ko spaced Hangul) — the regime the
+    # script-segmented trigram/gram streams exist for
+    ("zh", "猫在厨房里睡觉了"),
+    ("zh", "我们和孩子们在花园里说话"),
+    ("zh", "她们晚上一起唱歌"),
+    ("zh", "他从窗户看那些鸟"),
+    ("ja", "ねこはだいどころでねむっていました"),
+    ("ja", "にわでこどもたちとはなしています"),
+    ("ja", "かれらはよるにうたをうたいました"),
+    ("ja", "まどからとりをみていました"),
+    ("ko", "그 고양이는 부엌에서 잤다 지금 여기 있다"),
+    ("ko", "우리 아이들과 정원에서 이야기한다 모든 사람 함께"),
+    ("ko", "그들은 저녁에 노래를 불렀다 오늘 정말 좋은 밤"),
+    ("ko", "그는 창문에서 새를 보았다 어떤 새 하나"),
+    ("th", "แมวนอนหลับอยู่ในครัว"),
+    ("th", "เราคุยกับเด็กๆในสวน"),
+    ("th", "พวกเขาร้องเพลงตอนกลางคืน"),
+    ("th", "เขามองนกจากหน้าต่าง"),
 ]
 
 
@@ -1017,11 +1036,14 @@ def test_language_id_model_beats_ngram_on_inflected(spark):
     )
     assert model_acc > ngram_acc, (model_acc, ngram_acc)
     # and not by luck on a weak baseline: both rungs are well above
-    # chance (chance = 4/44); round-8 pinned points on the extended
-    # 44-item 11-language eval: model 34, ngram 33 (the k=128
-    # distillation sweep in scripts/make_pinned_langid.py)
-    assert ngram_acc >= 31
-    assert model_acc >= 34
+    # chance (chance = 4/60); round-9 pinned points on the extended
+    # 60-item 15-language eval (zh/ja/ko/th added): model 50, ngram 49
+    # (the latin-160/cjk-32 allocation sweep in
+    # scripts/make_pinned_langid.py — the space-free scripts are
+    # categorically separable, so both rungs go 16/16 there and the
+    # margin lives in the confusable Latin block)
+    assert ngram_acc >= 47
+    assert model_acc >= 49
 
 
 def test_language_id_model_literal_matches_join_path(spark):
@@ -1233,15 +1255,18 @@ def test_unknown_language_floor_all_rungs(spark):
     for df, floor in [
         (language_id(docs, min_score=0.1), 0.1),
         (language_id_ngram(docs, min_score=0.2), 0.2),
-        # the 11-way one-vs-rest sigmoids sit near sigmoid(bias)
-        # ~0.09, so the floor is tight but real and deterministic
-        # (pinned model, fixed fixtures): in-inventory prose 0.096+,
-        # gibberish <= 0.0943
+        # the 15-way one-vs-rest sigmoids sit near sigmoid(bias)
+        # ~0.068, so the floor is tight but real and deterministic
+        # (pinned model, fixed fixtures): in-inventory prose 0.0718+,
+        # out-of-inventory text = the bare-bias argmax at 0.067985 —
+        # which, floorless, files gibberish under whichever language
+        # has the least-negative bias (ko here), the exact failure
+        # min_score exists to stop
         (
             language_id_model(
-                docs, PINNED_LANGID_MODEL, min_score=0.095
+                docs, PINNED_LANGID_MODEL, min_score=0.070
             ),
-            0.095,
+            0.070,
         ),
     ]:
         got = {r["doc_id"]: r for r in df.collect()}
@@ -1331,10 +1356,13 @@ def test_language_scorer_survives_downstream_rewrites(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # 'slice(' appears once per trigram-construction copy; the ngram
     # scorer may legitimately be copied once per downstream REFERENCE
-    # (lang output + pushed language filter + floor) but never per
-    # reference x per language x per level
+    # (lang output + pushed language filter) but never per
+    # reference x per language x per level. Round 9: with_language
+    # binds the scorer struct once (_floor_lang_col), so the floor's
+    # .l/.s double-access no longer doubles every copy — measured 3
+    # copies in this chain (was 5 under the two-projection form).
     n = plan.count("slice(")
-    assert n <= 6, f"scorer inlined {n} times — expression blowup"
+    assert n <= 4, f"scorer inlined {n} times — expression blowup"
 
 
 def test_null_text_yields_null_prediction_on_every_rung(spark):
@@ -1370,3 +1398,321 @@ def test_null_text_yields_null_prediction_on_every_rung(spark):
     assert floored[1] == "und"
     wl = {r["doc_id"]: r["lang"] for r in with_language(docs).collect()}
     assert wl == {0: "en", 1: None}
+
+
+# ------------------------------------------- space-free scripts (round 9)
+
+#: Mixed-script fixture: good zh/ja/ko/th prose, Latin controls, junk.
+CJK_DOCS = [
+    (0, "en", "the house is big and the water is cold in the winter"),
+    (1, "fr", "la maison est grande et le chat dort dans le jardin"),
+    (2, "zh", "我们的房子很大冬天的水很冷孩子们在学校读书我们一起去看朋友"),
+    (3, "ja", "わたしたちのいえはおおきいですふゆのみずはつめたいこどもはほんをよみます"),
+    (4, "ko", "우리 집은 크다 겨울 물은 차갑다 아이들은 학교에서 책을 읽는다 그 사람은 지금 여기 있다"),
+    (5, "th", "บ้านของเราใหญ่มากน้ำในฤดูหนาวเย็นมากเด็กอ่านหนังสือที่โรงเรียนเราไปหาเพื่อนด้วยกัน"),
+    (6, "und", "qqq zzz xxx vvv kkk jjj www yyy hhh ggg fff ddd"),
+]
+
+
+def _cjk_duck():
+    """DuckDB connection with the fixture registered as `documents` —
+    so the SHARED oracle builders replay on CJK content, not just the
+    all-Latin sf tables."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {
+                "doc_id": [i for i, _, _ in CJK_DOCS],
+                "text": [t for _, _, t in CJK_DOCS],
+            }
+        ),
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def cjk_docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, _, t in CJK_DOCS], "doc_id long, text string"
+    )
+
+
+def test_cjk_langid_rungs_label_all_scripts(spark, cjk_docs):
+    """All three rungs label zh/ja/ko/th on continuous (space-free)
+    text — the round-9 correctness fix: before script segmentation a
+    CJK document was ONE token and every rung scored it zero."""
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        language_id,
+        language_id_model,
+        language_id_ngram,
+    )
+
+    want = {i: lang for i, lang, _ in CJK_DOCS if lang != "und"}
+    for fn in (
+        language_id,
+        language_id_ngram,
+        lambda d: language_id_model(d, PINNED_LANGID_MODEL),
+    ):
+        pred = {
+            r["doc_id"]: r["predicted_lang"] for r in fn(cjk_docs).collect()
+        }
+        for i, lang in want.items():
+            assert pred[i] == lang, (fn, i, lang, pred[i])
+
+
+def test_cjk_langid_oracles_replay_on_fixture(spark, cjk_docs):
+    """The driver-gate oracle SQL (lexicon scores and the shared
+    ngram/model oracle builders) reproduces the Spark rungs on CJK
+    content bit-for-bit — the same lockstep the sf gates check on
+    Latin text."""
+    from haplorec_spark.operators.text import (
+        _duck_lang_scores,
+        language_id,
+        language_id_model,
+        language_id_ngram,
+        PINNED_LANGID_MODEL,
+    )
+    from haplorec_spark.queries import _language_ngram_oracle_sql
+    from tests.test_registry import _language_model_oracle
+
+    con = _cjk_duck()
+    # lexicon rung
+    scores = _duck_lang_scores()
+    best = "greatest(" + ", ".join(s for _, s in scores) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN {s} = {best} THEN '{lang}'" for lang, s in scores
+    ) + " END"
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, {pred}, {best} FROM documents"
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+        for r in language_id(cjk_docs).collect()
+    }
+    assert got == want
+    # ngram rung
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_language_ngram_oracle_sql()).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+        for r in language_id_ngram(cjk_docs).collect()
+    }
+    assert got == want
+    # trained rung (pinned model)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_language_model_oracle()).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["predicted_lang"], r["lang_score"])
+        for r in language_id_model(cjk_docs, PINNED_LANGID_MODEL).collect()
+    }
+    assert got == want
+
+
+def _duck_script_words(t: str = "text") -> str:
+    from haplorec_spark.operators.text import SPACEFREE_CLASS
+
+    seg = (
+        f"regexp_replace(lower({t}), '({SPACEFREE_CLASS})', ' \\1 ', 'g')"
+    )
+    can = f"trim(regexp_replace({seg}, '  +', ' ', 'g'))"
+    return f"list_filter(string_split({can}, ' '), w -> w != '')"
+
+
+def test_quality_script_mode_vs_duckdb(spark, cjk_docs):
+    """Script-mode quality features replay in DuckDB from the shared
+    constants: segmented word stream, merged stopword lexicon,
+    dense-script word-length waiver, spacefree fraction."""
+    from haplorec_spark.operators.text import (
+        LANG_LEXICON,
+        SPACEFREE_CLASS,
+        SPACEFREE_WLEN_WAIVER,
+        _WLEN_WAIVER_CLASS,
+        quality_score,
+    )
+
+    ws = _duck_script_words()
+    n = f"len({ws})"
+    stop_lex = (
+        LANG_LEXICON["en"] + LANG_LEXICON["zh"] + LANG_LEXICON["ja"]
+        + LANG_LEXICON["ko"] + LANG_LEXICON["th"]
+    )
+    arr = ", ".join(f"'{w}'" for w in stop_lex)
+    hits = f"len(list_filter({ws}, w -> list_contains([{arr}], w)))"
+    nonspace = "length(replace(text, ' ', ''))"
+    mean = f"{nonspace} / {n}::DOUBLE"
+    sf_frac = (
+        f"CASE WHEN {nonspace} > 0 THEN"
+        f" len(regexp_extract_all(text, '{SPACEFREE_CLASS}'))"
+        f" / {nonspace}::DOUBLE ELSE 0.0 END"
+    )
+    waiver_frac = (
+        f"CASE WHEN {nonspace} > 0 THEN"
+        f" len(regexp_extract_all(text, '{_WLEN_WAIVER_CLASS}'))"
+        f" / {nonspace}::DOUBLE ELSE 0.0 END"
+    )
+    len_ok = f"CASE WHEN {n} BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END"
+    wlen_ok = (
+        f"CASE WHEN {waiver_frac} >= {SPACEFREE_WLEN_WAIVER} THEN 1.0"
+        f" WHEN {mean} BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END"
+    )
+    stop_ok = f"CASE WHEN {hits} / {n}::DOUBLE >= 0.01 THEN 1.0 ELSE 0.0 END"
+    con = _cjk_duck()
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(
+            f"""
+            SELECT doc_id, {n}::INT,
+                   round({mean}, 6),
+                   round({hits} / {n}::DOUBLE, 6),
+                   round((0.4 * {len_ok} + 0.3 * {wlen_ok}
+                         + 0.3 * {stop_ok})::DOUBLE, 6),
+                   round({sf_frac}, 6)
+            FROM documents
+            """
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["mean_word_len"],
+            r["stopword_ratio"],
+            r["quality"],
+            r["spacefree_fraction"],
+        )
+        for r in quality_score(
+            cjk_docs, segmentation="script"
+        ).collect()
+    }
+    assert got == want
+    # non-vacuity: every good CJK doc passes, whitespace mode fails them
+    good = {i for i, lang, _ in CJK_DOCS if lang in ("zh", "ja", "ko", "th")}
+    for i in good:
+        assert got[i][3] >= 0.7, (i, got[i])
+    ws_quality = {
+        r["doc_id"]: r["quality"]
+        for r in quality_score(cjk_docs).collect()
+    }
+    for i in good - {4}:  # ko is spaced; the others are one giant "word"
+        assert ws_quality[i] < 0.7, (i, ws_quality[i])
+
+
+def test_script_mode_is_noop_on_spaced_text(spark, cjk_docs):
+    """The self-selecting property: on single-spaced Latin text every
+    script-mode word metric equals the whitespace-mode value."""
+    from haplorec_spark.operators.text import (
+        chunk_documents,
+        quality_score,
+        repetition_metrics,
+        token_counts,
+    )
+
+    latin = cjk_docs.filter("doc_id in (0, 1, 6)")
+    for a, b in [
+        (
+            quality_score(latin, include_repetition=True),
+            quality_score(
+                latin, include_repetition=True, segmentation="script"
+            ).drop("spacefree_fraction"),
+        ),
+        (token_counts(latin), token_counts(latin, segmentation="script")),
+        (
+            repetition_metrics(latin),
+            repetition_metrics(latin, segmentation="script"),
+        ),
+        (
+            chunk_documents(latin, chunk_size=5),
+            chunk_documents(latin, chunk_size=5, segmentation="script"),
+        ),
+    ]:
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+
+def test_script_fractions_fixture_golden(spark, cjk_docs):
+    from haplorec_spark.operators.text import script_fractions
+
+    got = {
+        r["doc_id"]: r for r in script_fractions(cjk_docs).collect()
+    }
+    assert got[0]["latin_fraction"] == 1.0
+    assert got[2]["han_fraction"] == 1.0
+    assert got[2]["spacefree_fraction"] == 1.0
+    assert got[3]["kana_fraction"] == 1.0
+    assert got[4]["hangul_fraction"] == 1.0
+    assert got[4]["spacefree_fraction"] == 0.0  # Korean is spaced
+    assert got[5]["thai_fraction"] == 1.0
+    # fractions partition: the six script columns sum to 1 per doc
+    for i, r in got.items():
+        s = sum(
+            r[c]
+            for c in (
+                "latin_fraction", "han_fraction", "kana_fraction",
+                "hangul_fraction", "thai_fraction", "other_fraction",
+            )
+        )
+        assert abs(s - 1.0) < 1e-5, (i, s)
+
+
+def test_token_and_chunk_script_mode_on_cjk(spark, cjk_docs):
+    from haplorec_spark.operators.text import chunk_documents, token_counts
+
+    zh_text = CJK_DOCS[2][2]
+    tc = {
+        r["doc_id"]: r
+        for r in token_counts(cjk_docs, segmentation="script").collect()
+    }
+    assert tc[2]["n_ws_tokens"] == len(zh_text)  # one token per char
+    assert tc[2]["chars_per_token"] == 1.0
+    ch = chunk_documents(
+        cjk_docs.filter("doc_id = 2"), chunk_size=10, segmentation="script"
+    ).collect()
+    assert len(ch) == -(-len(zh_text) // 10)
+    assert all(r["n_words"] <= 10 for r in ch)
+    # chunks cover the document in order: re-joining recovers the text
+    rebuilt = "".join(
+        r["chunk_text"].replace(" ", "")
+        for r in sorted(ch, key=lambda r: r["chunk_ix"])
+    )
+    assert rebuilt == zh_text
+
+
+def test_curation_script_mode_rescues_cjk(spark, cjk_docs):
+    """The headline non-vacuity check: with segmentation="script" and
+    the und floor, curation KEEPS good zh/ja/ko/th text and drops the
+    junk; the identical config under whitespace segmentation silently
+    drops every space-free-script document."""
+    from haplorec_spark.curation import CurationConfig, map_side_curation
+
+    base = dict(
+        detect_language="ngram",
+        languages=["en", "zh", "ja", "ko", "th"],
+        language_min_score=0.05,
+        redact=False,
+    )
+    kept_script = {
+        r["doc_id"]
+        for r in map_side_curation(
+            cjk_docs, CurationConfig(segmentation="script", **base)
+        ).collect()
+    }
+    assert kept_script == {0, 2, 3, 4, 5}  # en + all four scripts; junk out
+    kept_ws = {
+        r["doc_id"]
+        for r in map_side_curation(
+            cjk_docs, CurationConfig(**base)
+        ).collect()
+    }
+    assert kept_ws == {0, 4}  # spaced scripts only — the round-9 hole

@@ -252,10 +252,11 @@ def test_save_load_round_trip_and_torn_artifact(spark, docs, tmp_path):
     vocab = unigram_vocab(pieces)
     path = str(tmp_path / "uni")
     save_unigram_tokenizer(
-        pieces, vocab, path, max_piece_len=6, pretokenize="whitespace"
+        pieces, vocab, path, max_piece_len=6, pretokenize="whitespace",
+        em="soft",
     )
-    p2, v2, ml, ptk = load_unigram_tokenizer(spark, path)
-    assert (ml, ptk) == (6, "whitespace") and v2 is not None
+    p2, v2, ml, ptk, em = load_unigram_tokenizer(spark, path)
+    assert (ml, ptk, em) == (6, "whitespace", "soft") and v2 is not None
     assert sorted(tuple(r) for r in p2.collect()) == sorted(
         tuple(r) for r in pieces.collect()
     )
@@ -327,3 +328,133 @@ def test_empty_corpus_fails_with_clear_error(spark):
     )
     with pytest.raises(ValueError, match="no words"):
         train_unigram(empty, 40)
+
+
+# ------------------------------------------------------- soft-EM variant
+
+
+def _ref_expected(word, logp, max_len, scale=1_000_000):
+    """Forward-backward expected piece counts, fixed-point rounded —
+    the spec of unigram.SOFT_COUNT_SCALE re-read from the docstring."""
+    n = len(word)
+    a = [1.0] + [0.0] * n
+    for i in range(1, n + 1):
+        s = 0.0
+        for ln in range(1, min(max_len, i) + 1):
+            lp = logp.get(word[i - ln : i])
+            if lp is not None:
+                s += a[i - ln] * math.exp(lp)
+        a[i] = s
+    if a[n] <= 0.0:
+        return None
+    b = [0.0] * n + [1.0]
+    for i in range(n - 1, -1, -1):
+        s = 0.0
+        for ln in range(1, min(max_len, n - i) + 1):
+            lp = logp.get(word[i : i + ln])
+            if lp is not None:
+                s += math.exp(lp) * b[i + ln]
+        b[i] = s
+    acc = {}
+    for i in range(n):
+        for ln in range(1, min(max_len, n - i) + 1):
+            p = word[i : i + ln]
+            lp = logp.get(p)
+            if lp is not None:
+                e = a[i] * math.exp(lp) * b[i + ln] / a[n]
+                if e > 0.0:
+                    acc[p] = acc.get(p, 0.0) + e
+    out = {p: int(round(e * scale)) for p, e in acc.items()}
+    return {p: c for p, c in out.items() if c > 0}
+
+
+def _ref_soft_em_round(wc, counts, max_len):
+    logp = _ref_logp(counts)
+    new = Counter()
+    for w, n in wc.items():
+        ec = _ref_expected(w, logp, max_len)
+        if ec is None:
+            continue
+        for p, c in ec.items():
+            new[p] += c * n
+    out = {}
+    for p in counts:
+        c = new.get(p, 0)
+        out[p] = max(c, 1) if len(p) == 1 else c
+    return out
+
+
+def _ref_train_soft(texts, vocab_size, *, max_len=8, seed_size=None,
+                    shrink=0.75, em_iters=2):
+    wc = _ref_word_counts(texts)
+    if seed_size is None:
+        seed_size = 8 * vocab_size
+    seeds = _ref_seeds(wc, max_len)
+    singles = {p: c for p, c in seeds.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in seeds.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[: max(seed_size - len(singles), 0)]
+    counts = dict(singles, **dict(multi))
+    target_multi = vocab_size - len(singles)
+    while True:
+        for _ in range(em_iters):
+            counts = _ref_soft_em_round(wc, counts, max_len)
+        multis = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if len(multis) <= target_multi:
+            break
+        keep = max(int(len(multis) * shrink), target_multi)
+        counts = {p: c for p, c in counts.items() if len(p) == 1}
+        counts.update(dict(multis[:keep]))
+    counts = _ref_soft_em_round(wc, counts, max_len)
+    total = sum(counts.values())
+    lt = math.log(total)
+    return {
+        p: (c, round(math.log(c) - lt, 12))
+        for p, c in counts.items()
+        if c > 0
+    }
+
+
+def test_soft_em_pieces_match_replica(spark, docs):
+    pieces = train_unigram(docs, 40, max_piece_len=6, em="soft")
+    got = sorted(
+        (r["piece"], r["count"], r["logp"]) for r in pieces.collect()
+    )
+    want = sorted(
+        (p, c, lp)
+        for p, (c, lp) in _ref_train_soft(
+            [t for _, t in DOCS], 40, max_len=6
+        ).items()
+    )
+    assert got == want
+    # the alphabet is still closed
+    alphabet = {c for _, t in DOCS for w in t.split() for c in w}
+    assert alphabet <= {p for p, _, _ in got}
+
+
+def test_soft_em_differs_from_hard_and_still_encodes(spark, docs):
+    """Non-vacuity: the soft E-step actually changes the learned
+    probabilities (expected counts spread mass over every
+    segmentation, Viterbi concentrates it), and the resulting table
+    encodes with exact round trips either way."""
+    hard = train_unigram(docs, 40, max_piece_len=6, em="hard")
+    soft = train_unigram(docs, 40, max_piece_len=6, em="soft")
+    h = {r["piece"]: r["logp"] for r in hard.collect()}
+    s = {r["piece"]: r["logp"] for r in soft.collect()}
+    assert h != s
+    from haplorec_spark.operators.bpe import bpe_word_counts
+
+    words = bpe_word_counts(docs).select("word")
+    for pieces in (hard, soft):
+        enc = unigram_encode_words(words, pieces, max_piece_len=6)
+        for r in enc.collect():
+            assert "".join(r["pieces"]) == r["word"]
+
+
+def test_unigram_rejects_bad_em(spark, docs):
+    with pytest.raises(ValueError, match="em mode"):
+        train_unigram(docs, 40, em="fuzzy")
