@@ -486,6 +486,27 @@ def q_text_language_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Not driver gates (the 50-slot budget is full): the round-9
+# space-free-script faces over real parquet. On the all-Latin sf
+# tables the script-segmented stream is the documented exact no-op,
+# so these oracles pin the expression-level parity of the
+# segmentation/waiver machinery on real data; the CJK behavior itself
+# is fixture-oracle-checked in tests/test_text.py (sf documents carry
+# no CJK text to exercise it).
+def q_text_quality_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import quality_score
+
+    return quality_score(
+        table(spark, sf_dir, "documents"), segmentation="script"
+    )
+
+
+def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import script_fractions
+
+    return script_fractions(table(spark, sf_dir, "documents"))
+
+
 # Not driver gates (the 50-slot budget is full): the unknown-language
 # floor arm of each language-ID rung (round 8). Thresholds sit
 # mid-distribution at sf0.001 (measured percentiles) so each oracle

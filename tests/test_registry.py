@@ -341,6 +341,97 @@ ROTATED_OUT_ORACLES["q_unigram_seed_counts"] = """
 """
 
 
+def _script_quality_oracle() -> str:
+    """DuckDB replica of quality_score(segmentation='script') built
+    from the shared constants (word stream via text._duck_words_sql,
+    merged stop lexicon, dense-script word-length waiver, spacefree
+    fraction) — the round-9 space-free-script face on real data."""
+    from haplorec_spark.operators.text import (
+        LANG_LEXICON,
+        SPACEFREE_CLASS,
+        SPACEFREE_WLEN_WAIVER,
+        _WLEN_WAIVER_CLASS,
+        _duck_words_sql,
+    )
+
+    ws = _duck_words_sql("text")
+    n = f"len({ws})"
+    stop_lex = (
+        LANG_LEXICON["en"] + LANG_LEXICON["zh"] + LANG_LEXICON["ja"]
+        + LANG_LEXICON["ko"] + LANG_LEXICON["th"]
+    )
+    arr = ", ".join(f"'{w}'" for w in stop_lex)
+    hits = f"len(list_filter({ws}, w -> list_contains([{arr}], w)))"
+    nonspace = "length(replace(text, ' ', ''))"
+    mean = f"{nonspace} / {n}::DOUBLE"
+    sf_frac = (
+        f"CASE WHEN {nonspace} > 0 THEN"
+        f" len(regexp_extract_all(text, '{SPACEFREE_CLASS}'))"
+        f" / {nonspace}::DOUBLE ELSE 0.0 END"
+    )
+    waiver = (
+        f"CASE WHEN {nonspace} > 0 THEN"
+        f" len(regexp_extract_all(text, '{_WLEN_WAIVER_CLASS}'))"
+        f" / {nonspace}::DOUBLE ELSE 0.0 END"
+    )
+    len_ok = f"CASE WHEN {n} BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END"
+    wlen_ok = (
+        f"CASE WHEN {waiver} >= {SPACEFREE_WLEN_WAIVER} THEN 1.0"
+        f" WHEN {mean} BETWEEN 2 AND 12 THEN 1.0 ELSE 0.0 END"
+    )
+    stop_ok = (
+        f"CASE WHEN {hits} / {n}::DOUBLE >= 0.01 THEN 1.0 ELSE 0.0 END"
+    )
+    return f"""
+        SELECT doc_id, {n}::INT AS n_words,
+               round({mean}, 6) AS mean_word_len,
+               round({hits} / {n}::DOUBLE, 6) AS stopword_ratio,
+               round((0.4 * {len_ok} + 0.3 * {wlen_ok}
+                      + 0.3 * {stop_ok})::DOUBLE, 6) AS quality,
+               round({sf_frac}, 6) AS spacefree_fraction
+        FROM documents
+    """
+
+
+ROTATED_OUT_ORACLES["q_text_quality_script"] = _script_quality_oracle()
+
+
+def _script_fractions_oracle() -> str:
+    """DuckDB replica of text.script_fractions from the shared
+    SCRIPT_CLASSES literals."""
+    from haplorec_spark.operators.text import (
+        SCRIPT_CLASSES,
+        SPACEFREE_CLASS,
+    )
+
+    nonspace = "length(replace(text, ' ', ''))"
+    counts = {
+        name: f"len(regexp_extract_all(text, '{cls}'))"
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+
+    def frac(num: str) -> str:
+        return (
+            f"round(CASE WHEN {nonspace} > 0"
+            f" THEN {num} / {nonspace}::DOUBLE ELSE 0.0 END, 6)"
+        )
+
+    other = f"({nonspace} - {' - '.join(counts.values())})"
+    sf = f"len(regexp_extract_all(text, '{SPACEFREE_CLASS}'))"
+    cols = ", ".join(
+        f"{frac(c)} AS {name}_fraction" for name, c in counts.items()
+    )
+    return f"""
+        SELECT doc_id, {nonspace}::INT AS n_chars, {cols},
+               {frac(other)} AS other_fraction,
+               {frac(sf)} AS spacefree_fraction
+        FROM documents
+    """
+
+
+ROTATED_OUT_ORACLES["q_script_fractions"] = _script_fractions_oracle()
+
+
 def test_langid_floors_are_non_vacuous(spark):
     """Each floor oracle must exercise BOTH outcomes at sf0.001: some
     documents flip to 'und', some keep an in-inventory argmax label —
