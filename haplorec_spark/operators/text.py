@@ -94,9 +94,14 @@ def segmented_text_sql(text_col: str) -> str:
     isolated as its own whitespace-delimited token, runs of spaces
     collapsed and ends trimmed (the canonical segmented form — spaced
     and continuous spellings of the same CJK text converge to one
-    string). On text containing NO space-free-script characters the
-    segmentation pass is an exact no-op, so "script" segmentation is
-    SELF-SELECTING per character: Latin corpora keep their whitespace
+    string). On SINGLE-SPACED text containing no space-free-script
+    characters the whole pipeline is an exact no-op; the character
+    substitution itself never fires on such text, while the
+    collapse/trim passes canonicalize multi-space runs and dangling
+    ends wherever they appear (so irregularly-spaced Latin text gets
+    the canonical spelling too — a deliberate normalization, not a
+    leak). "Script" segmentation is therefore SELF-SELECTING per
+    character: single-spaced Latin corpora keep their whitespace
     words bit-for-bit while zh/ja/th spans decompose per character
     (the standard character-as-word proxy for Han — each ideograph is
     a morpheme — and a deterministic counting proxy for Kana/Thai).
@@ -2218,12 +2223,17 @@ def _lexicon_struct(text_col: str):
     single-character entries of :data:`LANG_LEXICON` can hit — without
     it a space-free-script document is ONE token and every lexicon
     scores zero. Empty tokens are dropped (the canonical segmented
-    form guarantee), so the hit ratio's denominator is real tokens."""
+    form guarantee), so the hit ratio's denominator is real tokens —
+    and therefore CAN be zero for empty/whitespace-only text (the
+    historical unfiltered split never was): the ``greatest(..., 1)``
+    floor keeps the ratio a deterministic 0.0 there instead of an
+    ANSI DIVIDE_BY_ZERO (review-caught, round 9; mirrored in the
+    DuckDB oracle)."""
     scores = [
         (
             lang,
             f"round({_hit_count('ws', lex)}"
-            f" / cast(size(ws) as double), 6)",
+            f" / cast(greatest(size(ws), 1) as double), 6)",
         )
         for lang, lex in LANG_LEXICON.items()
     ]
@@ -2768,6 +2778,15 @@ def _repetition_exprs(
         ),
     ]
     if segmentation == "script":
+        # the segmented array can be EMPTY (empty/whitespace-only
+        # text, impossible under the historical unfiltered split):
+        # zero words means zero repetition, not a divide-by-zero
+        # (review-caught, round 9)
+        exprs = [
+            (a, f"CASE WHEN {n} = 0 THEN 0.0 ELSE {e} END")
+            for a, e in exprs
+        ]
+    if segmentation == "script":
         outer = _words_sql(text_col, segmentation)
         exprs = [
             (a, f"transform(array({outer}), ws -> {e})[0]")
@@ -2890,6 +2909,12 @@ def _quality_exprs(
     pattern)."""
     if segmentation == "script":
         words, n_words = "ws", "size(ws)"
+        # the filtered segmented array can be EMPTY for empty or
+        # whitespace-only text (the historical unfiltered split never
+        # was): floor every divisor at 1 so such rows get
+        # deterministic zeros instead of an ANSI DIVIDE_BY_ZERO
+        # (review-caught, round 9)
+        n_div = "greatest(size(ws), 1)"
         stop_lex = (
             LANG_LEXICON["en"] + LANG_LEXICON["zh"] + LANG_LEXICON["ja"]
             + LANG_LEXICON["ko"] + LANG_LEXICON["th"]
@@ -2897,12 +2922,13 @@ def _quality_exprs(
     else:
         words = _words_sql(text_col, segmentation)
         n_words = f"size({words})"
+        n_div = n_words  # unfiltered split arity is always >= 1
         stop_lex = LANG_LEXICON["en"]
     stop_ratio = (
-        f"{_hit_count(words, stop_lex)} / cast({n_words} as double)"
+        f"{_hit_count(words, stop_lex)} / cast({n_div} as double)"
     )
     mean_word_len = (
-        f"(length(replace({text_col}, ' ', ''))) / cast({n_words} as double)"
+        f"(length(replace({text_col}, ' ', ''))) / cast({n_div} as double)"
     )
     len_ok = f"CASE WHEN {n_words} >= 10 AND {n_words} <= 100000 THEN 1.0 ELSE 0.0 END"
     wlen_band = f"CASE WHEN {mean_word_len} >= 2 AND {mean_word_len} <= 12 THEN 1.0 ELSE 0.0 END"
@@ -2964,6 +2990,14 @@ def token_counts(
     CJK character — is already its own regex token.
     """
     ws = _words_sql(text_col, segmentation)
+    # script mode's filtered array can be empty (whitespace-only
+    # text); floor the ratio divisor (review-caught, round 9). The
+    # whitespace expression stays bit-identical (its arity is >= 1).
+    n_div = (
+        f"greatest(size({ws}), 1)"
+        if segmentation == "script"
+        else f"size({ws})"
+    )
     return docs.select(
         F.col(id_col),
         F.expr(f"size({ws})").alias("n_ws_tokens"),
@@ -2971,7 +3005,7 @@ def token_counts(
             f"size(regexp_extract_all(lower({text_col}), '{_TOKEN_REGEX}', 0))"
         ).alias("n_regex_tokens"),
         F.expr(
-            f"round(length({text_col}) / cast(size({ws})"
+            f"round(length({text_col}) / cast({n_div}"
             f" as double), 6)"
         ).alias("chars_per_token"),
     )
@@ -3809,7 +3843,8 @@ def _duck_lang_scores() -> list[tuple[str, str]]:
     return [
         (
             lang,
-            f"round({_duck_hits_seg(lex)} / len({_duck_words_sql('text')})::DOUBLE, 6)",
+            f"round({_duck_hits_seg(lex)}"
+            f" / greatest(len({_duck_words_sql('text')}), 1)::DOUBLE, 6)",
         )
         for lang, lex in LANG_LEXICON.items()
     ]

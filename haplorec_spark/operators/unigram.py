@@ -156,7 +156,25 @@ def _viterbi(word: str, logp: dict[str, float], max_len: int):
 #: BEFORE the corpus aggregate, so Spark's shuffle sums exact
 #: integers — associative in any order — instead of floats whose
 #: accumulation order would make the trainer non-deterministic.
+#: Headroom contract: a piece's summed count is bounded by total word
+#: occurrences × scale, so int64 overflows past ~9e12 occurrences of
+#: one piece — far beyond any sane tokenizer-training corpus (the
+#: standard practice, SentencePiece included, is to train on a
+#: bounded sample of the corpus, not 10T raw tokens); training on
+#: more than that needs ``em="hard"`` (unscaled, 1e6× more headroom)
+#: or a sampled input.
 SOFT_COUNT_SCALE = 1_000_000
+
+
+def _logaddexp(a: float, b: float) -> float:
+    """log(e^a + e^b) without overflow/underflow; -inf absorbing."""
+    if a == -math.inf:
+        return b
+    if b == -math.inf:
+        return a
+    if a < b:
+        a, b = b, a
+    return a + math.log1p(math.exp(b - a))
 
 
 def _expected_counts(
@@ -164,42 +182,46 @@ def _expected_counts(
 ) -> dict[str, int] | None:
     """Forward-backward expected piece counts for one word under the
     current model, fixed-point rounded to :data:`SOFT_COUNT_SCALE`
-    units (Kudo 2018's E-step). Position loops run in ascending order
-    (a fixed float accumulation order, part of the determinism
-    contract). Returns None for an out-of-alphabet word, mirroring
-    :func:`_viterbi`; pieces rounding to zero are dropped (they carry
-    no count, like a piece Viterbi never picks)."""
+    units (Kudo 2018's E-step). Runs entirely in LOG space
+    (review-caught, round 9): linear-space alpha underflows to 0 at
+    ~150+ characters — and a space-free-script document under
+    ``pretokenize="whitespace"`` is exactly one such giant "word" —
+    which would silently drop the word from training as if it were
+    out-of-alphabet. Position loops run in ascending order (a fixed
+    accumulation order, part of the determinism contract). Returns
+    None for an out-of-alphabet word, mirroring :func:`_viterbi`;
+    pieces rounding to zero are dropped (they carry no count, like a
+    piece Viterbi never picks)."""
     n = len(word)
-    alpha = [0.0] * (n + 1)
-    alpha[0] = 1.0
+    la = [-math.inf] * (n + 1)
+    la[0] = 0.0
     for i in range(1, n + 1):
-        s = 0.0
+        s = -math.inf
         for ln in range(1, min(max_len, i) + 1):
             lp = logp.get(word[i - ln : i])
             if lp is not None:
-                s += alpha[i - ln] * math.exp(lp)
-        alpha[i] = s
-    z = alpha[n]
-    if z <= 0.0:
+                s = _logaddexp(s, la[i - ln] + lp)
+        la[i] = s
+    if la[n] == -math.inf:
         return None
-    beta = [0.0] * (n + 1)
-    beta[n] = 1.0
+    lb = [-math.inf] * (n + 1)
+    lb[n] = 0.0
     for i in range(n - 1, -1, -1):
-        s = 0.0
+        s = -math.inf
         for ln in range(1, min(max_len, n - i) + 1):
             lp = logp.get(word[i : i + ln])
             if lp is not None:
-                s += math.exp(lp) * beta[i + ln]
-        beta[i] = s
+                s = _logaddexp(s, lp + lb[i + ln])
+        lb[i] = s
     out: dict[str, float] = {}
     for i in range(n):
         for ln in range(1, min(max_len, n - i) + 1):
             p = word[i : i + ln]
             lp = logp.get(p)
             if lp is not None:
-                e = alpha[i] * math.exp(lp) * beta[i + ln] / z
-                if e > 0.0:
-                    out[p] = out.get(p, 0.0) + e
+                le = la[i] + lp + lb[i + ln] - la[n]
+                if le > -math.inf:
+                    out[p] = out.get(p, 0.0) + math.exp(le)
     scaled = {
         p: int(round(e * SOFT_COUNT_SCALE)) for p, e in out.items()
     }

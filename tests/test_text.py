@@ -1716,3 +1716,53 @@ def test_curation_script_mode_rescues_cjk(spark, cjk_docs):
         ).collect()
     }
     assert kept_ws == {0, 4}  # spaced scripts only — the round-9 hole
+
+
+def test_script_mode_word_metrics_survive_empty_text(spark):
+    """Review-caught (round 9): the filtered segmented word array is
+    EMPTY for empty/whitespace-only text (the unfiltered historical
+    split never was), which divided by zero under ANSI mode in the
+    lexicon rung and every script-mode word metric. Pinned: such rows
+    get deterministic zeros (NULL text stays NULL)."""
+    from haplorec_spark.operators.text import (
+        language_id,
+        quality_score,
+        repetition_metrics,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None),
+         (3, "the house is big and the water is cold in it today")],
+        "doc_id long, text string",
+    )
+    lex = {r["doc_id"]: r for r in language_id(docs).collect()}
+    assert lex[0]["lang_score"] == 0.0
+    assert lex[1]["lang_score"] == 0.0
+    assert lex[2]["predicted_lang"] is None
+    assert lex[3]["predicted_lang"] == "en"
+    q = {
+        r["doc_id"]: r
+        for r in quality_score(
+            docs, include_repetition=True, segmentation="script"
+        ).collect()
+    }
+    for d in (0, 1):
+        assert q[d]["n_words"] == 0
+        assert q[d]["mean_word_len"] == 0.0
+        assert q[d]["stopword_ratio"] == 0.0
+        assert q[d]["dup_word_fraction"] == 0.0
+        assert q[d]["top_word_fraction"] == 0.0
+        assert q[d]["quality"] is not None
+    t = {
+        r["doc_id"]: r
+        for r in token_counts(docs, segmentation="script").collect()
+    }
+    assert t[1]["n_ws_tokens"] == 0 and t[1]["chars_per_token"] == 3.0
+    r = {
+        r["doc_id"]: r
+        for r in repetition_metrics(
+            docs, segmentation="script"
+        ).collect()
+    }
+    assert r[0]["dup_bigram_fraction"] == 0.0

@@ -333,27 +333,39 @@ def test_empty_corpus_fails_with_clear_error(spark):
 # ------------------------------------------------------- soft-EM variant
 
 
+def _ref_lae(a, b):
+    if a == -math.inf:
+        return b
+    if b == -math.inf:
+        return a
+    if a < b:
+        a, b = b, a
+    return a + math.log1p(math.exp(b - a))
+
+
 def _ref_expected(word, logp, max_len, scale=1_000_000):
-    """Forward-backward expected piece counts, fixed-point rounded —
-    the spec of unigram.SOFT_COUNT_SCALE re-read from the docstring."""
+    """LOG-SPACE forward-backward expected piece counts, fixed-point
+    rounded — the spec of unigram.SOFT_COUNT_SCALE re-read from the
+    docstring (log space so a 200+-char word — a whitespace-tokenized
+    CJK document — doesn't underflow to out-of-alphabet)."""
     n = len(word)
-    a = [1.0] + [0.0] * n
+    a = [0.0] + [-math.inf] * n
     for i in range(1, n + 1):
-        s = 0.0
+        s = -math.inf
         for ln in range(1, min(max_len, i) + 1):
             lp = logp.get(word[i - ln : i])
             if lp is not None:
-                s += a[i - ln] * math.exp(lp)
+                s = _ref_lae(s, a[i - ln] + lp)
         a[i] = s
-    if a[n] <= 0.0:
+    if a[n] == -math.inf:
         return None
-    b = [0.0] * n + [1.0]
+    b = [-math.inf] * n + [0.0]
     for i in range(n - 1, -1, -1):
-        s = 0.0
+        s = -math.inf
         for ln in range(1, min(max_len, n - i) + 1):
             lp = logp.get(word[i : i + ln])
             if lp is not None:
-                s += math.exp(lp) * b[i + ln]
+                s = _ref_lae(s, lp + b[i + ln])
         b[i] = s
     acc = {}
     for i in range(n):
@@ -361,9 +373,8 @@ def _ref_expected(word, logp, max_len, scale=1_000_000):
             p = word[i : i + ln]
             lp = logp.get(p)
             if lp is not None:
-                e = a[i] * math.exp(lp) * b[i + ln] / a[n]
-                if e > 0.0:
-                    acc[p] = acc.get(p, 0.0) + e
+                le = a[i] + lp + b[i + ln] - a[n]
+                acc[p] = acc.get(p, 0.0) + math.exp(le)
     out = {p: int(round(e * scale)) for p, e in acc.items()}
     return {p: c for p, c in out.items() if c > 0}
 
@@ -458,3 +469,31 @@ def test_soft_em_differs_from_hard_and_still_encodes(spark, docs):
 def test_unigram_rejects_bad_em(spark, docs):
     with pytest.raises(ValueError, match="em mode"):
         train_unigram(docs, 40, em="fuzzy")
+
+
+def test_soft_em_survives_giant_single_word(spark):
+    """Review-caught (round 9): linear-space forward-backward
+    underflowed at ~150+ chars, silently dropping the word from soft
+    training as if out-of-alphabet — and a space-free-script document
+    under whitespace pretokenization is exactly one such giant word.
+    Log space must train on it and encode it losslessly."""
+    giant = "ab" * 200  # one 400-char word
+    docs = spark.createDataFrame(
+        [(0, giant), (1, "ab abab ababab")], "doc_id long, text string"
+    )
+    pieces = train_unigram(docs, 10, max_piece_len=4, em="soft")
+    got = {r["piece"]: r["count"] for r in pieces.collect()}
+    # the giant word's mass reached the counts: 'ab'-family pieces
+    # carry far more than doc 1 alone could give them
+    assert got.get("ab", 0) > 0
+    assert sum(got.values()) > 100 * 1_000_000  # >> doc 1's mass
+    enc = unigram_encode_words(
+        spark.createDataFrame([(giant,)], "word string"),
+        pieces,
+        max_piece_len=4,
+    ).collect()
+    assert "".join(enc[0]["pieces"]) == giant
+    # replica agreement on the giant word itself
+    logp = {r["piece"]: r["logp"] for r in pieces.collect()}
+    assert _ref_expected(giant, logp, 4) is not None
+
