@@ -169,7 +169,8 @@ class CurationConfig:
     chunk_size: int | None = None
     chunk_stride: int | None = None
     chunk_min_words: int = 1
-    #: word definition for the quality/repetition stage and chunking:
+    #: word definition for the quality/repetition stage, chunking, and
+    #: the near-dup shingles (dedup="near" / leakage_safe):
     #: "whitespace" (historical single-space split) or "script"
     #: (script-segmented — space-free-script characters become their
     #: own words, a no-op on spaced-script text; see
@@ -660,7 +661,8 @@ def curate_documents(
         )
 
         pairs = lsh_candidate_pairs(
-            _dedup_view(out), text_col=cfg.text_col, id_col=cfg.id_col
+            _dedup_view(out), text_col=cfg.text_col, id_col=cfg.id_col,
+            segmentation=cfg.segmentation,
         )
         # non-canonical members (canonical = cluster-minimum id) drop;
         # docs in no cluster are untouched by the anti-join
@@ -792,7 +794,8 @@ def curate_documents(
             leakage_safe_split(
                 out,
                 lsh_candidate_pairs(
-                    pre_mixture, text_col=cfg.text_col, id_col=cfg.id_col
+                    pre_mixture, text_col=cfg.text_col,
+                    id_col=cfg.id_col, segmentation=cfg.segmentation,
                 ),
                 dict(cfg.splits),
                 id_col=cfg.id_col,

@@ -80,11 +80,23 @@ def word_shingles(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Distinct n-word shingles per document: (id, shingle).
 
     Tokenization is a plain single-space split of the lowercased text so
     the DuckDB oracle (string_split) tokenizes identically.
+
+    ``segmentation="script"`` (round 9) shingles the script-segmented
+    word stream instead (``text.segmented_text_sql`` — a no-op on
+    single-spaced spaced-script text, per-character isolation on
+    zh/ja/th): under the whitespace split a space-free-script document
+    is ONE "word", yields ZERO n>=2 shingles, and is therefore
+    INVISIBLE to every shingle-based near-dup detector — MinHash-LSH,
+    n-gram Jaccard, and the incremental stores silently pass CJK
+    near-copies through. Script-mode shingles are n-CHARACTER grams
+    for CJK spans, the standard proxy. A store written under one mode
+    must be queried under the same mode (band keys hash the shingles).
 
     The split is materialized once per row (not re-evaluated per
     shingle), and the doc scan is spread across cores first: a small
@@ -97,9 +109,23 @@ def word_shingles(
     parallelism = spark.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < parallelism:
         docs = docs.repartition(parallelism)
-    words_df = docs.select(
-        F.col(id_col), F.split(F.lower(F.col(text_col)), " ").alias("_ws")
-    )
+    if segmentation == "script":
+        from haplorec_spark.operators.text import _words_sql
+
+        words_df = docs.select(
+            F.col(id_col),
+            F.expr(_words_sql(text_col, "script")).alias("_ws"),
+        )
+    elif segmentation == "whitespace":
+        words_df = docs.select(
+            F.col(id_col),
+            F.split(F.lower(F.col(text_col)), " ").alias("_ws"),
+        )
+    else:
+        raise ValueError(
+            f"unknown segmentation mode {segmentation!r}; "
+            "expected 'whitespace' or 'script'"
+        )
     shingle_expr = F.when(
         F.size(F.col("_ws")) >= n,
         F.expr(
@@ -145,6 +171,7 @@ def lsh_band_keys(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, band, band_key): each document's LSH band signatures.
 
@@ -159,7 +186,10 @@ def lsh_band_keys(
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(
-        word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col),
+        word_shingles(
+            docs, shingle_n, text_col=text_col, id_col=id_col,
+            segmentation=segmentation,
+        ),
         num_hashes,
         id_col=id_col,
     )
@@ -197,6 +227,7 @@ def lsh_candidate_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """MinHash-LSH candidate near-duplicate pairs (id_a < id_b).
 
@@ -212,6 +243,7 @@ def lsh_candidate_pairs(
         shingle_n=shingle_n,
         text_col=text_col,
         id_col=id_col,
+        segmentation=segmentation,
     )
     left = banded.select(
         F.col(id_col).alias("doc_id_a"), "band", "band_key"
@@ -237,6 +269,7 @@ def write_lsh_store(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "append",
+    segmentation: str = "whitespace",
 ) -> None:
     """Persist (id, band, band_key) rows for incremental dedup.
 
@@ -255,6 +288,7 @@ def write_lsh_store(
         shingle_n=shingle_n,
         text_col=text_col,
         id_col=id_col,
+        segmentation=segmentation,
     ).write.mode(mode).partitionBy("band").parquet(path)
 
 
@@ -267,6 +301,7 @@ def incremental_candidate_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(doc_id_new, doc_id_matched, source): near-dup candidates of an
     incoming batch against BOTH the historical store and itself.
@@ -287,6 +322,7 @@ def incremental_candidate_pairs(
         shingle_n=shingle_n,
         text_col=text_col,
         id_col=id_col,
+        segmentation=segmentation,
     )
     store = spark.read.parquet(store_path)
     vs_history = (
@@ -311,6 +347,7 @@ def incremental_candidate_pairs(
             shingle_n=shingle_n,
             text_col=text_col,
             id_col=id_col,
+            segmentation=segmentation,
         )
         .select(
             F.col("doc_id_b").alias("doc_id_new"),
@@ -562,6 +599,7 @@ def ngram_jaccard_pairs(
     max_doc_freq: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Exact Jaccard similarity over word-shingle sets, >= threshold.
 
@@ -576,7 +614,10 @@ def ngram_jaccard_pairs(
     unfiltered metric (common shingles carry no near-dup signal), exact
     over what remains, so leave it None when an exact oracle matters.
     """
-    sh = word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col)
+    sh = word_shingles(
+        docs, shingle_n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
+    )
     if max_doc_freq is not None:
         n_docs = docs.select(id_col).distinct().count()
         cap = max_doc_freq * n_docs
@@ -797,6 +838,7 @@ def verify_jaccard_pairs(
     id_col: str = "doc_id",
     a_col: str = "doc_id_new",
     b_col: str = "doc_id_matched",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Keep only candidate pairs whose EXACT shingle Jaccard reaches
     ``threshold`` — the verification pass between LSH candidate
@@ -825,7 +867,10 @@ def verify_jaccard_pairs(
             how="left_semi",
         )
         return (
-            word_shingles(pruned, shingle_n, text_col=text_col, id_col=id_col)
+            word_shingles(
+                pruned, shingle_n, text_col=text_col, id_col=id_col,
+                segmentation=segmentation,
+            )
             .groupBy(id_col)
             .agg(F.collect_list("shingle").alias(f"_sh_{out_id}"))
             .select(F.col(id_col).alias(out_id), f"_sh_{out_id}")

@@ -237,6 +237,7 @@ def stream_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify_threshold: float | None = None,
+    segmentation: str = "whitespace",
 ):
     """foreachBatch corpus ingest with cross-batch dedup against a
     persisted store: each micro-batch drops documents matching history
@@ -310,11 +311,13 @@ def stream_dedup_ingest(
         else:
             losers = (
                 incremental_candidate_pairs(
-                    batch_df, store_path, text_col=text_col, id_col=id_col
+                    batch_df, store_path, text_col=text_col,
+                    id_col=id_col, segmentation=segmentation,
                 )
                 if have_store
                 else lsh_candidate_pairs(
-                    batch_df, text_col=text_col, id_col=id_col
+                    batch_df, text_col=text_col, id_col=id_col,
+                    segmentation=segmentation,
                 ).select(
                     F.col("doc_id_b").alias("doc_id_new"),
                     F.col("doc_id_a").alias("doc_id_matched"),
@@ -338,6 +341,7 @@ def stream_dedup_ingest(
                     threshold=verify_threshold,
                     text_col=text_col,
                     id_col=id_col,
+                    segmentation=segmentation,
                 )
         survivors = batch_df.join(
             losers.select(
@@ -352,7 +356,10 @@ def stream_dedup_ingest(
             .parquet(out_path)
         )
         keys = (
-            lsh_band_keys(survivors, text_col=text_col, id_col=id_col)
+            lsh_band_keys(
+                survivors, text_col=text_col, id_col=id_col,
+                segmentation=segmentation,
+            )
             if mode == "near"
             else survivors.select(
                 F.col(id_col), F.md5(F.col(text_col)).alias("_h")

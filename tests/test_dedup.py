@@ -414,3 +414,117 @@ def test_cluster_size_profile_vs_duckdb(spark):
     assert prof == want
     # every label row is accounted for exactly once
     assert sum(r[2] for r in prof) == len(labels)
+
+
+# ------------------------------------------- space-free scripts (round 9)
+
+
+def test_cjk_near_dup_needs_script_segmentation(spark):
+    """Review of round-9 scope: under the whitespace split a
+    space-free-script document is ONE word — zero n>=2 shingles, zero
+    band keys — so MinHash-LSH and n-gram Jaccard were BLIND to CJK
+    near-copies. segmentation="script" shingles the per-character
+    stream and finds them; the whitespace mode's miss is pinned as
+    the non-vacuity arm."""
+    from haplorec_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    a = "我们的房子很大冬天的水很冷孩子们在学校读书我们一起去看朋友"
+    b = a + "他说今天天气很好"          # near-copy: shared long prefix
+    c = "แมวนอนหลับอยู่ในครัวและเด็กอ่านหนังสือ"  # unrelated thai
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    # whitespace mode: no shingles at all for any of these docs
+    assert word_shingles(docs, 3).count() == 0
+    assert lsh_candidate_pairs(docs).count() == 0
+    # script mode: the zh pair is found, the thai doc stays unpaired
+    pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in lsh_candidate_pairs(
+            docs, segmentation="script"
+        ).collect()
+    }
+    assert pairs == {(0, 1)}
+    jac = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, segmentation="script"
+        ).collect()
+    }
+    assert set(jac) == {(0, 1)} and jac[(0, 1)] >= 0.5
+
+
+def test_cjk_script_shingles_match_duckdb(spark):
+    """Script-mode shingles replay in DuckDB from the shared
+    segmentation twin (_duck_words_sql) — the word_shingles oracle
+    convention extended to the segmented stream."""
+    import duckdb
+    import pandas as pd
+
+    from haplorec_spark.operators.dedup import word_shingles
+    from haplorec_spark.operators.text import _duck_words_sql
+
+    rows = [
+        (0, "我们的房子很大"),
+        (1, "the house is big and warm today"),
+        (2, "  double  spaced   latin text here  "),
+        (3, "บ้านของเรา"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in word_shingles(
+            docs, 3, segmentation="script"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": [i for i, _ in rows], "text": [t for _, t in rows]}
+        ),
+    )
+    ws = _duck_words_sql("text")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len({ws}) >= 3
+                              THEN list_transform(
+                                  generate_series(1, len({ws}) - 2),
+                                  i -> {ws}[i] || ' ' || {ws}[i+1]
+                                       || ' ' || {ws}[i+2])
+                              ELSE []::VARCHAR[] END) AS shingle
+                FROM documents)
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_curation_near_dedup_script_mode_drops_cjk_copy(spark):
+    """Composition: curate_documents(dedup='near',
+    segmentation='script') keeps one of two zh near-copies — the same
+    config under whitespace keeps both (the hole this closes)."""
+    from haplorec_spark.curation import CurationConfig, curate_documents
+
+    zh = "我们的房子很大冬天的水很冷孩子们在学校读书我们一起去看朋友"
+    rows = [(0, zh), (1, zh + "他说今天天气很好"),
+            (2, "the house is big and the water is cold in the winter")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = dict(
+        languages=None, min_quality=0.0, redact=False, dedup="near",
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+    )
+    kept_script, _ = curate_documents(
+        docs, config=CurationConfig(segmentation="script", **base)
+    )
+    assert {r["doc_id"] for r in kept_script.collect()} == {0, 2}
+    kept_ws, _ = curate_documents(docs, config=CurationConfig(**base))
+    assert {r["doc_id"] for r in kept_ws.collect()} == {0, 1, 2}
