@@ -699,6 +699,7 @@ def curate_documents(
             n=cfg.decontaminate_ngram,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
+            segmentation=cfg.segmentation,
         )
         if count_stages:
             # per-doc vs the benchmark shingles, but the operator owns
@@ -766,6 +767,7 @@ def curate_documents(
                     token_col=mix_token_col,
                     text_col=cfg.text_col,
                     max_replication=cfg.max_replication,
+                    segmentation=cfg.segmentation,
                 ),
             )
             did_upsample = True
@@ -780,6 +782,7 @@ def curate_documents(
                     alpha=cfg.mixture_alpha,
                     token_col=mix_token_col,
                     text_col=cfg.text_col,
+                    segmentation=cfg.segmentation,
                 ),
             )
         if bpe_merges is not None:
@@ -883,6 +886,7 @@ def curate_documents(
                 text_col=cfg.text_col,
                 id_col=pack_id,
                 seed=f"pack{_PACK_SEP}{name}",
+                segmentation=cfg.segmentation,
             )
             tape = t if tape is None else tape.unionByName(t)
         assert tape is not None  # cfg.splits is non-empty by contract

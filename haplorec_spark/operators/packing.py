@@ -53,6 +53,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     seed: str = "pack",
     num_partitions: int | None = None,
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, n_tokens, global_start, seq_id, seq_offset, seq_id_end).
 
@@ -65,16 +66,28 @@ def pack_sequences(
     rather than padding).
 
     ``token_col`` names a precomputed token-count column; when None,
-    whitespace token counts are computed from ``text_col``.
+    whitespace token counts are computed from ``text_col`` —
+    ``segmentation="script"`` (round 9) counts the script-segmented
+    words instead, because under the whitespace split a zh/ja/th
+    document is ONE token and the tape budget under-counts it by the
+    document's whole length (ignored when ``token_col`` is given —
+    precomputed counts carry their own definition).
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     spark = docs.sparkSession
-    n_tokens = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.lower(F.col(text_col)), " "))
-    ).cast("long")
+    if token_col:
+        n_tokens = F.col(token_col).cast("long")
+    elif segmentation == "script":
+        from haplorec_spark.operators.text import _words_sql
+
+        n_tokens = F.expr(
+            f"size({_words_sql(text_col, 'script')})"
+        ).cast("long")
+    else:
+        n_tokens = F.size(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).cast("long")
     base = docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -140,6 +153,7 @@ def write_training_shards(
     seed: str = "shards",
     fmt: str = "parquet",
     shuffle_salt: str | None = None,
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Export the curated corpus as deterministic training shards and
     return the shard manifest.
@@ -200,6 +214,7 @@ def write_training_shards(
             text_col=text_col,
             id_col=id_col,
             seed=seed,
+            segmentation=segmentation,
         ).select(id_col, F.col("seq_id").alias("shard_id"))
         out = docs.join(assign, on=id_col)
         width = None
@@ -231,11 +246,18 @@ def write_training_shards(
         .save(path)
     )
     written = spark.read.format(fmt).load(path)
-    n_tokens = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.lower(F.col(text_col)), " "))
-    ).cast("long")
+    if token_col:
+        n_tokens = F.col(token_col).cast("long")
+    elif segmentation == "script":
+        from haplorec_spark.operators.text import _words_sql
+
+        n_tokens = F.expr(
+            f"size({_words_sql(text_col, 'script')})"
+        ).cast("long")
+    else:
+        n_tokens = F.size(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).cast("long")
     manifest = (
         written.groupBy("shard_id")
         .agg(

@@ -298,17 +298,27 @@ def _domain_token_totals(
     strata_col: str,
     token_col: str | None,
     text_col: str,
+    segmentation: str = "whitespace",
 ) -> dict:
     """Per-domain token totals — the one bounded driver collect the
     two mixture operators share (domain-count rows, like
     fk.assign_ids' offsets). ``domains`` restricts (and validates
     presence of) the listed names; None keeps every observed non-null
     domain."""
-    n_tokens = (
-        F.col(token_col)
-        if token_col
-        else F.size(F.split(F.lower(F.col(text_col)), " "))
-    ).cast("long")
+    if token_col:
+        n_tokens = F.col(token_col).cast("long")
+    elif segmentation == "script":
+        # whitespace counting reads a zh/ja/th document as ONE token,
+        # so its domain's share would be under-counted by ~|doc| chars
+        from haplorec_spark.operators.text import _words_sql
+
+        n_tokens = F.expr(
+            f"size({_words_sql(text_col, 'script')})"
+        ).cast("long")
+    else:
+        n_tokens = F.size(
+            F.split(F.lower(F.col(text_col)), " ")
+        ).cast("long")
     totals = {
         r["d"]: r["t"]
         for r in df.groupBy(F.col(strata_col).alias("d"))
@@ -343,6 +353,7 @@ def _resolve_mixture(
     strata_col: str,
     token_col: str | None,
     text_col: str,
+    segmentation: str = "whitespace",
 ) -> tuple[dict, dict]:
     """(totals, weights) for the two mixture operators.
 
@@ -372,7 +383,8 @@ def _resolve_mixture(
                     f"target weight for {dom!r} must be > 0: {w}"
                 )
         totals = _domain_token_totals(
-            df, set(target_weights), strata_col, token_col, text_col
+            df, set(target_weights), strata_col, token_col, text_col,
+            segmentation,
         )
         return totals, dict(target_weights)
     if alpha < 0:
@@ -384,7 +396,7 @@ def _resolve_mixture(
         )
     domains = set(target_weights) if target_weights is not None else None
     totals = _domain_token_totals(
-        df, domains, strata_col, token_col, text_col
+        df, domains, strata_col, token_col, text_col, segmentation
     )
     raw = {d: float(t) ** alpha for d, t in totals.items()}
     z = sum(raw.values())
@@ -401,6 +413,7 @@ def mixture_sample(
     token_col: str | None = None,
     text_col: str = "text",
     seed: str = "mixture",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Downsample domains so output token shares match ``target_weights``.
 
@@ -424,7 +437,8 @@ def mixture_sample(
     stratified map-side filter — no join, no second shuffle.
     """
     totals, weights = _resolve_mixture(
-        df, target_weights, alpha, strata_col, token_col, text_col
+        df, target_weights, alpha, strata_col, token_col, text_col,
+        segmentation,
     )
     s = min(totals[d] / w for d, w in weights.items())
     fractions = {
@@ -447,6 +461,7 @@ def mixture_upsample(
     text_col: str = "text",
     seed: str = "mixture",
     max_replication: float | None = None,
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Rebalance domains to ``target_weights`` token shares WITH
     replication — the multi-epoch mixture :func:`mixture_sample`
@@ -484,7 +499,8 @@ def mixture_upsample(
             "reserved for the copy index this operator emits"
         )
     totals, weights = _resolve_mixture(
-        df, target_weights, alpha, strata_col, token_col, text_col
+        df, target_weights, alpha, strata_col, token_col, text_col,
+        segmentation,
     )
     s = (
         float(total_tokens)
@@ -553,6 +569,7 @@ def shingle_hashes(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Distinct (id, shingle-hash) pairs for contamination matching.
 
@@ -560,10 +577,18 @@ def shingle_hashes(
     scale used for benchmark decontamination, where only verbatim
     overlap matters) and hashed immediately so only 32 hex chars per
     shingle cross the shuffle, not the text.
+
+    ``segmentation="script"`` (round 9) shingles the script-segmented
+    stream — under the whitespace split a zh/ja/th eval item has ZERO
+    8-word shingles, so decontamination could not see a CJK benchmark
+    leak at all.
     """
     from haplorec_spark.operators.dedup import word_shingles
 
-    sh = word_shingles(docs, n, text_col=text_col, id_col=id_col)
+    sh = word_shingles(
+        docs, n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
+    )
     return sh.select(F.col(id_col), F.md5("shingle").alias("sh_hash"))
 
 
@@ -574,6 +599,7 @@ def decontaminate(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """Drop corpus docs sharing any n-word shingle with ``benchmark``.
 
@@ -585,12 +611,16 @@ def decontaminate(
     the join is on the id).
     """
     bench_hashes = (
-        shingle_hashes(benchmark, n, text_col=text_col, id_col=id_col)
+        shingle_hashes(
+            benchmark, n, text_col=text_col, id_col=id_col,
+            segmentation=segmentation,
+        )
         .select("sh_hash")
         .distinct()
     )
     corpus_hashes = shingle_hashes(
-        corpus, n, text_col=text_col, id_col=id_col
+        corpus, n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
     )
     contaminated = (
         corpus_hashes.join(
@@ -610,6 +640,7 @@ def contamination_report(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_id_col: str | None = None,
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(corpus id, benchmark id, n_shared_shingles): the audit face of
     :func:`decontaminate`.
@@ -623,10 +654,12 @@ def contamination_report(
     """
     bench_id = bench_id_col or id_col
     bench_hashes = shingle_hashes(
-        benchmark, n, text_col=text_col, id_col=bench_id
+        benchmark, n, text_col=text_col, id_col=bench_id,
+        segmentation=segmentation,
     ).select(F.col(bench_id).alias("benchmark_id"), "sh_hash")
     corpus_hashes = shingle_hashes(
-        corpus, n, text_col=text_col, id_col=id_col
+        corpus, n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
     )
     return (
         corpus_hashes.join(F.broadcast(bench_hashes), on="sh_hash")

@@ -524,3 +524,56 @@ def test_id_sequence_shards_shuffle_salt(spark, tmp_path):
         seqs_per_shard=8, shuffle_salt="epoch1",
     ).collect()
     assert sorted(map(tuple, m1)) == sorted(map(tuple, m2))
+
+
+def test_pack_sequences_script_accounting_cjk(spark):
+    """Round 9: under whitespace accounting a zh document is ONE tape
+    token (a 30-char doc budgeted as 1); script accounting counts its
+    segmented words. DuckDB-replayed via the shared segmentation
+    twin."""
+    import duckdb
+    import pandas as pd
+
+    from haplorec_spark.operators.packing import pack_sequences
+    from haplorec_spark.operators.text import _duck_words_sql
+
+    rows = [
+        (0, "我们的房子很大冬天的水很冷"),
+        (1, "the house is big"),
+        (2, "บ้านของเราใหญ่"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ws_counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in pack_sequences(docs, 64).collect()
+    }
+    assert ws_counts == {0: 1, 1: 4, 2: 1}  # the hole
+    got = sorted(
+        (r["doc_id"], r["n_tokens"], r["global_start"])
+        for r in pack_sequences(
+            docs, 64, segmentation="script"
+        ).collect()
+    )
+    assert {d: n for d, n, _ in got} == {0: 13, 1: 4, 2: len("บ้านของเราใหญ่")}
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": [i for i, _ in rows], "text": [t for _, t in rows]}
+    ))
+    ws = _duck_words_sql("text")
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"""
+            WITH t AS (SELECT doc_id, len({ws})::BIGINT AS n_tokens,
+                              md5('pack' || chr(31) || doc_id::VARCHAR)
+                                  AS key
+                       FROM documents)
+            SELECT doc_id, n_tokens,
+                   (sum(n_tokens) OVER (ORDER BY key
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens)::BIGINT AS global_start
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == want

@@ -868,3 +868,51 @@ def test_mixture_rejects_zero_token_domains(spark, docs):
         mixture_upsample(
             tagged, None, "lang", ["doc_id"], alpha=0.5, token_col="n_tok"
         )
+
+
+def test_decontaminate_cjk_needs_script_segmentation(spark):
+    """Round 9: a zh eval item has ZERO 8-word shingles under the
+    whitespace split, so decontamination was blind to CJK benchmark
+    leaks; script segmentation catches the verbatim overlap."""
+    from haplorec_spark.operators.sampling import decontaminate
+
+    leak = "我们的房子很大冬天的水很冷孩子们在学校读书"
+    corpus = spark.createDataFrame(
+        [
+            (0, f"前言{leak}后记还有更多别的内容在这里继续"),
+            (1, "the house is big and the water is cold in winter"),
+            (2, "完全不同的中文内容和上面没有任何重叠的部分可言"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, leak)], "doc_id long, text string")
+    kept_ws = {
+        r["doc_id"] for r in decontaminate(corpus, bench).collect()
+    }
+    assert kept_ws == {0, 1, 2}  # blind: the leak survives
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, bench, segmentation="script"
+        ).collect()
+    }
+    assert kept == {1, 2}  # doc 0 shares the verbatim zh span
+
+
+def test_mixture_totals_script_accounting(spark):
+    """Round 9: domain token totals under script accounting count a
+    zh document's characters, not 1 — without it a zh domain's
+    mixture share is under-counted by ~|doc| per document."""
+    from haplorec_spark.operators.sampling import _domain_token_totals
+
+    zh = "我们的房子很大冬天的水很冷"  # 13 chars
+    docs = spark.createDataFrame(
+        [(0, "zh", zh), (1, "en", "the house is big")],
+        "doc_id long, lang string, text string",
+    )
+    ws = _domain_token_totals(docs, None, "lang", None, "text")
+    assert ws == {"zh": 1, "en": 4}
+    sc = _domain_token_totals(
+        docs, None, "lang", None, "text", "script"
+    )
+    assert sc == {"zh": 13, "en": 4}
