@@ -124,7 +124,16 @@ def _words_sql(text_col: str, segmentation: str) -> str:
             f"expected one of {SEGMENTATION_MODES}"
         )
     if segmentation == "script":
-        seg = segmented_text_sql(f"lower({text_col})")
+        # the canonical form's collapse/trim passes only create or
+        # remove EMPTY tokens, and this path filters empties anyway —
+        # one regexp pass instead of three for every word-array
+        # consumer (identical values; the STREAM consumers in the
+        # ngram/model rungs keep the full canonical string, where the
+        # spacing itself is signal)
+        seg = (
+            f"regexp_replace(lower({text_col}),"
+            f" '({SPACEFREE_CLASS})', ' $1 ')"
+        )
         return f"filter(split({seg}, ' '), w -> w != '')"
     return f"split(lower({text_col}), ' ')"
 
@@ -3705,10 +3714,14 @@ def chunk_documents(
     if chunk_size < 1 or stride < 1 or min_words < 1:
         raise ValueError("chunk_size, stride, min_words must be >= 1")
     if segmentation == "script":
-        ws = (
-            f"filter(split({segmented_text_sql(text_col)}, ' '),"
-            f" w -> w != '')"
+        # case-preserving single-pass isolation + empty filter (the
+        # _words_sql shape; canonical collapse/trim only moves empty
+        # tokens, which the filter drops either way)
+        seg = (
+            f"regexp_replace({text_col},"
+            f" '({SPACEFREE_CLASS})', ' $1 ')"
         )
+        ws = f"filter(split({seg}, ' '), w -> w != '')"
     elif segmentation == "whitespace":
         ws = f"split({text_col}, ' ')"
     else:
@@ -3812,10 +3825,16 @@ def _duck_segmented_sql(text_expr: str) -> str:
 
 
 def _duck_words_sql(text_expr: str) -> str:
-    """DuckDB twin of ``_words_sql(text_expr, "script")``."""
+    """DuckDB twin of ``_words_sql(text_expr, "script")`` — same
+    single-isolation-pass + empty-filter shape (the collapse/trim of
+    the canonical form only moves empty tokens, which the filter
+    drops either way)."""
+    seg = (
+        f"regexp_replace(lower({text_expr}),"
+        f" '({SPACEFREE_CLASS})', ' \\1 ', 'g')"
+    )
     return (
-        f"list_filter(string_split({_duck_segmented_sql(f'lower({text_expr})')},"
-        f" ' '), w -> w != '')"
+        f"list_filter(string_split({seg}, ' '), w -> w != '')"
     )
 
 
