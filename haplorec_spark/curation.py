@@ -118,7 +118,12 @@ class CurationConfig:
     normalize_for_dedup: bool = False
     #: n-gram length for span-level dedup AFTER document dedup (the
     #: word-granularity pass runs on the already-shrunk corpus); None
-    #: skips the stage
+    #: skips the stage. KNOWN LIMITATION: span dedup is
+    #: whitespace-indexed regardless of ``segmentation`` (its spans
+    #: index into the whitespace split and reconstruction re-joins
+    #: with spaces, which would INSERT spaces into CJK text) — on a
+    #: script-mode corpus duplicated CJK passages pass through this
+    #: stage untouched; document- and chunk-level dedup cover them
     strip_span_ngram: int | None = None
     span_min_df: int = 2
     decontaminate_ngram: int = 8
@@ -169,8 +174,10 @@ class CurationConfig:
     chunk_size: int | None = None
     chunk_stride: int | None = None
     chunk_min_words: int = 1
-    #: word definition for the quality/repetition stage, chunking, and
-    #: the near-dup shingles (dedup="near" / leakage_safe):
+    #: word definition for the quality/repetition stage, chunking,
+    #: the near-dup shingles (dedup="near" / leakage_safe), token
+    #: accounting (mixture shares, packing tape), decontamination,
+    #: and the LM stages (min_avg_logprob / max_ppl_bucket / dsir_k):
     #: "whitespace" (historical single-space split) or "script"
     #: (script-segmented — space-free-script characters become their
     #: own words, a no-op on spaced-script text; see
@@ -725,6 +732,7 @@ def curate_documents(
             seed=cfg.dsir_seed,
             text_col=cfg.text_col,
             id_col=cfg.id_col,
+            segmentation=cfg.segmentation,
         ).select(cfg.id_col)
         out = out.join(keep, cfg.id_col)
         if count_stages:

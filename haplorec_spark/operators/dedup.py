@@ -259,6 +259,57 @@ def lsh_candidate_pairs(
     )
 
 
+
+def _write_segmentation_marker(spark, path: str, segmentation: str) -> None:
+    """Record the shingle segmentation mode a store was written under
+    as ``<path>/_segmentation`` (underscore-prefixed — table reads of
+    the store skip it, the packing ``_manifest`` convention). Written
+    on every store write; an existing marker is VALIDATED first, so a
+    job whose config flipped modes fails at write time instead of
+    silently appending incompatible band keys."""
+    _validate_segmentation_marker(spark, path, segmentation)
+    spark.createDataFrame(
+        [(segmentation,)], "segmentation string"
+    ).write.mode("overwrite").parquet(f"{path}/_segmentation")
+
+
+def _validate_segmentation_marker(
+    spark, path: str, segmentation: str
+) -> None:
+    """Raise if the store at ``path`` carries a ``_segmentation``
+    marker for a DIFFERENT mode — band keys hash the shingles, so a
+    cross-mode query joins against keys that can never collide and
+    silently finds no historical duplicates (review-caught, round 9).
+    A store with no marker is legacy: pre-marker stores were always
+    whitespace-mode, so querying one with segmentation="script" also
+    raises (re-write the store under the new mode instead)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        stored = spark.read.parquet(f"{path}/_segmentation").first()
+        mode = stored["segmentation"]
+    except AnalysisException:
+        mode = None  # no marker: store absent or legacy
+    if mode is not None and mode != segmentation:
+        raise ValueError(
+            f"LSH store at {path} was written with "
+            f"segmentation={mode!r}; querying/appending it with "
+            f"{segmentation!r} would silently match nothing — use the "
+            "store's mode or rebuild the store"
+        )
+    if mode is None and segmentation != "whitespace":
+        try:
+            spark.read.parquet(path)
+        except AnalysisException:
+            return  # store doesn't exist yet — any mode is fine
+        raise ValueError(
+            f"LSH store at {path} predates segmentation markers "
+            "(always whitespace-mode); querying it with "
+            f"segmentation={segmentation!r} would silently match "
+            "nothing — rebuild the store under the new mode"
+        )
+
+
 def write_lsh_store(
     docs: DataFrame,
     path: str,
@@ -281,6 +332,7 @@ def write_lsh_store(
     store on band_key (``scale.write_bucketed``) removes the store-side
     shuffle entirely.
     """
+    _write_segmentation_marker(docs.sparkSession, path, segmentation)
     lsh_band_keys(
         docs,
         num_hashes=num_hashes,
@@ -315,6 +367,7 @@ def incremental_candidate_pairs(
     :func:`write_lsh_store` to advance the store.
     """
     spark = new_docs.sparkSession
+    _validate_segmentation_marker(spark, store_path, segmentation)
     new_banded = lsh_band_keys(
         new_docs,
         num_hashes=num_hashes,

@@ -76,18 +76,9 @@ def pack_sequences(
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     spark = docs.sparkSession
-    if token_col:
-        n_tokens = F.col(token_col).cast("long")
-    elif segmentation == "script":
-        from haplorec_spark.operators.text import _words_sql
+    from haplorec_spark.operators.text import token_count_expr
 
-        n_tokens = F.expr(
-            f"size({_words_sql(text_col, 'script')})"
-        ).cast("long")
-    else:
-        n_tokens = F.size(
-            F.split(F.lower(F.col(text_col)), " ")
-        ).cast("long")
+    n_tokens = token_count_expr(token_col, text_col, segmentation)
     base = docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
@@ -246,18 +237,9 @@ def write_training_shards(
         .save(path)
     )
     written = spark.read.format(fmt).load(path)
-    if token_col:
-        n_tokens = F.col(token_col).cast("long")
-    elif segmentation == "script":
-        from haplorec_spark.operators.text import _words_sql
+    from haplorec_spark.operators.text import token_count_expr
 
-        n_tokens = F.expr(
-            f"size({_words_sql(text_col, 'script')})"
-        ).cast("long")
-    else:
-        n_tokens = F.size(
-            F.split(F.lower(F.col(text_col)), " ")
-        ).cast("long")
+    n_tokens = token_count_expr(token_col, text_col, segmentation)
     manifest = (
         written.groupBy("shard_id")
         .agg(

@@ -305,20 +305,9 @@ def _domain_token_totals(
     fk.assign_ids' offsets). ``domains`` restricts (and validates
     presence of) the listed names; None keeps every observed non-null
     domain."""
-    if token_col:
-        n_tokens = F.col(token_col).cast("long")
-    elif segmentation == "script":
-        # whitespace counting reads a zh/ja/th document as ONE token,
-        # so its domain's share would be under-counted by ~|doc| chars
-        from haplorec_spark.operators.text import _words_sql
+    from haplorec_spark.operators.text import token_count_expr
 
-        n_tokens = F.expr(
-            f"size({_words_sql(text_col, 'script')})"
-        ).cast("long")
-    else:
-        n_tokens = F.size(
-            F.split(F.lower(F.col(text_col)), " ")
-        ).cast("long")
+    n_tokens = token_count_expr(token_col, text_col, segmentation)
     totals = {
         r["d"]: r["t"]
         for r in df.groupBy(F.col(strata_col).alias("d"))
@@ -673,6 +662,7 @@ def build_dsir_vocab(
     target: DataFrame,
     *,
     text_col: str = "text",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(word, c_t, c_r): the combined DSIR vocabulary — target and raw
     word counts FULL-joined on word (nulls where a word appears on one
@@ -680,8 +670,15 @@ def build_dsir_vocab(
     :func:`importance_weights` as ``vocab`` to score LATER batches
     under the FROZEN likelihood ratio — the incremental pattern every
     store in this repo uses (scoring drifts silently if each batch
-    re-learns both LMs from itself)."""
-    ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
+    re-learns both LMs from itself). ``segmentation="script"``
+    tokenizes the script-segmented stream — under the whitespace
+    split a zh/ja/th document is ONE DSIR feature, so the importance
+    ratio carries no signal on space-free scripts."""
+    from haplorec_spark.operators.text import _words_sql
+
+    ws = _words_sql(text_col, segmentation)
+    if segmentation == "whitespace":
+        ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
 
     def counts(df: DataFrame, cname: str) -> DataFrame:
         return (
@@ -705,6 +702,7 @@ def importance_weights(
     max_broadcast_vocab: int = 2_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, n_tokens, log_weight): DSIR-style importance weights for
     every ``raw`` document against a ``target``-domain corpus.
@@ -741,13 +739,22 @@ def importance_weights(
     inputs — the incremental/streaming shape: later batches keep the
     original corpus statistics, and ``target`` is then unused. The
     totals aggregate over the pinned vocab is vocabulary-sized.
+
+    ``segmentation="script"`` tokenizes both the vocabulary and the
+    scored stream over the script-segmented words (must match how a
+    pinned ``vocab`` was built).
     """
-    ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
+    if segmentation == "script":
+        from haplorec_spark.operators.text import _words_sql
+
+        ws = _words_sql(text_col, "script")
+    else:
+        ws = f"filter(split(lower({text_col}), ' '), w -> w != '')"
     if vocab is None:
         if target is None:
             raise ValueError("importance_weights needs target or vocab")
         combined = build_dsir_vocab(
-            raw, target, text_col=text_col
+            raw, target, text_col=text_col, segmentation=segmentation
         ).persist()
     else:
         combined = vocab.persist()
@@ -811,6 +818,7 @@ def importance_resample(
     max_broadcast_vocab: int = 2_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, n_tokens, log_weight): the ``k`` raw documents selected by
     importance resampling toward the target domain — the DSIR
@@ -842,6 +850,7 @@ def importance_resample(
         max_broadcast_vocab=max_broadcast_vocab,
         text_col=text_col,
         id_col=id_col,
+        segmentation=segmentation,
     )
     u = (_hash_band(seed, [id_col]).cast("double") + 0.5) / float(2**32)
     key = F.col("log_weight") * math.log(10.0) + (-F.log(-F.log(u)))

@@ -138,6 +138,28 @@ def _words_sql(text_col: str, segmentation: str) -> str:
     return f"split(lower({text_col}), ' ')"
 
 
+
+def token_count_expr(
+    token_col: str | None, text_col: str, segmentation: str = "whitespace"
+):
+    """The ONE token-accounting Column shared by the packing tape,
+    the shard manifests, and the mixture domain totals (round-9
+    review: three verbatim copies of this branch had already grown —
+    desynchronized accounting is exactly the inconsistency class the
+    segmentation work fixes). ``token_col`` (a precomputed count)
+    wins; otherwise whitespace split arity, or the script-segmented
+    word count under ``segmentation="script"`` (a zh/ja/th document
+    is ONE whitespace token — budgets under-count it by its whole
+    length)."""
+    if token_col:
+        return F.col(token_col).cast("long")
+    if segmentation == "script":
+        return F.expr(f"size({_words_sql(text_col, 'script')})").cast(
+            "long"
+        )
+    return F.size(F.split(F.lower(F.col(text_col)), " ")).cast("long")
+
+
 # Tiny per-language function-word lexicons (public common stopwords;
 # zh/ja/th entries are single characters — the tokens the script
 # segmentation produces; ko entries are whole words, Korean being a
@@ -3135,6 +3157,7 @@ def unigram_logprob_score(
     max_broadcast_vocab: int = 2_000_000,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, n_tokens, avg_logprob): mean log10 unigram probability of
     each document's tokens — the LM-perplexity quality signal of
@@ -3167,8 +3190,14 @@ def unigram_logprob_score(
     rare words score near-OOV anyway). N and V are measured BEFORE the
     prune so probabilities stay those of the full LM; ``min_count=1``
     (default) is exact.
+
+    ``segmentation="script"`` tokenizes the LM and the scored stream
+    over the script-segmented words — under the whitespace split a
+    zh/ja/th document is ONE token, so its avg_logprob is a single
+    OOV probability and the CCNet-style cut reads it as maximal
+    gibberish. (Must match how an external ``vocab`` was counted.)
     """
-    ws = f"split(lower({text_col}), ' ')"
+    ws = _words_sql(text_col, segmentation)
     if vocab is None:
         vocab = (
             docs.select(F.explode(F.expr(ws)).alias("word"))
@@ -3511,16 +3540,24 @@ def doc_fingerprints(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, fingerprint): bottom-k md5 shingle hashes, comma-joined.
 
     A winnowing-style rolling-hash sketch: the k lexicographically
     smallest shingle hashes summarize the document; sketch equality is a
     strong near-identity signal and the sketch is groupable/joinable.
+    ``segmentation="script"`` sketches the script-segmented stream —
+    a zh/ja/th document has zero whitespace shingles and therefore NO
+    fingerprint row at all under the default (review-caught, round 9;
+    fingerprints of the two modes are not comparable).
     """
     from haplorec_spark.operators.dedup import word_shingles
 
-    sh = word_shingles(docs, shingle_n, text_col=text_col, id_col=id_col)
+    sh = word_shingles(
+        docs, shingle_n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
+    )
     return (
         sh.select(F.col(id_col), F.md5("shingle").alias("h"))
         .groupBy(id_col)
@@ -3761,6 +3798,7 @@ def perplexity_buckets(
     min_count: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
+    segmentation: str = "whitespace",
 ) -> DataFrame:
     """(id, n_tokens, avg_logprob, ppl_bucket): CCNet-style quality
     tiers from the unigram-LM score.
@@ -3788,6 +3826,7 @@ def perplexity_buckets(
         min_count=min_count,
         text_col=text_col,
         id_col=id_col,
+        segmentation=segmentation,
     ).persist()  # reused by the cuts aggregate and the output projection
     qs = ", ".join(
         repr(1.0 - i / n_buckets) for i in range(1, n_buckets)

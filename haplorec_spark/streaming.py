@@ -365,6 +365,14 @@ def stream_dedup_ingest(
                 F.col(id_col), F.md5(F.col(text_col)).alias("_h")
             )
         )
+        if mode == "near":
+            # record/validate the shingle mode the store's band keys
+            # hash (cross-mode queries silently match nothing)
+            from haplorec_spark.operators.dedup import (
+                _write_segmentation_marker,
+            )
+
+            _write_segmentation_marker(spark, store_path, segmentation)
         (
             keys.withColumn("ingest_batch", F.lit(batch_id))
             .write.mode("overwrite").partitionBy("ingest_batch")

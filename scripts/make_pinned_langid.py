@@ -6,10 +6,13 @@ Provenance: trains ``training.train_language_classifier`` (one-vs-rest
 logistic regression over character-trigram features) on a DETERMINISTIC
 synthetic corpus derived from ``text.LANG_FUNCTION_WORDS`` (sliding
 8-word windows over each language's function-word list — the same
-public stopword lists the trigram-profile rung is built from), then
-distills to the top 36 features per language via
-``training.top_features``. Weights are rounded to 6 decimals by the
-distiller, so the printed literal is stable enough to diff.
+public stopword lists the trigram-profile rung is built from; the
+round-9 zh/ja/ko/th corpora pass through the same script-segmented
+gram stream the scorer uses), then distills with a PER-LANGUAGE
+feature budget via ``training.top_features`` (160 per Latin
+language, 32 per space-free-script language — see the sweep note in
+``main``). Weights are rounded to 6 decimals by the distiller, so
+the printed literal is stable enough to diff.
 
 Run:  PYTHONPATH=/root/repo python scripts/make_pinned_langid.py
 then paste the printed dict over ``PINNED_LANGID_MODEL`` in

@@ -528,3 +528,49 @@ def test_curation_near_dedup_script_mode_drops_cjk_copy(spark):
     assert {r["doc_id"] for r in kept_script.collect()} == {0, 2}
     kept_ws, _ = curate_documents(docs, config=CurationConfig(**base))
     assert {r["doc_id"] for r in kept_ws.collect()} == {0, 1, 2}
+
+
+def test_lsh_store_segmentation_marker(spark, tmp_path):
+    """Round-9 review follow-up: a store's band keys hash the
+    shingles of ONE segmentation mode; cross-mode queries silently
+    match nothing. The store now carries a _segmentation marker:
+    same-mode round trips work, cross-mode reads/writes raise, and a
+    legacy (marker-less) store rejects script-mode queries."""
+    import shutil
+
+    from haplorec_spark.operators.dedup import (
+        incremental_candidate_pairs,
+        write_lsh_store,
+    )
+
+    zh = "我们的房子很大冬天的水很冷孩子们在学校读书我们一起去看朋友"
+    docs = spark.createDataFrame(
+        [(0, zh), (1, "the house is big and the water is cold today")],
+        "doc_id long, text string",
+    )
+    newer = spark.createDataFrame(
+        [(10, zh + "他说今天天气很好")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "store")
+    write_lsh_store(docs, path, segmentation="script")
+    # same mode: the zh near-copy matches history
+    got = incremental_candidate_pairs(
+        newer, path, segmentation="script"
+    ).collect()
+    assert {(r["doc_id_new"], r["doc_id_matched"]) for r in got} == {
+        (10, 0)
+    }
+    # cross-mode query raises instead of silently matching nothing
+    with pytest.raises(ValueError, match="segmentation"):
+        incremental_candidate_pairs(newer, path)
+    # cross-mode append raises too
+    with pytest.raises(ValueError, match="segmentation"):
+        write_lsh_store(newer, path)
+    # legacy store (no marker): whitespace queries keep working,
+    # script-mode queries raise
+    shutil.rmtree(f"{path}/_segmentation")
+    assert (
+        incremental_candidate_pairs(newer, path).count() == 0
+    )  # whitespace mode: zh docs have no band keys — and no crash
+    with pytest.raises(ValueError, match="predates"):
+        incremental_candidate_pairs(newer, path, segmentation="script")

@@ -916,3 +916,30 @@ def test_mixture_totals_script_accounting(spark):
         docs, None, "lang", None, "text", "script"
     )
     assert sc == {"zh": 13, "en": 4}
+
+
+def test_dsir_script_mode_separates_cjk_domains(spark):
+    """Round-9 review follow-up: DSIR features were whitespace words,
+    so a zh document was ONE feature and the importance ratio carried
+    no signal. Under script mode, documents matching the zh target's
+    character distribution outrank Thai ones."""
+    from haplorec_spark.operators.sampling import importance_resample
+
+    zh_like = "我们的房子很大冬天的水很冷孩子们在学校读书"
+    th_like = "บ้านของเราใหญ่มากน้ำหนาวเย็นเด็กอ่านหนังสือ"
+    raw = spark.createDataFrame(
+        [(0, zh_like), (1, th_like),
+         (2, zh_like + "我们一起去看朋友"), (3, th_like + "ที่โรงเรียน")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "我们的孩子在学校读书水很冷房子很大")],
+        "doc_id long, text string",
+    )
+    top2 = {
+        r["doc_id"]
+        for r in importance_resample(
+            raw, target, 2, segmentation="script"
+        ).collect()
+    }
+    assert top2 == {0, 2}  # the zh-like docs win under the zh target

@@ -1766,3 +1766,62 @@ def test_script_mode_word_metrics_survive_empty_text(spark):
         ).collect()
     }
     assert r[0]["dup_bigram_fraction"] == 0.0
+
+
+def test_lm_and_fingerprints_script_mode_on_cjk(spark, cjk_docs):
+    """Round-9 review follow-up: the unigram-LM scorer and the
+    bottom-k fingerprints were still whitespace-tokenized — a zh doc
+    was ONE OOV token (maximal 'gibberish' to the CCNet cut) and had
+    NO fingerprint row. Script mode fixes both; whitespace's holes
+    are pinned."""
+    from haplorec_spark.operators.text import (
+        doc_fingerprints,
+        unigram_logprob_score,
+    )
+
+    ws = {
+        r["doc_id"]: r
+        for r in unigram_logprob_score(cjk_docs).collect()
+    }
+    assert ws[2]["n_tokens"] == 1  # the hole: one giant token
+    sc = {
+        r["doc_id"]: r
+        for r in unigram_logprob_score(
+            cjk_docs, segmentation="script"
+        ).collect()
+    }
+    zh_text = CJK_DOCS[2][2]
+    assert sc[2]["n_tokens"] == len(zh_text)
+    # the score is now a per-character distribution, not one
+    # whole-document token probability (self-scoring a tiny fixture
+    # makes the giant token "seen", so direction is corpus-dependent
+    # — the signal is the token BASIS, pinned by n_tokens above)
+    assert sc[2]["avg_logprob"] != ws[2]["avg_logprob"]
+    # and a zh doc scored under a REFERENCE vocab of zh characters is
+    # no longer one OOV blob: its mean logprob beats the whitespace
+    # mode's single unseen-token probability
+    from collections import Counter
+
+    zh_vocab = spark.createDataFrame(
+        list(Counter(zh_text * 3).items()), "word string, count long"
+    )
+    ref_ws = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob_score(cjk_docs, vocab=zh_vocab).collect()
+    }
+    ref_sc = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in unigram_logprob_score(
+            cjk_docs, vocab=zh_vocab, segmentation="script"
+        ).collect()
+    }
+    assert ref_sc[2] > ref_ws[2]
+    fp_ws = {r["doc_id"] for r in doc_fingerprints(cjk_docs).collect()}
+    assert 2 not in fp_ws  # no shingles -> no row
+    fp = {
+        r["doc_id"]: r["fingerprint"]
+        for r in doc_fingerprints(
+            cjk_docs, segmentation="script"
+        ).collect()
+    }
+    assert fp[2] and len(fp[2].split(",")) == 4
