@@ -100,6 +100,13 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     semantic_dedup_pairs,
     write_semantic_store,
 )
+from haplorec_spark.operators.bloom import (  # noqa: E402
+    bloom_build,
+    bloom_decontaminate,
+    bloom_parameters,
+    bloom_probe,
+)
+from haplorec_spark.operators.html import extract_html_text  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
     bigram_logprob_score,
     build_vocab,
@@ -153,6 +160,10 @@ __all__ = [
     "ann_recall_summary",
     "asof_join",
     "bigram_logprob_score",
+    "bloom_build",
+    "bloom_decontaminate",
+    "bloom_parameters",
+    "bloom_probe",
     "bm25_rank",
     "build_vocab",
     "calibration_buckets",
@@ -167,6 +178,7 @@ __all__ = [
     "decontaminate",
     "duplicate_ngram_spans",
     "evaluate_binary_classifier",
+    "extract_html_text",
     "filter_blocked_domains",
     "frequent_values",
     "get_spark",

@@ -4126,34 +4126,6 @@ def q_text_linear_score(spark, sf_dir):
     )
 
 
-@register(
-    "q_text_normalize",
-    # The oracle replays the literal rules: lowercase, accent table
-    # (a no-op on the ASCII synthetic corpus, present for rule parity),
-    # ASCII-range punctuation -> space, digit fold, whitespace collapse.
-    f"""
-    SELECT doc_id,
-           trim(regexp_replace(regexp_replace(regexp_replace(
-               translate(lower(text), '{_ACCENT_SRC}', '{_ACCENT_DST}'),
-               '[!-/:-@\\[-`{{-~]', ' ', 'g'),
-               '[0-9]', '0', 'g'),
-               '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g'))
-               AS text_norm
-    FROM documents
-    """,
-    "deterministic text normalization (the dedup hashing prelude): "
-    "lowercase + literal accent fold + punctuation strip + digit fold "
-    "+ whitespace collapse, byte-reproducible across engines",
-)
-def q_text_normalize(spark, sf_dir):
-    return normalize_text(
-        table(spark, sf_dir, "documents"),
-        fold_accents=True,
-        strip_punctuation=True,
-        fold_digits=True,
-    )
-
-
 def build_vocab(
     docs: DataFrame,
     *,

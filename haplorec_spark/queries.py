@@ -93,7 +93,9 @@ def register(name: str, sql: str | None, doc: str = ""):
 
 def registry() -> dict[str, Query]:
     # Import side-effect registration of the training-data operators.
+    import haplorec_spark.operators.bloom  # noqa: F401
     import haplorec_spark.operators.dedup  # noqa: F401
+    import haplorec_spark.operators.html  # noqa: F401
     import haplorec_spark.operators.multimodal  # noqa: F401
     import haplorec_spark.operators.sampling  # noqa: F401
     import haplorec_spark.operators.similarity  # noqa: F401
@@ -505,6 +507,22 @@ def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.operators.text import script_fractions
 
     return script_fractions(table(spark, sf_dir, "documents"))
+
+
+# Not a driver gate since round 9 (slot rotated to q_html_extract, the
+# new crawl-extraction family): the normalize chain is a pure map-side
+# regexp program whose every rule also runs inside other gated plans
+# (the dedup hashing prelude, quality metrics). Still DuckDB-checked by
+# tests/test_registry.py (ROTATED_OUT_ORACLES["q_text_normalize"]).
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import normalize_text
+
+    return normalize_text(
+        table(spark, sf_dir, "documents"),
+        fold_accents=True,
+        strip_punctuation=True,
+        fold_digits=True,
+    )
 
 
 # Not driver gates (the 50-slot budget is full): the unknown-language
@@ -1030,20 +1048,11 @@ def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------- correlated / HAVING / argmax query shapes
 
-@register(
-    "q_min_cost_supplier",
-    """
-    WITH mincost AS (
-        SELECT l_partkey, min(l_extendedprice) AS min_price
-        FROM lineitem GROUP BY l_partkey
-    )
-    SELECT l.l_partkey, l.l_suppkey, round(l.l_extendedprice, 2) AS price
-    FROM lineitem l JOIN mincost m
-      ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
-    """,
-    "correlated-min decorrelation (TPC-H Q2 shape): cheapest shipment "
-    "per part",
-)
+# Not a driver gate since round 9 (slot rotated to q_bloom_member, the
+# new membership-sketch family): the correlated-min decorrelation is a
+# hash aggregate + an equi self-join, both shapes in many other gated
+# plans (q_top_supplier's rotated twin, every join gate). Still
+# DuckDB-checked by tests/test_registry.py.
 def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # alias the derived side's key: mincost shares lineage with li, so an

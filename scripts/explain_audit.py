@@ -277,6 +277,24 @@ CHECKS = {
         "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
                    "CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "q_bloom_member": {
+        # Bloom probe: the probed side is map-side feeding k broadcast
+        # joins — never a shuffle join, never a nested loop. The static
+        # plan repeats the build subtree under each broadcast (the k
+        # exchanges canonicalize identically); AQE materializes it ONCE
+        # at runtime — tests/test_bloom.py pins the ReusedExchange count
+        "expect": ["BroadcastHashJoin", "HashAggregate"],
+        "forbid": ["SortMergeJoin", "CartesianProduct",
+                   "BroadcastNestedLoopJoin"],
+    },
+    "q_html_extract": {
+        # HTML -> text extraction is a fixed regexp/replace column
+        # program over the scan: one map-side Project, zero Exchange,
+        # zero Python, no join of any kind
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
     "_bpe_token_length_histogram": {
         # tokenizer-drift fingerprint: distinct-word encode (bounded
         # Arrow UDF) + one length-keyed aggregate — the corpus never

@@ -178,6 +178,39 @@ ROTATED_OUT_ORACLES = {
 }
 
 
+def _text_normalize_oracle() -> str:
+    """q_text_normalize's former driver-gate SQL (rotated out round 9,
+    slot went to q_html_extract), built from the same literal rule
+    constants as the operator."""
+    from haplorec_spark.operators.text import _ACCENT_DST, _ACCENT_SRC
+
+    return f"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               translate(lower(text), '{_ACCENT_SRC}', '{_ACCENT_DST}'),
+               '[!-/:-@\\[-`{{-~]', ' ', 'g'),
+               '[0-9]', '0', 'g'),
+               '[ ' || chr(9) || chr(10) || chr(13) || ']+', ' ', 'g'))
+               AS text_norm
+    FROM documents
+    """
+
+
+ROTATED_OUT_ORACLES["q_text_normalize"] = _text_normalize_oracle()
+
+#: q_min_cost_supplier's former driver-gate SQL (rotated out round 9,
+#: slot went to q_bloom_member).
+ROTATED_OUT_ORACLES["q_min_cost_supplier"] = """
+    WITH mincost AS (
+        SELECT l_partkey, min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey, l.l_suppkey, round(l.l_extendedprice, 2) AS price
+    FROM lineitem l JOIN mincost m
+      ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+"""
+
+
 #: round 7: q_collapse_by_key rotated OUT of the driver 50 (its slot
 #: went to q_text_language_ngram, the newest operator family); its
 #: group+collect shape is also driver-gated via q_report_collapse.
