@@ -1,0 +1,205 @@
+"""Bloom-filter membership: the no-false-negatives guarantee, the
+bounded false-positive rate, parameter math, NULL keys, the broadcast
+bound, and ground-truth equivalence of bloom_decontaminate with the
+exact operator.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from haplorec_spark.operators.bloom import (
+    CHUNK_BITS,
+    bloom_build,
+    bloom_decontaminate,
+    bloom_parameters,
+    bloom_probe,
+)
+
+
+def test_parameters_formulas():
+    m, k = bloom_parameters(1000, 0.01)
+    # -1000 * ln(0.01) / ln(2)^2 = 9585.06 -> ceil, rounded up to 63s
+    assert m % CHUNK_BITS == 0
+    assert 9585 <= m <= 9585 + CHUNK_BITS
+    assert k == 7  # round(m/n * ln 2)
+    with pytest.raises(ValueError):
+        bloom_parameters(0, 0.01)
+    with pytest.raises(ValueError):
+        bloom_parameters(100, 1.5)
+
+
+def _keys(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "k STRING")
+
+
+def test_zero_false_negatives(spark):
+    inserted = [f"key-{i}" for i in range(500)]
+    m, k = bloom_parameters(500, 0.01)
+    bits = bloom_build(_keys(spark, inserted), ["k"], n_bits=m, n_hashes=k)
+    probed = bloom_probe(
+        _keys(spark, inserted), bits, ["k"], n_bits=m, n_hashes=k
+    ).collect()
+    assert all(r["maybe_member"] for r in probed)  # the hard guarantee
+
+
+def test_false_positive_rate_bounded(spark):
+    inserted = [f"key-{i}" for i in range(500)]
+    others = [f"other-{i}" for i in range(2000)]
+    m, k = bloom_parameters(500, 0.01)
+    bits = bloom_build(_keys(spark, inserted), ["k"], n_bits=m, n_hashes=k)
+    probed = bloom_probe(
+        _keys(spark, others), bits, ["k"], n_bits=m, n_hashes=k
+    ).collect()
+    fp = sum(1 for r in probed if r["maybe_member"]) / len(probed)
+    # deterministic md5 positions: the measured rate is a constant of
+    # (keys, m, k); assert it is in the right regime, not just < 1
+    assert fp <= 0.03, fp
+
+
+def test_tiny_filter_saturates_to_maybe(spark):
+    # 63 bits, 20 keys: the filter saturates and non-members probe
+    # true — "maybe" means maybe
+    inserted = [f"key-{i}" for i in range(60)]
+    bits = bloom_build(
+        _keys(spark, inserted), ["k"], n_bits=CHUNK_BITS, n_hashes=2
+    )
+    probed = bloom_probe(
+        _keys(spark, [f"absent-{i}" for i in range(10)]), bits, ["k"],
+        n_bits=CHUNK_BITS, n_hashes=2,
+    ).collect()
+    assert any(r["maybe_member"] for r in probed)
+
+
+def test_null_key_is_a_key(spark):
+    df = spark.createDataFrame([("a",), (None,)], "k STRING")
+    m, k = 63 * 64, 3
+    bits = bloom_build(df, ["k"], n_bits=m, n_hashes=k)
+    out = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(df, bits, ["k"], n_bits=m, n_hashes=k).collect()
+    }
+    assert out["a"] is True
+    assert out[None] is True  # the NULL sentinel round-trips
+    # a filter WITHOUT the null key rejects it (no accidental match)
+    bits2 = bloom_build(
+        _keys(spark, ["a", "b", "c"]), ["k"], n_bits=m, n_hashes=k
+    )
+    out2 = {
+        r["k"]: r["maybe_member"]
+        for r in bloom_probe(df, bits2, ["k"], n_bits=m, n_hashes=k).collect()
+    }
+    assert out2[None] is False
+
+
+def test_probe_refuses_oversized_broadcast(spark):
+    bits = bloom_build(
+        _keys(spark, ["a"]), ["k"], n_bits=63, n_hashes=1
+    )
+    with pytest.raises(ValueError, match="max_broadcast_bits"):
+        bloom_probe(
+            _keys(spark, ["a"]), bits, ["k"],
+            n_bits=1 << 29, n_hashes=1,
+        )
+
+
+def test_multi_column_and_duplicate_keys(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("b", 2)], "k STRING, n INT"
+    )
+    m, k = 63 * 64, 3
+    bits = bloom_build(df, ["k", "n"], n_bits=m, n_hashes=k)
+    # ('a',2) swaps components across the separator — must not match
+    probe = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 2)], "k STRING, n INT"
+    )
+    out = {
+        (r["k"], r["n"]): r["maybe_member"]
+        for r in bloom_probe(
+            probe, bits, ["k", "n"], n_bits=m, n_hashes=k
+        ).collect()
+    }
+    assert out[("a", 1)] is True
+    assert out[("b", 2)] is True
+    assert out[("a", 2)] is False
+
+
+def test_probe_keeps_all_columns_and_drops_temps(spark):
+    df = spark.createDataFrame([("a", 7)], "k STRING, payload INT")
+    bits = bloom_build(df, ["k"], n_bits=63 * 8, n_hashes=2)
+    out = bloom_probe(df, bits, ["k"], n_bits=63 * 8, n_hashes=2)
+    assert out.columns == ["k", "payload", "maybe_member"]
+
+
+def _contamination_fixture(spark):
+    rows = []
+    for i in range(40):
+        words = [f"w{i}_{j}" for j in range(12)]
+        rows.append((i, " ".join(words)))
+    # doc 100 shares a verbatim 8-gram with doc 0 (contaminated)
+    rows.append((100, rows[0][1].split(" ", 2)[2] + " tail one two"))
+    corpus = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    bench = corpus.filter(F.col("doc_id") < 3).select("doc_id", "text")
+    return corpus, bench
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    from haplorec_spark.operators.sampling import decontaminate
+
+    corpus, bench = _contamination_fixture(spark)
+    exact = {
+        r["doc_id"] for r in decontaminate(corpus, bench, n=8).collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in bloom_decontaminate(corpus, bench, n=8, fpp=1e-4).collect()
+    }
+    # at fpp=1e-4 over this fixture the (deterministic) false-drop set
+    # is empty: the two operators agree exactly — and the benchmark
+    # docs and the 8-gram leaker are all gone
+    assert bloom == exact
+    assert not bloom & {0, 1, 2, 100}
+
+
+def test_bloom_decontaminate_n_items_hint_skips_count(spark):
+    corpus, bench = _contamination_fixture(spark)
+    hinted = {
+        r["doc_id"]
+        for r in bloom_decontaminate(
+            corpus, bench, n=8, fpp=1e-4, n_items_hint=64
+        ).collect()
+    }
+    assert 100 not in hinted and 0 not in hinted
+
+
+def test_probe_plan_never_shuffles_the_corpus(spark):
+    inserted = [f"key-{i}" for i in range(100)]
+    m, k = bloom_parameters(100, 0.01)
+    bits = bloom_build(_keys(spark, inserted), ["k"], n_bits=m, n_hashes=k)
+    plan = (
+        bloom_probe(_keys(spark, inserted), bits, ["k"], n_bits=m, n_hashes=k)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the probed side is map-side: broadcast exchanges only
+    assert "Exchange hashpartitioning" not in plan.replace(
+        "Exchange hashpartitioning(chunk", ""
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_probe_builds_bits_once_at_runtime(spark):
+    """The k broadcast exchanges wrap the SAME build subtree (alias
+    names differ, canonical plans don't), so AQE's exchange reuse must
+    materialize the filter build ONCE — k-1 ReusedExchange nodes in the
+    final adaptive plan. Without this, a 100 TB probe would re-run the
+    reference-side aggregate k times."""
+    inserted = [f"key-{i}" for i in range(100)]
+    m, k = bloom_parameters(100, 0.01)
+    bits = bloom_build(_keys(spark, inserted), ["k"], n_bits=m, n_hashes=k)
+    df = bloom_probe(
+        _keys(spark, inserted), bits, ["k"], n_bits=m, n_hashes=k
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") == k - 1, plan.count("ReusedExchange")
