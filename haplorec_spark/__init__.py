@@ -80,6 +80,7 @@ from haplorec_spark.operators.web import (  # noqa: E402
 )
 from haplorec_spark.operators.dedup import (  # noqa: E402
     cluster_size_profile,
+    dedup_survivors,
     duplicate_ngram_spans,
     strip_duplicate_ngram_spans,
     verify_jaccard_pairs,
@@ -176,6 +177,7 @@ __all__ = [
     "curate_documents",
     "curation_report",
     "decontaminate",
+    "dedup_survivors",
     "duplicate_ngram_spans",
     "evaluate_binary_classifier",
     "extract_html_text",

@@ -1134,6 +1134,55 @@ def cluster_size_profile(
     )
 
 
+def dedup_survivors(
+    docs: DataFrame,
+    clusters: DataFrame,
+    *,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+    canonical_col: str = "canonical_id",
+) -> DataFrame:
+    """The drop step with a POLICY: keep one document per near-dup
+    cluster — the min-id canonical by default, the argmax of
+    ``score_col`` when given (quality-aware survivor selection: the
+    published pipelines keep the highest-quality member of each
+    near-dup family, not an arbitrary one).
+
+    ``clusters`` is :func:`dedup_clusters` output (``doc_id``,
+    ``canonical_id``); documents in no cluster always survive.
+    Tie-break is ascending id (deterministic across reruns); NULL
+    scores sort LAST under the explicit ``desc_nulls_last`` — a scored
+    member always beats an unscored one (pinned in both engines; Spark
+    and DuckDB disagree on default null order, so it is never left to
+    defaults).
+
+    Plan shape (100 TB): docs in no cluster pass through one anti
+    join (the clusters frame is duplicate-sized — broadcast when it
+    fits, AQE decides); only cluster MEMBERS enter the survivor
+    window, so the ranking shuffle moves the duplicate set, never the
+    corpus, and the ``row_number() = 1`` filter lets Spark's
+    WindowGroupLimit keep one row per cluster map-side before that
+    shuffle.
+    """
+    member = clusters.select(
+        F.col(id_col), F.col(canonical_col).alias("_canonical")
+    )
+    untouched = docs.join(member, on=id_col, how="left_anti")
+    in_cluster = docs.join(member, on=id_col)
+    if score_col is None:
+        winners = in_cluster.filter(F.col(id_col) == F.col("_canonical"))
+    else:
+        w = Window.partitionBy("_canonical").orderBy(
+            F.col(score_col).desc_nulls_last(), F.col(id_col).asc()
+        )
+        winners = (
+            in_cluster.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    return untouched.unionByName(winners.drop("_canonical"))
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402

@@ -509,6 +509,25 @@ def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_fractions(table(spark, sf_dir, "documents"))
 
 
+# Not a driver gate (the 50-slot budget is full): quality-aware
+# survivor selection over the gated q_dedup_clusters output — its
+# DuckDB oracle composes that gate's own SQL (test_registry.py), so
+# clusters and survivors stay consistent by construction.
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_survivors,
+        lsh_candidate_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(lsh_candidate_pairs(docs))
+    scored = docs.withColumn("score", F.length("text"))
+    return dedup_survivors(scored, clusters, score_col="score").select(
+        "doc_id", "source"
+    )
+
+
 # Not a driver gate since round 9 (slot rotated to q_html_extract, the
 # new crawl-extraction family): the normalize chain is a pure map-side
 # regexp program whose every rule also runs inside other gated plans

@@ -574,3 +574,80 @@ def test_lsh_store_segmentation_marker(spark, tmp_path):
     )  # whitespace mode: zh docs have no band keys — and no crash
     with pytest.raises(ValueError, match="predates"):
         incremental_candidate_pairs(newer, path, segmentation="script")
+
+
+# ------------------------------------------------------ dedup_survivors
+
+def _survivor_fixture(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 7.0), (4, 1.0), (5, None)],
+        "doc_id BIGINT, score DOUBLE",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5)],
+        "doc_id BIGINT, canonical_id BIGINT",
+    )
+    return docs, clusters
+
+
+def test_survivors_keep_best_by_score(spark):
+    from haplorec_spark.operators.dedup import dedup_survivors
+
+    docs, clusters = _survivor_fixture(spark)
+    kept = {
+        r["doc_id"]
+        for r in dedup_survivors(docs, clusters, score_col="score").collect()
+    }
+    # cluster {1,2,3}: doc 2 has the best score; doc 4 is in no
+    # cluster (passes through); doc 5 is its own singleton cluster
+    assert kept == {2, 4, 5}
+
+
+def test_survivors_default_min_id_policy(spark):
+    from haplorec_spark.operators.dedup import dedup_survivors
+
+    docs, clusters = _survivor_fixture(spark)
+    kept = {r["doc_id"] for r in dedup_survivors(docs, clusters).collect()}
+    assert kept == {1, 4, 5}  # the canonical (min id) survives
+
+
+def test_survivors_tie_breaks_to_min_id_and_null_loses(spark):
+    from haplorec_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, 7.0), (2, 7.0), (3, None)], "doc_id BIGINT, score DOUBLE"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id BIGINT, canonical_id BIGINT"
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_survivors(docs, clusters, score_col="score").collect()
+    }
+    assert kept == {1}
+    # all-NULL cluster still keeps exactly one (the min id)
+    docs2 = spark.createDataFrame(
+        [(7, None), (8, None)], "doc_id BIGINT, score DOUBLE"
+    )
+    clusters2 = spark.createDataFrame(
+        [(7, 7), (8, 7)], "doc_id BIGINT, canonical_id BIGINT"
+    )
+    kept2 = {
+        r["doc_id"]
+        for r in dedup_survivors(docs2, clusters2, score_col="score").collect()
+    }
+    assert kept2 == {7}
+
+
+def test_survivors_schema_and_window_group_limit(spark):
+    from haplorec_spark.operators.dedup import dedup_survivors
+
+    docs, clusters = _survivor_fixture(spark)
+    out = dedup_survivors(docs, clusters, score_col="score")
+    assert out.columns == ["doc_id", "score"]  # no helper columns leak
+    # the rank-1 filter must reach WindowGroupLimit so each cluster
+    # keeps one row map-side BEFORE the ranking shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan

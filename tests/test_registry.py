@@ -350,6 +350,33 @@ def _ann_recall_oracle() -> str:
 
 ROTATED_OUT_ORACLES["q_ann_recall"] = _ann_recall_oracle()
 
+
+def _dedup_survivors_oracle() -> str:
+    """Quality-aware survivor selection composed over the
+    q_dedup_clusters gate's OWN SQL: per cluster keep the argmax of
+    length(text) (tie → min doc_id, NULLS LAST pinned); documents in no
+    cluster always survive."""
+    from haplorec_spark.queries import registry
+
+    clusters = registry()["q_dedup_clusters"].sql
+    return f"""
+        WITH clusters AS ({clusters}),
+             member AS (SELECT c.doc_id, c.canonical_id,
+                               length(d.text) AS score
+                        FROM clusters c JOIN documents d USING (doc_id)),
+             winners AS (SELECT doc_id FROM (
+                 SELECT doc_id,
+                        row_number() OVER (PARTITION BY canonical_id
+                            ORDER BY score DESC NULLS LAST, doc_id) AS rn
+                 FROM member) WHERE rn = 1)
+        SELECT doc_id, source FROM documents
+        WHERE doc_id IN (SELECT doc_id FROM winners)
+           OR doc_id NOT IN (SELECT doc_id FROM clusters)
+    """
+
+
+ROTATED_OUT_ORACLES["q_dedup_survivors"] = _dedup_survivors_oracle()
+
 # unigram tokenizer seeding: every substring of length 1..4 of every
 # distinct word, weighted by word frequency — the candidate vocabulary
 # the (iterative, replica-pinned) EM trainer prunes.
