@@ -96,6 +96,9 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     pq_topk,
     pq_train,
     refine_topk,
+    sq_encode,
+    sq_topk,
+    sq_train,
     train_pq_index,
     write_pq_store,
     semantic_dedup_pairs,
@@ -221,6 +224,9 @@ __all__ = [
     "save_language_model",
     "save_text_model",
     "semantic_dedup_pairs",
+    "sq_encode",
+    "sq_topk",
+    "sq_train",
     "stream_dedup_events",
     "synthesize_media_table",
     "stream_dedup_ingest",

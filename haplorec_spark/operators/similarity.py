@@ -1742,6 +1742,153 @@ def incremental_semantic_pairs(
     return vs_history.unionByName(vs_batch)
 
 
+# ------------------------------------------------- scalar quantization (SQ8)
+
+def sq_train(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(dim_ix, lo, hi): per-dimension bounds for 8-bit scalar
+    quantization — the third rung of the quantization ladder (flat
+    floats → SQ8 at 4× compression and near-exact recall → PQ at
+    16-64× and coarser recall; Faiss's ScalarQuantizer QT_8bit is the
+    public reference point).
+
+    ONE aggregate: vectors posexplode map-side into (dim_ix, x) and
+    min/max partial-aggregate per dimension — the shuffle moves
+    ``dim`` rows. No iterations, no seeds: SQ training is just bounds,
+    which is why it is the cheap default when 4× is enough.
+    """
+    return (
+        corpus.select(
+            F.posexplode(
+                F.expr(f"transform({vec_col}, x -> cast(x as double))")
+            ).alias("dim_ix", "x")
+        )
+        .groupBy("dim_ix")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    )
+
+
+def _sq_bounds_lists(bounds) -> tuple[list[float], list[float]]:
+    """Accept the sq_train frame or a (los, his) pair; returns the two
+    dim-ordered lists (a dim-bounded collect — never corpus-sized)."""
+    if isinstance(bounds, DataFrame):
+        rows = sorted(
+            ((r["dim_ix"], r["lo"], r["hi"]) for r in bounds.collect())
+        )
+        return [r[1] for r in rows], [r[2] for r in rows]
+    los, his = bounds
+    return list(los), list(his)
+
+
+def _literal_doubles_sql(xs: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({x!r} as double)" for x in xs) + ")"
+
+
+def _sq_encode_sql(vec_sql: str, los: list[float], his: list[float]) -> str:
+    """codes = clamp(floor((x - lo) / (hi - lo) * 256), 0, 255) per
+    dimension; a degenerate dimension (hi == lo) codes as 0. Pure IEEE
+    double arithmetic, identical in the DuckDB twin."""
+    dim = len(los)
+    lo_sql = _literal_doubles_sql(los)
+    hi_sql = _literal_doubles_sql(his)
+    return (
+        f"transform(sequence(1, {dim}), d -> coalesce(cast(least("
+        f"greatest(floor((cast(element_at({vec_sql}, d) as double)"
+        f" - element_at({lo_sql}, d))"
+        f" / nullif(element_at({hi_sql}, d) - element_at({lo_sql}, d),"
+        f" cast(0.0 as double)) * cast(256.0 as double)),"
+        f" cast(0.0 as double)), cast(255.0 as double)) as int), 0))"
+    )
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, codes [, keep...]): 8-bit codes per dimension — one
+    map-side projection against the literal bounds (the
+    :func:`pq_encode` contract: no shuffle, no join; at 100 TB the
+    encode folds into whatever scan produces the vectors)."""
+    los, his = _sq_bounds_lists(bounds)
+    return corpus.select(
+        F.col(id_col),
+        F.expr(_sq_encode_sql(vec_col, los, his)).alias("codes"),
+        *[F.col(c) for c in keep],
+    )
+
+
+def _sq_adc_sql(los: list[float], his: list[float]) -> str:
+    """ADC against midpoint reconstruction: decode(code) = lo +
+    (code + 0.5) · (hi − lo)/256."""
+    dim = len(los)
+    lo_sql = _literal_doubles_sql(los)
+    hi_sql = _literal_doubles_sql(his)
+    recon = (
+        f"element_at({lo_sql}, d) + (cast(element_at(codes, d) as double)"
+        f" + cast(0.5 as double))"
+        f" * (element_at({hi_sql}, d) - element_at({lo_sql}, d))"
+        f" / cast(256.0 as double)"
+    )
+    return (
+        f"aggregate(sequence(1, {dim}), cast(0.0 as double),"
+        f" (acc, d) -> acc + (element_at(pv, d) - ({recon}))"
+        f" * (element_at(pv, d) - ({recon})))"
+    )
+
+
+def sq_topk(
+    codes: DataFrame,
+    probes: DataFrame,
+    bounds,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    probe_id_col: str | None = None,
+) -> DataFrame:
+    """(probe_id, neighbor_id, adc_dist2, rank): asymmetric-distance
+    top-k over SQ8 codes — the probe stays exact, the corpus is its
+    codes decoded to bucket midpoints.
+
+    Same contract and plan shape as :func:`pq_topk` (probes broadcast,
+    map-side scan reading dim bytes per row instead of dim floats, one
+    per-probe top-k window); compose with IVF cells exactly as PQ does
+    when the scan itself must shrink.
+    """
+    los, his = _sq_bounds_lists(bounds)
+    pid = probe_id_col or id_col
+    p = probes.select(
+        F.col(pid).alias("probe_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
+    )
+    scored = (
+        F.broadcast(p)
+        .crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(F.expr(_sq_adc_sql(los, his)), 6).alias("adc_dist2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist2", "rank")
+    )
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402

@@ -509,6 +509,25 @@ def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_fractions(table(spark, sf_dir, "documents"))
 
 
+# Not a driver gate (the 50-slot budget is full): the SQ8 rung of the
+# quantization ladder — ADC top-k over per-dimension 8-bit codes. Its
+# DuckDB oracle recomputes bounds/codes/distances from the same
+# arithmetic (test_registry.py).
+def q_ann_sq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.similarity import (
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    bounds = sq_train(emb)
+    return sq_topk(
+        sq_encode(emb, bounds), emb.filter(F.col("vec_id") < 10), bounds,
+        k=5,
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): quality-aware
 # survivor selection over the gated q_dedup_clusters output — its
 # DuckDB oracle composes that gate's own SQL (test_registry.py), so

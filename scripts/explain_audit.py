@@ -181,6 +181,19 @@ CHECKS = {
         "expect": [],
         "forbid": ["Exchange", "CartesianProduct", "Generate"],
     },
+    "_sq_encode": {
+        # SQ8 encoding is one projection against the literal bounds
+        # arrays: map-only, no shuffle (the _pq_encode contract)
+        "expect": [],
+        "forbid": ["Exchange", "CartesianProduct", "Generate"],
+    },
+    "_sq_adc": {
+        # SQ8 ADC shares the _pq_adc contract: probes broadcast onto
+        # the code scan (intended BNLJ), one per-probe top-k window
+        "expect": ["BroadcastNestedLoopJoin", "Window"],
+        "forbid": ["CartesianProduct", "SortMergeJoin",
+                   "Exchange hashpartitioning.*Exchange hashpartitioning"],
+    },
     "_pq_adc": {
         # ADC: probes broadcast onto the code scan (the intended BNLJ —
         # brute-force rung, same contract as brute_force_topk); the only
@@ -458,6 +471,30 @@ def _pq_encode(spark, sf_dir):
     from haplorec_spark.operators.similarity import pq_encode
 
     return pq_encode(_pq_vectors(spark, sf_dir), _PQ_CBS)
+
+
+#: fixed 4-dim bounds so the SQ audits exercise the plan shape without
+#: running the bounds aggregate
+_SQ_BOUNDS = ([0.0, 0.0, -1.0, -1.0], [1.0, 2.0, 1.0, 0.5])
+
+
+def _sq_encode(spark, sf_dir):
+    from haplorec_spark.operators.similarity import sq_encode
+
+    return sq_encode(_pq_vectors(spark, sf_dir), _SQ_BOUNDS)
+
+
+def _sq_adc(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import sq_encode, sq_topk
+
+    vecs = _pq_vectors(spark, sf_dir)
+    return sq_topk(
+        sq_encode(vecs, _SQ_BOUNDS),
+        vecs.filter(F.col("vec_id") < 5),
+        _SQ_BOUNDS,
+    )
 
 
 def _web_urls(spark, sf_dir):
