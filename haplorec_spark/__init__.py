@@ -122,6 +122,7 @@ from haplorec_spark.operators.text import (  # noqa: E402
     redact_pii,
     script_fractions,
     strip_boilerplate_lines,
+    trigram_logprob_score,
     unigram_logprob_score,
 )
 from haplorec_spark.operators.training import (  # noqa: E402
@@ -243,6 +244,7 @@ __all__ = [
     "train_linear_text_classifier",
     "train_pq_index",
     "top_fraction_by_score",
+    "trigram_logprob_score",
     "unigram_logprob_score",
     "value_histogram_psi",
     "verify_jaccard_pairs",

@@ -3399,6 +3399,150 @@ def bigram_logprob_score(
     )
 
 
+def trigram_logprob_score(
+    docs: DataFrame,
+    *,
+    backoff: float = 0.4,
+    min_count: int = 1,
+    max_broadcast_vocab: int = 2_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_trigrams, avg_logprob): mean log10 stupid-backoff
+    trigram score — the rung above :func:`bigram_logprob_score` on
+    the perplexity ladder.
+
+    Stupid backoff (Brants et al. 2007, "Large Language Models in
+    Machine Translation" — the smoothing DESIGNED for MapReduce-scale
+    LMs: no normalization pass, no held-out discounting, just counts):
+
+    * S(w3|w1 w2) = c(w1 w2 w3)/c(w1 w2) when the trigram was seen,
+    * else ``backoff`` · S(w3|w2), with S(w3|w2) = c(w2 w3)/c(w2)
+      when the bigram was seen,
+    * else ``backoff``² · c(w3)/N.
+
+    Scores are relative frequencies, not probabilities (they don't
+    sum to 1 — the published trade for web-scale trainability);
+    the LM is learned from ``docs`` itself (self-scoring, the ladder's
+    convention), so the unigram floor is always positive. Documents
+    with fewer than three tokens return ``n_trigrams = 0`` and a null
+    ``avg_logprob``.
+
+    Scale shape: gram extraction is a map-side ``transform`` over the
+    token array (no self-join); ONE count table per granularity
+    (trigram, bigram, unigram — each one groupBy), scoring is one left
+    join per granularity lookup (tri on (w1,w2,w3), bi on (w1,w2) and
+    (w2,w3), uni on w2 and w3), each adaptive on its MEASURED size —
+    broadcast under ``max_broadcast_vocab``, shuffle join above (a
+    web-scale trigram table must never be forced into executor
+    memory). ``min_count`` prunes the trigram table only (pruned
+    trigrams back off); bigram/unigram denominators stay exact.
+    """
+    ws = f"split(lower({text_col}), ' ')"
+    tri_expr = (
+        f"transform(slice({ws}, 1, greatest(size({ws}) - 2, 0)),"
+        f" (x, i) -> struct(x AS w1, element_at({ws}, i + 2) AS w2,"
+        f" element_at({ws}, i + 3) AS w3))"
+    )
+    trigrams = docs.select(
+        F.col(id_col), F.explode(F.expr(tri_expr)).alias("_tg")
+    ).select(
+        id_col,
+        F.col("_tg.w1").alias("w1"),
+        F.col("_tg.w2").alias("w2"),
+        F.col("_tg.w3").alias("w3"),
+    )
+
+    uni = (
+        docs.select(F.explode(F.expr(ws)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_cu"))
+        .persist()
+    )
+    bi_expr = (
+        f"transform(slice({ws}, 1, greatest(size({ws}) - 1, 0)),"
+        f" (x, i) -> struct(x AS w1, element_at({ws}, i + 2) AS w2))"
+    )
+    bi = (
+        docs.select(F.explode(F.expr(bi_expr)).alias("_bg"))
+        .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("_cb"))
+        .persist()
+    )
+    tri = (
+        trigrams.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("_ct"))
+        .persist()
+    )
+    n_tokens = float(
+        uni.agg(F.sum("_cu")).collect()[0][0] or 0.0
+    )
+    v_uni = uni.count()
+    n_bi = bi.count()
+    tri_kept = (
+        tri.filter(F.col("_ct") >= min_count) if min_count > 1 else tri
+    )
+    n_tri = tri_kept.count()
+
+    def side(frame, n):
+        return F.broadcast(frame) if n <= max_broadcast_vocab else (
+            frame.hint("merge")
+        )
+
+    tri_side = side(tri_kept, n_tri)
+    bi12 = side(bi, n_bi)
+    bi23 = side(
+        bi.select(
+            F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+            F.col("_cb").alias("_cb23"),
+        ),
+        n_bi,
+    )
+    uni2 = side(
+        uni.select(F.col("w").alias("w2"), F.col("_cu").alias("_cu2")),
+        v_uni,
+    )
+    uni3 = side(
+        uni.select(F.col("w").alias("w3"), F.col("_cu").alias("_cu3")),
+        v_uni,
+    )
+    b = F.lit(float(backoff))
+    score = F.when(
+        F.col("_ct").isNotNull(),
+        F.col("_ct").cast("double") / F.col("_cb").cast("double"),
+    ).otherwise(
+        b
+        * F.when(
+            F.col("_cb23").isNotNull(),
+            F.col("_cb23").cast("double") / F.col("_cu2").cast("double"),
+        ).otherwise(
+            b * F.col("_cu3").cast("double") / F.lit(n_tokens)
+        )
+    )
+    scored = (
+        trigrams.join(tri_side, on=["w1", "w2", "w3"], how="left")
+        .join(bi12, on=["w1", "w2"], how="left")
+        .join(bi23, on=["w2", "w3"], how="left")
+        .join(uni2, on="w2", how="left")
+        .join(uni3, on="w3", how="left")
+        .select(F.col(id_col), F.log10(score).alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.round(F.avg("_lp"), 6).alias("avg_logprob"),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0)).alias("n_trigrams"),
+            "avg_logprob",
+        )
+    )
+
+
 def strip_boilerplate_lines(
     docs: DataFrame,
     *,

@@ -509,6 +509,15 @@ def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_fractions(table(spark, sf_dir, "documents"))
 
 
+# Not a driver gate (the 50-slot budget is full): the stupid-backoff
+# trigram rung of the perplexity ladder; DuckDB oracle replays counts
+# and backoff arithmetic (test_registry.py).
+def q_text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import trigram_logprob_score
+
+    return trigram_logprob_score(table(spark, sf_dir, "documents"))
+
+
 # Not a driver gate (the 50-slot budget is full): the SQ8 rung of the
 # quantization ladder — ADC top-k over per-dimension 8-bit codes. Its
 # DuckDB oracle recomputes bounds/codes/distances from the same

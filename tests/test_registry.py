@@ -533,6 +533,51 @@ def _script_fractions_oracle() -> str:
 ROTATED_OUT_ORACLES["q_script_fractions"] = _script_fractions_oracle()
 
 
+#: stupid-backoff trigram LM (Brants et al. 2007): S = ct/cb when the
+#: trigram was seen, else 0.4 * (cb23/cu2 when the bigram was seen,
+#: else 0.4 * cu3/N) — counts and fold order replayed exactly.
+ROTATED_OUT_ORACLES["q_text_trigram_lm"] = """
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM documents),
+         toks AS (SELECT unnest(ws) AS w FROM w),
+         uni AS (SELECT w, count(*)::DOUBLE AS cu FROM toks GROUP BY w),
+         n AS (SELECT sum(cu) AS nt FROM uni),
+         bg AS (SELECT ws[i] AS w1, ws[i + 1] AS w2 FROM (
+                    SELECT ws, unnest(generate_series(1,
+                               greatest(len(ws) - 1, 0))) AS i FROM w)),
+         bi AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM bg
+                GROUP BY 1, 2),
+         tg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2,
+                       ws[i + 2] AS w3 FROM (
+                    SELECT doc_id, ws, unnest(generate_series(1,
+                               greatest(len(ws) - 2, 0))) AS i FROM w)),
+         tri AS (SELECT w1, w2, w3, count(*)::DOUBLE AS ct FROM tg
+                 GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id,
+                       log10(CASE WHEN ct IS NOT NULL THEN ct / cb
+                             ELSE 0.4 * (CASE WHEN cb23 IS NOT NULL
+                                         THEN cb23 / cu2
+                                         ELSE 0.4 * cu3 / nt END) END)
+                           AS lp
+                FROM tg
+                LEFT JOIN tri USING (w1, w2, w3)
+                LEFT JOIN bi USING (w1, w2)
+                LEFT JOIN (SELECT w1 AS w2, w2 AS w3, cb AS cb23
+                           FROM bi) b2 USING (w2, w3)
+                LEFT JOIN (SELECT w AS w2, cu AS cu2 FROM uni) u2
+                      USING (w2)
+                LEFT JOIN (SELECT w AS w3, cu AS cu3 FROM uni) u3
+                      USING (w3)
+                CROSS JOIN n),
+         per AS (SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+                        round(avg(lp), 6) AS avg_logprob
+                 FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams,
+           per.avg_logprob
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+"""
+
+
 def test_langid_floors_are_non_vacuous(spark):
     """Each floor oracle must exercise BOTH outcomes at sf0.001: some
     documents flip to 'und', some keep an in-inventory argmax label —

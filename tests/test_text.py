@@ -1825,3 +1825,63 @@ def test_lm_and_fingerprints_script_mode_on_cjk(spark, cjk_docs):
         ).collect()
     }
     assert fp[2] and len(fp[2].split(",")) == 4
+
+
+# ------------------------------------------- stupid-backoff trigram LM
+
+def test_trigram_lm_seen_trigram_golden(spark):
+    import math
+
+    from haplorec_spark.operators.text import trigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y")],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logprob"])
+        for r in trigram_logprob_score(docs).collect()
+    }
+    # c(a b c) = 1, c(a b) = 2 -> S = 1/2 on both three-word docs
+    exp = round(math.log10(0.5), 6)
+    assert out[1] == (1, exp)
+    assert out[2] == (1, exp)
+    # fewer than three tokens: no trigrams, null score (restored row)
+    assert out[3] == (0, None)
+
+
+def test_trigram_lm_min_count_backs_off_to_bigram(spark):
+    import math
+
+    from haplorec_spark.operators.text import trigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "a b d")],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in trigram_logprob_score(docs, min_count=2).collect()
+    }
+    # (a b c) count 2 survives the prune: S = 2 / c(a b) = 2/3
+    assert out[1] == round(math.log10(2.0 / 3.0), 6)
+    # (a b d) count 1 is pruned -> backoff: 0.4 * c(b d)/c(b) = 0.4/3
+    assert out[3] == round(math.log10(0.4 * (1.0 / 3.0)), 6)
+
+
+def test_trigram_lm_orders_shuffled_text_below_natural(spark):
+    """The ladder's point: word-ORDER damage that unigram scoring
+    cannot see must score lower here."""
+    from haplorec_spark.operators.text import trigram_logprob_score
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the rug and cat the on sat the"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(10)] + [(99, shuffled)],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in trigram_logprob_score(docs).collect()
+    }
+    assert out[99] < out[0]
