@@ -91,6 +91,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     cell_profile,
     incremental_semantic_pairs,
     ivf_pq_topk,
+    ivf_sq_topk,
     pq_encode,
     pq_store_topk,
     pq_topk,
@@ -194,6 +195,7 @@ __all__ = [
     "incremental_semantic_pairs",
     "interval_join",
     "ivf_pq_topk",
+    "ivf_sq_topk",
     "jsonl_sink",
     "language_id_model",
     "leakage_safe_split",

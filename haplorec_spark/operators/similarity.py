@@ -1825,22 +1825,24 @@ def sq_encode(
     )
 
 
-def _sq_adc_sql(los: list[float], his: list[float]) -> str:
+def _sq_adc_sql(los: list[float], his: list[float], pv_sql: str = "pv") -> str:
     """ADC against midpoint reconstruction: decode(code) = lo +
-    (code + 0.5) · (hi − lo)/256."""
-    dim = len(los)
+    (code + 0.5) · (hi − lo)/256. The probe expression binds ONCE
+    (zip_with over the decoded array) so a composed ``pv_sql`` — the
+    IVF residual — is not re-inlined 2·dim times; the fold order is
+    dimension order either way, so the arithmetic is unchanged."""
     lo_sql = _literal_doubles_sql(los)
     hi_sql = _literal_doubles_sql(his)
     recon = (
-        f"element_at({lo_sql}, d) + (cast(element_at(codes, d) as double)"
-        f" + cast(0.5 as double))"
-        f" * (element_at({hi_sql}, d) - element_at({lo_sql}, d))"
-        f" / cast(256.0 as double)"
+        f"transform(codes, (c, d) -> element_at({lo_sql}, d + 1)"
+        f" + (cast(c as double) + cast(0.5 as double))"
+        f" * (element_at({hi_sql}, d + 1) - element_at({lo_sql}, d + 1))"
+        f" / cast(256.0 as double))"
     )
     return (
-        f"aggregate(sequence(1, {dim}), cast(0.0 as double),"
-        f" (acc, d) -> acc + (element_at(pv, d) - ({recon}))"
-        f" * (element_at(pv, d) - ({recon})))"
+        f"aggregate(zip_with({pv_sql}, {recon},"
+        f" (x, r) -> (x - r) * (x - r)),"
+        f" cast(0.0 as double), (acc, y) -> acc + y)"
     )
 
 
@@ -1877,6 +1879,103 @@ def sq_topk(
             "probe_id",
             "neighbor_id",
             F.round(F.expr(_sq_adc_sql(los, his)), 6).alias("adc_dist2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist2", "rank")
+    )
+
+
+def ivf_sq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    nprobe: int = 1,
+    residual: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(probe_id, neighbor_id, adc_dist2, rank): IVF-SQ8 — coarse
+    cells cut WHICH rows a probe scans, scalar quantization cuts each
+    scanned row to dim bytes at near-exact recall (the
+    :func:`ivf_pq_topk` composition one rung up the fidelity ladder:
+    4× compression instead of 16-64×, no codebook training).
+
+    * ``residual=False``: global bounds over raw vectors;
+      ``nprobe = n_clusters`` reproduces :func:`sq_topk` over the full
+      corpus exactly (test-asserted, the family invariant).
+    * ``residual=True`` (the FAISS IVF-SQ shape): bounds over
+      ``v − centroid(cell)`` — residuals span the within-cell range
+      only, so the same 256 buckets get finer (quantization error
+      test-measured lower); ADC compares the probe's residual against
+      the probed cell.
+
+    Scale shape: identical to :func:`ivf_pq_topk` — map-side literal
+    argmin cell assignment, map-side encode, probes broadcast onto the
+    (cluster)-keyed join, one top-k window. In deployment persist
+    codes+cells cluster-partitioned so the cell join becomes partition
+    pruning (the :func:`write_pq_store` pattern applies unchanged).
+    """
+    centroids = kmeans_centroids(
+        corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
+    cents = _collect_codebook(centroids)
+    with_cells = _project_with_cells(
+        corpus, cents, vec_col=vec_col, id_col=id_col, with_norm=False,
+    )
+    if residual:
+        cent_sql = _literal_matrix_sql(cents)
+        vcast = f"transform({vec_col}, x -> cast(x as double))"
+        train_src = with_cells.select(
+            F.col(id_col),
+            F.expr(_residual_sql(cent_sql, vcast)).alias("_rv"),
+            "cluster",
+        )
+        train_col = "_rv"
+    else:
+        cent_sql = None
+        train_col, train_src = vec_col, with_cells
+    los, his = _sq_bounds_lists(
+        sq_train(train_src, vec_col=train_col, id_col=id_col)
+    )
+    if not los:  # empty corpus: no index, no neighbors
+        return probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("adc_dist2"),
+            F.lit(0).alias("rank"),
+        ).limit(0)
+    coded = sq_encode(
+        train_src, (los, his), vec_col=train_col, id_col=id_col,
+        keep=("cluster",),
+    ).select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
+    p = _project_with_cells(
+        probes, cents, vec_col=vec_col, id_col=id_col,
+        nprobe=nprobe, with_norm=False,
+    ).select(
+        F.col(id_col).alias("probe_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
+        "cluster",
+    )
+    pv_sql = _residual_sql(cent_sql, "pv") if residual else "pv"
+    scored = (
+        F.broadcast(p)
+        .join(coded, on="cluster")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                F.expr(_sq_adc_sql(los, his, pv_sql)), 6
+            ).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(

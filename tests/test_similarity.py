@@ -1119,3 +1119,62 @@ def test_sq_recall_near_exact_at_4x_compression(spark):
         hits += len(exact & by_probe[pid])
         total += 10
     assert hits / total >= 0.9, hits / total
+
+
+def test_ivf_sq_full_probe_reproduces_flat_sq(spark):
+    """nprobe = n_clusters with flat (non-residual) bounds must equal
+    sq_topk over the full corpus — the family's pinned invariant."""
+    from haplorec_spark.operators.similarity import (
+        ivf_sq_topk,
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id < 200")
+    probes = emb.filter("vec_id < 5")
+    bounds = sq_train(emb)
+    flat = sorted(
+        tuple(r)
+        for r in sq_topk(sq_encode(emb, bounds), probes, bounds, k=5).collect()
+    )
+    ivf = sorted(
+        tuple(r)
+        for r in ivf_sq_topk(
+            emb, probes, k=5, n_clusters=4, nprobe=4, residual=False
+        ).collect()
+    )
+    assert ivf == flat
+
+
+def test_ivf_sq_residual_tightens_quantization(spark):
+    """Residual bounds span the within-cell range only, so ADC
+    distances sit closer to the exact distances (the reason the FAISS
+    IVF-SQ shape exists) — measured, not assumed."""
+    import numpy as np
+
+    from haplorec_spark.operators.similarity import ivf_sq_topk
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).filter("vec_id < 300")
+    probes = emb.filter("vec_id < 5")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    def mean_err(residual):
+        got = ivf_sq_topk(
+            emb, probes, k=10, n_clusters=4, nprobe=4, residual=residual
+        ).collect()
+        errs = []
+        for r in got:
+            pv = mat[ids == r["probe_id"]][0]
+            nv = mat[ids == r["neighbor_id"]][0]
+            exact = float(((pv - nv) ** 2).sum())
+            errs.append(abs(r["adc_dist2"] - exact))
+        return sum(errs) / len(errs)
+
+    assert mean_err(True) < mean_err(False)
