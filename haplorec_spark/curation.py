@@ -93,9 +93,14 @@ class CurationConfig:
     min_quality: float = 0.7
     max_dup_word_fraction: float = 0.9
     max_top_word_fraction: float = 0.5
-    #: drop documents whose mean unigram-LM log10-probability (self-
-    #: trained on the post-quality corpus) falls below this; None skips
+    #: drop documents whose mean self-trained-LM log10-probability
+    #: (trained on the post-quality corpus) falls below this; None skips
     min_avg_logprob: float | None = None
+    #: which LM rung scores the min_avg_logprob gate: 1 = unigram
+    #: (word choice), 2 = bigram (word order), 3 = stupid-backoff
+    #: trigram (longer-range order; Brants-score scale — thresholds
+    #: are NOT comparable across rungs, re-tune when changing)
+    lm_order: int = 1
     #: CCNet-style RELATIVE cut (vs the absolute floor above): keep
     #: documents in perplexity buckets 0..max_ppl_bucket of
     #: ``ppl_n_buckets`` tiers (0 = cleanest); None skips
@@ -565,8 +570,23 @@ def curate_documents(
     if cfg.min_avg_logprob is not None:
         # LM trained on the quality-filtered corpus itself: gibberish
         # that slipped the heuristics scores improbably under the
-        # corpus's own token distribution
-        lm = unigram_logprob_score(
+        # corpus's own token distribution. lm_order picks the rung:
+        # bigram/trigram see word-ORDER damage the unigram cannot.
+        if cfg.lm_order not in (1, 2, 3):
+            raise ValueError(
+                f"lm_order must be 1, 2 or 3, got {cfg.lm_order}"
+            )
+        from haplorec_spark.operators.text import (
+            bigram_logprob_score,
+            trigram_logprob_score,
+        )
+
+        scorer = {
+            1: unigram_logprob_score,
+            2: bigram_logprob_score,
+            3: trigram_logprob_score,
+        }[cfg.lm_order]
+        lm = scorer(
             out, text_col=cfg.text_col, id_col=cfg.id_col
         ).filter(F.col("avg_logprob") >= cfg.min_avg_logprob)
         out = out.join(lm.select(cfg.id_col), cfg.id_col)

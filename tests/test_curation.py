@@ -1130,3 +1130,58 @@ def test_curation_report_golden(spark):
     assert sorted(map(tuple, report.collect())) == sorted(
         map(tuple, report2.collect())
     )
+
+
+def test_lm_order_three_catches_word_order_damage(spark):
+    """The lm_order knob's reason to exist: a word-shuffled document
+    passes the unigram rung (same words) but fails the trigram rung
+    (wrong order)."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.curation import CurationConfig, curate_documents
+
+    base = "the cat sat on the mat and the dog sat on the rug"
+    shuffled = "mat the on dog sat the rug and cat the on sat the"
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(10)] + [(99, shuffled)],
+        "doc_id BIGINT, text STRING",
+    )
+
+    def kept(order, floor):
+        cfg = CurationConfig(
+            min_quality=0.0, max_dup_word_fraction=1.1,
+            max_top_word_fraction=1.1,
+            min_avg_logprob=floor, lm_order=order,
+            redact=False, dedup=None,
+        )
+        out, _ = curate_documents(docs, config=cfg)
+        return {r["doc_id"] for r in out.select("doc_id").collect()}
+
+    # unigram rung: identical word multiset scores identically -> all kept
+    assert 99 in kept(1, -2.0)
+    # trigram rung: the shuffled doc scores strictly lower; a floor
+    # between the two keeps the naturals and drops the shuffle
+    from haplorec_spark.operators.text import trigram_logprob_score
+
+    scores = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in trigram_logprob_score(docs).collect()
+    }
+    floor = (scores[0] + scores[99]) / 2
+    k3 = kept(3, floor)
+    assert 99 not in k3 and 0 in k3
+
+
+def test_lm_order_invalid_raises(spark):
+    import pytest as _pytest
+
+    from haplorec_spark.curation import CurationConfig, curate_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id BIGINT, text STRING")
+    with _pytest.raises(ValueError, match="lm_order"):
+        curate_documents(
+            docs,
+            config=CurationConfig(
+                min_avg_logprob=-1.0, lm_order=4, dedup=None, redact=False
+            ),
+        )
