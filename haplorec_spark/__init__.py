@@ -98,8 +98,10 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     pq_train,
     refine_topk,
     sq_encode,
+    sq_store_topk,
     sq_topk,
     sq_train,
+    write_sq_store,
     train_pq_index,
     write_pq_store,
     semantic_dedup_pairs,
@@ -228,8 +230,10 @@ __all__ = [
     "save_text_model",
     "semantic_dedup_pairs",
     "sq_encode",
+    "sq_store_topk",
     "sq_topk",
     "sq_train",
+    "write_sq_store",
     "stream_dedup_events",
     "synthesize_media_table",
     "stream_dedup_ingest",

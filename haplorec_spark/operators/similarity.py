@@ -1891,6 +1891,180 @@ def sq_topk(
     )
 
 
+def _sq_encode_with_cells(
+    corpus: DataFrame,
+    cents: list[list[float]],
+    los: list[float],
+    his: list[float],
+    *,
+    residual: bool,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, codes, cluster) in ONE map-side projection — the SQ twin
+    of :func:`_encode_with_cells`."""
+    with_cells = _project_with_cells(
+        corpus, cents, vec_col=vec_col, id_col=id_col, with_norm=False,
+    )
+    if residual:
+        vcast = f"transform({vec_col}, x -> cast(x as double))"
+        src = with_cells.select(
+            F.col(id_col),
+            F.expr(
+                _residual_sql(_literal_matrix_sql(cents), vcast)
+            ).alias("_rv"),
+            "cluster",
+        )
+        return sq_encode(
+            src, (los, his), vec_col="_rv", id_col=id_col,
+            keep=("cluster",),
+        )
+    return sq_encode(
+        with_cells, (los, his), vec_col=vec_col, id_col=id_col,
+        keep=("cluster",),
+    )
+
+
+def write_sq_store(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_clusters: int = 8,
+    iterations: int = 2,
+    residual: bool = False,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF-SQ8 index: coarse centroids + per-dimension
+    bounds + each vector's (id, codes), cluster-partitioned — the
+    :func:`write_pq_store` deployment shape at the 4×/near-exact rung
+    (dim bytes per vector instead of m).
+
+    ``residual=True`` trains bounds over cell residuals (see
+    :func:`ivf_sq_topk`); the flag persists on the bounds frame, so
+    queries and appends follow the stored mode. ``mode="append"``
+    keeps the PINNED centroids/bounds (the :func:`write_pq_store`
+    contract) so appended codes stay consistent with the stored index.
+    """
+    spark = corpus.sparkSession
+    centroids = bounds = None
+    if mode == "append":
+        try:
+            centroids = spark.read.parquet(f"{path}/centroids")
+            bounds = spark.read.parquet(f"{path}/bounds")
+            residual = bool(bounds.first()["residual"])
+        except AnalysisException:
+            centroids = bounds = None
+    if centroids is None:
+        if not corpus.take(1):
+            raise ValueError(
+                "cannot build an SQ index from an empty corpus"
+            )
+        centroids = kmeans_centroids(
+            corpus, n_clusters, iterations, vec_col=vec_col,
+            id_col=id_col,
+        )
+        cents = _collect_codebook(centroids)
+        if residual:
+            vcast = f"transform({vec_col}, x -> cast(x as double))"
+            train_src = _project_with_cells(
+                corpus, cents, vec_col=vec_col, id_col=id_col,
+                with_norm=False,
+            ).select(
+                F.col(id_col),
+                F.expr(
+                    _residual_sql(_literal_matrix_sql(cents), vcast)
+                ).alias("_rv"),
+            )
+            bounds = sq_train(train_src, vec_col="_rv", id_col=id_col)
+        else:
+            bounds = sq_train(corpus, vec_col=vec_col, id_col=id_col)
+        bounds = bounds.withColumn("residual", F.lit(residual))
+        centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+        bounds.write.mode("overwrite").parquet(f"{path}/bounds")
+        centroids = spark.read.parquet(f"{path}/centroids")
+        bounds = spark.read.parquet(f"{path}/bounds")
+    cents = _collect_codebook(centroids)
+    los, his = _sq_bounds_lists(
+        bounds.select("dim_ix", "lo", "hi")
+    )
+    (
+        _sq_encode_with_cells(
+            corpus, cents, los, his,
+            residual=residual, vec_col=vec_col, id_col=id_col,
+        )
+        .write.mode("append" if mode == "append" else "overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/codes")
+    )
+
+
+def sq_store_topk(
+    spark,
+    path: str,
+    probes: DataFrame,
+    k: int = 5,
+    *,
+    nprobe: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(probe_id, neighbor_id, adc_dist2, rank): query a persisted
+    IVF-SQ8 store — scan-only, the :func:`pq_store_topk` contract:
+    probe cells from the pinned centroids (map-side argmin), probed
+    cluster ids collected (bounded by |probes| × nprobe) into a
+    literal partition prune of the codes scan, ADC + one top-k
+    window. The stored residual flag decides the distance mode.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    bounds = spark.read.parquet(f"{path}/bounds")
+    residual = bool(bounds.first()["residual"])
+    los, his = _sq_bounds_lists(bounds.select("dim_ix", "lo", "hi"))
+    cents = _collect_codebook(centroids)
+    p = _project_with_cells(
+        probes, cents, vec_col=vec_col, id_col=id_col,
+        nprobe=nprobe, with_norm=False,
+    ).select(
+        F.col(id_col).alias("probe_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
+        "cluster",
+    )
+    probed = [
+        r["cluster"] for r in p.select("cluster").distinct().collect()
+    ]
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        .filter(F.col("cluster").isin(probed))  # literal partition prune
+        .select(F.col(id_col).alias("neighbor_id"), "codes", "cluster")
+    )
+    pv_sql = (
+        _residual_sql(_literal_matrix_sql(cents), "pv")
+        if residual
+        else "pv"
+    )
+    scored = (
+        F.broadcast(p)
+        .join(codes, on="cluster")
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.round(
+                F.expr(_sq_adc_sql(los, his, pv_sql)), 6
+            ).alias("adc_dist2"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("adc_dist2").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "neighbor_id", "adc_dist2", "rank")
+    )
+
+
 def ivf_sq_topk(
     corpus: DataFrame,
     probes: DataFrame,

@@ -1178,3 +1178,68 @@ def test_ivf_sq_residual_tightens_quantization(spark):
         return sum(errs) / len(errs)
 
     assert mean_err(True) < mean_err(False)
+
+
+def test_sq_store_roundtrip_pruning_and_append(spark, tmp_path):
+    """A persisted IVF-SQ store answers identically to the in-memory
+    composition, the codes scan is partition-pruned to the probed
+    cells, and appends follow the pinned centroids/bounds."""
+    from haplorec_spark.operators.similarity import (
+        ivf_sq_topk,
+        sq_store_topk,
+        write_sq_store,
+    )
+
+    store = str(tmp_path / "sq_store")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    write_sq_store(emb, store, n_clusters=4)
+    got = sq_store_topk(spark, store, probes, k=5, nprobe=2)
+    want = ivf_sq_topk(emb, probes, k=5, n_clusters=4, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+    shifted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    write_sq_store(shifted, store, mode="append")
+    after = sq_store_topk(spark, store, probes, k=5, nprobe=4).collect()
+    top0 = [r for r in after if r["probe_id"] == 0 and r["rank"] == 1][0]
+    # the exact copy shares cell and codes: rank 1 at the probe's own
+    # quantization error
+    assert top0["neighbor_id"] == 100000
+
+
+def test_sq_store_residual_flag_persists(spark, tmp_path):
+    from haplorec_spark.operators.similarity import (
+        ivf_sq_topk,
+        sq_store_topk,
+        write_sq_store,
+    )
+
+    store = str(tmp_path / "sq_res_store")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 5)
+    write_sq_store(emb, store, n_clusters=4, residual=True)
+    got = sq_store_topk(spark, store, probes, k=5, nprobe=2)
+    want = ivf_sq_topk(
+        emb, probes, k=5, n_clusters=4, nprobe=2, residual=True
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # append claiming residual=False: the STORED True wins — an exact
+    # copy of vec 2 encodes to vec 2's codes and ranks first
+    write_sq_store(
+        emb.filter(F.col("vec_id") == 2).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        ),
+        store, mode="append", residual=False,
+    )
+    after = sq_store_topk(
+        spark, store, emb.filter(F.col("vec_id") == 2), k=1, nprobe=4
+    ).collect()
+    assert after[0]["neighbor_id"] == 100002
