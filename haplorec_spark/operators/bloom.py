@@ -130,6 +130,10 @@ def bloom_build(
     parameters is silently wrong — same failure mode as the LSH
     store's segmentation marker, so write them down).
     """
+    if n_hashes < 1 or n_bits < 1:
+        raise ValueError(
+            f"need n_hashes >= 1 and n_bits >= 1, got {n_hashes}/{n_bits}"
+        )
     positions = F.array(
         *[_position(seed, i, key_cols, n_bits) for i in range(n_hashes)]
     )
@@ -172,6 +176,10 @@ def bloom_probe(
     NULL-keyed rows probe like any other key (the NULL sentinel is a
     valid key value, matching build).
     """
+    if n_hashes < 1 or n_bits < 1:
+        raise ValueError(
+            f"need n_hashes >= 1 and n_bits >= 1, got {n_hashes}/{n_bits}"
+        )
     if n_bits > max_broadcast_bits:
         raise ValueError(
             f"n_bits={n_bits} exceeds max_broadcast_bits="

@@ -1816,7 +1816,14 @@ def sq_encode(
     """(id, codes [, keep...]): 8-bit codes per dimension — one
     map-side projection against the literal bounds (the
     :func:`pq_encode` contract: no shuffle, no join; at 100 TB the
-    encode folds into whatever scan produces the vectors)."""
+    encode folds into whatever scan produces the vectors).
+
+    Fixed-dimension vectors assumed (the family contract pq_train
+    enforces by raising): a ragged SHORT vector quantizes its missing
+    dimensions to code 0 rather than erroring — run
+    ``profiling.embedding_profile`` first if the corpus's dims are
+    unaudited (its n_distinct_dims row is the check).
+    """
     los, his = _sq_bounds_lists(bounds)
     return corpus.select(
         F.col(id_col),
