@@ -2401,6 +2401,61 @@ def q_ann_pq_adc(spark, sf_dir):
 
 
 @register(
+    "q_ann_sq_adc",
+    # SQ8 ADC top-k: bounds = per-dim min/max, codes = clamp(floor(
+    # (x-lo)/(hi-lo)*256), 0, 255) (degenerate dim -> 0), ADC against
+    # bucket midpoints — the same IEEE double arithmetic as the
+    # operator, summed in the same dimension order.
+    """
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+         dims AS (SELECT d, min(x) AS lo, max(x) AS hi FROM (
+                     SELECT unnest(v) AS x,
+                            unnest(generate_series(1, len(v))) AS d
+                     FROM e)
+                  GROUP BY d),
+         b AS (SELECT list(lo ORDER BY d) AS los,
+                      list(hi ORDER BY d) AS his FROM dims),
+         codes AS (SELECT vec_id,
+                          list_transform(generate_series(1, len(v)),
+                              d -> coalesce(CAST(least(greatest(
+                                  floor((v[d] - los[d])
+                                        / nullif(his[d] - los[d], 0.0)
+                                        * 256.0),
+                                  0.0), 255.0) AS INT), 0)) AS cs
+                   FROM e CROSS JOIN b),
+         scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                           round(list_reduce(list_transform(
+                               generate_series(1, len(p.v)),
+                               d -> (p.v[d] - (los[d] + (cs[d] + 0.5)
+                                     * (his[d] - los[d]) / 256.0))
+                                  * (p.v[d] - (los[d] + (cs[d] + 0.5)
+                                     * (his[d] - los[d]) / 256.0))),
+                               (x, y) -> x + y), 6) AS adc_dist2
+                    FROM (SELECT * FROM e WHERE vec_id < 10) p
+                    CROSS JOIN codes c CROSS JOIN b
+                    WHERE p.vec_id <> c.vec_id)
+    SELECT probe_id, neighbor_id, adc_dist2, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY adc_dist2, neighbor_id) AS rank
+        FROM scored)
+    WHERE rank <= 5
+    """,
+    "SQ8 scalar-quantization ADC top-k: per-dimension min/max bounds "
+    "(one aggregate), map-side 8-bit encode, asymmetric distance "
+    "against bucket midpoints, one per-probe top-k window",
+)
+def q_ann_sq_adc(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    bounds = sq_train(emb)
+    return sq_topk(
+        sq_encode(emb, bounds), emb.filter(F.col("vec_id") < 10), bounds,
+        k=5,
+    )
+
+
+@register(
     "q_semantic_dedup",
     # SemDedup: cosine pairs found inside k-means cells. Random vectors
     # rarely reach cosine 0.8, so shifted-id copies of the low-id

@@ -518,25 +518,6 @@ def q_text_trigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_logprob_score(table(spark, sf_dir, "documents"))
 
 
-# Not a driver gate (the 50-slot budget is full): the SQ8 rung of the
-# quantization ladder — ADC top-k over per-dimension 8-bit codes. Its
-# DuckDB oracle recomputes bounds/codes/distances from the same
-# arithmetic (test_registry.py).
-def q_ann_sq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from haplorec_spark.operators.similarity import (
-        sq_encode,
-        sq_topk,
-        sq_train,
-    )
-
-    emb = table(spark, sf_dir, "embeddings")
-    bounds = sq_train(emb)
-    return sq_topk(
-        sq_encode(emb, bounds), emb.filter(F.col("vec_id") < 10), bounds,
-        k=5,
-    )
-
-
 # Not a driver gate (the 50-slot budget is full): quality-aware
 # survivor selection over the gated q_dedup_clusters output — its
 # DuckDB oracle composes that gate's own SQL (test_registry.py), so
@@ -1222,24 +1203,10 @@ def q_left_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ lead/lag window analytics
 
-@register(
-    "q_order_gaps",
-    """
-    SELECT o_custkey,
-           round(avg(gap_days), 6) AS avg_gap_days,
-           count(*)                AS n_gaps
-    FROM (SELECT o_custkey,
-                 date_diff('day',
-                           lag(o_orderdate) OVER (PARTITION BY o_custkey
-                                                  ORDER BY o_orderdate,
-                                                           o_orderkey),
-                           o_orderdate) AS gap_days
-          FROM orders)
-    WHERE gap_days IS NOT NULL
-    GROUP BY o_custkey
-    """,
-    "per-customer inter-order gaps via lag window, then aggregated",
-)
+# Not a driver gate since round 9 (slot rotated to q_ann_sq_adc, the
+# new quantization rung): the lag-window + aggregate shape is also
+# gated via q_sessionize (lag + cumulative window over the same
+# partitioning). Still DuckDB-checked by tests/test_registry.py.
 def q_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")

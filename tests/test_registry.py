@@ -377,47 +377,23 @@ def _dedup_survivors_oracle() -> str:
 
 ROTATED_OUT_ORACLES["q_dedup_survivors"] = _dedup_survivors_oracle()
 
-#: SQ8 ADC top-k: bounds = per-dim min/max, codes = clamp(floor((x-lo)
-#: /(hi-lo)*256), 0, 255) (degenerate dim -> 0), ADC against bucket
-#: midpoints — the same IEEE double arithmetic as the operator, summed
-#: in the same dimension order.
-ROTATED_OUT_ORACLES["q_ann_sq_adc"] = """
-    WITH e AS (SELECT vec_id,
-                      list_transform(embedding, x -> x::DOUBLE) AS v
-               FROM embeddings),
-         dims AS (SELECT d, min(x) AS lo, max(x) AS hi FROM (
-                     SELECT unnest(v) AS x,
-                            unnest(generate_series(1, len(v))) AS d
-                     FROM e)
-                  GROUP BY d),
-         b AS (SELECT list(lo ORDER BY d) AS los,
-                      list(hi ORDER BY d) AS his FROM dims),
-         codes AS (SELECT vec_id,
-                          list_transform(generate_series(1, len(v)),
-                              d -> coalesce(CAST(least(greatest(
-                                  floor((v[d] - los[d])
-                                        / nullif(his[d] - los[d], 0.0)
-                                        * 256.0),
-                                  0.0), 255.0) AS INT), 0)) AS cs
-                   FROM e CROSS JOIN b),
-         scored AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-                           round(list_reduce(list_transform(
-                               generate_series(1, len(p.v)),
-                               d -> (p.v[d] - (los[d] + (cs[d] + 0.5)
-                                     * (his[d] - los[d]) / 256.0))
-                                  * (p.v[d] - (los[d] + (cs[d] + 0.5)
-                                     * (his[d] - los[d]) / 256.0))),
-                               (x, y) -> x + y), 6) AS adc_dist2
-                    FROM (SELECT * FROM e WHERE vec_id < 10) p
-                    CROSS JOIN codes c CROSS JOIN b
-                    WHERE p.vec_id <> c.vec_id)
-    SELECT probe_id, neighbor_id, adc_dist2, rank FROM (
-        SELECT *, row_number() OVER (PARTITION BY probe_id
-                      ORDER BY adc_dist2, neighbor_id) AS rank
-        FROM scored)
-    WHERE rank <= 5
+#: q_order_gaps' former driver-gate SQL (rotated out round 9, slot
+#: went to q_ann_sq_adc; the lag-window shape stays gated via
+#: q_sessionize).
+ROTATED_OUT_ORACLES["q_order_gaps"] = """
+    SELECT o_custkey,
+           round(avg(gap_days), 6) AS avg_gap_days,
+           count(*)                AS n_gaps
+    FROM (SELECT o_custkey,
+                 date_diff('day',
+                           lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                  ORDER BY o_orderdate,
+                                                           o_orderkey),
+                           o_orderdate) AS gap_days
+          FROM orders)
+    WHERE gap_days IS NOT NULL
+    GROUP BY o_custkey
 """
-
 # unigram tokenizer seeding: every substring of length 1..4 of every
 # distinct word, weighted by word frequency — the candidate vocabulary
 # the (iterative, replica-pinned) EM trainer prunes.
