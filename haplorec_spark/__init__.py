@@ -150,6 +150,7 @@ from haplorec_spark.sources import (  # noqa: E402
     wet_source,
 )
 from haplorec_spark.streaming import (  # noqa: E402
+    stream_bloom_dedup_ingest,
     stream_dedup_events,
     stream_dedup_ingest,
     stream_drift_monitor,
@@ -234,6 +235,7 @@ __all__ = [
     "sq_topk",
     "sq_train",
     "write_sq_store",
+    "stream_bloom_dedup_ingest",
     "stream_dedup_events",
     "synthesize_media_table",
     "stream_dedup_ingest",

@@ -398,3 +398,60 @@ def q_bloom_member(spark, sf_dir):
         bits, ["_k"],
         n_bits=_GATE_BITS, n_hashes=_GATE_K, seed=_GATE_SEED,
     ).select("c_custkey", "maybe_member")
+
+
+# ------------------------------------------------------------ store helpers
+
+def write_bloom_params_marker(
+    spark, path: str, *, n_bits: int, n_hashes: int, seed: str
+) -> None:
+    """Record the filter identity at ``<path>/_params`` (underscore-
+    prefixed, the store-marker convention shared with the LSH store's
+    ``_segmentation``). An existing marker is VALIDATED first — a job
+    whose (n_bits, n_hashes, seed) drifted fails at write time instead
+    of silently writing bits that probe wrong."""
+    validate_bloom_params_marker(
+        spark, path, n_bits=n_bits, n_hashes=n_hashes, seed=seed
+    )
+    spark.createDataFrame(
+        [(n_bits, n_hashes, seed)],
+        "n_bits bigint, n_hashes int, seed string",
+    ).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def read_bloom_params_marker(spark, path: str):
+    """(n_bits, n_hashes, seed) from the store marker, or None when
+    the store has none (not yet created)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{path}/_params").first()
+    except AnalysisException:
+        return None
+    return int(r["n_bits"]), int(r["n_hashes"]), r["seed"]
+
+
+def validate_bloom_params_marker(
+    spark, path: str, *, n_bits: int, n_hashes: int, seed: str
+) -> None:
+    stored = read_bloom_params_marker(spark, path)
+    if stored is not None and stored != (n_bits, n_hashes, seed):
+        raise ValueError(
+            f"bloom store at {path} was written with (n_bits, n_hashes,"
+            f" seed)={stored}; using {(n_bits, n_hashes, seed)} would"
+            " probe wrong positions and silently mismatch — use the"
+            " store's parameters or rebuild the store"
+        )
+
+
+def read_bloom_bits(spark, path: str) -> DataFrame:
+    """The cumulative (chunk, bits) filter from a batch-partitioned
+    store: one ``bit_or`` aggregate over all ``ingest_batch``
+    partitions. bit_or is associative and idempotent, so replayed
+    batch partitions (the exactly-once dynamic-overwrite scheme)
+    merge into the same filter."""
+    return (
+        spark.read.parquet(f"{path}/bits")
+        .groupBy("chunk")
+        .agg(F.bit_or("bits").alias("bits"))
+    )

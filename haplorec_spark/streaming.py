@@ -389,6 +389,129 @@ def stream_dedup_ingest(
     )
 
 
+def stream_bloom_dedup_ingest(
+    doc_stream: DataFrame,
+    *,
+    store_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    expected_items: int = 10_000_000,
+    fpp: float = 1e-6,
+    n_bits: int | None = None,
+    n_hashes: int | None = None,
+    seed: str = "bloom-ingest",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """foreachBatch corpus ingest with FIXED-SIZE cross-batch exact
+    dedup: a Bloom filter over content hashes replaces
+    :func:`stream_dedup_ingest`'s per-document hash store.
+
+    The trade the fixed size buys: the exact store grows with history
+    (one row per surviving document — corpus-sized after a year of
+    drops), while this store is ``n_bits/63`` chunk rows FOREVER
+    (~2.9 bits/doc at the 1e-6 default — ~36 MB for 100M docs). The
+    price: a false positive drops a UNIQUE incoming document at rate
+    ≤ fpp (choose fpp for the loss you tolerate; 1e-6 loses ~1 doc
+    per million). No duplicate ever passes — membership has no false
+    negatives, and in-batch duplicates are dropped exactly
+    (:func:`~haplorec_spark.operators.dedup.exact_duplicates` on the
+    batch itself, which is batch-sized).
+
+    Filter identity (n_bits, n_hashes, seed) pins at first write via
+    the ``_params`` marker (the LSH store's segmentation-marker
+    contract): later batches — and any job whose config drifted — use
+    or fail against the STORED parameters. Size explicitly with
+    ``n_bits``/``n_hashes`` or implicitly via ``expected_items``/
+    ``fpp``; ``expected_items`` is the LIFETIME unique-document
+    budget, not the batch size — a filter sized for 10M docs holding
+    20M runs at roughly fpp² ·⁵-ish degraded rates, so budget high
+    (bits are cheap: 10× headroom costs 10× of very little).
+
+    Exactly-once: survivors land in ``ingest_batch=<id>`` partitions
+    (dynamic overwrite — the module's scheme), and the batch's bits
+    land in the SAME-keyed partitions of ``<store>/bits``; bit_or is
+    associative AND idempotent, so a replayed batch rewrites its
+    partition and the read-side merge
+    (:func:`~haplorec_spark.operators.bloom.read_bloom_bits`) yields
+    the same filter. Returns the started StreamingQuery.
+    """
+    from haplorec_spark.operators.bloom import (
+        bloom_build,
+        bloom_parameters,
+        bloom_probe,
+        read_bloom_bits,
+        read_bloom_params_marker,
+        write_bloom_params_marker,
+    )
+    from haplorec_spark.operators.dedup import exact_duplicates
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        stored = read_bloom_params_marker(spark, store_path)
+        if stored is not None:
+            bits_n, bits_k, bits_seed = stored
+        elif n_bits is not None and n_hashes is not None:
+            bits_n, bits_k, bits_seed = n_bits, n_hashes, seed
+        else:
+            bits_n, bits_k = bloom_parameters(expected_items, fpp)
+            bits_seed = seed
+        batch_df = batch_df.persist()
+        # in-batch exact dedup (batch-sized, exact — no fp inside a
+        # batch): keep each content hash's canonical (min-id) row
+        in_batch_losers = exact_duplicates(
+            batch_df, text_col=text_col, id_col=id_col
+        ).select(id_col)
+        fresh = batch_df.join(in_batch_losers, on=id_col, how="left_anti")
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            bits = read_bloom_bits(spark, store_path)
+            have_store = True
+        except AnalysisException:
+            have_store = False
+        keyed = fresh.withColumn("_h", F.md5(F.col(text_col)))
+        if have_store:
+            keyed = bloom_probe(
+                keyed, bits, ["_h"],
+                n_bits=bits_n, n_hashes=bits_k, seed=bits_seed,
+            ).filter(~F.col("maybe_member")).drop("maybe_member")
+        survivors = keyed.persist()
+        (
+            survivors.drop("_h")
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(out_path)
+        )
+        write_bloom_params_marker(
+            spark, store_path,
+            n_bits=bits_n, n_hashes=bits_k, seed=bits_seed,
+        )
+        (
+            bloom_build(
+                survivors.select("_h"), ["_h"],
+                n_bits=bits_n, n_hashes=bits_k, seed=bits_seed,
+            )
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite").partitionBy("ingest_batch")
+            .parquet(f"{store_path}/bits")
+        )
+        survivors.unpersist()
+        batch_df.unpersist()
+
+    return (
+        doc_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_semantic_dedup_ingest(
     vec_stream: DataFrame,
     *,

@@ -979,3 +979,77 @@ def test_stream_tokenizer_drift_zero_word_batch_emits_row(spark, tmp_path):
     r = rows[0]
     assert (r["batch_rows"], r["n_words"], r["n_tokens"]) == (3, 0, 0)
     assert r["fertility"] == 0.0
+
+
+def test_stream_bloom_dedup_ingest_two_drops(spark, tmp_path):
+    """The fixed-size-store twin of stream_dedup_ingest: drop 2
+    redelivers drop-1 content (Bloom membership drops it — no false
+    negatives), carries an in-batch duplicate (exact in-batch dedup
+    drops it), and novel docs pass. The store stays bounded by
+    n_bits/63 chunk rows per batch regardless of corpus size, and the
+    params marker pins the filter identity."""
+    from haplorec_spark.operators.bloom import CHUNK_BITS
+    from haplorec_spark.streaming import stream_bloom_dedup_ingest
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "bloom_store")
+    out = str(tmp_path / "curated")
+    n_bits, n_hashes = 63 * 256, 5
+
+    def run_drop(rows, ckpt):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(str(src))
+        q = stream_bloom_dedup_ingest(
+            spark.readStream.schema("doc_id long, text string")
+            .parquet(str(src)),
+            store_path=store, out_path=out,
+            checkpoint_dir=str(tmp_path / ckpt),
+            n_bits=n_bits, n_hashes=n_hashes,
+        )
+        q.awaitTermination(120)
+
+    run_drop([(1, "first unique doc"), (2, "second unique doc")], "ckpt")
+    run_drop(
+        [
+            (10, "first unique doc"),   # historical content -> dropped
+            (11, "third unique doc"),
+            (12, "third unique doc"),   # in-batch duplicate -> dropped
+            (13, "fourth unique doc"),
+        ],
+        "ckpt",
+    )
+
+    curated = spark.read.parquet(out)
+    texts = sorted(r["text"] for r in curated.collect())
+    assert texts == [
+        "first unique doc", "fourth unique doc",
+        "second unique doc", "third unique doc",
+    ]
+    # fixed-size store: each batch partition holds at most n_bits/63
+    # chunk rows (here: at most a handful — 2 docs x 5 bits each)
+    bits = spark.read.parquet(f"{store}/bits")
+    assert set(r["ingest_batch"] for r in bits.collect()) == {0, 1}
+    per_batch = bits.groupBy("ingest_batch").count().collect()
+    assert all(r["count"] <= n_bits // CHUNK_BITS for r in per_batch)
+
+    # filter-identity drift fails loudly at the next write
+    import pytest as _pytest
+
+    spark.createDataFrame(
+        [(20, "fifth unique doc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    q = stream_bloom_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(str(src)),
+        store_path=store, out_path=out,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_bits=n_bits, n_hashes=n_hashes + 1,  # drifted config
+    )
+    # stored params win over drifted config: the batch still ingests
+    # under the PINNED identity (marker contract), so no exception and
+    # the novel doc lands
+    q.awaitTermination(120)
+    texts2 = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert "fifth unique doc" in texts2
