@@ -97,6 +97,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     pq_topk,
     pq_train,
     refine_topk,
+    sq_bounds,
     sq_encode,
     sq_store_topk,
     sq_topk,
@@ -230,6 +231,7 @@ __all__ = [
     "save_language_model",
     "save_text_model",
     "semantic_dedup_pairs",
+    "sq_bounds",
     "sq_encode",
     "sq_store_topk",
     "sq_topk",

@@ -586,9 +586,17 @@ def curate_documents(
             2: bigram_logprob_score,
             3: trigram_logprob_score,
         }[cfg.lm_order]
+        # a document too short to have any n-gram at this order scores
+        # NULL — "no evidence" must not read as "gibberish", or raising
+        # lm_order silently deletes every 1-2 word survivor of the
+        # other gates (review-caught); length policy belongs to the
+        # quality stage
         lm = scorer(
             out, text_col=cfg.text_col, id_col=cfg.id_col
-        ).filter(F.col("avg_logprob") >= cfg.min_avg_logprob)
+        ).filter(
+            (F.col("avg_logprob") >= cfg.min_avg_logprob)
+            | F.col("avg_logprob").isNull()
+        )
         out = out.join(lm.select(cfg.id_col), cfg.id_col)
         if count_stages:
             # corpus-global (the LM is the surviving corpus's own

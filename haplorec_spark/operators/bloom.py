@@ -233,6 +233,7 @@ def bloom_decontaminate(
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
     seed: str = "bloom-decontaminate",
+    max_broadcast_bits: int = MAX_BROADCAST_BITS,
 ) -> DataFrame:
     """:func:`sampling.decontaminate` semantics through a Bloom filter:
     drop corpus docs sharing any n-word shingle with ``benchmark``,
@@ -275,6 +276,7 @@ def bloom_decontaminate(
         bloom_probe(
             corpus_hashes, bits, ["sh_hash"],
             n_bits=n_bits, n_hashes=n_hashes, seed=seed,
+            max_broadcast_bits=max_broadcast_bits,
         )
         .filter(F.col("maybe_member"))
         .select(id_col)
@@ -340,17 +342,25 @@ def duck_bloom_member_sql(
     n_hashes: int,
 ) -> str:
     """``(id, maybe_member)`` over ``probe_sql`` rows against a
-    ``bits_sql`` filter body (both table expressions)."""
+    ``bits_sql`` filter body (both table expressions).
+
+    The probe relation is deduplicated on (id, key) before position
+    expansion — duplicated probe rows would double the per-id hit
+    count and the ``= n_hashes`` test would fabricate a FALSE
+    NEGATIVE, the one error class the module guarantees impossible
+    (review-caught). One key per id assumed (the Spark twin scores
+    per-row; this aggregate form needs id to determine the key)."""
     pos = duck_bloom_positions_sql(
-        key_expr, seed=seed, n_bits=n_bits, n_hashes=n_hashes
+        "k", seed=seed, n_bits=n_bits, n_hashes=n_hashes
     )
     return f"""
         SELECT id, (count(*) FILTER (
                    WHERE b.bits IS NOT NULL
                      AND (b.bits & (1::BIGINT << (p.pos % {CHUNK_BITS})::INT))
                          <> 0)) = {n_hashes} AS maybe_member
-        FROM (SELECT {id_expr} AS id, {pos} AS pos
-              FROM ({probe_sql})) p
+        FROM (SELECT id, {pos} AS pos
+              FROM (SELECT DISTINCT {id_expr} AS id, {key_expr} AS k
+                    FROM ({probe_sql}))) p
         LEFT JOIN ({bits_sql}) b ON p.pos // {CHUNK_BITS} = b.chunk
         GROUP BY id
     """

@@ -124,6 +124,7 @@ def extract_html_text(
     id_col: str = "doc_id",
     title_col: str = "title",
     text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, title, text): deterministic-rule HTML extraction.
 
@@ -133,10 +134,13 @@ def extract_html_text(
     module contract above. NULL html → NULL title and NULL text (the
     engine-wide NULL-text convention, same as the language-ID rungs).
 
-    Compose: ``extract_html_text(warc_source(spark, path,
-    record_types=("response",)), html_col="text", text_col="body")``
-    then feed ``curate_documents`` — title and URL ride along for the
-    web.py domain operators.
+    ``keep`` passes provenance columns through (the select is
+    otherwise id+title+text only — review-caught): compose
+    ``extract_html_text(warc_source(spark, path,
+    record_types=("response",)), html_col="text", id_col="record_id",
+    text_col="body", keep=("target_uri", "warc_date"))`` then feed
+    ``curate_documents`` — the kept URL column drives the web.py
+    domain operators.
     """
     html = F.col(html_col)
 
@@ -161,6 +165,7 @@ def extract_html_text(
         F.col(id_col),
         title.alias(title_col),
         body.alias(text_col),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -1760,6 +1760,11 @@ def sq_train(
     min/max partial-aggregate per dimension — the shuffle moves
     ``dim`` rows. No iterations, no seeds: SQ training is just bounds,
     which is why it is the cheap default when 4× is enough.
+
+    Every consumer (sq_encode / sq_topk / the stores) also accepts a
+    plain ``(los, his)`` pair: when feeding SEVERAL consumers, collect
+    once — ``los, his = ([r["lo"] ...], [r["hi"] ...])`` from one
+    ``.collect()`` — or each consumer re-runs this aggregate.
     """
     return (
         corpus.select(
@@ -1782,6 +1787,13 @@ def _sq_bounds_lists(bounds) -> tuple[list[float], list[float]]:
         return [r[1] for r in rows], [r[2] for r in rows]
     los, his = bounds
     return list(los), list(his)
+
+
+def sq_bounds(bounds) -> tuple[list[float], list[float]]:
+    """Collect an :func:`sq_train` frame ONCE into the ``(los, his)``
+    pair every SQ consumer accepts — the pattern for feeding several
+    consumers without re-running the bounds aggregate per call."""
+    return _sq_bounds_lists(bounds)
 
 
 def _literal_doubles_sql(xs: list[float]) -> str:
@@ -2448,7 +2460,10 @@ def q_ann_pq_adc(spark, sf_dir):
 )
 def q_ann_sq_adc(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    bounds = sq_train(emb)
+    # collect the bounds ONCE: passing the sq_train frame to both
+    # consumers would run the corpus-wide min/max aggregate twice
+    # (review-caught)
+    bounds = _sq_bounds_lists(sq_train(emb))
     return sq_topk(
         sq_encode(emb, bounds), emb.filter(F.col("vec_id") < 10), bounds,
         k=5,

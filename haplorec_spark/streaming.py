@@ -395,13 +395,14 @@ def stream_bloom_dedup_ingest(
     store_path: str,
     out_path: str,
     checkpoint_dir: str,
-    expected_items: int = 10_000_000,
+    expected_items: int = 8_000_000,
     fpp: float = 1e-6,
     n_bits: int | None = None,
     n_hashes: int | None = None,
     seed: str = "bloom-ingest",
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_broadcast_bits: int | None = None,
 ):
     """foreachBatch corpus ingest with FIXED-SIZE cross-batch exact
     dedup: a Bloom filter over content hashes replaces
@@ -410,7 +411,8 @@ def stream_bloom_dedup_ingest(
     The trade the fixed size buys: the exact store grows with history
     (one row per surviving document — corpus-sized after a year of
     drops), while this store is ``n_bits/63`` chunk rows FOREVER
-    (~2.9 bits/doc at the 1e-6 default — ~36 MB for 100M docs). The
+    (~28.8 bits/doc at the 1e-6 default — a ~29 MB bitset, ~58 MB of
+    chunk rows, for the 8M-doc default budget). The
     price: a false positive drops a UNIQUE incoming document at rate
     ≤ fpp (choose fpp for the loss you tolerate; 1e-6 loses ~1 doc
     per million). No duplicate ever passes — membership has no false
@@ -422,11 +424,16 @@ def stream_bloom_dedup_ingest(
     the ``_params`` marker (the LSH store's segmentation-marker
     contract): later batches — and any job whose config drifted — use
     or fail against the STORED parameters. Size explicitly with
-    ``n_bits``/``n_hashes`` or implicitly via ``expected_items``/
-    ``fpp``; ``expected_items`` is the LIFETIME unique-document
-    budget, not the batch size — a filter sized for 10M docs holding
-    20M runs at roughly fpp² ·⁵-ish degraded rates, so budget high
-    (bits are cheap: 10× headroom costs 10× of very little).
+    ``n_bits``/``n_hashes`` TOGETHER (a partial pair raises — half an
+    identity silently resized is how filters probe wrong) or
+    implicitly via ``expected_items``/``fpp``; ``expected_items`` is
+    the LIFETIME unique-document budget, not the batch size — an
+    overfull filter degrades fpp smoothly, so budget high (bits are
+    cheap). Sizing is validated against the probe's broadcast bound
+    BEFORE the identity pins (review-caught: the old 10M default
+    exceeded the bound, so batch 0 pinned parameters batch 1 could
+    never probe); pass ``max_broadcast_bits`` to raise the bound
+    knowingly for bigger lifetime budgets.
 
     Exactly-once: survivors land in ``ingest_batch=<id>`` partitions
     (dynamic overwrite — the module's scheme), and the batch's bits
@@ -437,6 +444,7 @@ def stream_bloom_dedup_ingest(
     the same filter. Returns the started StreamingQuery.
     """
     from haplorec_spark.operators.bloom import (
+        MAX_BROADCAST_BITS,
         bloom_build,
         bloom_parameters,
         bloom_probe,
@@ -445,6 +453,17 @@ def stream_bloom_dedup_ingest(
         write_bloom_params_marker,
     )
     from haplorec_spark.operators.dedup import exact_duplicates
+
+    if (n_bits is None) != (n_hashes is None):
+        raise ValueError(
+            "pass n_bits and n_hashes together (a partial filter "
+            "identity would be silently completed from the "
+            "expected_items/fpp defaults)"
+        )
+    probe_bound = (
+        MAX_BROADCAST_BITS if max_broadcast_bits is None
+        else max_broadcast_bits
+    )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -456,11 +475,19 @@ def stream_bloom_dedup_ingest(
         stored = read_bloom_params_marker(spark, store_path)
         if stored is not None:
             bits_n, bits_k, bits_seed = stored
-        elif n_bits is not None and n_hashes is not None:
+        elif n_bits is not None:
             bits_n, bits_k, bits_seed = n_bits, n_hashes, seed
         else:
             bits_n, bits_k = bloom_parameters(expected_items, fpp)
             bits_seed = seed
+        if bits_n > probe_bound:
+            # refuse BEFORE pinning: a marker above the probe bound
+            # would make every store-backed batch unprobeable
+            raise ValueError(
+                f"filter sizing n_bits={bits_n} exceeds the probe "
+                f"broadcast bound {probe_bound}; lower expected_items/"
+                "raise fpp, or pass max_broadcast_bits knowingly"
+            )
         batch_df = batch_df.persist()
         # in-batch exact dedup (batch-sized, exact — no fp inside a
         # batch): keep each content hash's canonical (min-id) row
@@ -480,6 +507,7 @@ def stream_bloom_dedup_ingest(
             keyed = bloom_probe(
                 keyed, bits, ["_h"],
                 n_bits=bits_n, n_hashes=bits_k, seed=bits_seed,
+                max_broadcast_bits=probe_bound,
             ).filter(~F.col("maybe_member")).drop("maybe_member")
         survivors = keyed.persist()
         (

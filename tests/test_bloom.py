@@ -203,3 +203,49 @@ def test_probe_builds_bits_once_at_runtime(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") == k - 1, plan.count("ReusedExchange")
+
+
+def test_decontaminate_bound_override_passthrough(spark):
+    """An auto-sized filter beyond the probe broadcast bound must
+    raise with the default bound and accept an explicit override —
+    the escape hatch the module doc promises (review-caught: it
+    wasn't plumbed through)."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))],
+        "doc_id BIGINT, text STRING",
+    )
+    with pytest.raises(ValueError, match="max_broadcast_bits"):
+        bloom_decontaminate(
+            docs, docs, n=8, fpp=1e-4, n_items_hint=30_000_000
+        )
+    out = bloom_decontaminate(
+        docs, docs, n=8, fpp=1e-4, n_items_hint=30_000_000,
+        max_broadcast_bits=1 << 33,
+    )
+    assert "text" in out.columns  # plan constructed, no raise
+
+
+def test_duck_member_oracle_handles_duplicate_probe_rows():
+    """Duplicated probe rows must not fabricate a false negative in
+    the DuckDB twin (review-caught: the per-id hit count doubled and
+    failed the = n_hashes test)."""
+    import duckdb
+
+    from haplorec_spark.operators.bloom import (
+        duck_bloom_bits_sql,
+        duck_bloom_member_sql,
+    )
+
+    con = duckdb.connect()
+    bits = duck_bloom_bits_sql(
+        "SELECT 'k1' AS k UNION ALL SELECT 'k2'", "k",
+        seed="s", n_bits=63 * 64, n_hashes=4,
+    )
+    member = duck_bloom_member_sql(
+        "SELECT 1 AS id, 'k1' AS k UNION ALL SELECT 1, 'k1'"
+        " UNION ALL SELECT 2, 'k2'",
+        f"SELECT * FROM ({bits})",
+        "k", "id", seed="s", n_bits=63 * 64, n_hashes=4,
+    )
+    got = dict(con.execute(member).fetchall())
+    assert got == {1: True, 2: True}

@@ -1185,3 +1185,24 @@ def test_lm_order_invalid_raises(spark):
                 min_avg_logprob=-1.0, lm_order=4, dedup=None, redact=False
             ),
         )
+
+
+def test_lm_order_null_score_is_not_gibberish(spark):
+    """A document too short to have any n-gram at the chosen order
+    scores NULL and must SURVIVE the LM gate (review-caught: the >=
+    filter silently deleted every 1-2 word doc under lm_order=3)."""
+    from haplorec_spark.curation import CurationConfig, curate_documents
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "hi there")],
+        "doc_id BIGINT, text STRING",
+    )
+    out, _ = curate_documents(
+        docs,
+        config=CurationConfig(
+            min_quality=0.0, max_dup_word_fraction=1.1,
+            max_top_word_fraction=1.1,
+            min_avg_logprob=-99.0, lm_order=3, redact=False, dedup=None,
+        ),
+    )
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2}

@@ -143,3 +143,16 @@ def test_warc_composition(spark, tmp_path):
     assert len(out) == 1
     assert out[0]["title"] == "T"
     assert out[0]["text"] == "hello crawl\nsecond line"
+
+
+def test_keep_passes_provenance_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "<p>x</p>", "http://e.com/a", "2024-01-01")],
+        "doc_id INT, html STRING, target_uri STRING, warc_date STRING",
+    )
+    out = extract_html_text(df, keep=("target_uri", "warc_date"))
+    assert out.columns == [
+        "doc_id", "title", "text", "target_uri", "warc_date"
+    ]
+    row = out.collect()[0]
+    assert row["target_uri"] == "http://e.com/a" and row["text"] == "x"

@@ -1053,3 +1053,41 @@ def test_stream_bloom_dedup_ingest_two_drops(spark, tmp_path):
     q.awaitTermination(120)
     texts2 = sorted(r["text"] for r in spark.read.parquet(out).collect())
     assert "fifth unique doc" in texts2
+
+
+def test_stream_bloom_partial_sizing_and_oversize_refused(spark, tmp_path):
+    """A partial explicit (n_bits, n_hashes) pair raises at
+    construction, and a sizing beyond the probe broadcast bound fails
+    BEFORE the identity pins (review-caught: the old default pinned a
+    marker batch 1 could never probe)."""
+    import pytest as _pytest
+
+    from haplorec_spark.streaming import stream_bloom_dedup_ingest
+
+    src = tmp_path / "in"
+    spark.createDataFrame(
+        [(1, "a doc")], "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src)
+    )
+    with _pytest.raises(ValueError, match="together"):
+        stream_bloom_dedup_ingest(
+            stream, store_path=str(tmp_path / "s"),
+            out_path=str(tmp_path / "o"),
+            checkpoint_dir=str(tmp_path / "c"), n_bits=63 * 8,
+        )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q = stream_bloom_dedup_ingest(
+        stream, store_path=str(tmp_path / "s2"),
+        out_path=str(tmp_path / "o2"),
+        checkpoint_dir=str(tmp_path / "c2"),
+        n_bits=1 << 29, n_hashes=2,
+    )
+    with _pytest.raises(StreamingQueryException, match="broadcast bound"):
+        q.awaitTermination(120)
+    # nothing pinned: the store path has no params marker
+    from haplorec_spark.operators.bloom import read_bloom_params_marker
+
+    assert read_bloom_params_marker(spark, str(tmp_path / "s2")) is None
