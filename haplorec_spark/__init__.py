@@ -117,6 +117,7 @@ from haplorec_spark.operators.bloom import (  # noqa: E402
 from haplorec_spark.operators.html import extract_html_text  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
     bigram_logprob_score,
+    blocked_term_fraction,
     build_vocab,
     chunk_documents,
     language_id_model,
@@ -170,6 +171,7 @@ __all__ = [
     "ann_recall_summary",
     "asof_join",
     "bigram_logprob_score",
+    "blocked_term_fraction",
     "bloom_build",
     "bloom_decontaminate",
     "bloom_parameters",

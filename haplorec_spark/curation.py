@@ -93,6 +93,13 @@ class CurationConfig:
     min_quality: float = 0.7
     max_dup_word_fraction: float = 0.9
     max_top_word_fraction: float = 0.5
+    #: C4-style blocklist gate: drop documents whose whole-word
+    #: blocked-term fraction EXCEEDS max_blocked_fraction (the 0.0
+    #: default = any hit drops, C4's policy; raise it for a graded
+    #: cut). None skips the stage. Map-side literal InSet under
+    #: text.MAX_LITERAL_FEATURES.
+    blocked_terms: Sequence[str] | None = None
+    max_blocked_fraction: float = 0.0
     #: drop documents whose mean self-trained-LM log10-probability
     #: (trained on the post-quality corpus) falls below this; None skips
     min_avg_logprob: float | None = None
@@ -209,7 +216,8 @@ def map_side_curation(
 
     Stages, in the batch pipeline's order: language detection
     (``detect_language``) → language keep-list → quality + Gopher
-    repetition floors → literal-map classifier gate
+    repetition floors → blocked-terms gate (``blocked_terms``, a
+    literal InSet) → literal-map classifier gate
     (``classifier_weights``; vocabularies beyond the literal-map bound
     need the batch path's measured join) → PII redaction
     (``text_redacted`` attached) → split assignment (``split``
@@ -303,6 +311,13 @@ def map_side_curation(
         & (F.col("dup_word_fraction") < cfg.max_dup_word_fraction)
         & (F.col("top_word_fraction") <= cfg.max_top_word_fraction)
     ).drop(*[a for a, _ in qexprs])
+    if cfg.blocked_terms is not None:
+        from haplorec_spark.operators.text import blocked_term_exprs
+
+        _, _, frac = blocked_term_exprs(
+            cfg.text_col, cfg.blocked_terms, cfg.segmentation
+        )
+        out = out.filter(F.expr(frac) <= cfg.max_blocked_fraction)
     if cfg.classifier_weights is not None:
         _score, prob = _literal_score_prob(
             cfg.classifier_weights, cfg.classifier_bias, True, cfg.text_col
@@ -566,6 +581,22 @@ def curate_documents(
                 <= cfg.max_top_word_fraction
             ),
         )
+
+    if cfg.blocked_terms is not None:
+        from haplorec_spark.operators.text import blocked_term_exprs
+
+        _, _, frac = blocked_term_exprs(
+            cfg.text_col, cfg.blocked_terms, cfg.segmentation
+        )
+        out = out.filter(F.expr(frac) <= cfg.max_blocked_fraction)
+        if count_stages:
+            _, _, frac_audit = blocked_term_exprs(
+                "__t", cfg.blocked_terms, cfg.segmentation
+            )
+            _flag_map(
+                "blocked_terms",
+                F.expr(frac_audit) <= cfg.max_blocked_fraction,
+            )
 
     if cfg.min_avg_logprob is not None:
         # LM trained on the quality-filtered corpus itself: gibberish

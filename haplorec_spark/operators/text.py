@@ -3116,6 +3116,85 @@ PII_PATTERNS: list[tuple[str, str]] = [
 ]
 
 
+def blocked_term_exprs(
+    text_col: str, terms, segmentation: str = "whitespace"
+) -> tuple[str, str, str]:
+    """(n_words, n_blocked, blocked_fraction) SQL over the lowercased
+    word stream — shared by :func:`blocked_term_fraction`, the
+    curation stage, and the DuckDB oracle twin. Whole-word matches
+    only (the C4/RefinedWeb convention — substring matching bans
+    'class' for 'ass'); the term list is a literal InSet under the
+    map-side bound."""
+    lowered = sorted({t.lower() for t in terms})
+    if not lowered:
+        raise ValueError("blocked term list is empty")
+    if len(lowered) > MAX_LITERAL_FEATURES:
+        raise ValueError(
+            f"{len(lowered)} blocked terms exceed the literal bound "
+            f"{MAX_LITERAL_FEATURES}; score with linear_text_score's "
+            "join path or split the list"
+        )
+    ws = _words_sql(text_col, segmentation)
+    arr = ", ".join("'" + t.replace("'", "''") + "'" for t in lowered)
+    n_words = f"size(filter({ws}, w -> w != ''))"
+    n_blocked = f"size(filter({ws}, w -> w in ({arr})))"
+    frac = (
+        f"CASE WHEN {n_words} > 0 THEN round({n_blocked}"
+        f" / cast({n_words} as double), 6) ELSE cast(0.0 as double) END"
+    )
+    return n_words, n_blocked, frac
+
+
+def blocked_term_fraction(
+    docs: DataFrame,
+    terms,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmentation: str = "whitespace",
+) -> DataFrame:
+    """(id, n_words, n_blocked, blocked_fraction): whole-word hits
+    against a blocklist — the C4-style "bad words" gate's audit face
+    (C4 drops on ANY hit; graded policies set a fraction threshold).
+
+    One map-side projection (the lexicon rung's InSet shape): zero
+    shuffle, zero Python, the list a literal. Wire the drop through
+    ``CurationConfig.blocked_terms`` / ``max_blocked_fraction``.
+    """
+    n_words, n_blocked, frac = blocked_term_exprs(
+        text_col, terms, segmentation
+    )
+    return docs.select(
+        F.col(id_col),
+        F.expr(n_words).cast("int").alias("n_words"),
+        F.expr(n_blocked).cast("int").alias("n_blocked"),
+        F.expr(frac).alias("blocked_fraction"),
+    )
+
+
+def duck_blocked_term_sql(
+    text_expr: str, terms, segmentation: str = "whitespace"
+) -> str:
+    """DuckDB twin of :func:`blocked_term_exprs` (same lowered sorted
+    term literal, same word stream via the shared duck twins)."""
+    lowered = sorted({t.lower() for t in terms})
+    arr = ", ".join("'" + t.replace("'", "''") + "'" for t in lowered)
+    if segmentation == "script":
+        ws = _duck_words_sql(text_expr)
+    else:
+        ws = f"string_split(lower({text_expr}), ' ')"
+    n_words = f"len(list_filter({ws}, w -> w <> ''))"
+    n_blocked = f"len(list_filter({ws}, w -> list_contains([{arr}], w)))"
+    frac = (
+        f"CASE WHEN {n_words} > 0 THEN round({n_blocked}"
+        f" / {n_words}::DOUBLE, 6) ELSE 0.0 END"
+    )
+    return (
+        f"{n_words}::INT AS n_words, {n_blocked}::INT AS n_blocked,"
+        f" {frac} AS blocked_fraction"
+    )
+
+
 def redact_pii(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

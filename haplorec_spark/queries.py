@@ -509,6 +509,18 @@ def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_fractions(table(spark, sf_dir, "documents"))
 
 
+# Not a driver gate (the 50-slot budget is full): the C4-style
+# blocked-terms gate's audit face; DuckDB oracle from the shared
+# duck_blocked_term_sql twin (test_registry.py). The term list is
+# real corpus vocabulary so both outcomes appear at sf0.001.
+def q_blocked_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import blocked_term_fraction
+
+    return blocked_term_fraction(
+        table(spark, sf_dir, "documents"), ["spark", "join", "window"]
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): the stupid-backoff
 # trigram rung of the perplexity ladder; DuckDB oracle replays counts
 # and backoff arithmetic (test_registry.py).

@@ -1206,3 +1206,42 @@ def test_lm_order_null_score_is_not_gibberish(spark):
         ),
     )
     assert {r["doc_id"] for r in out.select("doc_id").collect()} == {1, 2}
+
+
+def test_blocked_terms_gate_batch_and_map_side_agree(spark):
+    from haplorec_spark.curation import (
+        CurationConfig,
+        curate_documents,
+        map_side_curation,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "perfectly clean text about spark joins and windows "
+                "with plenty of the a of and to in is words here"),
+            (2, "one naughtyword inside otherwise clean text "
+                "with plenty of the a of and to in is words here"),
+            (3, "naughtyword naughtyword naughtyword everywhere "
+                "with plenty of the a of and to in is words here"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    strict = CurationConfig(
+        blocked_terms=["naughtyword"], min_quality=0.0,
+        max_dup_word_fraction=1.1, max_top_word_fraction=1.1,
+        redact=False, dedup=None,
+    )
+    out, counts = curate_documents(docs, config=strict, count_stages=True)
+    assert {r["doc_id"] for r in out.collect()} == {1}  # ANY hit drops
+    assert counts["blocked_terms"] == 1
+    ms = {r["doc_id"] for r in map_side_curation(docs, strict).collect()}
+    assert ms == {1}  # the streaming-safe chain applies the same gate
+
+    graded = CurationConfig(
+        blocked_terms=["naughtyword"], max_blocked_fraction=0.1,
+        min_quality=0.0, max_dup_word_fraction=1.1,
+        max_top_word_fraction=1.1, redact=False, dedup=None,
+    )
+    out2, _ = curate_documents(docs, config=graded)
+    # doc 2's fraction (1/16) passes a 10% budget; doc 3's (3/16) fails
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2}

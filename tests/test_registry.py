@@ -509,6 +509,16 @@ def _script_fractions_oracle() -> str:
 ROTATED_OUT_ORACLES["q_script_fractions"] = _script_fractions_oracle()
 
 
+def _blocked_terms_oracle() -> str:
+    from haplorec_spark.operators.text import duck_blocked_term_sql
+
+    cols = duck_blocked_term_sql("text", ["spark", "join", "window"])
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+ROTATED_OUT_ORACLES["q_blocked_terms"] = _blocked_terms_oracle()
+
+
 #: stupid-backoff trigram LM (Brants et al. 2007): S = ct/cb when the
 #: trigram was seen, else 0.4 * (cb23/cu2 when the bigram was seen,
 #: else 0.4 * cu3/N) — counts and fold order replayed exactly.

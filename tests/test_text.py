@@ -1885,3 +1885,43 @@ def test_trigram_lm_orders_shuffled_text_below_natural(spark):
         for r in trigram_logprob_score(docs).collect()
     }
     assert out[99] < out[0]
+
+
+# -------------------------------------------------- blocked-terms gate
+
+def test_blocked_term_fraction_whole_word_golden(spark):
+    from haplorec_spark.operators.text import blocked_term_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the GRASS is green"),   # whole-word hit (case-folded)
+            (2, "classy glassware"),     # substrings only -> no hit
+            (3, "grass grass and grass"),
+            (4, ""),
+        ],
+        "doc_id INT, text STRING",
+    )
+    out = {
+        r["doc_id"]: (r["n_words"], r["n_blocked"], r["blocked_fraction"])
+        for r in blocked_term_fraction(docs, ["grass", "ass"]).collect()
+    }
+    assert out[1] == (4, 1, 0.25)
+    assert out[2] == (2, 0, 0.0)   # 'classy' must NOT match 'ass'
+    assert out[3] == (4, 3, 0.75)
+    assert out[4] == (0, 0, 0.0)   # empty text: defined, not NULL/NaN
+
+
+def test_blocked_term_list_validation(spark):
+    import pytest as _pytest
+
+    from haplorec_spark.operators.text import (
+        MAX_LITERAL_FEATURES,
+        blocked_term_exprs,
+    )
+
+    with _pytest.raises(ValueError, match="empty"):
+        blocked_term_exprs("text", [])
+    with _pytest.raises(ValueError, match="literal bound"):
+        blocked_term_exprs(
+            "text", [f"t{i}" for i in range(MAX_LITERAL_FEATURES + 1)]
+        )
