@@ -82,6 +82,7 @@ from haplorec_spark.operators.dedup import (  # noqa: E402
     cluster_size_profile,
     dedup_survivors,
     duplicate_ngram_spans,
+    lsh_parameters,
     strip_duplicate_ngram_spans,
     verify_jaccard_pairs,
 )
@@ -205,6 +206,7 @@ __all__ = [
     "jsonl_sink",
     "language_id_model",
     "leakage_safe_split",
+    "lsh_parameters",
     "jsonl_source",
     "warc_source",
     "wet_source",

@@ -142,6 +142,50 @@ def word_shingles(
 # ---------------------------------------------------------- MinHash + LSH
 
 
+def lsh_parameters(
+    threshold: float,
+    num_hashes: int = 12,
+    *,
+    fn_weight: float = 1.0,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for a target Jaccard ``threshold``.
+
+    The standard S-curve analysis (Leskovec/Rajaraman/Ullman, Mining
+    of Massive Datasets §3.4): a pair with Jaccard s collides in at
+    least one of b bands of r rows with probability 1-(1-s^r)^b, and
+    the curve's inflection sits near (1/b)^(1/r). This picks, among
+    the divisor pairs of ``num_hashes``, the (b, r) minimizing the
+    integrated error against the step function at ``threshold``
+    (false positives below it + ``fn_weight`` × false negatives above
+    it, trapezoid-integrated) — so dedup (miss = a kept duplicate) can
+    weight false negatives higher than decontamination-style screens.
+
+    Driver-side arithmetic only; feed the result to
+    :func:`lsh_candidate_pairs` / :func:`lsh_band_keys` as
+    ``bands=b`` with the same ``num_hashes``.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    candidates = [
+        (b, num_hashes // b)
+        for b in range(1, num_hashes + 1)
+        if num_hashes % b == 0
+    ]
+
+    def err(b: int, r: int) -> float:
+        n = 200
+        total = 0.0
+        for i in range(n):
+            s = (i + 0.5) / n
+            p = 1.0 - (1.0 - s**r) ** b
+            total += (p if s < threshold else fn_weight * (1.0 - p)) / n
+        return total
+
+    return min(candidates, key=lambda br: err(*br))
+
+
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 12, *, id_col: str = "doc_id"
 ) -> DataFrame:

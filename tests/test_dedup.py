@@ -651,3 +651,51 @@ def test_survivors_schema_and_window_group_limit(spark):
     # keeps one row map-side BEFORE the ranking shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+# ------------------------------------------------------- lsh_parameters
+
+def test_lsh_parameters_tracks_threshold():
+    from haplorec_spark.operators.dedup import lsh_parameters
+
+    import pytest as _pytest
+
+    # the (1/b)^(1/r) inflection must move WITH the threshold: lower
+    # thresholds want more bands (easier collisions), higher want fewer
+    b_lo, r_lo = lsh_parameters(0.2, 24)
+    b_hi, r_hi = lsh_parameters(0.9, 24)
+    assert b_lo * r_lo == 24 and b_hi * r_hi == 24
+    assert b_lo > b_hi
+    infl_lo = (1 / b_lo) ** (1 / r_lo)
+    infl_hi = (1 / b_hi) ** (1 / r_hi)
+    assert abs(infl_lo - 0.2) < 0.25 and abs(infl_hi - 0.9) < 0.25
+    # weighting false negatives pushes toward easier collisions
+    b_fn, _ = lsh_parameters(0.5, 24, fn_weight=5.0)
+    b_bal, _ = lsh_parameters(0.5, 24)
+    assert b_fn >= b_bal
+    with _pytest.raises(ValueError):
+        lsh_parameters(1.5, 12)
+    with _pytest.raises(ValueError):
+        lsh_parameters(0.5, 1)
+
+
+def test_lsh_parameters_feed_candidate_pairs(spark):
+    """The solver's output plugs straight into the LSH family."""
+    from haplorec_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        lsh_parameters,
+    )
+
+    b, r = lsh_parameters(0.5, 12)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "completely different words entirely other content here now"),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    pairs = lsh_candidate_pairs(docs, num_hashes=12, bands=b).collect()
+    found = {(p["doc_id_a"], p["doc_id_b"]) for p in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
