@@ -115,6 +115,10 @@ from haplorec_spark.operators.bloom import (  # noqa: E402
     bloom_parameters,
     bloom_probe,
 )
+from haplorec_spark.operators.funnel import (  # noqa: E402
+    funnel_counts,
+    funnel_depth,
+)
 from haplorec_spark.operators.html import extract_html_text  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
     bigram_logprob_score,
@@ -195,6 +199,8 @@ __all__ = [
     "extract_html_text",
     "filter_blocked_domains",
     "frequent_values",
+    "funnel_counts",
+    "funnel_depth",
     "get_spark",
     "grouped_rows_to_columns",
     "hash_fraction_sample",

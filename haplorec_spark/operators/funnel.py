@@ -1,0 +1,158 @@
+"""Ordered-funnel analytics over event streams: how far does each
+user get through a required step sequence (view → click → purchase),
+optionally within a time budget from the first matched step.
+
+Scale shape: ONE shuffle. Events are filtered to the funnel's own
+step types BEFORE anything groups (a user's unrelated activity never
+crosses the wire — the per-user array is bounded by their funnel-step
+events, not their total activity), collected per user, sorted
+map-side, and the funnel depth computed by a single ``aggregate``
+fold over the sorted array — no per-step join chain (the k-join
+formulation re-shuffles the events k times and still mishandles
+repeated steps), no Python.
+
+Semantics (the product-analytics convention): steps must match in
+order; a later step's event BEFORE its predecessor is ignored (it can
+still match when it recurs after); repeated step types are fine (the
+fold consumes the FIRST qualifying occurrence); ``within`` bounds the
+WHOLE funnel from the first matched step — an event past the budget
+cannot advance the funnel, but a fresh attempt is NOT re-tried from a
+later step-0 occurrence (single-attempt semantics, documented — the
+retry-window variant is a different operator). Ties on timestamp
+break by event id so reruns and engines agree.
+
+No reference counterpart (haplorec has no event analytics); the
+events table exists for exactly this operator family. DuckDB oracle:
+the same fold via list_reduce in the rotated-out registry
+(tests/test_registry.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_depth", "funnel_counts"]
+
+
+def _depth_fold_sql(steps: Sequence[str], within_seconds) -> str:
+    """SQL computing struct(depth, t0) from the sorted (ts, type)
+    struct array bound as ``evs``."""
+    arr = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    budget = (
+        "true"
+        if within_seconds is None
+        else (
+            "(acc.t0 IS NULL OR unix_micros(e.ts) - unix_micros(acc.t0)"
+            f" <= {int(within_seconds) * 1_000_000}L)"
+        )
+    )
+    return (
+        f"aggregate(evs,"
+        f" struct(cast(0 as int) as depth,"
+        f" cast(null as timestamp) as t0),"
+        f" (acc, e) -> CASE WHEN acc.depth < {len(steps)}"
+        f" AND e.et = element_at(array({arr}), acc.depth + 1)"
+        f" AND {budget}"
+        f" THEN struct(acc.depth + 1 as depth,"
+        f" coalesce(acc.t0, e.ts) as t0)"
+        f" ELSE acc END)"
+    )
+
+
+def funnel_depth(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(user, depth, t_first): per-user funnel progress — ``depth`` =
+    number of steps completed in order (0..len(steps)), ``t_first``
+    the timestamp of the matched step-1 event (NULL at depth 0).
+
+    Only users with at least one funnel-step event appear (users with
+    none are depth 0 by definition; left-join the user dimension if
+    the zero row matters).
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("et"),
+        ).alias("e"),
+    )
+    folded = (
+        ev.groupBy("user_id")
+        .agg(F.expr("array_sort(collect_list(e))").alias("evs"))
+        .withColumn(
+            "_f", F.expr(_depth_fold_sql(steps, within_seconds))
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.col("_f.depth").alias("depth"),
+        F.col("_f.t0").alias("t_first"),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    within_seconds: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(step_ix, step, n_users, conversion): the funnel report —
+    ``n_users`` who reached step_ix (1-based), ``conversion`` vs the
+    previous step (round 6; step 1's conversion is 1.0). The step-key
+    aggregate after :func:`funnel_depth` is steps-sized."""
+    depths = funnel_depth(
+        events, steps,
+        within_seconds=within_seconds, user_col=user_col,
+        ts_col=ts_col, type_col=type_col, id_col=id_col,
+    )
+    per_depth = depths.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rows = []
+    for i, s in enumerate(steps, start=1):
+        rows.append((i, s))
+    spark = events.sparkSession
+    ladder = spark.createDataFrame(rows, "step_ix INT, step STRING")
+    reached = (
+        ladder.join(
+            per_depth, per_depth.depth >= ladder.step_ix, "left"
+        )
+        .groupBy("step_ix", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users"))
+    )
+    # single-partition ordered window: safe ONLY because the frame is
+    # steps-sized (the q_running_revenue justification)
+    w = F.lag("n_users").over(Window.orderBy("step_ix"))
+    return (
+        reached.withColumn("_prev", w)
+        .select(
+            "step_ix",
+            "step",
+            "n_users",
+            F.when(
+                F.col("_prev").isNull(), F.lit(1.0)
+            ).otherwise(
+                F.when(F.col("_prev") > 0,
+                       F.round(F.col("n_users") / F.col("_prev"), 6))
+                .otherwise(F.lit(0.0))
+            ).alias("conversion"),
+        )
+    )

@@ -509,6 +509,21 @@ def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_fractions(table(spark, sf_dir, "documents"))
 
 
+# Not a driver gate (the 50-slot budget is full): the ordered-funnel
+# family over the events table; DuckDB oracle unrolls the fold as
+# per-step constrained minimums (test_registry.py).
+def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.funnel import funnel_depth
+
+    # 72 h budget: at sf0.001 the depths split 5/5/5 (every user
+    # completes an unbudgeted funnel in this dense synthetic stream,
+    # which would make the gate vacuous)
+    return funnel_depth(
+        table(spark, sf_dir, "events"), ["view", "click", "purchase"],
+        within_seconds=259200,
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): the C4-style
 # blocked-terms gate's audit face; DuckDB oracle from the shared
 # duck_blocked_term_sql twin (test_registry.py). The term list is

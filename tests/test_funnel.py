@@ -1,0 +1,119 @@
+"""Ordered-funnel semantics on hand-built event sequences: order
+matters, early later-step events are ignored (and can match on
+recurrence), the time budget binds from the first matched step,
+timestamp ties break by event id, and funnel_counts does the ladder
+math."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from haplorec_spark.operators.funnel import funnel_counts, funnel_depth
+
+STEPS = ["view", "click", "purchase"]
+_BASE = datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, minute_offset, event_type)
+    data = [
+        (eid, _BASE + timedelta(minutes=minute), uid, et, 0.0, "{}")
+        for eid, uid, minute, et in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+
+
+def _depths(spark, rows, **kw):
+    return {
+        r["user_id"]: r["depth"]
+        for r in funnel_depth(_events(spark, rows), STEPS, **kw).collect()
+    }
+
+
+def test_order_matters_and_recurrence_recovers(spark):
+    rows = [
+        # user 1: perfect order -> 3
+        (1, 1, 0, "view"), (2, 1, 1, "click"), (3, 1, 2, "purchase"),
+        # user 2: purchase BEFORE click -> stuck at 1... until a later
+        # purchase recurs after the click -> 3
+        (4, 2, 0, "view"), (5, 2, 1, "purchase"), (6, 2, 2, "click"),
+        (7, 2, 3, "purchase"),
+        # user 3: click before any view -> that click is ignored; no
+        # later click -> depth 1 (the view)
+        (8, 3, 0, "click"), (9, 3, 1, "view"),
+        # user 4: only funnel-irrelevant progress (click, purchase,
+        # never view) -> 0
+        (10, 4, 0, "click"), (11, 4, 1, "purchase"),
+    ]
+    d = _depths(spark, rows)
+    assert d == {1: 3, 2: 3, 3: 1, 4: 0}
+
+
+def test_within_budget_binds_from_first_step(spark):
+    rows = [
+        # view at t0, click +1 min (in budget), purchase +90 min (OUT
+        # of a 1-hour budget measured from the VIEW, though only 89
+        # minutes after the click)
+        (1, 1, 0, "view"), (2, 1, 1, "click"), (3, 1, 90, "purchase"),
+        # user 2 completes within the hour
+        (4, 2, 0, "view"), (5, 2, 10, "click"), (6, 2, 50, "purchase"),
+    ]
+    d = _depths(spark, rows, within_seconds=3600)
+    assert d == {1: 2, 2: 3}
+    # unbudgeted: both complete
+    assert _depths(spark, rows) == {1: 3, 2: 3}
+
+
+def test_timestamp_tie_breaks_by_event_id(spark):
+    # view and click at the SAME timestamp: the click's higher event
+    # id places it after the view in the sorted fold -> depth 2
+    rows = [(1, 1, 0, "view"), (2, 1, 0, "click")]
+    assert _depths(spark, rows) == {1: 2}
+    # reversed ids: the click sorts BEFORE the view and is ignored
+    rows2 = [(2, 1, 0, "view"), (1, 1, 0, "click")]
+    assert _depths(spark, rows2) == {1: 1}
+
+
+def test_t_first_is_matched_step_one_event(spark):
+    rows = [(1, 1, 5, "view"), (2, 1, 6, "click")]
+    out = funnel_depth(_events(spark, rows), STEPS).collect()[0]
+    assert out["depth"] == 2
+    assert out["t_first"] is not None
+
+
+def test_funnel_counts_ladder(spark):
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 1, "click"), (3, 1, 2, "purchase"),
+        (4, 2, 0, "view"), (5, 2, 1, "click"),
+        (6, 3, 0, "view"),
+        (7, 4, 0, "click"),  # depth 0: appears in ladder denominators
+    ]
+    out = {
+        r["step_ix"]: (r["step"], r["n_users"], r["conversion"])
+        for r in funnel_counts(_events(spark, rows), STEPS).collect()
+    }
+    assert out[1] == ("view", 3, 1.0)
+    assert out[2] == ("click", 2, round(2 / 3, 6))
+    assert out[3] == ("purchase", 1, 0.5)
+
+
+def test_empty_steps_raise(spark):
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_depth(_events(spark, [(1, 1, 0, "view")]), [])
+
+
+def test_funnel_single_shuffle_plan(spark):
+    """The events are filtered to step types BEFORE the one groupBy;
+    no join, no second corpus exchange."""
+    df = funnel_depth(
+        _events(spark, [(1, 1, 0, "view"), (2, 1, 1, "click")]), STEPS
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
