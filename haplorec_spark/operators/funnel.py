@@ -85,7 +85,9 @@ def funnel_depth(
     ev = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("user_id"),
         F.struct(
-            F.col(ts_col).alias("ts"),
+            # NTZ parquet timestamps reject unix_micros; the session-tz
+            # cast is a wall-clock no-op under the engine's pinned UTC
+            F.col(ts_col).cast("timestamp").alias("ts"),
             F.col(id_col).alias("eid"),
             F.col(type_col).alias("et"),
         ).alias("e"),
