@@ -19,6 +19,8 @@ Per-document (map-side):
   count (letter runs, digit runs, single punctuation marks).
 * ``redact_pii``       — mask emails / IPv4s / SSN- and phone-shaped
   numbers with typed placeholders, with per-type match counts.
+* ``blocked_term_fraction`` — C4-style bad-words gate: whole-word
+  hits against a literal blocklist, fraction per document.
 * ``chunk_documents``  — sliding/tiling word windows (training-prep
   chunking; the cut-long complement of ``pack_sequences``).
 * ``linear_text_score`` — apply a pretrained linear (fastText-style)
@@ -31,7 +33,9 @@ Corpus-relative (word/line-keyed aggregation + broadcast back):
   winnowing-style content fingerprint; equal fingerprints => likely
   near-identical content).
 * ``unigram_logprob_score`` — mean unigram-LM log-probability per
-  document (the CCNet-style perplexity quality signal).
+  document (the CCNet-style perplexity quality signal); ``bigram_``
+  and stupid-backoff ``trigram_logprob_score`` are the word-order
+  rungs above it.
 * ``perplexity_buckets`` — CCNet head/middle/tail tiers from exact
   score quantiles (map-side CASE against collected cut scalars).
 * ``strip_boilerplate_lines`` — cross-document line-level dedup.

@@ -300,6 +300,22 @@ CHECKS = {
         "forbid": ["SortMergeJoin", "CartesianProduct",
                    "BroadcastNestedLoopJoin"],
     },
+    "q_funnel_events": {
+        # ordered funnel: events filter to step types below ONE
+        # user-keyed aggregate (collect_list -> ObjectHashAggregate,
+        # matched by the HashAggregate pattern); the fold is a map-side
+        # expression — no join of any kind, no second corpus exchange
+        "expect": ["HashAggregate"],
+        "forbid": ["Join", "CartesianProduct",
+                   "Exchange hashpartitioning.*Exchange hashpartitioning"],
+    },
+    "q_blocked_terms": {
+        # the C4 bad-words gate is one InSet projection over the scan:
+        # map-side only, no explode, no Python
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "Generate"],
+    },
     "q_html_extract": {
         # HTML -> text extraction is a fixed regexp/replace column
         # program over the scan: one map-side Project, zero Exchange,

@@ -717,7 +717,7 @@ def test_rotated_out_queries_still_match_duckdb(spark):
     sf = "/root/testdata/sf0.001"
     con = duckdb.connect()
     for t in ("customer", "orders", "part", "supplier", "lineitem",
-              "nation", "documents", "embeddings"):
+              "nation", "documents", "embeddings", "events", "region"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf}/{t}.parquet')"
