@@ -120,6 +120,7 @@ from haplorec_spark.operators.funnel import (  # noqa: E402
     funnel_depth,
 )
 from haplorec_spark.operators.html import extract_html_text  # noqa: E402
+from haplorec_spark.operators.retention import retention_cohorts  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
     bigram_logprob_score,
     blocked_term_fraction,
@@ -236,6 +237,7 @@ __all__ = [
     "redact_pii",
     "script_fractions",
     "refine_topk",
+    "retention_cohorts",
     "select_where_either_subset_of",
     "select_where_subset_of",
     "save_language_model",

@@ -1,0 +1,91 @@
+"""Cohort retention analysis over event streams: group users by the
+period of their FIRST activity, then measure what fraction of each
+cohort is active n periods later — the third member of the
+event-analytics family (``q_sessionize``'s sessions, ``funnel.py``'s
+ordered funnels, this module's cohort matrix).
+
+Scale shape: two aggregates and one user-keyed join. Activity first
+collapses to DISTINCT (user, period) — the corpus's event granularity
+never survives past that map-side-combined aggregate — and cohorts
+are a min() over the same stream; the join back is user-keyed between
+two already-aggregated frames (AQE broadcasts the cohort side when
+small), and the final (cohort, period_ix) aggregate is
+calendar-sized. No windows, no Python.
+
+Period arithmetic is engine-portable by construction: ``week``
+truncation is ISO-Monday in both Spark and DuckDB, so the day
+difference between two week starts is an exact multiple of 7, and
+``month`` uses whole-month differences between month starts — the
+DuckDB oracle (tests/test_registry.py) replays both exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["retention_cohorts"]
+
+_PERIODS = {"week": 7, "month": None, "day": 1}
+
+
+def retention_cohorts(
+    events: DataFrame,
+    *,
+    period: str = "week",
+    max_period_ix: int | None = None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort, period_ix, n_active, n_cohort, retention): the cohort
+    retention matrix in long form.
+
+    ``cohort`` is the ``period``-truncated timestamp of the user's
+    first event; ``period_ix`` counts periods since it (0 = the cohort
+    period itself, whose retention is 1.0 by construction — kept as
+    the standard sanity row). ``retention`` = n_active/n_cohort
+    (round 6). ``max_period_ix`` drops the matrix's long tail when
+    only the first n columns matter; None keeps everything.
+    """
+    if period not in _PERIODS:
+        raise ValueError(
+            f"period must be one of {sorted(_PERIODS)}, got {period!r}"
+        )
+    ts = F.col(ts_col).cast("timestamp")
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc(period, ts).alias("p"),
+    )
+    activity = ev.distinct()
+    cohorts = ev.groupBy("user_id").agg(F.min("p").alias("cohort"))
+    joined = activity.join(cohorts, on="user_id")
+    if period == "month":
+        ix = F.expr(
+            "cast(round(months_between(p, cohort)) as int)"
+        )
+    else:
+        days = _PERIODS[period]
+        ix = (
+            F.datediff(F.col("p").cast("date"), F.col("cohort").cast("date"))
+            / days
+        ).cast("int")
+    joined = joined.withColumn("period_ix", ix)
+    if max_period_ix is not None:
+        joined = joined.filter(F.col("period_ix") <= max_period_ix)
+    sizes = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return (
+        joined.groupBy("cohort", "period_ix")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, on="cohort")
+        .select(
+            "cohort",
+            "period_ix",
+            "n_active",
+            "n_cohort",
+            F.round(
+                F.col("n_active") / F.col("n_cohort"), 6
+            ).alias("retention"),
+        )
+    )

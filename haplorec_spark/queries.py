@@ -509,6 +509,16 @@ def q_script_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_fractions(table(spark, sf_dir, "documents"))
 
 
+# Not a driver gate (the 50-slot budget is full): weekly cohort
+# retention over the events table; DuckDB oracle replays the
+# ISO-Monday week truncation and day/7 period arithmetic
+# (test_registry.py).
+def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.retention import retention_cohorts
+
+    return retention_cohorts(table(spark, sf_dir, "events"))
+
+
 # Not a driver gate (the 50-slot budget is full): the ordered-funnel
 # family over the events table; DuckDB oracle unrolls the fold as
 # per-step constrained minimums (test_registry.py).

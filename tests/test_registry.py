@@ -509,6 +509,27 @@ def _script_fractions_oracle() -> str:
 ROTATED_OUT_ORACLES["q_script_fractions"] = _script_fractions_oracle()
 
 
+#: weekly cohort retention: cohort = ISO-Monday week of the user's
+#: first event; period_ix = exact day-difference / 7 between week
+#: starts; retention = distinct-active / cohort size.
+ROTATED_OUT_ORACLES["q_retention_weekly"] = """
+    WITH ev AS (SELECT user_id, date_trunc('week', ts)::TIMESTAMP AS p FROM events),
+         act AS (SELECT DISTINCT user_id, p FROM ev),
+         coh AS (SELECT user_id, min(p) AS cohort FROM ev
+                 GROUP BY user_id),
+         j AS (SELECT a.user_id, cohort,
+                      (date_diff('day', cohort::DATE, p::DATE) // 7)::INT
+                          AS period_ix
+               FROM act a JOIN coh USING (user_id)),
+         sizes AS (SELECT cohort, count(*)::BIGINT AS n_cohort FROM coh
+                   GROUP BY cohort)
+    SELECT cohort, period_ix, count(*)::BIGINT AS n_active, n_cohort,
+           round(count(*) / n_cohort::DOUBLE, 6) AS retention
+    FROM j JOIN sizes USING (cohort)
+    GROUP BY cohort, period_ix, n_cohort
+"""
+
+
 #: ordered funnel view -> click -> purchase: the array-fold's depth
 #: equals per-step constrained minimums under (ts, event_id) tuple
 #: order — each step's match is the earliest event of its type
