@@ -157,7 +157,8 @@ def lsh_parameters(
     the divisor pairs of ``num_hashes``, the (b, r) minimizing the
     integrated error against the step function at ``threshold``
     (false positives below it + ``fn_weight`` × false negatives above
-    it, trapezoid-integrated) — so dedup (miss = a kept duplicate) can
+    it, midpoint-integrated over 200 cells) — so dedup (miss = a kept
+    duplicate) can
     weight false negatives higher than decontamination-style screens.
 
     Driver-side arithmetic only; feed the result to

@@ -1748,7 +1748,6 @@ def sq_train(
     corpus: DataFrame,
     *,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """(dim_ix, lo, hi): per-dimension bounds for 8-bit scalar
     quantization — the third rung of the quantization ladder (flat
@@ -1803,13 +1802,17 @@ def _literal_doubles_sql(xs: list[float]) -> str:
 def _sq_encode_sql(vec_sql: str, los: list[float], his: list[float]) -> str:
     """codes = clamp(floor((x - lo) / (hi - lo) * 256), 0, 255) per
     dimension; a degenerate dimension (hi == lo) codes as 0. Pure IEEE
-    double arithmetic, identical in the DuckDB twin."""
+    double arithmetic, identical in the DuckDB twin. ``try_element_at``
+    on the vector (not the literal bounds, which are always in range)
+    so a ragged SHORT vector yields NULL → code 0 under the engine
+    contract's ANSI mode instead of INVALID_ARRAY_INDEX_IN_ELEMENT_AT —
+    the ragged tolerance the :func:`sq_encode` docstring promises."""
     dim = len(los)
     lo_sql = _literal_doubles_sql(los)
     hi_sql = _literal_doubles_sql(his)
     return (
         f"transform(sequence(1, {dim}), d -> coalesce(cast(least("
-        f"greatest(floor((cast(element_at({vec_sql}, d) as double)"
+        f"greatest(floor((cast(try_element_at({vec_sql}, d) as double)"
         f" - element_at({lo_sql}, d))"
         f" / nullif(element_at({hi_sql}, d) - element_at({lo_sql}, d),"
         f" cast(0.0 as double)) * cast(256.0 as double)),"
@@ -1996,9 +1999,9 @@ def write_sq_store(
                     _residual_sql(_literal_matrix_sql(cents), vcast)
                 ).alias("_rv"),
             )
-            bounds = sq_train(train_src, vec_col="_rv", id_col=id_col)
+            bounds = sq_train(train_src, vec_col="_rv")
         else:
-            bounds = sq_train(corpus, vec_col=vec_col, id_col=id_col)
+            bounds = sq_train(corpus, vec_col=vec_col)
         bounds = bounds.withColumn("residual", F.lit(residual))
         centroids.write.mode("overwrite").parquet(f"{path}/centroids")
         bounds.write.mode("overwrite").parquet(f"{path}/bounds")
@@ -2137,7 +2140,7 @@ def ivf_sq_topk(
         cent_sql = None
         train_col, train_src = vec_col, with_cells
     los, his = _sq_bounds_lists(
-        sq_train(train_src, vec_col=train_col, id_col=id_col)
+        sq_train(train_src, vec_col=train_col)
     )
     if not los:  # empty corpus: no index, no neighbors
         return probes.select(

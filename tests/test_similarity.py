@@ -1055,6 +1055,29 @@ def test_sq_degenerate_dimension_codes_zero(spark):
     assert out[1][1] == 0 and out[2][1] == 255  # lo -> 0, hi -> 255
 
 
+def test_sq_encode_ragged_short_vector_codes_zero(spark):
+    """A vector shorter than the trained dim must quantize its missing
+    dimensions to code 0 — under the default ANSI mode too, where a
+    plain element_at past the end would raise
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT (try_element_at yields NULL, the
+    coalesce folds it to 0). Pins the ragged tolerance the sq_encode
+    docstring promises."""
+    from haplorec_spark.operators.similarity import sq_encode
+
+    emb = spark.createDataFrame(
+        [(1, [0.5, 0.5, 0.5]), (2, [1.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = {
+        r["vec_id"]: r["codes"]
+        for r in sq_encode(
+            emb, ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0])
+        ).collect()
+    }
+    assert out[1] == [128, 128, 128]
+    assert out[2] == [255, 0, 0]  # dims 1-2 missing -> code 0
+
+
 def test_sq_topk_matches_exact_on_separable_data(spark):
     """With vectors far apart relative to bucket width, SQ8 ADC must
     reproduce the exact L2 ranking."""
