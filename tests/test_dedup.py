@@ -699,3 +699,103 @@ def test_lsh_parameters_feed_candidate_pairs(spark):
     found = {(p["doc_id_a"], p["doc_id_b"]) for p in pairs}
     assert (1, 2) in found
     assert all(3 not in p for p in found)
+
+
+# ------------------------------------------------ hot-bucket skew guards
+
+
+def test_lsh_hot_bucket_cap_emits_star_edges(spark):
+    """A mega-family of m identical documents must emit O(m) edges
+    under the cap (the hub star: min id -> each member, identical
+    across bands so distinct leaves exactly m-1 rows), not the
+    ~bands*m^2/2 the all-pairs self-join produces — the round-9
+    verdict's 100 TB scale-killer."""
+    from pyspark.sql import functions as F
+
+    m = 500
+    family = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate terms of service apply to this page now").alias(
+            "text"
+        ),
+    )
+    pairs = lsh_candidate_pairs(family, hot_bucket_cap=16).collect()
+    got = {(p["doc_id_a"], p["doc_id_b"]) for p in pairs}
+    assert got == {(0, i) for i in range(1, m)}  # exactly the star, m-1 edges
+
+
+def test_lsh_cap_below_threshold_matches_exact_join(spark):
+    """Buckets at or below the cap must reproduce the exact self-join
+    pair set — the grouped map-side pair generation is a plan change,
+    not a semantics change, until a bucket overflows."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    exact = set(rows(lsh_candidate_pairs(docs, hot_bucket_cap=None)))
+    capped = set(rows(lsh_candidate_pairs(docs, hot_bucket_cap=1024)))
+    assert capped == exact
+
+
+def test_lsh_cap_preserves_cluster_labels(spark):
+    """Star edges and cliques span the same components: dedup_clusters
+    over an aggressively capped pair set must produce IDENTICAL labels
+    to the uncapped path on the real corpus (the verdict's done
+    criterion)."""
+    from haplorec_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    uncapped = rows(dedup_clusters(lsh_candidate_pairs(docs, hot_bucket_cap=None)))
+    capped = rows(dedup_clusters(lsh_candidate_pairs(docs, hot_bucket_cap=2)))
+    assert capped == uncapped
+
+
+def test_lsh_cap_validation():
+    import pytest as _pytest
+
+    from haplorec_spark.operators.dedup import lsh_candidate_pairs as lcp
+
+    with _pytest.raises(ValueError):
+        lcp(None, hot_bucket_cap=1)
+
+
+def test_simhash_collapse_star_edges_for_identical_family(spark):
+    """m identical docs share one fingerprint: collapsed output is the
+    m-1 hamming-0 star, not the m(m-1)/2 clique."""
+    from pyspark.sql import functions as F
+
+    m = 200
+    family = spark.range(m).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta").alias("text"),
+    )
+    got = rows(simhash_near_duplicates(family))
+    assert got == [(0, i, 0) for i in range(1, m)]
+
+
+def test_simhash_collapse_preserves_components(spark):
+    """Collapsed vs literal all-pairs output must have identical
+    connected components on the real corpus (identical fingerprints
+    connect through the rep; cross-group pairs qualify iff their reps
+    do, hamming being a function of the fingerprints alone)."""
+    from haplorec_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("doc_id", "text")
+    literal = simhash_near_duplicates(docs, collapse_identical=False)
+    collapsed = simhash_near_duplicates(docs, collapse_identical=True)
+    assert rows(dedup_clusters(collapsed)) == rows(dedup_clusters(literal))
+
+
+def test_simhash_collapse_edges_are_true_pairs(spark):
+    """Every collapsed edge must also exist in the literal pair set
+    with the same hamming distance (the collapse only REMOVES
+    redundant rows, it never invents or mislabels a pair)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    literal = set(rows(simhash_near_duplicates(docs, collapse_identical=False)))
+    collapsed = set(rows(simhash_near_duplicates(docs)))
+    assert collapsed <= literal
