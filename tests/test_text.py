@@ -1925,3 +1925,106 @@ def test_blocked_term_list_validation(spark):
         blocked_term_exprs(
             "text", [f"t{i}" for i in range(MAX_LITERAL_FEATURES + 1)]
         )
+
+
+# ------------------------------- union prefilter scorers (round 10)
+
+from tests.conftest import rows  # noqa: E402
+
+
+def test_language_id_prefilter_matches_naive_scorer(spark, cjk_docs):
+    """The union-prefilter lexicon rung (probe only tokens surviving a
+    one-pass filter against the union of all lexicons) must be
+    bit-identical to the naive per-language full-stream probe — on the
+    mixed-script fixture including the und junk row. The naive scorer
+    is reimplemented inline from the same LANG_LEXICON so a future
+    edit to the operator cannot silently drift both sides."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import (
+        LANG_LEXICON,
+        _argmax_struct_sql,
+        _hit_count,
+        _words_sql,
+        language_id,
+    )
+
+    scores = [
+        (
+            lang,
+            f"round({_hit_count('ws', lex)}"
+            f" / cast(greatest(size(ws), 1) as double), 6)",
+        )
+        for lang, lex in LANG_LEXICON.items()
+    ]
+    inner = _argmax_struct_sql(scores)
+    x = F.expr(
+        f"transform(array({_words_sql('text', 'script')}),"
+        f" ws -> {inner})[0]"
+    )
+    naive = cjk_docs.select(
+        "doc_id",
+        x.getField("l").alias("predicted_lang"),
+        x.getField("s").alias("lang_score"),
+    )
+    assert rows(language_id(cjk_docs)) == rows(naive)
+
+
+def test_language_id_ngram_prefilter_matches_naive_scorer(spark, cjk_docs):
+    """Same A/B for the trigram rung: survivors-only profile probes
+    with the unfiltered-stream denominator must reproduce the naive
+    full-stream scorer exactly."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import (
+        LANG_TRIGRAM_PROFILES,
+        _argmax_struct_sql,
+        language_id_ngram,
+        segmented_text_sql,
+    )
+
+    s_ = f"concat(' ', {segmented_text_sql('lower(text)')}, ' ')"
+    tris = (
+        f"flatten(transform(array(split({s_}, '')),"
+        f" cs -> transform(sequence(1, greatest(size(cs) - 2, 1)),"
+        f" i -> concat_ws('', slice(cs, i, 3)))))"
+    )
+    scores = []
+    for lang, prof in LANG_TRIGRAM_PROFILES.items():
+        arr = ", ".join("'" + t + "'" for t in prof)
+        scores.append(
+            (
+                lang,
+                f"round(size(filter(t3, t -> t in ({arr})))"
+                f" / cast(size(t3) as double), 6)",
+            )
+        )
+    inner = _argmax_struct_sql(scores)
+    x = F.expr(f"transform(array({tris}), t3 -> {inner})[0]")
+    naive = cjk_docs.select(
+        "doc_id",
+        x.getField("l").alias("predicted_lang"),
+        x.getField("s").alias("lang_score"),
+    )
+    assert rows(language_id_ngram(cjk_docs)) == rows(naive)
+
+
+def test_language_id_prefilter_identical_on_real_corpus(spark):
+    """Prefilter vs naive on the real (pure-Latin) sf0.001 corpus —
+    the branch where most tokens are filtered out before probing."""
+    from haplorec_spark.operators.text import language_id, language_id_ngram
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    got = {r[0]: (r[1], r[2]) for r in rows(language_id(docs))}
+    ng = {r[0]: (r[1], r[2]) for r in rows(language_id_ngram(docs))}
+    assert len(got) == docs.count() and len(ng) == len(got)
+    # every score is a valid rounded ratio and labels are in-inventory
+    from haplorec_spark.operators.text import (
+        LANG_LEXICON,
+        LANG_TRIGRAM_PROFILES,
+    )
+
+    assert {v[0] for v in got.values()} <= set(LANG_LEXICON)
+    assert {v[0] for v in ng.values()} <= set(LANG_TRIGRAM_PROFILES)
