@@ -15,11 +15,21 @@ Semantics (the product-analytics convention): steps must match in
 order; a later step's event BEFORE its predecessor is ignored (it can
 still match when it recurs after); repeated step types are fine (the
 fold consumes the FIRST qualifying occurrence); ``within`` bounds the
-WHOLE funnel from the first matched step — an event past the budget
-cannot advance the funnel, but a fresh attempt is NOT re-tried from a
-later step-0 occurrence (single-attempt semantics, documented — the
-retry-window variant is a different operator). Ties on timestamp
-break by event id so reruns and engines agree.
+WHOLE funnel from the first matched step. Two attempt semantics:
+
+* ``retry=False`` (default): single attempt — the funnel starts at
+  the FIRST step-1 event and an event past the budget cannot advance
+  it; a fresh attempt is NOT re-tried from a later step-1 occurrence.
+* ``retry=True`` (round 10): the other standard product-analytics
+  semantics (ClickHouse ``windowFunnel``) — depth is the MAXIMUM over
+  ALL in-order chains starting at ANY step-1 event whose last event
+  is within ``within_seconds`` of the chain's start. Exact, not a
+  greedy restart: the fold carries per-level the LATEST chain-start
+  timestamp achieving that level (a later start can only make future
+  budget checks easier, so the max-start representative dominates —
+  the windowFunnel DP), still one shuffle and one map-side pass.
+
+Ties on timestamp break by event id so reruns and engines agree.
 
 No reference counterpart (haplorec has no event analytics); the
 events table exists for exactly this operator family. DuckDB oracle:
@@ -62,11 +72,40 @@ def _depth_fold_sql(steps: Sequence[str], within_seconds) -> str:
     )
 
 
+def _retry_fold_sql(steps: Sequence[str], within_seconds: int) -> str:
+    """SQL computing the windowFunnel DP state from the sorted
+    (ts, eid, et) struct array bound as ``evs``: an array of
+    ``len(steps)`` timestamps where entry j (1-based) is the LATEST
+    chain-start achieving depth j, or NULL if no in-order chain within
+    budget reaches it. Transitions read the PREVIOUS accumulator only
+    (``transform`` over ``acc``), so one event can never advance two
+    levels, and the non-null entries always form a prefix (level j
+    sets only when level j-1 was already set)."""
+    arr = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    w_us = int(within_seconds) * 1_000_000
+    return (
+        f"aggregate(evs,"
+        f" array_repeat(cast(null as timestamp), {len(steps)}),"
+        f" (acc, e) -> transform(acc, (t, j) -> CASE"
+        f" WHEN e.et != element_at(array({arr}), j + 1) THEN t"
+        # step 1: a later start always dominates (sorted input)
+        f" WHEN j = 0 THEN e.ts"
+        # step j+1: extend the best depth-j chain if within budget
+        f" WHEN element_at(acc, j) IS NOT NULL"
+        f" AND unix_micros(e.ts) - unix_micros(element_at(acc, j))"
+        f" <= {w_us}L"
+        f" THEN CASE WHEN t IS NULL OR element_at(acc, j) > t"
+        f" THEN element_at(acc, j) ELSE t END"
+        f" ELSE t END))"
+    )
+
+
 def funnel_depth(
     events: DataFrame,
     steps: Sequence[str],
     *,
     within_seconds: int | None = None,
+    retry: bool = False,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -75,6 +114,9 @@ def funnel_depth(
     """(user, depth, t_first): per-user funnel progress — ``depth`` =
     number of steps completed in order (0..len(steps)), ``t_first``
     the timestamp of the matched step-1 event (NULL at depth 0).
+    Under ``retry=True`` (module docstring), ``depth`` is the max over
+    all within-budget attempts and ``t_first`` the start of the
+    LATEST attempt achieving it (the DP's deterministic witness).
 
     Only users with at least one funnel-step event appear (users with
     none are depth 0 by definition; left-join the user dimension if
@@ -82,6 +124,12 @@ def funnel_depth(
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if retry and within_seconds is None:
+        raise ValueError(
+            "retry=True is meaningful only with a within_seconds "
+            "budget — an unbudgeted funnel's first attempt already "
+            "achieves the maximum depth"
+        )
     ev = events.filter(F.col(type_col).isin(list(steps))).select(
         F.col(user_col).alias("user_id"),
         F.struct(
@@ -92,12 +140,25 @@ def funnel_depth(
             F.col(type_col).alias("et"),
         ).alias("e"),
     )
-    folded = (
-        ev.groupBy("user_id")
-        .agg(F.expr("array_sort(collect_list(e))").alias("evs"))
-        .withColumn(
-            "_f", F.expr(_depth_fold_sql(steps, within_seconds))
+    grouped = ev.groupBy("user_id").agg(
+        F.expr("array_sort(collect_list(e))").alias("evs")
+    )
+    if retry:
+        folded = grouped.withColumn(
+            "_dp", F.expr(_retry_fold_sql(steps, within_seconds))
         )
+        depth = F.expr("size(filter(_dp, x -> x IS NOT NULL))")
+        return folded.select(
+            "user_id",
+            depth.cast("int").alias("depth"),
+            # depth 0 -> try_element_at(_, 0) -> NULL (invalid index)
+            F.expr(
+                "try_element_at(_dp, size(filter(_dp,"
+                " x -> x IS NOT NULL)))"
+            ).alias("t_first"),
+        )
+    folded = grouped.withColumn(
+        "_f", F.expr(_depth_fold_sql(steps, within_seconds))
     )
     return folded.select(
         "user_id",
@@ -111,6 +172,7 @@ def funnel_counts(
     steps: Sequence[str],
     *,
     within_seconds: int | None = None,
+    retry: bool = False,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -122,7 +184,7 @@ def funnel_counts(
     aggregate after :func:`funnel_depth` is steps-sized."""
     depths = funnel_depth(
         events, steps,
-        within_seconds=within_seconds, user_col=user_col,
+        within_seconds=within_seconds, retry=retry, user_col=user_col,
         ts_col=ts_col, type_col=type_col, id_col=id_col,
     )
     per_depth = depths.groupBy("depth").agg(

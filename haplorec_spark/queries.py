@@ -534,6 +534,21 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Not a driver gate (the 50-slot budget is full): the retry-window
+# funnel (windowFunnel semantics — max depth over ALL within-budget
+# attempts); DuckDB oracle expresses the same maximum as per-level
+# constrained joins with max-start witnesses (test_registry.py). The
+# 12 h budget makes retry non-vacuous at sf0.001: first attempts
+# expire and later step-1 occurrences complete.
+def q_funnel_events_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.funnel import funnel_depth
+
+    return funnel_depth(
+        table(spark, sf_dir, "events"), ["view", "click", "purchase"],
+        within_seconds=43200, retry=True,
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): the C4-style
 # blocked-terms gate's audit face; DuckDB oracle from the shared
 # duck_blocked_term_sql twin (test_registry.py). The term list is

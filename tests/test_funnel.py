@@ -117,3 +117,96 @@ def test_funnel_single_shuffle_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+# ---------------------------------------------- retry window (round 10)
+
+
+def test_retry_restarts_after_budget_expiry(spark):
+    """The verdict's expire-then-complete case: the first attempt's
+    budget expires, a later step-1 occurrence completes — retry finds
+    it, single-attempt stays stuck."""
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 40, "click"),   # 40 min > 30 budget
+        (3, 1, 50, "view"), (4, 1, 70, "click"),  # 20 min, in budget
+    ]
+    steps = ["view", "click"]
+    ev = _events(spark, rows)
+    single = {
+        r["user_id"]: (r["depth"], r["t_first"])
+        for r in funnel_depth(ev, steps, within_seconds=1800).collect()
+    }
+    retried = {
+        r["user_id"]: (r["depth"], r["t_first"])
+        for r in funnel_depth(
+            ev, steps, within_seconds=1800, retry=True
+        ).collect()
+    }
+    assert single == {1: (1, _BASE)}
+    assert retried == {1: (2, _BASE + timedelta(minutes=50))}
+
+
+def test_retry_is_exact_not_greedy(spark):
+    """A case where a greedy restart-on-expiry fold undercounts: the
+    depth-3 chain starts at the SECOND view while the first attempt is
+    still in budget (events view@0 click@9 view@10 click@11
+    purchase@18, budget 10) — the windowFunnel DP must report 3 with
+    the second view as witness."""
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 9, "click"),
+        (3, 1, 10, "view"), (4, 1, 11, "click"), (5, 1, 18, "purchase"),
+    ]
+    ev = _events(spark, rows)
+    got = funnel_depth(ev, STEPS, within_seconds=600, retry=True).collect()
+    assert [(r["user_id"], r["depth"], r["t_first"]) for r in got] == [
+        (1, 3, _BASE + timedelta(minutes=10))
+    ]
+    # single attempt: budget from view@0 kills purchase@18
+    single = funnel_depth(ev, STEPS, within_seconds=600).collect()
+    assert single[0]["depth"] == 2
+
+
+def test_retry_t_first_is_latest_completing_attempt(spark):
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 5, "click"),
+        (3, 1, 10, "view"), (4, 1, 12, "click"),
+    ]
+    got = funnel_depth(
+        _events(spark, rows), ["view", "click"],
+        within_seconds=1800, retry=True,
+    ).collect()
+    assert got[0]["depth"] == 2
+    assert got[0]["t_first"] == _BASE + timedelta(minutes=10)
+
+
+def test_retry_cannot_advance_two_levels_on_one_event(spark):
+    """Repeated step types: one event must advance at most one level
+    (the fold reads the previous accumulator only)."""
+    rows = [(1, 1, 0, "view"), (2, 1, 1, "view"), (3, 1, 2, "view")]
+    got = funnel_depth(
+        _events(spark, rows), ["view", "view", "view", "view"],
+        within_seconds=3600, retry=True,
+    ).collect()
+    assert got[0]["depth"] == 3  # three events -> three levels, not four
+
+
+def test_retry_requires_budget(spark):
+    with pytest.raises(ValueError, match="within_seconds"):
+        funnel_depth(_events(spark, [(1, 1, 0, "view")]), STEPS, retry=True)
+
+
+def test_retry_funnel_counts_ladder(spark):
+    rows = [
+        # u1 completes only on retry; u2 completes first attempt
+        (1, 1, 0, "view"), (2, 1, 40, "click"),
+        (3, 1, 50, "view"), (4, 1, 60, "click"),
+        (5, 2, 0, "view"), (6, 2, 5, "click"),
+    ]
+    got = {
+        r["step_ix"]: r["n_users"]
+        for r in funnel_counts(
+            _events(spark, rows), ["view", "click"],
+            within_seconds=1800, retry=True,
+        ).collect()
+    }
+    assert got == {1: 2, 2: 2}
