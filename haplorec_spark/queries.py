@@ -519,9 +519,57 @@ def q_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(table(spark, sf_dir, "events"))
 
 
-# Not a driver gate (the 50-slot budget is full): the ordered-funnel
-# family over the events table; DuckDB oracle unrolls the fold as
-# per-step constrained minimums (test_registry.py).
+# Driver gate since round 10 (slot rotated in from
+# q_salted_event_type_stats): the ordered-funnel family over the
+# events table; the oracle unrolls the single-attempt fold as
+# per-step constrained first-match joins.
+@register(
+    "q_funnel_events",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+         m1 AS (SELECT user_id, ts AS t1, event_id AS i1
+                FROM (SELECT user_id, ts, event_id,
+                             row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS rn
+                      FROM e WHERE event_type = 'view')
+                WHERE rn = 1),
+         m2 AS (SELECT user_id, t1, ts AS t2, event_id AS i2
+                FROM (SELECT e.user_id, m1.t1, e.ts, e.event_id,
+                             row_number() OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts, e.event_id) AS rn
+                      FROM e JOIN m1 USING (user_id)
+                      WHERE e.event_type = 'click'
+                        AND (e.ts, e.event_id) > (m1.t1, m1.i1)
+                        AND epoch_us(e.ts) - epoch_us(m1.t1)
+                            <= 259200000000::BIGINT)
+                WHERE rn = 1),
+         m3 AS (SELECT user_id
+                FROM (SELECT e.user_id,
+                             row_number() OVER (PARTITION BY e.user_id
+                                 ORDER BY e.ts, e.event_id) AS rn
+                      FROM e JOIN m2 USING (user_id)
+                      WHERE e.event_type = 'purchase'
+                        AND (e.ts, e.event_id) > (m2.t2, m2.i2)
+                        AND epoch_us(e.ts) - epoch_us(m2.t1)
+                            <= 259200000000::BIGINT)
+                WHERE rn = 1),
+         u AS (SELECT DISTINCT user_id FROM e)
+    SELECT u.user_id,
+           (CASE WHEN m3.user_id IS NOT NULL THEN 3
+                 WHEN m2.user_id IS NOT NULL THEN 2
+                 WHEN m1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END)::INT AS depth,
+           m1.t1 AS t_first
+    FROM u
+    LEFT JOIN m1 USING (user_id)
+    LEFT JOIN m2 USING (user_id)
+    LEFT JOIN m3 USING (user_id)
+    """,
+    "ordered funnel view->click->purchase within a 72 h budget: one "
+    "user-keyed shuffle + map-side array fold vs per-step first-match "
+    "joins",
+)
 def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.operators.funnel import funnel_depth
 
@@ -1099,15 +1147,12 @@ def q_stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- skew-safe aggregation path
 
-@register(
-    "q_salted_event_type_stats",
-    """
-    SELECT event_type, count(*) AS n_events, round(sum("value"), 2) AS sum_value
-    FROM events GROUP BY event_type
-    """,
-    "two-phase salted aggregation over a low-cardinality (skew-prone) "
-    "key — must equal the plain groupBy",
-)
+# Not a driver gate since round 10 (slot rotated to q_funnel_events so
+# the newest event-analytics family has a driver row): the two-phase
+# salted aggregate's correctness contract — equals the plain groupBy —
+# is engine-internal arithmetic with no novel plan shape, and it stays
+# DuckDB-checked by tests/test_registry.py::ROTATED_OUT_ORACLES plus
+# the salting unit tests in test_scale.py.
 def q_salted_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.operators.scale import salted_aggregate
 

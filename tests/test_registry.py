@@ -530,50 +530,13 @@ ROTATED_OUT_ORACLES["q_retention_weekly"] = """
 """
 
 
-#: ordered funnel view -> click -> purchase: the array-fold's depth
-#: equals per-step constrained minimums under (ts, event_id) tuple
-#: order — each step's match is the earliest event of its type
-#: strictly after the previous step's matched event.
-ROTATED_OUT_ORACLES["q_funnel_events"] = """
-    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
-               WHERE event_type IN ('view', 'click', 'purchase')),
-         m1 AS (SELECT user_id, ts AS t1, event_id AS i1
-                FROM (SELECT user_id, ts, event_id,
-                             row_number() OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS rn
-                      FROM e WHERE event_type = 'view')
-                WHERE rn = 1),
-         m2 AS (SELECT user_id, t1, ts AS t2, event_id AS i2
-                FROM (SELECT e.user_id, m1.t1, e.ts, e.event_id,
-                             row_number() OVER (PARTITION BY e.user_id
-                                 ORDER BY e.ts, e.event_id) AS rn
-                      FROM e JOIN m1 USING (user_id)
-                      WHERE e.event_type = 'click'
-                        AND (e.ts, e.event_id) > (m1.t1, m1.i1)
-                        AND epoch_us(e.ts) - epoch_us(m1.t1)
-                            <= 259200000000::BIGINT)
-                WHERE rn = 1),
-         m3 AS (SELECT user_id
-                FROM (SELECT e.user_id,
-                             row_number() OVER (PARTITION BY e.user_id
-                                 ORDER BY e.ts, e.event_id) AS rn
-                      FROM e JOIN m2 USING (user_id)
-                      WHERE e.event_type = 'purchase'
-                        AND (e.ts, e.event_id) > (m2.t2, m2.i2)
-                        AND epoch_us(e.ts) - epoch_us(m2.t1)
-                            <= 259200000000::BIGINT)
-                WHERE rn = 1),
-         u AS (SELECT DISTINCT user_id FROM e)
-    SELECT u.user_id,
-           (CASE WHEN m3.user_id IS NOT NULL THEN 3
-                 WHEN m2.user_id IS NOT NULL THEN 2
-                 WHEN m1.user_id IS NOT NULL THEN 1
-                 ELSE 0 END)::INT AS depth,
-           m1.t1 AS t_first
-    FROM u
-    LEFT JOIN m1 USING (user_id)
-    LEFT JOIN m2 USING (user_id)
-    LEFT JOIN m3 USING (user_id)
+#: two-phase salted aggregate over the skew-prone event_type key —
+#: rotated out of the 50 in round 10 (slot went to q_funnel_events);
+#: must equal the plain groupBy.
+ROTATED_OUT_ORACLES["q_salted_event_type_stats"] = """
+    SELECT event_type, count(*) AS n_events,
+           round(sum("value"), 2) AS sum_value
+    FROM events GROUP BY event_type
 """
 
 
