@@ -2184,6 +2184,293 @@ def ivf_sq_topk(
     )
 
 
+# ------------------------------------------- store maintenance under drift
+
+
+def store_cell_stats(spark, path: str) -> DataFrame:
+    """(cluster, n_codes, fill_fraction, skew): the drift audit of a
+    persisted IVF store (PQ or SQ, batch or streaming layout).
+
+    ``fill_fraction`` is the cell's share of all stored codes;
+    ``skew`` normalizes by the uniform fill (n_codes · n_cells /
+    total — 1.0 everywhere when balanced). EMPTY cells appear as
+    n_codes = 0 rows (a drifting stream starves the cells the
+    training distribution filled, and an audit that hides them
+    under-reports the drift). One aggregate over the codes store's
+    ``cluster`` partition column — column-pruned to zero data columns,
+    so the scan reads footers, not codes — joined against the
+    (k-row, broadcast) pinned centroid table.
+
+    Round-10 drift ask (r9 verdict #4): ``stream_pq_index_ingest``
+    appends into frozen coarse cells, so a drifting vector stream
+    piles into whichever pinned cell is nearest and nprobe recall
+    quietly degrades; this is the detector, :func:`rebalance_pq_store`
+    the repair.
+    """
+    centroids = spark.read.parquet(f"{path}/centroids")
+    counts = (
+        spark.read.parquet(f"{path}/codes")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_codes"))
+    )
+    per = (
+        centroids.select(F.col("centroid_id").alias("cluster"))
+        .join(counts, on="cluster", how="left")
+        .select(
+            "cluster",
+            F.coalesce("n_codes", F.lit(0)).cast("long").alias("n_codes"),
+        )
+    )
+    # the frame is k rows (one per cell): whole-frame windows are safe
+    w = Window.partitionBy()
+    total = F.greatest(F.sum("n_codes").over(w), F.lit(1))
+    return per.select(
+        "cluster",
+        "n_codes",
+        F.round(F.col("n_codes") / total, 6).alias("fill_fraction"),
+        F.round(
+            F.col("n_codes") * F.count(F.lit(1)).over(w) / total, 6
+        ).alias("skew"),
+    )
+
+
+def compact_pq_store(spark, path: str) -> None:
+    """Consolidate a PQ store's codes into one partition per cell.
+
+    The streaming ingester writes (ingest_batch, cluster) partitions —
+    exactly-once per replayed batch — so after thousands of
+    micro-batches every probe-cell scan opens thousands of small
+    files. Compaction rewrites all batches into ``ingest_batch = -1``
+    (the layout KEEPS the ingest_batch level, so later stream batches
+    append at the same partition depth and replayed-batch overwrite
+    still works); a batch-written store (no ingest_batch column) is
+    rewritten one-file-per-cell. Offline, single-writer: run with the
+    stream stopped — committed batches won't replay after restart
+    (the checkpoint), so folding them into -1 is safe.
+    """
+    from haplorec_spark.operators.stores import replace_parquet_dir
+
+    codes = spark.read.parquet(f"{path}/codes")
+    if "ingest_batch" in codes.columns:
+        compacted = codes.withColumn(
+            "ingest_batch", F.lit(-1).cast("long")
+        ).repartition("cluster")
+        replace_parquet_dir(
+            compacted,
+            f"{path}/codes",
+            partition_by=("ingest_batch", "cluster"),
+        )
+    else:
+        replace_parquet_dir(
+            codes.repartition("cluster"),
+            f"{path}/codes",
+            partition_by=("cluster",),
+        )
+
+
+def rebalance_pq_store(
+    corpus: DataFrame,
+    path: str,
+    *,
+    skew_threshold: float = 2.0,
+    split_factor: int = 2,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Split the hottest cells of a persisted IVF-PQ store and
+    re-encode ONLY their members — the repair for coarse-cell drift.
+
+    Every cell whose :func:`store_cell_stats` skew is >=
+    ``skew_threshold`` is split into ``split_factor`` sub-cells
+    (k-means over the cell's own members); the old cell id is reused
+    by the LARGEST sub-cell so its partition is overwritten in place
+    (dynamic partition overwrite — no stale rows), the others take
+    fresh ids appended to the pinned centroid table. Members are
+    re-encoded from their EXACT vectors in ``corpus`` (codes are
+    lossy, so re-encoding from reconstructions would compound error) —
+    the member read is partition-pruned to the hot cells, and the
+    function raises if ``corpus`` is missing any member id rather
+    than silently dropping vectors.
+
+    Scope and honesty: cold cells are untouched — a cold vector that
+    is now nearer to a new sub-centroid stays filed under its old
+    cell (the standard IVF append tradeoff; nprobe > 1 covers the
+    boundary). PQ codebooks are NOT retrained (old and new codes must
+    stay comparable); in residual mode the re-encode computes
+    residuals against the NEW sub-centroids, which is exactly what
+    restores ADC resolution for the drifted mass. A streaming-layout
+    store must be compacted first (:func:`compact_pq_store`) —
+    multiple live ingest_batch partitions would keep stale copies of
+    the split cell (raises).
+
+    Returns ``{"split_cells": [...], "new_cells": [...],
+    "n_reencoded": int}`` (empty lists when nothing crossed the
+    threshold).
+    """
+    spark = corpus.sparkSession
+    stats = store_cell_stats(spark, path).collect()
+    hot = sorted(
+        r["cluster"]
+        for r in stats
+        if r["skew"] >= skew_threshold and r["n_codes"] >= split_factor
+    )
+    if not hot:
+        return {"split_cells": [], "new_cells": [], "n_reencoded": 0}
+
+    centroids = spark.read.parquet(f"{path}/centroids")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    residual = (
+        "residual" in codebooks.columns
+        and bool(codebooks.first()["residual"])
+    )
+    codes = spark.read.parquet(f"{path}/codes")
+    streaming_layout = "ingest_batch" in codes.columns
+    if streaming_layout:
+        live = [
+            r["ingest_batch"]
+            for r in codes.select("ingest_batch").distinct().collect()
+        ]
+        if live not in ([], [-1]):
+            raise ValueError(
+                "rebalance_pq_store needs a compacted store; run "
+                "compact_pq_store first (live ingest_batch partitions "
+                f"{sorted(live)} would keep stale copies of split cells)"
+            )
+
+    # partition-pruned member read: only the hot cells' directories
+    member_ids = codes.filter(F.col("cluster").isin(hot)).select(
+        id_col, "cluster"
+    )
+    n_members = member_ids.count()
+    members_all = corpus.join(
+        member_ids.select(id_col), on=id_col, how="left_semi"
+    )
+    n_found = members_all.count()
+    if n_found != n_members:
+        raise ValueError(
+            f"corpus is missing {n_members - n_found} of the hot "
+            "cells' member vectors — re-encoding would silently drop "
+            "them; pass the corpus the store was built from"
+        )
+
+    old = {
+        r["centroid_id"]: list(r["centroid"]) for r in centroids.collect()
+    }
+    next_id = max(old) + 1
+    new_cents = dict(old)
+    split_cells, new_cells = [], []
+    assigned_parts: list[DataFrame] = []
+    for c in hot:
+        cell_ids = member_ids.filter(F.col("cluster") == c).select(id_col)
+        cell_members = corpus.join(cell_ids, on=id_col, how="left_semi")
+        sub = kmeans_centroids(
+            cell_members, split_factor, iterations,
+            vec_col=vec_col, id_col=id_col,
+        )
+        local = assign_clusters(
+            cell_members, sub, vec_col=vec_col, id_col=id_col
+        )
+        sizes = {
+            r["cluster"]: r["n"]
+            for r in local.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        subs = [
+            (sid, list(r["centroid"]))
+            for sid, r in enumerate(sub.orderBy("centroid_id").collect())
+            if sizes.get(sid, 0) > 0  # seed cells that emptied: drop
+        ]
+        if len(subs) < 2:
+            continue  # the cell would not actually split
+        # the LARGEST sub-cell reuses the old id (its partition is
+        # overwritten in place — never left stale)
+        subs.sort(key=lambda sc: -sizes.get(sc[0], 0))
+        local_to_global = {subs[0][0]: c}
+        new_cents[c] = subs[0][1]
+        split_cells.append(c)
+        for sid, cent in subs[1:]:
+            local_to_global[sid] = next_id
+            new_cents[next_id] = cent
+            new_cells.append(next_id)
+            next_id += 1
+        # members redistribute among THEIR OWN cell's sub-centroids
+        # only — a global argmin could re-file a boundary member under
+        # a cold cell, and the dynamic overwrite of that cold
+        # partition would then REPLACE the cold cell's data with the
+        # handful of movers (destructive; review-caught in design)
+        mapping = ", ".join(
+            f"{lo}, {gl}" for lo, gl in sorted(local_to_global.items())
+        )
+        assigned_parts.append(
+            local.select(
+                F.col(id_col),
+                F.expr(f"element_at(map({mapping}), cluster)")
+                .cast("int")
+                .alias("cluster"),
+            )
+        )
+    if not split_cells:
+        return {"split_cells": [], "new_cells": [], "n_reencoded": 0}
+
+    new_centroids = spark.createDataFrame(
+        sorted((i, c) for i, c in new_cents.items()),
+        "centroid_id int, centroid array<double>",
+    )
+    # centroids were collected to the driver: safe to overwrite in place
+    new_centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    new_centroids = spark.read.parquet(f"{path}/centroids")
+
+    assigned = assigned_parts[0]
+    for part in assigned_parts[1:]:
+        assigned = assigned.unionByName(part)
+    with_vecs = corpus.join(assigned, on=id_col).select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
+        "cluster",
+    )
+    cbs = _pq_codebooks_list(codebooks)
+    if residual:
+        cent_sql = _literal_matrix_sql(
+            [new_cents[i] for i in sorted(new_cents)]
+        )
+        src = with_vecs.select(
+            F.col(id_col),
+            F.expr(_residual_sql(cent_sql, "_v")).alias("_rv"),
+            "cluster",
+        )
+        reencoded = pq_encode(
+            src, cbs, vec_col="_rv", id_col=id_col, keep=("cluster",)
+        )
+    else:
+        reencoded = pq_encode(
+            with_vecs, cbs, vec_col="_v", id_col=id_col, keep=("cluster",)
+        )
+    if streaming_layout:
+        reencoded = reencoded.withColumn(
+            "ingest_batch", F.lit(-1).cast("long")
+        )
+        part_cols = ["ingest_batch", "cluster"]
+    else:
+        part_cols = ["cluster"]
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            reencoded.write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(f"{path}/codes")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        "split_cells": split_cells,
+        "new_cells": new_cells,
+        "n_reencoded": n_members,
+    }
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402
