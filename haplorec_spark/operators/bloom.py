@@ -459,9 +459,48 @@ def read_bloom_bits(spark, path: str) -> DataFrame:
     store: one ``bit_or`` aggregate over all ``ingest_batch``
     partitions. bit_or is associative and idempotent, so replayed
     batch partitions (the exactly-once dynamic-overwrite scheme)
-    merge into the same filter."""
+    merge into the same filter. After thousands of micro-batches this
+    read-side merge grows linearly with batch count —
+    :func:`compact_bloom_store` is the maintenance fix."""
     return (
         spark.read.parquet(f"{path}/bits")
         .groupBy("chunk")
         .agg(F.bit_or("bits").alias("bits"))
     )
+
+
+def compact_bloom_store(spark, path: str) -> None:
+    """Fold every ``ingest_batch`` partition of ``<path>/bits`` into
+    ONE consolidated ``ingest_batch = -1`` partition (one file: the
+    filter is n_bits/63 chunk rows — tiny by construction).
+
+    :func:`read_bloom_bits` re-aggregates all batch partitions on
+    every read, so an old store pays one ``bit_or`` row per chunk per
+    batch forever; post-compaction the read scans a single partition.
+    The partition level is KEPT so later stream batches append at the
+    same depth and a replayed batch still overwrites its own
+    partition; bit_or's idempotence makes folding committed batches
+    into -1 safe even if a replay ever raced (the merge of -1 with a
+    re-written batch is the same filter). Offline single-writer
+    maintenance (the :mod:`~haplorec_spark.operators.stores`
+    stage-and-rename contract); the ``_params`` marker lives under
+    ``<path>/_params``, outside the rewritten ``bits`` directory, so
+    it is untouched."""
+    from haplorec_spark.operators.stores import replace_parquet_dir
+
+    bits = spark.read.parquet(f"{path}/bits")
+    merged = (
+        bits.groupBy("chunk")
+        .agg(F.bit_or("bits").alias("bits"))
+        .coalesce(1)
+    )
+    if "ingest_batch" in bits.columns:
+        merged = merged.withColumn(
+            "ingest_batch",
+            F.lit(-1).cast(bits.schema["ingest_batch"].dataType),
+        )
+        replace_parquet_dir(
+            merged, f"{path}/bits", partition_by=("ingest_batch",)
+        )
+    else:
+        replace_parquet_dir(merged, f"{path}/bits")

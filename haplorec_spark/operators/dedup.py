@@ -466,6 +466,35 @@ def write_lsh_store(
     ).write.mode(mode).partitionBy("band").parquet(path)
 
 
+def compact_lsh_store(spark, path: str) -> None:
+    """Rewrite the append-accumulated band-key store to one file per
+    band partition with exact duplicate rows removed.
+
+    Every :func:`write_lsh_store` append adds files; after thousands
+    of drops a band-pruned probe opens thousands of tiny files, and a
+    batch that was written twice (the append mode's documented risk)
+    duplicates its rows. Compaction ``.distinct()``s the rows — a pure
+    no-op for every consumer (:func:`incremental_candidate_pairs`
+    deduplicates candidates anyway; band keys carry no multiplicity
+    meaning) — and repartitions to one file per band. The
+    ``_segmentation`` marker is re-written after the swap (the
+    stage-and-rename replaces the whole directory). Offline
+    single-writer maintenance."""
+    from haplorec_spark.operators.stores import replace_parquet_dir
+
+    try:
+        marker = spark.read.parquet(f"{path}/_segmentation").first()
+        segmentation = marker["segmentation"] if marker else None
+    except Exception:
+        segmentation = None
+    store = spark.read.parquet(path).distinct().repartition("band")
+    replace_parquet_dir(store, path, partition_by=("band",))
+    if segmentation is not None:
+        spark.createDataFrame(
+            [(segmentation,)], "segmentation string"
+        ).write.mode("overwrite").parquet(f"{path}/_segmentation")
+
+
 def incremental_candidate_pairs(
     new_docs: DataFrame,
     store_path: str,

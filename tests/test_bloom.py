@@ -249,3 +249,62 @@ def test_duck_member_oracle_handles_duplicate_probe_rows():
     )
     got = dict(con.execute(member).fetchall())
     assert got == {1: True, 2: True}
+
+
+def test_compact_bloom_store_parity_and_single_partition(spark, tmp_path):
+    """Compaction folds N per-batch bits partitions into one (-1) with
+    the MERGED filter bit-identical (bit_or associativity) and the
+    read scanning a single file — the read-side cost pin."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+        compact_bloom_store,
+        read_bloom_bits,
+    )
+
+    store = str(tmp_path / "bloom")
+    for b in range(4):
+        keys = spark.range(b * 100, b * 100 + 100).select(
+            F.col("id").cast("string").alias("k")
+        )
+        (
+            bloom_build(keys, ["k"], n_bits=1 << 12, n_hashes=3)
+            .withColumn("ingest_batch", F.lit(b))
+            .write.mode("append")
+            .partitionBy("ingest_batch")
+            .parquet(f"{store}/bits")
+        )
+    before = sorted(
+        map(tuple, read_bloom_bits(spark, store).collect())
+    )
+    probes = spark.range(0, 800).select(F.col("id").cast("string").alias("k"))
+    p_before = sorted(
+        map(
+            tuple,
+            bloom_probe(
+                probes, read_bloom_bits(spark, store), ["k"],
+                n_bits=1 << 12, n_hashes=3,
+            ).collect(),
+        )
+    )
+    compact_bloom_store(spark, store)
+    after_raw = spark.read.parquet(f"{store}/bits")
+    assert [
+        r["ingest_batch"]
+        for r in after_raw.select("ingest_batch").distinct().collect()
+    ] == [-1]
+    assert len(after_raw.inputFiles()) == 1
+    assert sorted(map(tuple, read_bloom_bits(spark, store).collect())) \
+        == before
+    p_after = sorted(
+        map(
+            tuple,
+            bloom_probe(
+                probes, read_bloom_bits(spark, store), ["k"],
+                n_bits=1 << 12, n_hashes=3,
+            ).collect(),
+        )
+    )
+    assert p_after == p_before

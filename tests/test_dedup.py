@@ -799,3 +799,61 @@ def test_simhash_collapse_edges_are_true_pairs(spark):
     literal = set(rows(simhash_near_duplicates(docs, collapse_identical=False)))
     collapsed = set(rows(simhash_near_duplicates(docs)))
     assert collapsed <= literal
+
+
+def test_compact_lsh_store_parity_marker_and_files(spark, tmp_path):
+    """A twice-appended batch duplicates store rows; compaction
+    distincts them, leaves one file per band, preserves the
+    _segmentation marker, and candidate sets are unchanged."""
+    from haplorec_spark.operators.dedup import (
+        compact_lsh_store,
+        incremental_candidate_pairs,
+        write_lsh_store,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "lsh")
+    write_lsh_store(docs, store, segmentation="script")
+    write_lsh_store(docs, store, segmentation="script")  # replayed batch
+    n_dup = spark.read.parquet(store).count()
+    newdocs = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        map(
+            tuple,
+            incremental_candidate_pairs(
+                newdocs, store, segmentation="script"
+            ).collect(),
+        )
+    )
+    compact_lsh_store(spark, store)
+    st = spark.read.parquet(store)
+    assert st.count() == n_dup // 2  # exact duplicates removed
+    # one file per band partition
+    from collections import Counter
+
+    per_band = Counter(f.split("band=")[1].split("/")[0]
+                       for f in st.inputFiles())
+    assert all(v == 1 for v in per_band.values())
+    after = sorted(
+        map(
+            tuple,
+            incremental_candidate_pairs(
+                newdocs, store, segmentation="script"
+            ).collect(),
+        )
+    )
+    assert after == before  # marker survived AND candidates identical
+    # cross-mode read still raises (marker really preserved)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="segmentation"):
+        incremental_candidate_pairs(newdocs, store, segmentation="whitespace")
