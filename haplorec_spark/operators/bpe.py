@@ -908,10 +908,13 @@ def bpe_encode_ids(
     unk_token: str = "<unk>",
     byte_level: bool = False,
     pretokenize: str = "whitespace",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, token_ids, n_tokens): every document as its BPE token-id
-    sequence, in text order — the array a training-shard consumer
-    feeds a model.
+    """(id, token_ids, n_tokens [, keep...]): every document as its
+    BPE token-id sequence, in text order — the array a training-shard
+    consumer feeds a model. ``keep`` columns of ``docs`` ride the
+    EXISTING wordless-document left join (round 10: the crawl
+    provenance thread) — no new shuffle.
 
     Scale shape: the greedy encoder runs once per DISTINCT word with
     BOTH bounded tables (merge ranks, vocabulary) closed over in one
@@ -971,7 +974,7 @@ def bpe_encode_ids(
     # rows — LEFT-join them back as empty sequences so "every document"
     # means every document (the curation accounting contract)
     return (
-        docs.select(id_col)
+        docs.select(id_col, *keep)
         .join(agg, on=id_col, how="left")
         .withColumn(
             "token_ids",

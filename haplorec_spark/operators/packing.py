@@ -275,12 +275,23 @@ def pack_token_ids(
     eos_id: int | None = None,
     pad_id: int | None = None,
     num_partitions: int | None = None,
+    provenance_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(seq_id, input_ids, n_real): the corpus as FIXED-LENGTH training
-    sequences in token-ID space — the materialized form of the
-    :func:`pack_sequences` tape, so a training consumer reads id
-    arrays cut at exactly ``seq_len`` ids instead of re-tokenizing
-    text against the tape arithmetic.
+    """(seq_id, input_ids, n_real [, provenance]): the corpus as
+    FIXED-LENGTH training sequences in token-ID space — the
+    materialized form of the :func:`pack_sequences` tape, so a
+    training consumer reads id arrays cut at exactly ``seq_len`` ids
+    instead of re-tokenizing text against the tape arithmetic.
+
+    ``provenance_cols`` (round 10, the crawl-audit thread): when set,
+    each sequence also carries ``provenance`` — the seq_offset-sorted
+    array of ``struct(seq_offset, n_ids, doc: struct(<id_col>,
+    <provenance_cols...>))`` for every document fragment in the
+    sequence, so any exported sequence maps back to its source
+    records (e.g. ``warc_source``'s (source_file, record_offset)).
+    The columns ride the EXISTING tape join and the EXISTING
+    seq_id-keyed aggregate (the fragment structs gain fields, the
+    plan gains zero exchanges — test-pinned).
 
     ``docs_ids`` carries one id array per document (the
     ``bpe.bpe_encode_ids`` output shape). Documents are laid
@@ -310,7 +321,7 @@ def pack_token_ids(
     if eos_id is not None:
         decorated = F.concat(decorated, F.array(F.lit(int(eos_id))))
     base = docs_ids.select(
-        F.col(id_col), decorated.alias("__ids")
+        F.col(id_col), decorated.alias("__ids"), *provenance_cols
     ).withColumn("__n", F.size("__ids").cast("long"))
     tape = pack_sequences(
         base.filter(F.col("__n") > 0),
@@ -320,6 +331,14 @@ def pack_token_ids(
         seed=seed,
         num_partitions=num_partitions,
     ).select(id_col, "global_start", "seq_id", "seq_id_end")
+    prov_struct = (
+        [
+            F.struct(F.col(id_col), *[F.col(c) for c in provenance_cols])
+            .alias("__prov")
+        ]
+        if provenance_cols
+        else []
+    )
     frags = (
         base.join(tape, on=id_col)
         .select(
@@ -329,6 +348,8 @@ def pack_token_ids(
             F.explode(
                 F.sequence(F.col("seq_id"), F.col("seq_id_end"))
             ).alias("seq_id"),
+            *([F.col(id_col)] + [F.col(c) for c in provenance_cols]
+              if provenance_cols else []),
         )
         .select(
             "seq_id",
@@ -343,15 +364,36 @@ def pack_token_ids(
             F.expr(
                 f"greatest(global_start - seq_id * {seq_len}, 0)"
             ).alias("frag_offset"),
+            *prov_struct,
         )
     )
-    seqs = frags.groupBy("seq_id").agg(
-        F.expr(
-            "flatten(transform("
-            " array_sort(collect_list(struct(frag_offset, frag_ids))),"
-            " x -> x.frag_ids))"
-        ).alias("input_ids")
-    )
+    if provenance_cols:
+        collected = frags.groupBy("seq_id").agg(
+            F.expr(
+                "array_sort(collect_list("
+                "struct(frag_offset, frag_ids, __prov)))"
+            ).alias("__fr")
+        )
+        seqs = collected.select(
+            "seq_id",
+            F.expr("flatten(transform(__fr, x -> x.frag_ids))").alias(
+                "input_ids"
+            ),
+            F.expr(
+                "transform(__fr, x -> named_struct("
+                "'seq_offset', x.frag_offset,"
+                " 'n_ids', size(x.frag_ids),"
+                " 'doc', x.__prov))"
+            ).alias("provenance"),
+        )
+    else:
+        seqs = frags.groupBy("seq_id").agg(
+            F.expr(
+                "flatten(transform("
+                " array_sort(collect_list(struct(frag_offset, frag_ids))),"
+                " x -> x.frag_ids))"
+            ).alias("input_ids")
+        )
     seqs = seqs.withColumn("n_real", F.size("input_ids"))
     if pad_id is None:
         return seqs.filter(F.col("n_real") == seq_len)
@@ -385,6 +427,7 @@ def write_id_sequence_shards(
     pretokenize: str = "whitespace",
     fmt: str = "parquet",
     shuffle_salt: str | None = None,
+    provenance_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Export the corpus as fixed-length TOKEN-ID training shards and
     return the shard manifest — the id-space composition of
@@ -421,7 +464,16 @@ def write_id_sequence_shards(
     frame (the shard count must be known before assignment); the
     unsalted path stays single-pass. Re-exporting with a new salt =
     a new epoch order; the manifest records the salt (NULL when
-    unsalted)."""
+    unsalted).
+
+    ``provenance_cols`` (round 10): carried per sequence as the
+    ``provenance`` array (:func:`pack_token_ids`) and written into
+    the shard rows, so any shard row maps back to its crawl records —
+    e.g. ``warc_source``'s (source_file, record_offset). The columns
+    ride the encoder's existing wordless-document join and the
+    packer's existing seq_id aggregate: zero additional exchanges
+    (test-pinned); the manifest hash stays over (seq_id, input_ids),
+    so a provenance re-export diffs clean against an old manifest."""
     if seqs_per_shard <= 0:
         raise ValueError(
             f"seqs_per_shard must be positive, got {seqs_per_shard}"
@@ -446,6 +498,7 @@ def write_id_sequence_shards(
         id_col=id_col,
         byte_level=byte_level,
         pretokenize=pretokenize,
+        keep=tuple(provenance_cols),
     )
     seqs = pack_token_ids(
         ids,
@@ -455,6 +508,7 @@ def write_id_sequence_shards(
         bos_id=tok_ids.get(bos_token) if bos_token else None,
         eos_id=tok_ids.get(eos_token) if eos_token else None,
         pad_id=tok_ids.get(pad_token) if pad_token else None,
+        provenance_cols=tuple(provenance_cols),
     )
     spark = docs.sparkSession
     if shuffle_salt is None:

@@ -577,3 +577,121 @@ def test_pack_sequences_script_accounting_cjk(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------- crawl provenance (round 10)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def test_training_shards_carry_warc_provenance(spark, tmp_path):
+    """The audit round-trip (r9 verdict #5): WARC fixture ->
+    curate_documents -> write_training_shards -> every exported row
+    recovers its (source_file, record_offset) crawl record."""
+    from haplorec_spark.curation import CurationConfig, curate_documents
+    from haplorec_spark.operators.packing import write_training_shards
+    from haplorec_spark.sources import warc_source
+    from tests.test_warc import WET_BYTES
+
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    (wdir / "crawl.warc").write_bytes(WET_BYTES * 1)
+    recs = warc_source(spark, str(wdir / "crawl.warc")).filter(
+        "_corrupt_record IS NULL"
+    )
+    docs = recs.select(
+        F.concat_ws(
+            ":", F.col("source_file"), F.col("record_offset")
+        ).alias("doc_id"),
+        "source_file",
+        "record_offset",
+        "text",
+    )
+    curated, _ = curate_documents(
+        docs, config=CurationConfig(dedup=None, languages=None)
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(curated, out, n_shards=2)
+    back = spark.read.parquet(out)
+    orig = {
+        (r["source_file"], r["record_offset"]): r["text"]
+        for r in recs.collect()
+    }
+    rows = back.select("source_file", "record_offset", "text").collect()
+    assert rows  # the fixture survives the default gates
+    for r in rows:
+        assert orig[(r["source_file"], r["record_offset"])] == r["text"]
+
+
+def test_id_sequence_shards_provenance_round_trip(spark, tmp_path):
+    """Token-id shards with provenance: every sequence's provenance
+    array is seq_offset-sorted, its n_ids sum equals n_real, and each
+    entry maps back to the source (file, offset)."""
+    from haplorec_spark.operators.packing import write_id_sequence_shards
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"crawl-{i % 2}.warc", 100 * i,
+             "the quick brown fox jumps over the lazy dog " * (1 + i % 3))
+            for i in range(12)
+        ],
+        "doc_id long, source_file string, record_offset long, text string",
+    )
+    merges, vocab = _small_tokenizer(spark, docs)
+    out = str(tmp_path / "seq_shards")
+    write_id_sequence_shards(
+        docs, out, merges=merges, vocab=vocab, seq_len=32,
+        seqs_per_shard=4,
+        provenance_cols=("source_file", "record_offset"),
+    )
+    back = spark.read.parquet(out)
+    orig = {
+        r["doc_id"]: (r["source_file"], r["record_offset"])
+        for r in docs.collect()
+    }
+    n_frag_ids = 0
+    for r in back.collect():
+        prov = r["provenance"]
+        offs = [p["seq_offset"] for p in prov]
+        assert offs == sorted(offs)
+        # real (unpadded) ids are exactly the fragments' ids
+        assert sum(p["n_ids"] for p in prov) == r["n_real"]
+        n_frag_ids += sum(p["n_ids"] for p in prov)
+        for p in prov:
+            d = p["doc"]
+            assert orig[d["doc_id"]] == (
+                d["source_file"], d["record_offset"]
+            )
+    # every document's every token is attributed exactly once
+    from haplorec_spark.operators.bpe import bpe_encode_ids
+
+    total = (
+        bpe_encode_ids(docs, merges, vocab)
+        .agg(F.sum("n_tokens"))
+        .first()[0]
+    )
+    assert n_frag_ids == total + 2 * 12  # + bos/eos per document
+
+
+def test_provenance_adds_zero_exchanges(spark):
+    """The provenance columns must ride the existing tape join and
+    seq aggregate — identical Exchange count with and without."""
+    from haplorec_spark.operators.packing import pack_token_ids
+
+    docs_ids = spark.createDataFrame(
+        [(i, list(range(5)), f"f{i}.warc", i * 10) for i in range(8)],
+        "doc_id long, token_ids array<int>, source_file string, "
+        "record_offset long",
+    )
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    plain = pack_token_ids(docs_ids, 8, pad_id=0)
+    prov = pack_token_ids(
+        docs_ids, 8, pad_id=0,
+        provenance_cols=("source_file", "record_offset"),
+    )
+    assert n_exchanges(prov) == n_exchanges(plain)
+    assert "provenance" in prov.columns and "provenance" not in plain.columns
