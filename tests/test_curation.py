@@ -1245,3 +1245,117 @@ def test_blocked_terms_gate_batch_and_map_side_agree(spark):
     out2, _ = curate_documents(docs, config=graded)
     # doc 2's fraction (1/16) passes a 10% budget; doc 3's (3/16) fails
     assert {r["doc_id"] for r in out2.collect()} == {1, 2}
+
+
+# ------------------------------ CJK end-to-end fixture (round 10)
+
+#: Mixed-script curation fixture: 4 good prose docs per language
+#: (en/fr/zh/ja/ko/th), plus one seeded failure per gate — an exact
+#: zh duplicate (dedup), a th duplicate (dedup), gibberish (language
+#: keep-list via the und floor), zh single-character spam
+#: (repetition), and an en doc lifted verbatim from the benchmark
+#: (decontamination). One test pins the keep-rate of every language
+#: through the FULL chain, so a regression in any segmentation-aware
+#: stage (quality, language id, token accounting, dedup shingles,
+#: decontamination) fails here instead of in five places.
+_CJK_GOOD = {
+    "en": [
+        "the house is big and the water is cold in the winter time",
+        "we read a book in the school and the children play in the garden",
+        "it is a good day and the sun is warm on the river in the morning",
+        "they have a small dog and the dog runs to the door of the house",
+    ],
+    "fr": [
+        "la maison est grande et le chat dort dans le jardin pendant la nuit",
+        "les enfants lisent un livre dans une école et le chien est petit",
+        "le matin est beau et la rivière est froide dans la montagne",
+        "elle est dans la cuisine et le pain est sur la table de la maison",
+    ],
+    "zh": [
+        "我们的房子很大冬天的水很冷孩子们在学校读书我们一起去看朋友",
+        "他从窗户看那些鸟早上的天气很好我们在花园里说话",
+        "她们晚上一起唱歌孩子们喜欢在河边玩水天气很暖和",
+        "我有一只小狗它每天跑到门口等我回家然后我们一起吃饭",
+    ],
+    "ja": [
+        "わたしたちのいえはおおきいですふゆのみずはつめたいこどもはほんをよみます",
+        "あさのてんきはとてもいいですにわでともだちとはなしをします",
+        "よるにみんなでうたをうたいますこどもはかわであそぶのがすきです",
+        "ちいさないぬがいますまいにちドアのまえでまっていますいっしょにごはんをたべます",
+    ],
+    "ko": [
+        "우리 집은 크다 겨울 물은 차갑다 아이들은 학교에서 책을 읽는다 그 사람은 지금 여기 있다",
+        "오늘 날씨가 정말 좋은 것 같다 우리 모두 여기 함께 있다 그 사람 하나 이 수 있다",
+        "지금 거기 누구 있다 우리 모든 사람 함께 보다 다른 것 없다 정말 좋은 때 같다",
+        "이 작은 개 하나 있다 그 개 지금 여기 우리 보다 하다 무엇 되다 많은 사람 같다",
+    ],
+    "th": [
+        "บ้านของเราใหญ่มากน้ำในฤดูหนาวเย็นมากเด็กอ่านหนังสือที่โรงเรียนเราไปหาเพื่อนด้วยกัน",
+        "อากาศตอนเช้าดีมากเราคุยกับเพื่อนในสวนสุนัขรอที่หน้าประตู",
+        "ตอนกลางคืนเราร้องเพลงด้วยกันเด็กชอบเล่นน้ำที่แม่น้ำอากาศอบอุ่น",
+        "มีสุนัขตัวเล็กมันรอที่ประตูทุกวันแล้วเรากินข้าวด้วยกันเรามีความสุข",
+    ],
+}
+
+
+def test_cjk_end_to_end_curation_keep_rates(spark):
+    from haplorec_spark.curation import CurationConfig, curate_documents
+
+    rows, truth = [], {}
+    i = 0
+    for lang, texts in _CJK_GOOD.items():
+        for t in texts:
+            rows.append((i, t))
+            truth[i] = ("good", lang)
+            i += 1
+    seeded = [
+        ("dup_zh", _CJK_GOOD["zh"][0]),
+        ("dup_th", _CJK_GOOD["th"][0]),
+        ("gibberish", "qqq zzz xxx vvv kkk jjj www yyy hhh ggg fff ddd"),
+        ("spam_zh", "的" * 60),
+        ("contaminated", "this exact sentence lives inside the held "
+                         "out benchmark suite and must never survive "
+                         "into the training corpus at all"),
+    ]
+    for kind, t in seeded:
+        rows.append((i, t))
+        truth[i] = (kind, None)
+        i += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, seeded[-1][1])], "doc_id long, text string"
+    )
+    cfg = CurationConfig(
+        detect_language="ngram",
+        language_min_score=0.15,
+        languages=("en", "fr", "zh", "ja", "ko", "th"),
+        min_quality=0.5,
+        dedup="exact",
+        segmentation="script",
+    )
+    curated, counts = curate_documents(
+        docs, bench, cfg, count_stages=True
+    )
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    # every good doc of every language survives the full chain
+    by_lang: dict = {}
+    for did, (kind, lang) in truth.items():
+        if kind == "good":
+            by_lang.setdefault(lang, []).append(did in kept)
+    for lang, oks in by_lang.items():
+        assert all(oks), f"{lang}: good docs dropped {oks}"
+    # every seeded failure dies — except exactly ONE of each duplicate
+    # pair survives (the duplicate copy dies, the original lives)
+    for did, (kind, _) in truth.items():
+        if kind in ("gibberish", "spam_zh", "contaminated"):
+            assert did not in kept, kind
+        elif kind in ("dup_zh", "dup_th"):
+            assert did not in kept, f"{kind}: copy must lose to the original"
+    # the language column is the detected one; check a sample
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in curated.select("doc_id", "lang").collect()
+    }
+    for did, (kind, lang) in truth.items():
+        if kind == "good" and did in langs:
+            assert langs[did] == lang, (did, langs[did], lang)
