@@ -82,6 +82,7 @@ from haplorec_spark.operators.dedup import (  # noqa: E402
     cluster_size_profile,
     dedup_survivors,
     duplicate_ngram_spans,
+    compact_lsh_store,
     lsh_parameters,
     strip_duplicate_ngram_spans,
     verify_jaccard_pairs,
@@ -90,6 +91,9 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     ann_recall,
     ann_recall_summary,
     cell_profile,
+    compact_pq_store,
+    rebalance_pq_store,
+    store_cell_stats,
     incremental_semantic_pairs,
     ivf_pq_topk,
     ivf_sq_topk,
@@ -110,6 +114,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     write_semantic_store,
 )
 from haplorec_spark.operators.bloom import (  # noqa: E402
+    compact_bloom_store,
     bloom_build,
     bloom_decontaminate,
     bloom_parameters,
@@ -188,6 +193,9 @@ __all__ = [
     "canonicalize_urls",
     "cap_per_domain",
     "cell_profile",
+    "compact_pq_store",
+    "rebalance_pq_store",
+    "store_cell_stats",
     "chunk_documents",
     "cluster_size_profile",
     "contamination_report",
@@ -213,6 +221,8 @@ __all__ = [
     "jsonl_sink",
     "language_id_model",
     "leakage_safe_split",
+    "compact_bloom_store",
+    "compact_lsh_store",
     "lsh_parameters",
     "jsonl_source",
     "warc_source",
