@@ -93,6 +93,7 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     cell_profile,
     compact_pq_store,
     rebalance_pq_store,
+    rebalance_sq_store,
     store_cell_stats,
     incremental_semantic_pairs,
     ivf_pq_topk,
@@ -195,6 +196,7 @@ __all__ = [
     "cell_profile",
     "compact_pq_store",
     "rebalance_pq_store",
+    "rebalance_sq_store",
     "store_cell_stats",
     "chunk_documents",
     "cluster_size_profile",

@@ -2309,6 +2309,109 @@ def rebalance_pq_store(
     threshold).
     """
     spark = corpus.sparkSession
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    residual = (
+        "residual" in codebooks.columns
+        and bool(codebooks.first()["residual"])
+    )
+    split = _split_hot_cells(
+        corpus, path,
+        skew_threshold=skew_threshold, split_factor=split_factor,
+        iterations=iterations, vec_col=vec_col, id_col=id_col,
+        fn_name="rebalance_pq_store", compactor="compact_pq_store",
+    )
+    if split is None:
+        return {"split_cells": [], "new_cells": [], "n_reencoded": 0}
+    cbs = _pq_codebooks_list(codebooks)
+    if residual:
+        cent_sql = _literal_matrix_sql(
+            [split["new_cents"][i] for i in sorted(split["new_cents"])]
+        )
+        src = split["with_vecs"].select(
+            F.col(id_col),
+            F.expr(_residual_sql(cent_sql, "_v")).alias("_rv"),
+            "cluster",
+        )
+        reencoded = pq_encode(
+            src, cbs, vec_col="_rv", id_col=id_col, keep=("cluster",)
+        )
+    else:
+        reencoded = pq_encode(
+            split["with_vecs"], cbs, vec_col="_v", id_col=id_col,
+            keep=("cluster",),
+        )
+    return _write_rebalanced_codes(spark, path, reencoded, split)
+
+
+def rebalance_sq_store(
+    corpus: DataFrame,
+    path: str,
+    *,
+    skew_threshold: float = 2.0,
+    split_factor: int = 2,
+    iterations: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """:func:`rebalance_pq_store` for the IVF-SQ8 store: same hot-cell
+    split and partition-pruned re-encode, with the PINNED per-dim
+    bounds in place of PQ codebooks (bounds are not retrained — old
+    and new codes must stay comparable); in residual mode the
+    re-encode quantizes residuals against the NEW sub-centroids."""
+    spark = corpus.sparkSession
+    bounds = spark.read.parquet(f"{path}/bounds")
+    residual = (
+        "residual" in bounds.columns and bool(bounds.first()["residual"])
+    )
+    split = _split_hot_cells(
+        corpus, path,
+        skew_threshold=skew_threshold, split_factor=split_factor,
+        iterations=iterations, vec_col=vec_col, id_col=id_col,
+        fn_name="rebalance_sq_store", compactor="compact_pq_store",
+    )
+    if split is None:
+        return {"split_cells": [], "new_cells": [], "n_reencoded": 0}
+    los, his = _sq_bounds_lists(bounds.select("dim_ix", "lo", "hi"))
+    if residual:
+        cent_sql = _literal_matrix_sql(
+            [split["new_cents"][i] for i in sorted(split["new_cents"])]
+        )
+        src = split["with_vecs"].select(
+            F.col(id_col),
+            F.expr(_residual_sql(cent_sql, "_v")).alias("_rv"),
+            "cluster",
+        )
+        reencoded = sq_encode(
+            src, (los, his), vec_col="_rv", id_col=id_col,
+            keep=("cluster",),
+        )
+    else:
+        reencoded = sq_encode(
+            split["with_vecs"], (los, his), vec_col="_v", id_col=id_col,
+            keep=("cluster",),
+        )
+    return _write_rebalanced_codes(spark, path, reencoded, split)
+
+
+def _split_hot_cells(
+    corpus: DataFrame,
+    path: str,
+    *,
+    skew_threshold: float,
+    split_factor: int,
+    iterations: int,
+    vec_col: str,
+    id_col: str,
+    fn_name: str,
+    compactor: str,
+) -> dict | None:
+    """The family-agnostic half of store rebalancing: detect hot
+    cells, validate the layout and the corpus, split each hot cell
+    into k-means sub-cells over its OWN members, pin the new centroid
+    table, and return the member→new-cell assignment joined with the
+    exact vectors. ``None`` when nothing crossed the threshold (or no
+    hot cell actually split)."""
+    spark = corpus.sparkSession
     stats = store_cell_stats(spark, path).collect()
     hot = sorted(
         r["cluster"]
@@ -2316,14 +2419,8 @@ def rebalance_pq_store(
         if r["skew"] >= skew_threshold and r["n_codes"] >= split_factor
     )
     if not hot:
-        return {"split_cells": [], "new_cells": [], "n_reencoded": 0}
-
+        return None
     centroids = spark.read.parquet(f"{path}/centroids")
-    codebooks = spark.read.parquet(f"{path}/codebooks")
-    residual = (
-        "residual" in codebooks.columns
-        and bool(codebooks.first()["residual"])
-    )
     codes = spark.read.parquet(f"{path}/codes")
     streaming_layout = "ingest_batch" in codes.columns
     if streaming_layout:
@@ -2333,8 +2430,8 @@ def rebalance_pq_store(
         ]
         if live not in ([], [-1]):
             raise ValueError(
-                "rebalance_pq_store needs a compacted store; run "
-                "compact_pq_store first (live ingest_batch partitions "
+                f"{fn_name} needs a compacted store; run "
+                f"{compactor} first (live ingest_batch partitions "
                 f"{sorted(live)} would keep stale copies of split cells)"
             )
 
@@ -2412,7 +2509,7 @@ def rebalance_pq_store(
             )
         )
     if not split_cells:
-        return {"split_cells": [], "new_cells": [], "n_reencoded": 0}
+        return None
 
     new_centroids = spark.createDataFrame(
         sorted((i, c) for i, c in new_cents.items()),
@@ -2420,7 +2517,6 @@ def rebalance_pq_store(
     )
     # centroids were collected to the driver: safe to overwrite in place
     new_centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    new_centroids = spark.read.parquet(f"{path}/centroids")
 
     assigned = assigned_parts[0]
     for part in assigned_parts[1:]:
@@ -2430,24 +2526,23 @@ def rebalance_pq_store(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),
         "cluster",
     )
-    cbs = _pq_codebooks_list(codebooks)
-    if residual:
-        cent_sql = _literal_matrix_sql(
-            [new_cents[i] for i in sorted(new_cents)]
-        )
-        src = with_vecs.select(
-            F.col(id_col),
-            F.expr(_residual_sql(cent_sql, "_v")).alias("_rv"),
-            "cluster",
-        )
-        reencoded = pq_encode(
-            src, cbs, vec_col="_rv", id_col=id_col, keep=("cluster",)
-        )
-    else:
-        reencoded = pq_encode(
-            with_vecs, cbs, vec_col="_v", id_col=id_col, keep=("cluster",)
-        )
-    if streaming_layout:
+    return {
+        "new_cents": new_cents,
+        "with_vecs": with_vecs,
+        "split_cells": split_cells,
+        "new_cells": new_cells,
+        "n_members": n_members,
+        "streaming_layout": streaming_layout,
+    }
+
+
+def _write_rebalanced_codes(
+    spark, path: str, reencoded: DataFrame, split: dict
+) -> dict:
+    """Dynamic-partition-overwrite the re-encoded hot-cell members
+    into the codes store (old ids overwrite in place, fresh ids create
+    partitions; cold partitions untouched) and return the summary."""
+    if split["streaming_layout"]:
         reencoded = reencoded.withColumn(
             "ingest_batch", F.lit(-1).cast("long")
         )
@@ -2465,9 +2560,9 @@ def rebalance_pq_store(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {
-        "split_cells": split_cells,
-        "new_cells": new_cells,
-        "n_reencoded": n_members,
+        "split_cells": split["split_cells"],
+        "new_cells": split["new_cells"],
+        "n_reencoded": split["n_members"],
     }
 
 

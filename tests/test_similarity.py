@@ -1483,3 +1483,66 @@ def test_rebalance_member_read_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan and "cluster" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_rebalance_sq_store_recovers_recall(spark, tmp_path):
+    """SQ-store twin of the drift test: residual-mode bounds trained
+    pre-drift clamp the far cell's residuals into saturated codes;
+    splitting the hot cell restores resolution. Cold cells untouched,
+    no member lost."""
+    from haplorec_spark.operators.similarity import (
+        brute_force_topk,
+        rebalance_sq_store,
+        sq_store_topk,
+        store_cell_stats,
+        write_sq_store,
+    )
+
+    dim = 16
+    init = _blob([0.0] * dim, 120, 0) + _blob([10.0] * dim, 120, 1000)
+    drift = _blob([30.0] * dim, 300, 5000, spread=2.0)
+    init_df = spark.createDataFrame(
+        init, "vec_id long, embedding array<double>"
+    )
+    drift_df = spark.createDataFrame(
+        drift, "vec_id long, embedding array<double>"
+    )
+    all_df = init_df.unionByName(drift_df)
+    store = str(tmp_path / "sq")
+    write_sq_store(init_df, store, n_clusters=4, residual=True)
+    write_sq_store(drift_df, store, mode="append")
+
+    probes = drift_df.filter("vec_id < 5030")
+
+    def recall_at_10():
+        exact: dict = {}
+        for r in brute_force_topk(all_df, probes, k=10).collect():
+            exact.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        got: dict = {}
+        for r in sq_store_topk(spark, store, probes, k=10).collect():
+            got.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(exact[p] & got.get(p, set())) / len(exact[p]) for p in exact
+        ) / len(exact)
+
+    stats = {
+        r["cluster"]: r["n_codes"]
+        for r in store_cell_stats(spark, store).collect()
+    }
+    hot = max(stats, key=stats.get)
+    assert stats[hot] >= 300
+    degraded = recall_at_10()
+    out = rebalance_sq_store(
+        all_df, store, skew_threshold=1.5, split_factor=4
+    )
+    assert out["split_cells"] == [hot]
+    after = {
+        r["cluster"]: r["n_codes"]
+        for r in store_cell_stats(spark, store).collect()
+    }
+    for c, n in stats.items():
+        if c != hot:
+            assert after[c] == n
+    assert sum(after.values()) == sum(stats.values())
+    recovered = recall_at_10()
+    assert recovered > degraded + 0.2, (degraded, recovered)
