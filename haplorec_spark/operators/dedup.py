@@ -466,7 +466,9 @@ def write_lsh_store(
     ).write.mode(mode).partitionBy("band").parquet(path)
 
 
-def compact_lsh_store(spark, path: str) -> None:
+def compact_lsh_store(
+    spark, path: str, *, representatives_only: bool = False
+) -> None:
     """Rewrite the append-accumulated band-key store to one file per
     band partition with exact duplicate rows removed.
 
@@ -479,7 +481,19 @@ def compact_lsh_store(spark, path: str) -> None:
     meaning) — and repartitions to one file per band. The
     ``_segmentation`` marker is re-written after the swap (the
     stage-and-rename replaces the whole directory). Offline
-    single-writer maintenance."""
+    single-writer maintenance.
+
+    ``representatives_only=True`` is the STORE-SIDE twin of
+    :func:`lsh_candidate_pairs`' hot-bucket cap: each (band, band_key)
+    bucket collapses to its minimum-id row, so a 10⁵-copy boilerplate
+    family in years of history joins an incoming batch as ONE row per
+    band instead of 10⁵ (the incremental join's output against a
+    mega-family drops from m_batch × m_store to m_batch). For the
+    drop/keep decision this is lossless — a new document matches the
+    representative iff it matches any member (band keys are equal
+    across the bucket by definition) — but ``doc_id_matched`` then
+    names the representative, so keep the exhaustive store if you
+    audit WHICH historical document matched."""
     from haplorec_spark.operators.stores import replace_parquet_dir
 
     try:
@@ -487,7 +501,15 @@ def compact_lsh_store(spark, path: str) -> None:
         segmentation = marker["segmentation"] if marker else None
     except Exception:
         segmentation = None
-    store = spark.read.parquet(path).distinct().repartition("band")
+    store = spark.read.parquet(path)
+    id_cols = [c for c in store.columns if c not in ("band", "band_key")]
+    if representatives_only:
+        store = store.groupBy("band", "band_key").agg(
+            *[F.min(c).alias(c) for c in id_cols]
+        )
+    else:
+        store = store.distinct()
+    store = store.repartition("band")
     replace_parquet_dir(store, path, partition_by=("band",))
     if segmentation is not None:
         spark.createDataFrame(

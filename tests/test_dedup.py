@@ -857,3 +857,44 @@ def test_compact_lsh_store_parity_marker_and_files(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="segmentation"):
         incremental_candidate_pairs(newdocs, store, segmentation="whitespace")
+
+
+def test_compact_lsh_store_representatives_only(spark, tmp_path):
+    """Store-side mega-family guard: a duplicate family collapses to
+    one row per (band, band_key); an incoming copy still matches
+    (drop/keep decision lossless, matched id = the representative)."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.dedup import (
+        compact_lsh_store,
+        incremental_candidate_pairs,
+        write_lsh_store,
+    )
+
+    family = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate terms of service apply to this page").alias(
+            "text"
+        ),
+    )
+    unique = spark.createDataFrame(
+        [(900, "entirely different words appear in this other document")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "lsh")
+    write_lsh_store(family.unionByName(unique), store)
+    n_full = spark.read.parquet(store).count()
+    compact_lsh_store(spark, store, representatives_only=True)
+    n_rep = spark.read.parquet(store).count()
+    # 4 bands x (1 family bucket + 1 unique bucket) = 8 rows
+    assert n_rep == 8 and n_full == 4 * 51
+    newdocs = spark.createDataFrame(
+        [(1000, "boilerplate terms of service apply to this page"),
+         (1001, "no overlap with anything stored here at all today")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id_new"], r["doc_id_matched"], r["source"])
+        for r in incremental_candidate_pairs(newdocs, store).collect()
+    }
+    assert got == {(1000, 0, "history")}  # rep id 0; 1001 matches nothing
