@@ -300,7 +300,7 @@ def lsh_candidate_pairs(
       :func:`~haplorec_spark.operators.sampling.leakage_safe_split`
       consumers are unaffected; only the *pair list itself* is reduced
       — a consumer that Jaccard-verifies every candidate pair (e.g.
-      :func:`verify_pairs_jaccard` feeding a report of all near-dup
+      :func:`verify_jaccard_pairs` feeding a report of all near-dup
       pairs, not a drop decision) sees hub–member pairs only for
       mega-families, so pass ``hot_bucket_cap=None`` there if the
       exhaustive list matters more than the quadratic risk.
@@ -527,9 +527,15 @@ def incremental_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
+    hot_bucket_cap: int | None = 1024,
 ) -> DataFrame:
     """(doc_id_new, doc_id_matched, source): near-dup candidates of an
     incoming batch against BOTH the historical store and itself.
+    ``hot_bucket_cap`` governs the IN-BATCH half (see
+    :func:`lsh_candidate_pairs`; pass ``None`` when a downstream
+    Jaccard-verification consumer needs the exhaustive pair list); the
+    store half's mega-family guard is
+    ``compact_lsh_store(representatives_only=True)``.
 
     The incremental twin of :func:`lsh_candidate_pairs` — a new drop
     is deduped without re-scanning the historical corpus: only its
@@ -574,6 +580,7 @@ def incremental_candidate_pairs(
             text_col=text_col,
             id_col=id_col,
             segmentation=segmentation,
+            hot_bucket_cap=hot_bucket_cap,
         )
         .select(
             F.col("doc_id_b").alias("doc_id_new"),
@@ -1492,7 +1499,13 @@ def q_dedup_exact(spark, sf_dir):
     "MinHash-LSH candidate near-duplicate pairs (12 hashes, 4 bands)",
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return lsh_candidate_pairs(table(spark, sf_dir, "documents"))
+    # hot_bucket_cap=None: the oracle encodes the exact all-pairs
+    # self-join, so the gate must run exact semantics at ANY scale —
+    # with the default cap the two sides would diverge the moment a
+    # band bucket exceeds it (review-caught, round 10)
+    return lsh_candidate_pairs(
+        table(spark, sf_dir, "documents"), hot_bucket_cap=None
+    )
 
 
 @register(

@@ -151,10 +151,16 @@ def funnel_depth(
         return folded.select(
             "user_id",
             depth.cast("int").alias("depth"),
-            # depth 0 -> try_element_at(_, 0) -> NULL (invalid index)
+            # depth 0 must be guarded explicitly: element_at(_, 0) is
+            # INVALID_INDEX_OF_ZERO — an error even for try_element_at,
+            # which only forgives OUT-OF-RANGE indexes (review-caught,
+            # round 10: any user with funnel-step events but no step-1
+            # event crashed the whole query)
             F.expr(
-                "try_element_at(_dp, size(filter(_dp,"
-                " x -> x IS NOT NULL)))"
+                "CASE WHEN size(filter(_dp, x -> x IS NOT NULL)) = 0"
+                " THEN CAST(NULL AS timestamp)"
+                " ELSE element_at(_dp,"
+                " size(filter(_dp, x -> x IS NOT NULL))) END"
             ).alias("t_first"),
         )
     folded = grouped.withColumn(

@@ -1748,6 +1748,7 @@ def sq_train(
     corpus: DataFrame,
     *,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",  # accepted for SQ-family signature symmetry
 ) -> DataFrame:
     """(dim_ix, lo, hi): per-dimension bounds for 8-bit scalar
     quantization — the third rung of the quantization ladder (flat
@@ -1764,7 +1765,12 @@ def sq_train(
     plain ``(los, his)`` pair: when feeding SEVERAL consumers, collect
     once — ``los, his = ([r["lo"] ...], [r["hi"] ...])`` from one
     ``.collect()`` — or each consumer re-runs this aggregate.
+
+    ``id_col`` is accepted for signature symmetry with the rest of the
+    SQ family (external callers pass it uniformly) but unused: bounds
+    are per-dimension, no id is involved.
     """
+    del id_col
     return (
         corpus.select(
             F.posexplode(
@@ -2457,6 +2463,7 @@ def _split_hot_cells(
     next_id = max(old) + 1
     new_cents = dict(old)
     split_cells, new_cells = [], []
+    n_reencoded = 0
     assigned_parts: list[DataFrame] = []
     for c in hot:
         cell_ids = member_ids.filter(F.col("cluster") == c).select(id_col)
@@ -2487,6 +2494,9 @@ def _split_hot_cells(
         local_to_global = {subs[0][0]: c}
         new_cents[c] = subs[0][1]
         split_cells.append(c)
+        # members of cells that did NOT split are never re-encoded, so
+        # they must not be counted (review-caught overcount)
+        n_reencoded += sum(sizes.values())
         for sid, cent in subs[1:]:
             local_to_global[sid] = next_id
             new_cents[next_id] = cent
@@ -2511,13 +2521,6 @@ def _split_hot_cells(
     if not split_cells:
         return None
 
-    new_centroids = spark.createDataFrame(
-        sorted((i, c) for i, c in new_cents.items()),
-        "centroid_id int, centroid array<double>",
-    )
-    # centroids were collected to the driver: safe to overwrite in place
-    new_centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-
     assigned = assigned_parts[0]
     for part in assigned_parts[1:]:
         assigned = assigned.unionByName(part)
@@ -2531,7 +2534,7 @@ def _split_hot_cells(
         "with_vecs": with_vecs,
         "split_cells": split_cells,
         "new_cells": new_cells,
-        "n_members": n_members,
+        "n_reencoded": n_reencoded,
         "streaming_layout": streaming_layout,
     }
 
@@ -2539,9 +2542,27 @@ def _split_hot_cells(
 def _write_rebalanced_codes(
     spark, path: str, reencoded: DataFrame, split: dict
 ) -> dict:
-    """Dynamic-partition-overwrite the re-encoded hot-cell members
-    into the codes store (old ids overwrite in place, fresh ids create
-    partitions; cold partitions untouched) and return the summary."""
+    """Commit a rebalance with the smallest possible inconsistency
+    window (review-caught: pinning new centroids BEFORE the expensive
+    re-encode job left a crash window in which every existing residual
+    code in the split cell decoded against the wrong centroid):
+
+    1. STAGE the re-encoded rows to ``<path>/codes__pending`` — the
+       long Spark job; the store is untouched if it dies.
+    2. Back up ``centroids`` to ``centroids__prev``, then pin the new
+       table (tiny driver-collected frames, fast).
+    3. Dynamic-partition-overwrite ``codes`` FROM the staged rows (a
+       read+write of only the affected partitions), then drop the
+       staging dir.
+
+    The residual window is between steps 2 and 3 — one small local
+    job, not the encode. Recovery if a crash lands there: the staging
+    dir is still present, so either re-run the rebalance (idempotent
+    arithmetic: same stats, same splits) or restore ``centroids`` from
+    ``centroids__prev``. Offline single-writer maintenance, like the
+    compactions."""
+    from haplorec_spark.operators.stores import delete_dir
+
     if split["streaming_layout"]:
         reencoded = reencoded.withColumn(
             "ingest_batch", F.lit(-1).cast("long")
@@ -2549,20 +2570,36 @@ def _write_rebalanced_codes(
         part_cols = ["ingest_batch", "cluster"]
     else:
         part_cols = ["cluster"]
+    pending = f"{path}/codes__pending"
+    reencoded.write.mode("overwrite").parquet(pending)
+
+    old_centroids = spark.read.parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [(r["centroid_id"], list(r["centroid"]))
+         for r in old_centroids.collect()],
+        "centroid_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids__prev")
+    spark.createDataFrame(
+        sorted((i, c) for i, c in split["new_cents"].items()),
+        "centroid_id int, centroid array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            reencoded.write.mode("overwrite")
+            spark.read.parquet(pending)
+            .write.mode("overwrite")
             .partitionBy(*part_cols)
             .parquet(f"{path}/codes")
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    delete_dir(spark, pending)
     return {
         "split_cells": split["split_cells"],
         "new_cells": split["new_cells"],
-        "n_reencoded": split["n_members"],
+        "n_reencoded": split["n_reencoded"],
     }
 
 

@@ -12,7 +12,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["replace_parquet_dir"]
+__all__ = ["delete_dir", "replace_parquet_dir"]
+
+
+def delete_dir(spark, path: str) -> None:
+    """Recursively delete ``path`` via the Hadoop FS API (no-op when
+    absent) — staging-dir cleanup for the maintenance operators."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def replace_parquet_dir(

@@ -238,6 +238,7 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
     verify_threshold: float | None = None,
     segmentation: str = "whitespace",
+    hot_bucket_cap: int | None | str = "auto",
 ):
     """foreachBatch corpus ingest with cross-batch dedup against a
     persisted store: each micro-batch drops documents matching history
@@ -281,6 +282,10 @@ def stream_dedup_ingest(
         raise ValueError(f"unknown dedup mode: {mode!r}")
     if verify_threshold is not None and mode != "near":
         raise ValueError("verify_threshold applies to mode='near' only")
+    if hot_bucket_cap == "auto":
+        cap = None if verify_threshold is not None else 1024
+    else:
+        cap = hot_bucket_cap
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -313,11 +318,12 @@ def stream_dedup_ingest(
                 incremental_candidate_pairs(
                     batch_df, store_path, text_col=text_col,
                     id_col=id_col, segmentation=segmentation,
+                    hot_bucket_cap=cap,
                 )
                 if have_store
                 else lsh_candidate_pairs(
                     batch_df, text_col=text_col, id_col=id_col,
-                    segmentation=segmentation,
+                    segmentation=segmentation, hot_bucket_cap=cap,
                 ).select(
                     F.col("doc_id_b").alias("doc_id_new"),
                     F.col("doc_id_a").alias("doc_id_matched"),

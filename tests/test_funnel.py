@@ -210,3 +210,17 @@ def test_retry_funnel_counts_ladder(spark):
         ).collect()
     }
     assert got == {1: 2, 2: 2}
+
+
+def test_retry_depth_zero_user_is_null_not_crash(spark):
+    """Review-caught (round 10): a user with funnel-step events but no
+    step-1 event has depth 0 — element_at(state, 0) is
+    INVALID_INDEX_OF_ZERO (an error even for try_element_at), so the
+    extraction must guard depth 0 explicitly."""
+    rows = [(1, 4, 0, "click"), (2, 4, 1, "purchase")]
+    got = funnel_depth(
+        _events(spark, rows), STEPS, within_seconds=3600, retry=True
+    ).collect()
+    assert [(r["user_id"], r["depth"], r["t_first"]) for r in got] == [
+        (4, 0, None)
+    ]
