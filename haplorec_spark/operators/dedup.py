@@ -965,25 +965,32 @@ def simhash_near_duplicates(
     sim = simhash32(docs, text_col=text_col, id_col=id_col)
     if not collapse_identical:
         return _simhash_banded_pairs(sim, id_col=id_col, max_hamming=max_hamming)
-    # distinct-fingerprint frame is checkpointed: it feeds three
-    # consumers (star edges + both join sides), and each would
-    # otherwise re-run the corpus-wide signature aggregate.
-    reps = (
+    # ONE grouped frame feeds everything (round-10 bench fix: the
+    # first collapse design joined sim back against a reps aggregate,
+    # scheduling the corpus-wide signature aggregate twice and paying
+    # an extra exchange — measured 1.4× on the sf0.1 gate). Group ids
+    # per fingerprint once, checkpoint the (fingerprint-count)-row
+    # result, and derive star edges AND the banded join's rep side
+    # map-side from it. A family's id array lives in one row — the
+    # lsh_candidate_pairs grouped-path tradeoff, bounded by the
+    # largest duplicate family, never the corpus.
+    grp = (
         sim.groupBy("simhash")
-        .agg(F.min(id_col).alias("rep"), F.count(F.lit(1)).alias("_m"))
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
         .localCheckpoint(eager=True)
     )
     star = (
-        sim.join(reps.filter(F.col("_m") >= 2), on="simhash")
-        .filter(F.col(id_col) != F.col("rep"))
+        grp.filter(F.size("_ids") >= 2)
         .select(
-            F.col("rep").alias("doc_id_a"),
-            F.col(id_col).alias("doc_id_b"),
-            F.lit(0).cast("int").alias("hamming"),
+            F.expr("element_at(_ids, 1)").alias("doc_id_a"),
+            F.explode(F.expr("slice(_ids, 2, size(_ids) - 1)")).alias(
+                "doc_id_b"
+            ),
         )
+        .withColumn("hamming", F.lit(0).cast("int"))
     )
     rep_pairs = _simhash_banded_pairs(
-        reps.select(F.col("rep").alias(id_col), "simhash"),
+        grp.select(F.expr("element_at(_ids, 1)").alias(id_col), "simhash"),
         id_col=id_col,
         max_hamming=max_hamming,
     )
