@@ -582,6 +582,26 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Not a driver gate (the 50-slot budget is full): the CAPPED LSH
+# candidate path — all pairs for buckets <= cap, star edges above —
+# against a DuckDB oracle expressing the same branch split via window
+# counts (test_registry.py). A seeded 10-copy family makes the star
+# branch non-vacuous at sf0.001 (cap=3); natural small buckets cover
+# the all-pairs branch.
+def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.dedup import lsh_candidate_pairs
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    family = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(10).select(F.col("id").alias("_k")))
+        .select((F.lit(200000) + F.col("_k")).alias("doc_id"), "text")
+    )
+    return lsh_candidate_pairs(
+        docs.unionByName(family), hot_bucket_cap=3
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): the retry-window
 # funnel (windowFunnel semantics — max depth over ALL within-budget
 # attempts); DuckDB oracle expresses the same maximum as per-level

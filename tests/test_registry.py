@@ -540,6 +540,50 @@ ROTATED_OUT_ORACLES["q_salted_event_type_stats"] = """
 """
 
 
+#: the CAPPED LSH candidate path: per (band, band_key) bucket, all
+#: pairs at size <= 3, star edges (bucket-min -> member) above — the
+#: hot-bucket skew guard's exact semantics, branch split expressed via
+#: window counts. A seeded 10-copy family of doc 0 exercises the star
+#: branch; natural buckets cover all-pairs.
+ROTATED_OUT_ORACLES["q_dedup_minhash_lsh_capped"] = """
+    WITH d AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT 200000 + k AS doc_id, text
+               FROM documents, range(10) t(k) WHERE doc_id = 0),
+         w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+               FROM d),
+         sh AS (SELECT DISTINCT doc_id, shingle FROM (
+                    SELECT doc_id,
+                           unnest(CASE WHEN len(ws) >= 3
+                                  THEN list_transform(
+                                           generate_series(1, len(ws) - 2),
+                                           i -> ws[i] || ' ' || ws[i+1]
+                                                      || ' ' || ws[i+2])
+                                  ELSE []::VARCHAR[] END) AS shingle
+                    FROM w)),
+         sig AS (SELECT doc_id, seed,
+                        min(md5(seed::VARCHAR || '|' || shingle)) AS mh
+                 FROM sh CROSS JOIN range(12) t(seed)
+                 GROUP BY doc_id, seed),
+         banded AS (SELECT doc_id, seed // 3 AS band,
+                           string_agg(mh, ',' ORDER BY seed) AS band_key
+                    FROM sig GROUP BY doc_id, seed // 3),
+         sized AS (SELECT doc_id, band, band_key,
+                          count(*) OVER (PARTITION BY band, band_key)
+                              AS m,
+                          min(doc_id) OVER (PARTITION BY band, band_key)
+                              AS hub
+                   FROM banded),
+         ap AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+                FROM sized a JOIN sized b USING (band, band_key)
+                WHERE a.m <= 3 AND a.doc_id < b.doc_id),
+         st AS (SELECT hub AS doc_id_a, doc_id AS doc_id_b
+                FROM sized WHERE m > 3 AND doc_id <> hub)
+    SELECT DISTINCT doc_id_a, doc_id_b
+    FROM (SELECT * FROM ap UNION ALL SELECT * FROM st)
+"""
+
+
 #: retry-window funnel (windowFunnel semantics): depth = max over all
 #: in-order (view < click < purchase) chains whose last event is
 #: within the budget of the chain's start; t_first = the LATEST start
@@ -786,3 +830,21 @@ def test_jaccard_dfcut_changes_the_answer(spark):
         ).collect()
     )
     assert cut != uncut
+
+
+def test_capped_lsh_oracle_star_branch_is_non_vacuous(spark):
+    """The q_dedup_minhash_lsh_capped fixture must actually exercise
+    BOTH branches: the seeded family emits hub->member star edges and
+    suppresses member-member pairs (the uncapped path would emit
+    them), while natural small buckets still produce ordinary pairs."""
+    import haplorec_spark.queries as q
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in q.q_dedup_minhash_lsh_capped(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert (0, 200000) in got  # star edge from the hub
+    assert (200000, 200001) not in got  # member-member pair suppressed
+    assert any(a < 200000 and b < 200000 for a, b in got)  # natural pairs
