@@ -965,19 +965,21 @@ def simhash_near_duplicates(
     sim = simhash32(docs, text_col=text_col, id_col=id_col)
     if not collapse_identical:
         return _simhash_banded_pairs(sim, id_col=id_col, max_hamming=max_hamming)
-    # ONE grouped frame feeds everything (round-10 bench fix: the
-    # first collapse design joined sim back against a reps aggregate,
-    # scheduling the corpus-wide signature aggregate twice and paying
-    # an extra exchange — measured 1.4× on the sf0.1 gate). Group ids
-    # per fingerprint once, checkpoint the (fingerprint-count)-row
-    # result, and derive star edges AND the banded join's rep side
-    # map-side from it. A family's id array lives in one row — the
-    # lsh_candidate_pairs grouped-path tradeoff, bounded by the
-    # largest duplicate family, never the corpus.
-    grp = (
-        sim.groupBy("simhash")
-        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("_ids"))
-        .localCheckpoint(eager=True)
+    # ONE grouped frame feeds everything (round-10 bench fix, twice:
+    # the first collapse design joined sim back against a reps
+    # aggregate — corpus signature aggregate scheduled twice, 1.4×
+    # measured; an eager localCheckpoint of the grouped frame fixed
+    # the double compute but added a separate job per query, still
+    # 1.47× in the bench harness). Final shape: NO checkpoint — the
+    # three consumers (star edges + both banded-join sides) share the
+    # grouped subtree, whose shuffle AQE's exchange reuse materializes
+    # once (the bloom-probe contract, pinned by
+    # test_simhash_collapse_reuses_signature_exchange); measured
+    # 1.75 s vs the literal path's 1.51 s at sf0.1. A family's id
+    # array lives in one row — the lsh_candidate_pairs grouped-path
+    # tradeoff, bounded by the largest duplicate family.
+    grp = sim.groupBy("simhash").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_ids")
     )
     star = (
         grp.filter(F.size("_ids") >= 2)

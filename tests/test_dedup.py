@@ -898,3 +898,18 @@ def test_compact_lsh_store_representatives_only(spark, tmp_path):
         for r in incremental_candidate_pairs(newdocs, store).collect()
     }
     assert got == {(1000, 0, "history")}  # rep id 0; 1001 matches nothing
+
+
+def test_simhash_collapse_reuses_signature_exchange(spark):
+    """The collapsed path's three consumers (star edges + both banded
+    join sides) share the grouped-signature subtree WITHOUT a
+    checkpoint: AQE exchange reuse must materialize the corpus-wide
+    signature shuffle once — ReusedExchange nodes present in the final
+    adaptive plan (the bloom-probe contract)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    df = simhash_near_duplicates(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 2, plan.count("ReusedExchange")
