@@ -2357,11 +2357,21 @@ def _ngram_lang_struct(text_col: str):
     )
 
 
-def _literal_prob_var_sql(weights, bias: float, tokens_var: str) -> str:
+def _literal_prob_var_sql(
+    weights, bias: float, tokens_var: str, denom_var: str | None = None
+) -> str:
     """SQL for the average-normalized literal-map sigmoid probability
     over a BOUND token-array variable — the lambda-scoped twin of
     :func:`_literal_score_prob` (same entries, same InSet prefilter,
-    same rounding, so values are bit-identical)."""
+    same rounding, so values are bit-identical).
+
+    ``denom_var`` names the array whose SIZE normalizes the sum when
+    the sum itself folds over a pre-filtered survivor array (the
+    round-10 union-prefilter pattern): values stay bit-identical
+    because every filtered-out token contributed an exact ``+0.0`` —
+    an IEEE identity (no weight in the pinned models is −0.0, and
+    exact cancellation yields +0.0, so the accumulator is never −0.0
+    when a +0.0 term is dropped)."""
     entries = ", ".join(
         "'" + w.replace("'", "''") + f"', CAST({float(x)!r} AS DOUBLE)"
         for w, x in sorted(weights.items())
@@ -2381,7 +2391,7 @@ def _literal_prob_var_sql(weights, bias: float, tokens_var: str) -> str:
     )
     score = (
         f"round(CAST({float(bias)!r} AS DOUBLE)"
-        f" + {total} / cast(size({tokens_var}) as double), 6)"
+        f" + {total} / cast(size({denom_var or tokens_var}) as double), 6)"
     )
     return f"round(1.0 / (1.0 + exp(-{score})), 6)"
 
@@ -2389,14 +2399,24 @@ def _literal_prob_var_sql(weights, bias: float, tokens_var: str) -> str:
 def _langid_literal_struct(model, ftext_sql: str):
     """struct(s, ni, l): the trained rung's literal-model argmax as
     one self-contained Column — the feature-gram array is bound once,
-    each language's sigmoid computed exactly once inside."""
+    its union-of-all-model-features survivors once more (round 10:
+    the same prefilter that flattened the lexicon/trigram rungs —
+    out-of-vocabulary grams are the common case and contribute exact
+    +0.0, so each language's fold runs over the survivors while the
+    average keeps the full-stream denominator; bit-identical, pinned
+    by the naive-scorer A/B test), each language's sigmoid computed
+    exactly once inside."""
+    union = sorted({w for _, ws in model.values() for w in ws})
+    arr_u = ", ".join("'" + w.replace("'", "''") + "'" for w in union)
     scores = [
-        (lang, _literal_prob_var_sql(ws, bias, "gs"))
+        (lang, _literal_prob_var_sql(ws, bias, "gsu", denom_var="gs"))
         for lang, (bias, ws) in model.items()
     ]
     inner = _argmax_struct_sql(scores)
     return F.expr(
-        f"transform(array(split({ftext_sql}, ' ')), gs -> {inner})[0]"
+        f"transform(array(split({ftext_sql}, ' ')), gs ->"
+        f" transform(array(filter(gs, w -> w in ({arr_u}))),"
+        f" gsu -> {inner})[0])[0]"
     )
 
 

@@ -2028,3 +2028,35 @@ def test_language_id_prefilter_identical_on_real_corpus(spark):
 
     assert {v[0] for v in got.values()} <= set(LANG_LEXICON)
     assert {v[0] for v in ng.values()} <= set(LANG_TRIGRAM_PROFILES)
+
+
+def test_language_id_model_prefilter_matches_naive_scorer(spark, cjk_docs):
+    """The trained rung's union prefilter (sum over survivors, average
+    over the full stream) must be bit-identical to the naive
+    full-stream fold — every filtered-out gram contributed an exact
+    +0.0 (no pinned weight is -0.0), an IEEE identity."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import (
+        PINNED_LANGID_MODEL,
+        _argmax_struct_sql,
+        _literal_prob_var_sql,
+        _mapping_ngram,
+        char_ngram_text_sql,
+        language_id_model,
+    )
+
+    ftext = char_ngram_text_sql("text", _mapping_ngram(PINNED_LANGID_MODEL))
+    scores = [
+        (lang, _literal_prob_var_sql(ws, bias, "gs"))
+        for lang, (bias, ws) in PINNED_LANGID_MODEL.items()
+    ]
+    inner = _argmax_struct_sql(scores)
+    x = F.expr(f"transform(array(split({ftext}, ' ')), gs -> {inner})[0]")
+    naive = cjk_docs.select(
+        "doc_id",
+        x.getField("l").alias("predicted_lang"),
+        x.getField("s").alias("lang_score"),
+    )
+    got = rows(language_id_model(cjk_docs, PINNED_LANGID_MODEL))
+    assert got == rows(naive)
