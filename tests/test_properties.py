@@ -562,3 +562,104 @@ def test_bpe_rungs_equal_replica_on_random_corpora(spark, corpus):
         ).orderBy("merge_rank").collect()
     ]
     assert bat == want
+
+
+# -------------------------------------------- round-10 new semantics
+
+# Small alphabets force step repeats, ties, and budget boundaries.
+_ev_lists = st.lists(
+    st.tuples(
+        st.sampled_from(["A", "B", "C", "X"]),  # event type (X = noise)
+        st.integers(min_value=0, max_value=12),  # minute offset
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+def _brute_retry_depth(events, steps, within_min):
+    """Max depth over ALL in-order chains whose span fits the budget —
+    the windowFunnel definition, by exhaustive DFS over the sorted
+    event list (events = [(type, minute, eid)] sorted by (minute, eid))."""
+    best = 0
+
+    def extend(start_ix, level, t0):
+        nonlocal best
+        best = max(best, level)
+        if level == len(steps):
+            return
+        for j in range(start_ix, len(events)):
+            et, t, _ = events[j]
+            if et != steps[level]:
+                continue
+            anchor = t if level == 0 else t0
+            if level > 0 and (t - t0) * 60 > within_min * 60:
+                continue
+            extend(j + 1, level + 1, anchor)
+
+    extend(0, 0, None)
+    return best
+
+
+@SLOW
+@given(evs=_ev_lists)
+def test_funnel_retry_matches_exhaustive_search(spark, evs):
+    from datetime import datetime, timedelta
+
+    from haplorec_spark.operators.funnel import funnel_depth
+
+    steps = ["A", "B", "C"]
+    within_min = 5
+    base = datetime(2024, 1, 1)
+    rows_ = [
+        (i, base + timedelta(minutes=m), 1, et, 0.0, "{}")
+        for i, (et, m) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows_,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    got = funnel_depth(
+        df, steps, within_seconds=within_min * 60, retry=True
+    ).collect()
+    ordered = sorted(
+        ((et, m, i) for i, (et, m) in enumerate(evs)),
+        key=lambda x: (x[1], x[2]),
+    )
+    want = _brute_retry_depth(ordered, steps, within_min)
+    if not any(et in steps for et, _ in evs):
+        assert got == []  # no funnel-step events: no row
+    else:
+        assert len(got) == 1 and got[0]["depth"] == want
+
+
+@SLOW
+@given(
+    fam=st.integers(min_value=0, max_value=8),
+    uniq=st.integers(min_value=0, max_value=4),
+    cap=st.integers(min_value=2, max_value=5),
+)
+def test_lsh_cap_components_match_uncapped(spark, fam, uniq, cap):
+    """For ANY family size and cap, capped and uncapped pair sets must
+    span identical connected components."""
+    from haplorec_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+    )
+
+    rows_ = [
+        (i, "shared boilerplate text body repeated across the family")
+        for i in range(fam)
+    ] + [
+        (100 + i, f"unique document number {i} with its own distinct words")
+        for i in range(uniq)
+    ]
+    if not rows_:
+        return
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+    capped = lsh_candidate_pairs(docs, hot_bucket_cap=cap)
+    exact = lsh_candidate_pairs(docs, hot_bucket_cap=None)
+    got = sorted(map(tuple, dedup_clusters(capped).collect()))
+    want = sorted(map(tuple, dedup_clusters(exact).collect()))
+    assert got == want
