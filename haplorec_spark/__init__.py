@@ -128,6 +128,7 @@ from haplorec_spark.operators.funnel import (  # noqa: E402
 from haplorec_spark.operators.html import extract_html_text  # noqa: E402
 from haplorec_spark.operators.retention import retention_cohorts  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
+    encoding_quality,
     bigram_logprob_score,
     blocked_term_fraction,
     build_vocab,
@@ -206,6 +207,7 @@ __all__ = [
     "decontaminate",
     "dedup_survivors",
     "duplicate_ngram_spans",
+    "encoding_quality",
     "evaluate_binary_classifier",
     "extract_html_text",
     "filter_blocked_domains",

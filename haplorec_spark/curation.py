@@ -100,6 +100,11 @@ class CurationConfig:
     #: text.MAX_LITERAL_FEATURES.
     blocked_terms: Sequence[str] | None = None
     max_blocked_fraction: float = 0.0
+    #: crawl-decode QA gate: drop documents whose encoding_damage
+    #: (replacement-char + stray-control + mojibake per-character
+    #: rates, ``text.encoding_quality``) exceeds this; None skips.
+    #: Map-side regexp counts, zero shuffle.
+    max_encoding_damage: float | None = None
     #: drop documents whose mean self-trained-LM log10-probability
     #: (trained on the post-quality corpus) falls below this; None skips
     min_avg_logprob: float | None = None
@@ -318,6 +323,11 @@ def map_side_curation(
             cfg.text_col, cfg.blocked_terms, cfg.segmentation
         )
         out = out.filter(F.expr(frac) <= cfg.max_blocked_fraction)
+    if cfg.max_encoding_damage is not None:
+        from haplorec_spark.operators.text import encoding_quality_exprs
+
+        dmg = encoding_quality_exprs(cfg.text_col)["encoding_damage"]
+        out = out.filter(F.expr(dmg) <= cfg.max_encoding_damage)
     if cfg.classifier_weights is not None:
         _score, prob = _literal_score_prob(
             cfg.classifier_weights, cfg.classifier_bias, True, cfg.text_col
@@ -596,6 +606,18 @@ def curate_documents(
             _flag_map(
                 "blocked_terms",
                 F.expr(frac_audit) <= cfg.max_blocked_fraction,
+            )
+
+    if cfg.max_encoding_damage is not None:
+        from haplorec_spark.operators.text import encoding_quality_exprs
+
+        dmg = encoding_quality_exprs(cfg.text_col)["encoding_damage"]
+        out = out.filter(F.expr(dmg) <= cfg.max_encoding_damage)
+        if count_stages:
+            dmg_audit = encoding_quality_exprs("__t")["encoding_damage"]
+            _flag_map(
+                "encoding",
+                F.expr(dmg_audit) <= cfg.max_encoding_damage,
             )
 
     if cfg.min_avg_logprob is not None:

@@ -3262,6 +3262,107 @@ def duck_blocked_term_sql(
     )
 
 
+# --------------------------------------------- encoding quality (round 10)
+
+#: Characters that should never survive a CLEAN decode: U+FFFD (the
+#: decoder already admitted defeat) and stray C0/C1-adjacent controls
+#: (NUL..BS, VT, FF, SO..US, DEL — tab/newline/CR excluded: legitimate
+#: whitespace). Literal chars, the :func:`_codepoint_class` contract —
+#: valid and identical in Java regex, RE2 (DuckDB), and Python re.
+_STRAY_CONTROL_CLASS = (
+    "[" + _codepoint_class(
+        [(0x00, 0x08), (0x0B, 0x0C), (0x0E, 0x1F), (0x7F, 0x7F)]
+    ) + "]"
+)
+
+#: UTF-8-read-as-Latin-1 double-encoding digrams — the dominant
+#: mojibake family on real crawls: a two-byte UTF-8 sequence decoded
+#: byte-per-char yields 'Ã'/'Â'/'â' followed by a Latin-1-supplement
+#: punctuation character (U+00A0–U+00BF: ¡¢£¤… — combinations that no
+#: natural-language text produces; 'São'-style legitimate Ã is
+#: followed by ASCII letters, which this class excludes), plus the
+#: 'â€' digram ('â€™' is the mojibake of ’). A deterministic
+#: heuristic, not a decoder: it flags the common damage, it does not
+#: certify cleanliness.
+_MOJIBAKE_PATTERN = (
+    "(â€|[ÃÂ][" + _codepoint_class([(0xA0, 0xBF)]) + "])"
+)
+
+
+def encoding_quality_exprs(text_col: str) -> dict[str, str]:
+    """SQL exprs {replacement_fraction, control_fraction,
+    mojibake_fraction, encoding_damage} — per-character rates of
+    decode damage, all over ``length(text)`` with a zero-length guard
+    (empty text scores 0.0 everywhere). ``encoding_damage`` is the
+    single-number sum the curation gate thresholds. Pure map-side
+    regexp counts; the DuckDB twin is :func:`duck_encoding_quality_sql`."""
+    n = f"greatest(length({text_col}), 1)"
+
+    def frac(pattern: str) -> str:
+        return (
+            f"round(size(regexp_extract_all({text_col},"
+            f" '{pattern}', 0)) / cast({n} as double), 6)"
+        )
+
+    rep = frac("�")
+    ctl = frac(_STRAY_CONTROL_CLASS)
+    moj = frac(_MOJIBAKE_PATTERN)
+    return {
+        "replacement_fraction": rep,
+        "control_fraction": ctl,
+        "mojibake_fraction": moj,
+        "encoding_damage": f"round({rep} + {ctl} + {moj}, 6)",
+    }
+
+
+def encoding_quality(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, replacement_fraction, control_fraction, mojibake_fraction,
+    encoding_damage): the crawl-decode QA audit.
+
+    WARC ingestion honors declared charsets and quarantines failed
+    decodes, but the web's routine damage is text that decodes
+    CLEANLY to the wrong thing — double-encoded UTF-8 ('Ã©' where 'é'
+    belongs), lossy upstream conversions (U+FFFD), and binary spill
+    (stray control characters). Per-character rates, one map-side
+    projection, zero shuffle at any corpus size; gate via
+    ``CurationConfig.max_encoding_damage``.
+    """
+    xs = encoding_quality_exprs(text_col)
+    return docs.select(
+        F.col(id_col),
+        *[F.expr(sql).alias(name) for name, sql in xs.items()],
+    )
+
+
+def duck_encoding_quality_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`encoding_quality_exprs` — same classes,
+    same rounding, ONE spelling difference: the control class uses
+    RE2 ``\\x`` hex escapes instead of literal characters, because a
+    literal NUL terminates DuckDB's string parser (standard-SQL
+    literals pass backslashes through to RE2 untouched, while Spark's
+    parser would strip the unknown ``\\x`` escape — so each engine
+    gets the one spelling it can carry)."""
+    n = f"greatest(length({text_expr}), 1)"
+
+    def frac(pattern: str) -> str:
+        p = pattern.replace("'", "''")
+        return (
+            f"round(len(regexp_extract_all({text_expr}, '{p}'))"
+            f" / {n}::DOUBLE, 6)"
+        )
+
+    rep = frac("�")
+    ctl = frac(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
+    moj = frac(_MOJIBAKE_PATTERN)
+    return (
+        f"{rep} AS replacement_fraction, {ctl} AS control_fraction,"
+        f" {moj} AS mojibake_fraction,"
+        f" round({rep} + {ctl} + {moj}, 6) AS encoding_damage"
+    )
+
+
 def redact_pii(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

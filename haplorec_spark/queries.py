@@ -582,6 +582,27 @@ def q_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Not a driver gate (the 50-slot budget is full): crawl-decode QA —
+# per-character replacement/control/mojibake rates; DuckDB oracle from
+# the shared duck_encoding_quality_sql twin (test_registry.py). The
+# synthetic corpus is clean, so damage is seeded deterministically:
+# every 5th doc gains a mojibake tail, every 7th a U+FFFD, every 11th
+# a stray control character.
+def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import encoding_quality
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            " CASE WHEN doc_id % 5 = 0 THEN ' Ã© â€™ broken' ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN ' � lost' ELSE '' END,"
+            " CASE WHEN doc_id % 11 = 0 THEN ' ctl' ELSE '' END)"
+        ).alias("text"),
+    )
+    return encoding_quality(docs)
+
+
 # Not a driver gate (the 50-slot budget is full): the CAPPED LSH
 # candidate path — all pairs for buckets <= cap, star edges above —
 # against a DuckDB oracle expressing the same branch split via window

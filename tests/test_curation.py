@@ -1359,3 +1359,22 @@ def test_cjk_end_to_end_curation_keep_rates(spark):
     for did, (kind, lang) in truth.items():
         if kind == "good" and did in langs:
             assert langs[did] == lang, (did, langs[did], lang)
+
+
+def test_encoding_gate_drops_damaged_docs(spark):
+    from haplorec_spark.curation import CurationConfig, curate_documents
+
+    good = "the house is big and the water is cold in the winter time"
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good + " but Ã© broken â€™ badly Ã¼ mojibake Â« here"),
+            (3, good + " �����"),
+        ],
+        "doc_id long, text string",
+    )
+    cfg = CurationConfig(dedup=None, max_encoding_damage=0.01)
+    out, counts = curate_documents(docs, config=cfg, count_stages=True)
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {1}
+    assert counts["encoding"] == 1  # the audit stage counted the drop

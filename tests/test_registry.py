@@ -631,6 +631,28 @@ ROTATED_OUT_ORACLES["q_funnel_events_retry"] = """
 """
 
 
+def _encoding_quality_oracle() -> str:
+    from haplorec_spark.operators.text import duck_encoding_quality_sql
+
+    cols = duck_encoding_quality_sql("text")
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      text
+                      || CASE WHEN doc_id % 5 = 0
+                              THEN ' Ã© â€™ broken' ELSE '' END
+                      || CASE WHEN doc_id % 7 = 0
+                              THEN ' � lost' ELSE '' END
+                      || CASE WHEN doc_id % 11 = 0
+                              THEN ' ' || chr(1) || 'ctl' ELSE '' END
+                          AS text
+               FROM documents)
+    SELECT doc_id, {cols} FROM d
+    """
+
+
+ROTATED_OUT_ORACLES["q_encoding_quality"] = _encoding_quality_oracle()
+
+
 def _blocked_terms_oracle() -> str:
     from haplorec_spark.operators.text import duck_blocked_term_sql
 

@@ -2060,3 +2060,38 @@ def test_language_id_model_prefilter_matches_naive_scorer(spark, cjk_docs):
     )
     got = rows(language_id_model(cjk_docs, PINNED_LANGID_MODEL))
     assert got == rows(naive)
+
+
+def test_encoding_quality_detects_damage_not_legit_latin(spark):
+    """Replacement chars, stray controls, and UTF-8-as-Latin-1
+    digrams register; legitimate accented Latin ('São', 'café') and
+    tab/newline whitespace do not."""
+    from haplorec_spark.operators.text import encoding_quality
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean ascii text"),
+            (2, "lost � char"),
+            (3, "mojibake Ã© and â€™ and Â«"),
+            (4, "bin\x00ary\x07spill"),
+            (5, "São Paulo nações café naïve fiancée"),
+            (6, "tabs\tand\nnewlines\rare fine"),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["replacement_fraction"],
+            r["control_fraction"],
+            r["mojibake_fraction"],
+        )
+        for r in encoding_quality(docs).collect()
+    }
+    assert got[1] == (0.0, 0.0, 0.0)
+    assert got[2][0] > 0 and got[2][1] == 0 and got[2][2] == 0
+    assert got[3][2] > 0 and got[3][0] == 0
+    assert got[4][1] > 0
+    assert got[5] == (0.0, 0.0, 0.0)  # no false positives on real Latin
+    assert got[6] == (0.0, 0.0, 0.0)  # whitespace is not damage
+    assert got[7] == (None, None, None)  # NULL text stays NULL
