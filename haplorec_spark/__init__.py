@@ -84,6 +84,7 @@ from haplorec_spark.operators.dedup import (  # noqa: E402
     duplicate_ngram_spans,
     compact_lsh_store,
     lsh_parameters,
+    lsh_verified_pairs,
     strip_duplicate_ngram_spans,
     verify_jaccard_pairs,
 )
@@ -94,6 +95,8 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     compact_pq_store,
     rebalance_pq_store,
     rebalance_sq_store,
+    rebuild_pq_store,
+    rebuild_sq_store,
     store_cell_stats,
     incremental_semantic_pairs,
     ivf_pq_topk,
@@ -198,6 +201,8 @@ __all__ = [
     "compact_pq_store",
     "rebalance_pq_store",
     "rebalance_sq_store",
+    "rebuild_pq_store",
+    "rebuild_sq_store",
     "store_cell_stats",
     "chunk_documents",
     "cluster_size_profile",
@@ -228,6 +233,7 @@ __all__ = [
     "compact_bloom_store",
     "compact_lsh_store",
     "lsh_parameters",
+    "lsh_verified_pairs",
     "jsonl_source",
     "warc_source",
     "wet_source",

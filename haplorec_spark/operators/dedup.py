@@ -545,32 +545,16 @@ def incremental_candidate_pairs(
     After dropping/keeping, append the surviving batch's keys via
     :func:`write_lsh_store` to advance the store.
     """
-    spark = new_docs.sparkSession
-    _validate_segmentation_marker(spark, store_path, segmentation)
-    new_banded = lsh_band_keys(
+    vs_history = history_candidate_pairs(
         new_docs,
+        store_path,
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
         text_col=text_col,
         id_col=id_col,
         segmentation=segmentation,
-    )
-    store = spark.read.parquet(store_path)
-    vs_history = (
-        new_banded.select(
-            F.col(id_col).alias("doc_id_new"), "band", "band_key"
-        )
-        .join(
-            store.select(
-                F.col(id_col).alias("doc_id_matched"), "band", "band_key"
-            ),
-            on=["band", "band_key"],
-        )
-        .select("doc_id_new", "doc_id_matched")
-        .distinct()
-        .withColumn("source", F.lit("history"))
-    )
+    ).withColumn("source", F.lit("history"))
     vs_batch = (
         lsh_candidate_pairs(
             new_docs,
@@ -589,6 +573,50 @@ def incremental_candidate_pairs(
         .withColumn("source", F.lit("batch"))
     )
     return vs_history.unionByName(vs_batch)
+
+
+def history_candidate_pairs(
+    new_docs: DataFrame,
+    store_path: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmentation: str = "whitespace",
+) -> DataFrame:
+    """(doc_id_new, doc_id_matched): the HISTORY half of
+    :func:`incremental_candidate_pairs` alone — an incoming batch's
+    band keys joined against the persisted store, no in-batch pairs.
+    Used by consumers that handle the in-batch half with a different
+    strategy (e.g. the bounded star-verify path in
+    :func:`~haplorec_spark.streaming.stream_dedup_ingest`)."""
+    spark = new_docs.sparkSession
+    _validate_segmentation_marker(spark, store_path, segmentation)
+    new_banded = lsh_band_keys(
+        new_docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        segmentation=segmentation,
+    )
+    store = spark.read.parquet(store_path)
+    return (
+        new_banded.select(
+            F.col(id_col).alias("doc_id_new"), "band", "band_key"
+        )
+        .join(
+            store.select(
+                F.col(id_col).alias("doc_id_matched"), "band", "band_key"
+            ),
+            on=["band", "band_key"],
+        )
+        .select("doc_id_new", "doc_id_matched")
+        .distinct()
+    )
 
 
 def write_hash_store(
@@ -1184,6 +1212,220 @@ def verify_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select(*pairs.columns, "jaccard")
     )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    margin: float = 0.1,
+    escalate_sample: int = 16,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmentation: str = "whitespace",
+    hot_bucket_cap: int | None = 1024,
+) -> DataFrame:
+    """(doc_id_a, doc_id_b, jaccard): Jaccard-VERIFIED near-duplicate
+    pairs with BOUNDED work on mega-families — the drop list a
+    quality-conscious dedup consumes (``doc_id_b`` is the member to
+    drop, ``doc_id_a`` its verified witness, always ``a < b``).
+
+    The exact pipeline (``lsh_candidate_pairs(hot_bucket_cap=None)``
+    then :func:`verify_jaccard_pairs`) emits ~bands·m²/2 candidate
+    rows from one m-document boilerplate family — at m = 10⁵ that is a
+    10¹⁰-row shuffle, the one configuration where round 9's skew guard
+    could not help because star candidates only witness hub–member
+    similarity. This operator verifies over-cap buckets in O(m) per
+    band instead:
+
+    * bucket ≤ ``hot_bucket_cap``: every within-bucket pair, verified
+      exactly — identical decisions to the exact path;
+    * bucket > cap: the m−1 hub–member star edges are Jaccard-checked
+      (hub = bucket-minimum id). A member whose hub similarity clears
+      ``threshold`` is dropped with the hub as witness — the exact
+      path would drop it too (the hub IS a valid witness). A member
+      whose hub similarity lands in ``[threshold − margin, threshold)``
+      is AMBIGUOUS — it may still clear the threshold against some
+      other member — and escalates to exact checks against the
+      bucket's first ``escalate_sample`` members (the smallest ids
+      after the hub, so they are valid ``a < b`` witnesses for almost
+      every member). A member below the margin band is kept.
+
+    Verification work per over-cap bucket is ≤ (m−1) star checks +
+    (escalated members × ``escalate_sample``) pair checks — O(m), not
+    O(m²). The price is a tunable FALSE-KEEP risk: a member whose hub
+    similarity falls below ``threshold − margin`` but whose true
+    nearest in-bucket neighbor clears the threshold is kept. For
+    near-identical families (the ones that actually overflow the cap)
+    hub similarity ≈ 1 ≥ threshold, so the risk concentrates in the
+    margin band by construction; widen ``margin`` / raise
+    ``escalate_sample`` to shrink it, or pass ``hot_bucket_cap=None``
+    to restore the exact quadratic when the exhaustive answer matters
+    more than the bound.
+
+    Decisions are EXACTLY the unbounded path's wherever every bucket
+    a document occupies is under the cap, and wherever an over-cap
+    hub similarity clears the threshold (test-pinned).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if margin < 0.0:
+        raise ValueError(f"margin must be >= 0, got {margin}")
+    if escalate_sample < 1:
+        raise ValueError(
+            f"escalate_sample must be >= 1, got {escalate_sample}"
+        )
+    if hot_bucket_cap is None:
+        pairs = lsh_candidate_pairs(
+            docs,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            text_col=text_col,
+            id_col=id_col,
+            segmentation=segmentation,
+            hot_bucket_cap=None,
+        )
+        return verify_jaccard_pairs(
+            pairs,
+            docs,
+            docs,
+            threshold=threshold,
+            shingle_n=shingle_n,
+            text_col=text_col,
+            id_col=id_col,
+            a_col="doc_id_a",
+            b_col="doc_id_b",
+            segmentation=segmentation,
+        )
+    if hot_bucket_cap < 2:
+        raise ValueError(
+            f"hot_bucket_cap must be >= 2 (or None), got {hot_bucket_cap}"
+        )
+    banded = lsh_band_keys(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        segmentation=segmentation,
+    )
+    grouped = (
+        banded.select(F.col(id_col).alias("_bid"), "band", "band_key")
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("_bid")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    all_pairs = (
+        "flatten(transform(_ids, (x, i) ->"
+        " transform(slice(_ids, i + 2, size(_ids)),"
+        " y -> named_struct('doc_id_a', x, 'doc_id_b', y))))"
+    )
+    star = (
+        "transform(slice(_ids, 2, size(_ids) - 1),"
+        " y -> named_struct('doc_id_a', element_at(_ids, 1),"
+        " 'doc_id_b', y))"
+    )
+    small_pairs = (
+        grouped.filter(F.size("_ids") <= hot_bucket_cap)
+        .select(F.explode(F.expr(all_pairs)).alias("_p"))
+        .select("_p.doc_id_a", "_p.doc_id_b")
+        .distinct()
+        .withColumn("_kind", F.lit("small"))
+        .withColumn("band", F.lit(None).cast("int"))
+        .withColumn("band_key", F.lit(None).cast("string"))
+    )
+    big = grouped.filter(F.size("_ids") > hot_bucket_cap)
+    star_pairs = (
+        big.select("band", "band_key", F.explode(F.expr(star)).alias("_p"))
+        .select("band", "band_key", "_p.doc_id_a", "_p.doc_id_b")
+        .withColumn("_kind", F.lit("star"))
+    )
+    # One verify pass at (threshold − margin): small-bucket pairs and
+    # star edges share the shingle-set build; star edges keep their
+    # bucket key so ambiguous members can find their escalation sample.
+    candidates = small_pairs.unionByName(
+        star_pairs.select(
+            "doc_id_a", "doc_id_b", "_kind", "band", "band_key"
+        )
+    )
+    floor = max(threshold - margin, 0.0)
+    verified = verify_jaccard_pairs(
+        candidates,
+        docs,
+        docs,
+        threshold=floor,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        a_col="doc_id_a",
+        b_col="doc_id_b",
+        segmentation=segmentation,
+    ).persist()
+    accepted = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+        .distinct()
+    )
+    # Ambiguous star members: hub similarity in [floor, threshold) in
+    # some over-cap bucket AND not already dropped via any accepted
+    # edge — escalate those against that bucket's sample members.
+    dropped_members = accepted.select(
+        F.col("doc_id_b").alias("_done")
+    ).distinct()
+    ambiguous = (
+        verified.filter(
+            (F.col("_kind") == "star") & (F.col("jaccard") < threshold)
+        )
+        .join(
+            dropped_members,
+            on=F.col("doc_id_b") == F.col("_done"),
+            how="left_anti",
+        )
+        .select("band", "band_key", F.col("doc_id_b").alias("_member"))
+        .distinct()
+    )
+    samples = big.select(
+        "band",
+        "band_key",
+        F.slice("_ids", 1, escalate_sample + 1).alias("_sample"),
+    )
+    escalation_pairs = (
+        ambiguous.join(samples, on=["band", "band_key"])
+        .select(
+            F.explode("_sample").alias("doc_id_a"),
+            F.col("_member").alias("doc_id_b"),
+        )
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .distinct()
+        # hub edge was already measured in the first pass
+        .join(
+            verified.filter(F.col("_kind") == "star").select(
+                "doc_id_a", "doc_id_b"
+            ),
+            on=["doc_id_a", "doc_id_b"],
+            how="left_anti",
+        )
+    )
+    escalated = verify_jaccard_pairs(
+        escalation_pairs,
+        docs,
+        docs,
+        threshold=threshold,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        a_col="doc_id_a",
+        b_col="doc_id_b",
+        segmentation=segmentation,
+    )
+    return accepted.unionByName(
+        escalated.select("doc_id_a", "doc_id_b", "jaccard")
+    ).distinct()
 
 
 # --------------------------------------------------- near-dup clustering

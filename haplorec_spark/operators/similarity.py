@@ -2603,6 +2603,240 @@ def _write_rebalanced_codes(
     }
 
 
+def rebuild_pq_store(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_clusters: int | None = None,
+    iterations: int = 2,
+    pq_iterations: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Full repair for a drifted IVF-PQ store: re-train coarse
+    centroids AND PQ codebooks from the current corpus (optionally a
+    ``train_fraction`` sample), re-encode EVERY vector, and commit
+    with the staged contract — the escalation rung above
+    :func:`rebalance_pq_store`.
+
+    The split-based rebalance is cheap (touches only hot cells) but
+    has a measured recall ceiling: sub-centroids come from the hot
+    cell's own members, codebooks stay frozen on the original
+    training distribution, and cold cells keep their stale boundary.
+    When :func:`store_cell_stats` shows drift past what a split
+    repairs (the SCALE.md drift table gives the measured
+    when-to-escalate rule), this operator rebuilds the index as if
+    freshly trained on today's corpus — same layout, same store
+    paths, so queries and the streaming ingester continue unchanged.
+
+    The rebuilt store indexes exactly ``corpus`` (ids present in the
+    store but missing from the corpus raise, mirroring the rebalance
+    honesty check; NEW corpus ids not yet in the store are indexed —
+    a rebuild is also a catch-up). m / pq_k / residual mode are read
+    from the stored codebooks; ``n_clusters`` defaults to the
+    store's current cell count. A streaming-layout store keeps its
+    ``ingest_batch`` partition depth (rebuilt codes land in -1, the
+    compacted convention, so later stream batches append normally).
+
+    Commit sequence (single-writer offline maintenance): everything —
+    centroids, codebooks, codes — is trained and materialized under
+    ``<path>/rebuild__pending`` first (the store is untouched if the
+    long encode dies); the old centroid/codebook tables are backed up
+    to ``__prev`` (tiny); then the three directories are promoted by
+    delete+rename, fastest-last. A crash mid-promotion leaves every
+    unmoved table complete in the staging dir — re-running the
+    rebuild restarts from scratch (the staging dir is cleared first).
+    """
+    from haplorec_spark.operators.stores import delete_dir, promote_dir
+
+    spark = corpus.sparkSession
+    codes = spark.read.parquet(f"{path}/codes")
+    codebooks = spark.read.parquet(f"{path}/codebooks")
+    residual = (
+        "residual" in codebooks.columns
+        and bool(codebooks.first()["residual"])
+    )
+    shape = codebooks.agg(
+        F.max("sub_ix").alias("mx_sub"), F.max("centroid_id").alias("mx_c")
+    ).first()
+    m, pq_k = int(shape["mx_sub"]) + 1, int(shape["mx_c"]) + 1
+    if n_clusters is None:
+        n_clusters = spark.read.parquet(f"{path}/centroids").count()
+    train_src = _validated_rebuild_corpus(
+        corpus, codes, "rebuild_pq_store",
+        train_fraction=train_fraction, seed=seed, id_col=id_col,
+    )
+    stage = f"{path}/rebuild__pending"
+    delete_dir(spark, stage)
+    new_centroids, new_codebooks = train_pq_index(
+        train_src, stage,
+        n_clusters=n_clusters, iterations=iterations,
+        m=m, pq_k=pq_k, pq_iterations=pq_iterations,
+        residual=residual, vec_col=vec_col, id_col=id_col,
+    )
+    encoded = _encode_with_cells(
+        corpus, new_centroids, new_codebooks,
+        residual=residual, vec_col=vec_col, id_col=id_col,
+    )
+    _stage_and_promote_rebuild(
+        spark, path, stage, encoded,
+        small_tables=("centroids", "codebooks"),
+        streaming_layout="ingest_batch" in codes.columns,
+    )
+    return {
+        "n_cells": n_clusters,
+        "m": m,
+        "pq_k": pq_k,
+        "residual": residual,
+    }
+
+
+def rebuild_sq_store(
+    corpus: DataFrame,
+    path: str,
+    *,
+    n_clusters: int | None = None,
+    iterations: int = 2,
+    train_fraction: float = 1.0,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """:func:`rebuild_pq_store` for the IVF-SQ8 store: re-train
+    coarse centroids AND per-dimension bounds from the current corpus
+    (optionally a sample), full re-encode, same staged commit."""
+    from haplorec_spark.operators.stores import delete_dir
+
+    spark = corpus.sparkSession
+    codes = spark.read.parquet(f"{path}/codes")
+    old_bounds = spark.read.parquet(f"{path}/bounds")
+    residual = (
+        "residual" in old_bounds.columns
+        and bool(old_bounds.first()["residual"])
+    )
+    if n_clusters is None:
+        n_clusters = spark.read.parquet(f"{path}/centroids").count()
+    train_src = _validated_rebuild_corpus(
+        corpus, codes, "rebuild_sq_store",
+        train_fraction=train_fraction, seed=seed, id_col=id_col,
+    )
+    stage = f"{path}/rebuild__pending"
+    delete_dir(spark, stage)
+    centroids = kmeans_centroids(
+        train_src, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
+    cents = _collect_codebook(centroids)
+    if residual:
+        vcast = f"transform({vec_col}, x -> cast(x as double))"
+        bounds_src = _project_with_cells(
+            train_src, cents, vec_col=vec_col, id_col=id_col,
+            with_norm=False,
+        ).select(
+            F.col(id_col),
+            F.expr(
+                _residual_sql(_literal_matrix_sql(cents), vcast)
+            ).alias("_rv"),
+        )
+        bounds = sq_train(bounds_src, vec_col="_rv")
+    else:
+        bounds = sq_train(train_src, vec_col=vec_col)
+    bounds = bounds.withColumn("residual", F.lit(residual))
+    centroids.write.mode("overwrite").parquet(f"{stage}/centroids")
+    bounds.write.mode("overwrite").parquet(f"{stage}/bounds")
+    los, his = _sq_bounds_lists(
+        spark.read.parquet(f"{stage}/bounds").select("dim_ix", "lo", "hi")
+    )
+    encoded = _sq_encode_with_cells(
+        corpus, cents, los, his,
+        residual=residual, vec_col=vec_col, id_col=id_col,
+    )
+    _stage_and_promote_rebuild(
+        spark, path, stage, encoded,
+        small_tables=("centroids", "bounds"),
+        streaming_layout="ingest_batch" in codes.columns,
+    )
+    return {"n_cells": n_clusters, "residual": residual}
+
+
+def _validated_rebuild_corpus(
+    corpus: DataFrame,
+    codes: DataFrame,
+    fn_name: str,
+    *,
+    train_fraction: float,
+    seed: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared rebuild validation: the corpus must cover every stored
+    member id (a rebuild that silently dropped vectors would be a
+    data loss masquerading as maintenance), and the training sample
+    must be non-empty. Returns the training source frame."""
+    if not 0.0 < train_fraction <= 1.0:
+        raise ValueError(
+            f"train_fraction must be in (0, 1], got {train_fraction}"
+        )
+    missing = (
+        codes.select(id_col)
+        .distinct()
+        .join(corpus.select(id_col), on=id_col, how="left_anti")
+        .count()
+    )
+    if missing:
+        raise ValueError(
+            f"{fn_name}: corpus is missing {missing} of the store's "
+            "member vectors — rebuilding would silently drop them; "
+            "pass the full corpus the store indexes"
+        )
+    if train_fraction >= 1.0:
+        return corpus
+    sample = corpus.sample(fraction=train_fraction, seed=seed)
+    if not sample.take(1):
+        raise ValueError(
+            f"{fn_name}: train_fraction={train_fraction} sampled zero "
+            "vectors — raise the fraction"
+        )
+    return sample
+
+
+def _stage_and_promote_rebuild(
+    spark,
+    path: str,
+    stage: str,
+    encoded: DataFrame,
+    *,
+    small_tables: tuple[str, ...],
+    streaming_layout: bool,
+) -> None:
+    """Materialize the re-encoded codes into the staging dir (the
+    long job — the live store is untouched if it dies), back up the
+    tiny pinned tables to ``__prev``, then promote all staged tables
+    by delete+rename, codes first (the biggest table moves while the
+    old pinned tables — which its OLD codes match — are still in
+    place; the remaining renames are tiny-table metadata swaps)."""
+    from haplorec_spark.operators.stores import delete_dir, promote_dir
+
+    part_cols = ["cluster"]
+    if streaming_layout:
+        encoded = encoded.withColumn(
+            "ingest_batch", F.lit(-1).cast("long")
+        )
+        part_cols = ["ingest_batch", "cluster"]
+    (
+        encoded.write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(f"{stage}/codes")
+    )
+    for t in small_tables:
+        spark.read.parquet(f"{path}/{t}").write.mode("overwrite").parquet(
+            f"{path}/{t}__prev"
+        )
+    for t in ("codes", *small_tables):
+        promote_dir(spark, f"{stage}/{t}", f"{path}/{t}")
+    delete_dir(spark, stage)
+
+
 # ------------------------------------------------------ query registration
 
 from haplorec_spark.queries import register, table  # noqa: E402

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["delete_dir", "replace_parquet_dir"]
+__all__ = ["delete_dir", "promote_dir", "replace_parquet_dir"]
 
 
 def delete_dir(spark, path: str) -> None:
@@ -24,6 +24,25 @@ def delete_dir(spark, path: str) -> None:
     fs = p.getFileSystem(conf)
     if fs.exists(p):
         fs.delete(p, True)
+
+
+def promote_dir(spark, src: str, dst: str) -> None:
+    """Replace directory ``dst`` with already-materialized staging
+    directory ``src`` (delete + Hadoop FS rename) — the commit step of
+    a staged rebuild. The data is never the exposed copy until the
+    rename; a crash between the delete and the rename leaves the full
+    new table in ``src`` (nothing is lost, re-run the commit)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    s = jvm.org.apache.hadoop.fs.Path(src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = s.getFileSystem(conf)
+    if not fs.exists(s):
+        raise IOError(f"staging dir {src} is missing — nothing to promote")
+    if fs.exists(d):
+        fs.delete(d, True)
+    if not fs.rename(s, d):  # pragma: no cover - FS refusal
+        raise IOError(f"rename {src} -> {dst} failed")
 
 
 def replace_parquet_dir(

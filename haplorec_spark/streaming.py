@@ -237,6 +237,8 @@ def stream_dedup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     verify_threshold: float | None = None,
+    verify_margin: float = 0.1,
+    verify_escalate_sample: int = 16,
     segmentation: str = "whitespace",
     hot_bucket_cap: int | None | str = "auto",
 ):
@@ -253,15 +255,28 @@ def stream_dedup_ingest(
     whole design: ingest work scales with the drop, not with history.
 
     ``verify_threshold`` (near mode) inserts an exact-Jaccard
-    verification pass between LSH candidacy and the drop
-    (:func:`~haplorec_spark.operators.dedup.verify_jaccard_pairs`):
-    only candidates whose true shingle Jaccard reaches the threshold
-    are dropped, so a false-positive band collision cannot silently
-    delete a unique document at ingest. History text comes from the
-    curated ``out_path`` itself (survivors keep their text there), so
-    no extra store is needed; the verification joins are candidate-
-    sized. ``None`` (default) keeps the aggressive drop-all-candidates
+    verification pass between LSH candidacy and the drop: only
+    candidates whose true shingle Jaccard reaches the threshold are
+    dropped, so a false-positive band collision cannot silently delete
+    a unique document at ingest. History text comes from the curated
+    ``out_path`` itself (survivors keep their text there), so no extra
+    store is needed; the verification joins are candidate-sized.
+    ``None`` (default) keeps the aggressive drop-all-candidates
     behavior.
+
+    With verification on, the IN-BATCH half runs the BOUNDED
+    star-verify path
+    (:func:`~haplorec_spark.operators.dedup.lsh_verified_pairs`): a
+    band bucket larger than ``hot_bucket_cap`` is checked via its m−1
+    hub–member edges plus margin-band escalation against a
+    ``verify_escalate_sample``-bounded member sample — O(m·bands)
+    verification rows instead of the O(m²) all-pairs shuffle a
+    boilerplate mega-family used to force on exactly this
+    configuration. ``verify_margin`` tunes the documented false-keep
+    risk (a member whose hub similarity falls below
+    ``threshold − verify_margin`` is kept unescalated); pass
+    ``hot_bucket_cap=None`` to restore the exact quadratic
+    verification when the exhaustive answer matters more.
 
     Exactly-once: survivors and store keys both land in
     ``ingest_batch=<batch_id>`` partitions via dynamic partition
@@ -271,10 +286,12 @@ def stream_dedup_ingest(
     """
     from haplorec_spark.operators.dedup import (
         exact_duplicates,
+        history_candidate_pairs,
         incremental_candidate_pairs,
         incremental_exact_duplicates,
         lsh_band_keys,
         lsh_candidate_pairs,
+        lsh_verified_pairs,
         verify_jaccard_pairs,
     )
 
@@ -282,10 +299,7 @@ def stream_dedup_ingest(
         raise ValueError(f"unknown dedup mode: {mode!r}")
     if verify_threshold is not None and mode != "near":
         raise ValueError("verify_threshold applies to mode='near' only")
-    if hot_bucket_cap == "auto":
-        cap = None if verify_threshold is not None else 1024
-    else:
-        cap = hot_bucket_cap
+    cap = 1024 if hot_bucket_cap == "auto" else hot_bucket_cap
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -313,6 +327,44 @@ def stream_dedup_ingest(
                     F.col("canonical_id").alias("doc_id_matched"),
                 )
             )
+        elif verify_threshold is not None and cap is not None:
+            # Bounded verification: the in-batch half runs the
+            # star-verify path (O(m·bands) rows on a mega-family);
+            # the history half verifies its candidate join as before
+            # (the store-side guard is representatives-only
+            # compaction, not the cap).
+            losers = lsh_verified_pairs(
+                batch_df,
+                threshold=verify_threshold,
+                margin=verify_margin,
+                escalate_sample=verify_escalate_sample,
+                text_col=text_col,
+                id_col=id_col,
+                segmentation=segmentation,
+                hot_bucket_cap=cap,
+            ).select(
+                F.col("doc_id_b").alias("doc_id_new"),
+                F.col("doc_id_a").alias("doc_id_matched"),
+            )
+            if have_store:
+                vs_history = history_candidate_pairs(
+                    batch_df, store_path, text_col=text_col,
+                    id_col=id_col, segmentation=segmentation,
+                )
+                # history text lives in the curated output itself
+                losers = losers.unionByName(
+                    verify_jaccard_pairs(
+                        vs_history,
+                        batch_df,
+                        spark.read.parquet(out_path).select(
+                            F.col(id_col), F.col(text_col)
+                        ),
+                        threshold=verify_threshold,
+                        text_col=text_col,
+                        id_col=id_col,
+                        segmentation=segmentation,
+                    ).select("doc_id_new", "doc_id_matched")
+                )
         else:
             losers = (
                 incremental_candidate_pairs(
