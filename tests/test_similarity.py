@@ -1437,6 +1437,129 @@ def test_rebalance_recovers_recall_after_drift(spark, tmp_path):
     recovered = recall_at_10()
     assert recovered > degraded + 0.25
 
+    # --- the rebuild rung (round-11): full re-train + re-encode must
+    # reach the FRESH-BUILD recall ceiling exactly — rebuild trains on
+    # the same corpus with the same deterministic k-means init as a
+    # fresh write, so the rebuilt store and a from-scratch store are
+    # the same index. This is the measured when-to-escalate rule: the
+    # split repair recovers part of the gap cheaply, the rebuild
+    # closes it.
+    from haplorec_spark.operators.similarity import (
+        rebuild_pq_store,
+        write_pq_store,
+    )
+
+    out = rebuild_pq_store(all_df, store)
+    assert out["residual"] is True and out["m"] == 4 and out["pq_k"] == 16
+    rebuilt = recall_at_10()
+    assert rebuilt >= recovered - 1e-9
+
+    fresh = str(tmp_path / "fresh")
+    write_pq_store(
+        all_df, fresh,
+        n_clusters=out["n_cells"], m=4, pq_k=16, residual=True,
+    )
+    got_fresh: dict = {}
+    for r in pq_store_topk(spark, fresh, probes, k=10).collect():
+        got_fresh.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    truth: dict = {}
+    for r in brute_force_topk(all_df, probes, k=10).collect():
+        truth.setdefault(r["probe_id"], set()).add(r["neighbor_id"])
+    fresh_recall = sum(
+        len(truth[p] & got_fresh.get(p, set())) / len(truth[p])
+        for p in truth
+    ) / len(truth)
+    assert rebuilt == pytest.approx(fresh_recall, abs=1e-9)
+
+    # streaming layout preserved: rebuilt codes live in ingest_batch=-1
+    codes = spark.read.parquet(f"{store}/codes")
+    assert [
+        r["ingest_batch"]
+        for r in codes.select("ingest_batch").distinct().collect()
+    ] == [-1]
+    assert codes.count() == all_df.count()
+
+
+def test_rebuild_pq_store_catchup_backups_and_validation(spark, tmp_path):
+    """Batch-layout rebuild: new corpus ids not yet in the store are
+    indexed (a rebuild is also a catch-up), the old pinned tables are
+    backed up to __prev, the staging dir is gone, and the honesty
+    checks raise on a short corpus or a bad train_fraction."""
+    from haplorec_spark.operators.similarity import (
+        pq_store_topk,
+        rebuild_pq_store,
+        write_pq_store,
+    )
+
+    dim = 8
+    rows = _blob([0.0] * dim, 30, 0, dim=dim) + _blob(
+        [9.0] * dim, 30, 1000, dim=dim
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "pq")
+    write_pq_store(emb, store, n_clusters=2, m=4, pq_k=8)
+
+    with pytest.raises(ValueError, match="missing"):
+        rebuild_pq_store(emb.filter("vec_id < 500"), store)
+    with pytest.raises(ValueError, match="train_fraction"):
+        rebuild_pq_store(emb, store, train_fraction=0.0)
+
+    grown = emb.unionByName(
+        spark.createDataFrame(
+            _blob([4.5] * dim, 5, 7000, dim=dim),
+            "vec_id long, embedding array<double>",
+        )
+    )
+    out = rebuild_pq_store(grown, store, n_clusters=3)
+    assert out == {"n_cells": 3, "m": 4, "pq_k": 8, "residual": False}
+    codes = spark.read.parquet(f"{store}/codes")
+    assert codes.count() == 65  # catch-up: the 5 new ids are indexed
+    assert spark.read.parquet(f"{store}/centroids").count() == 3
+    assert spark.read.parquet(f"{store}/centroids__prev").count() == 2
+    assert spark.read.parquet(f"{store}/codebooks__prev").count() > 0
+    import os
+
+    assert not os.path.exists(f"{store}/rebuild__pending")
+    probe = grown.filter("vec_id = 7000")
+    got = pq_store_topk(spark, store, probe, k=3).collect()
+    assert {r["neighbor_id"] for r in got} <= set(range(7000, 7005)) | set(
+        range(0, 30)
+    ) | set(range(1000, 1030))
+    assert len(got) == 3
+
+
+def test_rebuild_sq_store_reaches_fresh_build(spark, tmp_path):
+    """SQ rung: rebuild re-trains centroids AND bounds and equals a
+    fresh build's answers on the same corpus."""
+    from haplorec_spark.operators.similarity import (
+        rebuild_sq_store,
+        sq_store_topk,
+        write_sq_store,
+    )
+
+    dim = 8
+    rows = _blob([0.0] * dim, 40, 0, dim=dim) + _blob(
+        [9.0] * dim, 40, 1000, dim=dim
+    ) + _blob([20.0] * dim, 40, 3000, dim=dim)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "sq")
+    fresh = str(tmp_path / "sq_fresh")
+    # stale store: trained on the first blob only, then appended
+    write_sq_store(emb.filter("vec_id < 100"), store, n_clusters=3,
+                   residual=True)
+    write_sq_store(emb.filter("vec_id >= 100"), store, mode="append")
+    out = rebuild_sq_store(emb, store)
+    assert out == {"n_cells": 3, "residual": True}
+    write_sq_store(emb, fresh, n_clusters=3, residual=True)
+    probes = emb.filter("vec_id in (5, 1005, 3005)")
+    got = sorted(
+        map(tuple, sq_store_topk(spark, store, probes, k=4).collect())
+    )
+    want = sorted(
+        map(tuple, sq_store_topk(spark, fresh, probes, k=4).collect())
+    )
+    assert got == want
+
 
 def test_rebalance_requires_compaction_and_full_corpus(spark, tmp_path):
     from haplorec_spark.operators.similarity import (
