@@ -127,11 +127,13 @@ from haplorec_spark.operators.bloom import (  # noqa: E402
 from haplorec_spark.operators.funnel import (  # noqa: E402
     funnel_counts,
     funnel_depth,
+    funnel_step_timings,
 )
 from haplorec_spark.operators.html import extract_html_text  # noqa: E402
 from haplorec_spark.operators.retention import retention_cohorts  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
     encoding_quality,
+    fix_encoding,
     bigram_logprob_score,
     blocked_term_fraction,
     build_vocab,
@@ -213,12 +215,14 @@ __all__ = [
     "dedup_survivors",
     "duplicate_ngram_spans",
     "encoding_quality",
+    "fix_encoding",
     "evaluate_binary_classifier",
     "extract_html_text",
     "filter_blocked_domains",
     "frequent_values",
     "funnel_counts",
     "funnel_depth",
+    "funnel_step_timings",
     "get_spark",
     "grouped_rows_to_columns",
     "hash_fraction_sample",

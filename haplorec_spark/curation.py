@@ -105,6 +105,12 @@ class CurationConfig:
     #: rates, ``text.encoding_quality``) exceeds this; None skips.
     #: Map-side regexp counts, zero shuffle.
     max_encoding_damage: float | None = None
+    #: repair the dominant UTF-8-read-as-cp1252 mojibake BEFORE any
+    #: text-reading stage (``text.fix_encoding``'s substitution table,
+    #: applied only where it strictly reduces encoding_damage) — a
+    #: pipeline that repairs keeps data the max_encoding_damage gate
+    #: would drop. Map-side, zero shuffle.
+    repair_encoding: bool = False
     #: drop documents whose mean self-trained-LM log10-probability
     #: (trained on the post-quality corpus) falls below this; None skips
     min_avg_logprob: float | None = None
@@ -282,6 +288,14 @@ def map_side_curation(
         )
 
     out = docs
+    if cfg.repair_encoding:
+        from haplorec_spark.operators.text import fix_encoding_expr
+
+        # repair BEFORE every text-reading stage, so language/quality/
+        # damage gates all see the restored text
+        out = out.withColumn(
+            cfg.text_col, F.expr(fix_encoding_expr(cfg.text_col))
+        )
     if cfg.detect_language is not None:
         out = with_language(
             out,
@@ -501,6 +515,15 @@ def curate_documents(
         return df
 
     out = docs
+    if cfg.repair_encoding:
+        from haplorec_spark.operators.text import fix_encoding_expr
+
+        # repair BEFORE the language attach and the __t audit
+        # snapshot, so every gate (and its audit flag) reads the
+        # restored text
+        out = out.withColumn(
+            cfg.text_col, F.expr(fix_encoding_expr(cfg.text_col))
+        )
     if cfg.detect_language is not None:
         from haplorec_spark.operators.text import with_language
 

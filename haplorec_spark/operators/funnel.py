@@ -44,7 +44,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_depth", "funnel_counts"]
+__all__ = ["funnel_depth", "funnel_counts", "funnel_step_timings"]
 
 
 def _depth_fold_sql(steps: Sequence[str], within_seconds) -> str:
@@ -100,12 +100,57 @@ def _retry_fold_sql(steps: Sequence[str], within_seconds: int) -> str:
     )
 
 
+def _grouped_funnel_events(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+    max_events_per_user: int | None,
+) -> DataFrame:
+    """(user_id, evs): each user's funnel-step events as ONE sorted
+    struct array — the shared single-shuffle input of every funnel
+    fold. ``max_events_per_user`` truncates to the first N events in
+    (ts, event_id) order BEFORE the collect via a row_number window
+    on the SAME key, so the guard adds a sort but no second exchange
+    (the groupBy reuses the window's hash partitioning)."""
+    if max_events_per_user is not None and max_events_per_user < 1:
+        raise ValueError(
+            f"max_events_per_user must be >= 1, got {max_events_per_user}"
+        )
+    ev = events.filter(F.col(type_col).isin(list(steps))).select(
+        F.col(user_col).alias("user_id"),
+        F.struct(
+            # NTZ parquet timestamps reject unix_micros; the session-tz
+            # cast is a wall-clock no-op under the engine's pinned UTC
+            F.col(ts_col).cast("timestamp").alias("ts"),
+            F.col(id_col).alias("eid"),
+            F.col(type_col).alias("et"),
+        ).alias("e"),
+    )
+    if max_events_per_user is not None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("e.ts"), F.col("e.eid")
+        )
+        ev = (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_events_per_user)
+            .drop("_rn")
+        )
+    return ev.groupBy("user_id").agg(
+        F.expr("array_sort(collect_list(e))").alias("evs")
+    )
+
+
 def funnel_depth(
     events: DataFrame,
     steps: Sequence[str],
     *,
     within_seconds: int | None = None,
     retry: bool = False,
+    max_events_per_user: int | None = None,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -121,6 +166,17 @@ def funnel_depth(
     Only users with at least one funnel-step event appear (users with
     none are depth 0 by definition; left-join the user dimension if
     the zero row matters).
+
+    ``max_events_per_user`` is the volume guard: the per-user state is
+    ONE collected array of that user's funnel-step events, so a bot
+    with 10⁸ step events is a single aggregation row that can OOM an
+    executor. With the cap set, each user keeps only their FIRST cap
+    events in (ts, event_id) order — truncated BEFORE the collect (a
+    same-key window, so no extra shuffle) — and the funnel is computed
+    as if the user's activity ended there (documented
+    head-truncation; events past the cap can only have extended the
+    funnel LATER, so the reported depth is a lower bound). None
+    (default) keeps the unbounded exact fold.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -130,18 +186,10 @@ def funnel_depth(
             "budget — an unbudgeted funnel's first attempt already "
             "achieves the maximum depth"
         )
-    ev = events.filter(F.col(type_col).isin(list(steps))).select(
-        F.col(user_col).alias("user_id"),
-        F.struct(
-            # NTZ parquet timestamps reject unix_micros; the session-tz
-            # cast is a wall-clock no-op under the engine's pinned UTC
-            F.col(ts_col).cast("timestamp").alias("ts"),
-            F.col(id_col).alias("eid"),
-            F.col(type_col).alias("et"),
-        ).alias("e"),
-    )
-    grouped = ev.groupBy("user_id").agg(
-        F.expr("array_sort(collect_list(e))").alias("evs")
+    grouped = _grouped_funnel_events(
+        events, steps,
+        user_col=user_col, ts_col=ts_col, type_col=type_col,
+        id_col=id_col, max_events_per_user=max_events_per_user,
     )
     if retry:
         folded = grouped.withColumn(
@@ -173,12 +221,187 @@ def funnel_depth(
     )
 
 
+def _witness_fold_sql(steps: Sequence[str], within_seconds) -> str:
+    """SQL computing the matched-timestamp PREFIX array from the
+    sorted (ts, eid, et) struct array bound as ``evs`` — the
+    single-attempt fold of :func:`_depth_fold_sql` with the full
+    witness chain kept instead of only (depth, t0): entry j is the
+    timestamp of the event that completed step j."""
+    arr = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    budget = (
+        "true"
+        if within_seconds is None
+        else (
+            "(size(acc) = 0 OR unix_micros(e.ts)"
+            " - unix_micros(element_at(acc, 1))"
+            f" <= {int(within_seconds) * 1_000_000}L)"
+        )
+    )
+    return (
+        f"aggregate(evs,"
+        f" cast(array() as array<timestamp>),"
+        f" (acc, e) -> CASE WHEN size(acc) < {len(steps)}"
+        f" AND e.et = element_at(array({arr}), size(acc) + 1)"
+        f" AND {budget}"
+        f" THEN concat(acc, array(e.ts))"
+        f" ELSE acc END)"
+    )
+
+
+def _retry_witness_fold_sql(steps: Sequence[str], within_seconds: int) -> str:
+    """:func:`_retry_fold_sql` widened to carry each level's witness:
+    entry j is struct(t0 = the LATEST chain-start achieving depth j,
+    ev = the step-j event timestamp of the FIRST chain with that
+    start to reach it, gp = microseconds from that chain's step-(j−1)
+    completion to ev). The max-start dominance argument is unchanged
+    (a later start only loosens future budget checks); ev/gp follow
+    deterministically because an entry is REPLACED only by a strictly
+    later start, so the first in-order completion for the winning
+    start is the one kept."""
+    arr = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
+    w_us = int(within_seconds) * 1_000_000
+    entry = "struct<t0: timestamp, ev: timestamp, gp: bigint>"
+    return (
+        f"aggregate(evs,"
+        f" array_repeat(cast(null as {entry}), {len(steps)}),"
+        f" (acc, e) -> transform(acc, (x, j) -> CASE"
+        f" WHEN e.et != element_at(array({arr}), j + 1) THEN x"
+        # step 1: a later start always dominates (sorted input)
+        f" WHEN j = 0 THEN named_struct("
+        f" 't0', e.ts, 'ev', e.ts, 'gp', 0L)"
+        # step j+1: extend the best depth-j chain if within budget,
+        # keeping the existing entry unless the start strictly grows
+        f" WHEN element_at(acc, j) IS NOT NULL"
+        f" AND unix_micros(e.ts) - unix_micros(element_at(acc, j).t0)"
+        f" <= {w_us}L"
+        f" THEN CASE WHEN x IS NULL OR element_at(acc, j).t0 > x.t0"
+        f" THEN named_struct('t0', element_at(acc, j).t0, 'ev', e.ts,"
+        f" 'gp', unix_micros(e.ts) - unix_micros(element_at(acc, j).ev))"
+        f" ELSE x END"
+        f" ELSE x END))"
+    )
+
+
+def funnel_step_timings(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    within_seconds: int | None = None,
+    retry: bool = False,
+    max_events_per_user: int | None = None,
+    percentiles: Sequence[float] = (0.5, 0.9),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(step_ix, step, n_users, p<P>_seconds...): per-adjacent-step
+    time-to-convert — for every user who reached step_ix (2-based:
+    timings are BETWEEN steps), the seconds from their matched
+    step_ix−1 event to their matched step_ix event, aggregated to
+    exact interpolated percentiles (``percentiles`` → columns
+    ``p50_seconds``, ``p90_seconds``, ...). The other half of the
+    product-analytics funnel: :func:`funnel_counts` says where users
+    stop, this says how long each conversion takes.
+
+    The witnesses come from the SAME single-shuffle fold as
+    :func:`funnel_depth` — no extra join, no second pass:
+
+    * ``retry=False``: the matched chain is the fold's own prefix
+      (first qualifying occurrence per step), so gap j is simply the
+      difference of adjacent matched timestamps.
+    * ``retry=True`` (windowFunnel semantics): each level reports the
+      gap of its max-start representative chain — the LATEST
+      within-budget attempt to achieve that depth, completed by its
+      first in-order events (the deterministic witness convention
+      ``funnel_depth`` already uses for ``t_first``). Levels are
+      independent representatives: level 2's chain need not be the
+      prefix of level 3's.
+
+    Scale shape: the per-user state widens from (depth, t0) to a
+    steps-sized array; the step-keyed aggregate after the explode is
+    steps-sized. One user-keyed shuffle plus one steps-keyed
+    aggregate, same as the depth query. Exact percentiles are safe
+    because the aggregate is per-step over scalar gaps (Spark's
+    ``percentile``, matching DuckDB ``quantile_cont``).
+    ``max_events_per_user`` is :func:`funnel_depth`'s volume guard
+    (documented head-truncation before the collect).
+    """
+    if not steps or len(steps) < 2:
+        raise ValueError("step timings need at least two steps")
+    if retry and within_seconds is None:
+        raise ValueError(
+            "retry=True is meaningful only with a within_seconds budget"
+        )
+    for p in percentiles:
+        if not 0.0 <= p <= 1.0:
+            raise ValueError(f"percentile out of range: {p}")
+    grouped = _grouped_funnel_events(
+        events, steps,
+        user_col=user_col, ts_col=ts_col, type_col=type_col,
+        id_col=id_col, max_events_per_user=max_events_per_user,
+    )
+    if retry:
+        folded = grouped.withColumn(
+            "_w", F.expr(_retry_witness_fold_sql(steps, within_seconds))
+        )
+        # gaps for levels >= 2: the entry's own gp microseconds
+        gaps = folded.select(
+            "user_id",
+            F.posexplode(
+                F.expr(
+                    "filter(transform(_w, (x, j) ->"
+                    " CASE WHEN j >= 1 AND x IS NOT NULL"
+                    " THEN x.gp ELSE CAST(NULL AS bigint) END),"
+                    " g -> g IS NOT NULL)"
+                )
+            ).alias("_pos", "_gp"),
+        )
+    else:
+        folded = grouped.withColumn(
+            "_w", F.expr(_witness_fold_sql(steps, within_seconds))
+        )
+        gaps = folded.select(
+            "user_id",
+            F.posexplode(
+                F.expr(
+                    "transform(slice(_w, 2, greatest(size(_w) - 1, 0)),"
+                    " (t, j) ->"
+                    " unix_micros(t) - unix_micros(element_at(_w, j + 1)))"
+                )
+            ).alias("_pos", "_gp"),
+        )
+    gaps = gaps.select(
+        (F.col("_pos") + 2).alias("step_ix"),
+        (F.col("_gp") / F.lit(1_000_000.0)).alias("_gap_s"),
+    )
+    spark = events.sparkSession
+    ladder = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps, start=1) if i >= 2],
+        "step_ix INT, step STRING",
+    )
+    aggs = [F.count(F.lit(1)).alias("n_users")]
+    for p in percentiles:
+        aggs.append(
+            F.expr(f"round(percentile(_gap_s, {p}), 6)").alias(
+                f"p{int(round(p * 100))}_seconds"
+            )
+        )
+    return (
+        ladder.join(gaps.groupBy("step_ix").agg(*aggs), on="step_ix",
+                    how="left")
+        .withColumn("n_users", F.coalesce("n_users", F.lit(0)))
+        .orderBy("step_ix")
+    )
+
+
 def funnel_counts(
     events: DataFrame,
     steps: Sequence[str],
     *,
     within_seconds: int | None = None,
     retry: bool = False,
+    max_events_per_user: int | None = None,
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
@@ -187,10 +410,12 @@ def funnel_counts(
     """(step_ix, step, n_users, conversion): the funnel report —
     ``n_users`` who reached step_ix (1-based), ``conversion`` vs the
     previous step (round 6; step 1's conversion is 1.0). The step-key
-    aggregate after :func:`funnel_depth` is steps-sized."""
+    aggregate after :func:`funnel_depth` is steps-sized;
+    ``max_events_per_user`` is that function's volume guard."""
     depths = funnel_depth(
         events, steps,
-        within_seconds=within_seconds, retry=retry, user_col=user_col,
+        within_seconds=within_seconds, retry=retry,
+        max_events_per_user=max_events_per_user, user_col=user_col,
         ts_col=ts_col, type_col=type_col, id_col=id_col,
     )
     per_depth = depths.groupBy("depth").agg(

@@ -3336,14 +3336,10 @@ def encoding_quality(
     )
 
 
-def duck_encoding_quality_sql(text_expr: str) -> str:
-    """DuckDB twin of :func:`encoding_quality_exprs` — same classes,
-    same rounding, ONE spelling difference: the control class uses
-    RE2 ``\\x`` hex escapes instead of literal characters, because a
-    literal NUL terminates DuckDB's string parser (standard-SQL
-    literals pass backslashes through to RE2 untouched, while Spark's
-    parser would strip the unknown ``\\x`` escape — so each engine
-    gets the one spelling it can carry)."""
+def _duck_encoding_exprs(text_expr: str) -> dict[str, str]:
+    """The four :func:`encoding_quality_exprs` expressions in their
+    DuckDB spellings (shared by :func:`duck_encoding_quality_sql` and
+    :func:`duck_fix_encoding_sql`)."""
     n = f"greatest(length({text_expr}), 1)"
 
     def frac(pattern: str) -> str:
@@ -3356,10 +3352,179 @@ def duck_encoding_quality_sql(text_expr: str) -> str:
     rep = frac("�")
     ctl = frac(r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]")
     moj = frac(_MOJIBAKE_PATTERN)
+    return {
+        "replacement_fraction": rep,
+        "control_fraction": ctl,
+        "mojibake_fraction": moj,
+        "encoding_damage": f"round({rep} + {ctl} + {moj}, 6)",
+    }
+
+
+def duck_encoding_quality_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`encoding_quality_exprs` — same classes,
+    same rounding, ONE spelling difference: the control class uses
+    RE2 ``\\x`` hex escapes instead of literal characters, because a
+    literal NUL terminates DuckDB's string parser (standard-SQL
+    literals pass backslashes through to RE2 untouched, while Spark's
+    parser would strip the unknown ``\\x`` escape — so each engine
+    gets the one spelling it can carry)."""
+    xs = _duck_encoding_exprs(text_expr)
+    return ", ".join(f"{sql} AS {name}" for name, sql in xs.items())
+
+
+# ---------------------------------------------- encoding repair (round 11)
+
+#: cp1252's printable extensions over Latin-1: byte values 0x80–0x9F
+#: decode to these codepoints under Windows-1252 — the charset real
+#: browsers (and hence real mojibake) actually used when a page said
+#: Latin-1. € ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ' ' " " • – — ˜ ™ š › œ ž Ÿ.
+_CP1252_EXTRAS = [
+    0x20AC, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021, 0x02C6,
+    0x2030, 0x0160, 0x2039, 0x0152, 0x017D, 0x2018, 0x2019, 0x201C,
+    0x201D, 0x2022, 0x2013, 0x2014, 0x02DC, 0x2122, 0x0161, 0x203A,
+    0x0153, 0x017E, 0x0178,
+]
+
+
+def _sloppy_cp1252(bs: bytes) -> str:
+    """Decode bytes the way the damage was made: Windows-1252, with
+    the five unmapped holes (0x81 0x8D 0x8F 0x90 0x9D) falling back to
+    their Latin-1 C1 controls — the public "sloppy cp1252" convention
+    (what ftfy calls sloppy-windows-1252), matching decoders that
+    never fail."""
+    out = []
+    for b in bs:
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def _mojibake_repair_rules() -> list[tuple[str, str]]:
+    """(damaged, repaired) substitution pairs reversing ONE level of
+    UTF-8-read-as-cp1252 double encoding, for every target in the
+    Latin-1 supplement (U+00A0–U+00FF: the accented-Latin repertoire
+    'Ã©'-style damage hits) plus the cp1252 punctuation family
+    ('â€™' → ’, 'â‚¬' → €). Each damaged form is the target's UTF-8
+    bytes decoded via :func:`_sloppy_cp1252` — deterministic and
+    unique per target — sorted longest-first so 3-char punctuation
+    forms never lose a prefix to a 2-char rule. The table is
+    byte-faithful: 'Ã' + ASCII letter ('São') is NOT a rule source
+    (trailing UTF-8 bytes decode to 0x80–0xBF-range characters,
+    never ASCII), so legitimate accented text is untouched by
+    construction."""
+    targets = [chr(c) for c in range(0xA0, 0x100)] + [
+        chr(c) for c in _CP1252_EXTRAS
+    ]
+    rules = [
+        (_sloppy_cp1252(t.encode("utf-8")), t) for t in targets
+    ]
+    rules.sort(key=lambda r: (-len(r[0]), r[0]))
+    assert not any("'" in s or "'" in t for s, t in rules)
+    return rules
+
+
+_REPAIR_RULES = _mojibake_repair_rules()
+
+
+def _repair_rule_items_sql() -> str:
+    """The rules table as a shared SQL literal item list:
+    ``'damaged|repaired', ...`` ('|' never occurs in either side —
+    asserted at build). Both engines fold replace() over this ONE
+    literal; a nested-replace chain was rejected because 123 levels
+    exceed DuckDB's 128-deep expression binder."""
+    assert not any("|" in s or "|" in t for s, t in _REPAIR_RULES)
+    return ", ".join(f"'{s}|{t}'" for s, t in _REPAIR_RULES)
+
+
+def fix_encoding_chain_sql(text_expr: str) -> str:
+    """The repair substitution chain in Spark SQL: a left fold of
+    ``replace`` over the shared rules literal
+    (:func:`_repair_rule_items_sql`) — depth-2 expression regardless
+    of table size. DuckDB spells the same fold via
+    ``list_reduce(list_prepend(...))`` (:func:`duck_fix_encoding_sql`);
+    the rules literal is byte-identical between the engines."""
     return (
-        f"{rep} AS replacement_fraction, {ctl} AS control_fraction,"
-        f" {moj} AS mojibake_fraction,"
-        f" round({rep} + {ctl} + {moj}, 6) AS encoding_damage"
+        f"aggregate(array({_repair_rule_items_sql()}), {text_expr},"
+        " (acc, x) -> replace(acc,"
+        " element_at(split(x, '\\\\|'), 1),"
+        " element_at(split(x, '\\\\|'), 2)))"
+    )
+
+
+def duck_fix_encoding_chain_sql(text_expr: str) -> str:
+    """DuckDB spelling of :func:`fix_encoding_chain_sql`'s fold (1.0
+    has no init-value list_reduce, so the text rides in as the
+    prepended first element; it is never split, so a '|' in the
+    DOCUMENT is safe)."""
+    return (
+        f"list_reduce(list_prepend({text_expr},"
+        f" [{_repair_rule_items_sql()}]),"
+        " (acc, x) -> replace(acc,"
+        " string_split(x, '|')[1], string_split(x, '|')[2]))"
+    )
+
+
+def fix_encoding_expr(text_col: str) -> str:
+    """Spark SQL expression: the repaired text when the repair
+    STRICTLY reduces :func:`encoding_quality_exprs`'s
+    ``encoding_damage``, else the original — so a document the table
+    cannot help (pure U+FFFD loss, legitimate text) passes through
+    bit-identical, and no repair can ever make a document worse.
+    Documents with zero damage short-circuit past the chain (CASE
+    branches evaluate lazily)."""
+    repaired = fix_encoding_chain_sql(text_col)
+    d_orig = encoding_quality_exprs(text_col)["encoding_damage"]
+    d_rep = encoding_quality_exprs(repaired)["encoding_damage"]
+    return (
+        f"CASE WHEN ({d_orig}) = 0.0 THEN {text_col}"
+        f" WHEN ({d_rep}) < ({d_orig}) THEN {repaired}"
+        f" ELSE {text_col} END"
+    )
+
+
+def duck_fix_encoding_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`fix_encoding_expr`: the same fold over
+    the byte-identical rules literal
+    (:func:`duck_fix_encoding_chain_sql`), the engine's own damage
+    spellings for the acceptance guard."""
+    repaired = duck_fix_encoding_chain_sql(text_expr)
+    d_orig = _duck_encoding_exprs(text_expr)["encoding_damage"]
+    d_rep = _duck_encoding_exprs(repaired)["encoding_damage"]
+    return (
+        f"CASE WHEN ({d_orig}) = 0.0 THEN {text_expr}"
+        f" WHEN ({d_rep}) < ({d_orig}) THEN {repaired}"
+        f" ELSE {text_expr} END"
+    )
+
+
+def fix_encoding(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_fixed, was_repaired): reverse the dominant crawl
+    mojibake instead of dropping its documents.
+
+    :func:`encoding_quality` DETECTS UTF-8-read-as-Latin-1/cp1252
+    double encoding; this operator REPAIRS it — the digram families
+    are deterministically reversible (re-encode as the wrong charset,
+    re-decode as UTF-8: the public ftfy approach), so a curation
+    pipeline that repairs keeps data the drop gate throws away. The
+    repair is a finite substitution table (:func:`_mojibake_repair_rules`),
+    applied only when it STRICTLY reduces ``encoding_damage`` —
+    legitimate 'São'/'café' text is untouched both by table
+    construction and by the guard. Scope: one level of the cp1252
+    dialect, byte-faithful digrams only (a pipeline that also folded
+    NBSP→space leaves 'Ã ' ambiguous with legitimate text, and this
+    operator conservatively keeps it). Pure map-side projection —
+    zero shuffle at any corpus size. Curation integration:
+    ``CurationConfig(repair_encoding=True)``.
+    """
+    fixed = fix_encoding_expr(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.expr(fixed).alias("text_fixed"),
+        (F.expr(fixed) != F.col(text_col)).alias("was_repaired"),
     )
 
 

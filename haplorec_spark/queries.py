@@ -603,6 +603,47 @@ def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_quality(docs)
 
 
+# Not a driver gate (the 50-slot budget is full): per-adjacent-step
+# funnel timings — median/p90 seconds-to-convert from the SAME
+# single-shuffle fold as funnel_depth; DuckDB oracle reconstructs the
+# single-attempt witness chain greedily (first view, first qualifying
+# click, first qualifying purchase) with row_number windows
+# (test_registry.py). The 72 h budget matches q_funnel_events so all
+# three depths are populated at sf0.001.
+def q_funnel_step_timings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.funnel import funnel_step_timings
+
+    return funnel_step_timings(
+        table(spark, sf_dir, "events"), ["view", "click", "purchase"],
+        within_seconds=259200,
+    )
+
+
+# Not a driver gate (the 50-slot budget is full): mojibake REPAIR —
+# the detection operator's reversing twin; DuckDB oracle from the
+# shared fix_encoding_chain_sql substitution chain with per-engine
+# damage-guard spellings (test_registry.py). Seeds cover all three
+# outcomes: repairable cp1252 mojibake (every 5th doc — repaired),
+# U+FFFD loss the table cannot help (every 7th — untouched by the
+# strictly-reduces guard), and legitimate accented text (every 3rd —
+# untouched by table construction).
+def q_fix_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.text import fix_encoding
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            " CASE WHEN doc_id % 5 = 0"
+            "      THEN ' CafÃ© â€™ donâ€™t â‚¬9' ELSE '' END,"
+            " CASE WHEN doc_id % 7 = 0 THEN ' � lost' ELSE '' END,"
+            " CASE WHEN doc_id % 3 = 0"
+            "      THEN ' São café naïve' ELSE '' END)"
+        ).alias("text"),
+    )
+    return fix_encoding(docs)
+
+
 # Not a driver gate (the 50-slot budget is full): the CAPPED LSH
 # candidate path — all pairs for buckets <= cap, star edges above —
 # against a DuckDB oracle expressing the same branch split via window

@@ -1378,3 +1378,60 @@ def test_encoding_gate_drops_damaged_docs(spark):
     kept = {r["doc_id"] for r in out.select("doc_id").collect()}
     assert kept == {1}
     assert counts["encoding"] == 1  # the audit stage counted the drop
+
+
+def test_repair_encoding_recovers_mojibake_docs(spark):
+    """The keep-rate delta the repair buys: a seeded corpus where half
+    the damaged documents carry REVERSIBLE cp1252 mojibake. Without
+    repair the encoding gate drops them all; with
+    ``repair_encoding=True`` the reversible ones are restored and
+    KEPT (their text now clean), while irreversible U+FFFD loss is
+    still dropped — measured on both curation faces."""
+    from haplorec_spark.curation import (
+        CurationConfig,
+        curate_documents,
+        map_side_curation,
+    )
+
+    good = "the house is big and the water is cold in the winter time"
+    rows_ = [(i, good) for i in range(10)]
+    rows_ += [
+        (10 + i, good + " CafÃ© â€™ donâ€™t Ã¼ber Â« but fixable")
+        for i in range(5)
+    ]
+    rows_ += [(20 + i, good + " ����� lost forever") for i in range(5)]
+    docs = spark.createDataFrame(rows_, "doc_id long, text string")
+
+    base = dict(dedup=None, max_encoding_damage=0.01)
+    plain, counts_plain = curate_documents(
+        docs, config=CurationConfig(**base), count_stages=True
+    )
+    kept_plain = {r["doc_id"] for r in plain.select("doc_id").collect()}
+    repaired, counts_rep = curate_documents(
+        docs,
+        config=CurationConfig(**base, repair_encoding=True),
+        count_stages=True,
+    )
+    kept_rep = {r["doc_id"] for r in repaired.select("doc_id").collect()}
+
+    assert kept_plain == set(range(10))           # keep rate 10/20
+    assert kept_rep == set(range(15))             # keep rate 15/20
+    # per-stage survivor counts: repair turns 5 mojibake drops into keeps
+    assert counts_plain["encoding"] == 10
+    assert counts_rep["encoding"] == 15
+    # the kept mojibake docs carry RESTORED text
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in repaired.filter("doc_id >= 10").collect()
+    }
+    for t in texts.values():
+        assert "Café ’ don’t über « but fixable" in t
+
+    # streaming face: same decisions from the same config
+    stream_kept = {
+        r["doc_id"]
+        for r in map_side_curation(
+            docs, CurationConfig(**base, repair_encoding=True)
+        ).collect()
+    }
+    assert stream_kept == kept_rep

@@ -224,3 +224,133 @@ def test_retry_depth_zero_user_is_null_not_crash(spark):
     assert [(r["user_id"], r["depth"], r["t_first"]) for r in got] == [
         (4, 0, None)
     ]
+
+
+# ------------------------------------------------ step timings (round 11)
+
+
+def _timings(spark, rows, **kw):
+    from haplorec_spark.operators.funnel import funnel_step_timings
+
+    return {
+        r["step_ix"]: (r["n_users"], r["p50_seconds"], r["p90_seconds"])
+        for r in funnel_step_timings(
+            _events(spark, rows), STEPS, **kw
+        ).collect()
+    }
+
+
+def test_step_timings_golden_single_attempt(spark):
+    """Adjacent gaps come from the fold's own matched chain (first
+    qualifying occurrence per step): three users convert view→click in
+    100/50/120 s... here minutes; exact interpolated percentiles."""
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 50, "purchase"),
+        (4, 2, 0, "view"), (5, 2, 5, "click"),
+        # user 3: click BEFORE view is ignored; later click matches
+        (6, 3, 0, "click"), (7, 3, 1, "view"), (8, 3, 13, "click"),
+    ]
+    got = _timings(spark, rows)
+    # gaps step2 (minutes->seconds): u1 600, u2 300, u3 720
+    assert got[2] == (3, 600.0, pytest.approx(696.0))
+    assert got[3] == (1, 2400.0, 2400.0)
+
+
+def test_step_timings_respect_budget(spark):
+    """An over-budget event cannot convert, so it contributes no gap
+    (single-attempt semantics: the funnel binds from the first view)."""
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 100, "click"),   # over 1-hour budget
+        (3, 2, 0, "view"), (4, 2, 30, "click"),
+    ]
+    got = _timings(spark, rows, within_seconds=3600)
+    assert got[2] == (1, 1800.0, 1800.0)
+    assert got[3] == (0, None, None)
+
+
+def test_step_timings_retry_reports_latest_attempt(spark):
+    """Retry mode: the gap is the max-start representative chain's —
+    the first attempt expires, the SECOND attempt (latest start
+    reaching depth 2) converts in 10 minutes, and that is the gap
+    reported (not the expired attempt's)."""
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 100, "click"),   # attempt 1: expired
+        (3, 1, 200, "view"), (4, 1, 210, "click"),  # attempt 2: converts
+    ]
+    got = _timings(spark, rows, within_seconds=3600, retry=True)
+    assert got[2] == (1, 600.0, 600.0)
+    # parity: depths agree with funnel_depth's retry DP
+    assert _depths(spark, rows, within_seconds=3600, retry=True) == {1: 2}
+
+
+def test_step_timings_retry_levels_are_independent_representatives(spark):
+    """Level 3's chain starts at the latest view that completes the
+    WHOLE funnel in budget; level 2's representative may start later
+    (a deeper-reaching start can be older). Both gaps are their own
+    chain's."""
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 10, "click"), (3, 1, 40, "purchase"),
+        (4, 1, 30, "view"), (5, 1, 50, "click"),
+        # the 30-min view reaches depth 2 last (latest start, gap 20
+        # min) but its click comes AFTER the purchase, so depth 3's
+        # chain is the 0-min attempt (gap 40-10 = 30 min)
+    ]
+    got = _timings(spark, rows, within_seconds=3600, retry=True)
+    assert got[2] == (1, 1200.0, 1200.0)  # latest depth-2 start: 30min view
+    assert got[3] == (1, 1800.0, 1800.0)  # depth-3 chain: 0min view, 10->40
+    assert _depths(spark, rows, within_seconds=3600, retry=True) == {1: 3}
+
+
+def test_step_timings_validation(spark):
+    from haplorec_spark.operators.funnel import funnel_step_timings
+
+    with pytest.raises(ValueError, match="two steps"):
+        funnel_step_timings(None, ["view"])
+    with pytest.raises(ValueError, match="percentile"):
+        funnel_step_timings(None, STEPS, percentiles=(1.5,))
+    with pytest.raises(ValueError, match="within_seconds"):
+        funnel_step_timings(None, STEPS, retry=True)
+
+
+# ------------------------------------------- per-user volume guard
+
+
+def test_max_events_per_user_truncates_head(spark):
+    """The volume guard keeps each user's FIRST cap events in
+    (ts, event_id) order: a user whose conversion happens at event 4
+    reports depth 1 under cap=3 (documented head-truncation — a lower
+    bound), while an under-cap user is unaffected."""
+    rows = [
+        (1, 1, 0, "view"), (2, 1, 1, "view"), (3, 1, 2, "view"),
+        (4, 1, 3, "click"),
+        (5, 2, 0, "view"), (6, 2, 1, "click"),
+    ]
+    assert _depths(spark, rows, max_events_per_user=3) == {1: 1, 2: 2}
+    assert _depths(spark, rows) == {1: 2, 2: 2}
+    # retry DP under the same guard
+    assert _depths(
+        spark, rows, within_seconds=3600, retry=True,
+        max_events_per_user=3,
+    ) == {1: 1, 2: 2}
+
+
+def test_max_events_per_user_no_extra_shuffle(spark):
+    """The guard's row_number window partitions by the SAME key as the
+    fold's groupBy, so the capped plan must contain exactly as many
+    Exchange operators as the uncapped one (one user-keyed shuffle)."""
+    rows = [(i, i % 3, i, "view") for i in range(12)]
+    ev = _events(spark, rows)
+
+    def n_exchanges(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange") - plan.count("ReusedExchange")
+
+    base = funnel_depth(ev, STEPS)
+    capped = funnel_depth(ev, STEPS, max_events_per_user=5)
+    base.collect(), capped.collect()
+    assert n_exchanges(capped) == n_exchanges(base)
+
+
+def test_max_events_per_user_validation(spark):
+    with pytest.raises(ValueError, match="max_events_per_user"):
+        funnel_depth(None, STEPS, max_events_per_user=0)

@@ -653,6 +653,93 @@ def _encoding_quality_oracle() -> str:
 ROTATED_OUT_ORACLES["q_encoding_quality"] = _encoding_quality_oracle()
 
 
+def _fix_encoding_oracle() -> str:
+    from haplorec_spark.operators.text import duck_fix_encoding_sql
+
+    fixed = duck_fix_encoding_sql("text")
+    return f"""
+    WITH d AS (SELECT doc_id,
+                      text
+                      || CASE WHEN doc_id % 5 = 0
+                              THEN ' CafÃ© â€™ donâ€™t â‚¬9' ELSE '' END
+                      || CASE WHEN doc_id % 7 = 0
+                              THEN ' � lost' ELSE '' END
+                      || CASE WHEN doc_id % 3 = 0
+                              THEN ' São café naïve' ELSE '' END
+                          AS text
+               FROM documents)
+    SELECT doc_id, {fixed} AS text_fixed,
+           ({fixed}) <> text AS was_repaired
+    FROM d
+    """
+
+
+ROTATED_OUT_ORACLES["q_fix_encoding"] = _fix_encoding_oracle()
+
+
+#: per-adjacent-step funnel timings, single-attempt semantics: the
+#: fold's witness chain is the GREEDY chain (first view by (ts, id),
+#: first qualifying click after it, first qualifying purchase after
+#: that, whole-funnel budget from the view), reconstructed here with
+#: row_number windows; percentiles via quantile_cont (the same linear
+#: interpolation as Spark's percentile()).
+ROTATED_OUT_ORACLES["q_funnel_step_timings"] = """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+         v1 AS (SELECT user_id, ts, event_id FROM (
+                    SELECT user_id, ts, event_id,
+                           row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS rn
+                    FROM e WHERE event_type = 'view')
+                WHERE rn = 1),
+         c1 AS (SELECT user_id, ts, event_id FROM (
+                    SELECT c.user_id, c.ts, c.event_id,
+                           row_number() OVER (PARTITION BY c.user_id
+                               ORDER BY c.ts, c.event_id) AS rn
+                    FROM e c JOIN v1 USING (user_id)
+                    WHERE c.event_type = 'click'
+                      AND (c.ts, c.event_id) > (v1.ts, v1.event_id)
+                      AND epoch_us(c.ts) - epoch_us(v1.ts)
+                          <= 259200000000::BIGINT)
+                WHERE rn = 1),
+         p1 AS (SELECT user_id, ts FROM (
+                    SELECT p.user_id, p.ts,
+                           row_number() OVER (PARTITION BY p.user_id
+                               ORDER BY p.ts, p.event_id) AS rn
+                    FROM e p
+                    JOIN c1 USING (user_id)
+                    JOIN v1 USING (user_id)
+                    WHERE p.event_type = 'purchase'
+                      AND (p.ts, p.event_id) > (c1.ts, c1.event_id)
+                      AND epoch_us(p.ts) - epoch_us(v1.ts)
+                          <= 259200000000::BIGINT)
+                WHERE rn = 1),
+         g2 AS (SELECT c1.user_id,
+                       (epoch_us(c1.ts) - epoch_us(v1.ts)) / 1000000.0
+                           AS gap_s
+                FROM c1 JOIN v1 USING (user_id)),
+         g3 AS (SELECT p1.user_id,
+                       (epoch_us(p1.ts) - epoch_us(c1.ts)) / 1000000.0
+                           AS gap_s
+                FROM p1 JOIN c1 USING (user_id)),
+         agg AS (SELECT 2 AS step_ix, count(*) AS n_users,
+                        round(quantile_cont(gap_s, 0.5), 6) AS p50_seconds,
+                        round(quantile_cont(gap_s, 0.9), 6) AS p90_seconds
+                 FROM g2
+                 UNION ALL
+                 SELECT 3, count(*),
+                        round(quantile_cont(gap_s, 0.5), 6),
+                        round(quantile_cont(gap_s, 0.9), 6)
+                 FROM g3),
+         ladder(step_ix, step) AS (VALUES (2, 'click'), (3, 'purchase'))
+    SELECT ladder.step_ix, ladder.step,
+           coalesce(agg.n_users, 0) AS n_users,
+           agg.p50_seconds, agg.p90_seconds
+    FROM ladder LEFT JOIN agg USING (step_ix)
+    ORDER BY ladder.step_ix
+"""
+
+
 def _blocked_terms_oracle() -> str:
     from haplorec_spark.operators.text import duck_blocked_term_sql
 

@@ -2095,3 +2095,63 @@ def test_encoding_quality_detects_damage_not_legit_latin(spark):
     assert got[5] == (0.0, 0.0, 0.0)  # no false positives on real Latin
     assert got[6] == (0.0, 0.0, 0.0)  # whitespace is not damage
     assert got[7] == (None, None, None)  # NULL text stays NULL
+
+
+def test_fix_encoding_repairs_mojibake_keeps_legit(spark):
+    """Round-trip goldens for the repair table: one level of
+    UTF-8-read-as-cp1252 damage reverses exactly; legitimate accented
+    Latin and pure-U+FFFD loss pass through bit-identical (the
+    strictly-reduces guard); NULL stays NULL."""
+    from haplorec_spark.operators.text import fix_encoding
+
+    docs = spark.createDataFrame(
+        [
+            (1, "CafÃ© au lait â€” dÃ©jÃ  vu"),
+            (2, "donâ€™t worry â€œquotedâ€\x9d â‚¬99"),
+            (3, "São Paulo nações café naïve fiancée"),
+            (4, "lost � char only"),
+            (5, "clean ascii"),
+            (6, "naÃ¯ve faÃ§ade Ã± Ã¼ Â« quoted Â»"),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text_fixed"], r["was_repaired"])
+        for r in fix_encoding(docs).collect()
+    }
+    assert got[1] == ("Café au lait — déjà vu", True)
+    assert got[2] == ("don’t worry “quoted” €99", True)
+    assert got[3] == ("São Paulo nações café naïve fiancée", False)
+    assert got[4] == ("lost � char only", False)  # table cannot help
+    assert got[5] == ("clean ascii", False)
+    assert got[6] == ("naïve façade ñ ü « quoted »", True)
+    assert got[7] == (None, None)
+
+
+def test_fix_encoding_guard_never_worsens(spark):
+    """A document where substitution would NOT reduce damage keeps its
+    original text: the acceptance guard re-measures encoding_damage on
+    the repaired candidate, so the operator can only improve or
+    pass through."""
+    from haplorec_spark.operators.text import encoding_quality, fix_encoding
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "mixed Ã© damage with � loss and \x01 spill",
+            "â€™" * 40,
+            "Ã" * 30,  # bare lead chars: no digram, no rule fires
+        ])],
+        "doc_id long, text string",
+    )
+    fixed = fix_encoding(docs).withColumnRenamed("text_fixed", "text")
+    before = {
+        r["doc_id"]: r["encoding_damage"]
+        for r in encoding_quality(docs).collect()
+    }
+    after = {
+        r["doc_id"]: r["encoding_damage"]
+        for r in encoding_quality(fixed).collect()
+    }
+    for d in before:
+        assert after[d] <= before[d], d
