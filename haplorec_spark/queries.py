@@ -664,12 +664,56 @@ def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Not a driver gate (the 50-slot budget is full): the retry-window
-# funnel (windowFunnel semantics — max depth over ALL within-budget
-# attempts); DuckDB oracle expresses the same maximum as per-level
-# constrained joins with max-start witnesses (test_registry.py). The
-# 12 h budget makes retry non-vacuous at sf0.001: first attempts
-# expire and later step-1 occurrences complete.
+# Promoted into the 50 in round 11 (slot from q_events_user_stats):
+# the retry-window funnel (windowFunnel semantics — max depth over ALL
+# within-budget attempts); the oracle expresses the same maximum as
+# per-level constrained joins with max-start witnesses. The 12 h
+# budget makes retry non-vacuous: first attempts expire and later
+# step-1 occurrences complete.
+@register(
+    "q_funnel_events_retry",
+    """
+    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
+               WHERE event_type IN ('view', 'click', 'purchase')),
+         v AS (SELECT user_id, ts, event_id FROM e
+               WHERE event_type = 'view'),
+         c AS (SELECT user_id, ts, event_id FROM e
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, event_id FROM e
+               WHERE event_type = 'purchase'),
+         d1 AS (SELECT user_id, max(ts) AS s FROM v GROUP BY user_id),
+         d2 AS (SELECT v.user_id, max(v.ts) AS s
+                FROM v JOIN c ON c.user_id = v.user_id
+                 AND (c.ts, c.event_id) > (v.ts, v.event_id)
+                 AND epoch_us(c.ts) - epoch_us(v.ts)
+                     <= 43200000000::BIGINT
+                GROUP BY v.user_id),
+         d3 AS (SELECT v.user_id, max(v.ts) AS s
+                FROM v
+                JOIN c ON c.user_id = v.user_id
+                 AND (c.ts, c.event_id) > (v.ts, v.event_id)
+                JOIN p ON p.user_id = v.user_id
+                 AND (p.ts, p.event_id) > (c.ts, c.event_id)
+                 AND epoch_us(p.ts) - epoch_us(v.ts)
+                     <= 43200000000::BIGINT
+                GROUP BY v.user_id),
+         u AS (SELECT DISTINCT user_id FROM e)
+    SELECT u.user_id,
+           (CASE WHEN d3.user_id IS NOT NULL THEN 3
+                 WHEN d2.user_id IS NOT NULL THEN 2
+                 WHEN d1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END)::INT AS depth,
+           (CASE WHEN d3.user_id IS NOT NULL THEN d3.s
+                 WHEN d2.user_id IS NOT NULL THEN d2.s
+                 ELSE d1.s END) AS t_first
+    FROM u
+    LEFT JOIN d1 USING (user_id)
+    LEFT JOIN d2 USING (user_id)
+    LEFT JOIN d3 USING (user_id)
+    """,
+    "windowFunnel retry semantics: exact DP, max depth over all "
+    "within-budget attempts, max-start witness",
+)
 def q_funnel_events_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     from haplorec_spark.operators.funnel import funnel_depth
 
@@ -1049,19 +1093,11 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_events_user_stats",
-    """
-    SELECT user_id,
-           count(*) AS n_events,
-           count(DISTINCT event_type) AS n_types,
-           round(max("value"), 2) AS max_value,
-           round(min("value"), 2) AS min_value
-    FROM events
-    GROUP BY user_id
-    """,
-    "per-entity profile aggregate over the event stream table",
-)
+# Rotated out of the 50 in round 11 (slot went to
+# q_funnel_events_retry): the plain per-user profile aggregate's
+# machinery — groupBy count/countDistinct/min/max — is covered by
+# q01_pricing_summary and q_sessionize; DuckDB oracle kept in the
+# rotated-out registry (test_registry.py).
 def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(

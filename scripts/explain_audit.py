@@ -396,6 +396,41 @@ CHECKS = {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
                    "Window"],
     },
+    "q_fix_encoding": {
+        # mojibake repair is ONE map-side projection (fold of replace
+        # over the literal rules + regexp damage guard): zero
+        # Exchange, zero Python, no join of any kind
+        "expect": ["Project"],
+        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
+                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "q_funnel_step_timings": {
+        # step timings ride funnel_depth's single user-keyed shuffle;
+        # the only join is the broadcast of the steps-sized ladder —
+        # never a sort-merge or nested loop, never a second corpus
+        # exchange chain
+        "expect": ["HashAggregate", "BroadcastHashJoin"],
+        "forbid": ["SortMergeJoin", "CartesianProduct",
+                   "BroadcastNestedLoopJoin",
+                   "Exchange hashpartitioning.*Exchange hashpartitioning"
+                   ".*Exchange hashpartitioning"],
+    },
+    "_funnel_depth_capped": {
+        # the per-user volume guard's row_number window partitions on
+        # the SAME key as the fold's aggregate: exactly one user-keyed
+        # exchange feeds both (no second corpus shuffle), no join
+        "expect": ["Window", "HashAggregate"],
+        "forbid": ["Join", "CartesianProduct",
+                   "Exchange hashpartitioning.*Exchange hashpartitioning"],
+    },
+    "_lsh_verified_pairs": {
+        # bounded star-verification: candidate generation is grouped
+        # map-side pair/star explode (no bucket self-join in the plan);
+        # the shingle verification joins are equi-joins with semi-join
+        # prunes — never a nested loop, never a cross product
+        "expect": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
 }
 
 
@@ -833,6 +868,26 @@ def _unigram_encode_ids(spark, sf_dir):
     docs = table(spark, sf_dir, "documents")
     pieces = train_unigram(docs.limit(20), 60, max_piece_len=4)
     return unigram_encode_ids(docs, pieces, unigram_vocab(pieces))
+
+
+def _funnel_depth_capped(spark, sf_dir):
+    from haplorec_spark.operators.funnel import funnel_depth
+    from haplorec_spark.queries import table
+
+    return funnel_depth(
+        table(spark, sf_dir, "events"), ["view", "click", "purchase"],
+        within_seconds=259200, max_events_per_user=1000,
+    )
+
+
+def _lsh_verified_pairs(spark, sf_dir):
+    from haplorec_spark.operators.dedup import lsh_verified_pairs
+    from haplorec_spark.queries import table
+
+    return lsh_verified_pairs(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        threshold=0.7, hot_bucket_cap=64,
+    )
 
 
 import haplorec_spark.queries as _qmod

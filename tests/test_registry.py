@@ -590,44 +590,16 @@ ROTATED_OUT_ORACLES["q_dedup_minhash_lsh_capped"] = """
 #: achieving the max depth. Expressed as per-level constrained joins
 #: with max-start witnesses — intermediate budget checks are implied
 #: (c.ts <= p.ts, so p within budget of v bounds c too).
-ROTATED_OUT_ORACLES["q_funnel_events_retry"] = """
-    WITH e AS (SELECT user_id, ts, event_id, event_type FROM events
-               WHERE event_type IN ('view', 'click', 'purchase')),
-         v AS (SELECT user_id, ts, event_id FROM e
-               WHERE event_type = 'view'),
-         c AS (SELECT user_id, ts, event_id FROM e
-               WHERE event_type = 'click'),
-         p AS (SELECT user_id, ts, event_id FROM e
-               WHERE event_type = 'purchase'),
-         d1 AS (SELECT user_id, max(ts) AS s FROM v GROUP BY user_id),
-         d2 AS (SELECT v.user_id, max(v.ts) AS s
-                FROM v JOIN c ON c.user_id = v.user_id
-                 AND (c.ts, c.event_id) > (v.ts, v.event_id)
-                 AND epoch_us(c.ts) - epoch_us(v.ts)
-                     <= 43200000000::BIGINT
-                GROUP BY v.user_id),
-         d3 AS (SELECT v.user_id, max(v.ts) AS s
-                FROM v
-                JOIN c ON c.user_id = v.user_id
-                 AND (c.ts, c.event_id) > (v.ts, v.event_id)
-                JOIN p ON p.user_id = v.user_id
-                 AND (p.ts, p.event_id) > (c.ts, c.event_id)
-                 AND epoch_us(p.ts) - epoch_us(v.ts)
-                     <= 43200000000::BIGINT
-                GROUP BY v.user_id),
-         u AS (SELECT DISTINCT user_id FROM e)
-    SELECT u.user_id,
-           (CASE WHEN d3.user_id IS NOT NULL THEN 3
-                 WHEN d2.user_id IS NOT NULL THEN 2
-                 WHEN d1.user_id IS NOT NULL THEN 1
-                 ELSE 0 END)::INT AS depth,
-           (CASE WHEN d3.user_id IS NOT NULL THEN d3.s
-                 WHEN d2.user_id IS NOT NULL THEN d2.s
-                 ELSE d1.s END) AS t_first
-    FROM u
-    LEFT JOIN d1 USING (user_id)
-    LEFT JOIN d2 USING (user_id)
-    LEFT JOIN d3 USING (user_id)
+#: rotated out of the 50 in round 11 (slot went to
+#: q_funnel_events_retry); the plain per-user profile aggregate.
+ROTATED_OUT_ORACLES["q_events_user_stats"] = """
+    SELECT user_id,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types,
+           round(max("value"), 2) AS max_value,
+           round(min("value"), 2) AS min_value
+    FROM events
+    GROUP BY user_id
 """
 
 

@@ -7,7 +7,6 @@ from __future__ import annotations
 import pytest
 
 from haplorec_spark.pipeline import Pipeline
-from haplorec_spark.queries import registry
 from haplorec_spark.streaming import (
     incremental_variant_ingest,
     read_events_stream,
@@ -60,7 +59,9 @@ def test_stateful_running_totals(spark, events_dir):
     got = _run_to_memory(
         stream_user_running_totals(ev), "running_totals", "update", spark
     )
-    batch = registry()["q_events_user_stats"].fn(spark, SF_DIR)
+    from haplorec_spark.queries import q_events_user_stats
+
+    batch = q_events_user_stats(spark, SF_DIR)
     got_n = {r.user_id: r.n_events for r in got.collect()}
     want_n = {r.user_id: r.n_events for r in batch.collect()}
     assert got_n == want_n
