@@ -134,6 +134,7 @@ from haplorec_spark.operators.retention import retention_cohorts  # noqa: E402
 from haplorec_spark.operators.text import (  # noqa: E402
     encoding_quality,
     fix_encoding,
+    with_fixed_encoding,
     bigram_logprob_score,
     blocked_term_fraction,
     build_vocab,
@@ -216,6 +217,7 @@ __all__ = [
     "duplicate_ngram_spans",
     "encoding_quality",
     "fix_encoding",
+    "with_fixed_encoding",
     "evaluate_binary_classifier",
     "extract_html_text",
     "filter_blocked_domains",

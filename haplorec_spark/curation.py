@@ -289,12 +289,15 @@ def map_side_curation(
 
     out = docs
     if cfg.repair_encoding:
-        from haplorec_spark.operators.text import fix_encoding_expr
+        from haplorec_spark.operators.text import with_fixed_encoding
 
         # repair BEFORE every text-reading stage, so language/quality/
-        # damage gates all see the restored text
-        out = out.withColumn(
-            cfg.text_col, F.expr(fix_encoding_expr(cfg.text_col))
+        # damage gates all see the restored text (column-level face:
+        # the rule chain evaluates once per row)
+        out = with_fixed_encoding(
+            out, text_col=cfg.text_col, fixed_col="_fix_enc_out"
+        ).withColumn(cfg.text_col, F.col("_fix_enc_out")).drop(
+            "_fix_enc_out"
         )
     if cfg.detect_language is not None:
         out = with_language(
@@ -516,13 +519,15 @@ def curate_documents(
 
     out = docs
     if cfg.repair_encoding:
-        from haplorec_spark.operators.text import fix_encoding_expr
+        from haplorec_spark.operators.text import with_fixed_encoding
 
         # repair BEFORE the language attach and the __t audit
         # snapshot, so every gate (and its audit flag) reads the
-        # restored text
-        out = out.withColumn(
-            cfg.text_col, F.expr(fix_encoding_expr(cfg.text_col))
+        # restored text (column-level face: chain evaluates once)
+        out = with_fixed_encoding(
+            out, text_col=cfg.text_col, fixed_col="_fix_enc_out"
+        ).withColumn(cfg.text_col, F.col("_fix_enc_out")).drop(
+            "_fix_enc_out"
         )
     if cfg.detect_language is not None:
         from haplorec_spark.operators.text import with_language

@@ -1227,6 +1227,7 @@ def lsh_verified_pairs(
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
     hot_bucket_cap: int | None = 1024,
+    cache: bool = True,
 ) -> DataFrame:
     """(doc_id_a, doc_id_b, jaccard): Jaccard-VERIFIED near-duplicate
     pairs with BOUNDED work on mega-families — the drop list a
@@ -1269,6 +1270,15 @@ def lsh_verified_pairs(
     Decisions are EXACTLY the unbounded path's wherever every bucket
     a document occupies is under the cap, and wherever an over-cap
     hub similarity clears the threshold (test-pinned).
+
+    ``cache`` persists the shared first verify pass (it feeds the
+    accepted set, the ambiguity scan, and the escalation anti-join).
+    The cached blocks are released by Spark's ContextCleaner when the
+    returned frame is garbage-collected, not eagerly — a long-running
+    caller that builds this plan per micro-batch
+    (:func:`~haplorec_spark.streaming.stream_dedup_ingest`) passes
+    ``cache=False`` and pays the bounded recompute instead of
+    accumulating batch-lifetime cache entries.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1365,7 +1375,9 @@ def lsh_verified_pairs(
         a_col="doc_id_a",
         b_col="doc_id_b",
         segmentation=segmentation,
-    ).persist()
+    )
+    if cache:
+        verified = verified.persist()
     accepted = (
         verified.filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")

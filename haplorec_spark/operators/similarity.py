@@ -2640,18 +2640,24 @@ def rebuild_pq_store(
     ``ingest_batch`` partition depth (rebuilt codes land in -1, the
     compacted convention, so later stream batches append normally).
 
-    Commit sequence (single-writer offline maintenance): everything —
-    centroids, codebooks, codes — is trained and materialized under
-    ``<path>/rebuild__pending`` first (the store is untouched if the
-    long encode dies); the old centroid/codebook tables are backed up
-    to ``__prev`` (tiny); then the three directories are promoted by
-    delete+rename, fastest-last. A crash mid-promotion leaves every
-    unmoved table complete in the staging dir — re-running the
-    rebuild restarts from scratch (the staging dir is cleared first).
+    Commit sequence (single-writer, OFFLINE — stop readers too):
+    everything — centroids, codebooks, codes — is trained and
+    materialized under ``<path>/rebuild__pending`` first (the store is
+    untouched if the long encode dies); the old centroid/codebook
+    tables are backed up to ``__prev`` (tiny); then the three
+    directories are promoted by rename-aside + rename-in (no table is
+    deleted before its replacement lands). A crash mid-promotion
+    leaves a mixed but never lossy store: every table still exists (at
+    worst under ``<t>__replaced``, which the next rebuild restores
+    automatically before re-reading the store), and re-running the
+    rebuild rebuilds everything from scratch.
     """
-    from haplorec_spark.operators.stores import delete_dir, promote_dir
+    from haplorec_spark.operators.stores import delete_dir
 
     spark = corpus.sparkSession
+    _recover_interrupted_promotion(
+        spark, path, ("codes", "centroids", "codebooks")
+    )
     codes = spark.read.parquet(f"{path}/codes")
     codebooks = spark.read.parquet(f"{path}/codebooks")
     residual = (
@@ -2710,6 +2716,9 @@ def rebuild_sq_store(
     from haplorec_spark.operators.stores import delete_dir
 
     spark = corpus.sparkSession
+    _recover_interrupted_promotion(
+        spark, path, ("codes", "centroids", "bounds")
+    )
     codes = spark.read.parquet(f"{path}/codes")
     old_bounds = spark.read.parquet(f"{path}/bounds")
     residual = (
@@ -2800,6 +2809,32 @@ def _validated_rebuild_corpus(
     return sample
 
 
+def _recover_interrupted_promotion(
+    spark, path: str, tables: tuple[str, ...]
+) -> None:
+    """Heal a store whose previous rebuild crashed mid-promotion:
+    :func:`~haplorec_spark.operators.stores.promote_dir` never deletes
+    a table before its replacement is in place, so the only broken
+    state is a table renamed aside (``<t>__replaced``) with the new
+    copy not yet renamed in — restore the aside copy and let the
+    re-run rebuild from scratch. Asides next to a LIVE table are
+    completed promotions' leftovers and are cleared."""
+    from haplorec_spark.operators.stores import (
+        delete_dir,
+        dir_exists,
+        rename_dir,
+    )
+
+    for t in tables:
+        aside = f"{path}/{t}__replaced"
+        if not dir_exists(spark, aside):
+            continue
+        if dir_exists(spark, f"{path}/{t}"):
+            delete_dir(spark, aside)
+        else:
+            rename_dir(spark, aside, f"{path}/{t}")
+
+
 def _stage_and_promote_rebuild(
     spark,
     path: str,
@@ -2811,10 +2846,18 @@ def _stage_and_promote_rebuild(
 ) -> None:
     """Materialize the re-encoded codes into the staging dir (the
     long job — the live store is untouched if it dies), back up the
-    tiny pinned tables to ``__prev``, then promote all staged tables
-    by delete+rename, codes first (the biggest table moves while the
-    old pinned tables — which its OLD codes match — are still in
-    place; the remaining renames are tiny-table metadata swaps)."""
+    tiny pinned tables to ``__prev``, then promote the staged tables
+    by rename-aside + rename-in (:func:`promote_dir` — no table is
+    ever deleted before its replacement is in place). Promotion is a
+    few fast FS renames; a crash between them leaves the store MIXED
+    (some tables new, some old) — detectably wrong, never silently
+    lossy: every table still exists (at worst renamed aside, which
+    the next rebuild's :func:`_recover_interrupted_promotion`
+    restores), the tiny tables have ``__prev`` copies for manual
+    rollback, and re-running the rebuild rebuilds everything from
+    scratch. Single-writer OFFLINE maintenance: stop readers too —
+    queries during the promotion window may pair new codes with old
+    pinned tables (or vice versa) and return wrong neighbors."""
     from haplorec_spark.operators.stores import delete_dir, promote_dir
 
     part_cols = ["cluster"]
@@ -2832,7 +2875,9 @@ def _stage_and_promote_rebuild(
         spark.read.parquet(f"{path}/{t}").write.mode("overwrite").parquet(
             f"{path}/{t}__prev"
         )
-    for t in ("codes", *small_tables):
+    # tiny tables first (sub-second renames shrink the mixed window),
+    # codes last
+    for t in (*small_tables, "codes"):
         promote_dir(spark, f"{stage}/{t}", f"{path}/{t}")
     delete_dir(spark, stage)
 

@@ -12,7 +12,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-__all__ = ["delete_dir", "promote_dir", "replace_parquet_dir"]
+__all__ = [
+    "delete_dir",
+    "dir_exists",
+    "promote_dir",
+    "rename_dir",
+    "replace_parquet_dir",
+]
 
 
 def delete_dir(spark, path: str) -> None:
@@ -26,23 +32,52 @@ def delete_dir(spark, path: str) -> None:
         fs.delete(p, True)
 
 
-def promote_dir(spark, src: str, dst: str) -> None:
-    """Replace directory ``dst`` with already-materialized staging
-    directory ``src`` (delete + Hadoop FS rename) — the commit step of
-    a staged rebuild. The data is never the exposed copy until the
-    rename; a crash between the delete and the rename leaves the full
-    new table in ``src`` (nothing is lost, re-run the commit)."""
+def dir_exists(spark, path: str) -> bool:
+    """Hadoop FS existence probe (maintenance-operator plumbing)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return bool(p.getFileSystem(conf).exists(p))
+
+
+def rename_dir(spark, src: str, dst: str) -> None:
+    """Hadoop FS rename; raises if the FS refuses (e.g. dst exists)."""
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     s = jvm.org.apache.hadoop.fs.Path(src)
     d = jvm.org.apache.hadoop.fs.Path(dst)
+    if not s.getFileSystem(conf).rename(s, d):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def promote_dir(spark, src: str, dst: str) -> None:
+    """Replace directory ``dst`` with already-materialized staging
+    directory ``src`` — the commit step of a staged rebuild. NOTHING
+    is deleted before the replacement is in place: the live table is
+    first renamed aside to ``<dst>__replaced``, the staged table
+    renamed in, and only then the aside copy deleted. A crash at any
+    point leaves a complete copy of the table on disk — either ``dst``
+    itself, or ``<dst>__replaced`` next to the still-staged ``src``
+    (callers can restore it by renaming back; the rebuild operators do
+    this automatically on their next run)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    s = jvm.org.apache.hadoop.fs.Path(src)
+    d = jvm.org.apache.hadoop.fs.Path(dst)
+    a = jvm.org.apache.hadoop.fs.Path(f"{dst}__replaced")
     fs = s.getFileSystem(conf)
     if not fs.exists(s):
         raise IOError(f"staging dir {src} is missing — nothing to promote")
-    if fs.exists(d):
-        fs.delete(d, True)
+    if fs.exists(a):
+        # stale aside from a prior run that crashed after its rename-in
+        # (dst is the live new table) — safe to clear
+        fs.delete(a, True)
+    if fs.exists(d) and not fs.rename(d, a):  # pragma: no cover
+        raise IOError(f"rename {dst} -> {dst}__replaced failed")
     if not fs.rename(s, d):  # pragma: no cover - FS refusal
         raise IOError(f"rename {src} -> {dst} failed")
+    if fs.exists(a):
+        fs.delete(a, True)
 
 
 def replace_parquet_dir(

@@ -3499,6 +3499,47 @@ def duck_fix_encoding_sql(text_expr: str) -> str:
     )
 
 
+def with_fixed_encoding(
+    docs: DataFrame, *, text_col: str, fixed_col: str
+) -> DataFrame:
+    """Attach ``fixed_col`` = repaired-or-original text, evaluating
+    the 123-rule chain ONCE per row: the chain lands in its own
+    projection column and the damage guard references that column —
+    Catalyst does not collapse a non-cheap higher-order-function alias
+    into its consumers, where the single-expression form
+    (:func:`fix_encoding_expr`) re-instantiates the fold ~7× inside
+    its own guard. Zero-damage rows skip the chain entirely (lazy CASE
+    branch). The DataFrame-level face shared by :func:`fix_encoding`
+    and both curation faces; the expression form remains for contexts
+    that need one self-contained string (the DuckDB twin)."""
+    tmp = "_fix_enc_rep"
+    if tmp in docs.columns or fixed_col in docs.columns:
+        raise ValueError(
+            f"column collision: input already has {tmp!r} or "
+            f"{fixed_col!r}"
+        )
+    d_orig = encoding_quality_exprs(text_col)["encoding_damage"]
+    d_rep = encoding_quality_exprs(tmp)["encoding_damage"]
+    chain = fix_encoding_chain_sql(text_col)
+    return (
+        docs.withColumn(
+            tmp,
+            F.expr(
+                f"CASE WHEN ({d_orig}) = 0.0 THEN {text_col}"
+                f" ELSE {chain} END"
+            ),
+        )
+        .withColumn(
+            fixed_col,
+            F.expr(
+                f"CASE WHEN ({d_rep}) < ({d_orig}) THEN {tmp}"
+                f" ELSE {text_col} END"
+            ),
+        )
+        .drop(tmp)
+    )
+
+
 def fix_encoding(
     docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -3520,11 +3561,13 @@ def fix_encoding(
     zero shuffle at any corpus size. Curation integration:
     ``CurationConfig(repair_encoding=True)``.
     """
-    fixed = fix_encoding_expr(text_col)
-    return docs.select(
+    return with_fixed_encoding(
+        docs.select(id_col, text_col), text_col=text_col,
+        fixed_col="text_fixed",
+    ).select(
         F.col(id_col),
-        F.expr(fixed).alias("text_fixed"),
-        (F.expr(fixed) != F.col(text_col)).alias("was_repaired"),
+        "text_fixed",
+        (F.col("text_fixed") != F.col(text_col)).alias("was_repaired"),
     )
 
 

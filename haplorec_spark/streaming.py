@@ -342,6 +342,9 @@ def stream_dedup_ingest(
                 id_col=id_col,
                 segmentation=segmentation,
                 hot_bucket_cap=cap,
+                # per-batch plans must not accumulate GC-lifetime cache
+                # entries; the recompute is batch-sized
+                cache=False,
             ).select(
                 F.col("doc_id_b").alias("doc_id_new"),
                 F.col("doc_id_a").alias("doc_id_matched"),

@@ -584,14 +584,9 @@ ROTATED_OUT_ORACLES["q_dedup_minhash_lsh_capped"] = """
 """
 
 
-#: retry-window funnel (windowFunnel semantics): depth = max over all
-#: in-order (view < click < purchase) chains whose last event is
-#: within the budget of the chain's start; t_first = the LATEST start
-#: achieving the max depth. Expressed as per-level constrained joins
-#: with max-start witnesses — intermediate budget checks are implied
-#: (c.ts <= p.ts, so p within budget of v bounds c too).
 #: rotated out of the 50 in round 11 (slot went to
-#: q_funnel_events_retry); the plain per-user profile aggregate.
+#: q_funnel_events_retry, which took its windowFunnel oracle along to
+#: queries.py); the plain per-user profile aggregate.
 ROTATED_OUT_ORACLES["q_events_user_stats"] = """
     SELECT user_id,
            count(*) AS n_events,

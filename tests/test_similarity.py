@@ -1669,3 +1669,67 @@ def test_rebalance_sq_store_recovers_recall(spark, tmp_path):
     assert sum(after.values()) == sum(stats.values())
     recovered = recall_at_10()
     assert recovered > degraded + 0.2, (degraded, recovered)
+
+
+def test_rebuild_recovers_interrupted_promotion(spark, tmp_path):
+    """promote_dir never deletes a table before its replacement lands:
+    the worst crash state is a table renamed aside (__replaced). A
+    rebuild on such a store must first restore the aside copy (so the
+    store is readable again) and then rebuild normally; an aside left
+    NEXT TO a live table (crash after rename-in) is cleared."""
+    import os
+
+    from haplorec_spark.operators.similarity import (
+        pq_store_topk,
+        rebuild_pq_store,
+        write_pq_store,
+    )
+
+    dim = 8
+    rows = _blob([0.0] * dim, 30, 0, dim=dim) + _blob(
+        [9.0] * dim, 30, 1000, dim=dim
+    )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "pq")
+    write_pq_store(emb, store, n_clusters=2, m=4, pq_k=8)
+
+    # crash state 1: codes renamed aside, new copy never landed
+    os.rename(f"{store}/codes", f"{store}/codes__replaced")
+    # crash state 2: stale aside next to a live table
+    import shutil
+
+    shutil.copytree(f"{store}/centroids", f"{store}/centroids__replaced")
+
+    out = rebuild_pq_store(emb, store)
+    assert out["n_cells"] == 2
+    assert not os.path.exists(f"{store}/codes__replaced")
+    assert not os.path.exists(f"{store}/centroids__replaced")
+    got = pq_store_topk(spark, store, emb.filter("vec_id = 3"), k=3)
+    assert got.count() == 3  # store fully functional after recovery
+
+
+def test_promote_dir_keeps_old_until_new_lands(spark, tmp_path):
+    """The aside-rename contract: promoting onto an existing dir never
+    has a moment with neither copy on disk, and a missing staging dir
+    raises without touching the live table."""
+    import os
+
+    import pytest as _pytest
+
+    from haplorec_spark.operators.stores import promote_dir
+
+    live = tmp_path / "t"
+    live.mkdir()
+    (live / "data.txt").write_text("old")
+    stage = tmp_path / "t__new"
+    stage.mkdir()
+    (stage / "data.txt").write_text("new")
+
+    promote_dir(spark, str(stage), str(live))
+    assert (live / "data.txt").read_text() == "new"
+    assert not os.path.exists(str(stage))
+    assert not os.path.exists(str(live) + "__replaced")
+
+    with _pytest.raises(IOError, match="missing"):
+        promote_dir(spark, str(tmp_path / "absent"), str(live))
+    assert (live / "data.txt").read_text() == "new"  # live untouched
