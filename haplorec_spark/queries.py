@@ -603,6 +603,46 @@ def q_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_quality(docs)
 
 
+# Not a driver gate (the 50-slot budget is full): the round-11
+# bounded star-verification path end-to-end — small-bucket all-pairs
+# + star-edge hub checks + margin-band escalation against the bucket
+# sample; DuckDB oracle replays the whole decision procedure
+# (minhash/banding via the shared md5 arithmetic, window-sized
+# buckets, exact Jaccard, the ambiguity scan, and the sample
+# escalation) in test_registry.py. Seeds make every branch
+# non-vacuous: a 10-copy family of doc 0 (over-cap star bucket,
+# hub-cleared drops) and the searched 6-doc escalation family whose
+# margin-band member is reachable ONLY through escalation. 1-word
+# shingles and 6 one-row bands so the family's searched bucket
+# structure holds.
+def q_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.dedup import lsh_verified_pairs
+
+    w17 = " ".join(f"w{i}" for i in range(1, 18))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    family = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(10).select(F.col("id").alias("_k")))
+        .select((F.lit(200000) + F.col("_k")).alias("doc_id"), "text")
+    )
+    esc = spark.createDataFrame(
+        [
+            (300000, f"{w17} h0a h0b h0c"),
+            (300001, f"{w17} x0a q0z x0c"),
+            (300002, f"{w17} x0a x0b x0c"),
+            (300003, f"{w17} h0a h0b h0c"),
+            (300004, f"{w17} h0a h0b h0c"),
+            (300005, f"{w17} h0a h0b h0c"),
+        ],
+        "doc_id long, text string",
+    )
+    return lsh_verified_pairs(
+        docs.unionByName(family).unionByName(esc),
+        threshold=0.8, margin=0.15, escalate_sample=4,
+        num_hashes=6, bands=6, shingle_n=1, hot_bucket_cap=4,
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): per-adjacent-step
 # funnel timings — median/p90 seconds-to-convert from the SAME
 # single-shuffle fold as funnel_depth; DuckDB oracle reconstructs the
