@@ -2399,6 +2399,129 @@ def rebalance_sq_store(
     return _write_rebalanced_codes(spark, path, reencoded, split)
 
 
+def _grouped_cell_kmeans(
+    members: DataFrame,
+    split_factor: int,
+    iterations: int,
+    *,
+    id_col: str,
+) -> tuple[dict, dict, DataFrame]:
+    """Per-cell k-means over each hot cell's OWN members with EVERY
+    cell sharing the same jobs — one seed collect, one stats collect
+    per iteration, one checkpointed final assignment — where the
+    per-cell ``kmeans_centroids`` + ``assign_clusters`` loop paid
+    O(n_hot_cells) small Spark jobs (the r10 verdict's maintenance
+    ergonomics note: a store with hundreds of hot cells cost hundreds
+    of driver round-trips). Reproduces the sequential per-cell
+    procedure EXACTLY (parity test-pinned): seeds are each cell's
+    ``split_factor`` lowest-id members in id order, an emptied
+    sub-cell keeps its previous centroid, ties break to the first
+    minimum — the :func:`kmeans_centroids` contract, evaluated
+    against a per-cell literal codebook nest selected by
+    ``array_position`` (the :func:`pq_train` per-subspace pattern,
+    cells in place of subspaces).
+
+    ``members`` is (id, cluster, v array<double>); returns
+    ``(cents: {cell: [centroid, ...]}, sizes: {(cell, sub): n},
+    assignment (id, cluster, sub) — checkpointed, so consumers don't
+    re-run the iteration lineage)``.
+    """
+    v = members.persist()
+    w = Window.partitionBy("cluster").orderBy(id_col)
+    seed_rows = (
+        v.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= split_factor)
+        .select("cluster", "_rk", "v")
+        .collect()
+    )
+    cents: dict[int, list[list[float]]] = {}
+    for r in sorted(seed_rows, key=lambda s: (s["cluster"], s["_rk"])):
+        cents.setdefault(r["cluster"], []).append(list(r["v"]))
+    if not cents:
+        v.unpersist()
+        return {}, {}, members.select(id_col, "cluster").limit(0).withColumn(
+            "sub", F.lit(0).cast("int")
+        )
+    cells = sorted(cents)
+    dim = len(cents[cells[0]][0])
+    cells_arr = ", ".join(str(c) for c in cells)
+
+    def assigned():
+        nest = _literal_codebooks_sql([cents[c] for c in cells])
+        return (
+            v.withColumn(
+                "_cx",
+                F.expr(
+                    f"cast(array_position(array({cells_arr}), cluster)"
+                    " as int)"
+                ),
+            )
+            .withColumn(
+                "_d2s",
+                F.expr(
+                    f"transform(element_at({nest}, _cx),"
+                    " c -> aggregate(zip_with(v, c, (x, cc) ->"
+                    " (x - cc) * (x - cc)), cast(0.0 as double),"
+                    " (acc, d) -> acc + d))"
+                ),
+            )
+            .withColumn(
+                "sub",
+                F.expr(
+                    "cast(array_position(_d2s, array_min(_d2s)) as int)"
+                    " - 1"
+                ),
+            )
+        )
+
+    for it in range(iterations):
+        stats = (
+            assigned()
+            .groupBy("cluster", "sub")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min(F.size("v")).alias("_mn"),
+                F.max(F.size("v")).alias("_mx"),
+                *[
+                    F.sum(F.get("v", d)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
+            )
+            .collect()
+        )
+        if it == 0 and stats:
+            mn = min(r["_mn"] for r in stats)
+            mx = max(r["_mx"] for r in stats)
+            if mn != mx:
+                v.unpersist()
+                raise ValueError(
+                    "k-means requires fixed-dimension vectors; got "
+                    f"sizes {mn}..{mx}"
+                )
+        means = {
+            (r["cluster"], r["sub"]): [
+                r[f"s{d}"] / r["n"] for d in range(dim)
+            ]
+            for r in stats
+        }
+        cents = {
+            c: [means.get((c, i), prev) for i, prev in enumerate(cb)]
+            for c, cb in cents.items()
+        }
+    final = (
+        assigned().select(id_col, "cluster", "sub")
+        .localCheckpoint(eager=True)
+    )
+    v.unpersist()
+    sizes = {
+        (r["cluster"], r["sub"]): r["n"]
+        for r in final.groupBy("cluster", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return cents, sizes, final
+
+
 def _split_hot_cells(
     corpus: DataFrame,
     path: str,
@@ -2464,66 +2587,64 @@ def _split_hot_cells(
     new_cents = dict(old)
     split_cells, new_cells = [], []
     n_reencoded = 0
-    assigned_parts: list[DataFrame] = []
+    # ALL hot cells share one grouped k-means (one seed collect + one
+    # stats job per iteration + one checkpointed assignment —
+    # independent of how many cells are hot); the per-cell driver loop
+    # this replaces cost O(n_hot) small jobs (r10 verdict note)
+    members = corpus.join(member_ids, on=id_col).select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+        "cluster",
+    )
+    cents_by_cell, sizes, local = _grouped_cell_kmeans(
+        members, split_factor, iterations, id_col=id_col
+    )
+    mapping_entries: list[tuple[int, int, int]] = []
     for c in hot:
-        cell_ids = member_ids.filter(F.col("cluster") == c).select(id_col)
-        cell_members = corpus.join(cell_ids, on=id_col, how="left_semi")
-        sub = kmeans_centroids(
-            cell_members, split_factor, iterations,
-            vec_col=vec_col, id_col=id_col,
-        )
-        local = assign_clusters(
-            cell_members, sub, vec_col=vec_col, id_col=id_col
-        )
-        sizes = {
-            r["cluster"]: r["n"]
-            for r in local.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        cb = cents_by_cell.get(c, [])
         subs = [
-            (sid, list(r["centroid"]))
-            for sid, r in enumerate(sub.orderBy("centroid_id").collect())
-            if sizes.get(sid, 0) > 0  # seed cells that emptied: drop
+            (sid, cent)
+            for sid, cent in enumerate(cb)
+            if sizes.get((c, sid), 0) > 0  # seed cells that emptied: drop
         ]
         if len(subs) < 2:
             continue  # the cell would not actually split
         # the LARGEST sub-cell reuses the old id (its partition is
         # overwritten in place — never left stale)
-        subs.sort(key=lambda sc: -sizes.get(sc[0], 0))
-        local_to_global = {subs[0][0]: c}
+        subs.sort(key=lambda sc: -sizes.get((c, sc[0]), 0))
+        mapping_entries.append((c, subs[0][0], c))
         new_cents[c] = subs[0][1]
         split_cells.append(c)
         # members of cells that did NOT split are never re-encoded, so
         # they must not be counted (review-caught overcount)
-        n_reencoded += sum(sizes.values())
+        n_reencoded += sum(sizes.get((c, sid), 0) for sid, _ in subs)
         for sid, cent in subs[1:]:
-            local_to_global[sid] = next_id
+            mapping_entries.append((c, sid, next_id))
             new_cents[next_id] = cent
             new_cells.append(next_id)
             next_id += 1
-        # members redistribute among THEIR OWN cell's sub-centroids
-        # only — a global argmin could re-file a boundary member under
-        # a cold cell, and the dynamic overwrite of that cold
-        # partition would then REPLACE the cold cell's data with the
-        # handful of movers (destructive; review-caught in design)
-        mapping = ", ".join(
-            f"{lo}, {gl}" for lo, gl in sorted(local_to_global.items())
-        )
-        assigned_parts.append(
-            local.select(
-                F.col(id_col),
-                F.expr(f"element_at(map({mapping}), cluster)")
-                .cast("int")
-                .alias("cluster"),
-            )
-        )
     if not split_cells:
         return None
 
-    assigned = assigned_parts[0]
-    for part in assigned_parts[1:]:
-        assigned = assigned.unionByName(part)
+    # members redistribute among THEIR OWN cell's sub-centroids only —
+    # a global argmin could re-file a boundary member under a cold
+    # cell, and the dynamic overwrite of that cold partition would
+    # then REPLACE the cold cell's data with the handful of movers
+    # (destructive; review-caught in design). One map-side remap keyed
+    # by cell*split_factor + sub covers every split cell at once.
+    map_lits = ", ".join(
+        f"{c * split_factor + sid}L, {gl}"
+        for c, sid, gl in sorted(mapping_entries)
+    )
+    assigned = local.filter(F.col("cluster").isin(split_cells)).select(
+        F.col(id_col),
+        F.expr(
+            f"element_at(map({map_lits}),"
+            f" cast(cluster as bigint) * {split_factor} + sub)"
+        )
+        .cast("int")
+        .alias("cluster"),
+    )
     with_vecs = corpus.join(assigned, on=id_col).select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("_v"),

@@ -1733,3 +1733,85 @@ def test_promote_dir_keeps_old_until_new_lands(spark, tmp_path):
     with _pytest.raises(IOError, match="missing"):
         promote_dir(spark, str(tmp_path / "absent"), str(live))
     assert (live / "data.txt").read_text() == "new"  # live untouched
+
+
+def test_rebalance_multi_hot_cells_matches_sequential_procedure(
+    spark, tmp_path
+):
+    """The grouped k-means that replaced the per-cell driver loop must
+    reproduce the sequential procedure EXACTLY with several hot cells
+    in one rebalance: per split cell, the surviving sub-centroids,
+    id→cell assignment, and largest-sub-keeps-the-id rule are computed
+    here with the original per-cell kmeans_centroids/assign_clusters
+    calls and compared against the store the batched path wrote."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.similarity import (
+        assign_clusters,
+        kmeans_centroids,
+        rebalance_pq_store,
+        write_pq_store,
+    )
+
+    dim = 8
+    # four far-apart blobs; ids 0..3 are one seed vector per blob so
+    # the 4-cell k-means init lands one centroid in each blob — two
+    # blobs are HOT (120 members, internally bimodal so the split is
+    # non-trivial), two cold
+    centers = ([0.0] * dim, [40.0] * dim, [100.0] * dim, [-100.0] * dim)
+    rows = [(i, list(c)) for i, c in enumerate(centers)]
+    rows += _blob([0.0] * dim, 60, 100, dim=dim)
+    rows += _blob([6.0] * dim, 60, 1000, dim=dim)       # hot cell 0's far mode
+    rows += _blob([40.0] * dim, 60, 10000, dim=dim)
+    rows += _blob([46.0] * dim, 60, 15000, dim=dim)     # hot cell 1's far mode
+    rows += _blob([100.0] * dim, 5, 20000, dim=dim)
+    rows += _blob([-100.0] * dim, 5, 25000, dim=dim)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    store = str(tmp_path / "pq")
+    write_pq_store(emb, store, n_clusters=4, m=4, pq_k=8)
+
+    from haplorec_spark.operators.similarity import store_cell_stats
+
+    before = {
+        r["cluster"]: r["n_codes"]
+        for r in store_cell_stats(spark, store).collect()
+    }
+    hot = sorted(c for c, n in before.items() if n >= 100)
+    assert len(hot) >= 2, before  # the scenario must produce >=2 hot cells
+
+    codes_before = spark.read.parquet(f"{store}/codes").select(
+        "vec_id", "cluster"
+    ).collect()
+    cell_of = {r["vec_id"]: r["cluster"] for r in codes_before}
+
+    out = rebalance_pq_store(
+        emb, store, skew_threshold=1.5, split_factor=2, iterations=2
+    )
+    assert sorted(out["split_cells"]) == hot
+
+    # sequential replica: per hot cell, kmeans + assign + the
+    # largest-keeps-id rule — must equal the store's new assignment
+    got_cells = {
+        r["vec_id"]: r["cluster"]
+        for r in spark.read.parquet(f"{store}/codes")
+        .select("vec_id", "cluster")
+        .collect()
+    }
+    new_ids = iter(sorted(out["new_cells"]))
+    for c in hot:
+        ids = [v for v, cc in cell_of.items() if cc == c]
+        cell_members = emb.filter(F.col("vec_id").isin(ids))
+        sub = kmeans_centroids(cell_members, 2, 2)
+        local = {
+            r["vec_id"]: r["cluster"]
+            for r in assign_clusters(cell_members, sub).collect()
+        }
+        sizes = {}
+        for v in local.values():
+            sizes[v] = sizes.get(v, 0) + 1
+        order = sorted(sizes, key=lambda s: -sizes[s])
+        mapping = {order[0]: c}
+        for sid in order[1:]:
+            mapping[sid] = next(new_ids)
+        for v, sid in local.items():
+            assert got_cells[v] == mapping[sid], (c, v)
