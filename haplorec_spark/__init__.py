@@ -171,7 +171,10 @@ from haplorec_spark.sources import (  # noqa: E402
     wet_source,
 )
 from haplorec_spark.streaming import (  # noqa: E402
+    compact_funnel_state,
+    funnel_state_depths,
     stream_bloom_dedup_ingest,
+    stream_funnel_ingest,
     stream_dedup_events,
     stream_dedup_ingest,
     stream_drift_monitor,
@@ -275,7 +278,10 @@ __all__ = [
     "sq_topk",
     "sq_train",
     "write_sq_store",
+    "compact_funnel_state",
+    "funnel_state_depths",
     "stream_bloom_dedup_ingest",
+    "stream_funnel_ingest",
     "stream_dedup_events",
     "synthesize_media_table",
     "stream_dedup_ingest",

@@ -72,7 +72,11 @@ def _depth_fold_sql(steps: Sequence[str], within_seconds) -> str:
     )
 
 
-def _retry_fold_sql(steps: Sequence[str], within_seconds: int) -> str:
+def _retry_fold_sql(
+    steps: Sequence[str],
+    within_seconds: int,
+    init: str | None = None,
+) -> str:
     """SQL computing the windowFunnel DP state from the sorted
     (ts, eid, et) struct array bound as ``evs``: an array of
     ``len(steps)`` timestamps where entry j (1-based) is the LATEST
@@ -80,12 +84,25 @@ def _retry_fold_sql(steps: Sequence[str], within_seconds: int) -> str:
     budget reaches it. Transitions read the PREVIOUS accumulator only
     (``transform`` over ``acc``), so one event can never advance two
     levels, and the non-null entries always form a prefix (level j
-    sets only when level j-1 was already set)."""
+    sets only when level j-1 was already set).
+
+    ``init`` (a SQL expression for an array<timestamp> accumulator)
+    CONTINUES the fold from stored state instead of starting empty —
+    the DP is a left fold over time-ordered events, so folding a
+    later batch onto a previous batch's final state is exactly one
+    fold over the concatenation (the streaming twin's contract:
+    events must arrive in non-decreasing (ts, event_id) order per
+    user across batches)."""
     arr = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
     w_us = int(within_seconds) * 1_000_000
+    init_sql = (
+        f"array_repeat(cast(null as timestamp), {len(steps)})"
+        if init is None
+        else init
+    )
     return (
         f"aggregate(evs,"
-        f" array_repeat(cast(null as timestamp), {len(steps)}),"
+        f" {init_sql},"
         f" (acc, e) -> transform(acc, (t, j) -> CASE"
         f" WHEN e.et != element_at(array({arr}), j + 1) THEN t"
         # step 1: a later start always dominates (sorted input)
@@ -221,12 +238,17 @@ def funnel_depth(
     )
 
 
-def _witness_fold_sql(steps: Sequence[str], within_seconds) -> str:
+def _witness_fold_sql(
+    steps: Sequence[str],
+    within_seconds,
+    init: str | None = None,
+) -> str:
     """SQL computing the matched-timestamp PREFIX array from the
     sorted (ts, eid, et) struct array bound as ``evs`` — the
     single-attempt fold of :func:`_depth_fold_sql` with the full
     witness chain kept instead of only (depth, t0): entry j is the
-    timestamp of the event that completed step j."""
+    timestamp of the event that completed step j. ``init`` continues
+    the fold from stored state (see :func:`_retry_fold_sql`)."""
     arr = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
     budget = (
         "true"
@@ -237,9 +259,12 @@ def _witness_fold_sql(steps: Sequence[str], within_seconds) -> str:
             f" <= {int(within_seconds) * 1_000_000}L)"
         )
     )
+    init_sql = (
+        "cast(array() as array<timestamp>)" if init is None else init
+    )
     return (
         f"aggregate(evs,"
-        f" cast(array() as array<timestamp>),"
+        f" {init_sql},"
         f" (acc, e) -> CASE WHEN size(acc) < {len(steps)}"
         f" AND e.et = element_at(array({arr}), size(acc) + 1)"
         f" AND {budget}"

@@ -25,6 +25,13 @@ is the forward-looking streaming face a 100 TB deployment needs:
   persisted store (exact content hashes, MinHash-LSH band keys, or
   k-means-cell embeddings), exactly-once via ingest_batch dynamic
   partition overwrite.
+* :func:`stream_funnel_ingest` — ``foreachBatch`` funnel-state
+  maintenance: both funnel semantics are left folds over time-ordered
+  events, so each batch folds ONTO the persisted per-user accumulator
+  (a steps-bounded timestamp array — state is user-count-sized, never
+  event-history-sized) and :func:`funnel_state_depths` decodes depths
+  equal to batch ``funnel_depth`` over all history; exactly-once via
+  ingest_batch dynamic overwrite, ordering contract enforced per user.
 * :func:`stream_pq_index_ingest` — ``foreachBatch`` ANN-index
   maintenance: encode each vector batch against the pinned IVF-PQ
   centroids/codebooks and append (ingest_batch, cluster)-partitioned
@@ -42,7 +49,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.errors import AnalysisException
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -1185,3 +1192,354 @@ def stream_dsir_score(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ------------------------------------------------- streaming funnel state
+
+
+def _write_funnel_params_marker(
+    spark, path: str, steps, within_seconds, retry: bool
+) -> None:
+    """Record the funnel identity at ``<path>/_params`` (the bloom
+    ``_params`` convention): state arrays are only meaningful under
+    the exact (steps, budget, semantics) they were folded with, so a
+    job whose config drifted fails at write time instead of silently
+    continuing the wrong DP."""
+    _validate_funnel_params_marker(spark, path, steps, within_seconds, retry)
+    spark.createDataFrame(
+        [("\x1f".join(steps), within_seconds, retry)],
+        "steps string, within_seconds long, retry boolean",
+    ).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def _read_funnel_params_marker(spark, path: str):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{path}/_params").first()
+    except AnalysisException:
+        return None
+    return (
+        r["steps"].split("\x1f"),
+        r["within_seconds"],
+        bool(r["retry"]),
+    )
+
+
+def _validate_funnel_params_marker(
+    spark, path: str, steps, within_seconds, retry: bool
+) -> None:
+    stored = _read_funnel_params_marker(spark, path)
+    want = (
+        list(steps),
+        None if within_seconds is None else int(within_seconds),
+        bool(retry),
+    )
+    if stored is not None and (
+        stored[0],
+        stored[1],
+        stored[2],
+    ) != (want[0], want[1], want[2]):
+        raise ValueError(
+            f"funnel state at {path} was folded with "
+            f"(steps={stored[0]}, within={stored[1]}, "
+            f"retry={stored[2]}); continuing it with (steps={want[0]}, "
+            f"within={want[1]}, retry={want[2]}) would corrupt the DP — "
+            "use the stored config or a fresh state path"
+        )
+
+
+def stream_funnel_ingest(
+    event_stream: DataFrame,
+    *,
+    steps: list[str],
+    state_path: str,
+    checkpoint_dir: str,
+    within_seconds: int | None = None,
+    retry: bool = False,
+    late_policy: str = "error",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+):
+    """foreachBatch streaming twin of
+    :func:`~haplorec_spark.operators.funnel.funnel_depth`: each
+    micro-batch folds its events ONTO the persisted per-user funnel
+    state, so the accumulated state always equals the batch fold over
+    all history — without ever re-reading history.
+
+    Why this is exact: both funnel semantics are LEFT FOLDS over the
+    user's time-ordered events (the witness prefix for single-attempt,
+    the windowFunnel DP for ``retry=True``), and a left fold over a
+    concatenation is the fold of the second part started from the
+    first part's final state. The state store holds per user the fold
+    accumulator (an array of ``len(steps)``-bounded timestamps — a
+    few dozen bytes, NOT the events), so state size is user-count-
+    bounded and ingest work is batch-sized: the historical event
+    stream is never re-scanned.
+
+    Ordering contract: events must arrive in non-decreasing
+    (ts, event_id) order PER USER across batches (in-batch order is
+    free — the batch sorts before folding). ``late_policy="error"``
+    (default) verifies this against each user's stored high-water
+    mark and fails the batch loudly on a violation;
+    ``"unchecked"`` skips the verification (callers whose source
+    guarantees ordering save the check's column compare — the fold
+    would silently treat a late event as current, so only opt out
+    when the guarantee is real).
+
+    Exactly-once: each batch writes only its UPDATED users into an
+    ``ingest_batch=<id>`` partition (dynamic overwrite — a replayed
+    batch rewrites its own partition; the fold re-reads only states
+    from EARLIER batches, so the rewrite is idempotent). Readers take
+    each user's latest partition (:func:`funnel_state_depths`);
+    :func:`compact_funnel_state` folds accumulated partitions into
+    one. The (steps, budget, semantics) identity is pinned at
+    ``<state_path>/_params`` and validated on every run.
+
+    Returns the started StreamingQuery.
+    """
+    from haplorec_spark.operators.funnel import (
+        _retry_fold_sql,
+        _witness_fold_sql,
+    )
+
+    ingest = _funnel_ingest_fn(
+        steps=steps, state_path=state_path,
+        within_seconds=within_seconds, retry=retry,
+        late_policy=late_policy, user_col=user_col, ts_col=ts_col,
+        type_col=type_col, id_col=id_col,
+    )
+    return (
+        event_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _funnel_ingest_fn(
+    *,
+    steps: list[str],
+    state_path: str,
+    within_seconds: int | None,
+    retry: bool,
+    late_policy: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+):
+    """The per-batch fold of :func:`stream_funnel_ingest` as a
+    standalone callable — module-level so the replay-idempotence
+    property (re-running a batch_id rewrites its own partition from
+    strictly earlier states) is directly testable."""
+    from haplorec_spark.operators.funnel import (
+        _retry_fold_sql,
+        _witness_fold_sql,
+    )
+
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if retry and within_seconds is None:
+        raise ValueError(
+            "retry=True is meaningful only with a within_seconds budget"
+        )
+    if late_policy not in ("error", "unchecked"):
+        raise ValueError(f"unknown late_policy: {late_policy!r}")
+    k = len(steps)
+    if retry:
+        empty_init = f"array_repeat(cast(null as timestamp), {k})"
+        fold = _retry_fold_sql(
+            steps, within_seconds, init=f"coalesce(_wit, {empty_init})"
+        )
+    else:
+        empty_init = "cast(array() as array<timestamp>)"
+        fold = _witness_fold_sql(
+            steps, within_seconds, init=f"coalesce(_wit, {empty_init})"
+        )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        _write_funnel_params_marker(
+            spark, state_path, steps, within_seconds, retry
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        grouped = (
+            batch_df.filter(F.col(type_col).isin(list(steps)))
+            .select(
+                F.col(user_col).alias("user_id"),
+                F.struct(
+                    F.col(ts_col).cast("timestamp").alias("ts"),
+                    F.col(id_col).alias("eid"),
+                    F.col(type_col).alias("et"),
+                ).alias("e"),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.expr("array_sort(collect_list(e))").alias("evs"),
+                F.min("e").alias("_first"),
+                F.max("e").alias("_last"),
+            )
+        )
+        if not grouped.take(1):
+            return
+        try:
+            stored = spark.read.parquet(state_path)
+            # a replayed batch must fold from strictly EARLIER states,
+            # not its own crashed attempt's partition
+            prev = (
+                stored.filter(F.col("ingest_batch") < batch_id)
+                .withColumn(
+                    "_rk",
+                    F.row_number().over(
+                        Window.partitionBy("user_id").orderBy(
+                            F.col("ingest_batch").desc()
+                        )
+                    ),
+                )
+                .filter(F.col("_rk") == 1)
+                .select(
+                    "user_id",
+                    F.col("wit").alias("_wit"),
+                    "last_ts",
+                    "last_eid",
+                )
+            )
+        except AnalysisException:
+            prev = None
+        joined = (
+            grouped.join(prev, on="user_id", how="left")
+            if prev is not None
+            else grouped.withColumn(
+                "_wit", F.lit(None).cast("array<timestamp>")
+            )
+            .withColumn("last_ts", F.lit(None).cast("timestamp"))
+            .withColumn("last_eid", F.lit(None).cast("long"))
+        )
+        joined = joined.persist()
+        try:
+            if late_policy == "error":
+                late = joined.filter(
+                    F.col("last_ts").isNotNull()
+                    & (
+                        (F.col("_first.ts") < F.col("last_ts"))
+                        | (
+                            (F.col("_first.ts") == F.col("last_ts"))
+                            & (F.col("_first.eid") <= F.col("last_eid"))
+                        )
+                    )
+                ).count()
+                if late:
+                    raise ValueError(
+                        f"stream_funnel_ingest batch {batch_id}: {late} "
+                        "user(s) received events at or before their "
+                        "stored high-water mark — the fold contract "
+                        "needs non-decreasing (ts, event_id) per user "
+                        "across batches; fix the source ordering or "
+                        "rebuild the state from the full history"
+                    )
+            (
+                joined.select(
+                    "user_id",
+                    F.expr(fold).alias("wit"),
+                    F.col("_last.ts").alias("last_ts"),
+                    F.col("_last.eid").alias("last_eid"),
+                )
+                .withColumn("ingest_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("ingest_batch")
+                .parquet(state_path)
+            )
+        finally:
+            joined.unpersist()
+
+    return ingest
+
+
+def funnel_state_depths(spark, state_path: str) -> DataFrame:
+    """(user_id, depth, t_first) from a :func:`stream_funnel_ingest`
+    state store — per user the LATEST partition's accumulator,
+    decoded under the store's pinned semantics (``_params``): equal
+    row-for-row to batch ``funnel_depth`` over the full event history
+    (parity test-pinned)."""
+    params = _read_funnel_params_marker(spark, state_path)
+    if params is None:
+        raise ValueError(
+            f"no funnel state at {state_path} (missing _params marker)"
+        )
+    _, _, retry = params
+    latest = (
+        spark.read.parquet(state_path)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ingest_batch").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+    )
+    if retry:
+        depth = "size(filter(wit, x -> x IS NOT NULL))"
+        return latest.select(
+            "user_id",
+            F.expr(depth).cast("int").alias("depth"),
+            # depth 0 must be guarded: element_at(_, 0) is an error
+            F.expr(
+                f"CASE WHEN {depth} = 0 THEN CAST(NULL AS timestamp)"
+                f" ELSE element_at(wit, {depth}) END"
+            ).alias("t_first"),
+        )
+    return latest.select(
+        "user_id",
+        F.expr("size(wit)").cast("int").alias("depth"),
+        F.expr(
+            "CASE WHEN size(wit) = 0 THEN CAST(NULL AS timestamp)"
+            " ELSE element_at(wit, 1) END"
+        ).alias("t_first"),
+    )
+
+
+def compact_funnel_state(spark, state_path: str) -> None:
+    """Fold a funnel state store's accumulated per-batch partitions
+    into one (``ingest_batch = -1``, keeping the partition depth so
+    later batches append normally): after thousands of micro-batches
+    every reader pays a partition-wide latest-per-user window over
+    all history — compaction resolves it once. Offline single-writer,
+    like the other store compactions."""
+    from haplorec_spark.operators.stores import replace_parquet_dir
+
+    params = _read_funnel_params_marker(spark, state_path)
+    if params is None:
+        raise ValueError(
+            f"no funnel state at {state_path} (missing _params marker)"
+        )
+    latest = (
+        spark.read.parquet(state_path)
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ingest_batch").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id", "wit", "last_ts", "last_eid",
+            F.lit(-1).cast("long").alias("ingest_batch"),
+        )
+    )
+    replace_parquet_dir(
+        latest, state_path, partition_by=("ingest_batch",)
+    )
+    # the rewrite replaced the whole directory: restore the identity
+    # marker so later ingests/readers keep validating against it
+    _write_funnel_params_marker(spark, state_path, *params)

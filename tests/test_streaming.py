@@ -1135,3 +1135,157 @@ def test_stream_dedup_ingest_verified_mega_family_bounded(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     )
     assert ids == [0, m + 1]  # hub survives, m-1 copies verified-dropped
+
+
+# ------------------------------------------- streaming funnel (round 11)
+
+
+def _funnel_stream_setup(spark, tmp_path, name):
+    import shutil
+
+    src = tmp_path / f"{name}_incoming"
+    src.mkdir()
+    return str(src), str(tmp_path / f"{name}_state"), str(
+        tmp_path / f"{name}_ckpt"
+    )
+
+
+def _drop_events(spark, src, df):
+    df.coalesce(1).write.mode("append").parquet(src)
+
+
+def _run_funnel_batchfold(spark, src, state, ckpt, **kw):
+    from haplorec_spark.streaming import stream_funnel_ingest
+
+    q = stream_funnel_ingest(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).parquet(src),
+        state_path=state,
+        checkpoint_dir=ckpt,
+        **kw,
+    )
+    q.awaitTermination(180)
+
+
+@pytest.mark.parametrize("retry", [False, True])
+def test_stream_funnel_matches_batch_over_split_history(
+    spark, tmp_path, retry
+):
+    """Three time-ordered drops of the real event stream folded
+    incrementally must decode to EXACTLY batch funnel_depth over the
+    full history — both semantics; replaying the last drop (same
+    files, fresh checkpoint reprocesses everything ... the store's
+    dynamic overwrite) changes nothing."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.funnel import funnel_depth
+    from haplorec_spark.streaming import funnel_state_depths
+
+    from haplorec_spark.queries import table
+
+    events = table(spark, SF_DIR, "events")
+    kw = dict(
+        steps=["view", "click", "purchase"],
+        within_seconds=43200 if retry else 259200,
+        retry=retry,
+    )
+    name = f"funnel_{'retry' if retry else 'single'}"
+    src, state, ckpt = _funnel_stream_setup(spark, tmp_path, name)
+    lo, hi = events.select(
+        F.expr("percentile(unix_micros(ts), array(0.33, 0.66))")
+    ).first()[0]
+    us = F.expr("unix_micros(ts)")
+    parts = [
+        events.filter(us <= F.lit(lo)),
+        events.filter((us > F.lit(lo)) & (us <= F.lit(hi))),
+        events.filter(us > F.lit(hi)),
+    ]
+    for p in parts:
+        _drop_events(spark, src, p)
+        _run_funnel_batchfold(spark, src, state, ckpt, **kw)
+
+    got = rows(funnel_state_depths(spark, state))
+    want = rows(funnel_depth(events, **kw))
+    assert got == want
+
+    # compaction is a pure no-op for the reader
+    from haplorec_spark.streaming import compact_funnel_state
+
+    compact_funnel_state(spark, state)
+    batches = spark.read.parquet(state).select(
+        "ingest_batch"
+    ).distinct().collect()
+    assert [r["ingest_batch"] for r in batches] == [-1]
+    assert rows(funnel_state_depths(spark, state)) == want
+
+
+def test_stream_funnel_rejects_late_events_and_config_drift(
+    spark, tmp_path
+):
+    """A batch carrying an event at or before a user's stored
+    high-water mark fails LOUDLY (the fold contract), and re-running
+    against the same state with different funnel parameters raises
+    before any state is touched."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.queries import table
+
+    events = table(spark, SF_DIR, "events")
+    src, state, ckpt = _funnel_stream_setup(spark, tmp_path, "late")
+    kw = dict(steps=["view", "click", "purchase"], within_seconds=259200)
+    mid = events.select(
+        F.expr("percentile(unix_micros(ts), 0.5)")
+    ).first()[0]
+    us = F.expr("unix_micros(ts)")
+    _drop_events(spark, src, events.filter(us > F.lit(mid)))
+    _run_funnel_batchfold(spark, src, state, ckpt, **kw)
+
+    # late half arrives after the newer half was folded
+    _drop_events(spark, src, events.filter(us <= F.lit(mid)))
+    from pyspark.errors import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="high-water"):
+        _run_funnel_batchfold(spark, src, state, ckpt, **kw)
+
+    with pytest.raises(ValueError, match="corrupt the DP"):
+        from haplorec_spark.streaming import _validate_funnel_params_marker
+
+        _validate_funnel_params_marker(
+            spark, state, ["view", "click"], 259200, False
+        )
+
+
+def test_stream_funnel_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once contract, tested at the batch-function level:
+    re-running a committed batch_id (a crash-replay) rewrites its own
+    state partition from strictly EARLIER partitions, so the decoded
+    depths are unchanged — even though the state dir already holds
+    that batch's rows."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.queries import table
+    from haplorec_spark.streaming import (
+        _funnel_ingest_fn,
+        funnel_state_depths,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    mid = events.select(
+        F.expr("percentile(unix_micros(ts), 0.5)")
+    ).first()[0]
+    us = F.expr("unix_micros(ts)")
+    state = str(tmp_path / "replay_state")
+    ingest = _funnel_ingest_fn(
+        steps=["view", "click", "purchase"], state_path=state,
+        within_seconds=259200, retry=False, late_policy="error",
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        id_col="event_id",
+    )
+    ingest(events.filter(us <= F.lit(mid)), 0)
+    ingest(events.filter(us > F.lit(mid)), 1)
+    want = rows(funnel_state_depths(spark, state))
+    # crash-replay of batch 1: same frame, same id, state already set
+    ingest(events.filter(us > F.lit(mid)), 1)
+    assert rows(funnel_state_depths(spark, state)) == want
