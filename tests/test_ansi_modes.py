@@ -29,6 +29,13 @@ MODE_SENSITIVE = [
     # identically under both ANSI modes
     "q_dedup_spans",
     "q_sample_weighted",
+    # round-11: element_at-heavy folds (the windowFunnel DP and the
+    # step-timings witness arithmetic), the repair fold's split()
+    # indexing, and the bounded-verification bucket lambdas
+    "q_funnel_events_retry",
+    "q_funnel_step_timings",
+    "q_fix_encoding",
+    "q_dedup_verified_pairs",
 ]
 
 
@@ -42,8 +49,11 @@ def ansi_off(spark):
 
 @pytest.mark.parametrize("name", MODE_SENSITIVE)
 def test_results_identical_across_ansi_modes(spark, ansi_off, name):
-    q = registry()[name]
-    with_ansi_off = rows(q.fn(spark, SF))
+    import haplorec_spark.queries as qmod
+
+    reg = registry()
+    fn = reg[name].fn if name in reg else getattr(qmod, name)
+    with_ansi_off = rows(fn(spark, SF))
     spark.conf.set("spark.sql.ansi.enabled", "true")
-    with_ansi_on = rows(q.fn(spark, SF))
+    with_ansi_on = rows(fn(spark, SF))
     assert with_ansi_on == with_ansi_off
