@@ -2399,6 +2399,16 @@ def rebalance_sq_store(
     return _write_rebalanced_codes(spark, path, reencoded, split)
 
 
+#: literal-doubles budget for one grouped-kmeans codebook nest: the
+#: per-cell codebooks inline as SQL text (the _dist2_to_codebook
+#: rationale), and an unbounded nest at hundreds of hot cells ×
+#: split_factor × dim would blow driver parse time and push the
+#: generated code past whole-stage-codegen's method limit — so cells
+#: are processed in groups whose nest stays under this many doubles
+#: (jobs grow with n_hot/group, not n_hot).
+_GROUPED_KMEANS_LITERAL_BUDGET = 32_768
+
+
 def _grouped_cell_kmeans(
     members: DataFrame,
     split_factor: int,
@@ -2444,12 +2454,24 @@ def _grouped_cell_kmeans(
         )
     cells = sorted(cents)
     dim = len(cents[cells[0]][0])
-    cells_arr = ", ".join(str(c) for c in cells)
+    # bound the literal nest: at hundreds of hot cells the full nest
+    # would be megabytes of SQL text (review-caught) — process cells
+    # in groups under the literal budget; jobs grow with
+    # ceil(n_cells/group) × iterations, still independent of n_cells
+    # in the common few-hot-cells case
+    group_n = max(
+        1, _GROUPED_KMEANS_LITERAL_BUDGET // max(1, split_factor * dim)
+    )
+    groups = [
+        cells[i : i + group_n] for i in range(0, len(cells), group_n)
+    ]
 
-    def assigned():
-        nest = _literal_codebooks_sql([cents[c] for c in cells])
+    def assigned(group):
+        cells_arr = ", ".join(str(c) for c in group)
+        nest = _literal_codebooks_sql([cents[c] for c in group])
         return (
-            v.withColumn(
+            v.filter(F.col("cluster").isin(group))
+            .withColumn(
                 "_cx",
                 F.expr(
                     f"cast(array_position(array({cells_arr}), cluster)"
@@ -2474,44 +2496,54 @@ def _grouped_cell_kmeans(
             )
         )
 
-    for it in range(iterations):
-        stats = (
-            assigned()
-            .groupBy("cluster", "sub")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.min(F.size("v")).alias("_mn"),
-                F.max(F.size("v")).alias("_mx"),
-                *[
-                    F.sum(F.get("v", d)).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
-            .collect()
-        )
-        if it == 0 and stats:
-            mn = min(r["_mn"] for r in stats)
-            mx = max(r["_mx"] for r in stats)
-            if mn != mx:
-                v.unpersist()
-                raise ValueError(
-                    "k-means requires fixed-dimension vectors; got "
-                    f"sizes {mn}..{mx}"
+    for group in groups:
+        for it in range(iterations):
+            stats = (
+                assigned(group)
+                .groupBy("cluster", "sub")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min(F.size("v")).alias("_mn"),
+                    F.max(F.size("v")).alias("_mx"),
+                    *[
+                        F.sum(F.get("v", d)).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
                 )
-        means = {
-            (r["cluster"], r["sub"]): [
-                r[f"s{d}"] / r["n"] for d in range(dim)
-            ]
-            for r in stats
-        }
-        cents = {
-            c: [means.get((c, i), prev) for i, prev in enumerate(cb)]
-            for c, cb in cents.items()
-        }
-    final = (
-        assigned().select(id_col, "cluster", "sub")
-        .localCheckpoint(eager=True)
-    )
+                .collect()
+            )
+            if it == 0 and stats:  # every group's first pass validates
+                mn = min(r["_mn"] for r in stats)
+                mx = max(r["_mx"] for r in stats)
+                if mn != mx:
+                    v.unpersist()
+                    raise ValueError(
+                        "k-means requires fixed-dimension vectors; got "
+                        f"sizes {mn}..{mx}"
+                    )
+            means = {
+                (r["cluster"], r["sub"]): [
+                    r[f"s{d}"] / r["n"] for d in range(dim)
+                ]
+                for r in stats
+            }
+            cents.update(
+                {
+                    c: [
+                        means.get((c, i), prev)
+                        for i, prev in enumerate(cents[c])
+                    ]
+                    for c in group
+                }
+            )
+    final_parts = [
+        assigned(group).select(id_col, "cluster", "sub")
+        for group in groups
+    ]
+    final = final_parts[0]
+    for part in final_parts[1:]:
+        final = final.unionByName(part)
+    final = final.localCheckpoint(eager=True)
     v.unpersist()
     sizes = {
         (r["cluster"], r["sub"]): r["n"]

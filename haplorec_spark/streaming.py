@@ -1198,21 +1198,31 @@ def stream_dsir_score(
 
 
 def _write_funnel_params_marker(
-    spark, path: str, steps, within_seconds, retry: bool
+    spark, path: str, steps, within_seconds, retry: bool,
+    compacted_through: int = -1,
 ) -> None:
     """Record the funnel identity at ``<path>/_params`` (the bloom
     ``_params`` convention): state arrays are only meaningful under
     the exact (steps, budget, semantics) they were folded with, so a
     job whose config drifted fails at write time instead of silently
-    continuing the wrong DP."""
+    continuing the wrong DP. Steps are JSON-encoded (a delimiter-join
+    would let distinct lists collide). ``compacted_through`` is the
+    highest batch id a compaction has folded — the replay horizon
+    (see :func:`compact_funnel_state`)."""
+    import json
+
     _validate_funnel_params_marker(spark, path, steps, within_seconds, retry)
     spark.createDataFrame(
-        [("\x1f".join(steps), within_seconds, retry)],
-        "steps string, within_seconds long, retry boolean",
+        [(json.dumps(list(steps)), within_seconds, retry,
+          int(compacted_through))],
+        "steps string, within_seconds long, retry boolean,"
+        " compacted_through long",
     ).write.mode("overwrite").parquet(f"{path}/_params")
 
 
 def _read_funnel_params_marker(spark, path: str):
+    import json
+
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
@@ -1220,9 +1230,12 @@ def _read_funnel_params_marker(spark, path: str):
     except AnalysisException:
         return None
     return (
-        r["steps"].split("\x1f"),
+        json.loads(r["steps"]),
         r["within_seconds"],
         bool(r["retry"]),
+        int(r["compacted_through"])
+        if "compacted_through" in r.__fields__
+        else -1,
     )
 
 
@@ -1235,11 +1248,7 @@ def _validate_funnel_params_marker(
         None if within_seconds is None else int(within_seconds),
         bool(retry),
     )
-    if stored is not None and (
-        stored[0],
-        stored[1],
-        stored[2],
-    ) != (want[0], want[1], want[2]):
+    if stored is not None and (stored[0], stored[1], stored[2]) != want:
         raise ValueError(
             f"funnel state at {path} was folded with "
             f"(steps={stored[0]}, within={stored[1]}, "
@@ -1300,11 +1309,6 @@ def stream_funnel_ingest(
 
     Returns the started StreamingQuery.
     """
-    from haplorec_spark.operators.funnel import (
-        _retry_fold_sql,
-        _witness_fold_sql,
-    )
-
     ingest = _funnel_ingest_fn(
         steps=steps, state_path=state_path,
         within_seconds=within_seconds, retry=retry,
@@ -1361,55 +1365,55 @@ def _funnel_ingest_fn(
         )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.take(1):
+        from haplorec_spark.operators.funnel import _grouped_funnel_events
+
+        # pre-aggregation emptiness probe: an early-out scan, not the
+        # full per-user shuffle (review-caught double aggregation)
+        if not batch_df.filter(F.col(type_col).isin(list(steps))).take(1):
             return
         spark = batch_df.sparkSession
+        params = _read_funnel_params_marker(spark, state_path)
+        if params is not None and batch_id <= params[3]:
+            raise ValueError(
+                f"stream_funnel_ingest batch {batch_id}: the state at "
+                f"{state_path} was compacted through batch "
+                f"{params[3]}, so this batch's pre-compaction inputs "
+                "are gone — a batch at or below the compaction horizon "
+                "cannot replay. Compact only after a CLEAN stop "
+                "(checkpoint committed); recover by rebuilding the "
+                "state from the full event history"
+            )
         _write_funnel_params_marker(
-            spark, state_path, steps, within_seconds, retry
+            spark, state_path, steps, within_seconds, retry,
+            compacted_through=params[3] if params is not None else -1,
         )
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", "dynamic"
         )
-        grouped = (
-            batch_df.filter(F.col(type_col).isin(list(steps)))
-            .select(
-                F.col(user_col).alias("user_id"),
-                F.struct(
-                    F.col(ts_col).cast("timestamp").alias("ts"),
-                    F.col(id_col).alias("eid"),
-                    F.col(type_col).alias("et"),
-                ).alias("e"),
-            )
-            .groupBy("user_id")
-            .agg(
-                F.expr("array_sort(collect_list(e))").alias("evs"),
-                F.min("e").alias("_first"),
-                F.max("e").alias("_last"),
-            )
+        # the shared single-shuffle funnel input; batch high-water
+        # bounds come map-side off the already-sorted array
+        grouped = _grouped_funnel_events(
+            batch_df, steps,
+            user_col=user_col, ts_col=ts_col, type_col=type_col,
+            id_col=id_col, max_events_per_user=None,
+        ).select(
+            "user_id",
+            "evs",
+            F.expr("element_at(evs, 1)").alias("_first"),
+            F.expr("element_at(evs, size(evs))").alias("_last"),
         )
-        if not grouped.take(1):
-            return
         try:
-            stored = spark.read.parquet(state_path)
             # a replayed batch must fold from strictly EARLIER states,
             # not its own crashed attempt's partition
-            prev = (
-                stored.filter(F.col("ingest_batch") < batch_id)
-                .withColumn(
-                    "_rk",
-                    F.row_number().over(
-                        Window.partitionBy("user_id").orderBy(
-                            F.col("ingest_batch").desc()
-                        )
-                    ),
+            prev = _latest_funnel_state(
+                spark.read.parquet(state_path).filter(
+                    F.col("ingest_batch") < batch_id
                 )
-                .filter(F.col("_rk") == 1)
-                .select(
-                    "user_id",
-                    F.col("wit").alias("_wit"),
-                    "last_ts",
-                    "last_eid",
-                )
+            ).select(
+                "user_id",
+                F.col("wit").alias("_wit"),
+                "last_ts",
+                "last_eid",
             )
         except AnalysisException:
             prev = None
@@ -1473,19 +1477,8 @@ def funnel_state_depths(spark, state_path: str) -> DataFrame:
         raise ValueError(
             f"no funnel state at {state_path} (missing _params marker)"
         )
-    _, _, retry = params
-    latest = (
-        spark.read.parquet(state_path)
-        .withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(
-                    F.col("ingest_batch").desc()
-                )
-            ),
-        )
-        .filter(F.col("_rk") == 1)
-    )
+    retry = params[2]
+    latest = _latest_funnel_state(spark.read.parquet(state_path))
     if retry:
         depth = "size(filter(wit, x -> x IS NOT NULL))"
         return latest.select(
@@ -1507,23 +1500,12 @@ def funnel_state_depths(spark, state_path: str) -> DataFrame:
     )
 
 
-def compact_funnel_state(spark, state_path: str) -> None:
-    """Fold a funnel state store's accumulated per-batch partitions
-    into one (``ingest_batch = -1``, keeping the partition depth so
-    later batches append normally): after thousands of micro-batches
-    every reader pays a partition-wide latest-per-user window over
-    all history — compaction resolves it once. Offline single-writer,
-    like the other store compactions."""
-    from haplorec_spark.operators.stores import replace_parquet_dir
-
-    params = _read_funnel_params_marker(spark, state_path)
-    if params is None:
-        raise ValueError(
-            f"no funnel state at {state_path} (missing _params marker)"
-        )
-    latest = (
-        spark.read.parquet(state_path)
-        .withColumn(
+def _latest_funnel_state(stored: DataFrame) -> DataFrame:
+    """Each user's most recent accumulator row — the one
+    latest-partition resolution the ingest, the reader, and the
+    compactor all share (three hand copies would drift)."""
+    return (
+        stored.withColumn(
             "_rk",
             F.row_number().over(
                 Window.partitionBy("user_id").orderBy(
@@ -1532,14 +1514,54 @@ def compact_funnel_state(spark, state_path: str) -> None:
             ),
         )
         .filter(F.col("_rk") == 1)
-        .select(
-            "user_id", "wit", "last_ts", "last_eid",
-            F.lit(-1).cast("long").alias("ingest_batch"),
+        .drop("_rk")
+    )
+
+
+def compact_funnel_state(spark, state_path: str) -> None:
+    """Fold a funnel state store's accumulated per-batch partitions
+    into one (``ingest_batch = -1``, keeping the partition depth so
+    later batches append normally): after thousands of micro-batches
+    every reader pays a partition-wide latest-per-user window over
+    all history — compaction resolves it once.
+
+    Run it ONLY between cleanly stopped stream runs (checkpoint
+    committed): compaction destroys the strictly-earlier partitions a
+    crash-replay would fold from, so the highest batch id folded is
+    recorded in ``_params`` as the replay horizon and a later batch
+    at or below it REFUSES to run instead of silently double-folding.
+    The rewrite stages everything — compacted rows AND the marker —
+    into a sibling directory and promotes it by rename
+    (:func:`~haplorec_spark.operators.stores.promote_dir`), so no
+    crash window leaves the store marker-less (the drift guard would
+    otherwise be disarmed). Offline single-writer, like the other
+    store compactions."""
+    import json
+
+    from haplorec_spark.operators.stores import delete_dir, promote_dir
+
+    params = _read_funnel_params_marker(spark, state_path)
+    if params is None:
+        raise ValueError(
+            f"no funnel state at {state_path} (missing _params marker)"
         )
+    stored = spark.read.parquet(state_path)
+    horizon = stored.agg(F.max("ingest_batch")).first()[0]
+    latest = _latest_funnel_state(stored).select(
+        "user_id", "wit", "last_ts", "last_eid",
+        F.lit(-1).cast("long").alias("ingest_batch"),
     )
-    replace_parquet_dir(
-        latest, state_path, partition_by=("ingest_batch",)
+    stage = f"{state_path}__compact"
+    delete_dir(spark, stage)
+    (
+        latest.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(stage)
     )
-    # the rewrite replaced the whole directory: restore the identity
-    # marker so later ingests/readers keep validating against it
-    _write_funnel_params_marker(spark, state_path, *params)
+    spark.createDataFrame(
+        [(json.dumps(list(params[0])), params[1], params[2],
+          int(max(horizon, params[3])))],
+        "steps string, within_seconds long, retry boolean,"
+        " compacted_through long",
+    ).write.mode("overwrite").parquet(f"{stage}/_params")
+    promote_dir(spark, stage, state_path)

@@ -1289,3 +1289,46 @@ def test_stream_funnel_replay_is_idempotent(spark, tmp_path):
     # crash-replay of batch 1: same frame, same id, state already set
     ingest(events.filter(us > F.lit(mid)), 1)
     assert rows(funnel_state_depths(spark, state)) == want
+
+
+def test_stream_funnel_compaction_horizon_refuses_stale_replay(
+    spark, tmp_path
+):
+    """compact_funnel_state destroys the strictly-earlier partitions a
+    crash-replay would fold from, so it records the highest folded
+    batch id as a replay horizon: a batch at or below it REFUSES to
+    run (loud, with recovery guidance) instead of silently
+    double-folding; later batches proceed normally."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.queries import table
+    from haplorec_spark.streaming import (
+        _funnel_ingest_fn,
+        compact_funnel_state,
+        funnel_state_depths,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    mid = events.select(
+        F.expr("percentile(unix_micros(ts), 0.5)")
+    ).first()[0]
+    us = F.expr("unix_micros(ts)")
+    state = str(tmp_path / "horizon_state")
+    ingest = _funnel_ingest_fn(
+        steps=["view", "click", "purchase"], state_path=state,
+        within_seconds=259200, retry=False, late_policy="error",
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        id_col="event_id",
+    )
+    first = events.filter(us <= F.lit(mid))
+    second = events.filter(us > F.lit(mid))
+    ingest(first, 0)
+    ingest(second, 1)
+    compact_funnel_state(spark, state)
+    want = rows(funnel_state_depths(spark, state))
+
+    with pytest.raises(ValueError, match="compaction horizon"):
+        ingest(second, 1)  # crash-replay across a compaction
+    # the refusal left the state intact and later batches still run
+    assert rows(funnel_state_depths(spark, state)) == want
+    ingest(second.limit(0), 2)  # no funnel events: clean no-op
