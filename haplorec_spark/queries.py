@@ -1161,15 +1161,17 @@ def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact interpolated percentiles per group (continuous quantile)",
 )
 def q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.percentiles import group_percentiles
+
     li = table(spark, sf_dir, "lineitem")
-    # one percentile aggregate for both quantiles: the per-group value
-    # buffer is built (and sorted) once, not once per requested quantile
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("_p")
-    ).select(
-        "l_returnflag",
-        F.round(F.col("_p")[0], 6).alias("median_price"),
-        F.round(F.col("_p")[1], 6).alias("p95_price"),
+    # round 12: the value-buffering percentile() aggregate (O(group
+    # size) on one task) is replaced by the distinct-value histogram +
+    # cumulative-window interpolation — identical answers (quantile_cont
+    # semantics, DuckDB's interpolation spelling), buffers bounded by
+    # distinct prices, not rows
+    return group_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95],
+        names=["median_price", "p95_price"],
     )
 
 
