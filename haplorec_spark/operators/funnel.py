@@ -273,7 +273,16 @@ def _witness_fold_sql(
     )
 
 
-def _retry_witness_fold_sql(steps: Sequence[str], within_seconds: int) -> str:
+#: the retry witness accumulator's element type — shared by the batch
+#: fold and the streaming state store's schema guard
+RETRY_WITNESS_ENTRY = "struct<t0: timestamp, ev: timestamp, gp: bigint>"
+
+
+def _retry_witness_fold_sql(
+    steps: Sequence[str],
+    within_seconds: int,
+    init: str | None = None,
+) -> str:
     """:func:`_retry_fold_sql` widened to carry each level's witness:
     entry j is struct(t0 = the LATEST chain-start achieving depth j,
     ev = the step-j event timestamp of the FIRST chain with that
@@ -282,13 +291,26 @@ def _retry_witness_fold_sql(steps: Sequence[str], within_seconds: int) -> str:
     (a later start only loosens future budget checks); ev/gp follow
     deterministically because an entry is REPLACED only by a strictly
     later start, so the first in-order completion for the winning
-    start is the one kept."""
+    start is the one kept.
+
+    ``init`` (a SQL expression for an array<RETRY_WITNESS_ENTRY>
+    accumulator) CONTINUES the fold from stored state — like the
+    narrow fold, this is a pure left fold over time-ordered events,
+    so folding a later batch from a previous batch's final state
+    equals one fold over the concatenation (round 12: the streaming
+    funnel state stores THIS accumulator under ``retry=True`` so the
+    state decodes both depths and step timings)."""
     arr = ", ".join("'" + s.replace("'", "''") + "'" for s in steps)
     w_us = int(within_seconds) * 1_000_000
-    entry = "struct<t0: timestamp, ev: timestamp, gp: bigint>"
+    entry = RETRY_WITNESS_ENTRY
+    init_sql = (
+        f"array_repeat(cast(null as {entry}), {len(steps)})"
+        if init is None
+        else init
+    )
     return (
         f"aggregate(evs,"
-        f" array_repeat(cast(null as {entry}), {len(steps)}),"
+        f" {init_sql},"
         f" (acc, e) -> transform(acc, (x, j) -> CASE"
         f" WHEN e.et != element_at(array({arr}), j + 1) THEN x"
         # step 1: a later start always dominates (sorted input)

@@ -1283,10 +1283,14 @@ def stream_funnel_ingest(
     the windowFunnel DP for ``retry=True``), and a left fold over a
     concatenation is the fold of the second part started from the
     first part's final state. The state store holds per user the fold
-    accumulator (an array of ``len(steps)``-bounded timestamps — a
-    few dozen bytes, NOT the events), so state size is user-count-
-    bounded and ingest work is batch-sized: the historical event
-    stream is never re-scanned.
+    accumulator (a ``len(steps)``-bounded array — matched timestamps
+    for single-attempt, per-level witness structs for ``retry=True``;
+    a few dozen bytes either way, NOT the events), so state size is
+    user-count-bounded and ingest work is batch-sized: the historical
+    event stream is never re-scanned. Because the accumulator carries
+    the full witness chain, the store decodes BOTH faces: depths
+    (:func:`funnel_state_depths`) and step-timing percentiles
+    (:func:`funnel_state_step_timings`).
 
     Ordering contract: events must arrive in non-decreasing
     (ts, event_id) order PER USER across batches (in-batch order is
@@ -1340,7 +1344,8 @@ def _funnel_ingest_fn(
     property (re-running a batch_id rewrites its own partition from
     strictly earlier states) is directly testable."""
     from haplorec_spark.operators.funnel import (
-        _retry_fold_sql,
+        RETRY_WITNESS_ENTRY,
+        _retry_witness_fold_sql,
         _witness_fold_sql,
     )
 
@@ -1354,8 +1359,13 @@ def _funnel_ingest_fn(
         raise ValueError(f"unknown late_policy: {late_policy!r}")
     k = len(steps)
     if retry:
-        empty_init = f"array_repeat(cast(null as timestamp), {k})"
-        fold = _retry_fold_sql(
+        # round 12: the stored accumulator is the WITNESS DP (per
+        # level t0/ev/gp), not just chain starts, so the state decodes
+        # step timings as well as depths; both are the same left fold
+        empty_init = (
+            f"array_repeat(cast(null as {RETRY_WITNESS_ENTRY}), {k})"
+        )
+        fold = _retry_witness_fold_sql(
             steps, within_seconds, init=f"coalesce(_wit, {empty_init})"
         )
     else:
@@ -1405,8 +1415,10 @@ def _funnel_ingest_fn(
         try:
             # a replayed batch must fold from strictly EARLIER states,
             # not its own crashed attempt's partition
+            stored = spark.read.parquet(state_path)
+            _ensure_funnel_state_schema(stored, retry, state_path)
             prev = _latest_funnel_state(
-                spark.read.parquet(state_path).filter(
+                stored.filter(
                     F.col("ingest_batch") < batch_id
                 )
             ).select(
@@ -1417,11 +1429,15 @@ def _funnel_ingest_fn(
             )
         except AnalysisException:
             prev = None
+        wit_type = (
+            f"array<{RETRY_WITNESS_ENTRY}>" if retry
+            else "array<timestamp>"
+        )
         joined = (
             grouped.join(prev, on="user_id", how="left")
             if prev is not None
             else grouped.withColumn(
-                "_wit", F.lit(None).cast("array<timestamp>")
+                "_wit", F.lit(None).cast(wit_type)
             )
             .withColumn("last_ts", F.lit(None).cast("timestamp"))
             .withColumn("last_eid", F.lit(None).cast("long"))
@@ -1478,7 +1494,9 @@ def funnel_state_depths(spark, state_path: str) -> DataFrame:
             f"no funnel state at {state_path} (missing _params marker)"
         )
     retry = params[2]
-    latest = _latest_funnel_state(spark.read.parquet(state_path))
+    stored = spark.read.parquet(state_path)
+    _ensure_funnel_state_schema(stored, retry, state_path)
+    latest = _latest_funnel_state(stored)
     if retry:
         depth = "size(filter(wit, x -> x IS NOT NULL))"
         return latest.select(
@@ -1487,7 +1505,7 @@ def funnel_state_depths(spark, state_path: str) -> DataFrame:
             # depth 0 must be guarded: element_at(_, 0) is an error
             F.expr(
                 f"CASE WHEN {depth} = 0 THEN CAST(NULL AS timestamp)"
-                f" ELSE element_at(wit, {depth}) END"
+                f" ELSE element_at(wit, {depth}).t0 END"
             ).alias("t_first"),
         )
     return latest.select(
@@ -1498,6 +1516,96 @@ def funnel_state_depths(spark, state_path: str) -> DataFrame:
             " ELSE element_at(wit, 1) END"
         ).alias("t_first"),
     )
+
+
+def funnel_state_step_timings(
+    spark,
+    state_path: str,
+    *,
+    percentiles=(0.5, 0.9),
+) -> DataFrame:
+    """(step_ix, step, n_users, p<P>_seconds...): per-adjacent-step
+    conversion-time percentiles decoded STRAIGHT from a
+    :func:`stream_funnel_ingest` state store — row-for-row equal to
+    batch :func:`~haplorec_spark.operators.funnel.funnel_step_timings`
+    over the full event history (parity test-pinned, both semantics),
+    without re-reading a single historical event.
+
+    Works because the stored accumulator already carries the gap
+    witnesses: the single-attempt state is the matched-timestamp
+    prefix (gaps = adjacent differences), and the ``retry=True`` state
+    is the per-level witness DP with each level's gap microseconds in
+    ``gp`` (round 12 — states written by the round-11 layout, which
+    stored only chain starts, are refused with rebuild guidance by the
+    schema guard). Percentiles ride the shared
+    distinct-value-histogram tail (``funnel._step_timing_report``), so
+    no user-sized buffer appears here either; the steps ladder comes
+    from the store's pinned ``_params``.
+    """
+    params = _read_funnel_params_marker(spark, state_path)
+    if params is None:
+        raise ValueError(
+            f"no funnel state at {state_path} (missing _params marker)"
+        )
+    steps, _, retry = params[0], params[1], params[2]
+    if len(steps) < 2:
+        raise ValueError("step timings need at least two steps")
+    stored = spark.read.parquet(state_path)
+    _ensure_funnel_state_schema(stored, retry, state_path)
+    latest = _latest_funnel_state(stored)
+    if retry:
+        gaps = latest.select(
+            "user_id",
+            F.posexplode(
+                F.expr(
+                    "filter(transform(wit, (x, j) ->"
+                    " CASE WHEN j >= 1 AND x IS NOT NULL"
+                    " THEN x.gp ELSE CAST(NULL AS bigint) END),"
+                    " g -> g IS NOT NULL)"
+                )
+            ).alias("_pos", "_gp"),
+        )
+    else:
+        gaps = latest.select(
+            "user_id",
+            F.posexplode(
+                F.expr(
+                    "transform(slice(wit, 2, greatest(size(wit) - 1, 0)),"
+                    " (t, j) ->"
+                    " unix_micros(t) - unix_micros(element_at(wit, j + 1)))"
+                )
+            ).alias("_pos", "_gp"),
+        )
+    from haplorec_spark.operators.funnel import _step_timing_report
+
+    return _step_timing_report(spark, gaps, steps, percentiles)
+
+
+def _ensure_funnel_state_schema(
+    stored: DataFrame, retry: bool, state_path: str
+) -> None:
+    """Refuse a retry-mode state whose ``wit`` column predates the
+    round-12 witness layout (a bare timestamp array of chain starts):
+    decoding it as witness structs would fail confusingly mid-plan,
+    and CONTINUING the fold onto it would silently discard the gap
+    history. Loud refusal with the recovery path instead."""
+    from pyspark.sql.types import StructType
+
+    elem = stored.schema["wit"].dataType.elementType
+    if retry and not isinstance(elem, StructType):
+        raise ValueError(
+            f"funnel state at {state_path} stores bare chain-start "
+            "timestamps (pre-round-12 retry layout); this version "
+            "stores per-level witness structs so the state can decode "
+            "step timings — rebuild the state from the full event "
+            "history at a fresh path"
+        )
+    if not retry and isinstance(elem, StructType):
+        raise ValueError(
+            f"funnel state at {state_path} stores witness structs but "
+            "_params says retry=False — the store is torn; rebuild it "
+            "from the full event history"
+        )
 
 
 def _latest_funnel_state(stored: DataFrame) -> DataFrame:

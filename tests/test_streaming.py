@@ -1210,6 +1210,17 @@ def test_stream_funnel_matches_batch_over_split_history(
     want = rows(funnel_depth(events, **kw))
     assert got == want
 
+    # round 12: the SAME store decodes step timings — parity with the
+    # batch operator over the full history, both semantics
+    from haplorec_spark.operators.funnel import funnel_step_timings
+    from haplorec_spark.streaming import funnel_state_step_timings
+
+    got_t = rows(funnel_state_step_timings(spark, state))
+    want_t = rows(funnel_step_timings(events, **kw))
+    assert got_t == want_t
+    # non-vacuous: (step_ix, step, n_users, ...) rows with users
+    assert any(r[2] > 0 for r in got_t)
+
     # compaction is a pure no-op for the reader
     from haplorec_spark.streaming import compact_funnel_state
 
@@ -1219,6 +1230,7 @@ def test_stream_funnel_matches_batch_over_split_history(
     ).distinct().collect()
     assert [r["ingest_batch"] for r in batches] == [-1]
     assert rows(funnel_state_depths(spark, state)) == want
+    assert rows(funnel_state_step_timings(spark, state)) == want_t
 
 
 def test_stream_funnel_rejects_late_events_and_config_drift(
@@ -1332,3 +1344,44 @@ def test_stream_funnel_compaction_horizon_refuses_stale_replay(
     # the refusal left the state intact and later batches still run
     assert rows(funnel_state_depths(spark, state)) == want
     ingest(second.limit(0), 2)  # no funnel events: clean no-op
+
+
+def test_stream_funnel_refuses_pre_round12_retry_layout(
+    spark, tmp_path
+):
+    """A retry-mode state whose ``wit`` is a bare timestamp array (the
+    round-11 chain-start layout) is refused LOUDLY by every reader and
+    by the ingest continuation — decoding it as witness structs would
+    fail mid-plan, and folding onto it would silently discard the gap
+    history."""
+    from haplorec_spark.streaming import (
+        _funnel_ingest_fn,
+        _write_funnel_params_marker,
+        funnel_state_depths,
+        funnel_state_step_timings,
+    )
+
+    state = str(tmp_path / "old_layout")
+    _write_funnel_params_marker(
+        spark, state, ["view", "click", "purchase"], 43200, True,
+        compacted_through=-1,
+    )
+    spark.createDataFrame(
+        [(7, [None, None, None], None, None, 0)],
+        "user_id long, wit array<timestamp>, last_ts timestamp,"
+        " last_eid long, ingest_batch long",
+    ).write.partitionBy("ingest_batch").parquet(state, mode="append")
+    with pytest.raises(ValueError, match="pre-round-12"):
+        funnel_state_depths(spark, state)
+    with pytest.raises(ValueError, match="pre-round-12"):
+        funnel_state_step_timings(spark, state)
+    ingest = _funnel_ingest_fn(
+        steps=["view", "click", "purchase"], state_path=state,
+        within_seconds=43200, retry=True, late_policy="error",
+        user_col="user_id", ts_col="ts", type_col="event_type",
+        id_col="event_id",
+    )
+    from haplorec_spark.queries import table
+
+    with pytest.raises(ValueError, match="pre-round-12"):
+        ingest(table(spark, SF_DIR, "events"), 1)
