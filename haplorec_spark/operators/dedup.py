@@ -528,6 +528,7 @@ def incremental_candidate_pairs(
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
     hot_bucket_cap: int | None = 1024,
+    store_probe_cap: int | None = None,
 ) -> DataFrame:
     """(doc_id_new, doc_id_matched, source): near-dup candidates of an
     incoming batch against BOTH the historical store and itself.
@@ -535,7 +536,9 @@ def incremental_candidate_pairs(
     :func:`lsh_candidate_pairs`; pass ``None`` when a downstream
     Jaccard-verification consumer needs the exhaustive pair list); the
     store half's mega-family guard is
-    ``compact_lsh_store(representatives_only=True)``.
+    ``compact_lsh_store(representatives_only=True)``, and
+    ``store_probe_cap`` additionally bounds false-collision hot store
+    keys (see :func:`history_candidate_pairs`).
 
     The incremental twin of :func:`lsh_candidate_pairs` — a new drop
     is deduped without re-scanning the historical corpus: only its
@@ -554,6 +557,7 @@ def incremental_candidate_pairs(
         text_col=text_col,
         id_col=id_col,
         segmentation=segmentation,
+        store_probe_cap=store_probe_cap,
     ).withColumn("source", F.lit("history"))
     vs_batch = (
         lsh_candidate_pairs(
@@ -585,14 +589,42 @@ def history_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
+    store_probe_cap: int | None = None,
 ) -> DataFrame:
     """(doc_id_new, doc_id_matched): the HISTORY half of
     :func:`incremental_candidate_pairs` alone — an incoming batch's
     band keys joined against the persisted store, no in-batch pairs.
     Used by consumers that handle the in-batch half with a different
     strategy (e.g. the bounded star-verify path in
-    :func:`~haplorec_spark.streaming.stream_dedup_ingest`)."""
+    :func:`~haplorec_spark.streaming.stream_dedup_ingest`).
+
+    Store-side bound: the join fans out by the number of STORED ids
+    sharing a probed band key. When the store advances with SURVIVORS
+    only (the ``stream_dedup_ingest`` contract) a real duplicate
+    family never accumulates there — each batch's family members drop
+    against the store's one representative — so same-key store rows
+    stay representative-sized; after many appends of the same
+    surviving ids run ``compact_lsh_store(representatives_only=True)``
+    to restore that bound physically. What survivors-only does NOT
+    bound is FALSE collisions: many *distinct* survivors can land on
+    one band key (hash luck), and every later probe of that key pays
+    the full fan-out even though verification will discard the pairs.
+    ``store_probe_cap`` pins that tail: per (band, band_key), only the
+    ``cap`` smallest stored ids are probed (the hub convention —
+    smallest ids make valid witnesses and keep reruns deterministic).
+    The store is first semi-join-pruned to the batch's own keys, so
+    the cap's window runs over probed-key rows only, never the whole
+    store. A capped probe can miss a true match whose stored witness
+    ranks past the cap on EVERY shared key — under survivors-only
+    stores that requires ≥ cap distinct false-colliding survivors on
+    each of the document's keys, which is the pathological case the
+    cap exists to bound (seeded-collision test-pinned).
+    """
     spark = new_docs.sparkSession
+    if store_probe_cap is not None and store_probe_cap < 1:
+        raise ValueError(
+            f"store_probe_cap must be >= 1, got {store_probe_cap}"
+        )
     _validate_segmentation_marker(spark, store_path, segmentation)
     new_banded = lsh_band_keys(
         new_docs,
@@ -603,17 +635,28 @@ def history_candidate_pairs(
         id_col=id_col,
         segmentation=segmentation,
     )
-    store = spark.read.parquet(store_path)
-    return (
-        new_banded.select(
-            F.col(id_col).alias("doc_id_new"), "band", "band_key"
-        )
-        .join(
-            store.select(
-                F.col(id_col).alias("doc_id_matched"), "band", "band_key"
-            ),
+    probe = new_banded.select(
+        F.col(id_col).alias("doc_id_new"), "band", "band_key"
+    )
+    store = spark.read.parquet(store_path).select(
+        F.col(id_col).alias("doc_id_matched"), "band", "band_key"
+    )
+    if store_probe_cap is not None:
+        pruned = store.join(
+            probe.select("band", "band_key").distinct(),
             on=["band", "band_key"],
+            how="left_semi",
         )
+        w = Window.partitionBy("band", "band_key").orderBy(
+            "doc_id_matched"
+        )
+        store = (
+            pruned.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= store_probe_cap)
+            .drop("_rk")
+        )
+    return (
+        probe.join(store, on=["band", "band_key"])
         .select("doc_id_new", "doc_id_matched")
         .distinct()
     )

@@ -248,6 +248,7 @@ def stream_dedup_ingest(
     verify_escalate_sample: int = 16,
     segmentation: str = "whitespace",
     hot_bucket_cap: int | None | str = "auto",
+    history_probe_cap: int | None = None,
 ):
     """foreachBatch corpus ingest with cross-batch dedup against a
     persisted store: each micro-batch drops documents matching history
@@ -284,6 +285,16 @@ def stream_dedup_ingest(
     ``threshold − verify_margin`` is kept unescalated); pass
     ``hot_bucket_cap=None`` to restore the exact quadratic
     verification when the exhaustive answer matters more.
+
+    The HISTORY half's fan-out is bounded by design — the store
+    advances with survivors only, so a duplicate family holds one
+    representative there — but a band key can still go hot through
+    FALSE collisions across many distinct survivors.
+    ``history_probe_cap`` bounds that tail: per probed (band,
+    band_key), only the cap smallest stored ids join back
+    (:func:`~haplorec_spark.operators.dedup.history_candidate_pairs`'s
+    ``store_probe_cap``, with its documented miss risk). ``None``
+    (default) keeps the exhaustive probe.
 
     Exactly-once: survivors and store keys both land in
     ``ingest_batch=<batch_id>`` partitions via dynamic partition
@@ -360,6 +371,7 @@ def stream_dedup_ingest(
                 vs_history = history_candidate_pairs(
                     batch_df, store_path, text_col=text_col,
                     id_col=id_col, segmentation=segmentation,
+                    store_probe_cap=history_probe_cap,
                 )
                 # history text lives in the curated output itself
                 losers = losers.unionByName(
@@ -381,6 +393,7 @@ def stream_dedup_ingest(
                     batch_df, store_path, text_col=text_col,
                     id_col=id_col, segmentation=segmentation,
                     hot_bucket_cap=cap,
+                    store_probe_cap=history_probe_cap,
                 )
                 if have_store
                 else lsh_candidate_pairs(

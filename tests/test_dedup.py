@@ -1066,3 +1066,62 @@ def test_verified_pairs_validation():
         lsh_verified_pairs(None, threshold=0.8, escalate_sample=0)
     with pytest.raises(ValueError):
         lsh_verified_pairs(None, threshold=0.8, hot_bucket_cap=1)
+
+
+def test_history_probe_cap_bounds_false_collision_fanout(
+    spark, tmp_path
+):
+    """The survivors-only store invariant bounds DUPLICATE families
+    (each family holds one representative), but many DISTINCT
+    survivors can share a band key through false collisions — and an
+    uncapped history probe then fans out by the full collision count.
+    Seed that exactly: a store whose rows share one of the probe
+    document's REAL band keys under 500 distinct ids. Uncapped, the
+    candidate list is collision-sized; with store_probe_cap it is
+    cap-sized and deterministic (the smallest stored ids — the hub
+    convention), while a key the probe doesn't touch costs nothing."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.dedup import (
+        history_candidate_pairs,
+        lsh_band_keys,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    probe = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    keys = lsh_band_keys(probe).select("band", "band_key").collect()
+    hot = keys[0]
+    # 500 DISTINCT ids on one real probe key (the seeded false
+    # collision), plus 50 rows on a key the probe never touches
+    store_rows = spark.range(500).select(
+        (F.col("id") + 1000).alias("doc_id"),
+        F.lit(hot["band"]).alias("band"),
+        F.lit(hot["band_key"]).alias("band_key"),
+    ).unionByName(
+        spark.range(50).select(
+            (F.col("id") + 9000).alias("doc_id"),
+            F.lit(hot["band"]).alias("band"),
+            F.lit("never-probed-key").alias("band_key"),
+        )
+    )
+    store = str(tmp_path / "seeded_store")
+    store_rows.write.partitionBy("band").parquet(store)
+
+    uncapped = history_candidate_pairs(probe, store).collect()
+    assert len(uncapped) == 500  # the fan-out is real
+
+    capped = sorted(
+        r["doc_id_matched"]
+        for r in history_candidate_pairs(
+            probe, store, store_probe_cap=8
+        ).collect()
+    )
+    assert capped == list(range(1000, 1008))
+
+    with pytest.raises(ValueError, match="store_probe_cap"):
+        history_candidate_pairs(probe, store, store_probe_cap=0)
