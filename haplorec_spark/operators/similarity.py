@@ -35,6 +35,7 @@ order so results are bit-identical across engines before rounding.
 from __future__ import annotations
 
 import hashlib
+from dataclasses import dataclass
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, Window
@@ -2237,6 +2238,150 @@ def store_cell_stats(spark, path: str) -> DataFrame:
         F.round(
             F.col("n_codes") * F.count(F.lit(1)).over(w) / total, 6
         ).alias("skew"),
+    )
+
+
+@dataclass(frozen=True)
+class StoreHealth:
+    """The advisor's verdict on a persisted IVF store (PQ or SQ):
+    measured signals plus the recommended maintenance rung.
+
+    ``recommendation`` is one of ``"ok"``, ``"compact"``,
+    ``"rebalance"``, ``"rebuild"``; ``reasons`` states which signal
+    crossed which threshold (empty for ``"ok"``)."""
+
+    n_cells: int
+    n_codes: int
+    n_files: int
+    max_skew: float
+    hot_mass: float
+    empty_fraction: float
+    files_per_cell: float
+    recommendation: str
+    reasons: tuple[str, ...]
+
+
+def _store_health_decision(
+    cells: list[tuple[int, float, float]],
+    n_files: int,
+    *,
+    skew_threshold: float,
+    hot_mass_threshold: float,
+    empty_fraction_threshold: float,
+    files_per_cell_threshold: float,
+) -> StoreHealth:
+    """The pure decision half of :func:`store_health` over collected
+    (n_codes, fill_fraction, skew) cell rows — driver-side so the
+    escalation goldens test the rule itself on the measured r10/r11
+    drift states without rebuilding the stores."""
+    n_cells = len(cells)
+    n_codes = sum(c[0] for c in cells)
+    max_skew = max((c[2] for c in cells), default=0.0)
+    hot_mass = sum(c[1] for c in cells if c[2] >= skew_threshold)
+    empty_fraction = (
+        sum(1 for c in cells if c[0] == 0) / n_cells if n_cells else 0.0
+    )
+    files_per_cell = n_files / n_cells if n_cells else 0.0
+    reasons: list[str] = []
+    if hot_mass >= hot_mass_threshold:
+        reasons.append(
+            f"hot_mass {hot_mass:.3f} >= {hot_mass_threshold} (most of "
+            "the stored mass sits in over-skew cells: the training "
+            "distribution no longer matches — splitting recovers only "
+            "part of the gap, retraining closes it)"
+        )
+    if empty_fraction >= empty_fraction_threshold:
+        reasons.append(
+            f"empty_fraction {empty_fraction:.3f} >= "
+            f"{empty_fraction_threshold} (the distribution the "
+            "centroids were trained on has largely vanished)"
+        )
+    if reasons:
+        rec = "rebuild"
+    elif max_skew >= skew_threshold:
+        rec = "rebalance"
+        reasons.append(
+            f"max_skew {max_skew:.3f} >= {skew_threshold} (hot cells "
+            "exist but hold a minority of the mass: the split repair "
+            "recovers recall touching only their members)"
+        )
+    elif files_per_cell > files_per_cell_threshold:
+        rec = "compact"
+        reasons.append(
+            f"files_per_cell {files_per_cell:.1f} > "
+            f"{files_per_cell_threshold} (probe-time read "
+            "amplification from per-batch appends)"
+        )
+    else:
+        rec = "ok"
+    return StoreHealth(
+        n_cells=n_cells,
+        n_codes=n_codes,
+        n_files=n_files,
+        max_skew=round(max_skew, 6),
+        hot_mass=round(hot_mass, 6),
+        empty_fraction=round(empty_fraction, 6),
+        files_per_cell=round(files_per_cell, 6),
+        recommendation=rec,
+        reasons=tuple(reasons),
+    )
+
+
+def store_health(
+    spark,
+    path: str,
+    *,
+    skew_threshold: float = 2.0,
+    hot_mass_threshold: float = 0.5,
+    empty_fraction_threshold: float = 0.5,
+    files_per_cell_threshold: float = 8.0,
+) -> StoreHealth:
+    """One call answering "which maintenance rung does this IVF store
+    need?" — the escalation rule the measured drift ladder implies
+    (SCALE.md round-11 table: drifted 0.024 → rebalanced 0.286 →
+    rebuilt 0.318 = fresh-build recall), folded into code so the
+    detect → compact → rebalance → rebuild family is drivable without
+    reading prose.
+
+    Signals (all metadata-cheap): per-cell skew and fill from
+    :func:`store_cell_stats` (a footer-only aggregate over the codes
+    partition column) and the data-file count from the Hadoop FS
+    listing (zero rows read). The ladder, most expensive rung first:
+
+    * ``rebuild`` — over-skew cells hold ≥ ``hot_mass_threshold`` of
+      ALL codes, or ≥ ``empty_fraction_threshold`` of cells sit
+      empty. Both say the pinned centroids/codebooks were trained on
+      a distribution that no longer exists; the r10 drift scenario
+      (454 of 700 codes ≈ 0.65 of the mass in one skew-2.59 cell) is
+      the measured case where rebalance plateaued at 0.286 while
+      rebuild reached the 0.318 fresh ceiling.
+    * ``rebalance`` — some cell's skew ≥ ``skew_threshold`` (the
+      :func:`rebalance_pq_store` default trigger) but hot cells hold
+      a minority of the mass: splitting them touches only their
+      members and recovered 0.024 → 0.286 in the measured scenario.
+    * ``compact`` — balanced, but > ``files_per_cell_threshold``
+      data files per cell (per-micro-batch appends): probe latency,
+      not recall, is the problem.
+    * ``ok`` — none of the above.
+
+    Works on PQ and SQ stores, batch or streaming layout (both keep
+    codes under ``<path>/codes`` partitioned by cluster). The
+    recommendation is advisory — it never mutates the store.
+    """
+    from haplorec_spark.operators.stores import count_data_files
+
+    cells = [
+        (int(r["n_codes"]), float(r["fill_fraction"]), float(r["skew"]))
+        for r in store_cell_stats(spark, path).collect()
+    ]
+    n_files = count_data_files(spark, f"{path}/codes")
+    return _store_health_decision(
+        cells,
+        n_files,
+        skew_threshold=skew_threshold,
+        hot_mass_threshold=hot_mass_threshold,
+        empty_fraction_threshold=empty_fraction_threshold,
+        files_per_cell_threshold=files_per_cell_threshold,
     )
 
 

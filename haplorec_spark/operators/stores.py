@@ -40,6 +40,27 @@ def dir_exists(spark, path: str) -> bool:
     return bool(p.getFileSystem(conf).exists(p))
 
 
+def count_data_files(spark, path: str, suffix: str = ".parquet") -> int:
+    """Recursive count of data files under ``path`` via the Hadoop FS
+    listing — pure metadata, zero rows read. The read-amplification
+    signal for the maintenance advisors (a store accumulating one file
+    per micro-batch per cell costs one open() per file at probe
+    time)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return 0
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(suffix):
+            n += 1
+    return n
+
+
 def rename_dir(spark, src: str, dst: str) -> None:
     """Hadoop FS rename; raises if the FS refuses (e.g. dst exists)."""
     jvm = spark._jvm

@@ -1815,3 +1815,79 @@ def test_rebalance_multi_hot_cells_matches_sequential_procedure(
             mapping[sid] = next(new_ids)
         for v, sid in local.items():
             assert got_cells[v] == mapping[sid], (c, v)
+
+
+def test_store_health_goldens_on_measured_drift_states():
+    """The escalation rule on the MEASURED drift states (SCALE.md
+    r10/r11 ladder), driven through the pure decision half so the
+    goldens pin the rule itself: balanced fresh store → ok; the r10
+    drift state (454 of 700 codes in one skew-2.59 cell — where
+    rebalance plateaued at 0.286 recall and rebuild reached the 0.318
+    ceiling) → rebuild; a hot minority cell → rebalance; balanced with
+    per-batch file litter → compact; a half-starved store → rebuild."""
+    from haplorec_spark.operators.similarity import _store_health_decision
+
+    kw = dict(
+        skew_threshold=2.0, hot_mass_threshold=0.5,
+        empty_fraction_threshold=0.5, files_per_cell_threshold=8.0,
+    )
+
+    def cells(counts):
+        total = sum(counts) or 1
+        k = len(counts)
+        return [(n, n / total, n * k / total) for n in counts]
+
+    fresh = _store_health_decision(cells([175, 175, 175, 175]), 4, **kw)
+    assert fresh.recommendation == "ok" and fresh.reasons == ()
+
+    # the r10 scenario: drifted mass piled into one frozen cell
+    drifted = _store_health_decision(cells([82, 84, 80, 454]), 4, **kw)
+    assert drifted.recommendation == "rebuild"
+    assert drifted.max_skew == round(454 * 4 / 700, 6)  # 2.594286
+    assert drifted.hot_mass == round(454 / 700, 6)      # 0.648571
+    assert "hot_mass" in drifted.reasons[0]
+
+    # hot cell holding a MINORITY of the mass: split repair suffices
+    warm = _store_health_decision(
+        cells([100, 100, 100, 100, 100, 100, 100, 300]), 8, **kw
+    )
+    assert warm.recommendation == "rebalance"
+    assert warm.hot_mass == 0.3
+
+    # balanced but littered with per-batch files
+    littered = _store_health_decision(cells([100, 100, 100, 100]), 40, **kw)
+    assert littered.recommendation == "compact"
+    assert littered.files_per_cell == 10.0
+
+    # half the cells starved: the training distribution is gone
+    starved = _store_health_decision(cells([500, 500, 0, 0]), 4, **kw)
+    assert starved.recommendation == "rebuild"
+    assert starved.empty_fraction == 0.5
+
+
+def test_store_health_reads_a_real_store(spark, tmp_path):
+    """End-to-end on a freshly written IVF-PQ store: the advisor reads
+    only metadata (cell stats + file listing) and reports ok with the
+    true cell/code/file counts."""
+    from haplorec_spark.operators.similarity import (
+        store_health,
+        write_pq_store,
+    )
+
+    dim = 16
+    rows_ = (
+        _blob([0.0] * dim, 50, 0)
+        + _blob([10.0] * dim, 50, 1000)
+        + _blob([-10.0] * dim, 50, 2000)
+    )
+    corpus = spark.createDataFrame(
+        rows_, "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "health_store")
+    write_pq_store(corpus, path, n_clusters=3, m=4, pq_k=16)
+    h = store_health(spark, path)
+    assert h.recommendation == "ok"
+    assert h.n_cells == 3
+    assert h.n_codes == 150
+    assert h.n_files >= 3
+    assert h.reasons == ()
