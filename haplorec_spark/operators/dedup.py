@@ -1358,66 +1358,17 @@ def lsh_verified_pairs(
         raise ValueError(
             f"hot_bucket_cap must be >= 2 (or None), got {hot_bucket_cap}"
         )
-    banded = lsh_band_keys(
+    grouped, big, star_pairs, verified = _star_verify_first_pass(
         docs,
+        threshold=threshold,
+        margin=margin,
         num_hashes=num_hashes,
         bands=bands,
         shingle_n=shingle_n,
         text_col=text_col,
         id_col=id_col,
         segmentation=segmentation,
-    )
-    grouped = (
-        banded.select(F.col(id_col).alias("_bid"), "band", "band_key")
-        .groupBy("band", "band_key")
-        .agg(F.sort_array(F.collect_list("_bid")).alias("_ids"))
-        .filter(F.size("_ids") >= 2)
-    )
-    all_pairs = (
-        "flatten(transform(_ids, (x, i) ->"
-        " transform(slice(_ids, i + 2, size(_ids)),"
-        " y -> named_struct('doc_id_a', x, 'doc_id_b', y))))"
-    )
-    star = (
-        "transform(slice(_ids, 2, size(_ids) - 1),"
-        " y -> named_struct('doc_id_a', element_at(_ids, 1),"
-        " 'doc_id_b', y))"
-    )
-    small_pairs = (
-        grouped.filter(F.size("_ids") <= hot_bucket_cap)
-        .select(F.explode(F.expr(all_pairs)).alias("_p"))
-        .select("_p.doc_id_a", "_p.doc_id_b")
-        .distinct()
-        .withColumn("_kind", F.lit("small"))
-        .withColumn("band", F.lit(None).cast("int"))
-        .withColumn("band_key", F.lit(None).cast("string"))
-    )
-    big = grouped.filter(F.size("_ids") > hot_bucket_cap)
-    star_pairs = (
-        big.select("band", "band_key", F.explode(F.expr(star)).alias("_p"))
-        .select("band", "band_key", "_p.doc_id_a", "_p.doc_id_b")
-        .withColumn("_kind", F.lit("star"))
-    )
-    # One verify pass at (threshold − margin): small-bucket pairs and
-    # star edges share the shingle-set build; star edges keep their
-    # bucket key so ambiguous members can find their escalation sample.
-    candidates = small_pairs.unionByName(
-        star_pairs.select(
-            "doc_id_a", "doc_id_b", "_kind", "band", "band_key"
-        )
-    )
-    floor = max(threshold - margin, 0.0)
-    verified = verify_jaccard_pairs(
-        candidates,
-        docs,
-        docs,
-        threshold=floor,
-        shingle_n=shingle_n,
-        text_col=text_col,
-        id_col=id_col,
-        a_col="doc_id_a",
-        b_col="doc_id_b",
-        segmentation=segmentation,
+        hot_bucket_cap=hot_bucket_cap,
     )
     if cache:
         verified = verified.persist()
@@ -1481,6 +1432,221 @@ def lsh_verified_pairs(
     return accepted.unionByName(
         escalated.select("doc_id_a", "doc_id_b", "jaccard")
     ).distinct()
+
+
+def _star_verify_first_pass(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    margin: float,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+    segmentation: str,
+    hot_bucket_cap: int,
+):
+    """The shared front half of the bounded star-verification path —
+    band-key buckets, the small-bucket all-pairs / over-cap star-edge
+    split, and the one exact-Jaccard pass at ``threshold − margin``
+    (one construction for :func:`lsh_verified_pairs` and its audit
+    face :func:`verification_profile`; two hand copies would drift).
+
+    Returns ``(grouped, big, star_pairs, verified)``: all sized
+    buckets, the over-cap buckets with their sorted member ids, the
+    raw star edges (bucket-keyed), and the verified pass — rows at or
+    above the margin floor only, tagged ``_kind`` small/star."""
+    banded = lsh_band_keys(
+        docs,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        segmentation=segmentation,
+    )
+    grouped = (
+        banded.select(F.col(id_col).alias("_bid"), "band", "band_key")
+        .groupBy("band", "band_key")
+        .agg(F.sort_array(F.collect_list("_bid")).alias("_ids"))
+        .filter(F.size("_ids") >= 2)
+    )
+    all_pairs = (
+        "flatten(transform(_ids, (x, i) ->"
+        " transform(slice(_ids, i + 2, size(_ids)),"
+        " y -> named_struct('doc_id_a', x, 'doc_id_b', y))))"
+    )
+    star = (
+        "transform(slice(_ids, 2, size(_ids) - 1),"
+        " y -> named_struct('doc_id_a', element_at(_ids, 1),"
+        " 'doc_id_b', y))"
+    )
+    small_pairs = (
+        grouped.filter(F.size("_ids") <= hot_bucket_cap)
+        .select(F.explode(F.expr(all_pairs)).alias("_p"))
+        .select("_p.doc_id_a", "_p.doc_id_b")
+        .distinct()
+        .withColumn("_kind", F.lit("small"))
+        .withColumn("band", F.lit(None).cast("int"))
+        .withColumn("band_key", F.lit(None).cast("string"))
+    )
+    big = grouped.filter(F.size("_ids") > hot_bucket_cap)
+    star_pairs = (
+        big.select("band", "band_key", F.explode(F.expr(star)).alias("_p"))
+        .select("band", "band_key", "_p.doc_id_a", "_p.doc_id_b")
+        .withColumn("_kind", F.lit("star"))
+    )
+    # One verify pass at (threshold − margin): small-bucket pairs and
+    # star edges share the shingle-set build; star edges keep their
+    # bucket key so ambiguous members can find their escalation sample.
+    candidates = small_pairs.unionByName(
+        star_pairs.select(
+            "doc_id_a", "doc_id_b", "_kind", "band", "band_key"
+        )
+    )
+    floor = max(threshold - margin, 0.0)
+    verified = verify_jaccard_pairs(
+        candidates,
+        docs,
+        docs,
+        threshold=floor,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        a_col="doc_id_a",
+        b_col="doc_id_b",
+        segmentation=segmentation,
+    )
+    return grouped, big, star_pairs, verified
+
+
+def verification_profile(
+    docs: DataFrame,
+    *,
+    threshold: float,
+    margin: float = 0.1,
+    num_hashes: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    segmentation: str = "whitespace",
+    hot_bucket_cap: int = 1024,
+) -> DataFrame:
+    """(bucket_size_band, decision, n): how :func:`lsh_verified_pairs`
+    would decide, counted per decision class and bucket-size band —
+    the audit face of the bounded verification path (the
+    :func:`cluster_size_profile` convention), so the false-keep
+    budget is OBSERVABLE before a big run instead of inferred from
+    the margin prose.
+
+    Decision classes (same procedure, same first verify pass):
+
+    * ``exact_pair`` — within-bucket pairs of ≤-cap buckets, verified
+      exactly (n = per-bucket pair count m·(m−1)/2; a pair sharing
+      two buckets counts twice because the WORK bound, not the
+      distinct pair set, is what this profiles);
+    * ``hub_cleared`` — over-cap star members whose hub similarity
+      clears ``threshold`` (dropped, hub witness — exact-path
+      decision);
+    * ``margin_escalated`` — members in [threshold − margin,
+      threshold) escalating to the bucket sample;
+    * ``margin_covered`` — members in the margin band already dropped
+      by an accepted edge elsewhere (no escalation needed);
+    * ``below_margin_kept`` — members whose hub similarity fell below
+      the margin floor: kept unescalated. THIS row is the documented
+      false-keep budget — if it is large on a bucket band you care
+      about, widen ``margin`` or raise the cap.
+
+    ``bucket_size_band`` is the bucket size rounded up to a power of
+    two. Work is the first verify pass plus bucket-keyed joins over
+    bucket-sized frames — same O(m·bands) bound as the operator, no
+    escalation pass (escalation OUTCOMES are pair-level and already
+    observable in the returned ``jaccard`` column of the operator).
+    DuckDB-oracled on the seeded families of ``q_dedup_verified_pairs``
+    (tests/test_registry.py).
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if margin < 0.0:
+        raise ValueError(f"margin must be >= 0, got {margin}")
+    if hot_bucket_cap is None or hot_bucket_cap < 2:
+        raise ValueError(
+            "verification_profile profiles the BOUNDED path; "
+            f"hot_bucket_cap must be >= 2, got {hot_bucket_cap}"
+        )
+    grouped, big, star_pairs, verified = _star_verify_first_pass(
+        docs,
+        threshold=threshold,
+        margin=margin,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        text_col=text_col,
+        id_col=id_col,
+        segmentation=segmentation,
+        hot_bucket_cap=hot_bucket_cap,
+    )
+    band_of = (
+        "cast(pow(2, ceil(log2(cast(_m as double)))) as bigint)"
+    )
+    exact = (
+        grouped.filter(F.size("_ids") <= hot_bucket_cap)
+        .select(F.size("_ids").cast("long").alias("_m"))
+        .select(
+            F.expr(band_of).alias("bucket_size_band"),
+            (F.col("_m") * (F.col("_m") - 1) / 2).cast("long").alias("_n"),
+        )
+        .groupBy("bucket_size_band")
+        .agg(F.sum("_n").alias("n"))
+        .withColumn("decision", F.lit("exact_pair"))
+    )
+    sizes = big.select(
+        "band", "band_key", F.size("_ids").cast("long").alias("_m")
+    )
+    star_j = verified.filter(F.col("_kind") == "star")
+    dropped = (
+        verified.filter(F.col("jaccard") >= threshold)
+        .select(F.col("doc_id_b").alias("_done"))
+        .distinct()
+    )
+    hub_cleared = star_j.filter(F.col("jaccard") >= threshold).select(
+        "band", "band_key", "doc_id_b"
+    )
+    in_margin = star_j.filter(F.col("jaccard") < threshold).select(
+        "band", "band_key", "doc_id_b"
+    )
+    covered = in_margin.join(
+        dropped, on=F.col("doc_id_b") == F.col("_done"), how="left_semi"
+    )
+    escalating = in_margin.join(
+        dropped, on=F.col("doc_id_b") == F.col("_done"), how="left_anti"
+    )
+    # star edges whose hub similarity fell below the floor never reach
+    # the verified pass at all — they are the kept tail
+    below = star_pairs.select("band", "band_key", "doc_id_b").join(
+        star_j.select("band", "band_key", "doc_id_b"),
+        on=["band", "band_key", "doc_id_b"],
+        how="left_anti",
+    )
+
+    def classed(members: DataFrame, decision: str) -> DataFrame:
+        return (
+            members.join(sizes, on=["band", "band_key"])
+            .select(F.expr(band_of).alias("bucket_size_band"))
+            .groupBy("bucket_size_band")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("decision", F.lit(decision))
+        )
+
+    return (
+        exact.unionByName(classed(hub_cleared, "hub_cleared"))
+        .unionByName(classed(escalating, "margin_escalated"))
+        .unionByName(classed(covered, "margin_covered"))
+        .unionByName(classed(below, "below_margin_kept"))
+        .select("bucket_size_band", "decision", "n")
+    )
 
 
 # --------------------------------------------------- near-dup clustering

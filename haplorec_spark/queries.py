@@ -643,6 +643,40 @@ def q_dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Not a driver gate (the 50-slot budget is full): the audit face of
+# the bounded star-verification path — decision-class counts per
+# bucket-size band on the SAME seeded corpus as
+# q_dedup_verified_pairs, so the false-keep budget (the
+# below_margin_kept row) is observable before a big run; DuckDB
+# oracle replays the classification (test_registry.py).
+def q_verification_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from haplorec_spark.operators.dedup import verification_profile
+
+    w17 = " ".join(f"w{i}" for i in range(1, 18))
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    family = (
+        docs.filter(F.col("doc_id") == 0)
+        .crossJoin(spark.range(10).select(F.col("id").alias("_k")))
+        .select((F.lit(200000) + F.col("_k")).alias("doc_id"), "text")
+    )
+    esc = spark.createDataFrame(
+        [
+            (300000, f"{w17} h0a h0b h0c"),
+            (300001, f"{w17} x0a q0z x0c"),
+            (300002, f"{w17} x0a x0b x0c"),
+            (300003, f"{w17} h0a h0b h0c"),
+            (300004, f"{w17} h0a h0b h0c"),
+            (300005, f"{w17} h0a h0b h0c"),
+        ],
+        "doc_id long, text string",
+    )
+    return verification_profile(
+        docs.unionByName(family).unionByName(esc),
+        threshold=0.8, margin=0.15,
+        num_hashes=6, bands=6, shingle_n=1, hot_bucket_cap=4,
+    )
+
+
 # Not a driver gate (the 50-slot budget is full): per-adjacent-step
 # funnel timings — median/p90 seconds-to-convert from the SAME
 # single-shuffle fold as funnel_depth; DuckDB oracle reconstructs the

@@ -729,6 +729,100 @@ def _verified_pairs_oracle() -> str:
 ROTATED_OUT_ORACLES["q_dedup_verified_pairs"] = _verified_pairs_oracle()
 
 
+def _verification_profile_oracle() -> str:
+    """The bounded path's decision CLASSIFICATION replayed on the same
+    seeded corpus as :func:`_verified_pairs_oracle`: per bucket-size
+    band (size rounded up to a power of two), count exact small-bucket
+    pairs (per-bucket m·(m−1)/2 — work, not distinct pairs), star
+    members cleared by the hub edge, margin-band members split into
+    covered (already dropped by any accepted edge) vs escalating, and
+    the below-floor kept tail (star edges whose hub similarity never
+    reached the margin floor)."""
+    w17 = " ".join(f"w{i}" for i in range(1, 18))
+    esc = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text"
+        for i, t in [
+            (300000, f"{w17} h0a h0b h0c"),
+            (300001, f"{w17} x0a q0z x0c"),
+            (300002, f"{w17} x0a x0b x0c"),
+            (300003, f"{w17} h0a h0b h0c"),
+            (300004, f"{w17} h0a h0b h0c"),
+            (300005, f"{w17} h0a h0b h0c"),
+        ]
+    )
+    jac = (
+        "round(len(list_intersect(wa.sh, wb.sh))::DOUBLE /"
+        " (len(wa.sh) + len(wb.sh)"
+        " - len(list_intersect(wa.sh, wb.sh))), 6)"
+    )
+    band_of = "cast(pow(2, ceil(log2(m::DOUBLE))) as BIGINT)"
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents
+               UNION ALL
+               SELECT 200000 + k AS doc_id, text
+               FROM documents, range(10) t(k) WHERE doc_id = 0
+               UNION ALL {esc}),
+         w AS (SELECT doc_id,
+                      list_distinct(string_split(lower(text), ' ')) AS sh
+               FROM d),
+         tok AS (SELECT doc_id, unnest(sh) AS shingle FROM w),
+         sig AS (SELECT doc_id, seed,
+                        min(md5(seed::VARCHAR || '|' || shingle)) AS mh
+                 FROM tok CROSS JOIN range(6) t(seed)
+                 GROUP BY doc_id, seed),
+         sized AS (SELECT doc_id, seed AS band, mh AS band_key,
+                          count(*) OVER (PARTITION BY seed, mh) AS m,
+                          min(doc_id) OVER (PARTITION BY seed, mh) AS hub
+                   FROM sig),
+         buckets AS (SELECT band, band_key, any_value(m) AS m
+                     FROM sized GROUP BY band, band_key),
+         small_pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                         FROM sized a JOIN sized b USING (band, band_key)
+                         WHERE a.m <= 4 AND a.doc_id < b.doc_id),
+         star AS (SELECT band, band_key, m, hub AS a, doc_id AS b
+                  FROM sized WHERE m > 4 AND doc_id <> hub),
+         cand AS (SELECT a, b FROM small_pairs
+                  UNION SELECT a, b FROM star),
+         jac AS (SELECT c.a, c.b, {jac} AS j
+                 FROM cand c JOIN w wa ON wa.doc_id = c.a
+                             JOIN w wb ON wb.doc_id = c.b),
+         dropped AS (SELECT DISTINCT b FROM jac WHERE j >= 0.8),
+         starj AS (SELECT s.band, s.band_key, s.m, s.b, jac.j
+                   FROM star s
+                   JOIN jac ON jac.a = s.a AND jac.b = s.b),
+         exact AS (SELECT {band_of} AS bucket_size_band,
+                          sum(m * (m - 1) // 2) AS n,
+                          'exact_pair' AS decision
+                   FROM buckets WHERE m BETWEEN 2 AND 4
+                   GROUP BY 1),
+         hubc AS (SELECT {band_of} AS bucket_size_band,
+                         count(*) AS n, 'hub_cleared' AS decision
+                  FROM starj WHERE j >= 0.8 GROUP BY 1),
+         escl AS (SELECT {band_of} AS bucket_size_band,
+                         count(*) AS n, 'margin_escalated' AS decision
+                  FROM starj
+                  WHERE j >= 0.65 AND j < 0.8
+                    AND b NOT IN (SELECT b FROM dropped)
+                  GROUP BY 1),
+         covr AS (SELECT {band_of} AS bucket_size_band,
+                         count(*) AS n, 'margin_covered' AS decision
+                  FROM starj
+                  WHERE j >= 0.65 AND j < 0.8
+                    AND b IN (SELECT b FROM dropped)
+                  GROUP BY 1),
+         below AS (SELECT {band_of} AS bucket_size_band,
+                          count(*) AS n, 'below_margin_kept' AS decision
+                   FROM starj WHERE j < 0.65 GROUP BY 1)
+    SELECT bucket_size_band, decision, n FROM (
+        SELECT * FROM exact UNION ALL SELECT * FROM hubc
+        UNION ALL SELECT * FROM escl UNION ALL SELECT * FROM covr
+        UNION ALL SELECT * FROM below)
+    """
+
+
+ROTATED_OUT_ORACLES["q_verification_profile"] = _verification_profile_oracle()
+
+
 #: per-adjacent-step funnel timings, single-attempt semantics: the
 #: fold's witness chain is the GREEDY chain (first view by (ts, id),
 #: first qualifying click after it, first qualifying purchase after
@@ -1009,3 +1103,17 @@ def test_capped_lsh_oracle_star_branch_is_non_vacuous(spark):
     assert (0, 200000) in got  # star edge from the hub
     assert (200000, 200001) not in got  # member-member pair suppressed
     assert any(a < 200000 and b < 200000 for a, b in got)  # natural pairs
+
+
+def test_verification_profile_every_class_non_vacuous(spark):
+    """The seeded corpus must light up ALL FIVE decision classes —
+    especially below_margin_kept (the observable false-keep budget) —
+    or the profile oracle silently stops guarding a branch."""
+    import haplorec_spark.queries as q
+
+    got = q.q_verification_profile(spark, "/root/testdata/sf0.001")
+    classes = {r["decision"] for r in got.collect()}
+    assert classes == {
+        "exact_pair", "hub_cleared", "margin_escalated",
+        "margin_covered", "below_margin_kept",
+    }
