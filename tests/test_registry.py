@@ -644,89 +644,15 @@ def _fix_encoding_oracle() -> str:
 ROTATED_OUT_ORACLES["q_fix_encoding"] = _fix_encoding_oracle()
 
 
-def _verified_pairs_oracle() -> str:
-    """The bounded star-verification decision procedure replayed end
-    to end: shared md5 minhash/banding, window-sized buckets (all
-    pairs at m <= 4, star edges above), exact 1-word-shingle Jaccard,
-    hub acceptance at >= 0.8, margin-band ambiguity in [0.65, 0.8),
-    escalation against the bucket's first 5 members (sample 4 + hub,
-    hub edges excluded via the star anti-join), same rounding."""
-    w17 = " ".join(f"w{i}" for i in range(1, 18))
-    esc = " UNION ALL ".join(
-        f"SELECT {i} AS doc_id, '{t}' AS text"
-        for i, t in [
-            (300000, f"{w17} h0a h0b h0c"),
-            (300001, f"{w17} x0a q0z x0c"),
-            (300002, f"{w17} x0a x0b x0c"),
-            (300003, f"{w17} h0a h0b h0c"),
-            (300004, f"{w17} h0a h0b h0c"),
-            (300005, f"{w17} h0a h0b h0c"),
-        ]
-    )
-    jac = (
-        "round(len(list_intersect(wa.sh, wb.sh))::DOUBLE /"
-        " (len(wa.sh) + len(wb.sh)"
-        " - len(list_intersect(wa.sh, wb.sh))), 6)"
-    )
-    return f"""
-    WITH d AS (SELECT doc_id, text FROM documents
-               UNION ALL
-               SELECT 200000 + k AS doc_id, text
-               FROM documents, range(10) t(k) WHERE doc_id = 0
-               UNION ALL {esc}),
-         w AS (SELECT doc_id,
-                      list_distinct(string_split(lower(text), ' ')) AS sh
-               FROM d),
-         tok AS (SELECT doc_id, unnest(sh) AS shingle FROM w),
-         sig AS (SELECT doc_id, seed,
-                        min(md5(seed::VARCHAR || '|' || shingle)) AS mh
-                 FROM tok CROSS JOIN range(6) t(seed)
-                 GROUP BY doc_id, seed),
-         sized AS (SELECT doc_id, seed AS band, mh AS band_key,
-                          count(*) OVER (PARTITION BY seed, mh) AS m,
-                          min(doc_id) OVER (PARTITION BY seed, mh) AS hub,
-                          row_number() OVER (PARTITION BY seed, mh
-                                             ORDER BY doc_id) AS rk
-                   FROM sig),
-         small_pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-                         FROM sized a JOIN sized b USING (band, band_key)
-                         WHERE a.m <= 4 AND a.doc_id < b.doc_id),
-         star AS (SELECT band, band_key, hub AS a, doc_id AS b
-                  FROM sized WHERE m > 4 AND doc_id <> hub),
-         cand AS (SELECT a, b FROM small_pairs
-                  UNION SELECT a, b FROM star),
-         jac AS (SELECT c.a, c.b, {jac} AS j
-                 FROM cand c JOIN w wa ON wa.doc_id = c.a
-                             JOIN w wb ON wb.doc_id = c.b),
-         accepted AS (SELECT a, b, j FROM jac WHERE j >= 0.8),
-         starj AS (SELECT s.band, s.band_key, s.b, jac.j
-                   FROM star s
-                   JOIN jac ON jac.a = s.a AND jac.b = s.b),
-         ambiguous AS (SELECT DISTINCT band, band_key, b AS member
-                       FROM starj
-                       WHERE j >= 0.65 AND j < 0.8
-                         AND b NOT IN (SELECT b FROM accepted)),
-         samples AS (SELECT band, band_key, doc_id AS s FROM sized
-                     WHERE m > 4 AND rk <= 5),
-         esc_pairs AS (SELECT DISTINCT smp.s AS a, am.member AS b
-                       FROM ambiguous am
-                       JOIN samples smp USING (band, band_key)
-                       WHERE smp.s < am.member
-                         AND NOT EXISTS (SELECT 1 FROM star st
-                                         WHERE st.a = smp.s
-                                           AND st.b = am.member)),
-         escj AS (SELECT a, b, j FROM (
-                      SELECT e.a, e.b, {jac} AS j
-                      FROM esc_pairs e
-                      JOIN w wa ON wa.doc_id = e.a
-                      JOIN w wb ON wb.doc_id = e.b)
-                  WHERE j >= 0.8)
-    SELECT DISTINCT a AS doc_id_a, b AS doc_id_b, j AS jaccard
-    FROM (SELECT * FROM accepted UNION ALL SELECT * FROM escj)
-    """
-
-
-ROTATED_OUT_ORACLES["q_dedup_verified_pairs"] = _verified_pairs_oracle()
+#: rotated out of the 50 in round 12 (slot went to
+#: q_dedup_verified_pairs, which took its decision-procedure oracle
+#: along to queries.py); the built-in ROLLUP grouping-set machinery.
+ROTATED_OUT_ORACLES["q_rollup_pricing"] = """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
 
 
 def _verification_profile_oracle() -> str:
