@@ -407,13 +407,46 @@ CHECKS = {
     "q_funnel_step_timings": {
         # step timings ride funnel_depth's single user-keyed shuffle;
         # the only join is the broadcast of the steps-sized ladder —
-        # never a sort-merge or nested loop, never a second corpus
-        # exchange chain
-        "expect": ["HashAggregate", "BroadcastHashJoin"],
+        # never a sort-merge or nested loop. Round 12: percentiles
+        # come from the distinct-value histogram + cumulative window,
+        # NEVER the value-buffering percentile aggregate (the
+        # ObjectHashAggregate here is the user-keyed collect_list fold
+        # — bounded by the per-user funnel-step events — so the pin is
+        # on percentile() itself)
+        "expect": ["HashAggregate", "BroadcastHashJoin", "Window"],
         "forbid": ["SortMergeJoin", "CartesianProduct",
-                   "BroadcastNestedLoopJoin",
+                   "BroadcastNestedLoopJoin", "percentile\\("],
+    },
+    "q_price_percentiles": {
+        # the same histogram-percentile invariant on the generic gate:
+        # exactly two exchanges (corpus->histogram, histogram->group),
+        # the final group aggregate reusing the window's partitioning;
+        # no value buffer (ObjectHashAggregate / percentile) anywhere,
+        # and the null filter pushed to the parquet scan
+        "expect": ["Window", "HashAggregate",
+                   "PushedFilters: \\[IsNotNull\\(l_extendedprice\\)"],
+        "forbid": ["ObjectHashAggregate", "percentile\\(",
+                   "SortMergeJoin", "CartesianProduct",
                    "Exchange hashpartitioning.*Exchange hashpartitioning"
                    ".*Exchange hashpartitioning"],
+    },
+    "_verification_profile": {
+        # the bounded-verification audit face: same grouped map-side
+        # candidate generation as the operator (its collect_list
+        # buckets are the capped/star-bounded sets), then bucket-keyed
+        # equi-joins over bucket-sized frames — no nested loop, no
+        # cross product
+        "expect": ["HashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+    },
+    "_history_probe_capped": {
+        # the false-collision probe cap: store semi-join-pruned to the
+        # batch's keys, then ONE (band, band_key) window ranks the
+        # pruned rows — the final join reuses that partitioning, and
+        # nothing nested-loops
+        "expect": ["Window"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "SortMergeJoin"],
     },
     "_funnel_depth_capped": {
         # the per-user volume guard's row_number window partitions on
@@ -432,6 +465,35 @@ CHECKS = {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
 }
+
+
+def _verification_profile(spark, sf_dir):
+    from haplorec_spark.operators.dedup import verification_profile
+    from haplorec_spark.queries import table
+
+    return verification_profile(
+        table(spark, sf_dir, "documents").select("doc_id", "text"),
+        threshold=0.8, margin=0.15, shingle_n=1, num_hashes=6,
+        bands=6, hot_bucket_cap=4,
+    )
+
+
+def _history_probe_capped(spark, sf_dir):
+    import os
+
+    from haplorec_spark.operators.dedup import (
+        history_candidate_pairs,
+        write_lsh_store,
+    )
+    from haplorec_spark.queries import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = "/tmp/drive/_audit_probe_store"
+    if not os.path.exists(store):
+        write_lsh_store(docs, store, mode="overwrite")
+    return history_candidate_pairs(
+        docs.limit(50), store, store_probe_cap=8
+    )
 
 
 def _dup_spans(spark, sf_dir):
