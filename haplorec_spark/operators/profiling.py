@@ -188,12 +188,19 @@ def text_corpus_profile(
 
     The text-family composition of :func:`profile_table`: document
     count, token totals and quantiles, mean quality / repetition
-    scores, and per-language fractions — every number an aggregate
-    column of a single ``agg`` over a single map-side projection
-    (language fractions are ``avg(lang = x)`` indicators, so the
-    language breakdown needs no second groupBy). One scalar row
-    computes, then unpivots to (metric, value) for dashboards and
-    drift comparisons between drops.
+    scores, and per-language fractions. Round 12 scale shape: the
+    per-document features PRE-AGGREGATE by word count (one shuffle,
+    map-side combine, distinct-length-sized result — every metric here
+    is a sum, a count, or a quantile of ``n_words``, so the word-count
+    histogram loses nothing), the word-count quantiles read off a
+    cumulative window over that histogram (the
+    :mod:`~haplorec_spark.operators.percentiles` rewrite — identical
+    ``quantile_cont`` interpolation), and the final global aggregate
+    folds histogram rows. The old single ``agg`` was also one pass but
+    its exact ``percentile`` buffered EVERY document's word count on
+    one task; now no buffer outgrows the distinct document lengths.
+    One scalar row computes, then unpivots to (metric, value) for
+    dashboards and drift comparisons between drops.
     """
     from haplorec_spark.operators.text import (
         LANG_LEXICON,
@@ -211,48 +218,114 @@ def text_corpus_profile(
         )
         .join(language_id(docs, text_col=text_col, id_col=id_col), on=id_col)
     )
-    aggs = [
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("n_words").cast("double").alias("total_words"),
-        F.round(F.avg("n_words"), 6).alias("avg_words"),
-        F.expr(
-            "percentile(n_words, array(0.5, 0.9, 0.99))"
-        ).alias("_wq"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
-        F.round(F.avg("dup_word_fraction"), 6).alias(
-            "avg_dup_word_fraction"
-        ),
-        F.round(F.avg("top_word_fraction"), 6).alias(
-            "avg_top_word_fraction"
-        ),
+    # sum/count pairs per metric so null handling matches avg() exactly
+    mean_cols = {
+        "avg_quality": "quality",
+        "avg_dup_word_fraction": "dup_word_fraction",
+        "avg_top_word_fraction": "top_word_fraction",
+    }
+    per_len = feats.groupBy("n_words").agg(
+        F.count(F.lit(1)).alias("__c"),
         *[
-            F.round(
-                F.avg(
-                    F.when(F.col("predicted_lang") == lang, 1.0).otherwise(
-                        0.0
-                    )
-                ),
-                6,
-            ).alias(f"lang_{lang}_fraction")
+            a
+            for name, src in mean_cols.items()
+            for a in (
+                F.sum(src).alias(f"__s_{name}"),
+                F.count(src).alias(f"__n_{name}"),
+            )
+        ],
+        *[
+            F.sum(
+                F.when(F.col("predicted_lang") == lang, 1.0).otherwise(0.0)
+            ).alias(f"__l_{lang}")
             for lang in LANG_LEXICON
         ],
-    ]
-    row = feats.agg(*aggs)
-    scalar_cols = [c for c in row.columns if c != "_wq"]
+    )
+    # distinct-length-sized frame: the single-partition windows are safe
+    wall = Window.partitionBy()
+    cum = Window.orderBy("n_words").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = per_len.withColumn("__cum", F.sum("__c").over(cum)).withColumn(
+        "__n", F.sum("__c").over(wall)
+    )
+    quantiles = (0.5, 0.9, 0.99)
+    qaggs = []
+    for i, p in enumerate(quantiles):
+        hk = (F.col("__n") - F.lit(1)).cast("double") * F.lit(p)
+        qaggs.append(
+            F.min(
+                F.when(F.col("__cum") >= F.floor(hk) + 1, F.col("n_words"))
+            ).cast("double").alias(f"__lo{i}")
+        )
+        qaggs.append(
+            F.min(
+                F.when(F.col("__cum") >= F.ceil(hk) + 1, F.col("n_words"))
+            ).cast("double").alias(f"__hi{i}")
+        )
+    row = h.agg(
+        F.sum("__c").cast("double").alias("n_docs"),
+        F.sum(F.col("n_words") * F.col("__c")).cast("double").alias(
+            "total_words"
+        ),
+        *[
+            F.sum(f"__s_{name}").alias(f"__s_{name}")
+            for name in mean_cols
+        ],
+        *[
+            F.sum(f"__n_{name}").alias(f"__n_{name}")
+            for name in mean_cols
+        ],
+        *[
+            F.sum(f"__l_{lang}").alias(f"__l_{lang}")
+            for lang in LANG_LEXICON
+        ],
+        *qaggs,
+    ).withColumn(
+        "avg_words",
+        F.round(F.col("total_words") / F.col("n_docs"), 6),
+    )
+    for name in mean_cols:
+        row = row.withColumn(
+            name,
+            F.round(F.col(f"__s_{name}") / F.col(f"__n_{name}"), 6),
+        )
+    for lang in LANG_LEXICON:
+        row = row.withColumn(
+            f"lang_{lang}_fraction",
+            F.round(F.col(f"__l_{lang}") / F.col("n_docs"), 6),
+        )
+    # DuckDB's quantile_cont interpolation spelling (percentiles.py)
+    qexprs = []
+    for i, p in enumerate(quantiles):
+        rn = (F.col("n_docs") - F.lit(1.0)) * F.lit(p)
+        frn = F.floor(rn).cast("double")
+        crn = F.ceil(rn).cast("double")
+        qexprs.append(
+            F.when(crn == frn, F.col(f"__lo{i}")).otherwise(
+                (crn - rn) * F.col(f"__lo{i}")
+                + (rn - frn) * F.col(f"__hi{i}")
+            )
+        )
+    metric_cols = (
+        ["n_docs", "total_words", "avg_words"]
+        + list(mean_cols)
+        + [f"lang_{lang}_fraction" for lang in LANG_LEXICON]
+    )
     pairs = F.array(
         *[
             F.struct(
                 F.lit(c).alias("metric"),
                 F.col(c).cast("double").alias("value"),
             )
-            for c in scalar_cols
+            for c in metric_cols
         ],
         *[
             F.struct(
                 F.lit(f"words_p{int(p * 100)}").alias("metric"),
-                F.get(F.col("_wq"), i).cast("double").alias("value"),
+                q.cast("double").alias("value"),
             )
-            for i, p in enumerate((0.5, 0.9, 0.99))
+            for p, q in zip(quantiles, qexprs)
         ],
     )
     return row.select(F.explode(pairs).alias("m")).select("m.*")

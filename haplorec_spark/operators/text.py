@@ -4410,12 +4410,21 @@ def perplexity_buckets(
     the same definition as DuckDB's ``quantile_cont``).
 
     Scale shape: scoring is :func:`unigram_logprob_score` (one LM
-    build + one token join); the cuts are ONE ``percentile`` aggregate
-    collecting ``n_buckets - 1`` scalars to the driver (bounded, like
-    the k-means codebook), and bucket assignment is a map-side CASE
-    against those literals — no global sort, no ``ntile`` window over
-    the corpus. A document exactly on a cut joins the better bucket.
+    build + one token join); the cuts collect ``n_buckets - 1``
+    scalars to the driver (bounded, like the k-means codebook), and
+    bucket assignment is a map-side CASE against those literals — no
+    global sort, no ``ntile`` window over the corpus. A document
+    exactly on a cut joins the better bucket. Round 12: the cut
+    computation is the distinct-value-histogram percentile
+    (:func:`~haplorec_spark.operators.percentiles.group_percentiles`,
+    identical ``quantile_cont`` interpolation), NOT the
+    value-buffering ``percentile`` aggregate — ``avg_logprob`` is
+    6-decimal-rounded at the source, so the histogram (and the one
+    cumulative window over it) is ENFORCED distinct-score-sized while
+    the old aggregate buffered every document's score on one task.
     """
+    from haplorec_spark.operators.percentiles import group_percentiles
+
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
     scored = unigram_logprob_score(
@@ -4427,12 +4436,12 @@ def perplexity_buckets(
         id_col=id_col,
         segmentation=segmentation,
     ).persist()  # reused by the cuts aggregate and the output projection
-    qs = ", ".join(
-        repr(1.0 - i / n_buckets) for i in range(1, n_buckets)
-    )
-    cuts = scored.agg(
-        F.expr(f"percentile(avg_logprob, array({qs}))").alias("c")
-    ).first()["c"]
+    qs = [1.0 - i / n_buckets for i in range(1, n_buckets)]
+    names = [f"c{i}" for i in range(len(qs))]
+    cuts_row = group_percentiles(
+        scored, [], "avg_logprob", qs, names=names, round_to=None
+    ).first()
+    cuts = [cuts_row[n] for n in names]
     bucket = F.lit(n_buckets - 1)
     for i in range(n_buckets - 2, -1, -1):
         bucket = F.when(
