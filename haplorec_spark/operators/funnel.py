@@ -493,13 +493,19 @@ def funnel_counts(
         max_events_per_user=max_events_per_user, user_col=user_col,
         ts_col=ts_col, type_col=type_col, id_col=id_col,
     )
+    return _funnel_report(events.sparkSession, depths, steps)
+
+
+def _funnel_report(spark, depths: DataFrame, steps: Sequence[str]) -> DataFrame:
+    """The shared tail of :func:`funnel_counts` and its streaming-state
+    decoder: the steps-sized reached/conversion ladder over a
+    (user_id, depth, ...) frame."""
     per_depth = depths.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n")
     )
     rows = []
     for i, s in enumerate(steps, start=1):
         rows.append((i, s))
-    spark = events.sparkSession
     ladder = spark.createDataFrame(rows, "step_ix INT, step STRING")
     reached = (
         ladder.join(

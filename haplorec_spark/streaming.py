@@ -1594,6 +1594,29 @@ def funnel_state_step_timings(
     return _step_timing_report(spark, gaps, steps, percentiles)
 
 
+def funnel_state_counts(spark, state_path: str) -> DataFrame:
+    """(step_ix, step, n_users, conversion): the funnel REPORT decoded
+    straight from a :func:`stream_funnel_ingest` state store — the
+    third streaming face next to :func:`funnel_state_depths` and
+    :func:`funnel_state_step_timings`, row-for-row equal to batch
+    :func:`~haplorec_spark.operators.funnel.funnel_counts` over the
+    full event history for users with at least one funnel-step event
+    (users with none never enter the state store, exactly as they
+    never enter the batch fold — both faces report the same ladder).
+    Steps come from the pinned ``_params``; the ladder aggregation is
+    the shared steps-sized tail (``funnel._funnel_report``)."""
+    from haplorec_spark.operators.funnel import _funnel_report
+
+    params = _read_funnel_params_marker(spark, state_path)
+    if params is None:
+        raise ValueError(
+            f"no funnel state at {state_path} (missing _params marker)"
+        )
+    return _funnel_report(
+        spark, funnel_state_depths(spark, state_path), params[0]
+    )
+
+
 def _ensure_funnel_state_schema(
     stored: DataFrame, retry: bool, state_path: str
 ) -> None:

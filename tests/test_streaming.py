@@ -1221,6 +1221,14 @@ def test_stream_funnel_matches_batch_over_split_history(
     # non-vacuous: (step_ix, step, n_users, ...) rows with users
     assert any(r[2] > 0 for r in got_t)
 
+    # ... and the funnel report, same store
+    from haplorec_spark.operators.funnel import funnel_counts
+    from haplorec_spark.streaming import funnel_state_counts
+
+    got_c = rows(funnel_state_counts(spark, state))
+    want_c = rows(funnel_counts(events, **kw))
+    assert got_c == want_c
+
     # compaction is a pure no-op for the reader
     from haplorec_spark.streaming import compact_funnel_state
 
