@@ -86,7 +86,11 @@ from haplorec_spark.operators.dedup import (  # noqa: E402
     lsh_parameters,
     lsh_verified_pairs,
     strip_duplicate_ngram_spans,
+    verification_profile,
     verify_jaccard_pairs,
+)
+from haplorec_spark.operators.percentiles import (  # noqa: E402
+    group_percentiles,
 )
 from haplorec_spark.operators.similarity import (  # noqa: E402
     ann_recall,
@@ -98,6 +102,8 @@ from haplorec_spark.operators.similarity import (  # noqa: E402
     rebuild_pq_store,
     rebuild_sq_store,
     store_cell_stats,
+    store_health,
+    StoreHealth,
     incremental_semantic_pairs,
     ivf_pq_topk,
     ivf_sq_topk,
@@ -172,7 +178,9 @@ from haplorec_spark.sources import (  # noqa: E402
 )
 from haplorec_spark.streaming import (  # noqa: E402
     compact_funnel_state,
+    funnel_state_counts,
     funnel_state_depths,
+    funnel_state_step_timings,
     stream_bloom_dedup_ingest,
     stream_funnel_ingest,
     stream_dedup_events,
@@ -210,8 +218,11 @@ __all__ = [
     "rebuild_pq_store",
     "rebuild_sq_store",
     "store_cell_stats",
+    "store_health",
+    "StoreHealth",
     "chunk_documents",
     "cluster_size_profile",
+    "group_percentiles",
     "contamination_report",
     "curate_documents",
     "curation_report",
@@ -243,6 +254,7 @@ __all__ = [
     "compact_lsh_store",
     "lsh_parameters",
     "lsh_verified_pairs",
+    "verification_profile",
     "jsonl_source",
     "warc_source",
     "wet_source",
@@ -279,7 +291,9 @@ __all__ = [
     "sq_train",
     "write_sq_store",
     "compact_funnel_state",
+    "funnel_state_counts",
     "funnel_state_depths",
+    "funnel_state_step_timings",
     "stream_bloom_dedup_ingest",
     "stream_funnel_ingest",
     "stream_dedup_events",

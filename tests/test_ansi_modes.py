@@ -36,6 +36,11 @@ MODE_SENSITIVE = [
     "q_funnel_step_timings",
     "q_fix_encoding",
     "q_dedup_verified_pairs",
+    # round-12: the histogram-percentile floor/ceil/cast arithmetic
+    # and the profile's pow/log2 bucket banding must agree across
+    # ANSI modes
+    "q_price_percentiles",
+    "q_verification_profile",
 ]
 
 

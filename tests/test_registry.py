@@ -985,9 +985,20 @@ def test_rotated_out_queries_still_match_duckdb(spark):
             round(x, 4) if isinstance(x, float) else x for x in t
         )
 
+    def key(t):
+        # None-safe sort: ROLLUP grouping sets emit NULL group values
+        # (q_rollup_pricing, rotated in round 12) and Python cannot
+        # order None against str
+        return tuple((x is None, x) for x in t)
+
     for name, sql in ROTATED_OUT_ORACLES.items():
-        got = sorted(norm(tuple(r)) for r in getattr(q, name)(spark, sf).collect())
-        want = sorted(norm(tuple(t)) for t in con.execute(sql).fetchall())
+        got = sorted(
+            (norm(tuple(r)) for r in getattr(q, name)(spark, sf).collect()),
+            key=key,
+        )
+        want = sorted(
+            (norm(tuple(t)) for t in con.execute(sql).fetchall()), key=key
+        )
         assert got == want, name
 
 
