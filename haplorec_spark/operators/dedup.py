@@ -81,6 +81,7 @@ def word_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
+    spread: bool = True,
 ) -> DataFrame:
     """Distinct n-word shingles per document: (id, shingle).
 
@@ -104,11 +105,22 @@ def word_shingles(
     the whole shingle/hash map phase. (At real scale the scan already
     has many partitions and the spread is a cheap no-op shuffle of doc
     rows, never of shingles.)
+
+    ``spread=False`` skips that partition-count probe: ``df.rdd``
+    compiles the frame's ENTIRE logical plan to a physical one on the
+    driver, which is instant on a parquet scan but takes SECONDS when
+    ``docs`` carries a deep joined lineage (measured 4.2 s on
+    :func:`verify_jaccard_pairs`'s semi-join prune at sf0.1 — the probe
+    alone was 3× the query's execution time). Callers whose input has
+    already crossed a shuffle (or is semi-join-pruned to a small set)
+    pass ``spread=False``: downstream groupBys re-spread the rows
+    anyway, and at real scale the scan arrives pre-partitioned.
     """
-    spark = docs.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < parallelism:
-        docs = docs.repartition(parallelism)
+    if spread:
+        spark = docs.sparkSession
+        parallelism = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < parallelism:
+            docs = docs.repartition(parallelism)
     if segmentation == "script":
         from haplorec_spark.operators.text import _words_sql
 
@@ -1225,29 +1237,83 @@ def verify_jaccard_pairs(
     ``shingle_n`` words) cannot be LSH candidates in the first place
     (no band keys), so the inner joins drop nothing real.
     """
-
-    def shingle_sets(docs: DataFrame, ids: DataFrame, out_id: str):
-        pruned = docs.join(
-            ids.select(F.col(ids.columns[0]).alias(id_col)),
-            on=id_col,
-            how="left_semi",
-        )
-        return (
-            word_shingles(
-                pruned, shingle_n, text_col=text_col, id_col=id_col,
-                segmentation=segmentation,
-            )
-            .groupBy(id_col)
-            .agg(F.collect_list("shingle").alias(f"_sh_{out_id}"))
-            .select(F.col(id_col).alias(out_id), f"_sh_{out_id}")
-        )
-
-    sa = shingle_sets(left_docs, pairs.select(a_col).distinct(), a_col)
-    sb = shingle_sets(right_docs, pairs.select(b_col).distinct(), b_col)
-    inter = F.size(F.array_intersect(F.col(f"_sh_{a_col}"), F.col(f"_sh_{b_col}")))
-    union = (
-        F.size(F.col(f"_sh_{a_col}")) + F.size(F.col(f"_sh_{b_col}")) - inter
+    sa = _pruned_shingle_sets(
+        left_docs, pairs.select(a_col).distinct(),
+        shingle_n=shingle_n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
     )
+    sb = _pruned_shingle_sets(
+        right_docs, pairs.select(b_col).distinct(),
+        shingle_n=shingle_n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
+    )
+    return _jaccard_pairs_join(
+        pairs, sa, sb,
+        threshold=threshold, id_col=id_col, a_col=a_col, b_col=b_col,
+    )
+
+
+def _pruned_shingle_sets(
+    docs: DataFrame,
+    ids: DataFrame,
+    *,
+    shingle_n: int,
+    text_col: str,
+    id_col: str,
+    segmentation: str,
+) -> DataFrame:
+    """(id, ``_sh`` = distinct-shingle array) for exactly the ids in
+    ``ids`` — the shared shingle-set build behind every exact-Jaccard
+    verification join.
+
+    Spreads the pruned docs by id unconditionally instead of
+    :func:`word_shingles`' partition-count probe: ``.rdd`` compiles
+    the frame's whole physical plan on the driver, which costs
+    SECONDS on a deep joined lineage (measured 4.2 s at sf0.1 — 3×
+    the execution time), while a broadcast semi-join over a
+    single-file scan stays at 1 partition and would serialize the
+    shingle explode. The pruned set is candidate-sized, never
+    corpus-sized, so this shuffle stays bounded at scale, and hashing
+    by id feeds the groupBy(id) that follows."""
+    pruned = docs.join(
+        ids.select(F.col(ids.columns[0]).alias(id_col)),
+        on=id_col,
+        how="left_semi",
+    )
+    parallelism = pruned.sparkSession.sparkContext.defaultParallelism
+    pruned = pruned.repartition(parallelism, id_col)
+    return (
+        word_shingles(
+            pruned, shingle_n, text_col=text_col, id_col=id_col,
+            segmentation=segmentation, spread=False,
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list("shingle").alias("_sh"))
+    )
+
+
+def _jaccard_pairs_join(
+    pairs: DataFrame,
+    shingles_a: DataFrame,
+    shingles_b: DataFrame,
+    *,
+    threshold: float,
+    id_col: str,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Join ``pairs`` against two (id, ``_sh``) shingle-set frames and
+    keep rows whose exact Jaccard reaches ``threshold`` (the pairs'
+    columns plus ``jaccard``). Pass the SAME frame twice to reuse one
+    persisted shingle build for both sides."""
+    sa = shingles_a.select(
+        F.col(id_col).alias(a_col), F.col("_sh").alias("_sh_a")
+    )
+    sb = shingles_b.select(
+        F.col(id_col).alias(b_col), F.col("_sh").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+    union = F.size("_sh_a") + F.size("_sh_b") - inter
     return (
         pairs.join(sa, on=a_col)
         .join(sb, on=b_col)
@@ -1358,7 +1424,7 @@ def lsh_verified_pairs(
         raise ValueError(
             f"hot_bucket_cap must be >= 2 (or None), got {hot_bucket_cap}"
         )
-    grouped, big, star_pairs, verified = _star_verify_first_pass(
+    grouped, big, star_pairs, verified, shingles = _star_verify_first_pass(
         docs,
         threshold=threshold,
         margin=margin,
@@ -1369,6 +1435,7 @@ def lsh_verified_pairs(
         id_col=id_col,
         segmentation=segmentation,
         hot_bucket_cap=hot_bucket_cap,
+        cache=cache,
     )
     if cache:
         verified = verified.persist()
@@ -1417,17 +1484,14 @@ def lsh_verified_pairs(
             how="left_anti",
         )
     )
-    escalated = verify_jaccard_pairs(
-        escalation_pairs,
-        docs,
-        docs,
-        threshold=threshold,
-        shingle_n=shingle_n,
-        text_col=text_col,
-        id_col=id_col,
-        a_col="doc_id_a",
-        b_col="doc_id_b",
-        segmentation=segmentation,
+    # Every escalation id already appears in a star edge of the same
+    # over-cap bucket (samples are the bucket's smallest ids; ambiguous
+    # members are star doc_id_b's), so the first pass's shingle frame
+    # covers the escalation verify — no second shingle build.
+    escalated = _jaccard_pairs_join(
+        escalation_pairs, shingles, shingles,
+        threshold=threshold, id_col=id_col,
+        a_col="doc_id_a", b_col="doc_id_b",
     )
     return accepted.unionByName(
         escalated.select("doc_id_a", "doc_id_b", "jaccard")
@@ -1446,6 +1510,7 @@ def _star_verify_first_pass(
     id_col: str,
     segmentation: str,
     hot_bucket_cap: int,
+    cache: bool = True,
 ):
     """The shared front half of the bounded star-verification path —
     band-key buckets, the small-bucket all-pairs / over-cap star-edge
@@ -1453,10 +1518,26 @@ def _star_verify_first_pass(
     (one construction for :func:`lsh_verified_pairs` and its audit
     face :func:`verification_profile`; two hand copies would drift).
 
-    Returns ``(grouped, big, star_pairs, verified)``: all sized
-    buckets, the over-cap buckets with their sorted member ids, the
-    raw star edges (bucket-keyed), and the verified pass — rows at or
-    above the margin floor only, tagged ``_kind`` small/star."""
+    Returns ``(grouped, big, star_pairs, verified, shingles)``: all
+    sized buckets, the over-cap buckets with their sorted member ids,
+    the raw star edges (bucket-keyed), the verified pass — rows at or
+    above the margin floor only, tagged ``_kind`` small/star — and
+    the candidate-id shingle-set frame (``(id, _sh)``), which covers
+    every escalation id too (sample ids and ambiguous members all
+    appear in their bucket's star edges), so the escalation verify
+    joins the SAME frame instead of rebuilding shingles.
+
+    ``cache=True`` persists ``grouped`` and ``shingles``: the
+    downstream joins consume each several times (the pairs frame is
+    read for a-ids, b-ids, and the verify join; ``grouped`` feeds the
+    small/star split and the escalation samples), and without the
+    persist every consumption recomputes the whole minhash banding
+    pipeline — measured 20.8 s → ~12 s for one first-pass action at
+    sf0.1. Both frames are candidate/bucket-sized, never corpus-sized
+    (``grouped`` holds docs×bands ids, ``shingles`` only candidate
+    docs), so the footprint is bounded at scale. Per-micro-batch
+    plans pass ``cache=False`` (persisted frames leak until driver
+    GC); the recompute there is batch-sized."""
     banded = lsh_band_keys(
         docs,
         num_hashes=num_hashes,
@@ -1472,6 +1553,8 @@ def _star_verify_first_pass(
         .agg(F.sort_array(F.collect_list("_bid")).alias("_ids"))
         .filter(F.size("_ids") >= 2)
     )
+    if cache:
+        grouped = grouped.persist()
     all_pairs = (
         "flatten(transform(_ids, (x, i) ->"
         " transform(slice(_ids, i + 2, size(_ids)),"
@@ -1506,19 +1589,24 @@ def _star_verify_first_pass(
         )
     )
     floor = max(threshold - margin, 0.0)
-    verified = verify_jaccard_pairs(
-        candidates,
-        docs,
-        docs,
-        threshold=floor,
-        shingle_n=shingle_n,
-        text_col=text_col,
-        id_col=id_col,
-        a_col="doc_id_a",
-        b_col="doc_id_b",
+    cand_ids = (
+        candidates.select(F.col("doc_id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_id_b").alias(id_col)))
+        .distinct()
+    )
+    shingles = _pruned_shingle_sets(
+        docs, cand_ids,
+        shingle_n=shingle_n, text_col=text_col, id_col=id_col,
         segmentation=segmentation,
     )
-    return grouped, big, star_pairs, verified
+    if cache:
+        shingles = shingles.persist()
+    verified = _jaccard_pairs_join(
+        candidates, shingles, shingles,
+        threshold=floor, id_col=id_col,
+        a_col="doc_id_a", b_col="doc_id_b",
+    )
+    return grouped, big, star_pairs, verified, shingles
 
 
 def verification_profile(
@@ -1576,7 +1664,7 @@ def verification_profile(
             "verification_profile profiles the BOUNDED path; "
             f"hot_bucket_cap must be >= 2, got {hot_bucket_cap}"
         )
-    grouped, big, star_pairs, verified = _star_verify_first_pass(
+    grouped, big, star_pairs, verified, _shingles = _star_verify_first_pass(
         docs,
         threshold=threshold,
         margin=margin,

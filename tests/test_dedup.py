@@ -1010,13 +1010,13 @@ def test_verified_pairs_mega_family_bounded(spark, monkeypatch):
         ).alias("text"),
     )
     seen = []
-    original = dedup_mod.verify_jaccard_pairs
+    original = dedup_mod._jaccard_pairs_join
 
     def counting(pairs, *args, **kwargs):
         seen.append(pairs.count())
         return original(pairs, *args, **kwargs)
 
-    monkeypatch.setattr(dedup_mod, "verify_jaccard_pairs", counting)
+    monkeypatch.setattr(dedup_mod, "_jaccard_pairs_join", counting)
     got = dedup_mod.lsh_verified_pairs(
         family, threshold=0.8, hot_bucket_cap=64
     ).collect()
