@@ -663,7 +663,12 @@ def history_candidate_pairs(
             "doc_id_matched"
         )
         store = (
-            pruned.withColumn("_rk", F.row_number().over(w))
+            # distinct first: append-duplicated store rows (the
+            # documented pre-compaction state) must not consume cap
+            # slots, or a distinct survivor ranking within the cap
+            # would be silently excluded
+            pruned.distinct()
+            .withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= store_probe_cap)
             .drop("_rk")
         )
@@ -1621,6 +1626,7 @@ def verification_profile(
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
     hot_bucket_cap: int = 1024,
+    cache: bool = True,
 ) -> DataFrame:
     """(bucket_size_band, decision, n): how :func:`lsh_verified_pairs`
     would decide, counted per decision class and bucket-size band —
@@ -1654,6 +1660,12 @@ def verification_profile(
     observable in the returned ``jaccard`` column of the operator).
     DuckDB-oracled on the seeded families of ``q_dedup_verified_pairs``
     (tests/test_registry.py).
+
+    ``cache`` follows :func:`lsh_verified_pairs`' convention: True
+    persists the first pass's bucket/shingle frames (they are consumed
+    several times below; the entries live until driver GC) — a
+    long-running driver profiling every incoming drop passes False and
+    pays the drop-sized recompute instead.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1675,6 +1687,7 @@ def verification_profile(
         id_col=id_col,
         segmentation=segmentation,
         hot_bucket_cap=hot_bucket_cap,
+        cache=cache,
     )
     band_of = (
         "cast(pow(2, ceil(log2(cast(_m as double)))) as bigint)"

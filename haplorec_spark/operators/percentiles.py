@@ -67,6 +67,7 @@ def group_percentiles(
     names: Sequence[str] | None = None,
     count_col: str | None = None,
     round_to: int | None = 6,
+    pre_counted: str | None = None,
 ) -> DataFrame:
     """(group_cols..., [count_col,] <one column per percentile>):
     exact continuous-interpolation percentiles of ``value_col`` per
@@ -77,7 +78,18 @@ def group_percentiles(
     ``p{int(p*100)}``); ``count_col`` additionally emits the group's
     non-null value count; ``round_to`` rounds the interpolated result
     (None = raw doubles). ``group_cols`` may be empty for a global
-    one-row result.
+    one-row result (note: the global form emits its one row — with
+    null percentiles — even when no non-null values exist, the SQL
+    aggregate-without-GROUP-BY convention; keyed empty groups
+    disappear).
+
+    ``pre_counted`` names a count column when ``df`` is ALREADY a
+    value histogram (one caller-side aggregation produced
+    (group, value, count) rows — e.g. a profile that shares the
+    histogram across many metrics): rows are weighted by that count
+    instead of counted, skipping the corpus-sized aggregate here.
+    Rows with the same (group, value) are safely re-summed; null
+    values are ignored either way.
     """
     if not percentiles:
         raise ValueError("at least one percentile is required")
@@ -98,7 +110,11 @@ def group_percentiles(
     hist = (
         df.filter(val.isNotNull())
         .groupBy(*groups, val.alias("__v"))
-        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.count(F.lit(1)).alias("__c")
+            if pre_counted is None
+            else F.sum(pre_counted).alias("__c")
+        )
     )
     wg = Window.partitionBy(*groups)
     cum = wg.orderBy("__v").rowsBetween(

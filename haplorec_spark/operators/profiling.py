@@ -202,6 +202,7 @@ def text_corpus_profile(
     One scalar row computes, then unpivots to (metric, value) for
     dashboards and drift comparisons between drops.
     """
+    from haplorec_spark.operators.percentiles import group_percentiles
     from haplorec_spark.operators.text import (
         LANG_LEXICON,
         language_id,
@@ -241,30 +242,25 @@ def text_corpus_profile(
             for lang in LANG_LEXICON
         ],
     )
-    # distinct-length-sized frame: the single-partition windows are safe
-    wall = Window.partitionBy()
-    cum = Window.orderBy("n_words").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    h = per_len.withColumn("__cum", F.sum("__c").over(cum)).withColumn(
-        "__n", F.sum("__c").over(wall)
-    )
+    # Word-count quantiles delegate to the shared histogram rewrite
+    # (pre_counted: per_len IS the histogram) — nulls drop there, so
+    # null-text docs never shift a rank or inflate the interpolation
+    # count, exactly the old percentile() null convention. The global
+    # form emits its one row even on an empty corpus.
     quantiles = (0.5, 0.9, 0.99)
-    qaggs = []
-    for i, p in enumerate(quantiles):
-        hk = (F.col("__n") - F.lit(1)).cast("double") * F.lit(p)
-        qaggs.append(
-            F.min(
-                F.when(F.col("__cum") >= F.floor(hk) + 1, F.col("n_words"))
-            ).cast("double").alias(f"__lo{i}")
-        )
-        qaggs.append(
-            F.min(
-                F.when(F.col("__cum") >= F.ceil(hk) + 1, F.col("n_words"))
-            ).cast("double").alias(f"__hi{i}")
-        )
-    row = h.agg(
-        F.sum("__c").cast("double").alias("n_docs"),
+    qnames = [f"words_p{int(p * 100)}" for p in quantiles]
+    word_q = group_percentiles(
+        per_len,
+        [],
+        "n_words",
+        quantiles,
+        names=qnames,
+        count_col="__cnt_words",
+        pre_counted="__c",
+    )
+    row = per_len.agg(
+        # coalesce: an empty corpus is n_docs 0, the count() convention
+        F.coalesce(F.sum("__c"), F.lit(0)).cast("double").alias("n_docs"),
         F.sum(F.col("n_words") * F.col("__c")).cast("double").alias(
             "total_words"
         ),
@@ -280,10 +276,11 @@ def text_corpus_profile(
             F.sum(f"__l_{lang}").alias(f"__l_{lang}")
             for lang in LANG_LEXICON
         ],
-        *qaggs,
-    ).withColumn(
+    ).crossJoin(word_q).withColumn(
+        # avg() ignores nulls: divide by the non-null word count, not
+        # the document count
         "avg_words",
-        F.round(F.col("total_words") / F.col("n_docs"), 6),
+        F.round(F.col("total_words") / F.col("__cnt_words"), 6),
     )
     for name in mean_cols:
         row = row.withColumn(
@@ -295,22 +292,11 @@ def text_corpus_profile(
             f"lang_{lang}_fraction",
             F.round(F.col(f"__l_{lang}") / F.col("n_docs"), 6),
         )
-    # DuckDB's quantile_cont interpolation spelling (percentiles.py)
-    qexprs = []
-    for i, p in enumerate(quantiles):
-        rn = (F.col("n_docs") - F.lit(1.0)) * F.lit(p)
-        frn = F.floor(rn).cast("double")
-        crn = F.ceil(rn).cast("double")
-        qexprs.append(
-            F.when(crn == frn, F.col(f"__lo{i}")).otherwise(
-                (crn - rn) * F.col(f"__lo{i}")
-                + (rn - frn) * F.col(f"__hi{i}")
-            )
-        )
     metric_cols = (
         ["n_docs", "total_words", "avg_words"]
         + list(mean_cols)
         + [f"lang_{lang}_fraction" for lang in LANG_LEXICON]
+        + qnames
     )
     pairs = F.array(
         *[
@@ -319,13 +305,6 @@ def text_corpus_profile(
                 F.col(c).cast("double").alias("value"),
             )
             for c in metric_cols
-        ],
-        *[
-            F.struct(
-                F.lit(f"words_p{int(p * 100)}").alias("metric"),
-                q.cast("double").alias("value"),
-            )
-            for p, q in zip(quantiles, qexprs)
         ],
     )
     return row.select(F.explode(pairs).alias("m")).select("m.*")

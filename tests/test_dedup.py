@@ -1123,5 +1123,21 @@ def test_history_probe_cap_bounds_false_collision_fanout(
     )
     assert capped == list(range(1000, 1008))
 
+    # Append-duplicated store rows (the documented pre-compaction
+    # state) must not consume cap slots: after appending id 1000's row
+    # 8 more times, the cap still admits the 8 smallest DISTINCT ids.
+    spark.range(8).select(
+        F.lit(1000).alias("doc_id"),
+        F.lit(hot["band"]).alias("band"),
+        F.lit(hot["band_key"]).alias("band_key"),
+    ).write.mode("append").partitionBy("band").parquet(store)
+    capped_dup = sorted(
+        r["doc_id_matched"]
+        for r in history_candidate_pairs(
+            probe, store, store_probe_cap=8
+        ).collect()
+    )
+    assert capped_dup == list(range(1000, 1008))
+
     with pytest.raises(ValueError, match="store_probe_cap"):
         history_candidate_pairs(probe, store, store_probe_cap=0)

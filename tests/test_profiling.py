@@ -247,6 +247,47 @@ def test_text_corpus_profile_vs_duckdb(spark):
     assert 0.0 <= got["avg_dup_word_fraction"] <= 1.0
 
 
+def test_text_corpus_profile_null_text_ignored_in_word_stats(spark):
+    """A null-text document counts toward n_docs but must not shift a
+    word-count quantile or the avg_words denominator — the
+    percentile()/avg() null convention the histogram rewrite has to
+    preserve (a null histogram row once inflated the cumulative ranks:
+    p50 of [10, 13, 14, 17] + one null read 12.5 instead of 13.5)."""
+    from haplorec_spark.operators.profiling import text_corpus_profile
+
+    texts = [
+        " ".join(f"w{i}" for i in range(n)) for n in (10, 13, 14, 17)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] + [(99, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["metric"]: r["value"] for r in text_corpus_profile(docs).collect()
+    }
+    assert got["n_docs"] == 5.0
+    assert got["total_words"] == 54.0
+    assert got["avg_words"] == 13.5  # 54 / 4 non-null, never / 5
+    assert got["words_p50"] == 13.5  # quantile_cont over 4 values
+    assert got["words_p90"] == round(14 + 0.7 * 3, 6)
+
+
+def test_text_corpus_profile_empty_corpus_zero_docs(spark):
+    """An empty drop reports n_docs 0.0 (the count() convention), not
+    a null that would poison downstream drift arithmetic; value-less
+    metrics (quantiles, means) are null as before."""
+    from haplorec_spark.operators.profiling import text_corpus_profile
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    got = {
+        r["metric"]: r["value"]
+        for r in text_corpus_profile(empty).collect()
+    }
+    assert got["n_docs"] == 0.0
+    assert got["words_p50"] is None
+    assert got["avg_words"] is None
+
+
 # ------------------------------------------------------------ drift faces
 
 
