@@ -178,15 +178,18 @@ from haplorec_spark.sources import (  # noqa: E402
 )
 from haplorec_spark.streaming import (  # noqa: E402
     compact_funnel_state,
+    compact_retention_state,
     funnel_state_counts,
     funnel_state_depths,
     funnel_state_step_timings,
+    retention_state_cohorts,
     stream_bloom_dedup_ingest,
     stream_funnel_ingest,
     stream_dedup_events,
     stream_dedup_ingest,
     stream_drift_monitor,
     stream_pq_index_ingest,
+    stream_retention_ingest,
     stream_semantic_dedup_ingest,
     stream_tokenizer_drift,
 )
@@ -291,9 +294,11 @@ __all__ = [
     "sq_train",
     "write_sq_store",
     "compact_funnel_state",
+    "compact_retention_state",
     "funnel_state_counts",
     "funnel_state_depths",
     "funnel_state_step_timings",
+    "retention_state_cohorts",
     "stream_bloom_dedup_ingest",
     "stream_funnel_ingest",
     "stream_dedup_events",
@@ -301,6 +306,7 @@ __all__ = [
     "stream_dedup_ingest",
     "stream_drift_monitor",
     "stream_pq_index_ingest",
+    "stream_retention_ingest",
     "stream_semantic_dedup_ingest",
     "stream_tokenizer_drift",
     "strip_boilerplate_lines",

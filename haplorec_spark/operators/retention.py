@@ -29,6 +29,25 @@ __all__ = ["retention_cohorts"]
 _PERIODS = {"week": 7, "month": None, "day": 1}
 
 
+def _period_ix_expr(period: str, p_col: str = "p", cohort_col: str = "cohort"):
+    """Periods elapsed from ``cohort_col`` to ``p_col`` (both already
+    ``period``-truncated) — the one engine-portable calendar
+    arithmetic, shared with the streaming decoder
+    (:func:`~haplorec_spark.streaming.retention_state_cohorts`) so the
+    subtle week/month spellings cannot drift between the two faces."""
+    if period == "month":
+        return F.expr(
+            f"cast(round(months_between({p_col}, {cohort_col})) as int)"
+        )
+    days = _PERIODS[period]
+    return (
+        F.datediff(
+            F.col(p_col).cast("date"), F.col(cohort_col).cast("date")
+        )
+        / days
+    ).cast("int")
+
+
 def retention_cohorts(
     events: DataFrame,
     *,
@@ -59,22 +78,20 @@ def retention_cohorts(
     activity = ev.distinct()
     cohorts = ev.groupBy("user_id").agg(F.min("p").alias("cohort"))
     joined = activity.join(cohorts, on="user_id")
-    if period == "month":
-        ix = F.expr(
-            "cast(round(months_between(p, cohort)) as int)"
-        )
-    else:
-        days = _PERIODS[period]
-        ix = (
-            F.datediff(F.col("p").cast("date"), F.col("cohort").cast("date"))
-            / days
-        ).cast("int")
-    joined = joined.withColumn("period_ix", ix)
+    joined = joined.withColumn("period_ix", _period_ix_expr(period))
     if max_period_ix is not None:
         joined = joined.filter(F.col("period_ix") <= max_period_ix)
     sizes = cohorts.groupBy("cohort").agg(
         F.count(F.lit(1)).alias("n_cohort")
     )
+    return _retention_matrix(joined, sizes)
+
+
+def _retention_matrix(joined: DataFrame, sizes: DataFrame) -> DataFrame:
+    """The calendar-sized aggregate tail shared by the batch operator
+    and the streaming state decoder: distinct per-(user, period) rows
+    carrying (cohort, period_ix) → the long-form retention matrix
+    against per-cohort sizes."""
     return (
         joined.groupBy("cohort", "period_ix")
         .agg(F.count(F.lit(1)).alias("n_active"))

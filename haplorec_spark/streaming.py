@@ -1709,3 +1709,278 @@ def compact_funnel_state(spark, state_path: str) -> None:
         " compacted_through long",
     ).write.mode("overwrite").parquet(f"{stage}/_params")
     promote_dir(spark, stage, state_path)
+
+
+# ------------------------------------------------- streaming retention
+
+
+def _write_retention_params_marker(
+    spark, path: str, period: str, compacted_through: int = -1
+) -> None:
+    """Pin the retention identity at ``<path>/_params`` (the funnel
+    marker convention): period arrays are only meaningful under the
+    period granularity they were truncated with, so a job whose
+    ``period`` drifted fails at write time instead of silently folding
+    week starts into a month-grain store."""
+    stored = _read_retention_params_marker(spark, path)
+    if stored is not None and stored[0] != period:
+        raise ValueError(
+            f"retention state at {path} was folded with "
+            f"period={stored[0]!r}; continuing it with "
+            f"period={period!r} would mix truncation grains — use the "
+            "stored period or a fresh state path"
+        )
+    spark.createDataFrame(
+        [(period, int(compacted_through))],
+        "period string, compacted_through long",
+    ).write.mode("overwrite").parquet(f"{path}/_params")
+
+
+def _read_retention_params_marker(spark, path: str):
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        r = spark.read.parquet(f"{path}/_params").first()
+    except AnalysisException:
+        return None
+    return (r["period"], int(r["compacted_through"]))
+
+
+def stream_retention_ingest(
+    event_stream: DataFrame,
+    *,
+    state_path: str,
+    checkpoint_dir: str,
+    period: str = "week",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """foreachBatch streaming twin of
+    :func:`~haplorec_spark.operators.retention.retention_cohorts`:
+    each micro-batch merges its users' distinct activity periods onto
+    the persisted per-user state, and the store always decodes
+    (:func:`retention_state_cohorts`) to EXACTLY the batch cohort
+    matrix over the full event history — without re-reading history.
+
+    Why this is exact — and STRONGER than the funnel's contract: the
+    retention state is a SEMILATTICE, not a sequential fold. Per user
+    it is the set of distinct ``period``-truncated activity
+    timestamps (the cohort is just that set's minimum, recomputed at
+    read time), and set union is commutative, associative, and
+    idempotent — so batches may arrive in ANY order, carry overlapping
+    or duplicate events, and deliver a user's earliest activity LAST,
+    and the converged state is identical. No high-water mark, no
+    ``late_policy``: there is nothing to violate. A late-arriving
+    earlier event simply shrinks the stored minimum and the decoder
+    re-derives every period_ix from the new cohort.
+
+    State size: one row per user with a period array bounded by the
+    CALENDAR (distinct periods the stream has spanned — 52/year at
+    week grain), never by event count; the corpus's event granularity
+    dies inside each batch's map-side distinct.
+
+    Exactly-once: the funnel store's mechanics — each batch writes
+    only its touched users into an ``ingest_batch=<id>`` partition
+    via dynamic overwrite, folding from strictly-earlier partitions,
+    so a replayed batch rewrites its own partition bit-identically.
+    The ``period`` identity is pinned at ``<state_path>/_params``;
+    :func:`compact_retention_state` folds partitions to one and
+    records the replay horizon.
+
+    Returns the started StreamingQuery.
+    """
+    ingest = _retention_ingest_fn(
+        state_path=state_path, period=period,
+        user_col=user_col, ts_col=ts_col,
+    )
+    return (
+        event_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _retention_ingest_fn(
+    *,
+    state_path: str,
+    period: str,
+    user_col: str,
+    ts_col: str,
+):
+    """The per-batch merge of :func:`stream_retention_ingest` as a
+    standalone callable — module-level so replay idempotence and
+    order independence are directly testable at the batch level."""
+    from haplorec_spark.operators.retention import _PERIODS
+
+    if period not in _PERIODS:
+        raise ValueError(
+            f"period must be one of {sorted(_PERIODS)}, got {period!r}"
+        )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        params = _read_retention_params_marker(spark, state_path)
+        if params is not None and batch_id <= params[1]:
+            raise ValueError(
+                f"stream_retention_ingest batch {batch_id}: the state "
+                f"at {state_path} was compacted through batch "
+                f"{params[1]}, so this batch's pre-compaction inputs "
+                "are gone — a batch at or below the compaction horizon "
+                "cannot replay. Compact only after a CLEAN stop; "
+                "recover by rebuilding the state from the full history"
+            )
+        _write_retention_params_marker(
+            spark, state_path, period,
+            compacted_through=params[1] if params is not None else -1,
+        )
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+        batch_periods = (
+            batch_df.select(
+                F.col(user_col).alias("user_id"),
+                F.date_trunc(
+                    period, F.col(ts_col).cast("timestamp")
+                ).alias("p"),
+            )
+            .groupBy("user_id")
+            .agg(F.array_sort(F.collect_set("p")).alias("_new"))
+        )
+        try:
+            # a replayed batch must merge from strictly EARLIER
+            # states, not its own crashed attempt's partition
+            prev = _latest_retention_state(
+                spark.read.parquet(state_path).filter(
+                    F.col("ingest_batch") < batch_id
+                )
+            ).select("user_id", F.col("periods").alias("_old"))
+        except AnalysisException:
+            prev = None
+        merged = (
+            batch_periods.join(prev, on="user_id", how="left")
+            if prev is not None
+            else batch_periods.withColumn(
+                "_old", F.lit(None).cast("array<timestamp>")
+            )
+        )
+        (
+            merged.select(
+                "user_id",
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce(
+                            F.col("_old"),
+                            F.expr("cast(array() as array<timestamp>)"),
+                        ),
+                        F.col("_new"),
+                    )
+                ).alias("periods"),
+            )
+            .withColumn("ingest_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("ingest_batch")
+            .parquet(state_path)
+        )
+
+    return ingest
+
+
+def _latest_retention_state(stored: DataFrame) -> DataFrame:
+    """Each user's most recent period-set row — shared by the ingest,
+    the decoder, and the compactor (the funnel convention)."""
+    return (
+        stored.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ingest_batch").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def retention_state_cohorts(
+    spark, state_path: str, *, max_period_ix: int | None = None
+) -> DataFrame:
+    """(cohort, period_ix, n_active, n_cohort, retention) decoded from
+    a :func:`stream_retention_ingest` state store — row-for-row equal
+    to batch :func:`~haplorec_spark.operators.retention.
+    retention_cohorts` over the full event history (parity
+    test-pinned, week and month grains, arbitrary-order drops).
+
+    The cohort is each stored period set's minimum, so a
+    late-arriving earlier period re-anchors the user's whole row at
+    decode time with no state surgery. The period-index arithmetic
+    and the matrix tail are the batch operator's own
+    (``_period_ix_expr`` / ``_retention_matrix``) — one spelling, no
+    drift. Work is state-sized (explode of calendar-bounded arrays),
+    never event-history-sized."""
+    from haplorec_spark.operators.retention import (
+        _period_ix_expr,
+        _retention_matrix,
+    )
+
+    params = _read_retention_params_marker(spark, state_path)
+    if params is None:
+        raise ValueError(
+            f"no retention state at {state_path} (missing _params "
+            "marker)"
+        )
+    period = params[0]
+    latest = _latest_retention_state(spark.read.parquet(state_path))
+    per_user = latest.select(
+        "user_id",
+        "periods",
+        F.element_at("periods", 1).alias("cohort"),
+    )
+    joined = per_user.select(
+        "user_id", "cohort", F.explode("periods").alias("p")
+    ).withColumn("period_ix", _period_ix_expr(period))
+    if max_period_ix is not None:
+        joined = joined.filter(F.col("period_ix") <= max_period_ix)
+    sizes = per_user.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    return _retention_matrix(joined, sizes)
+
+
+def compact_retention_state(spark, state_path: str) -> None:
+    """Fold a retention state store's per-batch partitions into one
+    (``ingest_batch = -1``) — :func:`compact_funnel_state`'s
+    mechanics: staged rewrite of rows AND marker, promoted by rename,
+    with the highest folded batch id recorded as the replay horizon
+    so a stale crash-replay refuses instead of double-merging (the
+    merge itself is idempotent, but its inputs are gone). Offline
+    single-writer, between cleanly stopped runs."""
+    from haplorec_spark.operators.stores import delete_dir, promote_dir
+
+    params = _read_retention_params_marker(spark, state_path)
+    if params is None:
+        raise ValueError(
+            f"no retention state at {state_path} (missing _params "
+            "marker)"
+        )
+    stored = spark.read.parquet(state_path)
+    horizon = stored.agg(F.max("ingest_batch")).first()[0]
+    latest = _latest_retention_state(stored).select(
+        "user_id", "periods",
+        F.lit(-1).cast("long").alias("ingest_batch"),
+    )
+    stage = f"{state_path}__compact"
+    delete_dir(spark, stage)
+    (
+        latest.write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(stage)
+    )
+    spark.createDataFrame(
+        [(params[0], int(max(horizon, params[1])))],
+        "period string, compacted_through long",
+    ).write.mode("overwrite").parquet(f"{stage}/_params")
+    promote_dir(spark, stage, state_path)

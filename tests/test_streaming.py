@@ -1154,6 +1154,21 @@ def _drop_events(spark, src, df):
     df.coalesce(1).write.mode("append").parquet(src)
 
 
+def _run_retention_batchfold(spark, src, state, ckpt, **kw):
+    from haplorec_spark.streaming import stream_retention_ingest
+
+    q = stream_retention_ingest(
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string"
+        ).parquet(src),
+        state_path=state,
+        checkpoint_dir=ckpt,
+        **kw,
+    )
+    q.awaitTermination(180)
+
+
 def _run_funnel_batchfold(spark, src, state, ckpt, **kw):
     from haplorec_spark.streaming import stream_funnel_ingest
 
@@ -1393,3 +1408,110 @@ def test_stream_funnel_refuses_pre_round12_retry_layout(
 
     with pytest.raises(ValueError, match="pre-round-12"):
         ingest(table(spark, SF_DIR, "events"), 1)
+
+
+# ------------------------------------------------- streaming retention
+
+
+@pytest.mark.parametrize("period", ["week", "month"])
+def test_stream_retention_matches_batch_over_unordered_drops(
+    spark, tmp_path, period
+):
+    """Three ARBITRARY-ORDER drops of the real event stream (split by
+    user-id hash, so every drop mixes early and late timestamps and a
+    user's earliest activity can arrive last) merged incrementally
+    must decode to EXACTLY the batch cohort matrix over the full
+    history — the semilattice contract: no ordering requirement at
+    all, unlike the funnel fold. Compaction is a reader no-op."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.retention import retention_cohorts
+    from haplorec_spark.queries import table
+    from haplorec_spark.streaming import (
+        compact_retention_state,
+        retention_state_cohorts,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    src, state, ckpt = _funnel_stream_setup(
+        spark, tmp_path, f"retention_{period}"
+    )
+    parts = [
+        events.filter(F.crc32(F.col("user_id").cast("string")) % 3 == i)
+        for i in range(3)
+    ]
+    for p in parts:
+        _drop_events(spark, src, p)
+        _run_retention_batchfold(spark, src, state, ckpt, period=period)
+
+    want = rows(retention_cohorts(events, period=period))
+    assert rows(retention_state_cohorts(spark, state)) == want
+    assert want  # non-vacuous matrix
+    if period == "week":
+        # the sf0.001 stream spans multiple weeks (but < 2 months),
+        # so only the week grain can pin a true return column
+        assert any(r[1] > 0 for r in want)
+
+    compact_retention_state(spark, state)
+    batches = spark.read.parquet(state).select(
+        "ingest_batch"
+    ).distinct().collect()
+    assert [r["ingest_batch"] for r in batches] == [-1]
+    assert rows(retention_state_cohorts(spark, state)) == want
+
+    # max_period_ix truncation matches the batch operator's
+    got_cap = rows(
+        retention_state_cohorts(spark, state, max_period_ix=1)
+    )
+    assert got_cap == rows(
+        retention_cohorts(events, period=period, max_period_ix=1)
+    )
+
+
+def test_stream_retention_replay_horizon_and_config_drift(
+    spark, tmp_path
+):
+    """Batch-level contracts: a crash-replay of a committed batch_id
+    rewrites its own partition bit-identically; a period drift against
+    the pinned marker raises before touching state; a replay at or
+    below the compaction horizon refuses loudly."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.queries import table
+    from haplorec_spark.streaming import (
+        _retention_ingest_fn,
+        compact_retention_state,
+        retention_state_cohorts,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    mid = events.select(
+        F.expr("percentile(unix_micros(ts), 0.5)")
+    ).first()[0]
+    us = F.expr("unix_micros(ts)")
+    state = str(tmp_path / "retention_replay_state")
+    ingest = _retention_ingest_fn(
+        state_path=state, period="week", user_col="user_id",
+        ts_col="ts",
+    )
+    first = events.filter(us <= F.lit(mid))
+    second = events.filter(us > F.lit(mid))
+    ingest(first, 0)
+    ingest(second, 1)
+    want = rows(retention_state_cohorts(spark, state))
+    ingest(second, 1)  # crash-replay: same frame, same id
+    assert rows(retention_state_cohorts(spark, state)) == want
+
+    drifted = _retention_ingest_fn(
+        state_path=state, period="month", user_col="user_id",
+        ts_col="ts",
+    )
+    with pytest.raises(ValueError, match="period"):
+        drifted(second, 2)
+    assert rows(retention_state_cohorts(spark, state)) == want
+
+    compact_retention_state(spark, state)
+    with pytest.raises(ValueError, match="compaction horizon"):
+        ingest(second, 1)
+    assert rows(retention_state_cohorts(spark, state)) == want
+    ingest(second.limit(0), 2)  # empty batch: clean no-op
