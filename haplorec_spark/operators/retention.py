@@ -4,13 +4,16 @@ cohort is active n periods later — the third member of the
 event-analytics family (``q_sessionize``'s sessions, ``funnel.py``'s
 ordered funnels, this module's cohort matrix).
 
-Scale shape: two aggregates and one user-keyed join. Activity first
-collapses to DISTINCT (user, period) — the corpus's event granularity
-never survives past that map-side-combined aggregate — and cohorts
-are a min() over the same stream; the join back is user-keyed between
-two already-aggregated frames (AQE broadcasts the cohort side when
-small), and the final (cohort, period_ix) aggregate is
-calendar-sized. No windows, no Python.
+Scale shape: ONE corpus scan, no joins. Activity first collapses to
+DISTINCT (user, period) — the corpus's event granularity never
+survives past that map-side-combined aggregate — then the cohort is
+a per-user min() WINDOW over the distinct rows (a groupBy +
+self-join spelling read the corpus twice more, because the pushed
+join-key filters diverge and defeat exchange reuse), the
+(cohort, period_ix) aggregate is calendar-sized, and cohort sizes
+ride a cohort window over that aggregate's own ix-0 rows. Window
+partitions are calendar-bounded per user, so no skew at any user
+count. No Python.
 
 Period arithmetic is engine-portable by construction: ``week``
 truncation is ISO-Monday in both Spark and DuckDB, so the day
@@ -21,7 +24,7 @@ DuckDB oracle (tests/test_registry.py) replays both exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["retention_cohorts"]
@@ -75,34 +78,50 @@ def retention_cohorts(
         F.col(user_col).alias("user_id"),
         F.date_trunc(period, ts).alias("p"),
     )
+    # The cohort is a per-user min over the DISTINCT activity rows —
+    # a window, not a groupBy + self-join: the join spelling read the
+    # corpus in two (pushdown-divergent, so never exchange-reused)
+    # subtrees and a third for cohort sizes. This shape scans the
+    # corpus ONCE (plan-pinned); everything after the distinct
+    # aggregate is distinct-activity-sized, and the per-user window
+    # partition is calendar-bounded (≤ periods the stream spans), so
+    # no skew at any user count.
     activity = ev.distinct()
-    cohorts = ev.groupBy("user_id").agg(F.min("p").alias("cohort"))
-    joined = activity.join(cohorts, on="user_id")
-    joined = joined.withColumn("period_ix", _period_ix_expr(period))
+    joined = activity.withColumn(
+        "cohort", F.min("p").over(Window.partitionBy("user_id"))
+    ).withColumn("period_ix", _period_ix_expr(period))
     if max_period_ix is not None:
         joined = joined.filter(F.col("period_ix") <= max_period_ix)
-    sizes = cohorts.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("n_cohort")
-    )
-    return _retention_matrix(joined, sizes)
+    return _retention_matrix(joined)
 
 
-def _retention_matrix(joined: DataFrame, sizes: DataFrame) -> DataFrame:
+def _retention_matrix(joined: DataFrame) -> DataFrame:
     """The calendar-sized aggregate tail shared by the batch operator
     and the streaming state decoder: distinct per-(user, period) rows
-    carrying (cohort, period_ix) → the long-form retention matrix
-    against per-cohort sizes."""
-    return (
-        joined.groupBy("cohort", "period_ix")
-        .agg(F.count(F.lit(1)).alias("n_active"))
-        .join(sizes, on="cohort")
-        .select(
-            "cohort",
-            "period_ix",
-            "n_active",
-            "n_cohort",
-            F.round(
-                F.col("n_active") / F.col("n_cohort"), 6
-            ).alias("retention"),
-        )
+    carrying (cohort, period_ix) → the long-form retention matrix.
+
+    Cohort sizes come from the aggregate's OWN period_ix = 0 row —
+    every user's cohort period is in their activity set by
+    construction (the cohort IS the set's minimum), so n_active at
+    ix 0 equals the cohort's user count exactly. Reading it with a
+    cohort-partitioned window over the calendar-sized counts (rather
+    than a separate per-user aggregate, or a self-join whose pushed
+    filters defeat exchange reuse) keeps the whole tail on ONE
+    lineage — no second corpus/state scan on either face. The ix-0
+    row always survives a ``max_period_ix`` cut (ix ≥ 0 by
+    construction)."""
+    counts = joined.groupBy("cohort", "period_ix").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    n_cohort = F.max(
+        F.when(F.col("period_ix") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort"))
+    return counts.withColumn("n_cohort", n_cohort).select(
+        "cohort",
+        "period_ix",
+        "n_active",
+        "n_cohort",
+        F.round(F.col("n_active") / F.col("n_cohort"), 6).alias(
+            "retention"
+        ),
     )

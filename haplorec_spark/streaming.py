@@ -1934,20 +1934,14 @@ def retention_state_cohorts(
         )
     period = params[0]
     latest = _latest_retention_state(spark.read.parquet(state_path))
-    per_user = latest.select(
+    joined = latest.select(
         "user_id",
-        "periods",
         F.element_at("periods", 1).alias("cohort"),
-    )
-    joined = per_user.select(
-        "user_id", "cohort", F.explode("periods").alias("p")
+        F.explode("periods").alias("p"),
     ).withColumn("period_ix", _period_ix_expr(period))
     if max_period_ix is not None:
         joined = joined.filter(F.col("period_ix") <= max_period_ix)
-    sizes = per_user.groupBy("cohort").agg(
-        F.count(F.lit(1)).alias("n_cohort")
-    )
-    return _retention_matrix(joined, sizes)
+    return _retention_matrix(joined)
 
 
 def compact_retention_state(spark, state_path: str) -> None:

@@ -464,6 +464,23 @@ CHECKS = {
         "expect": ["HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_retention_cohorts_single_scan": {
+        # cohort matrix: ONE corpus scan — the per-user cohort and the
+        # per-cohort size both ride windows on the single lineage; a
+        # groupBy + self-join spelling read the corpus 3× (pushed
+        # join-key filters diverge, so exchange reuse never fires)
+        "expect": ["Window", "Scan parquet"],
+        "forbid": [r"\(\d+\) Scan parquet.*\(\d+\) Scan parquet",
+                   "Join", "CartesianProduct"],
+    },
+    "_retention_state_decode": {
+        # streaming retention decode: ONE state scan (latest-per-user
+        # window + explode + the shared windowed matrix tail), no
+        # joins, and work is state-sized — never event-history-sized
+        "expect": ["Window", "Scan parquet"],
+        "forbid": [r"\(\d+\) Scan parquet.*\(\d+\) Scan parquet",
+                   "Join", "CartesianProduct"],
+    },
 }
 
 
@@ -950,6 +967,32 @@ def _lsh_verified_pairs(spark, sf_dir):
         table(spark, sf_dir, "documents").select("doc_id", "text"),
         threshold=0.7, hot_bucket_cap=64,
     )
+
+
+def _retention_cohorts_single_scan(spark, sf_dir):
+    from haplorec_spark.operators.retention import retention_cohorts
+    from haplorec_spark.queries import table
+
+    return retention_cohorts(table(spark, sf_dir, "events"))
+
+
+def _retention_state_decode(spark, sf_dir):
+    import os
+
+    from haplorec_spark.queries import table
+    from haplorec_spark.streaming import (
+        _retention_ingest_fn,
+        retention_state_cohorts,
+    )
+
+    state = "/tmp/drive/_audit_retention_state"
+    if not os.path.exists(state):
+        ingest = _retention_ingest_fn(
+            state_path=state, period="week",
+            user_col="user_id", ts_col="ts",
+        )
+        ingest(table(spark, sf_dir, "events"), 0)
+    return retention_state_cohorts(spark, state)
 
 
 import haplorec_spark.queries as _qmod

@@ -1127,7 +1127,7 @@ def test_history_probe_cap_bounds_false_collision_fanout(
     # state) must not consume cap slots: after appending id 1000's row
     # 8 more times, the cap still admits the 8 smallest DISTINCT ids.
     spark.range(8).select(
-        F.lit(1000).alias("doc_id"),
+        F.lit(1000).cast("long").alias("doc_id"),
         F.lit(hot["band"]).alias("band"),
         F.lit(hot["band_key"]).alias("band_key"),
     ).write.mode("append").partitionBy("band").parquet(store)
