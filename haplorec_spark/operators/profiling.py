@@ -182,7 +182,11 @@ def numeric_quantiles(
 
 
 def text_corpus_profile(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cache: bool = True,
 ) -> DataFrame:
     """(metric, value): the corpus-curation dashboard in ONE pass.
 
@@ -201,6 +205,15 @@ def text_corpus_profile(
     one task; now no buffer outgrows the distinct document lengths.
     One scalar row computes, then unpivots to (metric, value) for
     dashboards and drift comparisons between drops.
+
+    ``cache=True`` persists the histogram: it feeds BOTH the metric
+    fold and the quantile tail, and without the persist the second
+    consumer recomputes the whole corpus featurization
+    (tokenize + quality + language) — the histogram itself is
+    distinct-length-sized, a few hundred rows. The entry lives until
+    driver GC (the repo's lazily-returned-operator convention);
+    callers embedding this in per-micro-batch plans pass False and
+    pay the batch-sized recompute.
     """
     from haplorec_spark.operators.percentiles import group_percentiles
     from haplorec_spark.operators.text import (
@@ -242,11 +255,15 @@ def text_corpus_profile(
             for lang in LANG_LEXICON
         ],
     )
+    if cache:
+        per_len = per_len.persist()
     # Word-count quantiles delegate to the shared histogram rewrite
     # (pre_counted: per_len IS the histogram) — nulls drop there, so
     # null-text docs never shift a rank or inflate the interpolation
-    # count, exactly the old percentile() null convention. The global
-    # form emits its one row even on an empty corpus.
+    # count, exactly the old percentile() null convention; round_to
+    # None keeps the raw interpolated double, bit-equal to DuckDB
+    # quantile_cont (the dashboard oracle compares unrounded). The
+    # global form emits its one row even on an empty corpus.
     quantiles = (0.5, 0.9, 0.99)
     qnames = [f"words_p{int(p * 100)}" for p in quantiles]
     word_q = group_percentiles(
@@ -257,6 +274,7 @@ def text_corpus_profile(
         names=qnames,
         count_col="__cnt_words",
         pre_counted="__c",
+        round_to=None,
     )
     row = per_len.agg(
         # coalesce: an empty corpus is n_docs 0, the count() convention

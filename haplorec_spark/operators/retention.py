@@ -68,13 +68,20 @@ def retention_cohorts(
     the standard sanity row). ``retention`` = n_active/n_cohort
     (round 6). ``max_period_ix`` drops the matrix's long tail when
     only the first n columns matter; None keeps everything.
+
+    Events with a null timestamp carry no activity signal and are
+    DROPPED up front (pinned convention, shared with the streaming
+    face — a set-merge state store cannot hold a null period, so the
+    explicit filter here is what keeps the two faces row-for-row
+    equal on dirty inputs; a user whose events are all null-ts is
+    absent from the matrix on both).
     """
     if period not in _PERIODS:
         raise ValueError(
             f"period must be one of {sorted(_PERIODS)}, got {period!r}"
         )
     ts = F.col(ts_col).cast("timestamp")
-    ev = events.select(
+    ev = events.filter(ts.isNotNull()).select(
         F.col(user_col).alias("user_id"),
         F.date_trunc(period, ts).alias("p"),
     )

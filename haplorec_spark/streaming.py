@@ -1430,7 +1430,7 @@ def _funnel_ingest_fn(
             # not its own crashed attempt's partition
             stored = spark.read.parquet(state_path)
             _ensure_funnel_state_schema(stored, retry, state_path)
-            prev = _latest_funnel_state(
+            prev = _latest_state(
                 stored.filter(
                     F.col("ingest_batch") < batch_id
                 )
@@ -1509,7 +1509,7 @@ def funnel_state_depths(spark, state_path: str) -> DataFrame:
     retry = params[2]
     stored = spark.read.parquet(state_path)
     _ensure_funnel_state_schema(stored, retry, state_path)
-    latest = _latest_funnel_state(stored)
+    latest = _latest_state(stored)
     if retry:
         depth = "size(filter(wit, x -> x IS NOT NULL))"
         return latest.select(
@@ -1565,7 +1565,7 @@ def funnel_state_step_timings(
         raise ValueError("step timings need at least two steps")
     stored = spark.read.parquet(state_path)
     _ensure_funnel_state_schema(stored, retry, state_path)
-    latest = _latest_funnel_state(stored)
+    latest = _latest_state(stored)
     if retry:
         gaps = latest.select(
             "user_id",
@@ -1644,10 +1644,11 @@ def _ensure_funnel_state_schema(
         )
 
 
-def _latest_funnel_state(stored: DataFrame) -> DataFrame:
-    """Each user's most recent accumulator row — the one
-    latest-partition resolution the ingest, the reader, and the
-    compactor all share (three hand copies would drift)."""
+def _latest_state(stored: DataFrame) -> DataFrame:
+    """Each user's most recent state row — the ONE latest-partition
+    resolution every per-user state-store family (funnel, retention)
+    shares across its ingest, readers, and compactor (hand copies
+    would drift)."""
     return (
         stored.withColumn(
             "_rk",
@@ -1691,7 +1692,7 @@ def compact_funnel_state(spark, state_path: str) -> None:
         )
     stored = spark.read.parquet(state_path)
     horizon = stored.agg(F.max("ingest_batch")).first()[0]
-    latest = _latest_funnel_state(stored).select(
+    latest = _latest_state(stored).select(
         "user_id", "wit", "last_ts", "last_eid",
         F.lit(-1).cast("long").alias("ingest_batch"),
     )
@@ -1819,6 +1820,14 @@ def _retention_ingest_fn(
         )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # null-ts events carry no activity signal — dropped up front,
+        # the batch operator's pinned convention (and the reason no
+        # state row can ever hold an empty period set); the filter is
+        # on the CAST value, exactly as the batch spelling, so an
+        # uncastable string ts drops identically on both faces
+        batch_df = batch_df.filter(
+            F.col(ts_col).cast("timestamp").isNotNull()
+        )
         if not batch_df.take(1):
             return
         spark = batch_df.sparkSession
@@ -1852,7 +1861,7 @@ def _retention_ingest_fn(
         try:
             # a replayed batch must merge from strictly EARLIER
             # states, not its own crashed attempt's partition
-            prev = _latest_retention_state(
+            prev = _latest_state(
                 spark.read.parquet(state_path).filter(
                     F.col("ingest_batch") < batch_id
                 )
@@ -1888,23 +1897,6 @@ def _retention_ingest_fn(
     return ingest
 
 
-def _latest_retention_state(stored: DataFrame) -> DataFrame:
-    """Each user's most recent period-set row — shared by the ingest,
-    the decoder, and the compactor (the funnel convention)."""
-    return (
-        stored.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(
-                    F.col("ingest_batch").desc()
-                )
-            ),
-        )
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-    )
-
-
 def retention_state_cohorts(
     spark, state_path: str, *, max_period_ix: int | None = None
 ) -> DataFrame:
@@ -1933,7 +1925,7 @@ def retention_state_cohorts(
             "marker)"
         )
     period = params[0]
-    latest = _latest_retention_state(spark.read.parquet(state_path))
+    latest = _latest_state(spark.read.parquet(state_path))
     joined = latest.select(
         "user_id",
         F.element_at("periods", 1).alias("cohort"),
@@ -1962,7 +1954,7 @@ def compact_retention_state(spark, state_path: str) -> None:
         )
     stored = spark.read.parquet(state_path)
     horizon = stored.agg(F.max("ingest_batch")).first()[0]
-    latest = _latest_retention_state(stored).select(
+    latest = _latest_state(stored).select(
         "user_id", "periods",
         F.lit(-1).cast("long").alias("ingest_batch"),
     )

@@ -269,7 +269,10 @@ def test_text_corpus_profile_null_text_ignored_in_word_stats(spark):
     assert got["total_words"] == 54.0
     assert got["avg_words"] == 13.5  # 54 / 4 non-null, never / 5
     assert got["words_p50"] == 13.5  # quantile_cont over 4 values
-    assert got["words_p90"] == round(14 + 0.7 * 3, 6)
+    # the raw (unrounded) interpolated double, same IEEE arithmetic
+    # order as the operator / DuckDB quantile_cont
+    rn = 3 * 0.9
+    assert got["words_p90"] == (3 - rn) * 14 + (rn - 2) * 17
 
 
 def test_text_corpus_profile_empty_corpus_zero_docs(spark):

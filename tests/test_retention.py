@@ -73,3 +73,59 @@ def test_invalid_period_raises(spark):
         retention_cohorts(
             _events(spark, [(1, "2024-01-01T00:00")]), period="fortnight"
         )
+
+
+def test_null_ts_events_dropped_on_both_faces(spark, tmp_path):
+    """Null-timestamp events carry no activity signal: the batch
+    matrix drops them up front (no null-cohort or null-period_ix
+    rows; an all-null-ts user is absent entirely), and the streaming
+    state decode agrees row-for-row — the pinned dirty-input
+    convention that keeps the two faces equal."""
+    from haplorec_spark.streaming import (
+        _retention_ingest_fn,
+        retention_state_cohorts,
+    )
+
+    data = [
+        (1, datetime.fromisoformat("2024-01-01T00:00")),
+        (1, None),
+        (1, datetime.fromisoformat("2024-01-09T00:00")),
+        (2, datetime.fromisoformat("2024-01-02T00:00")),
+        (3, None),  # all-null user: absent from the matrix
+    ]
+    events = spark.createDataFrame(
+        data, "user_id BIGINT, ts TIMESTAMP"
+    )
+    got = retention_cohorts(events).collect()
+    assert all(
+        r["cohort"] is not None and r["period_ix"] is not None
+        and r["n_cohort"] == 2 for r in got
+    )
+    assert {(r["period_ix"], r["n_active"]) for r in got} == {
+        (0, 2), (1, 1)
+    }
+
+    state = str(tmp_path / "null_ts_state")
+    ingest = _retention_ingest_fn(
+        state_path=state, period="week", user_col="user_id",
+        ts_col="ts",
+    )
+    ingest(events, 0)
+    stored = spark.read.parquet(state)
+    assert stored.filter("size(periods) = 0").count() == 0
+    assert sorted(
+        tuple(r) for r in retention_state_cohorts(spark, state).collect()
+    ) == sorted(tuple(r) for r in got)
+
+    # an ALL-null batch is a clean no-op (no marker, no partitions)
+    only_null = spark.createDataFrame(
+        [(9, None)], "user_id BIGINT, ts TIMESTAMP"
+    )
+    state2 = str(tmp_path / "null_only_state")
+    _retention_ingest_fn(
+        state_path=state2, period="week", user_col="user_id",
+        ts_col="ts",
+    )(only_null, 0)
+    import os
+
+    assert not os.path.exists(state2)

@@ -1468,6 +1468,44 @@ def test_stream_retention_matches_batch_over_unordered_drops(
     )
 
 
+def test_stream_retention_late_half_first_reanchors_cohorts(
+    spark, tmp_path
+):
+    """The semilattice's central promise, exercised on the CROSS-BATCH
+    merge: the LATE half of the real stream is ingested FIRST, so
+    every returning user's state initially carries a too-late cohort,
+    and the early half arrives second with a smaller period that the
+    array_union merge must absorb and the decoder re-anchor on. The
+    decode must equal the batch matrix over the full history — and
+    the two-drop state must differ from the late-half-only state
+    (proving the second merge actually moved cohorts)."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.retention import retention_cohorts
+    from haplorec_spark.queries import table
+    from haplorec_spark.streaming import (
+        _retention_ingest_fn,
+        retention_state_cohorts,
+    )
+
+    events = table(spark, SF_DIR, "events")
+    mid = events.select(
+        F.expr("percentile(unix_micros(ts), 0.5)")
+    ).first()[0]
+    us = F.expr("unix_micros(ts)")
+    state = str(tmp_path / "retention_ooo_state")
+    ingest = _retention_ingest_fn(
+        state_path=state, period="week", user_col="user_id",
+        ts_col="ts",
+    )
+    ingest(events.filter(us > F.lit(mid)), 0)  # LATE half first
+    late_only = rows(retention_state_cohorts(spark, state))
+    ingest(events.filter(us <= F.lit(mid)), 1)  # early half LAST
+    got = rows(retention_state_cohorts(spark, state))
+    assert got == rows(retention_cohorts(events, period="week"))
+    assert got != late_only  # the early drop re-anchored cohorts
+
+
 def test_stream_retention_replay_horizon_and_config_drift(
     spark, tmp_path
 ):
