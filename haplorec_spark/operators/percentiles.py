@@ -55,7 +55,11 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_percentiles"]
+__all__ = [
+    "group_percentiles",
+    "histogram_quantile_bound_aggs",
+    "histogram_quantile_exprs",
+]
 
 
 def group_percentiles(
@@ -127,35 +131,15 @@ def group_percentiles(
     )
 
     aggs: list[Column] = [F.max("__n").alias("__gn")]
-    post: list[tuple[str, Column]] = []
-    for k, (p, name) in enumerate(zip(percentiles, names)):
-        # 0-based fractional rank; constant within a group, so it is
-        # safe inside the per-row aggregate conditions
-        hk = (F.col("__n") - F.lit(1)).cast("double") * F.lit(float(p))
-        lo = F.floor(hk)
-        hi = F.ceil(hk)
-        aggs.append(
-            F.min(F.when(F.col("__cum") >= lo + 1, F.col("__v"))).alias(
-                f"__lo{k}"
-            )
+    aggs.extend(histogram_quantile_bound_aggs(percentiles))
+    post = list(
+        zip(
+            names,
+            histogram_quantile_exprs(
+                percentiles, F.col("__gn"), round_to=round_to
+            ),
         )
-        aggs.append(
-            F.min(F.when(F.col("__cum") >= hi + 1, F.col("__v"))).alias(
-                f"__hi{k}"
-            )
-        )
-        rn = (F.col("__gn") - F.lit(1)).cast("double") * F.lit(float(p))
-        frn = F.floor(rn).cast("double")
-        crn = F.ceil(rn).cast("double")
-        # DuckDB's weighted interpolation spelling, so the oracles'
-        # last-bit arithmetic agrees: (CRN−RN)·lo + (RN−FRN)·hi,
-        # collapsing to lo when the rank is integral
-        interp = F.when(crn == frn, F.col(f"__lo{k}")).otherwise(
-            (crn - rn) * F.col(f"__lo{k}") + (rn - frn) * F.col(f"__hi{k}")
-        )
-        if round_to is not None:
-            interp = F.round(interp, round_to)
-        post.append((name, interp))
+    )
 
     out = h.groupBy(*groups).agg(*aggs)
     keep: list[Column] = [F.col(g) for g in groups]
@@ -164,3 +148,63 @@ def group_percentiles(
     return out.select(
         *keep, *[expr.alias(name) for name, expr in post]
     )
+
+
+def histogram_quantile_bound_aggs(
+    percentiles: Sequence[float],
+    *,
+    value_col: str = "__v",
+    cum_col: str = "__cum",
+    n_col: str = "__n",
+) -> list[Column]:
+    """Aggregate expressions reading each quantile's BRACKETING values
+    (``__lo{k}``/``__hi{k}``) off a cumulative-count histogram — the
+    rank-reading half of the module's rewrite, exposed so operators
+    that fold quantiles into a LARGER single aggregate (e.g. the
+    corpus profile's one-row dashboard fold) share this exact
+    spelling instead of hand-copying it. ``cum_col``/``n_col`` must
+    count NON-NULL values only (the quantile_cont null convention —
+    the caller owns that when it builds the windows itself)."""
+    aggs: list[Column] = []
+    for k, p in enumerate(percentiles):
+        # 0-based fractional rank; constant within a group, so it is
+        # safe inside the per-row aggregate conditions
+        hk = (F.col(n_col) - F.lit(1)).cast("double") * F.lit(float(p))
+        aggs.append(
+            F.min(
+                F.when(F.col(cum_col) >= F.floor(hk) + 1, F.col(value_col))
+            ).alias(f"__lo{k}")
+        )
+        aggs.append(
+            F.min(
+                F.when(F.col(cum_col) >= F.ceil(hk) + 1, F.col(value_col))
+            ).alias(f"__hi{k}")
+        )
+    return aggs
+
+
+def histogram_quantile_exprs(
+    percentiles: Sequence[float],
+    n_expr: Column,
+    *,
+    round_to: int | None = 6,
+) -> list[Column]:
+    """The interpolation half: one Column per quantile combining the
+    ``__lo{k}``/``__hi{k}`` bounds of
+    :func:`histogram_quantile_bound_aggs` (same frame, post-agg) with
+    DuckDB's weighted spelling — (CRN−RN)·lo + (RN−FRN)·hi, collapsing
+    to lo when the rank is integral — so the oracles' last-bit
+    arithmetic agrees. ``n_expr`` is the group's non-null value
+    count in the post-aggregate frame."""
+    exprs: list[Column] = []
+    for k, p in enumerate(percentiles):
+        rn = (n_expr - F.lit(1)).cast("double") * F.lit(float(p))
+        frn = F.floor(rn).cast("double")
+        crn = F.ceil(rn).cast("double")
+        interp = F.when(crn == frn, F.col(f"__lo{k}")).otherwise(
+            (crn - rn) * F.col(f"__lo{k}") + (rn - frn) * F.col(f"__hi{k}")
+        )
+        if round_to is not None:
+            interp = F.round(interp, round_to)
+        exprs.append(interp)
+    return exprs

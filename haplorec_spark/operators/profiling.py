@@ -182,11 +182,7 @@ def numeric_quantiles(
 
 
 def text_corpus_profile(
-    docs: DataFrame,
-    *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    cache: bool = True,
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """(metric, value): the corpus-curation dashboard in ONE pass.
 
@@ -204,18 +200,17 @@ def text_corpus_profile(
     its exact ``percentile`` buffered EVERY document's word count on
     one task; now no buffer outgrows the distinct document lengths.
     One scalar row computes, then unpivots to (metric, value) for
-    dashboards and drift comparisons between drops.
-
-    ``cache=True`` persists the histogram: it feeds BOTH the metric
-    fold and the quantile tail, and without the persist the second
-    consumer recomputes the whole corpus featurization
-    (tokenize + quality + language) — the histogram itself is
-    distinct-length-sized, a few hundred rows. The entry lives until
-    driver GC (the repo's lazily-returned-operator convention);
-    callers embedding this in per-micro-batch plans pass False and
-    pay the batch-sized recompute.
+    dashboards and drift comparisons between drops. The quantile
+    bounds sit in the SAME aggregate as every other metric (the
+    shared bound/interp spellings from
+    :mod:`~haplorec_spark.operators.percentiles`), so the histogram
+    is consumed exactly once — no persist, no second corpus
+    featurization pass.
     """
-    from haplorec_spark.operators.percentiles import group_percentiles
+    from haplorec_spark.operators.percentiles import (
+        histogram_quantile_bound_aggs,
+        histogram_quantile_exprs,
+    )
     from haplorec_spark.operators.text import (
         LANG_LEXICON,
         language_id,
@@ -255,33 +250,33 @@ def text_corpus_profile(
             for lang in LANG_LEXICON
         ],
     )
-    if cache:
-        per_len = per_len.persist()
-    # Word-count quantiles delegate to the shared histogram rewrite
-    # (pre_counted: per_len IS the histogram) — nulls drop there, so
-    # null-text docs never shift a rank or inflate the interpolation
-    # count, exactly the old percentile() null convention; round_to
-    # None keeps the raw interpolated double, bit-equal to DuckDB
-    # quantile_cont (the dashboard oracle compares unrounded). The
-    # global form emits its one row even on an empty corpus.
+    # Word-count quantiles ride the shared histogram spellings of
+    # operators.percentiles INSIDE the same aggregate as every other
+    # metric, over null-excluding cumulative windows (so null-text
+    # docs never shift a rank or inflate the interpolation count —
+    # the percentile() null convention) — one consumption of the
+    # histogram, one corpus featurization. Quantiles stay raw
+    # (unrounded) doubles, bit-equal to DuckDB quantile_cont.
     quantiles = (0.5, 0.9, 0.99)
     qnames = [f"words_p{int(p * 100)}" for p in quantiles]
-    word_q = group_percentiles(
-        per_len,
-        [],
-        "n_words",
-        quantiles,
-        names=qnames,
-        count_col="__cnt_words",
-        pre_counted="__c",
-        round_to=None,
+    nzc = F.when(
+        F.col("n_words").isNotNull(), F.col("__c")
+    ).otherwise(F.lit(0))
+    wall = Window.partitionBy()
+    cum = Window.orderBy("n_words").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    row = per_len.agg(
+    h = per_len.withColumn("__cum", F.sum(nzc).over(cum)).withColumn(
+        "__n", F.sum(nzc).over(wall)
+    )
+    row = h.agg(
         # coalesce: an empty corpus is n_docs 0, the count() convention
         F.coalesce(F.sum("__c"), F.lit(0)).cast("double").alias("n_docs"),
         F.sum(F.col("n_words") * F.col("__c")).cast("double").alias(
             "total_words"
         ),
+        F.max("__n").alias("__cnt_words"),
+        *histogram_quantile_bound_aggs(quantiles, value_col="n_words"),
         *[
             F.sum(f"__s_{name}").alias(f"__s_{name}")
             for name in mean_cols
@@ -294,12 +289,19 @@ def text_corpus_profile(
             F.sum(f"__l_{lang}").alias(f"__l_{lang}")
             for lang in LANG_LEXICON
         ],
-    ).crossJoin(word_q).withColumn(
+    ).withColumn(
         # avg() ignores nulls: divide by the non-null word count, not
         # the document count
         "avg_words",
         F.round(F.col("total_words") / F.col("__cnt_words"), 6),
     )
+    for qname, qexpr in zip(
+        qnames,
+        histogram_quantile_exprs(
+            quantiles, F.col("__cnt_words"), round_to=None
+        ),
+    ):
+        row = row.withColumn(qname, qexpr.cast("double"))
     for name in mean_cols:
         row = row.withColumn(
             name,

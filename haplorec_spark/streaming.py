@@ -1824,7 +1824,12 @@ def _retention_ingest_fn(
         # the batch operator's pinned convention (and the reason no
         # state row can ever hold an empty period set); the filter is
         # on the CAST value, exactly as the batch spelling, so an
-        # uncastable string ts drops identically on both faces
+        # uncastable string ts drops identically on both faces.
+        # A batch left EMPTY by this filter early-returns before the
+        # horizon/drift guards — the funnel ingest's semantics for a
+        # no-step batch: a batch contributing nothing folds nothing,
+        # so there is nothing to double-fold or corrupt; the next
+        # contributing batch still hits both guards.
         batch_df = batch_df.filter(
             F.col(ts_col).cast("timestamp").isNotNull()
         )
