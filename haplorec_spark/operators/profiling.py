@@ -213,19 +213,30 @@ def text_corpus_profile(
     )
     from haplorec_spark.operators.text import (
         LANG_LEXICON,
-        language_id,
-        quality_score,
+        _floor_pred,
+        _lexicon_struct,
+        _null_text_guard,
+        _quality_exprs,
     )
 
-    feats = (
-        docs.join(
-            quality_score(
-                docs, text_col=text_col, id_col=id_col,
-                include_repetition=True,
-            ),
-            on=id_col,
-        )
-        .join(language_id(docs, text_col=text_col, id_col=id_col), on=id_col)
+    # attach-in-place featurization: quality/repetition and language
+    # are both pure map-side expression programs (_quality_exprs is
+    # text.py's documented no-join face; the language argmax is the
+    # same struct language_id projects), so the profile computes every
+    # per-document feature in ONE projection over ONE corpus scan —
+    # the operator-composition spelling (quality_score ⋈ language_id
+    # on id) re-scanned the corpus three times and paid two
+    # corpus-wide id shuffles just to reattach map-side columns
+    lx = _null_text_guard(_lexicon_struct(text_col), text_col)
+    feats = docs.select(
+        F.col(id_col),
+        *[
+            F.expr(e).alias(a)
+            for a, e in _quality_exprs(text_col, True)
+        ],
+        _floor_pred(
+            lx.getField("l"), lx.getField("s"), None
+        ).alias("predicted_lang"),
     )
     # sum/count pairs per metric so null handling matches avg() exactly
     mean_cols = {

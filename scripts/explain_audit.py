@@ -464,6 +464,15 @@ CHECKS = {
         "expect": ["HashAggregate"],
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
+    "_text_corpus_profile_single_scan": {
+        # the corpus dashboard: quality + repetition + language +
+        # histogram quantiles all computed from ONE projection over
+        # ONE corpus scan — no id-join to reattach map-side features,
+        # no second featurization lineage for the quantile tail
+        "expect": ["Window", "Scan parquet"],
+        "forbid": [r"\(\d+\) Scan parquet.*\(\d+\) Scan parquet",
+                   "Join", "CartesianProduct"],
+    },
     "_retention_cohorts_single_scan": {
         # cohort matrix: ONE corpus scan — the per-user cohort and the
         # per-cohort size both ride windows on the single lineage; a
@@ -967,6 +976,13 @@ def _lsh_verified_pairs(spark, sf_dir):
         table(spark, sf_dir, "documents").select("doc_id", "text"),
         threshold=0.7, hot_bucket_cap=64,
     )
+
+
+def _text_corpus_profile_single_scan(spark, sf_dir):
+    from haplorec_spark.operators.profiling import text_corpus_profile
+    from haplorec_spark.queries import table
+
+    return text_corpus_profile(table(spark, sf_dir, "documents"))
 
 
 def _retention_cohorts_single_scan(spark, sf_dir):
