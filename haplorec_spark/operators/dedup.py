@@ -116,38 +116,95 @@ def word_shingles(
     pass ``spread=False``: downstream groupBys re-spread the rows
     anyway, and at real scale the scan arrives pre-partitioned.
     """
-    if spread:
-        spark = docs.sparkSession
-        parallelism = spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < parallelism:
-            docs = docs.repartition(parallelism)
+    docs = _spread_docs(docs) if spread else docs
+    return (
+        _distinct_shingle_arrays(
+            docs, n, text_col=text_col, id_col=id_col,
+            segmentation=segmentation,
+        )
+        .select(F.col(id_col), F.explode("_sh").alias("shingle"))
+    )
+
+
+def _spread_docs(docs: DataFrame) -> DataFrame:
+    """Repartition a doc frame that arrives in fewer partitions than the
+    cluster has cores (a small single parquet file scans as ONE
+    partition, which would serialize the whole shingle/hash map phase).
+    The ``.rdd`` partition-count probe compiles the frame's logical plan
+    on the driver — instant on a scan, SECONDS on a deep joined lineage
+    — so callers with deep inputs skip the spread (see
+    :func:`word_shingles` ``spread=False``)."""
+    spark = docs.sparkSession
+    parallelism = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parallelism:
+        docs = docs.repartition(parallelism)
+    return docs
+
+
+def _words_array(text_col: str, segmentation: str):
+    """Column: the tokenized word array the shingle builders consume."""
     if segmentation == "script":
         from haplorec_spark.operators.text import _words_sql
 
-        words_df = docs.select(
-            F.col(id_col),
-            F.expr(_words_sql(text_col, "script")).alias("_ws"),
-        )
-    elif segmentation == "whitespace":
-        words_df = docs.select(
-            F.col(id_col),
-            F.split(F.lower(F.col(text_col)), " ").alias("_ws"),
-        )
-    else:
-        raise ValueError(
-            f"unknown segmentation mode {segmentation!r}; "
-            "expected 'whitespace' or 'script'"
-        )
-    shingle_expr = F.when(
+        return F.expr(_words_sql(text_col, "script"))
+    if segmentation == "whitespace":
+        return F.split(F.lower(F.col(text_col)), " ")
+    raise ValueError(
+        f"unknown segmentation mode {segmentation!r}; "
+        "expected 'whitespace' or 'script'"
+    )
+
+
+def _shingle_array_expr(n: int):
+    """Column over a ``_ws`` word-array column: all n-word shingles (with
+    duplicates), empty when the doc has fewer than n words (or null
+    text — ``size(null) >= n`` is never true in either ANSI mode)."""
+    return F.when(
         F.size(F.col("_ws")) >= n,
         F.expr(
             f"transform(sequence(0, size(_ws) - {n}),"
             f" i -> concat_ws(' ', slice(_ws, i + 1, {n})))"
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _distinct_shingle_arrays(
+    docs: DataFrame,
+    n: int,
+    *,
+    text_col: str,
+    id_col: str,
+    segmentation: str,
+) -> DataFrame:
+    """(id, ``_sh`` = distinct-shingle array), docs with zero shingles
+    dropped — the map-side core of every shingle consumer. Per-doc
+    ``array_distinct`` equals the old explode + global ``.distinct()``
+    row set (rows always differ by id across docs), without the
+    corpus-wide exchange that distinct paid.
+
+    Both the word array and the shingle array are materialized behind
+    an ``explode(array(...))`` Generate barrier: a plain projection
+    would be COLLAPSED into its consumers by Catalyst (CollapseProject
+    has no common-subexpression sharing), re-running the whole
+    tokenize + shingle build once per reference — 13× in
+    :func:`lsh_band_keys` (the size filter plus every per-seed
+    transform), measured as a 2–4× gate slowdown before the barrier.
+    A Generate's output is an attribute, so consumers reference the
+    computed array instead of inlining its expression."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(_words_array(text_col, segmentation))
+        ).alias("_ws"),
+    )
     return (
-        words_df.select(F.col(id_col), F.explode(shingle_expr).alias("shingle"))
-        .distinct()
+        words.select(
+            F.col(id_col),
+            F.explode(
+                F.array(F.array_distinct(_shingle_array_expr(n)))
+            ).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
     )
 
 
@@ -233,22 +290,39 @@ def lsh_band_keys(
     """(id, band, band_key): each document's LSH band signatures.
 
     The joinable form of the MinHash signature — band keys are
-    concatenations of the per-seed minima (seed order), exploded
-    map-side from the one-row-per-doc signature. Shared by the
-    in-batch self-join (:func:`lsh_candidate_pairs`) and the
-    incremental store (:func:`write_lsh_store` /
-    :func:`incremental_candidate_pairs`).
+    concatenations of the per-seed minima (seed order). The whole
+    signature is computed MAP-SIDE with array higher-order functions
+    (per-seed ``array_min`` over the doc's distinct-shingle array —
+    the same lexicographic hex-string minimum
+    :func:`minhash_signatures` aggregates), so the only exchange any
+    consumer pays is its own band-key shuffle: the old
+    shingle-explode → distinct → groupBy(doc) pipeline cost two
+    corpus-wide exchanges (and a sort-based aggregate, since
+    min(string) has no hash-aggregate buffer) before the band keys
+    even existed. Shared by the in-batch self-join
+    (:func:`lsh_candidate_pairs`) and the incremental store
+    (:func:`write_lsh_store` / :func:`incremental_candidate_pairs`).
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(
-        word_shingles(
-            docs, shingle_n, text_col=text_col, id_col=id_col,
-            segmentation=segmentation,
-        ),
-        num_hashes,
-        id_col=id_col,
+    sh = _distinct_shingle_arrays(
+        _spread_docs(docs), shingle_n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
+    )
+    def _mh(seed: int):
+        # one-arg lambda: a second parameter would make PySpark pass the
+        # element INDEX into it (the (x, i) lambda form)
+        tag = str(seed)
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda x: F.md5(F.concat_ws("|", F.lit(tag), x)),
+            )
+        ).alias(f"mh_{seed}")
+
+    mins = sh.select(
+        F.col(id_col), *[_mh(seed) for seed in range(num_hashes)]
     )
     band_entries = F.array(
         *[
@@ -267,7 +341,7 @@ def lsh_band_keys(
             for b in range(bands)
         ]
     )
-    return sig.select(
+    return mins.select(
         F.col(id_col), F.explode(band_entries).alias("bk")
     ).select(
         F.col(id_col),
@@ -317,10 +391,11 @@ def lsh_candidate_pairs(
       mega-families, so pass ``hot_bucket_cap=None`` there if the
       exhaustive list matters more than the quadratic risk.
 
-    ``None`` restores the exact bucket-local self-join. The grouped
-    path holds one bucket's id array in a single row (~8–30 MB at
-    m = 10⁶) — bounded by the largest duplicate family, never by the
-    corpus.
+    ``None`` restores the exact all-pairs output (row-identical to a
+    bucket-local self-join, emitted from the same grouped path). The
+    grouped path holds one bucket's id array in a single row
+    (~8–30 MB at m = 10⁶) — bounded by the largest duplicate family,
+    never by the corpus.
     """
     if hot_bucket_cap is not None and hot_bucket_cap < 2:
         raise ValueError(
@@ -335,19 +410,14 @@ def lsh_candidate_pairs(
         id_col=id_col,
         segmentation=segmentation,
     )
-    if hot_bucket_cap is None:
-        left = banded.select(
-            F.col(id_col).alias("doc_id_a"), "band", "band_key"
-        )
-        right = banded.select(
-            F.col(id_col).alias("doc_id_b"), "band", "band_key"
-        )
-        return (
-            left.join(right, on=["band", "band_key"])
-            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-            .select("doc_id_a", "doc_id_b")
-            .distinct()
-        )
+    # Both cap settings ride the ONE-groupBy grouped path — with the
+    # cap as the star-edge cutoff, or uncapped (None) emitting every
+    # within-bucket pair, which is row-identical to the old bucket
+    # self-join. The self-join spelling paid the map-side signature
+    # pipeline TWICE once lsh_band_keys stopped shuffling (each join
+    # side re-derived it from the scan; under auto-broadcast there is
+    # no exchange to reuse), and its per-bucket row blowup is the same
+    # m² either way.
     return (
         _bucket_pairs(
             banded.select(F.col(id_col).alias("_bid"), "band", "band_key"),
@@ -360,13 +430,15 @@ def lsh_candidate_pairs(
 
 
 def _bucket_pairs(
-    keyed: DataFrame, bucket_cols: list[str], cap: int
+    keyed: DataFrame, bucket_cols: list[str], cap: int | None
 ) -> DataFrame:
     """(doc_id_a, doc_id_b) per bucket from a (_bid, *bucket_cols)
     frame: all pairs for buckets of size ≤ ``cap``, star edges
-    (bucket-min id → member) above it. One shuffle (the groupBy);
-    pair generation is a map-side array lambda over the sorted ids, so
-    no self-join exists in the plan and upstream is scanned once."""
+    (bucket-min id → member) above it; ``cap=None`` emits every
+    within-bucket pair unconditionally (exact semantics). One shuffle
+    (the groupBy); pair generation is a map-side array lambda over the
+    sorted ids, so no self-join exists in the plan and upstream is
+    scanned once."""
     grouped = keyed.groupBy(*bucket_cols).agg(
         F.sort_array(F.collect_list("_bid")).alias("_ids")
     )
@@ -380,15 +452,16 @@ def _bucket_pairs(
         " y -> named_struct('doc_id_a', element_at(_ids, 1),"
         " 'doc_id_b', y))"
     )
+    pairs = (
+        F.expr(all_pairs)
+        if cap is None
+        else F.when(F.size("_ids") <= cap, F.expr(all_pairs)).otherwise(
+            F.expr(star)
+        )
+    )
     return (
         grouped.filter(F.size("_ids") >= 2)
-        .select(
-            F.explode(
-                F.when(F.size("_ids") <= cap, F.expr(all_pairs)).otherwise(
-                    F.expr(star)
-                )
-            ).alias("_p")
-        )
+        .select(F.explode(pairs).alias("_p"))
         .select("_p.doc_id_a", "_p.doc_id_b")
     )
 
@@ -780,9 +853,21 @@ def _dup_ngram_starts(
     grams = docs.select(
         F.col(id_col), F.explode(F.expr(gram_structs)).alias("g")
     ).select(F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    # df counts distinct DOCS per hash; the within-doc dedup is per-row
+    # (array_distinct over the doc's own gram hashes), so the count
+    # aggregate is the only corpus-wide exchange on this branch — the
+    # old (h, id) global distinct paid a second one for the same rows
     hot = (
-        grams.select("h", id_col)
-        .distinct()
+        docs.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size({ws}) >= {n} THEN array_distinct("
+                    f"transform(sequence(0, size({ws}) - {n}),"
+                    f" i -> md5(concat_ws(' ', slice({ws}, i + 1, {n})))))"
+                    f" ELSE cast(array() as array<string>) END"
+                )
+            ).alias("h")
+        )
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
@@ -817,33 +902,46 @@ def duplicate_ngram_spans(
     inclusive word indices into ``split(lower(text), ' ')``.
 
     Scale shape: the n-gram stream is map-side (one explode at word
-    granularity), the document-frequency cut is two partially
-    aggregated hash-keyed shuffles, and — like the boilerplate hot-line
-    set — the duplicated n-grams join back adaptively on their MEASURED
-    size (broadcast under ``max_broadcast_grams``, shuffle join above —
-    see :func:`_dup_ngram_starts`). The island merge windows per
-    document, the same per-doc partitioning every report op uses.
+    granularity), the document-frequency cut is ONE partially
+    aggregated hash-keyed shuffle (within-doc gram dedup is a map-side
+    ``array_distinct``), and — like the boilerplate hot-line set — the
+    duplicated n-grams join back adaptively on their MEASURED size
+    (broadcast under ``max_broadcast_grams``, shuffle join above — see
+    :func:`_dup_ngram_starts`). The island merge is a map-side linear
+    scan over each doc's sorted start array (island starts are
+    positions with no predecessor within n; island ends pair with them
+    index-for-index), so the whole tail costs one doc-keyed exchange —
+    the old window + re-aggregate spelling paid two, plus a sort.
     """
     starts = _dup_ngram_starts(
         docs, n, min_df, text_col, id_col, max_broadcast_grams
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    prev_max_end = F.max(F.col("pos") + n - 1).over(
-        w.rowsBetween(Window.unboundedPreceding, -1)
+    # positions ascend after sort_array; p starts a new island iff the
+    # previous duplicated position is more than n back (prev_max_end =
+    # prev_pos + n - 1 < pos - 1), ends one iff the next is more than n
+    # ahead — the k-th start pairs with the k-th end by construction
+    span_starts = (
+        "filter(transform(_ps, (p, i) -> struct(p as p, i as i)),"
+        " s -> s.i = 0 OR s.p > element_at(_ps, s.i) + " f"{n})"
     )
-    with_island = starts.withColumn(
-        "_new",
-        F.when(
-            prev_max_end.isNull() | (F.col("pos") > prev_max_end + 1), 1
-        ).otherwise(0),
-    ).withColumn("_island", F.sum("_new").over(w))
+    span_ends = (
+        "filter(transform(_ps, (p, i) -> struct(p as p, i as i)),"
+        " s -> s.i = size(_ps) - 1"
+        " OR element_at(_ps, s.i + 2) > s.p + " f"{n})"
+    )
+    spans = (
+        f"zip_with({span_starts}, {span_ends},"
+        f" (s, e) -> struct(s.p as span_start, e.p + {n} - 1 as span_end))"
+    )
     return (
-        with_island.groupBy(id_col, "_island")
-        .agg(
-            F.min("pos").alias("span_start"),
-            F.max(F.col("pos") + n - 1).alias("span_end"),
+        starts.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_ps"))
+        .select(F.col(id_col), F.explode(F.expr(spans)).alias("_sp"))
+        .select(
+            id_col,
+            F.col("_sp.span_start").alias("span_start"),
+            F.col("_sp.span_end").alias("span_end"),
         )
-        .select(id_col, "span_start", "span_end")
     )
 
 
@@ -925,8 +1023,13 @@ def ngram_jaccard_pairs(
     """Exact Jaccard similarity over word-shingle sets, >= threshold.
 
     Pruned relationally: only pairs sharing >= 1 shingle are scored (the
-    join on shingle), so the plan is shingle-keyed shuffle + two
-    broadcast-joined size aggregates — division-style, no cross join.
+    join on shingle), so the plan is shingle-keyed shuffle + the
+    per-pair count aggregate — division-style, no cross join. Set sizes
+    ride each exploded shingle row as a map-side ``size(_sh)`` int (one
+    extra int per shuffled row) and come out of the pair aggregate as
+    ``max`` — no size-aggregate subtree, no re-join of sizes onto
+    pairs, which the old spelling paid two extra exchanges and two
+    sort-merge joins for.
 
     ``max_doc_freq`` is the 100 TB lever: shingles appearing in more
     than that fraction of documents (boilerplate) are dropped BEFORE the
@@ -934,10 +1037,19 @@ def ngram_jaccard_pairs(
     Jaccard over the filtered shingle sets — approximate against the
     unfiltered metric (common shingles carry no near-dup signal), exact
     over what remains, so leave it None when an exact oracle matters.
+    (The filtered path re-counts sizes AFTER the anti-join — the
+    map-side size would be the unfiltered one.)
     """
-    sh = word_shingles(
-        docs, shingle_n, text_col=text_col, id_col=id_col,
-        segmentation=segmentation,
+    sh = (
+        _distinct_shingle_arrays(
+            _spread_docs(docs), shingle_n, text_col=text_col,
+            id_col=id_col, segmentation=segmentation,
+        )
+        .select(
+            F.col(id_col),
+            F.size("_sh").alias("n_sh"),
+            F.explode("_sh").alias("shingle"),
+        )
     )
     if max_doc_freq is not None:
         n_docs = docs.select(id_col).distinct().count()
@@ -948,26 +1060,58 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > cap)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(
-        F.col(id_col).alias("doc_id_a"), F.col("n_sh").alias("n_a")
-    )
-    sb = sizes.select(
-        F.col(id_col).alias("doc_id_b"), F.col("n_sh").alias("n_b")
-    )
+        sh = (
+            sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+            .drop("n_sh")
+        )
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+        a = sh.select(F.col(id_col).alias("doc_id_a"), "shingle")
+        b = sh.select(F.col(id_col).alias("doc_id_b"), "shingle")
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        scored = (
+            inter.join(
+                sizes.select(
+                    F.col(id_col).alias("doc_id_a"),
+                    F.col("n_sh").alias("n_a"),
+                ),
+                on="doc_id_a",
+            )
+            .join(
+                sizes.select(
+                    F.col(id_col).alias("doc_id_b"),
+                    F.col("n_sh").alias("n_b"),
+                ),
+                on="doc_id_b",
+            )
+        )
+    else:
+        a = sh.select(
+            F.col(id_col).alias("doc_id_a"),
+            F.col("n_sh").alias("n_a"),
+            "shingle",
+        )
+        b = sh.select(
+            F.col(id_col).alias("doc_id_b"),
+            F.col("n_sh").alias("n_b"),
+            "shingle",
+        )
+        scored = (
+            a.join(b, on="shingle")
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_common"),
+                F.max("n_a").alias("n_a"),
+                F.max("n_b").alias("n_b"),
+            )
+        )
     return (
-        inter.join(sa, on="doc_id_a")
-        .join(sb, on="doc_id_b")
-        .withColumn(
+        scored.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
@@ -994,6 +1138,11 @@ def simhash32(
     position the +-1 votes are summed; positive sums set the bit. The 32
     positions are 32 map-side-combined sum aggregates over one
     groupBy(doc) — no row blowup, one shuffle of width |docs| x 32 ints.
+    (A fully map-side spelling — 32 ``aggregate`` higher-order folds
+    over the token array — was MEASURED 2.2× slower at sf0.1: HOFs
+    evaluate interpreted, while the exploded sums ride whole-stage
+    codegen with map-side partial aggregation, so the one narrow
+    |docs|-row shuffle is the cheaper trade. Kept deliberately.)
     """
     tokens = docs.select(
         F.col(id_col),
@@ -1271,29 +1420,23 @@ def _pruned_shingle_sets(
     ``ids`` — the shared shingle-set build behind every exact-Jaccard
     verification join.
 
-    Spreads the pruned docs by id unconditionally instead of
-    :func:`word_shingles`' partition-count probe: ``.rdd`` compiles
-    the frame's whole physical plan on the driver, which costs
-    SECONDS on a deep joined lineage (measured 4.2 s at sf0.1 — 3×
-    the execution time), while a broadcast semi-join over a
-    single-file scan stays at 1 partition and would serialize the
-    shingle explode. The pruned set is candidate-sized, never
-    corpus-sized, so this shuffle stays bounded at scale, and hashing
-    by id feeds the groupBy(id) that follows."""
+    The array is built MAP-SIDE on the semi-join output
+    (:func:`_distinct_shingle_arrays`): the old spelling paid a
+    repartition(id), a corpus-wide shingle-row distinct, and a
+    groupBy(id) collect_list — three exchanges — to produce the same
+    per-doc distinct-shingle set (order differs; every consumer is the
+    order-insensitive ``array_intersect``/``size`` Jaccard join). The
+    only exchange the build contributes now is whatever the downstream
+    pair join needs anyway. The pruned set is candidate-sized, never
+    corpus-sized."""
     pruned = docs.join(
         ids.select(F.col(ids.columns[0]).alias(id_col)),
         on=id_col,
         how="left_semi",
     )
-    parallelism = pruned.sparkSession.sparkContext.defaultParallelism
-    pruned = pruned.repartition(parallelism, id_col)
-    return (
-        word_shingles(
-            pruned, shingle_n, text_col=text_col, id_col=id_col,
-            segmentation=segmentation, spread=False,
-        )
-        .groupBy(id_col)
-        .agg(F.collect_list("shingle").alias("_sh"))
+    return _distinct_shingle_arrays(
+        pruned, shingle_n, text_col=text_col, id_col=id_col,
+        segmentation=segmentation,
     )
 
 

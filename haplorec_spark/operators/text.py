@@ -4151,20 +4151,25 @@ def doc_fingerprints(
     fingerprint row at all under the default (review-caught, round 9;
     fingerprints of the two modes are not comparable).
     """
-    from haplorec_spark.operators.dedup import word_shingles
+    from haplorec_spark.operators.dedup import (
+        _distinct_shingle_arrays,
+        _spread_docs,
+    )
 
-    sh = word_shingles(
-        docs, shingle_n, text_col=text_col, id_col=id_col,
+    sh = _distinct_shingle_arrays(
+        _spread_docs(docs), shingle_n, text_col=text_col, id_col=id_col,
         segmentation=segmentation,
     )
-    return (
-        sh.select(F.col(id_col), F.md5("shingle").alias("h"))
-        .groupBy(id_col)
-        .agg(
-            F.expr(
-                f"concat_ws(',', slice(array_sort(collect_list(h)), 1, {k}))"
-            ).alias("fingerprint")
-        )
+    # Entirely map-side: hash the doc's distinct-shingle array in place
+    # and sort/slice it inside the row — same sorted bottom-k multiset
+    # the old explode → groupBy(doc) collect_list sorted, without
+    # shuffling a corpus of shingle rows first.
+    return sh.select(
+        F.col(id_col),
+        F.expr(
+            f"concat_ws(',', slice(array_sort(transform(_sh,"
+            f" x -> md5(x))), 1, {k}))"
+        ).alias("fingerprint"),
     )
 
 
