@@ -116,9 +116,12 @@ CHECKS = {
     },
     "_dup_spans": {
         # duplicated n-grams (MEASURED small) broadcast back onto
-        # the word-granularity stream; islands window per document
-        "expect": ["BroadcastHashJoin", "Window"],
-        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
+        # the word-granularity stream; the island merge is a map-side
+        # boundary zip over each doc's sorted start array (round 12) —
+        # one doc-keyed aggregate, NO per-doc window, no sort
+        "expect": ["BroadcastHashJoin", "ObjectHashAggregate"],
+        "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin",
+                   "Window"],
     },
     "_script_curation": {
         # script-segmented curation chain: map-side only (Project +
@@ -137,10 +140,11 @@ CHECKS = {
     "_dup_spans_large": {
         # hot set measured over the broadcast bound: the join back onto
         # the gram stream MUST degrade to a shuffle join — a forced
-        # broadcast of a corpus-proportional set is an executor OOM
-        "expect": ["SortMergeJoin", "Window"],
+        # broadcast of a corpus-proportional set is an executor OOM.
+        # Island merge is the map-side boundary zip (no Window).
+        "expect": ["SortMergeJoin", "ObjectHashAggregate"],
         "forbid": ["BroadcastHashJoin", "CartesianProduct",
-                   "BroadcastNestedLoopJoin"],
+                   "BroadcastNestedLoopJoin", "Window"],
     },
     "_strip_boilerplate_large": {
         # hot-line set over the bound: explode-and-regroup fallback —
