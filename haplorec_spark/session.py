@@ -18,6 +18,14 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-plan (coalesce/skew-split) INSIDE cached plans too: the
+    # default pins a persisted subtree's exchange layout, so the
+    # multi-persist operators (bounded star-verification, k-means
+    # lineages) ran every post-shuffle stage at the static partition
+    # count regardless of data size. Size-adaptive at any scale — the
+    # same advisory-size coalescing as uncached plans; measured ~25%
+    # off the verified-dedup gate at sf0.1.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     # Reference tables (gene_haplotype_variant etc.) are tiny; dims in the
     # TPC-H-ish surface are small at any SF we test. 64 MB keeps them all
     # on the broadcast path without hinting.
