@@ -82,8 +82,15 @@ def word_shingles(
     id_col: str = "doc_id",
     segmentation: str = "whitespace",
     spread: bool = True,
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct n-word shingles per document: (id, shingle).
+
+    ``distinct=False`` skips the per-doc ``array_distinct`` (a map-side
+    pass over every doc's shingle array) and streams every occurrence —
+    for consumers that are multiplicity-insensitive (a semi join, or a
+    DISTINCT of their own downstream). Everything stays map-side either
+    way; this only saves the per-array dedup CPU.
 
     Tokenization is a plain single-space split of the lowercased text so
     the DuckDB oracle (string_split) tokenizes identically.
@@ -120,7 +127,7 @@ def word_shingles(
     return (
         _distinct_shingle_arrays(
             docs, n, text_col=text_col, id_col=id_col,
-            segmentation=segmentation,
+            segmentation=segmentation, distinct=distinct,
         )
         .select(F.col(id_col), F.explode("_sh").alias("shingle"))
     )
@@ -175,12 +182,15 @@ def _distinct_shingle_arrays(
     text_col: str,
     id_col: str,
     segmentation: str,
+    distinct: bool = True,
 ) -> DataFrame:
     """(id, ``_sh`` = distinct-shingle array), docs with zero shingles
     dropped — the map-side core of every shingle consumer. Per-doc
     ``array_distinct`` equals the old explode + global ``.distinct()``
     row set (rows always differ by id across docs), without the
-    corpus-wide exchange that distinct paid.
+    corpus-wide exchange that distinct paid. ``distinct=False`` keeps
+    every occurrence (multiplicity-insensitive consumers skip the
+    per-array dedup CPU).
 
     Both the word array and the shingle array are materialized behind
     an ``explode(array(...))`` Generate barrier: a plain projection
@@ -197,12 +207,13 @@ def _distinct_shingle_arrays(
             F.array(_words_array(text_col, segmentation))
         ).alias("_ws"),
     )
+    arr = _shingle_array_expr(n)
+    if distinct:
+        arr = F.array_distinct(arr)
     return (
         words.select(
             F.col(id_col),
-            F.explode(
-                F.array(F.array_distinct(_shingle_array_expr(n)))
-            ).alias("_sh"),
+            F.explode(F.array(arr)).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
     )
@@ -1595,9 +1606,9 @@ def lsh_verified_pairs(
     # Ambiguous star members: hub similarity in [floor, threshold) in
     # some over-cap bucket AND not already dropped via any accepted
     # edge — escalate those against that bucket's sample members.
-    dropped_members = accepted.select(
-        F.col("doc_id_b").alias("_done")
-    ).distinct()
+    # no distinct: left_anti matches per-key, duplicate _done rows are
+    # free, and the distinct cost a full aggregate+exchange
+    dropped_members = accepted.select(F.col("doc_id_b").alias("_done"))
     ambiguous = (
         verified.filter(
             (F.col("_kind") == "star") & (F.col("jaccard") < threshold)
