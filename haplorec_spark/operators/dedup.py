@@ -1748,11 +1748,16 @@ def _star_verify_first_pass(
         )
     )
     floor = max(threshold - margin, 0.0)
-    cand_ids = (
-        candidates.select(F.col("doc_id_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_id_b").alias(id_col)))
-        .distinct()
-    )
+    # The candidate-id set IS the bucket-member set: a small bucket's
+    # all-pairs explode mentions every member (size >= 2), an over-cap
+    # bucket's star edges mention the hub (doc_id_a) and every other
+    # member (doc_id_b). Exploding the (persisted) grouped frame once
+    # yields the identical id set while embedding ONE banding lineage
+    # in the analyzed plan instead of three — the a-side/b-side union
+    # re-embedded the whole candidate tree (banding pipeline included)
+    # twice, which both paid a second union+distinct exchange and
+    # inflated the plan Catalyst must canonicalize per reference.
+    cand_ids = grouped.select(F.explode("_ids").alias(id_col)).distinct()
     shingles = _pruned_shingle_sets(
         docs, cand_ids,
         shingle_n=shingle_n, text_col=text_col, id_col=id_col,
