@@ -303,8 +303,8 @@ def lsh_band_keys(
     The joinable form of the MinHash signature — band keys are
     concatenations of the per-seed minima (seed order). The whole
     signature is computed MAP-SIDE with array higher-order functions
-    (per-seed ``array_min`` over the doc's distinct-shingle array —
-    the same lexicographic hex-string minimum
+    (one fused fold over the doc's distinct-shingle array yielding all
+    per-seed minima — the same lexicographic hex-string minimum
     :func:`minhash_signatures` aggregates), so the only exchange any
     consumer pays is its own band-key shuffle: the old
     shingle-explode → distinct → groupBy(doc) pipeline cost two
@@ -321,19 +321,24 @@ def lsh_band_keys(
         _spread_docs(docs), shingle_n, text_col=text_col, id_col=id_col,
         segmentation=segmentation,
     )
-    def _mh(seed: int):
-        # one-arg lambda: a second parameter would make PySpark pass the
-        # element INDEX into it (the (x, i) lambda form)
-        tag = str(seed)
-        return F.array_min(
-            F.transform(
-                F.col("_sh"),
-                lambda x: F.md5(F.concat_ws("|", F.lit(tag), x)),
-            )
-        ).alias(f"mh_{seed}")
-
+    # ONE fused fold computes all k minima in a single interpreted pass
+    # over the shingle array: k separate array_min(transform(...))
+    # columns each re-walked the array (k loop setups, k materialized
+    # md5 arrays) — measured ~10% slower on the minima stage. The 'g'
+    # seed compares greater than every md5 hex string (hex is 0-9a-f),
+    # and `_sh` is non-empty by construction, so each slot ends at the
+    # true per-seed minimum — element s equals
+    # array_min(transform(_sh, x -> md5(concat_ws('|', '<s>', x)))).
+    per_elem = ", ".join(
+        f"md5(concat_ws('|', '{seed}', x))" for seed in range(num_hashes)
+    )
     mins = sh.select(
-        F.col(id_col), *[_mh(seed) for seed in range(num_hashes)]
+        F.col(id_col),
+        F.expr(
+            f"aggregate(_sh, array_repeat('g', {num_hashes}),"
+            f" (acc, x) -> zip_with(acc, array({per_elem}),"
+            f" (a, b) -> least(a, b)))"
+        ).alias("_mh"),
     )
     band_entries = F.array(
         *[
@@ -342,7 +347,7 @@ def lsh_band_keys(
                 F.concat_ws(
                     ",",
                     *[
-                        F.col(f"mh_{s}")
+                        F.element_at("_mh", s + 1)
                         for s in range(
                             b * rows_per_band, (b + 1) * rows_per_band
                         )
