@@ -667,6 +667,182 @@ def semantic_dedup_pairs(
     )
 
 
+#: Upper bound on the temporary (anchor-block x remaining-rows) dot
+#: matrix inside :func:`_within_cell_pair_frame`'s kernel, in cells
+#: (doubles). 4M cells = 32 MB per temporary, ~3 such temporaries live
+#: at once — bounds Python-worker memory regardless of cell size.
+_PAIR_BLOCK_CELLS = 4_000_000
+
+
+def _round6_like_spark(x):
+    """Vectorized replica of Spark's ``round(<double>, 6)``.
+
+    Spark rounds a double by its SHORTEST DECIMAL REPR
+    (``BigDecimal.valueOf`` = ``Double.toString``) with HALF_UP —
+    empirically pinned against ``F.round`` on boundary doubles
+    (tests/test_similarity.py). ``np.round`` is half-EVEN on a scaled
+    binary intermediate, which can differ, but ONLY when the scaled
+    value sits within ~1 ULP of a .5 boundary (both the repr-vs-binary
+    gap and numpy's documented scaling error are ULP-sized, ~1e-10 at
+    this magnitude). So: round the bulk with numpy, detect every value
+    whose fractional part at 1e-6 scale is within 1e-6 of .5 — a
+    window 1000x wider than the divergence zone — and repair those few
+    through ``Decimal(repr(x))`` HALF_UP, which is exactly the Spark
+    computation (``repr`` is the same shortest round-trip decimal).
+    Non-finite values pass through unchanged on both paths.
+    """
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    r = np.round(x, 6)
+    finite = np.isfinite(x)
+    f = np.where(finite, x, 0.0) * 1e6
+    suspect = finite & (np.abs(f - np.floor(f) - 0.5) < 1e-6)
+    for i in np.nonzero(suspect)[0]:
+        r[i] = float(
+            Decimal(repr(float(x[i]))).quantize(
+                Decimal("0.000001"), ROUND_HALF_UP
+            )
+        )
+    return r
+
+
+def _within_cell_pair_frame(
+    with_cell: DataFrame,
+    *,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """groupBy(cluster) + vectorized numpy pair kernel over a
+    (id, vec, nrm, cluster) projection: (vec_id_a, vec_id_b, cosine)
+    with a < b and round(cosine, 6) >= threshold — bit-identical to
+    the former cluster-keyed HOF self-join, row for row:
+
+    * dims are accumulated in STRICT index order (one vectorized pass
+      per dimension), so every dot product is the same left-to-right
+      IEEE fold ``cosine_expr`` pins;
+    * rounding rides :func:`_round6_like_spark`; the threshold filter
+      keeps NaN cosines (a NaN-element pair: NaN divisor divides
+      IEEE) because Spark's ordering treats NaN as greater than every
+      double, while an exactly-ZERO divisor (zero-norm pair) never
+      emits — Spark division NULLs it under ansi=false and ERRORS
+      under ansi=true, so dropping is the only total mode-neutral
+      reading (the kernel is the first spelling of this operator that
+      does not crash a zero vector under the ANSI default) — both
+      pinned by test against the join spelling;
+    * rows with a NULL vector, NULL id, or NULL cluster never pair
+      (NULL never survives the join's key match / a < b filter), so
+      they are dropped up front; vectors of DIFFERENT lengths pair to
+      a NULL dot under ``zip_with`` and are dropped by the filter, so
+      the kernel pairs only within same-length groups — equal-length
+      pairs dot over the full length, exactly as before;
+    * duplicate ids never pair with themselves (strict a < b).
+
+    Work per cell is the same O(m^2 . dim) arithmetic the join paid,
+    but vectorized over pairs instead of interpreted per element
+    (measured 3.6x on the sf0.1 gate), at one corpus projection and
+    ONE cluster-keyed exchange instead of two join sides. The kernel
+    is ``applyInArrow``, not ``applyInPandas``: pandas reads a float
+    NaN as a MISSING value, so a NaN cosine would cross back into
+    Spark as NULL — pyarrow keeps NaN a value, as the join did.
+    """
+
+    def kernel(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        id_type = tbl.schema.field(id_col).type
+        ids_py = tbl.column(id_col).to_pylist()
+        vecs_py = tbl.column(vec_col).to_pylist()
+        nrm_py = tbl.column("nrm").to_pylist()
+        # A NULL id or NULL vector never pairs (NULL key / a < b);
+        # a NULL ELEMENT poisons every dot involving the row to NULL
+        # (zip_with product NULL -> fold NULL -> filtered) — drop all
+        # three row classes up front.
+        keep = [
+            i
+            for i, (vid, v) in enumerate(zip(ids_py, vecs_py))
+            if vid is not None
+            and v is not None
+            and not any(e is None for e in v)
+        ]
+        out_a, out_b, out_c = [], [], []
+        if len(keep) >= 2:
+            ids_all = np.array([ids_py[i] for i in keep])
+            nrm_all = np.array(
+                [
+                    np.nan if nrm_py[i] is None else nrm_py[i]
+                    for i in keep
+                ],
+                dtype=np.float64,
+            )
+            vec_list = [
+                np.asarray(vecs_py[i], dtype=np.float64) for i in keep
+            ]
+            lens = np.array([v.shape[0] for v in vec_list])
+            for length in np.unique(lens):
+                sel = np.nonzero(lens == length)[0]
+                if sel.size < 2:
+                    continue
+                ids = ids_all[sel]
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                nrm = nrm_all[sel][order]
+                n = ids.shape[0]
+                V = (
+                    np.vstack([vec_list[i] for i in sel[order]])
+                    if length
+                    else np.zeros((n, 0))
+                )
+                blk = max(1, _PAIR_BLOCK_CELLS // n)
+                for s in range(0, n - 1, blk):
+                    e = min(s + blk, n)
+                    acc = np.zeros((e - s, n - s))
+                    for d in range(length):  # strict fold order over dims
+                        acc = acc + V[s:e, d, None] * V[s:, d][None, :]
+                    denom = nrm[s:e, None] * nrm[None, s:]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = acc / denom
+                    r = _round6_like_spark(cos.ravel()).reshape(cos.shape)
+                    gi = np.arange(s, e)[:, None]
+                    gj = np.arange(s, n)[None, :]
+                    m = (gj > gi) & ((r >= threshold) | np.isnan(r))
+                    # Spark division NULLs on an exactly-zero divisor
+                    # (ansi=false; ansi=true ERRORS) — a zero-norm
+                    # pair never emits; a NaN divisor is not zero and
+                    # divides IEEE (NaN, kept above)
+                    m &= denom != 0.0
+                    m &= ids[gi] != ids[gj]
+                    rows_i, cols_j = np.nonzero(m)
+                    out_a.append(ids[s + rows_i])
+                    out_b.append(ids[s + cols_j])
+                    out_c.append(r[rows_i, cols_j])
+        cat = [
+            np.concatenate(x) if x else []
+            for x in (out_a, out_b, out_c)
+        ]
+        return pa.table(
+            {
+                "vec_id_a": pa.array(list(cat[0]), type=id_type),
+                "vec_id_b": pa.array(list(cat[1]), type=id_type),
+                "cosine": pa.array(
+                    [float(c) for c in cat[2]], type=pa.float64()
+                ),
+            }
+        )
+
+    idt = with_cell.schema[id_col].dataType.simpleString()
+    return (
+        with_cell.select(id_col, vec_col, "nrm", "cluster")
+        .filter(F.col("cluster").isNotNull())
+        .groupBy("cluster")
+        .applyInArrow(
+            kernel, schema=f"vec_id_a {idt}, vec_id_b {idt}, cosine double"
+        )
+    )
+
+
 def within_cell_pairs(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -681,19 +857,23 @@ def within_cell_pairs(
     for callers that pin the codebook (the incremental store, the
     streaming ingest bootstrap).
 
-    The a/b sides of the cluster-keyed self-join each recompute the
-    map-side assignment+norm projection rather than sharing a persisted
-    intermediate — DELIBERATE at the 100 TB target: the projection is a
-    cheap scan-local argmin, while persisting it would materialize the
-    full vector corpus (memory-and-disk spill dominates the recompute).
-    Cell assignment is folded INTO that projection (one scan, zero
-    Exchange until the cluster-keyed pair join itself — asserted by
-    ``explain_audit.py``): joining against a separate
-    ``assign_clusters`` frame on the id column would shuffle the whole
-    corpus to attach a per-row-computable value. Callers pairing the
-    same assignment many times can persist the store form instead
-    (``write_semantic_store`` keeps (id, vector, nrm, cluster) on
-    disk, cluster-partitioned).
+    Cell assignment and the norm fold INTO one map-side projection over
+    one corpus scan (joining against a separate ``assign_clusters``
+    frame on the id column would shuffle the whole corpus to attach a
+    per-row-computable value — asserted by ``explain_audit.py``); the
+    within-cell quadratic then runs as ONE cluster-keyed exchange into
+    a vectorized numpy pair kernel (:func:`_within_cell_pair_frame`).
+    Round 12: the former a/b self-join recomputed the projection per
+    side and evaluated every pair's dot through an interpreted
+    ``aggregate(zip_with(...))`` — the grouped kernel pays HALF the
+    scan+shuffle and vectorizes the per-pair arithmetic (3.6x on the
+    sf0.1 gate, bit-identical rows; the guide's batch-native-kernel
+    pattern). Worker memory stays bounded by an anchor-block loop
+    (``_PAIR_BLOCK_CELLS``), never O(cell^2) at once — but the CELL's
+    vectors do sit in one Python worker, so audit cell sizes with
+    :func:`cell_profile` before trusting a codebook at scale (the same
+    skew audit the join form needed: a hot cell's quadratic was one
+    join partition then, one group now).
     """
     with_cell = _project_with_cells(
         vectors,
@@ -702,37 +882,13 @@ def within_cell_pairs(
         id_col=id_col,
         nprobe=nprobe,
     )
-    a = with_cell.select(
-        F.col(id_col).alias("vec_id_a"),
-        F.col(vec_col).alias("va"),
-        F.col("nrm").alias("na"),
-        "cluster",
-    )
-    b = with_cell.select(
-        F.col(id_col).alias("vec_id_b"),
-        F.col(vec_col).alias("vb"),
-        F.col("nrm").alias("nb"),
-        "cluster",
-    )
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) ->"
-        " cast(x as double) * cast(y as double)), cast(0.0 as double),"
-        " (acc, v) -> acc + v)"
-    )
-    scored = (
-        a.join(b, on="cluster")
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    scored = _within_cell_pair_frame(
+        with_cell, threshold=threshold, vec_col=vec_col, id_col=id_col
     )
     if nprobe > 1:
-        # a pair sharing several probed cells joins once per shared
-        # cell; rows are identical (deterministic cosine), so distinct
-        # restores one row per pair
+        # a pair sharing several probed cells is produced once per
+        # shared cell; rows are identical (deterministic cosine), so
+        # distinct restores one row per pair
         scored = scored.distinct()
     return scored
 
@@ -1720,21 +1876,24 @@ def incremental_semantic_pairs(
         )
     else:
         vs_history = None
-    b = batch.select(
-        F.col(id_col).alias("vec_id_matched"),
-        F.col(vec_col).alias("vb"),
-        F.col("nrm").alias("nb"),
-        "cluster",
-    )
+    # In-batch half: the SAME grouped Arrow pair kernel as
+    # :func:`within_cell_pairs` (round 12 — one batch projection and
+    # one cluster-keyed exchange instead of an a/b self-join with the
+    # interpreted per-pair dot). The kernel emits a < b; this face
+    # names the larger id ``vec_id_new``, so the rename flips sides.
+    # The HISTORY half deliberately stays the broadcast join below:
+    # the batch side broadcasts onto the cluster-pruned store scan, so
+    # history is never shuffled at all — a groupBy(cluster) kernel
+    # would pay an exchange of the pruned history every micro-batch.
     vs_batch = (
-        a.join(b, on="cluster")
-        .filter(F.col("vec_id_new") > F.col("vec_id_matched"))
-        .select(
-            "vec_id_new",
-            "vec_id_matched",
-            F.round(dot / (F.col("na") * F.col("nb")), 6).alias("cosine"),
+        _within_cell_pair_frame(
+            batch, threshold=threshold, vec_col=vec_col, id_col=id_col
         )
-        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("vec_id_b").alias("vec_id_new"),
+            F.col("vec_id_a").alias("vec_id_matched"),
+            "cosine",
+        )
         .distinct()
         .withColumn("source", F.lit("batch"))
     )

@@ -55,7 +55,11 @@ print("ABRESULT " + json.dumps(out))
 
 def run_tree(tree: str, names: list[str]) -> dict[str, float]:
     env = dict(os.environ)
-    env.pop("PYTHONPATH", None)
+    # The tree under test must be importable in the PYTHON WORKERS too
+    # (grouped Arrow/pandas kernels pickle module functions by
+    # reference); the env var reaches the pyspark.daemon the local-mode
+    # JVM forks, where the driver-side sys.path insert does not.
+    env["PYTHONPATH"] = tree
     p = subprocess.run(
         [sys.executable, "-c", CHILD, tree, *names],
         capture_output=True, text=True, env=env, cwd="/tmp",

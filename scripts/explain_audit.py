@@ -86,13 +86,17 @@ CHECKS = {
         "forbid": ["CartesianProduct"],
     },
     "_semantic_dedup": {
-        # within-cell pairs: a cluster-keyed equi self-join, never a
-        # cross product over the corpus. Cell assignment folds into
-        # each side's scan projection — an id-keyed Exchange would mean
-        # the corpus is being shuffled to join its own assignment frame
-        "expect": [],
-        "forbid": ["CartesianProduct",
-                   r"Exchange hashpartitioning\(vec_id"],
+        # within-cell pairs (round 12): ONE corpus projection (cell
+        # assignment + norm fold into the scan) -> ONE cluster-keyed
+        # Exchange -> the grouped Arrow pair kernel. Never a cross
+        # product, never an id-keyed Exchange (that would mean the
+        # corpus is shuffled to join its own assignment frame), never
+        # a join at all — the former a/b self-join paid the projection
+        # and its shuffle twice
+        "expect": ["FlatMapGroupsInArrow"],
+        "forbid": ["CartesianProduct", "Join",
+                   r"Exchange hashpartitioning\(vec_id",
+                   r"Exchange hashpartitioning.*Exchange hashpartitioning"],
     },
     "_ivf_pq_topk": {
         # codes+cells come from ONE encode scan (cluster is a

@@ -1891,3 +1891,135 @@ def test_store_health_reads_a_real_store(spark, tmp_path):
     assert h.n_codes == 150
     assert h.n_files >= 3
     assert h.reasons == ()
+
+
+def test_round6_helper_matches_spark_round(spark):
+    """_round6_like_spark must reproduce F.round(x, 6) on doubles —
+    including the decimal-repr half-up boundaries where np.round
+    (half-even on a scaled binary intermediate) differs, and the
+    non-finite passthroughs. This is the rounding contract the
+    within-cell Arrow kernel rides."""
+    import math
+
+    import numpy as np
+
+    from haplorec_spark.operators.similarity import _round6_like_spark
+
+    vals = [
+        0.1234565, 0.1234575, 0.12345650000000001, 0.1234564999999999,
+        0.9999995, 0.99999949999999994, 1.0000005, -0.1234565,
+        0.8, 0.7999995, 0.80000049999, 0.5e-6, 1.5e-6, 2.5e-6,
+        0.0, -0.0, 1.0, -1.0,
+        float("nan"), float("inf"), float("-inf"),
+    ]
+    expected = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .selectExpr("round(x, 6) as r")
+        .collect()
+    ]
+    got = _round6_like_spark(np.array(vals, dtype=np.float64))
+    for v, e, g in zip(vals, expected, got):
+        if isinstance(e, float) and math.isnan(e):
+            assert math.isnan(g), v
+        else:
+            assert g == e, (v, e, float(g))
+
+
+def test_within_cell_pairs_matches_join_spelling_on_edges(spark):
+    """The round-12 grouped Arrow kernel must be row-identical to the
+    former cluster-keyed HOF self-join on every edge the join's
+    semantics defined: ragged lengths (NULL dot, dropped), NULL
+    vector / NULL id / NULL element (never pair), duplicate ids
+    (strict a < b), zero-norm pairs (zero divisor -> NULL under
+    ansi=false, dropped; the join ERRORS under ansi=true, so the
+    kernel's drop is the one total mode-neutral reading), NaN
+    elements (NaN divisor divides IEEE -> NaN cosine, KEPT: Spark
+    orders NaN above every double), empty vectors, nprobe fan-out.
+    The kernel must also be ANSI-invariant."""
+    import math
+
+    from haplorec_spark.operators.similarity import (
+        _collect_codebook,
+        _project_with_cells,
+        within_cell_pairs,
+    )
+
+    def old_join_spelling(vectors, centroids, *, threshold, nprobe=1):
+        with_cell = _project_with_cells(
+            vectors, _collect_codebook(centroids),
+            vec_col="embedding", id_col="vec_id", nprobe=nprobe,
+        )
+        a = with_cell.select(
+            F.col("vec_id").alias("vec_id_a"),
+            F.col("embedding").alias("va"), F.col("nrm").alias("na"),
+            "cluster")
+        b = with_cell.select(
+            F.col("vec_id").alias("vec_id_b"),
+            F.col("embedding").alias("vb"), F.col("nrm").alias("nb"),
+            "cluster")
+        dot = F.expr(
+            "aggregate(zip_with(va, vb, (x, y) ->"
+            " cast(x as double) * cast(y as double)),"
+            " cast(0.0 as double), (acc, v) -> acc + v)")
+        scored = (
+            a.join(b, on="cluster")
+            .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select(
+                "vec_id_a", "vec_id_b",
+                F.round(dot / (F.col("na") * F.col("nb")), 6)
+                .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+        return scored.distinct() if nprobe > 1 else scored
+
+    def norm(rows_):
+        return sorted(
+            (
+                r["vec_id_a"], r["vec_id_b"],
+                "NaN"
+                if isinstance(r["cosine"], float) and math.isnan(r["cosine"])
+                else r["cosine"],
+            )
+            for r in rows_
+        )
+
+    fx = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.9, 0.1, 0.0, 0.0]),
+            (4, [1.0, 0.0, 0.0]),            # ragged
+            (5, [1.0, 0.0, 0.0]),
+            (6, None),                       # null vector
+            (None, [1.0, 0.0, 0.0, 0.0]),    # null id
+            (7, [0.0, 0.0, 0.0, 0.0]),       # zero norm
+            (8, [0.0, 0.0, 0.0, 0.0]),
+            (9, [float("nan"), 1.0, 0.0, 0.0]),  # NaN element
+            (2, [1.0, 0.0, 0.0, 0.0]),       # duplicate id
+            (10, []),                        # empty vector
+            (11, []),
+            (12, [1.0, None, 0.0, 0.0]),     # null element
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id int, centroid array<double>",
+    )
+    ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for kw in (
+            dict(threshold=0.9),
+            dict(threshold=0.5, nprobe=2),
+        ):
+            spark.conf.set("spark.sql.ansi.enabled", "false")
+            old = norm(old_join_spelling(fx, cents, **kw).collect())
+            new_off = norm(within_cell_pairs(fx, cents, **kw).collect())
+            spark.conf.set("spark.sql.ansi.enabled", "true")
+            new_on = norm(within_cell_pairs(fx, cents, **kw).collect())
+            assert new_off == old, kw
+            assert new_on == old, kw
+            # the NaN-element family must actually be present (kept)
+            assert any(c == "NaN" for _, _, c in old), kw
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", ansi0)
