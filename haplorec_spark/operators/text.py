@@ -46,8 +46,11 @@ identical Java-regex / RE2 semantics (character classes, +).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 def _codepoint_class(ranges: list[tuple[int, int]]) -> str:
     """Regex character-class body for codepoint ranges, written as
@@ -77,6 +80,14 @@ _SPACEFREE_RANGES: list[tuple[int, int]] = [
 
 #: Character class matching ONE space-free-script character.
 SPACEFREE_CLASS = f"[{_codepoint_class(_SPACEFREE_RANGES)}]"
+
+#: Python twins of the :func:`segmented_text_sql` regex passes —
+#: literal codepoint ranges mean the same thing in Java regex and
+#: Python ``re`` (the :func:`_codepoint_class` contract), so the
+#: vectorized language-ID kernel segments byte-identically to the
+#: expression path.
+_SEGMENT_RE = re.compile(f"({SPACEFREE_CLASS})")
+_SPACE_RUN_RE = re.compile("  +")
 
 #: Hangul ranges — Korean is NOT space-free (words are space-
 #: separated), so Hangul is excluded from segmentation; the ranges
@@ -2478,6 +2489,140 @@ def _floor_pred(pred, best, min_score):
     ).otherwise(F.lit(UNKNOWN_LANG))
 
 
+#: Lazily-built lookup tables of the vectorized trigram-scoring
+#: kernel: (union_ids, union_masks, langs). Built once per PROCESS —
+#: the driver and each reused Python worker — from
+#: :data:`LANG_TRIGRAM_PROFILES`, the guide-§4.5 once-per-task-or-
+#: better initialization shape.
+_LANGID_KERNEL_TABLES = None
+
+
+def _tri_id_u64(tri: str) -> int:
+    """One trigram as a uint64: three 21-bit codepoints (Unicode tops
+    out at 0x10FFFF = 21 bits), high-to-low so lexicographic gram
+    identity maps to integer equality. Grams shorter than 3 chars
+    (the sub-3-char-document boundary gram) pad with 0 — no profile
+    entry contains U+0000, so a padded id can never collide with a
+    real profile gram."""
+    cps = [ord(c) for c in tri] + [0, 0]
+    return (cps[0] << 42) | (cps[1] << 21) | cps[2]
+
+
+def _langid_kernel_tables():
+    global _LANGID_KERNEL_TABLES
+    if _LANGID_KERNEL_TABLES is None:
+        import numpy as np
+
+        langs = list(LANG_TRIGRAM_PROFILES)
+        union = sorted(
+            {t for prof in LANG_TRIGRAM_PROFILES.values() for t in prof}
+        )
+        ids = np.array([_tri_id_u64(t) for t in union], dtype=np.uint64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        pos = {int(v): k for k, v in enumerate(ids)}
+        masks = np.zeros(len(ids), dtype=np.uint32)
+        for li, prof in enumerate(LANG_TRIGRAM_PROFILES.values()):
+            for t in prof:
+                masks[pos[_tri_id_u64(t)]] |= 1 << li
+        _LANGID_KERNEL_TABLES = (ids, masks, langs)
+    return _LANGID_KERNEL_TABLES
+
+
+def _langid_ngram_score_block(texts, min_score):
+    """(predicted_lang list, lang_score list) for one batch of texts —
+    the vectorized twin of :func:`_ngram_lang_struct` + the null guard
+    + the ``min_score`` floor, value-identical row for row
+    (parity-pinned by ``test_language_id_ngram_kernel_matches_expr``):
+
+    * the trigram stream is the same space-padded, script-segmented,
+      lowercased codepoint slide — Python ``str.lower()`` /
+      ``re.sub`` / ``.strip(' ')`` match Spark's ``lower`` /
+      ``regexp_replace`` / ``trim`` (probed: Turkish dotted-I lowers
+      identically, ``split(s, '')`` yields CODEPOINTS so UTF-32 is
+      the right unit, ``trim`` strips ASCII spaces only);
+    * per-language membership counts ride ONE ``searchsorted`` against
+      the union-profile id table plus a per-language bitmask — the
+      union-prefilter idea of the expression path, vectorized;
+    * scores are ``round(count / stream_size, 6)`` through
+      :func:`~haplorec_spark.operators.similarity._round6_like_spark`
+      (numpy half-even disagrees with Spark's HALF_UP within ~1 ULP of
+      a .5 boundary — 2 of 5000 sf0.1 docs hit it);
+    * argmax keeps declaration order on ties (strict ``>`` update in
+      declaration order); NULL text stays (NULL, NULL) — except under
+      a floor, where NULL >= floor is NULL and falls through to
+      :data:`UNKNOWN_LANG` exactly like ``_floor_pred``.
+    """
+    import numpy as np
+
+    from haplorec_spark.operators.similarity import _round6_like_spark
+
+    union_ids, union_masks, langs = _langid_kernel_tables()
+    n = len(texts)
+    pred: list = [None] * n
+    score: list = [None] * n
+    live = [i for i, t in enumerate(texts) if t is not None]
+    if live:
+        bufs = []
+        offs = [0]
+        tot = 0
+        for i in live:
+            s = _SEGMENT_RE.sub(r" \1 ", texts[i].lower())
+            s = " " + _SPACE_RUN_RE.sub(" ", s).strip(" ") + " "
+            a = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+            bufs.append(a)
+            tot += len(a)
+            offs.append(tot)
+        cp = np.concatenate(bufs).astype(np.uint64)
+        offs = np.asarray(offs, dtype=np.int64)
+        starts = offs[:-1]
+        lens = np.diff(offs)
+        # one trigram id per slide position of the concatenation;
+        # doc i's valid positions are starts[i] .. offs[i+1]-3 (none
+        # when the padded doc is shorter than 3 — its single short
+        # boundary gram can never match a 3-char profile entry, so
+        # only the denominator below sees it)
+        g = (
+            (cp[:-2] << np.uint64(42))
+            | (cp[1:-1] << np.uint64(21))
+            | cp[2:]
+        )
+        idx = np.searchsorted(union_ids, g)
+        idx_c = np.minimum(idx, len(union_ids) - 1)
+        hit = union_ids[idx_c] == g
+        masks = np.where(hit, union_masks[idx_c], 0).astype(np.uint32)
+        cum = np.zeros(len(g) + 1, dtype=np.int64)
+        denom = np.maximum(lens - 2, 1).astype(np.float64)
+        ends = np.maximum(offs[1:] - 2, starts)
+        m = len(live)
+        smat = np.empty((len(langs), m), dtype=np.float64)
+        for li in range(len(langs)):
+            bit = ((masks >> np.uint32(li)) & np.uint32(1)).astype(
+                np.int64
+            )
+            np.cumsum(bit, out=cum[1:])
+            cnt = cum[ends] - cum[starts]
+            smat[li] = cnt / denom
+        smat = _round6_like_spark(smat.ravel()).reshape(smat.shape)
+        best = smat[0].copy()
+        bidx = np.zeros(m, dtype=np.int64)
+        for li in range(1, len(langs)):
+            w = smat[li] > best
+            best[w] = smat[li][w]
+            bidx[w] = li
+        for k, i in enumerate(live):
+            p = langs[int(bidx[k])]
+            if min_score is not None and not (best[k] >= min_score):
+                p = UNKNOWN_LANG
+            pred[i] = p
+            score[i] = float(best[k])
+    if min_score is not None:
+        for i, t in enumerate(texts):
+            if t is None:
+                pred[i] = UNKNOWN_LANG
+    return pred, score
+
+
 def language_id(
     docs: DataFrame,
     *,
@@ -2541,20 +2686,47 @@ def language_id_ngram(
     document's trigram stream found in the winning profile, so
     out-of-inventory text — which shares only incidental trigrams —
     sits far below in-inventory prose (typically < 0.1 vs > 0.3).
+
+    Round 12 (guide §4.2): the standalone operator scores through a
+    vectorized ``mapInArrow`` numpy kernel
+    (:func:`_langid_ngram_score_block`) instead of the interpreted
+    higher-order-function expression — HOFs are CodegenFallback, and
+    the per-position ``slice``+``concat_ws`` gram construction plus
+    per-language InSet folds dominated the gate (measured 2.39 s at
+    sf0.1 for 5 000 documents). The kernel is value-identical row for
+    row (parity-pinned against the expression twin, which remains the
+    implementation of :func:`with_language` — curation chains need a
+    pure Column). Still one scan, zero shuffle, zero join; only
+    (id, text) crosses the Python boundary (an explicit pre-select,
+    guide §4.1), and the profile tables build once per reused worker
+    process (guide §4.5).
     """
-    x = _null_text_guard(_ngram_lang_struct(text_col), text_col)
-    return (
-        docs.select(F.col(id_col), x.alias("__lx"))
-        .select(
-            F.col(id_col),
-            _floor_pred(
-                F.col("__lx").getField("l"),
-                F.col("__lx").getField("s"),
-                min_score,
-            ).alias("predicted_lang"),
-            F.col("__lx").getField("s").alias("lang_score"),
-        )
+    sel = docs.select(F.col(id_col), F.col(text_col))
+    id_field = sel.schema[id_col]
+    out_type = T.StructType(
+        [
+            id_field,
+            T.StructField("predicted_lang", T.StringType()),
+            T.StructField("lang_score", T.DoubleType()),
+        ]
     )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            pred, score = _langid_ngram_score_block(texts, min_score)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(pred, type=pa.string()),
+                    pa.array(score, type=pa.float64()),
+                ],
+                names=[id_col, "predicted_lang", "lang_score"],
+            )
+
+    return sel.mapInArrow(kernel, out_type)
 
 
 def char_ngram_text_sql(text_col: str, n: int = 3) -> str:

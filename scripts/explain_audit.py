@@ -284,11 +284,15 @@ CHECKS = {
         "forbid": ["CartesianProduct", "BroadcastNestedLoopJoin"],
     },
     "q_text_language_ngram": {
-        # trigram-profile scoring is a pure map-side projection over
-        # literal profile arrays: one scan, zero Exchange, zero Python
-        "expect": ["Project"],
-        "forbid": ["Exchange", "BatchEvalPython", "ArrowEvalPython",
-                   "CartesianProduct", "BroadcastNestedLoopJoin"],
+        # round 12 (guide §4.2): trigram-profile scoring is a
+        # vectorized mapInArrow numpy kernel over an explicit
+        # (doc_id, text) pre-select — one column-pruned scan, zero
+        # Exchange, zero join; the interpreted-HOF expression twin
+        # stays the Column face (with_language) for curation chains
+        "expect": ["MapInArrow",
+                   "ReadSchema: struct<doc_id:bigint,text:string>"],
+        "forbid": ["Exchange", "CartesianProduct", "SortMergeJoin",
+                   "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
     },
     "q_text_language_model": {
         # the TRAINED rung's literal path (pinned 252-feature model):

@@ -2009,6 +2009,75 @@ def test_language_id_ngram_prefilter_matches_naive_scorer(spark, cjk_docs):
     assert rows(language_id_ngram(cjk_docs)) == rows(naive)
 
 
+def test_language_id_ngram_kernel_matches_expression_twin(spark):
+    """The round-12 vectorized mapInArrow kernel must reproduce the
+    expression twin (the with_language Column face) value-for-value on
+    every edge the two spellings could diverge on: NULL text (NULL row
+    — or 'und' under a floor, the _floor_pred NULL-comparison
+    fall-through), empty/whitespace-only text (score 0.0, 'en'
+    declaration-order tiebreak), sub-3-char documents (the short
+    boundary gram), space-free-script segmentation (zh/ja/th), Turkish
+    dotted-I lowercasing, and tabs/newlines (Spark trim strips ASCII
+    spaces only). Plan shape: one column-pruned scan feeding
+    MapInArrow, zero Exchange."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import (
+        _floor_pred,
+        _ngram_lang_struct,
+        _null_text_guard,
+        language_id_ngram,
+    )
+
+    rows_in = [
+        (0, None),
+        (1, ""),
+        (2, " "),
+        (3, "   \t  "),
+        (4, "ab"),
+        (5, "x"),
+        (6, "the cat sat on the mat with the dog and the bird"),
+        (7, "le chat et le chien sont dans la maison avec les enfants"),
+        (8, "这是一个中文句子用来测试语言识别"),
+        (9, "これは日本語のテストですとても楽しい"),
+        (10, "ภาษาไทยทดสอบการตรวจจับภาษา"),
+        (11, "한국어 문장 테스트 입니다 언어 감지"),
+        (12, "İstanbul ve Ankara STRASSE ß un et le"),
+        (13, "mixed 中文 and english text le la"),
+        (14, "a\tb\nc d"),
+        (15, "'quoted' text with the and of"),
+    ]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+
+    def expr_twin(min_score):
+        x = _null_text_guard(_ngram_lang_struct("text"), "text")
+        return docs.select(
+            F.col("doc_id"),
+            _floor_pred(
+                x.getField("l"), x.getField("s"), min_score
+            ).alias("predicted_lang"),
+            x.getField("s").alias("lang_score"),
+        )
+
+    for ms in (None, 0.2):
+        got = {
+            r[0]: (r[1], r[2])
+            for r in language_id_ngram(docs, min_score=ms).collect()
+        }
+        want = {
+            r[0]: (r[1], r[2]) for r in expr_twin(ms).collect()
+        }
+        assert got == want, f"min_score={ms}"
+    plan = (
+        language_id_ngram(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+
+
 def test_language_id_prefilter_identical_on_real_corpus(spark):
     """Prefilter vs naive on the real (pure-Latin) sf0.001 corpus —
     the branch where most tokens are filtered out before probing."""
