@@ -1544,14 +1544,19 @@ def lsh_verified_pairs(
     a document occupies is under the cap, and wherever an over-cap
     hub similarity clears the threshold (test-pinned).
 
-    ``cache`` persists the shared first verify pass (it feeds the
-    accepted set, the ambiguity scan, and the escalation anti-join).
-    The cached blocks are released by Spark's ContextCleaner when the
-    returned frame is garbage-collected, not eagerly — a long-running
-    caller that builds this plan per micro-batch
+    ``cache`` materializes the shared first verify pass with
+    ``localCheckpoint`` (it feeds the accepted set, the ambiguity
+    scan, and the escalation anti-join) — checkpoint rather than
+    persist so downstream references read a LogicalRDD instead of
+    re-embedding (and re-analyzing) the whole banding lineage per
+    reference; see :func:`_star_verify_first_pass` for the measured
+    driver-latency rationale and the fault-tolerance trade. The
+    blocks are released by Spark's ContextCleaner when the returned
+    frame is garbage-collected, not eagerly — a long-running caller
+    that builds this plan per micro-batch
     (:func:`~haplorec_spark.streaming.stream_dedup_ingest`) passes
     ``cache=False`` and pays the bounded recompute instead of
-    accumulating batch-lifetime cache entries.
+    accumulating batch-lifetime blocks.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1602,7 +1607,7 @@ def lsh_verified_pairs(
         cache=cache,
     )
     if cache:
-        verified = verified.persist()
+        verified = verified.localCheckpoint()
     accepted = (
         verified.filter(F.col("jaccard") >= threshold)
         .select("doc_id_a", "doc_id_b", "jaccard")
@@ -1691,16 +1696,29 @@ def _star_verify_first_pass(
     appear in their bucket's star edges), so the escalation verify
     joins the SAME frame instead of rebuilding shingles.
 
-    ``cache=True`` persists ``grouped`` and ``shingles``: the
-    downstream joins consume each several times (the pairs frame is
-    read for a-ids, b-ids, and the verify join; ``grouped`` feeds the
+    ``cache=True`` materializes ``grouped`` and ``shingles`` with
+    ``localCheckpoint`` (round 12; was ``persist``): the downstream
+    joins consume each several times (the pairs frame is read for
+    a-ids, b-ids, and the verify join; ``grouped`` feeds the
     small/star split and the escalation samples), and without the
-    persist every consumption recomputes the whole minhash banding
+    reuse every consumption recomputes the whole minhash banding
     pipeline — measured 20.8 s → ~12 s for one first-pass action at
-    sf0.1. Both frames are candidate/bucket-sized, never corpus-sized
-    (``grouped`` holds docs×bands ids, ``shingles`` only candidate
-    docs), so the footprint is bounded at scale. Per-micro-batch
-    plans pass ``cache=False`` (persisted frames leak until driver
+    sf0.1. Checkpointing rather than persisting ALSO TRUNCATES THE
+    LINEAGE (guide §3.3): under persist, every downstream reference
+    re-embeds the banding pipeline as the InMemoryRelation's child,
+    and Catalyst re-analyzes/canonicalizes that subtree per reference
+    — the gate's physical plan held 208 Exchange nodes and DataFrame
+    CONSTRUCTION alone cost seconds of driver time per run. With the
+    two midpoints checkpointed the downstream plans read LogicalRDDs.
+    The trade is fault-tolerance, not work: blocks live in
+    MEMORY_AND_DISK exactly as persisted blocks did, but a lost
+    executor can no longer recompute its slice (lineage is gone) — a
+    deliberate batch-path trade; both frames are candidate/bucket-
+    sized, never corpus-sized (``grouped`` holds docs×bands ids,
+    ``shingles`` only candidate docs), so the footprint is bounded at
+    scale. Checkpointed blocks are released by the ContextCleaner
+    when the frame is GC'd, the persist lifecycle. Per-micro-batch
+    plans pass ``cache=False`` (materialized frames leak until driver
     GC); the recompute there is batch-sized."""
     banded = lsh_band_keys(
         docs,
@@ -1718,7 +1736,7 @@ def _star_verify_first_pass(
         .filter(F.size("_ids") >= 2)
     )
     if cache:
-        grouped = grouped.persist()
+        grouped = grouped.localCheckpoint()
     all_pairs = (
         "flatten(transform(_ids, (x, i) ->"
         " transform(slice(_ids, i + 2, size(_ids)),"
@@ -1769,7 +1787,7 @@ def _star_verify_first_pass(
         segmentation=segmentation,
     )
     if cache:
-        shingles = shingles.persist()
+        shingles = shingles.localCheckpoint()
     verified = _jaccard_pairs_join(
         candidates, shingles, shingles,
         threshold=floor, id_col=id_col,
@@ -1826,10 +1844,10 @@ def verification_profile(
     (tests/test_registry.py).
 
     ``cache`` follows :func:`lsh_verified_pairs`' convention: True
-    persists the first pass's bucket/shingle frames (they are consumed
-    several times below; the entries live until driver GC) — a
-    long-running driver profiling every incoming drop passes False and
-    pays the drop-sized recompute instead.
+    localCheckpoints the first pass's bucket/shingle frames (they are
+    consumed several times below; the blocks live until driver GC) —
+    a long-running driver profiling every incoming drop passes False
+    and pays the drop-sized recompute instead.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
