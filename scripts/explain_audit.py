@@ -294,6 +294,17 @@ CHECKS = {
         "forbid": ["Exchange", "CartesianProduct", "SortMergeJoin",
                    "BroadcastHashJoin", "BroadcastNestedLoopJoin"],
     },
+    "q_text_quality": {
+        # round 12 (guide §4.2): the whitespace quality+repetition
+        # features ride ONE vectorized mapInArrow kernel over a
+        # column-pruned scan (the interpreted top-word filter scan was
+        # the gate's dominant cost); the unigram-LM half keeps its
+        # measured-adaptive broadcast joins. Never a row-at-a-time
+        # Python eval, never a nested loop.
+        "expect": ["MapInArrow", "BroadcastHashJoin"],
+        "forbid": ["BatchEvalPython", "CartesianProduct",
+                   "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    },
     "q_text_language_model": {
         # the TRAINED rung's literal path (pinned 252-feature model):
         # per-language literal-map aggregate + sigmoid + argmax is

@@ -2078,6 +2078,59 @@ def test_language_id_ngram_kernel_matches_expression_twin(spark):
     assert "Exchange" not in plan
 
 
+def test_quality_score_kernel_matches_expression_twin(spark):
+    """The round-12 vectorized whitespace-mode quality kernel must
+    reproduce the _quality_exprs expression program value-for-value,
+    including the NULL-text CASE fall-throughs (quality and
+    dup_bigram_fraction are 0.0 for NULL text while the other
+    features stay NULL), the empty-string single-token split, multi-
+    space empties-kept tokenization, and the repetition features'
+    exact ratios. Plan: MapInArrow over a pruned scan, zero
+    Exchange."""
+    from pyspark.sql import functions as F
+
+    from haplorec_spark.operators.text import _quality_exprs, quality_score
+
+    rows_in = [
+        (0, None),
+        (1, ""),
+        (2, " "),
+        (3, "a"),
+        (4, "the the the the the the the the the the the the"),
+        (5, "the cat sat on the mat with a dog and a bird in it"),
+        (6, "word " * 60),
+        (7, "x  y   z double  spaces trailing "),
+        (8, "completely unique tokens without any stopwords here"),
+        (9, "ab " * 5 + "cd " * 5 + "ab cd"),
+        (10, "\tthe\tof and  to\n in"),
+    ]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+    for rep in (False, True):
+        got = {
+            r[0]: tuple(r)[1:]
+            for r in quality_score(
+                docs, include_repetition=rep
+            ).collect()
+        }
+        exprs = _quality_exprs("text", rep)
+        want = {
+            r[0]: tuple(r)[1:]
+            for r in docs.select(
+                F.col("doc_id"),
+                *[F.expr(e).alias(a) for a, e in exprs],
+            ).collect()
+        }
+        assert got == want, f"include_repetition={rep}"
+    plan = (
+        quality_score(docs, include_repetition=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+
+
 def test_language_id_prefilter_identical_on_real_corpus(spark):
     """Prefilter vs naive on the real (pure-Latin) sf0.001 corpus —
     the branch where most tokens are filtered out before probing."""
