@@ -396,8 +396,45 @@ def kmeans_centroids(
     iteration is one shuffle (the per-cluster mean); the centroid table
     (k x dim doubles) always broadcasts. Clusters that lose all members
     keep their previous centroid.
+
+    The DataFrame face of :func:`_kmeans_codebook_list` — consumers
+    that immediately need the driver-side list (every literal-codebook
+    projection) call the list trainer directly: the codebook is BORN
+    on the driver, and wrapping it in a DataFrame only to re-collect
+    it cost two extra driver jobs per consumer (createDataFrame +
+    orderBy/collect — measured ~0.6 s of the sf0.1 IVF gate).
     """
-    spark = vectors.sparkSession
+    return _codebook_frame(
+        vectors.sparkSession,
+        _kmeans_codebook_list(
+            vectors, k, iterations, vec_col=vec_col, id_col=id_col
+        ),
+    )
+
+
+def _codebook_frame(spark, cents: list[list[float]]) -> DataFrame:
+    """Wrap a driver-side codebook list as the (centroid_id, centroid)
+    frame — for store writers that need BOTH the list (literal
+    projections) and the frame (the parquet pin) from one training
+    run."""
+    return spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
+def _kmeans_codebook_list(
+    vectors: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """The k-means trainer itself: the ordered centroid list (index =
+    centroid_id), ``[]`` on an empty corpus — exactly the rows
+    :func:`kmeans_centroids` wraps (same floats: the loop state never
+    leaves the driver)."""
     v = vectors.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
@@ -410,9 +447,7 @@ def kmeans_centroids(
     ]
     if not cents:  # empty corpus: empty codebook, nothing to iterate
         v.unpersist()
-        return spark.createDataFrame(
-            [], "centroid_id int, centroid array<double>"
-        )
+        return []
     dim = len(cents[0])
     for it in range(iterations):
         # Map-side argmin against the literal codebook (k × dim doubles,
@@ -463,10 +498,7 @@ def kmeans_centroids(
         # keep previous centroid for clusters that emptied out
         cents = [means.get(i, prev) for i, prev in enumerate(cents)]
     v.unpersist()
-    return spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
-        "centroid_id int, centroid array<double>",
-    )
+    return cents
 
 
 def assign_clusters(
@@ -572,14 +604,14 @@ def ivf_topk(
     oracle); a neighbor is counted once because it lives in exactly one
     cell.
     """
-    centroids = kmeans_centroids(
-        corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
-    )
     # cell assignment folds into each side's scan projection (map-side
     # literal-codebook argmin) — an id-keyed join against a separate
     # assignment frame would shuffle the full corpus for a value every
-    # row computes locally
-    cents = _collect_codebook(centroids)
+    # row computes locally. The codebook comes straight off the driver
+    # trainer (no DataFrame round-trip; see kmeans_centroids).
+    cents = _kmeans_codebook_list(
+        corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
+    )
     p = _project_with_cells(
         probes, cents, vec_col=vec_col, id_col=id_col,
         nprobe=nprobe, with_norm=False,
@@ -658,11 +690,11 @@ def semantic_dedup_pairs(
         import math
 
         n_clusters = max(1, math.isqrt(max(vectors.count(), 1)))
-    centroids = kmeans_centroids(
+    cents = _kmeans_codebook_list(
         vectors, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
-    return within_cell_pairs(
-        vectors, centroids, threshold=threshold, nprobe=nprobe,
+    return _within_cell_pairs_from_list(
+        vectors, cents, threshold=threshold, nprobe=nprobe,
         vec_col=vec_col, id_col=id_col,
     )
 
@@ -875,9 +907,28 @@ def within_cell_pairs(
     skew audit the join form needed: a hot cell's quadratic was one
     join partition then, one group now).
     """
+    return _within_cell_pairs_from_list(
+        vectors, _collect_codebook(centroids),
+        threshold=threshold, nprobe=nprobe,
+        vec_col=vec_col, id_col=id_col,
+    )
+
+
+def _within_cell_pairs_from_list(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    *,
+    threshold: float,
+    nprobe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """:func:`within_cell_pairs` over an already-collected codebook —
+    the shared core, so trainer-fed callers (:func:`semantic_dedup_
+    pairs`) skip the centroid DataFrame round-trip."""
     with_cell = _project_with_cells(
         vectors,
-        _collect_codebook(centroids),
+        cents,
         vec_col=vec_col,
         id_col=id_col,
         nprobe=nprobe,
@@ -1066,8 +1117,41 @@ def pq_train(
     values, m×k driver rows). Init is the m sliced codebooks of the k
     lowest-id vectors — the :func:`kmeans_centroids` convention, so
     the DuckDB oracle unrolls identically per subspace.
+
+    The DataFrame face of :func:`_pq_train_list` (the
+    :func:`kmeans_centroids` split): consumers that feed the literal
+    codebook nest take the list directly — ``_pq_codebooks_list`` on
+    this frame costs an extra orderBy/collect job per consumer.
     """
     spark = corpus.sparkSession
+    cbs = _pq_train_list(
+        corpus, m=m, k=k, iterations=iterations,
+        vec_col=vec_col, id_col=id_col,
+    )
+    out_schema = "sub_ix int, centroid_id int, centroid array<double>"
+    return spark.createDataFrame(
+        [
+            (i, j, c)
+            for i, cb in enumerate(cbs)
+            for j, c in enumerate(cb)
+        ],
+        out_schema,
+    )
+
+
+def _pq_train_list(
+    corpus: DataFrame,
+    *,
+    m: int = 4,
+    k: int = 16,
+    iterations: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """The PQ trainer itself: the m×k×(dim/m) codebook nest as a
+    driver list (``[]`` on an empty corpus) — exactly the rows
+    :func:`pq_train` wraps (same floats: the loop state never leaves
+    the driver)."""
     seeds = [
         list(r["v"])
         for r in corpus.select(
@@ -1080,9 +1164,8 @@ def pq_train(
         .limit(k)
         .collect()
     ]
-    out_schema = "sub_ix int, centroid_id int, centroid array<double>"
     if not seeds:
-        return spark.createDataFrame([], out_schema)
+        return []
     dim = len(seeds[0])
     if dim % m:
         raise ValueError(f"vector dim {dim} not divisible by m={m}")
@@ -1147,14 +1230,7 @@ def pq_train(
             for i, cb in enumerate(cbs)
         ]
     subv.unpersist()
-    return spark.createDataFrame(
-        [
-            (i, j, c)
-            for i, cb in enumerate(cbs)
-            for j, c in enumerate(cb)
-        ],
-        out_schema,
-    )
+    return cbs
 
 
 def pq_encode(
@@ -1348,10 +1424,9 @@ def ivf_pq_topk(
     cell join becomes partition pruning), making queries scan-only
     (:func:`write_pq_store` / :func:`pq_store_topk`).
     """
-    centroids = kmeans_centroids(
+    cents = _kmeans_codebook_list(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
-    cents = _collect_codebook(centroids)
     # (id, vec, cluster) from ONE map-side projection — coarse cells,
     # residuals, and PQ codes all derive from it without any id-keyed
     # join of corpus-sized frames
@@ -1370,11 +1445,9 @@ def ivf_pq_topk(
     else:
         cent_sql = None
         train_col, train_src = vec_col, with_cells
-    cbs = _pq_codebooks_list(
-        pq_train(
-            train_src, m=m, k=pq_k, iterations=pq_iterations,
-            vec_col=train_col, id_col=id_col,
-        )
+    cbs = _pq_train_list(
+        train_src, m=m, k=pq_k, iterations=pq_iterations,
+        vec_col=train_col, id_col=id_col,
     )
     if not cbs:  # empty corpus: no index, no neighbors
         return probes.select(
@@ -1477,11 +1550,11 @@ def train_pq_index(
     on the codebooks frame so every later consumer follows the stored
     mode.
     """
-    centroids = kmeans_centroids(
+    cents = _kmeans_codebook_list(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
+    centroids = _codebook_frame(corpus.sparkSession, cents)
     if residual:
-        cents = _collect_codebook(centroids)
         vcast = f"transform({vec_col}, x -> cast(x as double))"
         train_src = _project_with_cells(
             corpus, cents, vec_col=vec_col, id_col=id_col,
@@ -2136,7 +2209,7 @@ def write_sq_store(
     contract) so appended codes stay consistent with the stored index.
     """
     spark = corpus.sparkSession
-    centroids = bounds = None
+    centroids = bounds = cents = None
     if mode == "append":
         try:
             centroids = spark.read.parquet(f"{path}/centroids")
@@ -2149,11 +2222,11 @@ def write_sq_store(
             raise ValueError(
                 "cannot build an SQ index from an empty corpus"
             )
-        centroids = kmeans_centroids(
+        cents = _kmeans_codebook_list(
             corpus, n_clusters, iterations, vec_col=vec_col,
             id_col=id_col,
         )
-        cents = _collect_codebook(centroids)
+        centroids = _codebook_frame(spark, cents)
         if residual:
             vcast = f"transform({vec_col}, x -> cast(x as double))"
             train_src = _project_with_cells(
@@ -2173,7 +2246,8 @@ def write_sq_store(
         bounds.write.mode("overwrite").parquet(f"{path}/bounds")
         centroids = spark.read.parquet(f"{path}/centroids")
         bounds = spark.read.parquet(f"{path}/bounds")
-    cents = _collect_codebook(centroids)
+    if cents is None:  # append path: the pinned store's codebook
+        cents = _collect_codebook(centroids)
     los, his = _sq_bounds_lists(
         bounds.select("dim_ix", "lo", "hi")
     )
@@ -2286,10 +2360,9 @@ def ivf_sq_topk(
     codes+cells cluster-partitioned so the cell join becomes partition
     pruning (the :func:`write_pq_store` pattern applies unchanged).
     """
-    centroids = kmeans_centroids(
+    cents = _kmeans_codebook_list(
         corpus, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
-    cents = _collect_codebook(centroids)
     with_cells = _project_with_cells(
         corpus, cents, vec_col=vec_col, id_col=id_col, with_norm=False,
     )
@@ -3190,10 +3263,10 @@ def rebuild_sq_store(
     )
     stage = f"{path}/rebuild__pending"
     delete_dir(spark, stage)
-    centroids = kmeans_centroids(
+    cents = _kmeans_codebook_list(
         train_src, n_clusters, iterations, vec_col=vec_col, id_col=id_col
     )
-    cents = _collect_codebook(centroids)
+    centroids = _codebook_frame(spark, cents)
     if residual:
         vcast = f"transform({vec_col}, x -> cast(x as double))"
         bounds_src = _project_with_cells(
@@ -3564,7 +3637,10 @@ def _duck_pq_subspace(ix: int, lo: int, hi: int) -> str:
 )
 def q_ann_pq_adc(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
-    cb = pq_train(emb, m=2, k=4, iterations=2)
+    # the list trainer: pq_encode and pq_topk each re-collected the
+    # codebook FRAME (an orderBy+collect driver job apiece) when the
+    # nest was driver-born to begin with
+    cb = _pq_train_list(emb, m=2, k=4, iterations=2)
     return pq_topk(
         pq_encode(emb, cb), emb.filter(F.col("vec_id") < 10), cb, k=5
     )
