@@ -888,7 +888,13 @@ def _dup_ngram_starts(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
         .select("h")
-        .persist()
+        # checkpoint, not persist (round 13): the measured count and the
+        # join share one materialization either way, but persist had no
+        # release path (the caller consumes the join lazily) — blocks now
+        # free when the frame is GC'd, and the join side reads a
+        # LogicalRDD. Duplicated-gram sets are ~1% of corpus tokens
+        # (Lee et al.), the same MEMORY_AND_DISK footprint persist had.
+        .localCheckpoint()
     )
     n_hot = hot.count()
     side = (
@@ -1145,21 +1151,131 @@ def ngram_jaccard_pairs(
 _HEXMAP = "0123456789abcdef"
 
 
+def _simhash32_block(texts: list) -> tuple[list, list]:
+    """Vectorized 32-bit SimHash over a batch of ALREADY-LOWERCASED
+    texts: returns (live row indices, simhash int per live row). A
+    ``None`` text emits no row — the expression twin's
+    ``explode(split(NULL))`` drops the document the same way.
+
+    Token bits come from the first 4 bytes of md5(token) (== the first
+    8 hex chars the expression twin reads); md5 is computed once per
+    DISTINCT token in the batch (natural-language batches repeat most
+    words), votes are per-doc segment sums over the unpacked bit
+    matrix, and bit k of the fingerprint is set iff its +/-1 vote sum
+    is positive — integer arithmetic end to end, so kernel and
+    expression are bit-identical by construction."""
+    import hashlib
+
+    import numpy as np
+
+    live: list[int] = []
+    counts: list[int] = []
+    uniq_index: dict[str, int] = {}
+    uniq_tokens: list[str] = []
+    inv: list[int] = []
+    for i, t in enumerate(texts):
+        if t is None:
+            continue
+        toks = t.split(" ")
+        live.append(i)
+        counts.append(len(toks))
+        for tok in toks:
+            j = uniq_index.get(tok)
+            if j is None:
+                j = len(uniq_tokens)
+                uniq_index[tok] = j
+                uniq_tokens.append(tok)
+            inv.append(j)
+    if not live:
+        return [], []
+    md5 = hashlib.md5
+    hb = b"".join(
+        md5(tok.encode("utf-8")).digest()[:4] for tok in uniq_tokens
+    )
+    # (n_uniq, 32) bit matrix, MSB of byte 0 first == expression pos 0
+    ubits = np.unpackbits(
+        np.frombuffer(hb, dtype=np.uint8).reshape(-1, 4), axis=1
+    )
+    token_bits = ubits[np.asarray(inv, dtype=np.int64)]
+    cnts = np.asarray(counts, dtype=np.int64)
+    starts = np.concatenate(
+        (np.zeros(1, dtype=np.int64), np.cumsum(cnts[:-1]))
+    )
+    ones = np.add.reduceat(token_bits, starts, axis=0, dtype=np.int64)
+    # vote sum at position p = ones - zeros = 2*ones - n_tokens
+    bit_set = (2 * ones - cnts[:, None]) > 0
+    weights = np.int64(1) << np.arange(31, -1, -1, dtype=np.int64)
+    sims = (bit_set * weights).sum(axis=1, dtype=np.int64)
+    return live, [int(x) for x in sims]
+
+
 def simhash32(
-    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    kernel: bool = True,
 ) -> DataFrame:
     """(id, simhash): 32-bit SimHash over word tokens.
 
     Per token, bits come from the first 8 hex chars of md5(token); per bit
-    position the +-1 votes are summed; positive sums set the bit. The 32
-    positions are 32 map-side-combined sum aggregates over one
-    groupBy(doc) — no row blowup, one shuffle of width |docs| x 32 ints.
-    (A fully map-side spelling — 32 ``aggregate`` higher-order folds
-    over the token array — was MEASURED 2.2× slower at sf0.1: HOFs
-    evaluate interpreted, while the exploded sums ride whole-stage
-    codegen with map-side partial aggregation, so the one narrow
-    |docs|-row shuffle is the cheaper trade. Kept deliberately.)
+    position the +-1 votes are summed; positive sums set the bit.
+
+    Round 13 (guide §4.2): the signature computes in a vectorized
+    ``mapInArrow`` numpy kernel (:func:`_simhash32_block`) — fully
+    map-side, so the per-token row blowup (``explode`` at word
+    granularity) and the groupBy(doc) exchange of the expression twin
+    disappear from the plan, and md5 runs once per DISTINCT batch token
+    instead of once per token occurrence. Lowercasing stays in the JVM
+    (``lower`` is collation/locale-sensitive; splitting on a literal
+    space is not), so only (id, lowered text) crosses the Python
+    boundary and the kernel is bit-identical to the twin (parity-pinned
+    by ``test_simhash32_kernel_matches_expression_twin``; the DuckDB
+    oracle of q_dedup_simhash_pairs recomputes the same fingerprints
+    independently). ``kernel=False`` keeps the expression twin: 32
+    map-side-combined sum aggregates over one groupBy(doc) — no row
+    blowup, one shuffle of width |docs| x 32 ints. (A fully map-side
+    EXPRESSION spelling — 32 ``aggregate`` higher-order folds over the
+    token array — was MEASURED 2.2× slower at sf0.1: HOFs evaluate
+    interpreted; that lesson is why the round-13 kernel is numpy, not
+    HOFs.)
     """
+    if not kernel:
+        return _simhash32_expr(docs, text_col=text_col, id_col=id_col)
+    from pyspark.sql import types as T
+
+    sel = docs.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("_lt")
+    )
+    id_field = sel.schema[id_col]
+    out_type = T.StructType(
+        [id_field, T.StructField("simhash", T.LongType())]
+    )
+
+    def kern(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            live, sims = _simhash32_block(texts)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(pa.array(live, type=pa.int64())),
+                    pa.array(sims, type=pa.int64()),
+                ],
+                names=[id_col, "simhash"],
+            )
+
+    return sel.mapInArrow(kern, out_type)
+
+
+def _simhash32_expr(
+    docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The expression twin of :func:`simhash32` (pre-round-13 spelling):
+    explode to token rows, 32 partially-aggregated vote sums over one
+    groupBy(doc). Kept as the parity oracle for the kernel and for
+    callers that need a no-Python plan."""
     tokens = docs.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok"),

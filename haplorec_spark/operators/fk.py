@@ -53,7 +53,17 @@ def assign_ids(
       No single-partition Exchange anywhere, no Python workers.
     """
     spark = dim.sparkSession
-    keys = dim.select(*natural_key).distinct().persist()
+    # localCheckpoint, not persist (round 13): the measured count and
+    # the returned frame share one materialization either way, but a
+    # persist with no unpersist path pins executor storage for the
+    # driver's lifetime (the caller gets the frame lazily, so no line
+    # of this function can safely release it) — checkpointed blocks
+    # are released by the ContextCleaner when the frame is GC'd, and
+    # downstream plans read a LogicalRDD instead of re-embedding the
+    # distinct. Trade (as documented in dedup._star_verify_first_pass):
+    # a lost executor cannot recompute its slice; the frame is
+    # dimension-sized, never fact-sized.
+    keys = dim.select(*natural_key).distinct().localCheckpoint()
     n_keys = keys.count()
 
     if n_keys <= small_key_limit:
@@ -75,7 +85,12 @@ def assign_ids(
             "__local",
             F.monotonically_increasing_id() % F.lit(1 << 33).cast("bigint"),
         )
-        .persist()
+        # checkpoint, not persist: same release-path rationale as
+        # ``keys`` above, plus a consistency upgrade — the per-partition
+        # record numbers are FROZEN in the materialized blocks, so the
+        # counts collected below and the rows the caller reads can never
+        # come from two separate computations.
+        .localCheckpoint()
     )
     counts = dict(
         (r["__part"], r["count"])

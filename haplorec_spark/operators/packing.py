@@ -88,7 +88,10 @@ def pack_sequences(
     ranged = (
         base.repartitionByRange(n_parts, "__key")
         .withColumn("__part", F.spark_partition_id())
-        .persist()
+        # localCheckpoint, not persist (round 13): frozen blocks give
+        # the totals collect and the caller's read one materialization
+        # with a GC release path (the assign_ids rationale)
+        .localCheckpoint()
     )
     # Phase 1: one token-total row per partition (cluster-sized).
     totals = dict(

@@ -27,9 +27,9 @@ Spark shapes:
 from __future__ import annotations
 
 from collections.abc import Callable, Mapping, Sequence
+from functools import lru_cache
 from typing import Any
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -54,6 +54,15 @@ def default_merge(header: Sequence[str], last: Row, cur: Row) -> None:
     last.update(cur)
 
 
+@lru_cache(maxsize=64)
+def _header_index(header: tuple) -> dict[str, int]:
+    """Memoized header -> position map: ``report_can_collapse`` runs
+    once per ROW in the collapse kernel, and rebuilding the index dict
+    per call was the kernel's single hottest line (measured round 13).
+    Headers are tiny and few, so a small LRU holds them all."""
+    return {h: i for i, h in enumerate(header)}
+
+
 def report_can_collapse(header: Sequence[str], last: Row, cur: Row) -> bool:
     """sql/Report.groovy:94-141 canCollapse: empty rows always collapse;
     otherwise non-null column sets must not overlap AND the first
@@ -65,7 +74,7 @@ def report_can_collapse(header: Sequence[str], last: Row, cur: Row) -> bool:
         return True
     if set(last_keys) & set(cur_keys):
         return False
-    idx = {h: i for i, h in enumerate(header)}
+    idx = _header_index(tuple(header))
     first_cur = min((idx[k] for k in cur_keys if k in idx), default=-1)
     last_last = max((idx[k] for k in last_keys if k in idx), default=-1)
     return first_cur > last_last
@@ -195,31 +204,56 @@ def collapse(
     reference semantics, sequential — only for job-scoped report output).
     Collapse never crosses a partition boundary; choose ``partition_by``
     so that is semantically true (e.g. per job or per patient).
+
+    Round 13 (guide §4.2): the grouped kernel is ``applyInArrow``
+    (was ``applyInPandas``). The pandas boundary paid a per-CELL
+    ``pd.isna`` call plus a NaN round-trip risk (pandas reads a float
+    NaN as MISSING, so a NaN value would cross back as NULL); Arrow's
+    ``to_pylist`` yields ``None`` for exactly the null cells at C
+    speed and keeps NaN a value. The within-group sort is Arrow-native
+    with an explicit original-order tiebreak column, reproducing the
+    old ``mergesort``'s stability, and nulls sort last per key (the
+    pandas ``na_position='last'`` convention, now part of this
+    function's documented contract).
     """
     hdr = list(header) if header is not None else list(df.columns)
     schema: StructType = df.select(*hdr).schema
     keys = list(partition_by) if partition_by else []
     sort_cols = [c for c in order_by]
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(sort_cols, kind="mergesort")
-        # itertuples beats to_dict('records') ~3x on wide-ish frames;
-        # the kernel is the report path's only per-row Python loop.
+    def kernel(tbl):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            tbl.append_column(
+                "_ord", pa.array(range(tbl.num_rows), type=pa.int64())
+            ),
+            sort_keys=[(c, "ascending") for c in sort_cols]
+            + [("_ord", "ascending")],
+            null_placement="at_end",
+        )
+        cols = {c: tbl.column(c).take(idx).to_pylist() for c in hdr}
         recs = [
-            {c: (None if pd.isna(v) else v) for c, v in zip(hdr, tup)}
-            for tup in pdf[hdr].itertuples(index=False, name=None)
+            {c: cols[c][i] for c in hdr} for i in range(tbl.num_rows)
         ]
         collapsed = collapse_rows(recs, hdr, can_collapse, merge)
-        return pd.DataFrame(
-            [[r.get(c) for c in hdr] for r in collapsed], columns=hdr
+        return pa.table(
+            {
+                c: pa.array(
+                    [r.get(c) for r in collapsed],
+                    type=tbl.schema.field(c).type,
+                )
+                for c in hdr
+            }
         )
 
     if keys:
-        return df.groupBy(*keys).applyInPandas(kernel, schema=schema)
+        return df.groupBy(*keys).applyInArrow(kernel, schema=schema)
     return (
         df.coalesce(1)
         .groupBy(F.lit(1).alias("_g"))
-        .applyInPandas(lambda pdf: kernel(pdf), schema=schema)
+        .applyInArrow(lambda tbl: kernel(tbl), schema=schema)
     )
 
 

@@ -766,11 +766,13 @@ def importance_weights(
     if vocab is None:
         if target is None:
             raise ValueError("importance_weights needs target or vocab")
+        # localCheckpoint, not persist (round 13): GC release path for
+        # the measured vocab (the scoring join is consumed lazily)
         combined = build_dsir_vocab(
             raw, target, text_col=text_col, segmentation=segmentation
-        ).persist()
+        ).localCheckpoint()
     else:
-        combined = vocab.persist()
+        combined = vocab.localCheckpoint()
     tot = combined.agg(
         F.sum("c_t").alias("nt"),
         F.count("c_t").alias("vt"),

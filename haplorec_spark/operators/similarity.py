@@ -1293,7 +1293,12 @@ def pq_encode(
 def _adc_expr(cb_sql: str, m: int, sub: int, pv_sql: str = "pv"):
     """ADC distance column: sum over subspaces of squared L2 between
     the probe subvector (``pv_sql``, any array<double> SQL expression)
-    and the coded centroid (``codes``)."""
+    and the coded centroid (``codes``).
+
+    Kept as the per-row spelling for parity tests; the scan paths ride
+    :func:`_adc_lut_sql` + :func:`_adc_from_lut` instead (round 13) —
+    same folds, evaluated once per PROBE instead of once per
+    (probe x corpus row)."""
     return F.expr(
         f"aggregate(sequence(0, {m - 1}),"
         f" cast(0.0 as double), (acc, i) -> acc +"
@@ -1304,6 +1309,47 @@ def _adc_expr(cb_sql: str, m: int, sub: int, pv_sql: str = "pv"):
         f"  (x, c) -> (x - c) * (x - c)),"
         f"  cast(0.0 as double), (a, d) -> a + d))"
     )
+
+
+def _adc_lut_sql(cb_sql: str, m: int, sub: int, pv_sql: str = "pv") -> str:
+    """Per-PROBE ADC lookup table (Jégou et al. 2011 §"distance
+    computation"): ``lut[i][j]`` = squared L2 between the probe's i-th
+    subvector and codebook entry j — the m x k table every ADC scan
+    classically precomputes per query. Each entry is the IDENTICAL
+    ``zip_with``/``aggregate`` fold :func:`_adc_expr` evaluated per
+    corpus row (same slice, same left-to-right dimension order), so
+    distances assembled from the table are bit-equal doubles; the
+    interpreted higher-order fold now runs k·m times per PROBE instead
+    of once per (probe x corpus row) — guide §4.1: the per-row work
+    left in the scan is m codegen array lookups."""
+    return (
+        f"transform(sequence(0, {m - 1}),"
+        f" i -> transform(element_at({cb_sql}, i + 1),"
+        f" c -> aggregate(zip_with("
+        f"  slice({pv_sql}, i * {sub} + 1, {sub}), c,"
+        f"  (x, cc) -> (x - cc) * (x - cc)),"
+        f"  cast(0.0 as double), (a, d) -> a + d)))"
+    )
+
+
+def _adc_from_lut(m: int, lut_col: str = "_lut"):
+    """Per-row ADC distance from the per-probe table: the left-to-right
+    sum over subspaces of ``lut[i][codes[i] + 1]`` — the same outer
+    fold order as :func:`_adc_expr`, as m whole-stage-codegen
+    ``element_at`` lookups (no higher-order function in the scan).
+    NULL parity with the per-row fold: a NULL ``codes`` array or NULL
+    code element makes its term NULL and the sum NULL, exactly as the
+    old NULL-poisoned ``zip_with`` fold did; a ragged-short probe
+    yields NULL table entries (the slice/zip_with NULL padding lives
+    inside the table build), which poison the sum the same way."""
+    adc = None
+    for i in range(m):
+        term = F.expr(
+            f"element_at(element_at({lut_col}, {i + 1}),"
+            f" element_at(codes, {i + 1}) + 1)"
+        )
+        adc = term if adc is None else adc + term
+    return adc
 
 
 def _literal_matrix_sql(rows: list[list[float]]) -> str:
@@ -1354,9 +1400,15 @@ def pq_topk(
     sub = len(cbs[0][0])
     cb_sql = _literal_codebooks_sql(cbs)
     pid = probe_id_col or id_col
+    # the ADC lookup table is computed ONCE per probe inside the
+    # broadcast side (round 13, guide §4.1): the interpreted
+    # zip_with/aggregate folds leave the corpus scan, whose per-row
+    # work is now m codegen element_at lookups — bit-equal distances
     p = probes.select(
         F.col(pid).alias("probe_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
+    ).select(
+        "probe_id", F.expr(_adc_lut_sql(cb_sql, m, sub)).alias("_lut")
     )
     scored = (
         F.broadcast(p)
@@ -1365,7 +1417,7 @@ def pq_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_adc_expr(cb_sql, m, sub), 6).alias("adc_dist2"),
+            F.round(_adc_from_lut(m), 6).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -1471,6 +1523,17 @@ def ivf_pq_topk(
         "cluster",
     )
     pv_sql = _residual_sql(cent_sql, "pv") if residual else "pv"
+    # ADC table once per (probe, probed cell) broadcast row (round 13,
+    # guide §4.1): the residual arithmetic and the interpreted folds
+    # leave the per-corpus-row path — m codegen lookups remain; the
+    # residual binds ONCE in the _pv projection
+    p = p.select(
+        "probe_id", F.expr(pv_sql).alias("_pv"), "cluster"
+    ).select(
+        "probe_id",
+        F.expr(_adc_lut_sql(cb_sql, m, sub, "_pv")).alias("_lut"),
+        "cluster",
+    )
     scored = (
         F.broadcast(p)
         .join(coded, on="cluster")
@@ -1478,9 +1541,7 @@ def ivf_pq_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_adc_expr(cb_sql, m, sub, pv_sql), 6).alias(
-                "adc_dist2"
-            ),
+            F.round(_adc_from_lut(m), 6).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -1716,6 +1777,15 @@ def pq_store_topk(
         if residual
         else "pv"
     )
+    # per-(probe, cell) ADC table on the broadcast side (round 13);
+    # the residual binds ONCE in the _pv projection
+    p = p.select(
+        "probe_id", F.expr(pv_sql).alias("_pv"), "cluster"
+    ).select(
+        "probe_id",
+        F.expr(_adc_lut_sql(cb_sql, mm, sub, "_pv")).alias("_lut"),
+        "cluster",
+    )
     scored = (
         F.broadcast(p)
         .join(codes, on="cluster")
@@ -1723,9 +1793,7 @@ def pq_store_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(_adc_expr(cb_sql, mm, sub, pv_sql), 6).alias(
-                "adc_dist2"
-            ),
+            F.round(_adc_from_lut(mm), 6).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -1785,7 +1853,14 @@ def refine_topk(
     """
     if metric not in ("l2", "cosine"):
         raise ValueError(f"metric must be l2 or cosine, got {metric}")
-    cand = candidates.select(probe_col, neighbor_col).distinct().persist()
+    # localCheckpoint, not persist (round 13): the measured count and
+    # the join share one materialization either way; checkpointed
+    # blocks free when the frame is GC'd (persist had no release path)
+    cand = (
+        candidates.select(probe_col, neighbor_col)
+        .distinct()
+        .localCheckpoint()
+    )
     n_cand = cand.count()
     cand_side = (
         F.broadcast(cand)
@@ -2107,6 +2182,58 @@ def _sq_adc_sql(los: list[float], his: list[float], pv_sql: str = "pv") -> str:
     )
 
 
+def _sq_lut_sql(
+    los: list[float], his: list[float], pv_sql: str = "pv"
+) -> str:
+    """Per-probe dim x 256 squared-distance table (the SQ analog of
+    :func:`_adc_lut_sql`): entry [d][c] = (pv[d] − decode(c))² with
+    decode the same midpoint expression :func:`_sq_adc_sql` evaluates
+    per corpus row — identical IEEE arithmetic, evaluated once per
+    PROBE. ``try_element_at`` reproduces the old ``zip_with`` NULL
+    padding for a ragged-SHORT probe (NULL entries poison the sum);
+    the ``size > dim`` guard reproduces it for a ragged-LONG probe
+    (the old fold went NULL through the padded recon side). Pass a
+    simple column reference as ``pv_sql`` (project composed residual
+    expressions first) — it is inlined per table entry."""
+    dim = len(los)
+    lo_sql = _literal_doubles_sql(los)
+    hi_sql = _literal_doubles_sql(his)
+    recon = (
+        f"element_at({lo_sql}, d) + (cast(c as double)"
+        f" + cast(0.5 as double))"
+        f" * (element_at({hi_sql}, d) - element_at({lo_sql}, d))"
+        f" / cast(256.0 as double)"
+    )
+    term = (
+        f"(try_element_at({pv_sql}, d) - ({recon}))"
+        f" * (try_element_at({pv_sql}, d) - ({recon}))"
+    )
+    return (
+        f"CASE WHEN size({pv_sql}) > {dim}"
+        f" THEN cast(null as array<array<double>>)"
+        f" ELSE transform(sequence(1, {dim}),"
+        f" d -> transform(sequence(0, 255), c -> {term})) END"
+    )
+
+
+def _sq_from_lut(dim: int, lut_col: str = "_lut"):
+    """Per-row SQ ADC distance from the per-probe table: left-to-right
+    sum over dimensions of ``lut[d][codes[d] + 1]`` — the same fold
+    order as :func:`_sq_adc_sql`, as whole-stage-codegen lookups (no
+    higher-order function, no per-row decode arithmetic). NULL parity:
+    a NULL table (ragged-long probe), NULL entry (ragged-short probe),
+    NULL ``codes`` or NULL code element each make a term NULL and the
+    sum NULL, exactly as the old NULL-poisoned fold did."""
+    adc = None
+    for d in range(1, dim + 1):
+        term = F.expr(
+            f"element_at(element_at({lut_col}, {d}),"
+            f" element_at(codes, {d}) + 1)"
+        )
+        adc = term if adc is None else adc + term
+    return adc
+
+
 def sq_topk(
     codes: DataFrame,
     probes: DataFrame,
@@ -2132,6 +2259,16 @@ def sq_topk(
         F.col(pid).alias("probe_id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("pv"),
     )
+    # dim x 256 ADC table once per probe on the broadcast side
+    # (round 13, guide §4.1): the per-corpus-row midpoint decode +
+    # interpreted fold become dim codegen lookups — bit-equal doubles
+    if los:
+        p = p.select(
+            "probe_id", F.expr(_sq_lut_sql(los, his)).alias("_lut")
+        )
+        dist = _sq_from_lut(len(los))
+    else:  # degenerate empty bounds: keep the per-row fold
+        dist = F.expr(_sq_adc_sql(los, his))
     scored = (
         F.broadcast(p)
         .crossJoin(codes.select(F.col(id_col).alias("neighbor_id"), "codes"))
@@ -2139,7 +2276,7 @@ def sq_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(F.expr(_sq_adc_sql(los, his)), 6).alias("adc_dist2"),
+            F.round(dist, 6).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -2305,6 +2442,16 @@ def sq_store_topk(
         if residual
         else "pv"
     )
+    # per-(probe, cell) ADC table on the broadcast side (round 13);
+    # the residual binds ONCE in the _pv projection, then the table
+    # inlines only the simple column reference
+    p = p.select(
+        "probe_id", F.expr(pv_sql).alias("_pv"), "cluster"
+    ).select(
+        "probe_id",
+        F.expr(_sq_lut_sql(los, his, "_pv")).alias("_lut"),
+        "cluster",
+    )
     scored = (
         F.broadcast(p)
         .join(codes, on="cluster")
@@ -2312,9 +2459,7 @@ def sq_store_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(
-                F.expr(_sq_adc_sql(los, his, pv_sql)), 6
-            ).alias("adc_dist2"),
+            F.round(_sq_from_lut(len(los)), 6).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(
@@ -2401,6 +2546,15 @@ def ivf_sq_topk(
         "cluster",
     )
     pv_sql = _residual_sql(cent_sql, "pv") if residual else "pv"
+    # per-(probe, cell) ADC table on the broadcast side (round 13);
+    # residual bound once in _pv, table over the column reference
+    p = p.select(
+        "probe_id", F.expr(pv_sql).alias("_pv"), "cluster"
+    ).select(
+        "probe_id",
+        F.expr(_sq_lut_sql(los, his, "_pv")).alias("_lut"),
+        "cluster",
+    )
     scored = (
         F.broadcast(p)
         .join(coded, on="cluster")
@@ -2408,9 +2562,7 @@ def ivf_sq_topk(
         .select(
             "probe_id",
             "neighbor_id",
-            F.round(
-                F.expr(_sq_adc_sql(los, his, pv_sql)), 6
-            ).alias("adc_dist2"),
+            F.round(_sq_from_lut(len(los)), 6).alias("adc_dist2"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(

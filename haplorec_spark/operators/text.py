@@ -3970,9 +3970,12 @@ def unigram_logprob_score(
         )
     # One materialization serves the totals job AND the scoring join
     # (the r4 regression was this exact DF rebuilt from scratch for
-    # each — ~3 corpus scans per call). Stays cached for reuse across
-    # calls in a session; eviction is Spark's LRU.
-    vocab = vocab.persist()
+    # each — ~3 corpus scans per call). localCheckpoint, not persist
+    # (round 13): persist had no release path (the scoring join is
+    # consumed lazily by the caller), pinning executor storage for the
+    # driver's lifetime; checkpointed blocks free when the frame is
+    # GC'd, and downstream plans read a LogicalRDD.
+    vocab = vocab.localCheckpoint()
     totals = vocab.agg(
         F.sum("count").alias("n"),
         F.count(F.lit(1)).alias("v"),
@@ -4105,16 +4108,18 @@ def bigram_logprob_score(
         F.col(id_col), F.explode(F.expr(pairs_expr)).alias("_bg")
     ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
 
+    # localCheckpoint, not persist (round 13): measured-bound frames
+    # with lazy consumers get the GC release path (see unigram LM note)
     uni = (
         docs.select(F.explode(F.expr(ws)).alias("w1"))
         .groupBy("w1")
         .agg(F.count(F.lit(1)).alias("_c1"))
-        .persist()
+        .localCheckpoint()
     )
     bi = (
         bigrams.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("_c12"))
-        .persist()
+        .localCheckpoint()
     )
     v_size = float(uni.count())
     bi_kept = bi.filter(F.col("_c12") >= min_count) if min_count > 1 else bi
@@ -4217,11 +4222,13 @@ def trigram_logprob_score(
         F.col("_tg.w3").alias("w3"),
     )
 
+    # localCheckpoint, not persist (round 13): measured-bound frames
+    # with lazy consumers get the GC release path (see unigram LM note)
     uni = (
         docs.select(F.explode(F.expr(ws)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("_cu"))
-        .persist()
+        .localCheckpoint()
     )
     bi_expr = (
         f"transform(slice({ws}, 1, greatest(size({ws}) - 1, 0)),"
@@ -4232,12 +4239,12 @@ def trigram_logprob_score(
         .select(F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("_cb"))
-        .persist()
+        .localCheckpoint()
     )
     tri = (
         trigrams.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("_ct"))
-        .persist()
+        .localCheckpoint()
     )
     n_tokens = float(
         uni.agg(F.sum("_cu")).collect()[0][0] or 0.0
@@ -4364,7 +4371,9 @@ def strip_boilerplate_lines(
         .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") >= min_doc_freq)
         .select("_line")
-        .persist()
+        # localCheckpoint, not persist (round 13): GC release path for
+        # the measured-bound hot set (see unigram LM note)
+        .localCheckpoint()
     )
     n_hot = hot.count()
 
@@ -4749,7 +4758,9 @@ def perplexity_buckets(
         text_col=text_col,
         id_col=id_col,
         segmentation=segmentation,
-    ).persist()  # reused by the cuts aggregate and the output projection
+    ).localCheckpoint()  # reused by the cuts aggregate and the output
+    # projection; checkpoint rather than persist (round 13) so the
+    # blocks free when the returned frame is GC'd
     qs = [1.0 - i / n_buckets for i in range(1, n_buckets)]
     names = [f"c{i}" for i in range(len(qs))]
     cuts_row = group_percentiles(

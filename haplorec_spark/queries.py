@@ -1184,15 +1184,24 @@ def q_report_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse = head.unionByName(tail).withColumn(
         "_bucket", F.pmod(F.floor(F.col("_seq") / 2), F.lit(32))
     )
+    # The visible header is fixed; hoist it (and the per-row dict
+    # filters) out of the per-ROW can_collapse call — the old lambda
+    # rebuilt the filtered header list and two filtered dicts for every
+    # row of every bucket (round-13 kernel profile).
+    visible = [c for c in sparse.columns if not c.startswith("_")]
+
+    def _can(hdr, a, b):
+        return report_can_collapse(
+            visible,
+            {k: a[k] for k in visible if a[k] is not None},
+            {k: b[k] for k in visible if b[k] is not None},
+        )
+
     merged = collapse(
         sparse,
         order_by=["_seq"],
         partition_by=["_bucket"],
-        can_collapse=lambda hdr, a, b: report_can_collapse(
-            [c for c in hdr if not c.startswith("_")],
-            {k: v for k, v in a.items() if not k.startswith("_")},
-            {k: v for k, v in b.items() if not k.startswith("_")},
-        ),
+        can_collapse=_can,
         merge=report_merge,
     )
     return merged.select(

@@ -171,15 +171,22 @@ def _condense(
     seq = joined.withColumn("_seq", F.row_number().over(w))
     deduped = no_duplicates(seq, groups, order_by=["_seq"])
     kept = project(deduped, ["job_id", "_seq", *select_cols])
+    # hoisted out of the per-ROW can_collapse call (round 13): the old
+    # lambda rebuilt the filtered header and two filtered dicts per row
+    visible = [c for c in kept.columns if c not in ("job_id", "_seq")]
+
+    def _can(hdr, a, b):
+        return report_can_collapse(
+            visible,
+            {k: a[k] for k in visible if a[k] is not None},
+            {k: b[k] for k in visible if b[k] is not None},
+        )
+
     collapsed = collapse(
         kept,
         order_by=["_seq"],
         partition_by=["job_id"],
-        can_collapse=lambda hdr, a, b: report_can_collapse(
-            [c for c in hdr if c not in ("job_id", "_seq")],
-            {k: v for k, v in a.items() if k not in ("job_id", "_seq")},
-            {k: v for k, v in b.items() if k not in ("job_id", "_seq")},
-        ),
+        can_collapse=_can,
         merge=report_merge,
     )
     out = collapsed.select(*select_cols)

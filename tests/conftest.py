@@ -9,7 +9,11 @@ from haplorec_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    confs = {"spark.driver.memory": "4g"}
+    confs = {
+        "spark.driver.memory": "4g",
+        "spark.ui.enabled": "false",
+        "spark.sql.codegen.cache.maxEntries": "5000",
+    }
     # Mode-neutrality CI hook: SPARK_GRAFT_ANSI=false reruns the whole
     # suite under the non-default ANSI setting (default runs ansi=true,
     # the Spark 4 / driver-harness mode).

@@ -915,6 +915,44 @@ def test_simhash_collapse_reuses_signature_exchange(spark):
     assert plan.count("ReusedExchange") >= 2, plan.count("ReusedExchange")
 
 
+def test_simhash32_kernel_matches_expression_twin(spark):
+    """The round-13 vectorized mapInArrow kernel must reproduce the
+    expression twin bit-for-bit on every edge the two spellings could
+    diverge on: NULL text (doc emits NO row — explode(split(NULL))
+    drops it), empty text (one empty token, md5('')), consecutive /
+    leading / trailing spaces (split(' ') keeps empty tokens on both
+    sides), tabs/newlines (NOT token separators), case folding done in
+    the JVM (Turkish dotted-I, Greek final sigma, German sharp s stay
+    whatever Spark's lower() says — the kernel receives lowered text),
+    CJK, and heavy token repetition (the per-batch distinct-md5 path).
+    Plan shape: kernel is map-side (no Exchange); twin groupBy(doc)
+    pays one."""
+    from haplorec_spark.operators.dedup import _simhash32_expr, simhash32
+
+    rows_in = [
+        (0, None),
+        (1, ""),
+        (2, " "),
+        (3, "a  b"),
+        (4, " leading and trailing "),
+        (5, "a\tb\nc d"),
+        (6, "İstanbul ΑΣ STRASSE ß ẞ"),
+        (7, "这是中文 测试 文本"),
+        (8, "the the the the cat cat sat"),
+        (9, "one-token"),
+        (10, "The QUICK brown FOX jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+    got = rows(simhash32(docs))
+    want = rows(_simhash32_expr(docs))
+    assert got == want
+    plan = (
+        simhash32(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan
+
+
 # -------------------------------------- bounded star-verification path
 
 

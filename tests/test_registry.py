@@ -1001,15 +1001,30 @@ def test_rotated_out_queries_still_match_duckdb(spark):
         # order None against str
         return tuple((x is None, x) for x in t)
 
-    for name, sql in ROTATED_OUT_ORACLES.items():
+    # The ~25 oracle checks are independent; run a few in flight so the
+    # next query's jobs back-fill executor slots freed by the current
+    # one's driver-sequential tail (guide §2.6 overlap — this test was
+    # the suite's single slowest item at 285 s serial). Each worker gets
+    # its own DuckDB cursor (connections are not thread-safe, cursors
+    # share the parent's catalog/views). Assertions are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, sql = item
         got = sorted(
             (norm(tuple(r)) for r in getattr(q, name)(spark, sf).collect()),
             key=key,
         )
         want = sorted(
-            (norm(tuple(t)) for t in con.execute(sql).fetchall()), key=key
+            (norm(tuple(t)) for t in con.cursor().execute(sql).fetchall()),
+            key=key,
         )
         assert got == want, name
+        return name
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for _ in pool.map(check, ROTATED_OUT_ORACLES.items()):
+            pass
 
 
 def test_jaccard_dfcut_changes_the_answer(spark):
